@@ -1,0 +1,58 @@
+"""SparkSession factory with defaults tuned for both local testing and
+100 TB-scale posture.
+
+The reference (``pipelines/total_distance.py:68-80``) configures a Dataflow
+runner per-pipeline; our equivalent is one session factory whose settings all
+target plan quality rather than hand-scheduling:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast demotion/promotion) — the Spark answer to Dataflow's dynamic
+  work rebalancing.
+- Arrow enabled so any unavoidable pandas UDF path is vectorized.
+- ``spark.sql.shuffle.partitions`` sized by env for local runs; on a real
+  cluster AQE coalesces from a high initial number, so the same code scales.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "apache_beam_challange_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- plan quality / scale posture ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- python interop ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # The driver's parquet files carry TIMESTAMP(NANOS) (unsupported by
+        # Spark's reader); read them as raw longs — the catalog converts to
+        # timestamp_ntz at micro precision, matching DuckDB's truncation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- keep local runs quiet and deterministic ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,122 @@
+"""Parquet catalog + derived reference-shaped views.
+
+Sources in the reference are ``beam.io.ReadFromBigQuery(query=...)`` calls
+(``pipelines/cycle_rides.py:43-46``, ``pipelines/total_distance.py:92-95``)
+against ``bigquery-public-data.london_bicycles``. Our engine reads the
+driver's parquet tables (``/root/testdata/<sf>/``) with explicit schemas from
+the parquet footers — a strict upgrade over the reference's stringly-typed
+row dicts (``pipelines/cycle_rides.py:13-14``).
+
+Because the test corpus has no literal ``cycle_hire``/``cycle_stations``
+tables, we *derive* their query-shapes deterministically from ``lineitem``
+and ``supplier`` — with the derivation expressed twice, once as a DataFrame
+transform and once as ANSI-SQL CTE text, so every canonical query has an
+exact DuckDB oracle twin:
+
+- ``stations(id, name, latitude, longitude)``: one row per supplier, lat/lon
+  laid out on a deterministic London-like grid. ~100 rows at any sf — a
+  classic broadcast dimension (mirrors the ~800-row ``cycle_stations``).
+- ``rides(ride_id, start_station_id, end_station_id)``: one row per lineitem,
+  station ids folded into the supplier key space, with a deterministic ~1-2%
+  of NULL station ids to exercise the reference's ``remove_none`` null-filter
+  path (``pipelines/total_distance.py:55-57,98``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The same derivations as ANSI SQL, inlined into every oracle query that
+# needs them (the driver's DuckDB session registers only the base tables).
+STATIONS_CTE = """
+stations AS (
+    SELECT
+        s_suppkey AS id,
+        s_name    AS name,
+        51.4  + (s_suppkey % 20) * 0.01            AS latitude,
+        -0.25 + FLOOR(s_suppkey / 20.0) * 0.015    AS longitude
+    FROM supplier
+)
+""".strip()
+
+RIDES_CTE = """
+rides AS (
+    SELECT
+        l_orderkey * 10 + l_linenumber AS ride_id,
+        CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_suppkey END      AS start_station_id,
+        CASE WHEN l_orderkey % 89 = 3 THEN NULL ELSE l_partkey % 100 END AS end_station_id
+    FROM lineitem
+)
+""".strip()
+
+
+# Parquet TIMESTAMP(NANOS) columns, read as nano-longs (see session.py) and
+# converted here to timestamp_ntz at microsecond precision — exactly how
+# DuckDB surfaces them, so oracle comparisons see identical values.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one base parquet table; schema comes from the parquet footer."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+            )
+    return df
+
+
+def stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived station dimension (shape of ``cycle_stations`` as queried,
+    ``pipelines/stations.py:57-59`` / ``pipelines/total_distance.py:103-106``)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        (F.lit(51.4) + (F.col("s_suppkey") % 20) * 0.01).alias("latitude"),
+        (F.lit(-0.25) + F.floor(F.col("s_suppkey") / 20.0) * 0.015).alias("longitude"),
+    )
+
+
+def rides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived ride fact (shape of ``cycle_hire`` as queried,
+    ``pipelines/cycle_rides.py:38-40``), with deterministic NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ride_id"),
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("l_suppkey"))
+        .alias("start_station_id"),
+        F.when(F.col("l_orderkey") % 89 == 3, F.lit(None))
+        .otherwise(F.col("l_partkey") % 100)
+        .alias("end_station_id"),
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every base table plus the derived rides/stations views as
+    temp views, enabling the ``spark.sql`` facade (the engine's analog of the
+    reference's SQL-pushdown route, ``pipelines/sql_cycle_rides.py:35-41``)."""
+    for name in BASE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    stations(spark, sf_dir).createOrReplaceTempView("stations")
+    rides(spark, sf_dir).createOrReplaceTempView("rides")

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, comparing row count, sorted column names, and an
+order-insensitive value hash. Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+
+def _norm_cell(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from apache_beam_challange_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"  {name}: rows-only, {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                failures.append((name, "zero rows (rows-only check)"))
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                # show a sample diff
+                sset = {tuple(_norm_cell(v) for v in r) for r in
+                        (tuple(r[scols.index(c)] for c in sorted(scols)) for r in srows)}
+                oset = {tuple(_norm_cell(v) for v in r) for r in
+                        (tuple(r[ocols.index(c)] for c in sorted(ocols)) for r in orows)}
+                for side, diff in (("spark-only", sset - oset), ("oracle-only", oset - sset)):
+                    for row in list(diff)[:3]:
+                        problems.append(f"  {side}: {row}")
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name}: {status} {len(srows)} rows  ({time.time()-t0:.1f}s)")
+        for p in problems:
+            print(f"      {p}")
+        if problems:
+            failures.append((name, problems[0]))
+
+    print()
+    total = len(only) if only else len(qs)
+    print(f"{total - len(failures)}/{total} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
