@@ -1,0 +1,449 @@
+"""Operator-coverage queries: one named query per operator class in
+SURVEY.md §2 that the reference uses (or that Spark gives natively and the
+engine exposes — §2's "not present / free in Spark" rows).
+
+Determinism conventions (FIXTURES.md §4):
+- Floating aggregates are stabilized by summing exact decimals of the
+  per-row doubles (identical IEEE products in both engines), then casting
+  the exact sum back to double: ``CAST(SUM(CAST(ROUND(x,4) AS
+  DECIMAL(18,4))) AS DOUBLE)``. Plain double-sum order differs between
+  Spark partial aggregation and DuckDB.
+- Every floating output column is rounded; every top-k is fully tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.operators.relational import (
+    drop_null_rows,
+    group_count,
+    project,
+    top_k,
+)
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import RIDES_CTE, load_table, rides
+
+
+def _dec_sum(col: F.Column, alias: str) -> F.Column:
+    """Order-insensitive (exact) sum of a double expression -> double.
+
+    Each row is fixed to 4 decimals via ``FLOOR(x*1e4 + 0.5)`` — pure IEEE
+    double ops that both Spark and DuckDB evaluate bit-identically (their
+    ROUND() implementations differ at half-way representations) — then
+    summed exactly as int64 and scaled back in one double division."""
+    return (
+        (F.sum(F.floor(col * 10000 + F.lit(0.5)).cast("long")) / 10000.0)
+        .alias(alias)
+    )
+
+
+def _dec_sum_sql(expr: str, alias: str) -> str:
+    return (
+        f"SUM(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS {alias}"
+    )
+
+
+# --- P1 + P5: projection with null-filter (reference remove_none) -----------
+
+@query(
+    "project_filter_nulls",
+    oracle=f"""
+WITH {RIDES_CTE}
+SELECT ride_id, start_station_id, end_station_id
+FROM rides
+WHERE start_station_id IS NOT NULL AND end_station_id IS NOT NULL
+""".strip(),
+)
+def project_filter_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection + P5 ``remove_none`` null guard
+    (``pipelines/total_distance.py:55-57,97-98``). The filter lands before
+    any shuffle; Catalyst pushes IsNotNull into the scan."""
+    r = project(rides(spark, sf_dir), "ride_id", "start_station_id", "end_station_id")
+    return drop_null_rows(r, ["start_station_id", "end_station_id"])
+
+
+# --- distinct (dedup primitive, SURVEY §2.4 free-in-Spark row) --------------
+
+@query(
+    "distinct_pairs",
+    oracle=f"""
+WITH {RIDES_CTE}
+SELECT DISTINCT start_station_id, end_station_id FROM rides
+""".strip(),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over the pair key — Spark plans it as a hash aggregate with
+    map-side partials, so the shuffle carries unique pairs only."""
+    return rides(spark, sf_dir).select("start_station_id", "end_station_id").distinct()
+
+
+# --- A1 analog on events + A3 top-k ----------------------------------------
+
+_EVENTS_TOPK_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+ORDER BY n_events DESC, user_id, event_type
+LIMIT 50
+""".strip()
+
+
+@query("events_group_topk", oracle=_EVENTS_TOPK_SQL)
+def events_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count.PerElement + Top.Of on the events stream table
+    (``pipelines/cycle_rides.py:51,53`` analog): two-phase hash agg then
+    TakeOrderedAndProject (partial top-k per partition + single merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = group_count(ev, ["user_id", "event_type"], alias="n_events")
+    return top_k(
+        counts, 50,
+        order=[F.col("n_events").desc()],
+        tiebreak=("user_id", "event_type"),
+    )
+
+
+# --- A4 scalar arithmetic + multi-aggregate (TPC-H Q1 shape) ----------------
+
+_PRICING_SQL = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    {_dec_sum_sql('l_quantity', 'sum_qty')},
+    {_dec_sum_sql('l_extendedprice', 'sum_base_price')},
+    {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+    {_dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+@query("pricing_summary", oracle=_PRICING_SQL)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar post-aggregation arithmetic (A4, ``total_distance.py:23-24``)
+    generalized to the TPC-H Q1 pricing-summary shape: predicate pushdown +
+    partial/final hash agg over computed expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc, "sum_disc_price"),
+            _dec_sum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- P4/F2: CSV line formatting --------------------------------------------
+
+@query(
+    "csv_format_lines",
+    oracle=f"""
+WITH {RIDES_CTE},
+top_pairs AS (
+    SELECT start_station_id, end_station_id, COUNT(*) AS amount_of_rides
+    FROM rides
+    WHERE start_station_id IS NOT NULL AND end_station_id IS NOT NULL
+    GROUP BY start_station_id, end_station_id
+    ORDER BY amount_of_rides DESC, start_station_id, end_station_id
+    LIMIT 20
+)
+SELECT CONCAT_WS(',', start_station_id, end_station_id, amount_of_rides) AS line
+FROM top_pairs
+""".strip(),
+)
+def csv_format_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format_csv`` (``pipelines/total_distance.py:50-52``) as a native
+    expression: concat_ws compiles into codegen instead of a per-row Python
+    ``','.join``. (The real CSV sink is ``df.write.csv`` — tests/test_sinks.)"""
+    r = drop_null_rows(
+        rides(spark, sf_dir).select("start_station_id", "end_station_id")
+    )
+    top = top_k(
+        group_count(r, ["start_station_id", "end_station_id"]),
+        20,
+        order=[F.col("amount_of_rides").desc()],
+        tiebreak=("start_station_id", "end_station_id"),
+    )
+    return top.select(
+        F.concat_ws(
+            ",", "start_station_id", "end_station_id", "amount_of_rides"
+        ).alias("line")
+    )
+
+
+# --- joins: broadcast equi-join, semi, anti (SURVEY §2.3 free rows) ---------
+
+@query(
+    "join_broadcast_revenue",
+    oracle=f"""
+SELECT
+    c.c_mktsegment,
+    {_dec_sum_sql('o.o_totalprice', 'revenue')},
+    COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""".strip(),
+)
+def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an explicitly broadcast dimension — the scalable
+    replacement for the reference's single-key CoGroupByKey merges: no
+    shuffle of the fact side at all, then a partial-agg'd rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""".strip(),
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with at least one order. Semi joins ship
+    only the key column of the probe side — cheaper than join+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_unordered_parts",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""".strip(),
+)
+def join_anti_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: parts never appearing in lineitem."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return p.join(
+        li, p.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+# --- set operations (SURVEY §2.8 not-present row) ---------------------------
+
+@query(
+    "set_ops_customers",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""".strip(),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) + EXCEPT over customer keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.union(building).distinct().exceptAll(finished.distinct())
+
+
+# --- window functions (SURVEY §2.8 not-present row) -------------------------
+
+@query(
+    "window_rank_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rn
+    FROM orders
+) t
+WHERE rn <= 3
+""".strip(),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via ROW_NUMBER window — one shuffle on the partition
+    key, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_lag_event_gaps",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+         - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+         AS gap_seconds
+FROM events
+""".strip(),
+)
+def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: seconds since the user's previous event (NULL for the
+    first). The per-user ordering shuffle is the same partitioning a
+    sessionization pass would reuse."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev = F.unix_timestamp(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    return ev.select(
+        "user_id", "event_id", (sec - prev).alias("gap_seconds")
+    )
+
+
+# --- JSON extraction over events.props (SURVEY §2.9) ------------------------
+
+@query(
+    "json_props_histogram",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
+FROM events
+GROUP BY 1
+""".strip(),
+)
+def json_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_json_object`` over the JSON props column — stays JVM-side
+    (Jackson), no Python in the loop."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- rollup / grouping sets (SURVEY §2.4 not-present row) -------------------
+
+@query(
+    "rollup_nation_revenue",
+    oracle=f"""
+SELECT
+    n.n_name AS nation,
+    c.c_mktsegment AS segment,
+    {_dec_sum_sql('o.o_totalprice', 'revenue')}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+""".strip(),
+)
+def rollup_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over a two-dim hierarchy with broadcast dims."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "o_totalprice",
+        )
+        .rollup("nation", "segment")
+        .agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+    )
+
+
+# --- exact count-distinct (SURVEY §2.4 not-present row) ---------------------
+
+@query(
+    "count_distinct_users",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""".strip(),
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand + two-phase agg in Spark's plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- global sort + limit/offset (SURVEY §2.5 not-present rows) --------------
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100 OFFSET 50
+""".strip(),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT ... OFFSET — pagination over a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(50)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- time bucketing (batch twin of the streaming tumbling window) -----------
+
+@query(
+    "events_hourly_counts",
+    oracle=f"""
+SELECT
+    date_trunc('hour', ts) AS hour,
+    event_type,
+    COUNT(*) AS n,
+    {_dec_sum_sql('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""".strip(),
+)
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form (date_trunc bucketing) —
+    the exact-answer twin of streaming/windows.py's windowed stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+    )
