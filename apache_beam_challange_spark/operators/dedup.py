@@ -1,0 +1,172 @@
+"""Deduplication operators for large-scale corpus curation
+(SURVEY.md §2.9): exact, MinHash-LSH near-dup, SimHash, n-gram Jaccard.
+
+Scale posture: every operator here is a pure shuffle-on-key DataFrame plan —
+no driver-side loops, no collect. At 100 TB the shapes hold:
+
+- exact dedup: one hash-partitioned window per key group;
+- MinHash: shingling is a narrow explode; signatures are one groupBy over
+  (doc, hash_idx); band buckets are one groupBy; candidate pairs are an
+  equi-join on (band_idx, band_val) — the classic band-bucket join that
+  replaces the O(n²) all-pairs comparison;
+- SimHash: one narrow pass to a 64-bit signature, then an equi-join on
+  signature (or banded sub-keys) for candidates.
+
+MinHash hashes are md5 hex strings (min over VARCHAR) rather than murmur
+ints — marginally more bytes per key, but md5 is implemented identically in
+DuckDB, making the whole LSH pipeline oracle-verifiable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: str) -> DataFrame:
+    """Keep exactly one row per key group — the row with the smallest
+    ``order_by`` value, so the choice is deterministic (``dropDuplicates``
+    keeps an arbitrary row, which would break oracle hashing)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_by).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: narrow explode of
+    position sequences — no shuffle. Adds ``shingle``; keeps ``doc_id``."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select("doc_id", toks.alias("__tokens"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__tokens") - (n - 1), F.lit(1)))
+            ).alias("__pos"),
+            "__tokens",
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice("__tokens", F.col("__pos"), n), " ").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash signature rows ``(doc_id, hash_idx, min_hash)``: hash family
+    h_i(s) = md5(s || '#' || i), signature = per-doc minimum of each h_i.
+    One groupBy — partial mins combine map-side, so the shuffle carries at
+    most num_hashes rows per doc."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
+    hashed = sh.select("doc_id", idx, "shingle").select(
+        "doc_id",
+        "hash_idx",
+        F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("hash_idx"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("min_hash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_val): documents
+    agreeing on any full band become candidate pairs (doc_id_1 < doc_id_2).
+    The join key space is large (concatenated hashes), so bucket skew is
+    bounded by true near-duplicate density."""
+    bands = (
+        signatures.groupBy(
+            "doc_id",
+            F.floor(F.col("hash_idx") / rows_per_band).alias("band_idx"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hash_idx", "min_hash"))),
+                    lambda s: s["min_hash"],
+                ),
+                "|",
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_1"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_2"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from xxhash64(token) bit votes.
+
+    Plan shape: explode tokens -> explode 64 bit positions is avoided;
+    instead each bit contributes via sign aggregation over the token hash's
+    bits using bitwise ops — one groupBy(doc_id) with 64 conditional sums.
+    xxhash64 has no DuckDB twin, so SimHash queries are rows-only checked;
+    tests assert self-consistency (identical text => identical signature).
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    hashed = toks.select("doc_id", F.xxhash64("token").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame, group_col: str, text_col: str = "text", min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact token-set Jaccard for all document pairs within a group
+    (blocking column): tokens explode -> equi-join on (group, token) ->
+    intersection counts -> |A∪B| = |A|+|B|-|A∩B|. The group column bounds
+    the pair blow-up, the standard blocking trick at scale."""
+    toks = (
+        df.select(group_col, "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    a = toks.select(
+        F.col(group_col).alias("g"), F.col("doc_id").alias("doc_id_1"), "token"
+    )
+    b = toks.select(
+        F.col(group_col).alias("g"), F.col("doc_id").alias("doc_id_2"), "token"
+    )
+    inter = (
+        a.join(b, ["g", "token"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_tokens").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_tokens").alias("n2"))
+    out = (
+        inter.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

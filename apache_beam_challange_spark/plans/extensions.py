@@ -1,0 +1,357 @@
+"""Extension queries: the LLM-data-pipeline surface (SURVEY.md §2.9) over
+the ``documents`` and ``embeddings`` tables — dedup (exact / MinHash-LSH /
+SimHash / Jaccard), similarity search (exact + ANN), and text analysis.
+
+The MinHash and ANN pipelines are deliberately built from engine-portable
+primitives (md5, sin) so even the *approximate* algorithms have exact DuckDB
+oracle twins — the full LSH pipeline is hash-verified, not just smoke-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.functions.text import (
+    QUALITY_SCORE_SQL,
+    fingerprint_md5,
+    lang_id,
+    lang_id_sql,
+    quality_score,
+)
+from apache_beam_challange_spark.functions.vector import as_double, l2_norm
+from apache_beam_challange_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash64,
+)
+from apache_beam_challange_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+SELECT doc_id, lang, source
+FROM (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+    FROM documents
+) t
+WHERE rn = 1
+""".strip(),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the deterministic first row per (lang, source)
+    key — hash-groupBy shape, one shuffle on the dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+SELECT source,
+       COUNT(DISTINCT md5(LOWER(text))) AS n_unique,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+""".strip(),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 of normalized text) — the cheap first pass
+    of any corpus dedup: distinct-fingerprint counts per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_unique"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# --- text statistics --------------------------------------------------------
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       SUM(LEN(STRING_SPLIT(text, ' '))) AS sum_tokens,
+       SUM(CAST(FLOOR(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      * 10000.0 / LENGTH(text) + 0.5) AS BIGINT)) AS punct_bp
+FROM documents
+GROUP BY lang
+""".strip(),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc/char/token totals and summed
+    punctuation basis points — the raw inputs of a quality dashboard."""
+    docs = load_table(spark, sf_dir, "documents")
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
+        F.sum(
+            F.floor(punct * 10000.0 / F.length(F.col("text")) + 0.5).cast("long")
+        ).alias("punct_bp"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+SELECT lang, {lang_id_sql()} AS lang_pred, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+""".strip(),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column — a confusion
+    matrix, the evaluation shape for any classifier-in-the-pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "quality_scores_top",
+    oracle=f"""
+SELECT doc_id, ROUND({QUALITY_SCORE_SQL}, 6) AS quality
+FROM documents
+ORDER BY quality DESC, doc_id
+LIMIT 100
+""".strip(),
+)
+def quality_scores_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-feature quality scoring, top-100 — the filter stage of a
+    pretraining-data pipeline (keep-above-threshold at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------------
+
+@query(
+    "jaccard_pairs_by_source",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT source, doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_inter
+    FROM tok a
+    JOIN tok b ON a.source = b.source AND a.token = b.token
+              AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_id_1, i.doc_id_2,
+       ROUND(n_inter / (s1.n_tokens + s2.n_tokens - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.doc_id_1 = s1.doc_id
+JOIN sizes s2 ON i.doc_id_2 = s2.doc_id
+WHERE n_inter / (s1.n_tokens + s2.n_tokens - n_inter) >= 0.5
+""".strip(),
+)
+def jaccard_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for same-source document pairs at >= 0.5 —
+    source is the blocking key bounding the pair blow-up."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "source", min_jaccard=0.5)
+
+
+# --- MinHash LSH ------------------------------------------------------------
+
+_MINHASH_CTE = """
+tok AS (
+    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, greatest(len(tokens) - 2, 1))) AS i
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+    FROM pos
+),
+mh AS (
+    SELECT doc_id, h.i AS hash_idx,
+           MIN(md5(shingle || '#' || CAST(h.i AS VARCHAR))) AS min_hash
+    FROM sh, (SELECT unnest(generate_series(0, 7)) AS i) h
+    GROUP BY doc_id, h.i
+)
+""".strip()
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"WITH {_MINHASH_CTE}\nSELECT doc_id, hash_idx, min_hash FROM mh",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hash functions over word 3-gram shingles).
+    Every stage is narrow or map-side-combined; the oracle verifies the
+    exact signature values, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(shingles(docs, n=3), num_hashes=8)
+
+
+@query(
+    "minhash_candidate_pairs",
+    oracle=f"""
+WITH {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(min_hash, '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+)
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+""".strip(),
+)
+def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket join (4 bands x 2 rows): the scalable replacement
+    for all-pairs comparison — candidates only where a full band collides."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    return lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+@query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (bit-vote aggregation over token
+    hashes). Verified by determinism tests (tests/test_dedup.py), not by
+    oracle — xxhash64 is Spark-specific."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+# --- similarity search ------------------------------------------------------
+
+@query(
+    "cosine_topk_vec0",
+    oracle="""
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6)
+           AS cosine_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+""".strip(),
+)
+def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-20 against vector 0 — the ANN baseline:
+    one narrow scan + partial-top-k merge, zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=20)
+
+
+_ANN_CTE = """
+vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+    SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, 64)) AS j
+    FROM vecs
+),
+proj AS (
+    SELECT vec_id, p.p,
+           SUM(x * (sin(p.p * 64 + j) * 43758.5453
+                    - FLOOR(sin(p.p * 64 + j) * 43758.5453) - 0.5)) AS s
+    FROM comp, (SELECT unnest(generate_series(0, 3)) AS p) p
+    GROUP BY vec_id, p.p
+),
+buck AS (
+    SELECT vec_id,
+           STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM proj
+    GROUP BY vec_id
+)
+""".strip()
+
+
+@query(
+    "ann_lsh_topk_vec0",
+    oracle=f"""
+WITH {_ANN_CTE}
+SELECT v.vec_id, v.label,
+       ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
+FROM vecs v
+JOIN buck b ON v.vec_id = b.vec_id
+CROSS JOIN (
+    SELECT vecs.v AS qv, buck.bucket AS qb
+    FROM vecs JOIN buck ON vecs.vec_id = buck.vec_id
+    WHERE vecs.vec_id = 0
+) q
+WHERE b.bucket = q.qb AND v.vec_id <> 0
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 20
+""".strip(),
+)
+def ann_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-20 via sign-random-projection LSH (16 buckets): exact cosine
+    only within the query's bucket. The hyperplanes are deterministic
+    sin-hash vectors, so even this approximate path is oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, query_vec_id=0, k=20, num_planes=4, dim=64)
+
+
+@query(
+    "embedding_norms_by_label",
+    oracle="""
+WITH norms AS (
+    SELECT vec_id, label, SQRT(SUM(x * x)) AS norm
+    FROM (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings) t
+    GROUP BY vec_id, label
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       SUM(CAST(FLOOR(norm * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_norm
+FROM norms
+GROUP BY label
+""".strip(),
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label — embedding-table hygiene stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", l2_norm(as_double(F.col("embedding"))).alias("norm")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum(F.floor(F.col("norm") * 10000 + F.lit(0.5)).cast("long")) / 10000.0)
+        .alias("sum_norm"),
+    )
