@@ -1,0 +1,100 @@
+"""Multimodal column plumbing (SURVEY.md §2.9): images/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` — the canonical Spark shape for decode / feature-extract /
+resize / frame-sample stages whose kernels are Python libraries.
+
+The container has no image/audio codecs, so the *decode kernel* is stubbed
+(``_decode_real`` raises NotImplementedError; a deterministic byte-level
+fake stands in), but everything Spark-side is real and tested: the binary
+column, the Arrow batch boundary, the output schema contract, and the
+partition-preserving plan (mapInPandas is a narrow transform — at 100 TB
+each executor decodes its own partitions; no shuffle, no driver traffic).
+
+The fake decoder is pure arithmetic on the bytes, which lets even this
+Python-UDF path be verified against a DuckDB oracle computing the same
+features from the hex representation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the image feature extractor — fixed contract so
+#: downstream plans can be analyzed before any Python runs.
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, channels int, sum_bytes bigint"
+)
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_byte int"
+
+
+def attach_fake_image(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary "image" column (md5 digest bytes of the
+    text) plus typed metadata — the storage layout a real multimodal table
+    would use (binary payload + struct metadata, SURVEY.md §2.9)."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5(F.lower(F.col("text")))).alias("image_bytes"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.col("text")).alias("source_len"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_real(data: bytes) -> dict:
+    """Where a real decoder (PIL / libvips / ffmpeg) would run. The codec
+    libraries are not in this container — STUB, kept to document the seam."""
+    raise NotImplementedError(
+        "real image decoding requires PIL/libvips, not available in this "
+        "environment; use the deterministic fake decoder"
+    )
+
+
+def _decode_fake(data: bytes) -> dict:
+    """Deterministic byte-arithmetic stand-in for a decoder: 'dimensions'
+    and 'channels' derived from leading bytes, plus whole-payload stats."""
+    return {
+        "n_bytes": len(data),
+        "width": data[0] % 64 + 1,
+        "height": data[1] % 64 + 1,
+        "channels": data[2] % 3 + 1,
+        "sum_bytes": sum(data),
+    }
+
+
+def decode_image_features(images: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column. Each pandas
+    batch is processed vectorized-per-batch in one Python call — the 10-100x
+    win over row-at-a-time UDFs for any real decode kernel."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["image_bytes"].map(_decode_fake)
+            out = pd.DataFrame(list(feats))
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return images.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(images: DataFrame, every: int = 4, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for "video" payloads: emit every ``every``-th
+    byte as a frame record (1->N explode inside mapInPandas). The real
+    version would seek keyframes with ffmpeg — same schema, same plan."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["image_bytes"]):
+                for i in range(n_frames):
+                    pos = i * every
+                    if pos < len(data):
+                        rows.append((doc_id, i, data[pos]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_byte"])
+
+    return images.mapInPandas(frames, schema=FRAME_SAMPLE_SCHEMA)

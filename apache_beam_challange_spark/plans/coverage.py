@@ -232,13 +232,18 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey, p_name
 FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+)
 """.strip(),
 )
 def join_anti_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join: parts never appearing in lineitem."""
+    """LEFT ANTI join: parts never ordered in bulk (quantity > 45) — the
+    filter keeps the result non-empty at every sf, so the oracle match is
+    over real rows, not 0 = 0."""
     p = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     return p.join(
         li, p.p_partkey == li.l_partkey, "left_anti"
     ).select("p_partkey", "p_name")

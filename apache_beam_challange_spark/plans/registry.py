@@ -33,10 +33,5 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every query module so the registry is fully populated."""
-    from apache_beam_challange_spark.plans import canonical  # noqa: F401
-
-    for mod in ("coverage", "extensions"):
-        try:
-            __import__(f"apache_beam_challange_spark.plans.{mod}")
-        except ImportError:
-            pass
+    for mod in ("canonical", "coverage", "extensions", "media", "stream"):
+        __import__(f"apache_beam_challange_spark.plans.{mod}")

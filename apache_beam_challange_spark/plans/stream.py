@@ -1,0 +1,101 @@
+"""Streaming registry queries: Structured Streaming executed to completion
+(availableNow -> memory sink) so the driver's batch-style oracle gate can
+hash-verify the *final* streaming answers against DuckDB SQL.
+
+The session-window oracle is the classic gaps-and-islands rewrite; the
+stateful query's oracle is a plain GROUP BY (single availableNow batch
+folds all data through the state store exactly once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.streaming.stateful import running_user_counts
+from apache_beam_challange_spark.streaming.windows import (
+    events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""".strip(),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type over the event stream; complete
+    output mode so the final table equals the batch answer."""
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(tumbling_counts(ev, "1 hour"), "complete")
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+SELECT window_start, COUNT(*) AS n
+FROM (
+    SELECT date_trunc('hour', ts) - INTERVAL (o.o) HOUR AS window_start
+    FROM events, (SELECT unnest(generate_series(0, 1)) AS o) o
+) t
+GROUP BY window_start
+""".strip(),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h windows advancing 1h: every event lands in 2 panes."""
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(sliding_counts(ev, "2 hours", "1 hour"), "complete")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS sess_id
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+""".strip(),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user — Spark's session_window
+    merges events whose consecutive gaps are < gap; the oracle reproduces
+    that with a gaps-and-islands window chain."""
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(session_counts(ev, "10 minutes"), "complete")
+
+
+@query(
+    "streaming_stateful_user_counts",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""".strip(),
+)
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed-state streaming operator (applyInPandasWithState):
+    running per-user counts. One availableNow batch folds everything through
+    the state store, so the final update equals the batch GROUP BY."""
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(running_user_counts(ev), "update")

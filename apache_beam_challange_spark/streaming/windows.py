@@ -1,0 +1,128 @@
+"""Structured Streaming slice over the ``events`` table (SURVEY.md §2.8).
+
+The reference only *declares* streaming (``StandardOptions.streaming=True``
+in ``notebooks/development.ipynb:114``) without any unbounded source, window
+or watermark. Here the surface is real: file-source ``readStream`` ->
+event-time windows (tumbling / sliding / session) with watermarks ->
+sink. Tests drive micro-batch sequences (``maxFilesPerTrigger=1``) to prove
+watermark-driven late-data drops; the registry queries run with
+``availableNow`` into a memory sink so their *final* answers are
+deterministic and DuckDB-oracle-checkable — the same query text a real
+deployment would run against Kafka, swapped source/sink only.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Physical parquet schema of events (ts is TIMESTAMP(NANOS), surfaced as a
+# nano-long under spark.sql.legacy.parquet.nanosAsLong — see session.py).
+EVENTS_PHYSICAL_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_sink_counter = itertools.count()
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded events source: file-stream over parquet. ``path`` may be a
+    single file (registry runs) or a directory of micro-batch files
+    (late-data tests)."""
+    reader = spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet"):
+        # File-stream sources need a directory; narrow it with a glob.
+        base, _, fname = path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    raw = reader.parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows per event_type."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), window).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping panes."""
+    return (
+        events.groupBy(F.window(F.col("ts"), window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps stay
+    under ``gap``; a gap >= ``gap`` starts a new session."""
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "complete", with_watermark_col: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow trigger)
+    into an in-memory sink and return the materialized result table.
+
+    Memory sinks collect to the driver — fine for the correctness gate; a
+    production deployment swaps in kafka/delta sinks with identical query
+    text. ``availableNow`` processes the bounded backlog then stops, making
+    the final table a pure function of the input files."""
+    name = f"stream_result_{next(_sink_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
