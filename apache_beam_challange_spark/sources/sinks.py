@@ -1,0 +1,47 @@
+"""Sinks (SURVEY.md §2.6): the reference's WriteToText variants mapped to
+Spark's native writers.
+
+K1 (``pipelines/cycle_rides.py:61-63``): sharded CSV with header.
+K2 (``pipelines/sql_cycle_rides.py:47``): plain text shards.
+K3 (``pipelines/total_distance.py:130-133``): single output file
+    (num_shards=0 + empty shard template) -> ``coalesce(1)``.
+
+Scale note: the single-file sink serializes the final write through one
+task *by design* (same as the reference's num_shards=0); the default sinks
+write one file per partition in parallel. ``write_parquet`` adds the
+partitioned-columnar layout the reference lacks — at 100 TB, partition
+columns (e.g. date) are what make downstream scans prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """K1: sharded CSV, one file per partition, written in parallel."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_csv_single(df: DataFrame, path: str, header: bool = True) -> None:
+    """K3: exactly one CSV file (coalesce(1) — intentional serial write)."""
+    df.coalesce(1).write.mode("overwrite").option(
+        "header", str(header).lower()
+    ).csv(path)
+
+
+def write_text(df: DataFrame, path: str, sep: str = ",") -> None:
+    """K2: stringified lines; columns joined with ``sep``."""
+    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Columnar sink with optional hive-style partitioning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Execution is forced with the noop sink (full compute, no driver collect),
+except streaming queries whose callables already run to completion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_sql_top_pairs",
+    "q2_top_pairs_ops",
+    "q3_station_distances",
+    "q4_total_distance",
+    "pricing_summary",
+    "join_broadcast_revenue",
+    "window_rank_orders",
+    "events_hourly_counts",
+    "distinct_pairs",
+    "jaccard_pairs_by_source",
+    "minhash_candidate_pairs",
+    "cosine_topk_vec0",
+    "ann_lsh_topk_vec0",
+    "multimodal_image_features",
+    "streaming_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from apache_beam_challange_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from apache_beam_challange_spark.operators.multimodal import (
+    _decode_fake,
+    _decode_real,
+    attach_fake_image,
+    decode_image_features,
+    sample_frames,
+)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x00")
+
+
+def test_decode_features_exact(spark):
+    docs = spark.createDataFrame([(1, "Hello World")], ["doc_id", "text"])
+    out = decode_image_features(attach_fake_image(docs)).collect()
+    digest = hashlib.md5(b"hello world").digest()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_bytes"] == 16
+    assert r["width"] == digest[0] % 64 + 1
+    assert r["height"] == digest[1] % 64 + 1
+    assert r["channels"] == digest[2] % 3 + 1
+    assert r["sum_bytes"] == sum(digest)
+
+
+def test_frame_sample_positions(spark):
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    out = sample_frames(attach_fake_image(docs), every=4, n_frames=4).collect()
+    digest = hashlib.md5(b"abc").digest()
+    got = {r["frame_idx"]: r["frame_byte"] for r in out}
+    assert got == {i: digest[i * 4] for i in range(4)}
+
+
+def test_fake_decoder_pure():
+    assert _decode_fake(b"\x05\x06\x07") == {
+        "n_bytes": 3,
+        "width": 6,
+        "height": 7,
+        "channels": 2,
+        "sum_bytes": 18,
+    }

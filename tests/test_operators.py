@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from apache_beam_challange_spark.operators.dedup import exact_dedup
+from apache_beam_challange_spark.operators.joins import (
+    all_pairs,
+    full_outer_zero_fill,
+)
+
+
+def test_full_outer_zero_fill_semantics(spark):
+    """J2: zero-fill when either side of the join is absent
+    (total_distance.py:14-29 semantics)."""
+    counts = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 2)], ["s", "e", "n"]
+    )
+    dists = spark.createDataFrame(
+        [(1, 2, 1.5), (9, 9, 4.0)], ["s", "e", "d"]
+    )
+    out = full_outer_zero_fill(
+        counts, dists, on=["s", "e"], fill={"n": 0, "d": 0.0}
+    )
+    rows = {(r["s"], r["e"]): (r["n"], r["d"]) for r in out.collect()}
+    assert rows[(1, 2)] == (5, 1.5)      # both sides
+    assert rows[(1, 3)] == (2, 0.0)      # count only -> distance zero-filled
+    assert rows[(9, 9)] == (0, 4.0)      # distance only -> count zero-filled
+
+
+def test_all_pairs_keeps_self_and_both_orientations(spark):
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    pairs = {(r["id_1"], r["id_2"]) for r in all_pairs(dim).collect()}
+    assert pairs == {(1, 1), (1, 2), (2, 1), (2, 2)}
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "k"), (1, "k"), (2, "k"), (5, "j")], ["id", "key"]
+    )
+    out = exact_dedup(df, ["key"], "id").collect()
+    kept = {r["key"]: r["id"] for r in out}
+    assert kept == {"k": 1, "j": 5}
+
+
+def test_broadcast_cross_join_plan(spark):
+    """The all-pairs plan must be a broadcast nested-loop join — not the
+    reference's single-worker funnel."""
+    dim = spark.createDataFrame([(i, f"s{i}") for i in range(10)], ["id", "name"])
+    plan = all_pairs(dim)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan

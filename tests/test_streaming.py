@@ -1,0 +1,150 @@
+"""Streaming semantics tests: micro-batch sequencing, watermark-driven
+late-data drops, and keyed-state updates — driven through real
+Structured Streaming runs over staged parquet micro-batch files.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from apache_beam_challange_spark.streaming.stateful import running_user_counts
+from apache_beam_challange_spark.streaming.windows import (
+    events_stream,
+    run_to_memory,
+    tumbling_counts,
+)
+
+ROW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos, matching the physical layout
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _nanos(hour: int, minute: int) -> int:
+    t = dt.datetime(2024, 1, 1, hour, minute, tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1_000_000_000)
+
+
+def _write_batch(spark, path: str, rows: list[tuple]) -> None:
+    """Stage one micro-batch as a single plain parquet FILE (the streaming
+    file source lists files non-recursively)."""
+    import glob
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp()
+    spark.createDataFrame(rows, ROW_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.copy(part, path)
+    shutil.rmtree(staging)
+
+
+def test_tumbling_counts_match_batch(spark, tmp_path):
+    base = tmp_path / "stream_in"
+    base.mkdir()
+    _write_batch(
+        spark,
+        str(base / "a.parquet"),
+        [
+            (1, _nanos(10, 5), 1, "view", 1.0, "{}"),
+            (2, _nanos(10, 20), 1, "view", 1.0, "{}"),
+            (3, _nanos(11, 1), 2, "click", 1.0, "{}"),
+        ],
+    )
+    out = run_to_memory(tumbling_counts(events_stream(spark, str(base))), "complete")
+    got = {(str(r["window_start"]), r["event_type"]): r["n"] for r in out.collect()}
+    assert got == {
+        ("2024-01-01 10:00:00", "view"): 2,
+        ("2024-01-01 11:00:00", "click"): 1,
+    }
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two sequenced micro-batches (maxFilesPerTrigger=1): batch 2 carries
+    an event far older than the watermark established by batch 1 -> the
+    late row must NOT appear in appended finalized windows."""
+    d = tmp_path / "late_in"
+    d.mkdir()
+    # batch A: events at 10:05 and 13:00 -> watermark after A = 13:00 - 1h
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(10, 5), 1, "view", 1.0, "{}"),
+            (2, _nanos(13, 0), 1, "view", 1.0, "{}"),
+        ],
+    )
+    # batch B: on-time only; processing it finalizes + evicts the 10:00
+    # window (watermark 12:00 > window end 11:00)
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [(3, _nanos(13, 30), 1, "view", 1.0, "{}")],
+    )
+    # batch C: a 10:10 event — now truly late (its window state was already
+    # evicted) plus an on-time 14:00 event
+    _write_batch(
+        spark,
+        str(d / "c.parquet"),
+        [
+            (4, _nanos(10, 10), 1, "view", 1.0, "{}"),
+            (5, _nanos(14, 0), 1, "view", 1.0, "{}"),
+        ],
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    # watermarks require TIMESTAMP (tz-aware); session tz is UTC so the
+    # conversion is value-preserving
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    windowed = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+    out = run_to_memory(windowed, "append")
+    rows = [(str(r["ws"]), r["n"]) for r in out.collect()]
+    ten_oclock = [n for ws, n in rows if ws == "2024-01-01 10:00:00"]
+    # the 10:00 window finalized once, with ONLY the batch-A event; the
+    # late batch-C event at 10:10 was dropped by the watermark (its state
+    # was evicted; no duplicate/updated window row may appear)
+    assert ten_oclock == [1]
+
+
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    d = tmp_path / "state_in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [(1, _nanos(10, 0), 7, "view", 1.0, "{}"),
+         (2, _nanos(10, 1), 7, "view", 1.0, "{}")],
+    )
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [(3, _nanos(10, 2), 7, "view", 1.0, "{}")],
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_memory(running_user_counts(ev), "update")
+    counts = sorted(r["n_events"] for r in out.collect() if r["user_id"] == 7)
+    # one update per micro-batch: 2 after A, 3 after A+B (file order is
+    # deterministic by path)
+    assert counts == [2, 3]

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.functions.vector import as_double, cosine, dot, l2_norm
+from apache_beam_challange_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [-1.0, -2.0])],
+        ["a", "b"],
+    )
+    out = df.select(F.round(cosine(F.col("a"), F.col("b")), 9).alias("c")).collect()
+    assert [r["c"] for r in out] == [1.0, 0.0, -1.0]
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    r = df.select(
+        dot(F.col("v"), F.col("v")).alias("d"), l2_norm(F.col("v")).alias("n")
+    ).collect()[0]
+    assert r["d"] == 25.0 and r["n"] == 5.0
+
+
+def test_cosine_topk_ranks_expected(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # closest
+        (2, [0.0, 1.0, 0.0], 1),   # orthogonal
+        (3, [-1.0, 0.0, 0.0], 1),  # opposite
+    ]
+    out = cosine_topk(_vec_df(spark, rows), query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine_sim"] > 0.99
+
+
+def test_ann_lsh_recalls_identical_vector(spark):
+    """An identical vector always shares the query's bucket and tops it."""
+    rows = [
+        (0, [float(i) for i in range(64)], 0),
+        (1, [float(i) for i in range(64)], 0),          # exact duplicate
+        (2, [float(63 - i) for i in range(64)], 1),     # reversed
+    ]
+    out = ann_lsh_topk(
+        _vec_df(spark, rows), query_vec_id=0, k=5, num_planes=4, dim=64
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 1 and out[0]["cosine_sim"] == 1.0
