@@ -1,0 +1,169 @@
+"""Advanced coverage: scale-posture and UDF-surface queries — salted
+aggregation (skew), range/interval join, as-of join, Arrow-batched scalar
+pandas UDF, cube grouping, and array/explode shaping. Everything here is
+free or near-free in Spark (SURVEY.md §2's "not present in reference"
+rows) but first-class engine surface for the 100 TB design."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from apache_beam_challange_spark.operators.skew import salted_group_count
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+
+@query(
+    "salted_group_count_events",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""".strip(),
+)
+def salted_group_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase count over a LOW-cardinality key (5 event
+    types on 32 partitions = a guaranteed-hot shuffle): salts spread each
+    type over 16 sub-keys first. The oracle proves result-equivalence with
+    the plain GROUP BY."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_group_count(
+        ev, ["event_type"], salt_col="event_id", n_salts=16, alias="n"
+    )
+
+
+@query(
+    "range_join_value_bands",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+    VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
+)
+SELECT b.band, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""".strip(),
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: events against value bands. The tiny band table
+    broadcasts, so the non-equi predicate is evaluated map-side — no
+    shuffle of the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")) / 10000.0)
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "asof_join_last_event_per_order",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate,
+       (SELECT MAX(e.ts) FROM events e
+        WHERE e.user_id = o.o_custkey % 150 AND e.ts <= o.o_orderdate)
+           AS last_event_ts
+FROM orders o
+WHERE o.o_orderkey % 97 = 0
+""".strip(),
+)
+def asof_join_last_event_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each (sampled) order, the most recent event of its
+    mapped user at-or-before the order date. Composed relationally:
+    equi-join on user + range filter + max — one shuffle on the user key.
+    (The time-series engines' ASOF JOIN, expressed as DataFrame ops.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    ev = load_table(spark, sf_dir, "events")
+    o = o.withColumn("__user", F.col("o_custkey") % 150)
+    joined = o.join(
+        ev,
+        (o["__user"] == ev.user_id) & (ev.ts <= o.o_orderdate),
+        "left",
+    )
+    return joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.max("ts").alias("last_event_ts")
+    )
+
+
+@query(
+    "pandas_udf_char_classes",
+    oracle="""
+SELECT doc_id,
+       LENGTH(REGEXP_REPLACE(text, '[^aeiou]', '', 'g')) AS n_vowels,
+       LENGTH(REGEXP_REPLACE(text, '[aeiou ]', '', 'g')) AS n_consonants
+FROM documents
+""".strip(),
+)
+def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (the sanctioned Python escape hatch,
+    SURVEY.md §2.8-W2): vectorized string ops on pandas Series. Oracle
+    equality shows the UDF computes exactly what the native path would —
+    the plumbing is what's under test."""
+
+    @pandas_udf("int")
+    def n_vowels(s: pd.Series) -> pd.Series:
+        return s.str.count("[aeiou]").astype("int32")
+
+    @pandas_udf("int")
+    def n_consonants(s: pd.Series) -> pd.Series:
+        return s.str.count("[^aeiou ]").astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_vowels(F.col("text")).alias("n_vowels"),
+        n_consonants(F.col("text")).alias("n_consonants"),
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""".strip(),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dims)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "explode_tokens_topk",
+    oracle="""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 25
+""".strip(),
+)
+def explode_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (the generic FlatMap P6 surface) + vocabulary top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(25)
+    )

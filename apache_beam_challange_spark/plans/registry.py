@@ -33,5 +33,5 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every query module so the registry is fully populated."""
-    for mod in ("canonical", "coverage", "extensions", "media", "stream"):
+    for mod in ("canonical", "coverage", "extensions", "media", "stream", "advanced"):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
