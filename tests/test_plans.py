@@ -1,0 +1,82 @@
+"""Plan-quality regression tests: the physical plans the 100 TB design
+depends on, asserted from explain output so a refactor can't silently
+degrade them (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entrymod.queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_dim_join_broadcasts(plans):
+    """Fact-dim equi-join must broadcast the dim — never sort-merge."""
+    p = plans("join_broadcast_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_all_pairs_is_broadcast_nlj(plans):
+    """The reference's single-worker cross-join funnel must be a broadcast
+    nested-loop join here."""
+    p = plans("q3_station_distances")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_topk_uses_take_ordered(plans):
+    """Top-k must be partial-topk + merge (TakeOrderedAndProject), not a
+    global sort."""
+    p = plans("events_group_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_aggregation_is_two_phase(plans):
+    """Counts/sums must map-side combine before the shuffle."""
+    p = plans("pricing_summary")
+    assert "partial_sum" in p and "partial_count" in p
+
+
+def test_filter_reaches_scan(plans):
+    """The shipdate predicate must be pushed into the parquet scan."""
+    p = plans("pricing_summary")
+    scan_lines = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert any("l_shipdate" in l and "DataFilters: [" in l for l in scan_lines)
+
+
+def test_column_pruning(plans):
+    """A 2-column aggregation must not read the wide columns (props)."""
+    p = plans("events_group_topk")
+    scan_lines = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert scan_lines and all("props" not in l for l in scan_lines)
+
+
+def test_cosine_topk_has_no_shuffle(plans):
+    """Brute-force similarity must be scan + broadcast + TakeOrdered —
+    zero hash exchanges."""
+    p = plans("cosine_topk_vec0")
+    assert "Exchange hashpartitioning" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_join_stays_semi(plans):
+    p = plans("join_semi_active_customers")
+    assert "LeftSemi" in p
+
+
+def test_whole_stage_codegen_active(plans):
+    """Narrow chains must compile into whole-stage codegen spans."""
+    p = plans("project_filter_nulls")
+    assert "*(1)" in p  # codegen stage marker
