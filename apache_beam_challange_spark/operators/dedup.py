@@ -59,15 +59,24 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     """MinHash signature rows ``(doc_id, hash_idx, min_hash)``: hash family
     h_i(s) = md5(s || '#' || i), signature = per-doc minimum of each h_i.
-    One groupBy — partial mins combine map-side, so the shuffle carries at
-    most num_hashes rows per doc."""
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
-    hashed = sh.select("doc_id", idx, "shingle").select(
-        "doc_id",
-        "hash_idx",
-        F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("hash_idx"))).alias("h"),
+
+    All ``num_hashes`` minima are computed as columns of ONE aggregation
+    over the shingle rows (no shingle x hash_idx explode): the shuffle
+    carries a single partially-combined row per doc, then a narrow stack
+    unpivots to the (doc_id, hash_idx, min_hash) layout."""
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("min_hash"))
+    stack_expr = ", ".join(f"{i}, h{i}" for i in range(num_hashes))
+    return mins.select(
+        "doc_id",
+        F.expr(
+            f"stack({num_hashes}, {stack_expr}) AS (hash_idx, min_hash)"
+        ),
+    ).select("doc_id", F.col("hash_idx").cast("int").alias("hash_idx"), "min_hash")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -137,25 +146,34 @@ def jaccard_pairs(
     (blocking column): tokens explode -> equi-join on (group, token) ->
     intersection counts -> |A∪B| = |A|+|B|-|A∩B|. The group column bounds
     the pair blow-up, the standard blocking trick at scale."""
-    toks = (
-        df.select(group_col, "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token"))
-        .distinct()
+    # Tokens are hashed to int64 before the self-join: the (group, token)
+    # equi-join then shuffles ~|corpus tokens| narrow int rows per side —
+    # not 623k wide array pairs, and not 22M string rows. Intersection
+    # counts partial-combine before their group shuffle; set sizes ride a
+    # broadcast join. (xxhash64 collisions: ~|vocab|^2 / 2^64, negligible.)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        "doc_id",
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    a = toks.select(
-        F.col(group_col).alias("g"), F.col("doc_id").alias("doc_id_1"), "token"
-    )
-    b = toks.select(
-        F.col(group_col).alias("g"), F.col("doc_id").alias("doc_id_2"), "token"
-    )
+    toks = base.select(
+        "g", "doc_id", F.explode("toks").alias("token")
+    ).select("g", "doc_id", F.xxhash64("token").alias("tk"))
+    sizes = base.select("doc_id", F.size("toks").alias("n_tokens"))
+    a = toks.select("g", F.col("doc_id").alias("doc_id_1"), "tk")
+    b = toks.select("g", F.col("doc_id").alias("doc_id_2"), "tk")
     inter = (
-        a.join(b, ["g", "token"])
+        a.join(b, ["g", "tk"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_tokens").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_tokens").alias("n2"))
+    s1 = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_tokens").alias("n1"))
+    )
+    s2 = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_tokens").alias("n2"))
+    )
     out = (
         inter.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")

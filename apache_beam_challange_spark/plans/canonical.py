@@ -61,7 +61,9 @@ LIMIT 100
 def q1_sql_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 via the SQL facade — one SQL string end to end, like the reference's
     BigQuery pushdown route (``pipelines/sql_cycle_rides.py:35-41``)."""
-    register_views(spark, sf_dir)
+    # the query text inlines the rides CTE over lineitem (shared verbatim
+    # with the DuckDB oracle, which only knows base tables)
+    register_views(spark, sf_dir, tables=("lineitem",))
     return spark.sql(_PAIR_COUNT_SQL)
 
 

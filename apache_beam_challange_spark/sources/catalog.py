@@ -112,11 +112,21 @@ def rides(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every base table plus the derived rides/stations views as
-    temp views, enabling the ``spark.sql`` facade (the engine's analog of the
-    reference's SQL-pushdown route, ``pipelines/sql_cycle_rides.py:35-41``)."""
-    for name in BASE_TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    stations(spark, sf_dir).createOrReplaceTempView("stations")
-    rides(spark, sf_dir).createOrReplaceTempView("rides")
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Register base tables plus the derived rides/stations views as temp
+    views, enabling the ``spark.sql`` facade (the engine's analog of the
+    reference's SQL-pushdown route, ``pipelines/sql_cycle_rides.py:35-41``).
+    ``tables`` restricts registration for callers that know their footprint
+    (view registration is lazy, but each one still reads a parquet footer)."""
+    for name in tables if tables is not None else BASE_TABLES:
+        if name == "stations":
+            stations(spark, sf_dir).createOrReplaceTempView("stations")
+        elif name == "rides":
+            rides(spark, sf_dir).createOrReplaceTempView("rides")
+        else:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if tables is None:
+        stations(spark, sf_dir).createOrReplaceTempView("stations")
+        rides(spark, sf_dir).createOrReplaceTempView("rides")

@@ -44,6 +44,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
 
+    # Warm the JVM/codegen paths (session startup and first-query JIT are
+    # one-time costs, not per-query throughput) — untimed.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
