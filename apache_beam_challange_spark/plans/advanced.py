@@ -148,6 +148,94 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_near_dup_pairs",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+FROM v a
+JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+""".strip(),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.4): the semantic-dedup
+    shape. Brute-force all-pairs with a broadcast right side here (the
+    exact baseline); the LSH-bucketed variant (ann_lsh_topk) is the scale
+    path — bucket first, exact-compare within buckets only."""
+    from apache_beam_challange_spark.functions.vector import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"), as_double(F.col("embedding")).alias("e1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"), as_double(F.col("embedding")).alias("e2")
+    )
+    sim = cosine(F.col("e1"), F.col("e2"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= 0.4)
+        .select(
+            "vec_id_1", "vec_id_2", F.round(F.col("__sim"), 6).alias("cosine_sim")
+        )
+    )
+
+
+@query(
+    "regex_token_counts",
+    oracle="""
+SELECT source,
+       SUM(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS n_tokens
+FROM documents
+GROUP BY source
+""".strip(),
+)
+def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / single
+    punctuation) — the token-counting pass of a pretraining pipeline,
+    fully JVM-side via regexp_extract_all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)
+    )
+    return docs.groupBy("source").agg(
+        F.sum(F.size(toks)).alias("n_tokens")
+    )
+
+
+@query(
+    "grouped_map_best_doc",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+) t
+WHERE rn = 1
+""".strip(),
+)
+def grouped_map_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the cogroup/DoFn-per-group surface): each
+    language group arrives as one pandas DataFrame; pick its longest doc.
+    Oracle equality with the window-SQL twin proves the Python path
+    computes exactly what the relational path would."""
+
+    def best(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pdf[["lang", "doc_id", "n_chars"]].head(1)
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        best, schema="lang string, doc_id bigint, n_chars bigint"
+    )
+
+
+@query(
     "explode_tokens_topk",
     oracle="""
 SELECT token, COUNT(*) AS n

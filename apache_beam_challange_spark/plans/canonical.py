@@ -202,3 +202,121 @@ def q4_total_distance_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     None`` post-join stage of ``notebooks/development copy.ipynb``) —
     relationally, an inner join."""
     return _q4_frame(spark, sf_dir, strict=True)
+
+
+_Q4_BY_NAME_SQL = f"""
+WITH {RIDES_CTE},
+{STATIONS_CTE},
+counts AS (
+    SELECT s1.name AS start_station_name, s2.name AS end_station_name,
+           COUNT(*) AS amount_of_rides
+    FROM rides r
+    JOIN stations s1 ON r.start_station_id = s1.id
+    JOIN stations s2 ON r.end_station_id = s2.id
+    GROUP BY s1.name, s2.name
+),
+dists AS (
+    SELECT
+        s1.name AS start_station_name,
+        s2.name AS end_station_name,
+        {haversine_km_sql('s1.latitude', 's1.longitude', 's2.latitude', 's2.longitude')}
+            AS distance_raw
+    FROM stations s1
+    CROSS JOIN stations s2
+)
+SELECT
+    COALESCE(c.start_station_name, d.start_station_name) AS start_station_name,
+    COALESCE(c.end_station_name, d.end_station_name)     AS end_station_name,
+    COALESCE(c.amount_of_rides, 0)                       AS amount_of_rides,
+    ROUND(COALESCE(d.distance_raw, 0), 6)                AS distance_km,
+    ROUND(COALESCE(c.amount_of_rides, 0) * COALESCE(d.distance_raw, 0), 6) AS total_km
+FROM counts c
+FULL OUTER JOIN dists d
+    ON c.start_station_name = d.start_station_name
+   AND c.end_station_name = d.end_station_name
+""".strip()
+
+
+@query("q4_total_distance_by_name", oracle=_Q4_BY_NAME_SQL)
+def q4_total_distance_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's name-keyed family: the reference parameterizes its key columns
+    with ``--input_col`` (id vs name, ``pipelines/total_distance.py:65,
+    82-83``). Here the name family resolves ids through two broadcast
+    station-dim joins, then runs the identical outer-join/zero-fill plan."""
+    st = stations(spark, sf_dir)
+    r = drop_null_rows(
+        project(rides(spark, sf_dir), "start_station_id", "end_station_id")
+    )
+    s1 = F.broadcast(
+        st.select(F.col("id").alias("__sid"), F.col("name").alias("start_station_name"))
+    )
+    s2 = F.broadcast(
+        st.select(F.col("id").alias("__eid"), F.col("name").alias("end_station_name"))
+    )
+    named = (
+        r.join(s1, r.start_station_id == F.col("__sid"))
+        .join(s2, r.end_station_id == F.col("__eid"))
+        .select("start_station_name", "end_station_name")
+    )
+    counts = group_count(named, ["start_station_name", "end_station_name"])
+    pairs = all_pairs(st)
+    dists = pairs.select(
+        F.col("name_1").alias("start_station_name"),
+        F.col("name_2").alias("end_station_name"),
+        haversine_km(
+            F.col("latitude_1"), F.col("longitude_1"),
+            F.col("latitude_2"), F.col("longitude_2"),
+        ).alias("distance_raw"),
+    )
+    joined = full_outer_zero_fill(
+        counts, dists,
+        on=["start_station_name", "end_station_name"],
+        fill={"amount_of_rides": 0, "distance_raw": 0.0},
+    )
+    return joined.select(
+        "start_station_name",
+        "end_station_name",
+        F.col("amount_of_rides").cast("long").alias("amount_of_rides"),
+        F.round(F.col("distance_raw"), 6).alias("distance_km"),
+        F.round(F.col("amount_of_rides") * F.col("distance_raw"), 6).alias("total_km"),
+    )
+
+
+# Golden micro-fixture rows from the reference notebook
+# (notebooks/development.ipynb:305-317, cell 3) — the S2 ``beam.Create``
+# in-memory source surface, oracle-twinned via a VALUES table.
+_FIXTURE_RIDES = [
+    ("Harper Road, The Borough", "Harper Road, The Borough"),
+    ("Harper Road, The Borough", "Wellington Arch, Hyde Park"),
+    ("Golden Square, Soho", "Albert Gate, Hyde Park"),
+    ("Golden Square, Soho", "Albert Gate, Hyde Park"),
+    ("Embankment (Savoy), Strand", "Albert Gate, Hyde Park"),
+    ("Green Park Station, Mayfair", "Chepstow Villas, Notting Hill"),
+    ("Green Park Station, Mayfair", "Chepstow Villas, Notting Hill"),
+    ("Green Park Station, Mayfair", "Chepstow Villas, Notting Hill"),
+]
+
+_FIXTURE_VALUES = ",\n        ".join(
+    "('" + a.replace("'", "''") + "', '" + b.replace("'", "''") + "')"
+    for a, b in _FIXTURE_RIDES
+)
+
+
+@query(
+    "create_fixture_counts",
+    oracle=f"""
+WITH fixture(start_station_name, end_station_name) AS (
+    VALUES {_FIXTURE_VALUES}
+)
+SELECT start_station_name, end_station_name, COUNT(*) AS amount_of_rides
+FROM fixture
+GROUP BY start_station_name, end_station_name
+""".strip(),
+)
+def create_fixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 in-memory bounded source (``beam.Create`` of the notebook's 8-row
+    fixture) -> group-count: the interactive development path as a query."""
+    df = spark.createDataFrame(
+        _FIXTURE_RIDES, ["start_station_name", "end_station_name"]
+    )
+    return group_count(df, ["start_station_name", "end_station_name"])
