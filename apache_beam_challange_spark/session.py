@@ -21,6 +21,36 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: Confs the engine depends on that are runtime-settable — applied
+#: defensively to ANY session the engine code receives (the build driver
+#: hands us its own SparkSession, built without our factory).
+RUNTIME_CONFS = {
+    # testdata parquet carries TIMESTAMP(NANOS); without this every scan
+    # of events/orders/lineitem throws PARQUET_TYPE_ILLEGAL
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics for oracle comparison
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # stateful streaming disables AQE, so the raw shuffle partition count
+    # matters there; size it to the local core budget
+    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an externally-created
+    session. Best-effort: confs that a given deployment locks down are
+    skipped rather than fatal."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+    return spark
+
 
 def get_spark(
     app_name: str = "apache_beam_challange_spark",

@@ -76,6 +76,9 @@ _NANO_TS_COLS = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one base parquet table; schema comes from the parquet footer."""
+    from apache_beam_challange_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":

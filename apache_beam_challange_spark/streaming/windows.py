@@ -47,6 +47,9 @@ def events_stream(
     """Unbounded events source: file-stream over parquet. ``path`` may be a
     single file (registry runs) or a directory of micro-batch files
     (late-data tests)."""
+    from apache_beam_challange_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     reader = spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
