@@ -113,6 +113,36 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
     )
 
 
+def _sign_votes_to_long(num_bits: int = 64) -> F.Column:
+    """Assemble a two's-complement int64 from 64 vote columns b0..b63
+    (bit set iff vote > 0)."""
+    sig = F.lit(0).cast("long")
+    for i in range(num_bits):
+        weight = 2**i if i < 63 else -(2**63)
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash64_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash whose bit source is md5(token) — slower than the
+    xxhash64 variant but implementable identically in any engine with md5,
+    so the full signature is DuckDB-oracle-verifiable. Bit b of a token's
+    hash = bit (b mod 4) of hex nibble floor(b/4)."""
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    hashed = toks.select("doc_id", F.md5("token").alias("hx"))
+    votes = []
+    for b in range(64):
+        nibble = F.conv(F.substring(F.col("hx"), b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, b % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"b{b}"))
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    return agg.select("doc_id", _sign_votes_to_long().alias("simhash"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from xxhash64(token) bit votes.
 
@@ -133,10 +163,7 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         for i in range(64)
     ]
     agg = hashed.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return agg.select("doc_id", sig.alias("simhash"))
+    return agg.select("doc_id", _sign_votes_to_long().alias("simhash"))
 
 
 def jaccard_pairs(

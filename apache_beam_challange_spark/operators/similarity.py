@@ -81,6 +81,78 @@ def lsh_bucket(vec: F.Column, num_planes: int, dim: int) -> F.Column:
     return F.concat(*bits)
 
 
+def ivf_assignments(
+    embeddings: DataFrame, codebook_ids: tuple[int, ...]
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (argmax cosine, centroid-id tie-break). The codebook here is a
+    deterministic sample of stored vectors (at real scale: k-means
+    centroids, trained offline); it broadcasts, so assignment is one
+    narrow pass over the table — the inverted lists are then just a
+    cluster_id column to partition/bucket by."""
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col("vec_id").isin(list(codebook_ids))).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    scored = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    ).crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "label", "vec", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    codebook_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids against the query, probe the
+    ``n_probe`` nearest inverted lists, exact-search only those. With
+    |codebook| lists and n_probe probes the scan shrinks by roughly
+    n_probe/|codebook| — the standard recall/cost dial."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assignments(embeddings, codebook_ids)
+    cents = embeddings.filter(F.col("vec_id").isin(list(codebook_ids))).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    q = _query_vec(embeddings, query_vec_id)
+    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .filter(F.col("__rk") <= n_probe)
+        .select("centroid_id")
+    )
+    candidates = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,

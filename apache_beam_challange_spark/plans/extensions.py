@@ -249,9 +249,44 @@ def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (bit-vote aggregation over token
     hashes). Verified by determinism tests (tests/test_dedup.py), not by
-    oracle — xxhash64 is Spark-specific."""
+    oracle — xxhash64 is Spark-specific. ``simhash_md5_signatures`` is the
+    oracle-verified twin algorithm."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs)
+
+
+@query(
+    "simhash_md5_signatures",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (SELECT doc_id, md5(token) AS hx FROM tok),
+votes AS (
+    SELECT doc_id, b.b AS b,
+           SUM(2 * (((STRPOS('0123456789abcdef',
+                             SUBSTR(hx, CAST(FLOOR(b.b / 4) AS INT) + 1, 1)) - 1)
+                     >> CAST(b.b % 4 AS INT)) & 1) - 1) AS vote
+    FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+    GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN
+                     CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+""".strip(),
+)
+def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with an md5 bit source: the full 64-bit signature of every
+    document is hash-verified against DuckDB computing the same bit votes
+    from the same hex digits."""
+    from apache_beam_challange_spark.operators.dedup import simhash64_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64_md5(docs)
 
 
 # --- similarity search ------------------------------------------------------
@@ -326,6 +361,62 @@ def ann_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     sin-hash vectors, so even this approximate path is oracle-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, query_vec_id=0, k=20, num_planes=4, dim=64)
+
+
+_IVF_CTE = """
+vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, v AS cvec FROM vecs
+    WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+),
+assign AS (
+    SELECT vec_id, label, v, centroid_id FROM (
+        SELECT x.vec_id, x.label, x.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY x.vec_id
+                   ORDER BY list_cosine_similarity(x.v, c.cvec) DESC, c.centroid_id
+               ) AS rk
+        FROM vecs x, cents c
+    ) t WHERE rk = 1
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+probes AS (
+    SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.centroid_id
+               ) AS rk
+        FROM cents c, q
+    ) t WHERE rk <= 2
+)
+""".strip()
+
+
+@query(
+    "ivf_topk_vec0",
+    oracle=f"""
+WITH {_IVF_CTE}
+SELECT a.vec_id, a.label,
+       ROUND(list_cosine_similarity(a.v, q.qv), 6) AS cosine_sim
+FROM assign a
+JOIN probes p ON a.centroid_id = p.centroid_id
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 20
+""".strip(),
+)
+def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-20: coarse-quantize to an 8-vector deterministic
+    codebook, probe the query's 2 nearest inverted lists, exact-search only
+    those (~2/8 of the table). The second ANN family next to LSH buckets;
+    also fully oracle-verified."""
+    from apache_beam_challange_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=20, n_probe=2)
 
 
 @query(

@@ -128,6 +128,76 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert ten_oclock == [1]
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with event-time interval: a click joins a view of
+    the same user only within 30 minutes after the view."""
+    d = tmp_path / "ssj_in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "view", 1.0, "{}"),
+            (2, _nanos(10, 10), 1, "click", 1.0, "{}"),   # within 30m -> joins
+            (3, _nanos(11, 0), 1, "click", 1.0, "{}"),    # 60m later -> no join
+            (4, _nanos(10, 5), 2, "click", 1.0, "{}"),    # other user -> no join
+        ],
+    )
+    ev = events_stream(spark, str(d)).withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("view_id", "click_id")
+    out = run_to_memory(joined, "append")
+    pairs = {(r["view_id"], r["click_id"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch custom sink: per-micro-batch Python callback."""
+    d = tmp_path / "feb_in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [(1, _nanos(9, 0), 1, "view", 2.5, "{}"),
+         (2, _nanos(9, 1), 1, "view", 1.5, "{}")],
+    )
+    seen: list[tuple[int, int]] = []
+
+    def handle(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    ev = events_stream(spark, str(d))
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen and sum(n for _, n in seen) == 2
+
+
 def test_stateful_running_counts_across_batches(spark, tmp_path):
     d = tmp_path / "state_in"
     d.mkdir()
