@@ -424,6 +424,54 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-join analytical pipeline (join ordering + AQE showcase) ----------
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT
+    n.n_name AS nation,
+    {_dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+GROUP BY n.n_name
+""".strip(),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join. True dims (supplier/nation/region)
+    are broadcast explicitly; orders/customer joins are left to the planner
+    — at this sf they auto-broadcast, at 100 TB AQE picks shuffled joins
+    with the date filter pushed into the orders scan first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
 # --- time bucketing (batch twin of the streaming tumbling window) -----------
 
 @query(
