@@ -1,0 +1,94 @@
+"""CLI entry points mirroring the reference's four pipeline mains, so a
+user of the reference can run the same jobs against this engine:
+
+    python -m apache_beam_challange_spark.cli sql-cycle-rides --sf-dir D --output P
+    python -m apache_beam_challange_spark.cli cycle-rides     --sf-dir D --output P [--top-n N]
+    python -m apache_beam_challange_spark.cli stations        --sf-dir D --output P
+    python -m apache_beam_challange_spark.cli total-distance  --sf-dir D --output P [--input-col id|name]
+
+Flag parity with the reference: ``--top-n`` (``pipelines/cycle_rides.py:23``,
+default 100000) and ``--input-col`` (``pipelines/total_distance.py:65``,
+id/name family). Sinks mirror the reference's choices: header CSV for
+cycle-rides (``cycle_rides.py:61-63``), plain text for sql-cycle-rides and
+stations (``sql_cycle_rides.py:47``, ``stations.py:77``), single-file CSV
+for total-distance (``total_distance.py:130-133``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="apache_beam_challange_spark")
+    sub = p.add_subparsers(dest="pipeline", required=True)
+
+    def common(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        sp.add_argument("--output", required=True)
+
+    common(sub.add_parser("sql-cycle-rides", help="top-100 ride pairs via the SQL facade"))
+
+    cr = sub.add_parser("cycle-rides", help="top-N ride pairs via operators")
+    common(cr)
+    cr.add_argument("--top-n", type=int, default=100000)
+
+    common(sub.add_parser("stations", help="all-pairs station distances"))
+
+    td = sub.add_parser("total-distance", help="total km per station pair")
+    common(td)
+    td.add_argument("--input-col", choices=("id", "name"), default="id")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    from apache_beam_challange_spark.plans import registry
+    from apache_beam_challange_spark.session import get_spark
+    from apache_beam_challange_spark.sources.sinks import (
+        write_csv,
+        write_csv_single,
+        write_text,
+    )
+
+    args = _build_parser().parse_args(argv)
+    registry.load_all()
+    spark = spark or get_spark(f"cli-{args.pipeline}")
+
+    if args.pipeline == "sql-cycle-rides":
+        df = registry.QUERIES["q1_sql_top_pairs"](spark, args.sf_dir)
+        write_text(df, args.output)
+    elif args.pipeline == "cycle-rides":
+        from apache_beam_challange_spark.operators.relational import group_count, top_k
+        from apache_beam_challange_spark.sources.catalog import rides
+
+        r = rides(spark, args.sf_dir).select("start_station_id", "end_station_id")
+        counts = group_count(r, ["start_station_id", "end_station_id"])
+        df = top_k(
+            counts,
+            args.top_n,
+            order=[
+                F.col("amount_of_rides").desc(),
+                F.col("start_station_id").asc_nulls_last(),
+                F.col("end_station_id").asc_nulls_last(),
+            ],
+        )
+        write_csv(df, args.output, header=True)
+    elif args.pipeline == "stations":
+        df = registry.QUERIES["q3_station_distances"](spark, args.sf_dir)
+        write_text(df, args.output)
+    elif args.pipeline == "total-distance":
+        name = (
+            "q4_total_distance" if args.input_col == "id" else "q4_total_distance_by_name"
+        )
+        df = registry.QUERIES[name](spark, args.sf_dir)
+        write_csv_single(df, args.output, header=True)
+    print(f"{args.pipeline}: wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,11 +35,18 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: narrow explode of
-    position sequences — no shuffle. Adds ``shingle``; keeps ``doc_id``."""
+def shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = False
+) -> DataFrame:
+    """Word n-gram shingles per document: narrow explode of position
+    sequences — no shuffle. Adds ``shingle``; keeps ``doc_id``.
+
+    ``distinct`` de-dupes (doc, shingle) pairs at the cost of a shuffle;
+    MinHash consumers should leave it off — MIN() is invariant to
+    duplicates, so the signature is identical either way and the whole
+    shingle->signature pipeline stays single-shuffle."""
     toks = F.split(F.col(text_col), " ")
-    return (
+    out = (
         df.select("doc_id", toks.alias("__tokens"))
         .select(
             "doc_id",
@@ -52,8 +59,8 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
             "doc_id",
             F.array_join(F.slice("__tokens", F.col("__pos"), n), " ").alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:

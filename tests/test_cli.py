@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import glob
+
+from apache_beam_challange_spark.cli import main
+
+
+def test_cli_total_distance(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "td_out")
+    rc = main(
+        ["total-distance", "--sf-dir", sf_dir, "--output", out], spark=spark
+    )
+    assert rc == 0
+    files = glob.glob(f"{out}/*.csv")
+    assert len(files) == 1  # single-file sink, like the reference
+    header = open(files[0]).readline().strip()
+    assert header == "start_station_id,end_station_id,amount_of_rides,distance_km,total_km"
+
+
+def test_cli_cycle_rides_topn(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "cr_out")
+    rc = main(
+        ["cycle-rides", "--sf-dir", sf_dir, "--output", out, "--top-n", "7"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = [
+        line
+        for f in glob.glob(f"{out}/*.csv")
+        for line in open(f).read().splitlines()
+        if line and not line.startswith("start_station_id")
+    ]
+    assert len(rows) == 7
+
+
+def test_cli_stations_and_sql(spark, sf_dir, tmp_path):
+    for pipeline, out in (("stations", "st_out"), ("sql-cycle-rides", "sq_out")):
+        path = str(tmp_path / out)
+        assert main([pipeline, "--sf-dir", sf_dir, "--output", path], spark=spark) == 0
+        lines = [
+            line
+            for f in glob.glob(f"{path}/part-*")
+            for line in open(f).read().splitlines()
+        ]
+        assert lines
