@@ -86,6 +86,32 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_events",
+    oracle="""
+SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+FROM events
+""".strip(),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates over (user, type, minute) —
+    the state-store-backed exactly-once dedup primitive (with a watermark
+    in production to bound state; unbounded here for the deterministic
+    availableNow run)."""
+    from pyspark.sql import functions as F
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).cast("timestamp_ntz").alias("minute"),
+        )
+        .dropDuplicates(["user_id", "event_type", "minute"])
+    )
+    return run_to_memory(deduped, "append")
+
+
+@query(
     "streaming_stateful_user_counts",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
