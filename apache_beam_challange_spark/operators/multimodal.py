@@ -82,6 +82,30 @@ def decode_image_features(images: DataFrame) -> DataFrame:
     return images.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize plumbing: binary in -> smaller binary out (every ``factor``-th
+    byte — a real implementation swaps in PIL/libvips downsampling; the
+    schema contract, Arrow batching, and narrow plan shape are identical).
+    Audio resampling is the same shape: binary payload + rate metadata."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "image_bytes": [
+                        bytes(data[::factor]) for data in pdf["image_bytes"]
+                    ],
+                }
+            )
+            out["n_bytes"] = out["image_bytes"].map(len)
+            yield out
+
+    return images.mapInPandas(
+        resize, schema="doc_id bigint, image_bytes binary, n_bytes int"
+    )
+
+
 def sample_frames(images: DataFrame, every: int = 4, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for "video" payloads: emit every ``every``-th
     byte as a frame record (1->N explode inside mapInPandas). The real

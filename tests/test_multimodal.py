@@ -39,6 +39,17 @@ def test_frame_sample_positions(spark):
     assert got == {i: digest[i * 4] for i in range(4)}
 
 
+def test_resize_halves_payload(spark):
+    from apache_beam_challange_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame([(1, "Hello World")], ["doc_id", "text"])
+    out = resize_images(attach_fake_image(docs), factor=2).collect()
+    digest = hashlib.md5(b"hello world").digest()
+    assert len(out) == 1
+    assert out[0]["n_bytes"] == 8
+    assert bytes(out[0]["image_bytes"]) == digest[::2]
+
+
 def test_fake_decoder_pure():
     assert _decode_fake(b"\x05\x06\x07") == {
         "n_bytes": 3,
