@@ -9,6 +9,8 @@ oracle twins — the full LSH pipeline is hash-verified, not just smoke-run.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -361,6 +363,57 @@ def ann_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     sin-hash vectors, so even this approximate path is oracle-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, query_vec_id=0, k=20, num_planes=4, dim=64)
+
+
+@query(
+    "cosine_topk_pandas_vec0",
+    oracle="""
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6)
+           AS cosine_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+""".strip(),
+)
+def cosine_topk_pandas_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-20 as ``cosine_topk_vec0`` through the OTHER
+    sanctioned implementation path: an Arrow-batched pandas UDF doing the
+    dot products in numpy (one BLAS matmul per batch) instead of native
+    ``aggregate``/``zip_with`` folds. Same oracle — route equivalence."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    )
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    @pandas_udf("double")
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
+        sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(sims)
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cos(F.col("embedding").cast("array<double>")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
 
 
 _IVF_CTE = """
