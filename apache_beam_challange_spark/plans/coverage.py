@@ -472,6 +472,64 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pivot / argmax aggregates (SURVEY §2.4 not-present rows) ---------------
+
+@query(
+    "pivot_user_event_matrix",
+    oracle="""
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS login
+FROM events
+GROUP BY user_id
+""".strip(),
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: user x event-type count matrix. Explicit value list keeps the
+    plan one-pass (no extra distinct-values job) — mandatory at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "error", "login"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+@query(
+    "argmax_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rn
+    FROM orders
+) t
+WHERE rn = 1
+""".strip(),
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY (argmax) aggregate: each customer's highest-value order —
+    one hash aggregate instead of a window + filter. Ordering key includes
+    -orderkey so price ties resolve deterministically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias(
+            "top_orderkey"
+        ),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
 # --- time bucketing (batch twin of the streaming tumbling window) -----------
 
 @query(
