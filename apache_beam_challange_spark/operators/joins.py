@@ -26,6 +26,10 @@ def all_pairs(dim: DataFrame, suffixes: tuple[str, str] = ("_1", "_2")) -> DataF
     ``broadcast(dim)`` on the right side forces BroadcastNestedLoopJoin:
     at 100 TB the dim stays small (stations ~800 rows) so the pair expansion
     is embarrassingly parallel over the left side's partitions.
+
+    Caller contract: ``dim`` must fit in executor memory (it is an O(rows²)
+    pair generator either way) — for two LARGE tables use an equi/range
+    join or a blocked similarity operator instead, never this.
     """
     a, b = suffixes
     left = dim.select([F.col(c).alias(f"{c}{a}") for c in dim.columns])
