@@ -45,4 +45,6 @@ def top_k(df: DataFrame, k: int, order: Sequence[Column], tiebreak: Sequence[str
     ``Top.Of`` is nondeterministic among ties; callers pass full-key
     ``tiebreak`` columns so results are stable for oracle hashing
     (SURVEY.md §2.5 note)."""
+    if k <= 0:
+        raise ValueError(f"top_k needs k >= 1, got {k}")
     return df.orderBy(*order, *[F.col(c) for c in tiebreak]).limit(k)

@@ -34,6 +34,8 @@ def salted_group_count(
 ) -> DataFrame:
     """Group-by-count that survives hot keys: pre-aggregate on
     (keys..., hash(salt_col) % n_salts), then merge per key."""
+    if n_salts < 1:
+        raise ValueError(f"salted_group_count needs n_salts >= 1, got {n_salts}")
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
     partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(*keys).agg(F.sum("__partial").cast("long").alias(alias))
