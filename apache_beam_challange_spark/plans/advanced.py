@@ -42,7 +42,7 @@ WITH bands(band, lo, hi) AS (
     VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
 )
 SELECT b.band, COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+       SUM(CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT)) / CAST(10000.0 AS DOUBLE) AS sum_value
 FROM events e
 JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band

@@ -41,7 +41,7 @@ def _dec_sum(col: F.Column, alias: str) -> F.Column:
 
 def _dec_sum_sql(expr: str, alias: str) -> str:
     return (
-        f"SUM(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS {alias}"
+        f"SUM(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT)) / CAST(10000.0 AS DOUBLE) AS {alias}"
     )
 
 

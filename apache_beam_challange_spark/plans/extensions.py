@@ -483,7 +483,7 @@ WITH norms AS (
 )
 SELECT label,
        COUNT(*) AS n_vecs,
-       SUM(CAST(FLOOR(norm * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_norm
+       SUM(CAST(FLOOR(norm * 10000 + 0.5) AS BIGINT)) / CAST(10000.0 AS DOUBLE) AS sum_norm
 FROM norms
 GROUP BY label
 """.strip(),

@@ -1,0 +1,82 @@
+"""SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
+37 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+the SQL route and the DataFrame/operator route must produce identical rows
+— two routes to one result, verified entirely inside the engine
+(independent of the DuckDB gate). This generalizes the reference's
+Q1(SQL)/Q2(operators) duality to the whole registry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+from apache_beam_challange_spark.sources.catalog import register_views
+
+# Oracles that parse/execute on Spark SQL as-is (the rest use DuckDB-only
+# functions: string_split, unnest, list_cosine_similarity, epoch, ...).
+PORTABLE = [
+    "q1_sql_top_pairs",
+    "q2_top_pairs_ops",
+    "q3_station_distances",
+    "q4_total_distance",
+    "q4_total_distance_strict",
+    "q4_total_distance_by_name",
+    "q4_total_distance_cogroup",
+    "create_fixture_counts",
+    "project_filter_nulls",
+    "distinct_pairs",
+    "events_group_topk",
+    "pricing_summary",
+    "csv_format_lines",
+    "join_broadcast_revenue",
+    "join_semi_active_customers",
+    "join_anti_unordered_parts",
+    "set_ops_customers",
+    "window_rank_orders",
+    "rollup_nation_revenue",
+    "count_distinct_users",
+    "sort_limit_offset",
+    "q5_local_supplier_volume",
+    "pivot_user_event_matrix",
+    "argmax_order_per_customer",
+    "events_hourly_counts",
+    "dedup_exact_docs",
+    "doc_fingerprints",
+    "lang_id_confusion",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "streaming_stateful_user_counts",
+    "salted_group_count_events",
+    "range_join_value_bands",
+    "asof_join_last_event_per_order",
+    "cube_orders",
+    "grouped_map_best_doc",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.collect():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else round(v, 9)
+            vals.append(v)
+        rows.append(tuple(str(x) for x in vals))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", PORTABLE)
+def test_sql_route_matches_dataframe_route(spark, sf_dir, name):
+    register_views(spark, sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    df_route = qs[name](spark, sf_dir)
+    sql_route = spark.sql(oracles[name])
+    assert sorted(df_route.columns) == sorted(sql_route.columns)
+    assert _canon(df_route) == _canon(sql_route)
