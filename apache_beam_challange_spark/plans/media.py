@@ -44,11 +44,16 @@ FROM hx
 """.strip(),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary image column -> decoded feature rows via mapInPandas. The
+    """Binary image column -> decoded feature rows via mapInArrow (the
+    measured-faster twin of the mapInPandas path; both tested equal). The
     decode kernel is the documented stub (no codecs in-container); the
     Spark plumbing (binary col, Arrow batches, schema contract) is real."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        decode_image_features_arrow,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_features(attach_fake_image(docs))
+    return decode_image_features_arrow(attach_fake_image(docs))
 
 
 @query(

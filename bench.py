@@ -44,11 +44,22 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
 
-    # Warm the JVM/codegen paths (session startup and first-query JIT are
-    # one-time costs, not per-query throughput) — untimed.
+    # Warm the JVM/codegen paths and the Python worker pool (session
+    # startup and first-query JIT are one-time costs, not per-query
+    # throughput) — untimed.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
         "l_returnflag"
     ).count().write.mode("overwrite").format("noop").save()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop_udf(s):
+        return s
+
+    spark.range(1000).select(_noop_udf(F.col("id"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -39,6 +39,20 @@ def test_frame_sample_positions(spark):
     assert got == {i: digest[i * 4] for i in range(4)}
 
 
+def test_arrow_and_pandas_decoders_agree(spark):
+    from apache_beam_challange_spark.operators.multimodal import (
+        decode_image_features_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    imgs = attach_fake_image(docs)
+    via_pandas = sorted(map(tuple, decode_image_features(imgs).collect()))
+    via_arrow = sorted(map(tuple, decode_image_features_arrow(imgs).collect()))
+    assert via_pandas == via_arrow
+
+
 def test_resize_halves_payload(spark):
     from apache_beam_challange_spark.operators.multimodal import resize_images
 
