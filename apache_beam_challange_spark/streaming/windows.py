@@ -120,12 +120,22 @@ def run_to_memory(
     text. ``availableNow`` processes the bounded backlog then stops, making
     the final table a pure function of the input files."""
     name = f"stream_result_{next(_sink_counter)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    # A streaming query locks its state-store partitioning at first start;
+    # for these bounded availableNow runs a smaller count avoids paying
+    # per-partition state-store setup 32x for a few thousand keys. (A real
+    # deployment sizes this to key cardinality / executor count instead.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
