@@ -153,6 +153,51 @@ def quality_scores_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic dataset splitting ----------------------------------------
+
+_SPLIT_HEX4 = (
+    "(((STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100)"
+)
+
+
+@query(
+    "dataset_split_counts",
+    oracle=f"""
+SELECT lang,
+       CASE WHEN {_SPLIT_HEX4} < 80 THEN 'train'
+            WHEN {_SPLIT_HEX4} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""".strip(),
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: bucket = md5(doc_id)
+    first-4-hex mod 100. Content-addressed splitting is how training
+    pipelines keep splits stable under reshuffles/re-runs — no RNG state,
+    no ordering dependence, reproducible on any engine (hence the oracle).
+    Returns the per-language split histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # --- n-gram Jaccard near-dup ------------------------------------------------
 
 @query(
