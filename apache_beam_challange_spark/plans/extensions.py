@@ -518,6 +518,80 @@ def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+WITH {_ANN_CTE}
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       ROUND(list_cosine_similarity(va.v, vb.v), 6) AS cosine_sim
+FROM buck a
+JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN vecs va ON va.vec_id = a.vec_id
+JOIN vecs vb ON vb.vec_id = b.vec_id
+WHERE list_cosine_similarity(va.v, vb.v) >= 0.4
+""".strip(),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, scale path: candidates restricted to pairs
+    sharing an LSH bucket (16 sign-projection buckets), exact cosine only
+    within buckets — the same bucket-join shape as MinHash LSH, cutting the
+    candidate space ~16x vs ``embedding_near_dup_pairs``. High-similarity
+    vectors agree on hyperplane signs with high probability, so recall at
+    >= 0.4 stays high while the pair blow-up collapses."""
+    from apache_beam_challange_spark.functions.vector import as_double, cosine
+    from apache_beam_challange_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(as_double(F.col("embedding")), 4, 64).alias("bucket"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), "bucket"
+    )
+    sim = cosine(F.col("v1"), F.col("v2"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= 0.4)
+        .select(
+            "vec_id_1", "vec_id_2", F.round(F.col("__sim"), 6).alias("cosine_sim")
+        )
+    )
+
+
+@query(
+    "normalized_fingerprints",
+    oracle="""
+SELECT lang,
+       COUNT(DISTINCT md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS n_normalized,
+       COUNT(DISTINCT md5(text)) AS n_raw
+FROM documents
+GROUP BY lang
+""".strip(),
+)
+def normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup: lowercase -> strip non-alphanumerics ->
+    collapse runs of spaces -> trim, fingerprinted. Comparing normalized vs
+    raw distinct counts measures how much near-duplication normalization
+    alone removes — the first stage of every corpus dedup stack."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.groupBy("lang").agg(
+        F.countDistinct(F.md5(norm)).alias("n_normalized"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_raw"),
+    )
+
+
+@query(
     "embedding_norms_by_label",
     oracle="""
 WITH norms AS (
