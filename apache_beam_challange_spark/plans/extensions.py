@@ -534,9 +534,11 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, scale path: candidates restricted to pairs
     sharing an LSH bucket (16 sign-projection buckets), exact cosine only
     within buckets — the same bucket-join shape as MinHash LSH, cutting the
-    candidate space ~16x vs ``embedding_near_dup_pairs``. High-similarity
-    vectors agree on hyperplane signs with high probability, so recall at
-    >= 0.4 stays high while the pair blow-up collapses."""
+    candidate space ~16x vs ``embedding_near_dup_pairs``. Sign-agreement
+    probability is (1 - acos(sim)/pi)^planes: ~65% for true near-dups
+    (sim>=0.95), deliberately low at this synthetic corpus's 0.4 threshold
+    — production stacks add multi-probe or band-OR to recover recall; the
+    query exists to pin the plan shape and its oracle."""
     from apache_beam_challange_spark.functions.vector import as_double, cosine
     from apache_beam_challange_spark.operators.similarity import lsh_bucket
 
