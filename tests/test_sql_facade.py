@@ -59,6 +59,18 @@ PORTABLE = [
 
 
 def _canon(df):
+    # PySpark collect() renders tz-typed TIMESTAMP in the *driver's* local
+    # zone; cast to NTZ (via the UTC session tz) so comparisons are
+    # timezone-agnostic — the SQL route's date_trunc yields TIMESTAMP while
+    # the DataFrame route already emits TIMESTAMP_NTZ.
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        [
+            F.col(c).cast("timestamp_ntz").alias(c) if t == "timestamp" else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
     cols = sorted(df.columns)
     rows = []
     for r in df.collect():
