@@ -530,6 +530,57 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact percentiles + column profiling (pipeline hygiene ops) ------------
+
+@query(
+    "value_quantiles_by_type",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""".strip(),
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark PERCENTILE ==
+    DuckDB quantile_cont) — the sort-based aggregate; the sketch-based
+    percentile_approx twin is bounded in tests/test_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "column_profile_rides",
+    oracle=f"""
+WITH {RIDES_CTE}
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN start_station_id IS NULL THEN 1 ELSE 0 END) AS null_start,
+       SUM(CASE WHEN end_station_id IS NULL THEN 1 ELSE 0 END) AS null_end,
+       COUNT(DISTINCT start_station_id) AS nd_start,
+       COUNT(DISTINCT end_station_id) AS nd_end
+FROM rides
+""".strip(),
+)
+def column_profile_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass of an ingestion pipeline):
+    row count, per-column null counts, distinct cardinalities — one scan,
+    one aggregate."""
+    r = rides(spark, sf_dir)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("start_station_id").isNull().cast("long")).alias("null_start"),
+        F.sum(F.col("end_station_id").isNull().cast("long")).alias("null_end"),
+        F.countDistinct("start_station_id").alias("nd_start"),
+        F.countDistinct("end_station_id").alias("nd_end"),
+    )
+
+
 # --- time bucketing (batch twin of the streaming tumbling window) -----------
 
 @query(
