@@ -1,0 +1,76 @@
+"""Source-format coverage: the engine's scan layer reads CSV, JSON-lines
+and ORC with explicit schemas, producing rows identical to the parquet
+source — format choice is an I/O concern, not a semantics one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.sources.catalog import load_table
+
+
+def _sample(spark, sf_dir):
+    # a deterministic, json/csv-safe projection of events
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_source_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "ev_csv")
+    src.write.option("header", True).mode("overwrite").csv(path)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).option("header", True).csv(path)
+    assert _rows(back) == _rows(src)
+
+
+def test_json_source_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "ev_json")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+    assert _rows(back) == _rows(src)
+
+
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "ev_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert _rows(back) == _rows(src)
+
+
+def test_csv_scan_pushes_filters(spark, sf_dir, tmp_path):
+    """Even the CSV reader gets column pruning; the filter stays in the
+    plan (CSV has no row-group stats, so it's a post-read filter, but the
+    projection must narrow the parsed columns)."""
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "ev_csv2")
+    src.write.option("header", True).mode("overwrite").csv(path)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("header", True)
+        .csv(path)
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+    )
+    scan = next(
+        l
+        for l in back._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan csv" in l
+    )
+    assert "ReadSchema" in scan and "value" not in scan.split("ReadSchema")[1]
+    assert back.count() > 0
