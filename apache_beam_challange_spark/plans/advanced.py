@@ -306,6 +306,47 @@ def q4_total_distance_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / CAST(10000.0 AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
+@query("hypertable_rollup_hourly", oracle=_HOURLY_SQL)
+def hypertable_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: closed hours are served from a
+    MATERIALIZED rollup table; only the open tail (past the cutoff) is
+    aggregated from raw events, and the two layers union. At 100 TB this is
+    the repeated-time-series-dashboard pattern — the raw scan shrinks to
+    the live chunk. The oracle is the plain full aggregation: acceleration
+    must be semantically invisible."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    # deterministic hour-aligned cutoff: last day is the "open" chunk
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp_ntz")
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")) / 10000.0)
+            .alias("sum_value"),
+        )
+
+    rollup_path = tempfile.mkdtemp(prefix="rollup_") + "/hourly"
+    hourly(ev.filter(F.col("ts") < cutoff)).write.mode("overwrite").parquet(rollup_path)
+    closed = spark.read.parquet(rollup_path)
+    open_tail = hourly(ev.filter(F.col("ts") >= cutoff))
+    return closed.unionByName(open_tail)
+
+
 @query(
     "explode_tokens_topk",
     oracle="""
