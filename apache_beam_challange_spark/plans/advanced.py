@@ -347,6 +347,92 @@ def hypertable_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionByName(open_tail)
 
 
+def _hex4_sql(expr: str) -> str:
+    """DuckDB SQL: first-4-hex-digits of md5(expr) as an int (0..65535)."""
+    m = f"md5({expr})"
+    digit = "(STRPOS('0123456789abcdef', SUBSTR({m}, {i}, 1)) - 1)"
+    return (
+        f"({digit.format(m=m, i=1)} * 4096 + {digit.format(m=m, i=2)} * 256"
+        f" + {digit.format(m=m, i=3)} * 16 + {digit.format(m=m, i=4)})"
+    )
+
+
+_CM_D, _CM_W = 4, 256
+
+_CM_SQL = f"""
+WITH hashes AS (
+    SELECT user_id, h.i AS i,
+           {_hex4_sql("CAST(user_id AS VARCHAR) || '#' || CAST(h.i AS VARCHAR)")} % {_CM_W} AS bucket
+    FROM events, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i) h
+),
+sketch AS (
+    SELECT i, bucket, COUNT(*) AS counter
+    FROM hashes
+    GROUP BY i, bucket
+),
+keys AS (SELECT unnest(generate_series(0, 9)) AS user_id),
+key_buckets AS (
+    SELECT user_id, h.i AS i,
+           {_hex4_sql("CAST(user_id AS VARCHAR) || '#' || CAST(h.i AS VARCHAR)")} % {_CM_W} AS bucket
+    FROM keys, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i) h
+)
+SELECT kb.user_id,
+       CAST(MIN(s.counter) AS BIGINT) AS cm_estimate,
+       (SELECT COUNT(*) FROM events e WHERE e.user_id = kb.user_id) AS exact_count
+FROM key_buckets kb
+JOIN sketch s ON s.i = kb.i AND s.bucket = kb.bucket
+GROUP BY kb.user_id
+""".strip()
+
+
+@query("countmin_user_estimates", oracle=_CM_SQL)
+def countmin_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built relationally (d=4 rows x w=256 counters, md5
+    hash family): per-event bucket explode -> one groupBy builds the
+    sketch; a point query reads d counters and takes the min. The sketch
+    over-estimates by design — the oracle reproduces the identical sketch
+    AND the exact counts, so the (estimate, exact) pairs hash-match. At
+    scale the sketch is a tiny mergeable summary (d*w counters) replacing
+    a full distinct-key aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(key_col, i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit("#"), i_col.cast("string"))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("long")
+            % _CM_W
+        )
+
+    i = F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("i")
+    hashes = ev.select(F.col("user_id"), i).select(
+        "user_id", "i", bucket(F.col("user_id"), F.col("i")).alias("bucket")
+    )
+    sketch = hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("counter"))
+
+    keys = spark.range(0, 10).select(F.col("id").alias("user_id"))
+    key_buckets = keys.select(F.col("user_id"), i).select(
+        "user_id", "i", bucket(F.col("user_id"), F.col("i")).alias("bucket")
+    )
+    estimates = (
+        key_buckets.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("counter").cast("long").alias("cm_estimate"))
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return estimates.join(exact, "user_id", "left").withColumn(
+        "exact_count", F.coalesce(F.col("exact_count"), F.lit(0)).cast("long")
+    )
+
+
 @query(
     "explode_tokens_topk",
     oracle="""
