@@ -433,6 +433,46 @@ def countmin_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_SQL = f"""
+WITH hashed AS (
+    SELECT DISTINCT
+        {_hex4_sql("CAST(user_id AS VARCHAR)")} % 64 AS bucket,
+        ({_hex4_sql("'w#' || CAST(user_id AS VARCHAR)")} * 65536
+         + {_hex4_sql("'v#' || CAST(user_id AS VARCHAR)")}) % 16777216 AS w
+    FROM events
+)
+SELECT bucket,
+       CAST(MAX(CASE WHEN w = 0 THEN 25
+                     ELSE 24 - CAST(FLOOR(LOG2(w)) AS INT) END) AS INT) AS max_rho
+FROM hashed
+GROUP BY bucket
+""".strip()
+
+
+@query("hll_registers_users", oracle=_HLL_SQL)
+def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build, relationally (64 buckets, 24-bit
+    substream from an md5-derived hash): register_j = max over keys of
+    (leading zeros + 1). This is approx_count_distinct's internal state
+    reconstructed as a plan — one distinct + one groupBy, mergeable by MAX
+    at any scale — and, because the hash family is md5-based, the entire
+    register table is oracle-exact, not just statistically close."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def hex4(prefix: str | None, col):
+        s = col.cast("string") if prefix is None else F.concat(F.lit(prefix), col.cast("string"))
+        return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+
+    hashed = ev.select(
+        (hex4(None, F.col("user_id")) % 64).alias("bucket"),
+        ((hex4("w#", F.col("user_id")) * 65536 + hex4("v#", F.col("user_id"))) % 16777216).alias("w"),
+    ).distinct()
+    rho = F.when(F.col("w") == 0, F.lit(25)).otherwise(
+        F.lit(24) - F.floor(F.log2(F.col("w"))).cast("int")
+    )
+    return hashed.groupBy("bucket").agg(F.max(rho).cast("int").alias("max_rho"))
+
+
 @query(
     "explode_tokens_topk",
     oracle="""
