@@ -478,11 +478,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_user_event_matrix",
     oracle="""
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS login
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS login
 FROM events
 GROUP BY user_id
 """.strip(),
@@ -560,8 +560,8 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {RIDES_CTE}
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN start_station_id IS NULL THEN 1 ELSE 0 END) AS null_start,
-       SUM(CASE WHEN end_station_id IS NULL THEN 1 ELSE 0 END) AS null_end,
+       CAST(SUM(CASE WHEN start_station_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_start,
+       CAST(SUM(CASE WHEN end_station_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_end,
        COUNT(DISTINCT start_station_id) AS nd_start,
        COUNT(DISTINCT end_station_id) AS nd_end
 FROM rides

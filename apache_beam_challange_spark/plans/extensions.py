@@ -91,10 +91,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
-       SUM(LEN(STRING_SPLIT(text, ' '))) AS sum_tokens,
-       SUM(CAST(FLOOR(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
-                      * 10000.0 / LENGTH(text) + 0.5) AS BIGINT)) AS punct_bp
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(FLOOR(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      * 10000.0 / LENGTH(text) + 0.5) AS BIGINT)) AS BIGINT) AS punct_bp
 FROM documents
 GROUP BY lang
 """.strip(),

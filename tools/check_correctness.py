@@ -15,6 +15,14 @@ import sys
 import time
 
 import duckdb
+import pyarrow as pa
+
+# Spark integral dtypes: a DuckDB oracle column paired with one of these must
+# come back as an Arrow integer, NOT decimal128 (HUGEINT — what DuckDB types a
+# bare SUM(<integer>) as) or float. The driver's normalizer is type-sensitive
+# (HUGEINT -> pandas float64 renders "123.0" vs Spark's "123"), so we flag the
+# type mismatch even though str(int) == str(Decimal) would hide it.
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long"}
 
 
 def _norm_cell(v):
@@ -72,10 +80,20 @@ def main() -> int:
             if len(srows) == 0:
                 failures.append((name, "zero rows (rows-only check)"))
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        tbl = con.execute(oracles[name]).arrow()
+        ocols = tbl.schema.names
+        orows = [tuple(row[c] for c in ocols) for row in tbl.to_pylist()]
         problems = []
+        spark_types = dict(sdf.dtypes)
+        for field in tbl.schema:
+            st = spark_types.get(field.name)
+            if st in _SPARK_INTEGRAL and (
+                pa.types.is_decimal(field.type) or pa.types.is_floating(field.type)
+            ):
+                problems.append(
+                    f"type: oracle `{field.name}` is {field.type} but spark is {st}"
+                    " — wrap the oracle expr with CAST(... AS BIGINT)"
+                )
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
