@@ -222,3 +222,55 @@ def jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def jaccard_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard evaluated ONLY on candidate pairs — the
+    scale-default near-dup verifier: LSH band buckets (or any blocking
+    scheme) propose ``(doc_id_1, doc_id_2)`` pairs, and the exact measure
+    runs on that linear-sized set instead of the quadratic within-block
+    all-pairs of :func:`jaccard_pairs`.
+
+    Plan shape: two equi-joins attach each side's distinct-token array to
+    the pair, then a narrow ``array_intersect`` scores it. The candidate
+    side is orders of magnitude smaller than the corpus, so AQE turns both
+    joins into broadcast joins at runtime when it fits; at 100 TB the
+    worst case is two shuffle joins keyed on doc_id — never all-pairs.
+
+    Pairs with an empty intersection require ``min_jaccard > 0`` to stay
+    equivalent to the inner-join oracle formulation (zero-overlap pairs
+    produce no intersection row there).
+    """
+    toksets = df.select(
+        "doc_id", F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
+    )
+    t1 = toksets.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("toks_1")
+    )
+    t2 = toksets.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("toks_2")
+    )
+    scored = (
+        candidates.join(t1, "doc_id_1")
+        .join(t2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("toks_1", "toks_2")).alias("n_inter"),
+            F.size("toks_1").alias("n1"),
+            F.size("toks_2").alias("n2"),
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= min_jaccard)

@@ -24,6 +24,7 @@ from apache_beam_challange_spark.functions.text import (
 from apache_beam_challange_spark.functions.vector import as_double, l2_norm
 from apache_beam_challange_spark.operators.dedup import (
     exact_dedup,
+    jaccard_on_candidates,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -290,6 +291,57 @@ def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
     return lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+@query(
+    "jaccard_on_lsh_candidates",
+    oracle=f"""
+WITH {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(min_hash, '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+tokset AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_tokens FROM tokset GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_id_1, c.doc_id_2, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN tokset a ON a.doc_id = c.doc_id_1
+    JOIN tokset b ON b.doc_id = c.doc_id_2 AND b.token = a.token
+    GROUP BY c.doc_id_1, c.doc_id_2
+)
+SELECT i.doc_id_1, i.doc_id_2,
+       ROUND(n_inter / (s1.n_tokens + s2.n_tokens - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.doc_id_1 = s1.doc_id
+JOIN sizes s2 ON i.doc_id_2 = s2.doc_id
+WHERE n_inter / (s1.n_tokens + s2.n_tokens - n_inter) >= 0.5
+""".strip(),
+)
+def jaccard_on_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default near-dup detection: MinHash-LSH band buckets propose
+    candidate pairs (linear in true near-dup density), then EXACT token-set
+    Jaccard verifies only those — replacing the quadratic within-block
+    all-pairs scan of ``jaccard_pairs_by_source``. This is the composition
+    a 100 TB corpus dedup actually runs: cheap probabilistic recall stage,
+    exact precision stage on the survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    return jaccard_on_candidates(docs, cand, min_jaccard=0.5)
 
 
 @query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin

@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from apache_beam_challange_spark.operators.dedup import (
+    jaccard_on_candidates,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -65,3 +66,39 @@ def test_jaccard_blocking_respects_group(spark):
     t = "alpha beta gamma delta epsilon"
     docs = _docs(spark, [(1, t, "s1"), (2, t, "s2")])
     assert jaccard_pairs(docs, "source").count() == 0
+
+
+def test_jaccard_on_candidates_matches_all_pairs(spark):
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = _docs(
+        spark,
+        [
+            (1, t1, "a"),
+            (2, t2, "a"),
+            (3, "completely different words here nothing shared at all whatsoever now", "a"),
+        ],
+    )
+    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    gated = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in jaccard_on_candidates(docs, cand, min_jaccard=0.5).collect()
+    }
+    brute = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "source", min_jaccard=0.5).collect()
+    }
+    # every LSH-gated score must equal the brute-force score for that pair
+    for pair, j in gated.items():
+        assert brute[pair] == j
+    assert (1, 2) in gated
+
+
+def test_jaccard_on_candidates_identical_docs(spark):
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    docs = _docs(spark, [(1, text, "a"), (2, text, "a")])
+    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    rows = jaccard_on_candidates(docs, cand, min_jaccard=0.5).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
