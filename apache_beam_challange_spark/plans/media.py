@@ -74,3 +74,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame record, 1->N inside mapInPandas (ffmpeg keyframe-seek shape)."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_fake_image(docs), every=4, n_frames=4)
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           (d.doc_id * 7 + y.y * 31 + x.x * 5 + c.c * 11) % 256 AS v
+    FROM dims d,
+         (SELECT unnest(generate_series(0, 8)) AS y) y,
+         (SELECT unnest(generate_series(0, 15)) AS x) x,
+         (SELECT unnest(generate_series(0, 2)) AS c) c
+    WHERE y.y < d.h AND x.x < d.w
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS channels,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS INTEGER) AS n_bytes,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST((doc_id * 7 + (h - 1) * 31 + (w - 1) * 5 + 22) % 256 AS INTEGER)
+           AS corner_br
+FROM px
+GROUP BY doc_id, w, h
+""".strip(),
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip: encode a deterministic 24-bit BMP per
+    document (actual file bytes — header, 4-byte row padding, bottom-up
+    rows), then decode it back with the pure-numpy BMP parser behind the
+    mapInPandas plumbing. The oracle recomputes every decoded feature in
+    closed form from the pixel formula, so a decoder that mishandles
+    padding, the pixel-data offset, or the row flip hash-fails (corner_br
+    reads the bottom-right pixel, which lives in the FIRST stored row)."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_bmp_image,
+        decode_bmp_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_bmp_features(attach_bmp_image(docs))

@@ -13,9 +13,9 @@ from apache_beam_challange_spark.operators.multimodal import (
 )
 
 
-def test_real_decoder_is_stubbed():
+def test_real_decoder_non_bmp_is_stubbed():
     with pytest.raises(NotImplementedError):
-        _decode_real(b"\x00")
+        _decode_real(b"\x00\x01")
 
 
 def test_decode_features_exact(spark):
@@ -72,3 +72,71 @@ def test_fake_decoder_pure():
         "channels": 2,
         "sum_bytes": 18,
     }
+
+
+# --- real BMP codec ---------------------------------------------------------
+
+
+def test_bmp_roundtrip_matches_closed_form():
+    import numpy as np
+
+    from apache_beam_challange_spark.operators.multimodal import (
+        _bmp_pixels,
+        bmp_dims,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for doc_id in (0, 1, 7, 12, 13, 91, 9999):
+        w, h = bmp_dims(doc_id)
+        feats = decode_bmp(encode_bmp(doc_id))
+        px = _bmp_pixels(doc_id)
+        assert feats["width"] == w and feats["height"] == h
+        assert feats["channels"] == 3
+        assert feats["n_bytes"] == 54 + h * ((3 * w + 3) // 4 * 4)
+        assert feats["pix_sum"] == int(px.sum(dtype=np.int64))
+        assert feats["corner_br"] == int(px[h - 1, w - 1, 2])
+
+
+def test_bmp_decoder_honors_padding_and_bottom_up():
+    import struct
+
+    import numpy as np
+
+    from apache_beam_challange_spark.operators.multimodal import decode_bmp
+
+    # hand-built 2x2 top-down BMP (negative height): stride 8, 2 pad bytes
+    w, h = 2, 2
+    stride = (3 * w + 3) // 4 * 4
+    px = np.arange(12, dtype=np.uint8).reshape(h, w, 3)  # top-down truth
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : 3 * w] = px.reshape(h, 3 * w)
+    data = (
+        struct.pack("<2sIHHI", b"BM", 54 + h * stride, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, h * stride, 0, 0, 0, 0)
+        + rows.tobytes()
+    )
+    feats = decode_bmp(data)
+    assert feats["corner_br"] == int(px[1, 1, 2])  # == 11
+    assert feats["pix_sum"] == int(px.sum())
+
+
+def test_bmp_decoder_rejects_other_bpp():
+    import struct
+
+    from apache_beam_challange_spark.operators.multimodal import decode_bmp
+
+    bad = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0
+    )
+    with pytest.raises(ValueError):
+        decode_bmp(bad + b"\x00" * 4)
+
+
+def test_real_decoder_routes_bmp():
+    from apache_beam_challange_spark.operators.multimodal import (
+        _decode_real,
+        encode_bmp,
+    )
+
+    assert _decode_real(encode_bmp(42))["channels"] == 3
