@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apache_beam_challange_spark.functions.geo import haversine_km, haversine_km_sql
+from apache_beam_challange_spark.functions.geo import (
+    geodesic_km_udf,
+    haversine_km,
+    haversine_km_sql,
+)
 from apache_beam_challange_spark.operators.joins import all_pairs, full_outer_zero_fill
 from apache_beam_challange_spark.operators.relational import (
     drop_null_rows,
@@ -119,6 +123,50 @@ def q3_station_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("distance_km"),
+    )
+
+
+_Q3_GEODESIC_SQL = f"""
+WITH {STATIONS_CTE}
+SELECT
+    s1.id AS id_1,
+    s2.id AS id_2,
+    ROUND({haversine_km_sql('s1.latitude', 's1.longitude', 's2.latitude', 's2.longitude')}, 6)
+        AS haversine_km,
+    TRUE AS within_bound
+FROM stations s1
+CROSS JOIN stations s2
+""".strip()
+
+
+@query("q3_station_distances_geodesic", oracle=_Q3_GEODESIC_SQL)
+def q3_station_distances_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 geodesic parity mode: WGS-84 geodesic distance per station pair
+    via a vectorized pandas UDF (geopy/Karney when importable, in-repo
+    Vincenty otherwise — sub-mm apart; pipelines/stations.py:18-22). The
+    geodesic value itself has no SQL twin, so the oracle-checked contract
+    is (a) the haversine column, bit-equal both engines, and (b)
+    ``within_bound``: every pair's |geodesic − haversine| must sit inside
+    the documented ≤0.8% relative envelope — a mis-implemented geodesic
+    (wrong ellipsoid, degrees/radians mixups, divergent iteration) lands
+    outside and hash-fails. Exact geodesic values are golden-tested in
+    tests/test_operators.py against Vincenty's published test line."""
+    pairs = all_pairs(stations(spark, sf_dir))
+    geo = geodesic_km_udf()(
+        F.col("latitude_1"), F.col("longitude_1"),
+        F.col("latitude_2"), F.col("longitude_2"),
+    )
+    hav = haversine_km(
+        F.col("latitude_1"), F.col("longitude_1"),
+        F.col("latitude_2"), F.col("longitude_2"),
+    )
+    return pairs.select(
+        F.col("id_1"),
+        F.col("id_2"),
+        F.round(hav, 6).alias("haversine_km"),
+        (F.abs(geo - hav) <= F.greatest(hav * 0.008, F.lit(1e-6))).alias(
+            "within_bound"
+        ),
     )
 
 

@@ -128,3 +128,59 @@ def test_station_distance_golden(spark):
     assert by_pair[
         ("Wellington Arch, Hyde Park", "Harper Road, The Borough")
     ] == pytest.approx(3.723406, abs=1e-6)
+
+
+def test_vincenty_golden_line():
+    """Vincenty's published WGS-84 test line (Geoscience Australia):
+    Flinders Peak -> Buninyong = 54 972.271 m."""
+    import numpy as np
+
+    from apache_beam_challange_spark.functions.geo import vincenty_km_np
+
+    km = vincenty_km_np(
+        np.array([-(37 + 57 / 60 + 3.72030 / 3600)]),
+        np.array([144 + 25 / 60 + 29.52440 / 3600]),
+        np.array([-(37 + 39 / 60 + 10.15610 / 3600)]),
+        np.array([143 + 55 / 60 + 35.38390 / 3600]),
+    )
+    assert abs(km[0] - 54.972271) < 1e-5
+
+
+def test_vincenty_degenerate_and_bound():
+    import numpy as np
+
+    from apache_beam_challange_spark.functions.geo import vincenty_km_np
+
+    # identical points -> exactly 0
+    assert vincenty_km_np(np.array([12.5]), np.array([7.0]),
+                          np.array([12.5]), np.array([7.0]))[0] == 0.0
+    # random-ish pairs: geodesic within 0.8% of haversine (mean-radius sphere)
+    rng = np.random.RandomState(7)
+    lat1, lat2 = rng.uniform(-80, 80, 50), rng.uniform(-80, 80, 50)
+    lon1, lon2 = rng.uniform(-179, 179, 50), rng.uniform(-179, 179, 50)
+    geo = vincenty_km_np(lat1, lon1, lat2, lon2)
+    R = 6371.0088
+    dlat, dlon = np.radians(lat2 - lat1), np.radians(lon2 - lon1)
+    a = (np.sin(dlat / 2) ** 2
+         + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2)) * np.sin(dlon / 2) ** 2)
+    hav = 2 * R * np.arcsin(np.sqrt(a))
+    ok = np.abs(geo - hav) <= np.maximum(hav * 0.008, 1e-6)
+    assert ok.all()
+
+
+def test_geopy_parity_when_available():
+    """When geopy is importable the UDF routes through Karney; assert the
+    in-repo Vincenty agrees to < 1 mm (skipped in codec-free containers)."""
+    import numpy as np
+
+    geopy = pytest.importorskip("geopy")  # noqa: F841
+    from geopy.distance import geodesic
+
+    from apache_beam_challange_spark.functions.geo import vincenty_km_np
+
+    pts = [(-37.8, 144.9, 51.5, -0.1), (40.7, -74.0, 48.9, 2.3)]
+    for la1, lo1, la2, lo2 in pts:
+        v = vincenty_km_np(np.array([la1]), np.array([lo1]),
+                           np.array([la2]), np.array([lo2]))[0]
+        g = geodesic((la1, lo1), (la2, lo2)).kilometers
+        assert abs(v - g) < 1e-6
