@@ -42,14 +42,41 @@ def full_outer_zero_fill(
     right: DataFrame,
     on: Sequence[str],
     fill: dict[str, float],
+    faithful: bool = False,
 ) -> DataFrame:
-    """Full-outer equi-join with zero-fill of absent sides — the semantics of
-    the reference's tuple-CoGroupByKey + ``CalculateDistanceAllRides`` DoFn
-    (``pipelines/total_distance.py:14-29,121-124``), which emits 0 for any
-    missing/non-numeric side. Join keys are coalesced across sides; ``fill``
-    maps value-column -> default."""
+    """Full-outer equi-join with zero-fill of absent sides, modeled on the
+    reference's tuple-CoGroupByKey + ``CalculateDistanceAllRides`` DoFn
+    (``pipelines/total_distance.py:14-29,121-124``). Join keys are coalesced
+    across sides; ``fill`` maps value-column -> default.
+
+    Two modes, because the reference DoFn zeroes BOTH outputs whenever
+    EITHER side is missing (``total_rides = 0`` even when the ride count
+    exists but the distance row doesn't):
+
+    - ``faithful=False`` (engine default): each absent column is filled
+      independently, so a real ride count survives a missing distance —
+      the more useful semantics, kept as an intentional, documented
+      divergence (like Q2's corrected column labels).
+    - ``faithful=True``: byte-compatible with the reference — if ANY fill
+      column is absent, ALL fill columns become their defaults.
+    """
     joined = left.join(right, on=list(on), how="full_outer")
     out = joined
+    if faithful:
+        any_missing = None
+        for col_name in fill:
+            miss = F.col(col_name).isNull()
+            any_missing = miss if any_missing is None else (any_missing | miss)
+        # one projection: sequential withColumn would re-evaluate the
+        # missing-check against already-filled columns
+        return out.withColumns(
+            {
+                col_name: F.when(any_missing, F.lit(default)).otherwise(
+                    F.col(col_name)
+                )
+                for col_name, default in fill.items()
+            }
+        )
     for col_name, default in fill.items():
         out = out.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(default)))
     return out

@@ -72,14 +72,22 @@ def q1_sql_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q2_top_pairs_ops", oracle=_PAIR_COUNT_SQL)
-def q2_top_pairs_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q2_top_pairs_ops(
+    spark: SparkSession, sf_dir: str, *, faithful: bool = False
+) -> DataFrame:
     """Q1's result recomputed through composed operators (project ->
     group-count -> top-k), the reference's "hard" route
     (``pipelines/cycle_rides.py:48-57``). NULL station groups are kept, as
-    COUNT(*) GROUP BY does; ties broken by full key."""
+    COUNT(*) GROUP BY does; ties broken by full key.
+
+    ``faithful=True`` emits the reference's byte-compatible (buggy) layout:
+    its rename at ``cycle_rides.py:55`` maps the pair to (end, start, count)
+    while the CSV header at ``:63`` still claims (start, end, amount) — so
+    the column NAMED start_station_id carries END ids. Default mode keeps
+    the corrected labeling (divergence documented in the module header)."""
     r = project(rides(spark, sf_dir), "start_station_id", "end_station_id")
     counts = group_count(r, ["start_station_id", "end_station_id"])
-    return top_k(
+    out = top_k(
         counts,
         100,
         order=[
@@ -88,6 +96,13 @@ def q2_top_pairs_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("end_station_id").asc_nulls_last(),
         ],
     )
+    if faithful:
+        out = out.select(
+            F.col("end_station_id").alias("start_station_id"),
+            F.col("start_station_id").alias("end_station_id"),
+            "amount_of_rides",
+        )
+    return out
 
 
 _Q3_SQL = f"""
@@ -203,7 +218,9 @@ FROM counts c
 """.strip()
 
 
-def _q4_frame(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
+def _q4_frame(
+    spark: SparkSession, sf_dir: str, strict: bool, faithful: bool = False
+) -> DataFrame:
     r = drop_null_rows(
         project(rides(spark, sf_dir), "start_station_id", "end_station_id")
     )
@@ -225,6 +242,7 @@ def _q4_frame(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
             counts, dists,
             on=["start_station_id", "end_station_id"],
             fill={"amount_of_rides": 0, "distance_raw": 0.0},
+            faithful=faithful,
         )
     return joined.select(
         "start_station_id",
@@ -236,12 +254,20 @@ def _q4_frame(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
 
 
 @query("q4_total_distance", oracle=_q4_sql(strict=False))
-def q4_total_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q4_total_distance(
+    spark: SparkSession, sf_dir: str, *, faithful: bool = False
+) -> DataFrame:
     """Q4 flagship: pair ride-counts full-outer-joined with pair distances,
     ``total_km = rides x distance``, zero-filled when a side is absent —
     the semantics of ``CalculateDistanceAllRides``
-    (``pipelines/total_distance.py:14-29,121-124``)."""
-    return _q4_frame(spark, sf_dir, strict=False)
+    (``pipelines/total_distance.py:14-29,121-124``).
+
+    Default mode fills each absent column independently (a real ride count
+    survives a missing distance) — an intentional, documented divergence:
+    the reference DoFn zeroes BOTH ``total_rides`` and ``total_distance``
+    whenever either side is missing. ``faithful=True`` reproduces that
+    byte-compatibly via ``full_outer_zero_fill(..., faithful=True)``."""
+    return _q4_frame(spark, sf_dir, strict=False, faithful=faithful)
 
 
 @query("q4_total_distance_strict", oracle=_q4_sql(strict=True))

@@ -31,9 +31,14 @@ def write_csv_single(df: DataFrame, path: str, header: bool = True) -> None:
     ).csv(path)
 
 
-def write_text(df: DataFrame, path: str, sep: str = ",") -> None:
-    """K2: stringified lines; columns joined with ``sep``."""
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+def write_text(df: DataFrame, path: str, sep: str = ",", null_as: str = "") -> None:
+    """K2: stringified lines; columns joined with ``sep``. NULLs serialize
+    as ``null_as`` — concat_ws silently *drops* NULL arguments, which would
+    shift every later field left and misalign the columns."""
+    line = F.concat_ws(
+        sep,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(null_as)) for c in df.columns],
+    )
     df.select(line.alias("value")).write.mode("overwrite").text(path)
 
 

@@ -34,6 +34,40 @@ def test_full_outer_zero_fill_semantics(spark):
     assert rows[(9, 9)] == (0, 4.0)      # distance only -> count zero-filled
 
 
+def test_full_outer_zero_fill_faithful_zeroes_both(spark):
+    """faithful=True reproduces the reference DoFn exactly: BOTH value
+    columns become their defaults whenever EITHER side is absent
+    (total_distance.py:16-29 only assigns when both are numeric)."""
+    counts = spark.createDataFrame([(1, 2, 5), (1, 3, 2)], ["s", "e", "n"])
+    dists = spark.createDataFrame([(1, 2, 1.5), (9, 9, 4.0)], ["s", "e", "d"])
+    out = full_outer_zero_fill(
+        counts, dists, on=["s", "e"], fill={"n": 0, "d": 0.0}, faithful=True
+    )
+    rows = {(r["s"], r["e"]): (r["n"], r["d"]) for r in out.collect()}
+    assert rows[(1, 2)] == (5, 1.5)      # both sides survive
+    assert rows[(1, 3)] == (0, 0.0)      # distance missing -> count zeroed too
+    assert rows[(9, 9)] == (0, 0.0)      # count missing -> distance zeroed too
+
+
+def test_q2_faithful_swaps_labels(spark):
+    """cycle_rides.py:55 emits (end, start, count) under a (start, end,
+    amount) header; faithful mode reproduces that byte-compatibly."""
+    from apache_beam_challange_spark.plans.canonical import q2_top_pairs_ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    sane = q2_top_pairs_ops(spark, sf_dir).collect()
+    swapped = q2_top_pairs_ops(spark, sf_dir, faithful=True).collect()
+    assert [r["start_station_id"] for r in swapped] == [
+        r["end_station_id"] for r in sane
+    ]
+    assert [r["end_station_id"] for r in swapped] == [
+        r["start_station_id"] for r in sane
+    ]
+    assert [r["amount_of_rides"] for r in swapped] == [
+        r["amount_of_rides"] for r in sane
+    ]
+
+
 def test_all_pairs_keeps_self_and_both_orientations(spark):
     dim = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
     pairs = {(r["id_1"], r["id_2"]) for r in all_pairs(dim).collect()}

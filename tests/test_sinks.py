@@ -46,6 +46,23 @@ def test_write_text_lines(spark, tmp_path):
     assert lines == ["1,2,10", "3,4,20"]
 
 
+def test_write_text_nulls_keep_field_alignment(spark, tmp_path):
+    """concat_ws drops NULL args; the sink must coalesce so NULL fields
+    serialize as empty strings instead of shifting later columns left."""
+    path = str(tmp_path / "text_null_out")
+    df = spark.createDataFrame(
+        [(1, None, 10), (None, 4, 20)],
+        "start bigint, end bigint, n bigint",
+    )
+    write_text(df, path)
+    lines = sorted(
+        line
+        for f in glob.glob(f"{path}/part-*")
+        for line in open(f).read().splitlines()
+    )
+    assert lines == [",4,20", "1,,10"]
+
+
 def test_write_parquet_partitioned(spark, tmp_path):
     path = str(tmp_path / "pq_out")
     write_parquet(_df(spark), path, partition_by=["start"])
