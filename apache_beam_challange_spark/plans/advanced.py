@@ -133,6 +133,7 @@ def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_orders",
+    extended=True,
     oracle="""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
 FROM orders
@@ -149,6 +150,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_near_dup_pairs",
+    extended=True,
     oracle="""
 WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -187,6 +189,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "regex_token_counts",
+    extended=True,
     oracle="""
 SELECT source,
        CAST(SUM(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_tokens

@@ -68,6 +68,7 @@ def project_filter_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "distinct_pairs",
+    extended=True,
     oracle=f"""
 WITH {RIDES_CTE}
 SELECT DISTINCT start_station_id, end_station_id FROM rides
@@ -211,6 +212,7 @@ def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_semi_active_customers",
+    extended=True,
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
@@ -229,6 +231,7 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_anti_unordered_parts",
+    extended=True,
     oracle="""
 SELECT p_partkey, p_name
 FROM part p
@@ -253,6 +256,7 @@ def join_anti_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_ops_customers",
+    extended=True,
     oracle="""
 SELECT c_custkey FROM customer WHERE c_acctbal > 9000
 UNION
@@ -306,6 +310,7 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_lag_event_gaps",
+    extended=True,
     oracle="""
 SELECT user_id, event_id,
        CAST(FLOOR(EPOCH(ts)) AS BIGINT)
@@ -406,6 +411,7 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sort_limit_offset",
+    extended=True,
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -504,6 +510,7 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "argmax_order_per_customer",
+    extended=True,
     oracle="""
 SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
 FROM (
@@ -534,6 +541,7 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "value_quantiles_by_type",
+    extended=True,
     oracle="""
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -585,6 +593,7 @@ def column_profile_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly_counts",
+    extended=True,
     oracle=f"""
 SELECT
     date_trunc('hour', ts) AS hour,

@@ -166,6 +166,7 @@ _SPLIT_HEX4 = (
 
 @query(
     "dataset_split_counts",
+    extended=True,
     oracle=f"""
 SELECT lang,
        CASE WHEN {_SPLIT_HEX4} < 80 THEN 'train'
@@ -203,6 +204,7 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "jaccard_pairs_by_source",
+    extended=True,
     oracle="""
 WITH tok AS (
     SELECT DISTINCT source, doc_id, unnest(string_split(text, ' ')) AS token
@@ -344,7 +346,7 @@ def jaccard_on_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_on_candidates(docs, cand, min_jaccard=0.5)
 
 
-@query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin
+@query("simhash_signatures", extended=True)  # rows-only: xxhash64 has no DuckDB twin
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (bit-vote aggregation over token
     hashes). Verified by determinism tests (tests/test_dedup.py), not by
@@ -464,6 +466,7 @@ def ann_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cosine_topk_pandas_vec0",
+    extended=True,
     oracle="""
 WITH q AS (
     SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
@@ -619,6 +622,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "normalized_fingerprints",
+    extended=True,
     oracle="""
 SELECT lang,
        COUNT(DISTINCT md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),

@@ -39,6 +39,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sliding_counts",
+    extended=True,
     oracle="""
 SELECT window_start, COUNT(*) AS n
 FROM (

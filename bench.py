@@ -23,9 +23,9 @@ HEADLINE = [
     "pricing_summary",
     "join_broadcast_revenue",
     "window_rank_orders",
-    "events_hourly_counts",
-    "distinct_pairs",
-    "jaccard_pairs_by_source",
+    "hypertable_rollup_hourly",
+    "dedup_exact_docs",
+    "jaccard_on_lsh_candidates",
     "minhash_candidate_pairs",
     "cosine_topk_vec0",
     "ann_lsh_topk_vec0",

@@ -12,18 +12,27 @@ def test_entry_returns_rows(spark):
 
 
 def test_queries_and_oracles_aligned():
+    """Driver tier: exactly 50 entries (the driver gate's observed window),
+    every one with a DuckDB oracle — no rows-only rows in the export."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 35
-    # every oracle key must have a query; rows-only queries are the
-    # documented exceptions
-    assert set(oracles) <= set(qs)
-    rows_only = set(qs) - set(oracles)
+    assert len(qs) == 50
+    assert set(oracles) == set(qs)
+    assert list(qs)[0] == "q1_sql_top_pairs"
+
+
+def test_extended_tier_shape():
+    """Extended tier: locally gated; simhash_signatures is its only
+    rows-only entry (xxhash64 has no DuckDB twin)."""
+    all_qs = entrymod.all_queries()
+    all_oracles = entrymod.all_oracle_sql()
+    assert set(entrymod.queries()) <= set(all_qs)
+    rows_only = set(all_qs) - set(all_oracles)
     assert rows_only == {"simhash_signatures"}
 
 
 def test_registry_callables_run(spark, sf_dir):
-    """Every registered query executes and yields a schema at sf0.001."""
-    for name, fn in entrymod.queries().items():
+    """Every registered query (both tiers) executes at sf0.001."""
+    for name, fn in entrymod.all_queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} returned no columns"

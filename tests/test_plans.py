@@ -12,7 +12,7 @@ import __spark_entry__ as entrymod
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
-    qs = entrymod.queries()
+    qs = entrymod.all_queries()
 
     def plan_of(name: str) -> str:
         return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

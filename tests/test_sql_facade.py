@@ -87,7 +87,7 @@ def _canon(df):
 @pytest.mark.parametrize("name", PORTABLE)
 def test_sql_route_matches_dataframe_route(spark, sf_dir, name):
     register_views(spark, sf_dir)
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs, oracles = entrymod.all_queries(), entrymod.all_oracle_sql()
     df_route = qs[name](spark, sf_dir)
     sql_route = spark.sql(oracles[name])
     assert sorted(df_route.columns) == sorted(sql_route.columns)

@@ -58,7 +58,10 @@ def main() -> int:
     from apache_beam_challange_spark.session import get_spark
 
     spark = get_spark("correctness-check")
-    qs, oracles = e.queries(), e.oracle_sql()
+    # driver tier first (exactly what the driver's gate sees, same order),
+    # then the extended tier so local verification still covers everything
+    qs, oracles = e.all_queries(), e.all_oracle_sql()
+    n_driver = len(e.queries())
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
@@ -68,9 +71,11 @@ def main() -> int:
         )
 
     failures = []
-    for name, fn in qs.items():
+    for idx, (name, fn) in enumerate(qs.items()):
         if only and name not in only:
             continue
+        if idx == n_driver and not only:
+            print("  --- extended tier (not exported to the driver) ---")
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
