@@ -237,7 +237,16 @@ def jaccard_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash LSH ------------------------------------------------------------
 
-_MINHASH_CTE = """
+# int value of hex digit d (1-based position p) of md5 hex string `m`
+_HEXD = "(STRPOS('0123456789abcdef', SUBSTR({m}, {p}, 1)) - 1)"
+
+#: first 15 hex chars of md5(shingle) as a BIGINT — DuckDB twin of Spark's
+#: conv(substring(md5(shingle), 1, 15), 16, 10)
+_HEX15 = " + ".join(
+    f"{_HEXD.format(m='md5(shingle)', p=p)} * {16 ** (15 - p)}" for p in range(1, 16)
+)
+
+_MINHASH_CTE = f"""
 tok AS (
     SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
 ),
@@ -250,10 +259,13 @@ sh AS (
     SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
     FROM pos
 ),
+hb AS (
+    SELECT doc_id, ({_HEX15}) % 2147483647 AS base FROM sh
+),
 mh AS (
     SELECT doc_id, h.i AS hash_idx,
-           MIN(md5(shingle || '#' || CAST(h.i AS VARCHAR))) AS min_hash
-    FROM sh, (SELECT unnest(generate_series(0, 7)) AS i) h
+           MIN((base * (700001 + 2 * h.i) + h.i * 12345) % 2147483647) AS min_hash
+    FROM hb, (SELECT unnest(generate_series(0, 7)) AS i) h
     GROUP BY doc_id, h.i
 )
 """.strip()
@@ -277,7 +289,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_MINHASH_CTE},
 bands AS (
     SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
-           STRING_AGG(min_hash, '|' ORDER BY hash_idx) AS band_val
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
     FROM mh
     GROUP BY doc_id, FLOOR(hash_idx / 2)
 )
@@ -301,7 +313,7 @@ def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_MINHASH_CTE},
 bands AS (
     SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
-           STRING_AGG(min_hash, '|' ORDER BY hash_idx) AS band_val
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
     FROM mh
     GROUP BY doc_id, FLOOR(hash_idx / 2)
 ),
