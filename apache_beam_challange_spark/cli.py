@@ -36,12 +36,26 @@ def _build_parser() -> argparse.ArgumentParser:
     cr = sub.add_parser("cycle-rides", help="top-N ride pairs via operators")
     common(cr)
     cr.add_argument("--top-n", type=int, default=100000)
+    cr.add_argument(
+        "--faithful",
+        action="store_true",
+        help="byte-compatible reference output: swapped (end, start, count) "
+        "column order under the (start, end, amount) header "
+        "(cycle_rides.py:55 vs :63)",
+    )
 
     common(sub.add_parser("stations", help="all-pairs station distances"))
 
     td = sub.add_parser("total-distance", help="total km per station pair")
     common(td)
     td.add_argument("--input-col", choices=("id", "name"), default="id")
+    td.add_argument(
+        "--faithful",
+        action="store_true",
+        help="byte-compatible reference DoFn zero-fill: zero BOTH columns "
+        "when either side is missing (total_distance.py:16-29); id family "
+        "only",
+    )
     return p
 
 
@@ -76,15 +90,23 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 F.col("end_station_id").asc_nulls_last(),
             ],
         )
+        if args.faithful:
+            df = df.select(
+                F.col("end_station_id").alias("start_station_id"),
+                F.col("start_station_id").alias("end_station_id"),
+                "amount_of_rides",
+            )
         write_csv(df, args.output, header=True)
     elif args.pipeline == "stations":
         df = registry.QUERIES["q3_station_distances"](spark, args.sf_dir)
         write_text(df, args.output)
     elif args.pipeline == "total-distance":
-        name = (
-            "q4_total_distance" if args.input_col == "id" else "q4_total_distance_by_name"
-        )
-        df = registry.QUERIES[name](spark, args.sf_dir)
+        if args.input_col == "id":
+            from apache_beam_challange_spark.plans.canonical import q4_total_distance
+
+            df = q4_total_distance(spark, args.sf_dir, faithful=args.faithful)
+        else:
+            df = registry.QUERIES["q4_total_distance_by_name"](spark, args.sf_dir)
         write_csv_single(df, args.output, header=True)
     print(f"{args.pipeline}: wrote {args.output}")
     return 0

@@ -43,3 +43,26 @@ def test_cli_stations_and_sql(spark, sf_dir, tmp_path):
             for line in open(f).read().splitlines()
         ]
         assert lines
+
+
+def test_cli_cycle_rides_faithful_swaps(spark, tmp_path):
+    import glob
+
+    from apache_beam_challange_spark.cli import main
+
+    sane, swapped = str(tmp_path / "sane"), str(tmp_path / "swapped")
+    main(["cycle-rides", "--sf-dir", "/root/testdata/sf0.001",
+          "--output", sane, "--top-n", "5"], spark=spark)
+    main(["cycle-rides", "--sf-dir", "/root/testdata/sf0.001",
+          "--output", swapped, "--top-n", "5", "--faithful"], spark=spark)
+
+    def rows(path):
+        out = []
+        for f in glob.glob(f"{path}/*.csv"):
+            lines = open(f).read().splitlines()
+            out += [l.split(",") for l in lines[1:] if l]
+        return sorted(out)
+
+    assert rows(swapped) == sorted(
+        [[e, s, n] for s, e, n in rows(sane)]
+    )
