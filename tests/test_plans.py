@@ -80,3 +80,39 @@ def test_whole_stage_codegen_active(plans):
     """Narrow chains must compile into whole-stage codegen spans."""
     p = plans("project_filter_nulls")
     assert "*(1)" in p  # codegen stage marker
+
+
+def test_jaccard_on_lsh_has_no_cartesian(plans):
+    """The LSH-gated exact Jaccard must stay equi-join shaped end to end:
+    band-bucket join + two doc_id joins — never a CartesianProduct or
+    nested-loop over document pairs."""
+    p = plans("jaccard_on_lsh_candidates")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bmp_decode_is_narrow(plans):
+    """Codec round-trip must be scan -> mapInPandas chains with no
+    shuffle: each executor encodes/decodes its own partitions."""
+    p = plans("multimodal_decode_bmp")
+    assert "Exchange hashpartitioning" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p or "FlatMapInPandas" in p
+
+
+def test_geodesic_parity_is_broadcast_nlj(plans):
+    """The geodesic pair expansion keeps the q3 shape (broadcast NLJ over
+    the station dim) with the pandas UDF evaluated post-join."""
+    p = plans("q3_station_distances_geodesic")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_hypertable_serves_closed_hours_from_rollup(plans):
+    """The continuous aggregate must union a rollup-parquet scan with the
+    live-tail aggregation — i.e. two FileScans, one of them the
+    materialized hourly table, and the raw-events scan filtered by the
+    cutoff."""
+    p = plans("hypertable_rollup_hourly")
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2
+    assert any("hypertable_hourly" in l for l in scans)
