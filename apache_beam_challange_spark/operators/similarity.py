@@ -153,6 +153,63 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    embeddings: DataFrame, path: str, codebook_ids: tuple[int, ...]
+) -> None:
+    """Materialize the IVF inverted lists AT REST: every vector written
+    under ``path`` hive-partitioned by its ``centroid_id``. This is the
+    100 TB posture for ANN — the index is built once (here coarse
+    quantization; at real scale offline k-means), and a query touches only
+    ``n_probe`` of the |codebook| partition directories, skipping the rest
+    of the files entirely."""
+    assigned = ivf_assignments(embeddings, codebook_ids)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    embeddings: DataFrame,
+    index: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    codebook_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k served from the materialized index: rank centroids
+    against the query (tiny broadcast), then join the index on
+    ``centroid_id`` — the partition column — so Spark's dynamic partition
+    pruning drops every non-probed inverted list at the FILE level before
+    any vector is read. Same results as :func:`ivf_topk`; the scan cost
+    drops from full-table to ~n_probe/|codebook|."""
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col("vec_id").isin(list(codebook_ids))).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    q = _query_vec(embeddings, query_vec_id)
+    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .filter(F.col("__rk") <= n_probe)
+        .select("centroid_id")
+    )
+    candidates = index.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,

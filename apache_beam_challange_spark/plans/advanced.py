@@ -330,9 +330,6 @@ def hypertable_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (sf_dir, cutoff, source file stamp) and is written once: repeated
     invocations (driver re-runs, bench loops) reuse the on-disk rollup, as
     a real continuous aggregate would."""
-    import hashlib
-    import os
-
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
@@ -350,22 +347,15 @@ def hypertable_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
 
-    # key the rollup by source identity so a changed events table rebuilds
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        stamp = "unknown"
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{cutoff_str}|{stamp}".encode()
-    ).hexdigest()[:16]
-    warehouse = os.environ.get(
-        "SPARK_GRAFT_WAREHOUSE",
-        os.path.join(os.getcwd(), "spark-warehouse"),
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
     )
-    rollup_path = os.path.join(warehouse, "hypertable_hourly", key)
-    if not os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
+
+    rollup_path = warehouse_path(
+        sf_dir, f"hypertable_hourly_{cutoff_str[:10]}", "events"
+    )
+    if not is_materialized(rollup_path):
         hourly(ev.filter(F.col("ts") < cutoff)).write.mode("overwrite").parquet(
             rollup_path
         )

@@ -585,6 +585,46 @@ def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_topk_indexed_vec0",
+    extended=True,
+    oracle=f"""
+WITH {_IVF_CTE}
+SELECT a.vec_id, a.label,
+       ROUND(list_cosine_similarity(a.v, q.qv), 6) AS cosine_sim
+FROM assign a
+JOIN probes p ON a.centroid_id = p.centroid_id
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 20
+""".strip(),
+)
+def ivf_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-20 served from the AT-REST index: the inverted lists are
+    materialized once, hive-partitioned by centroid_id under the warehouse
+    (ivf_write_index); the probe join then triggers dynamic partition
+    pruning, so non-probed lists are skipped at the FILE level. Same
+    oracle as ivf_topk_vec0 — the index must be semantically invisible."""
+    import os
+
+    from apache_beam_challange_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "ivf_index_8", "embeddings")
+    if not is_materialized(path):
+        ivf_write_index(emb, path, (0, 1, 2, 3, 4, 5, 6, 7))
+    index = spark.read.parquet(path)
+    return ivf_topk_indexed(emb, index, query_vec_id=0, k=20, n_probe=2)
+
+
+@query(
     "embedding_near_dup_lsh",
     oracle=f"""
 WITH {_ANN_CTE}

@@ -74,6 +74,36 @@ _NANO_TS_COLS = {
 }
 
 
+def warehouse_path(sf_dir: str, layer: str, source_table: str) -> str:
+    """Deterministic materialization path for a derived layer (rollups,
+    at-rest indexes): keyed by (sf_dir, layer, source file size+mtime) so
+    repeated invocations reuse the on-disk artifact and a changed source
+    rebuilds it. Root overridable via SPARK_GRAFT_WAREHOUSE (default
+    ./spark-warehouse, gitignored)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "unknown"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{layer}|{stamp}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    return os.path.join(root, layer, key)
+
+
+def is_materialized(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one base parquet table; schema comes from the parquet footer."""
     from apache_beam_challange_spark.session import ensure_session_confs

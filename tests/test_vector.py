@@ -52,3 +52,32 @@ def test_ann_lsh_recalls_identical_vector(spark):
     ).collect()
     ids = [r["vec_id"] for r in out]
     assert ids[0] == 1 and out[0]["cosine_sim"] == 1.0
+
+
+def test_ivf_indexed_matches_inline_and_prunes(spark, tmp_path):
+    """The at-rest IVF index must (a) return exactly what the inline IVF
+    path returns and (b) trigger dynamic partition pruning on the
+    partitioned index scan, so non-probed inverted lists are skipped at
+    the file level."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    cb = (0, 1, 2, 3, 4, 5, 6, 7)
+    ivf_write_index(emb, path, cb)
+    index = spark.read.parquet(path)
+
+    indexed = ivf_topk_indexed(emb, index, 0, k=10, codebook_ids=cb, n_probe=2)
+    inline = ivf_topk(emb, 0, k=10, codebook_ids=cb, n_probe=2)
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
