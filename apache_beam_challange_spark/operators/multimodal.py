@@ -58,9 +58,12 @@ def _decode_real(data: bytes) -> dict:
     seam for those codecs."""
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP decodes natively; other formats "
-        "require PIL/libvips, not available in this environment"
+        "only uncompressed 24-bit BMP and PCM-16 WAV decode natively; other "
+        "formats require PIL/libvips/ffmpeg, not available in this "
+        "environment"
     )
 
 
@@ -130,6 +133,108 @@ def decode_bmp(data: bytes) -> dict:
         "pix_sum": int(px.sum(dtype=np.int64)),
         "corner_br": int(px[h - 1, w - 1, 2]),
     }
+
+
+# --- real WAV codec (pure numpy; RIFF/WAVE, 16-bit mono PCM) ----------------
+
+
+def wav_params(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc (sample_rate, n_samples)."""
+    return 8000 + (doc_id % 3) * 4000, doc_id % 50 + 20
+
+
+def _wav_samples(doc_id: int) -> "np.ndarray":
+    """Deterministic int16 PCM samples: s[i] = ((doc_id*31 + i*17) mod 2001)
+    - 1000 — closed-form, SQL-reproducible."""
+    _, n = wav_params(doc_id)
+    i = np.arange(n)
+    return ((doc_id * 31 + i * 17) % 2001 - 1000).astype(np.int16)
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Encode the doc's deterministic samples as a real RIFF/WAVE file:
+    44-byte canonical header (fmt + data chunks), PCM 16-bit mono."""
+    rate, n = wav_params(doc_id)
+    samples = _wav_samples(doc_id)
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> dict:
+    """Decode RIFF/WAVE PCM-16 mono with numpy only: validates magics and
+    format tag, walks the chunk list to the ``data`` chunk (a decoder that
+    assumes byte offset 44 breaks on files with extra chunks), and emits
+    sample statistics. ``abs_sum``/``first``/``last`` pin byte order and
+    chunk addressing."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            tag, channels, rate, _byterate, _align, bits = fmt
+            if tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(f"only PCM-16 mono (tag={tag} ch={channels})")
+            samples = np.frombuffer(data, "<i2", size // 2, pos + 8)
+            return {
+                "sample_rate": rate,
+                "n_samples": int(samples.size),
+                "abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
+                "first": int(samples[0]),
+                "last": int(samples[-1]),
+            }
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, abs_sum bigint, "
+    "first int, last int"
+)
+
+
+def attach_wav_audio(docs: DataFrame) -> DataFrame:
+    """Encode a real WAV payload per document (Arrow-batched, narrow)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "audio_bytes": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        encode, schema="doc_id bigint, audio_bytes binary"
+    )
+
+
+def decode_wav_features(audio: DataFrame) -> DataFrame:
+    """Decode real WAV bytes back to sample statistics — audio twin of the
+    BMP round-trip, same shuffle-free mapInPandas shape."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav(d) for d in pdf["audio_bytes"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                ["doc_id", "sample_rate", "n_samples", "abs_sum", "first", "last"]
+            ]
+
+    return audio.mapInPandas(extract, schema=WAV_FEATURES_SCHEMA)
 
 
 BMP_FEATURES_SCHEMA = (

@@ -118,3 +118,45 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_bmp_features(attach_bmp_image(docs))
+
+
+@query(
+    "multimodal_decode_wav",
+    extended=True,
+    oracle="""
+WITH params AS (
+    SELECT doc_id,
+           8000 + (doc_id % 3) * 4000 AS rate,
+           doc_id % 50 + 20 AS n
+    FROM documents
+),
+samp AS (
+    SELECT p.doc_id, p.rate, p.n,
+           (p.doc_id * 31 + i.i * 17) % 2001 - 1000 AS s,
+           i.i AS i
+    FROM params p, (SELECT unnest(generate_series(0, 69)) AS i) i
+    WHERE i.i < p.n
+)
+SELECT doc_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+       CAST((doc_id * 31) % 2001 - 1000 AS INTEGER) AS first,
+       CAST((doc_id * 31 + (n - 1) * 17) % 2001 - 1000 AS INTEGER) AS last
+FROM samp
+GROUP BY doc_id, rate, n
+""".strip(),
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip, the WAV twin of ``multimodal_decode_bmp``:
+    encode deterministic PCM-16 mono RIFF/WAVE bytes per document, decode
+    them back with the pure-numpy chunk-walking parser. The oracle
+    recomputes sample statistics in closed form — wrong endianness, a
+    byte-offset-44 assumption, or off-by-one sample counts hash-fail."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_wav_audio,
+        decode_wav_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_features(attach_wav_audio(docs))

@@ -140,3 +140,72 @@ def test_real_decoder_routes_bmp():
     )
 
     assert _decode_real(encode_bmp(42))["channels"] == 3
+
+
+# --- real WAV codec ---------------------------------------------------------
+
+
+def test_wav_roundtrip_matches_closed_form():
+    import numpy as np
+
+    from apache_beam_challange_spark.operators.multimodal import (
+        _wav_samples,
+        decode_wav,
+        encode_wav,
+        wav_params,
+    )
+
+    for doc_id in (0, 1, 2, 3, 49, 50, 12345):
+        rate, n = wav_params(doc_id)
+        feats = decode_wav(encode_wav(doc_id))
+        s = _wav_samples(doc_id)
+        assert feats["sample_rate"] == rate
+        assert feats["n_samples"] == n
+        assert feats["abs_sum"] == int(np.abs(s.astype(np.int64)).sum())
+        assert feats["first"] == int(s[0]) and feats["last"] == int(s[-1])
+
+
+def test_wav_decoder_walks_chunks():
+    """A decoder that hard-codes the 44-byte offset breaks on files with
+    extra chunks between fmt and data — build one and decode it."""
+    import struct
+
+    from apache_beam_challange_spark.operators.multimodal import decode_wav
+
+    samples = struct.pack("<4h", 100, -200, 300, -400)
+    extra = struct.pack("<4sI", b"LIST", 6) + b"INFOxx"
+    body = (
+        struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + extra
+        + struct.pack("<4sI", b"data", len(samples))
+        + samples
+    )
+    data = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    feats = decode_wav(data)
+    assert feats["n_samples"] == 4
+    assert feats["abs_sum"] == 1000
+    assert feats["first"] == 100 and feats["last"] == -400
+
+
+def test_wav_decoder_rejects_stereo():
+    import struct
+
+    from apache_beam_challange_spark.operators.multimodal import decode_wav
+
+    body = (
+        struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+        + struct.pack("<4sI", b"data", 4)
+        + b"\x00" * 4
+    )
+    data = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    with pytest.raises(ValueError):
+        decode_wav(data)
+
+
+def test_real_decoder_routes_wav():
+    from apache_beam_challange_spark.operators.multimodal import (
+        _decode_real,
+        encode_wav,
+    )
+
+    assert _decode_real(encode_wav(7))["n_samples"] == 27
