@@ -39,3 +39,36 @@ def salted_group_count(
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
     partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(*keys).agg(F.sum("__partial").cast("long").alias(alias))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join for when the DIM side is too big to broadcast
+    and the fact side has hot join keys: the fact side gets a deterministic
+    salt (hash of ``salt_col`` mod ``n_salts``), the dim side is replicated
+    ``n_salts`` times (one row per salt via a small explode), and the join
+    runs on (keys..., salt) — the hot key's rows spread over ``n_salts``
+    reducers instead of stalling one.
+
+    Identical rows to ``fact.join(dim, on, how)``; cost is dim × n_salts
+    shuffle volume, the standard trade. AQE's runtime skew-join splitting
+    (enabled session-wide) is the no-plan-change alternative; this is the
+    explicit shape for engines/pipelines that need it deterministic.
+    ``how`` supports the fact-preserving joins (``inner``/``left``)."""
+    if n_salts < 1:
+        raise ValueError(f"salted_join needs n_salts >= 1, got {n_salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return salted_fact.join(replicated_dim, [*on, "__salt"], how).drop("__salt")

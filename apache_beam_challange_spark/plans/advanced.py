@@ -132,6 +132,36 @@ def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_revenue",
+    extended=True,
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""".strip(),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join shape: fact side salted (hash(orderkey) mod 8),
+    dim side replicated 8x, join on (custkey, salt). For when the dim is
+    too big to broadcast AND the fact has hot keys — the explicit
+    deterministic alternative to AQE's runtime skew splitting. The oracle
+    is the plain join: salting must be result-invisible."""
+    from apache_beam_challange_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    # salted_join joins USING the key names: align the dim key first
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(
+        o, c, on=["o_custkey"], salt_col="o_orderkey", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
     "cube_orders",
     extended=True,
     oracle="""

@@ -89,3 +89,37 @@ def test_broadcast_cross_join_plan(spark):
     dim = spark.createDataFrame([(i, f"s{i}") for i in range(10)], ["id", "name"])
     plan = all_pairs(dim)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be result-invisible: same rows as a plain equi-join,
+    including a hot key carrying most of the volume, and left rows without
+    a dim match surviving a left join."""
+    from apache_beam_challange_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901), (9, 902)],
+        ["k", "uid"],
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b")], ["k", "name"])
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(
+                fact, dim, on=["k"], salt_col="uid", n_salts=4, how=how
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in fact.join(dim, ["k"], how).collect())
+        assert got == want, how
+
+
+def test_salted_join_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 2)], ["k", "uid"])
+    with _pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], salt_col="uid", n_salts=0)
+    with _pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], salt_col="uid", how="full_outer")
