@@ -1,0 +1,130 @@
+"""Graph operators for dedup clustering (SURVEY.md §2.9 extension surface).
+
+A near-duplicate pipeline does not end at candidate pairs: the pair list is
+an undirected similarity *graph*, and the unit of deduplication is its
+connected component — every doc transitively linked to a cluster keeps one
+canonical representative. This module supplies that final stage as an
+iterative DataFrame algorithm (the one genuinely non-relational step in the
+corpus-dedup chain).
+
+Scale posture (100 TB):
+
+- **Min-label propagation**: each iteration is one equi-join (labels onto
+  the symmetrized edge list, keyed by neighbor) plus one groupBy(node) MIN —
+  both plain hash-shuffles on the node id, so every iteration partitions and
+  combines map-side like any other aggregation. No step ever materializes a
+  component's member list on one executor.
+- **Convergence**: label propagation converges in O(graph diameter)
+  iterations. Near-dup similarity graphs are dense small clusters (docs
+  that all share shingles collide in the same LSH bands), so the diameter
+  is tiny — 2-3 hops in practice. For adversarially long path graphs the
+  alternating large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) drops the bound to
+  O(log^2 n) rounds; propagation is the better constant-factor choice for
+  the dedup workload and keeps the plan two shuffles per round.
+- **Lineage**: each iteration's result is ``localCheckpoint``-ed — an
+  iterative loop otherwise compounds the logical plan until analysis cost
+  dominates. On a real cluster with a fault-tolerance requirement, swap in
+  ``df.checkpoint()`` against a reliable checkpoint dir; ``localCheckpoint``
+  is the right call in a single-app context where executor loss restarts
+  the job anyway.
+- **Driver involvement**: one scalar ``count`` per iteration to detect the
+  fixpoint — an O(1) result of a distributed aggregation, not a collect of
+  data. This is exactly how GraphX/GraphFrames iterate.
+
+Reference parity: the reference engine has no graph stage (its dedup story
+stops at pairwise comparison); this is part of the beyond-reference LLM
+data-pipeline surface the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_1",
+    dst_col: str = "doc_id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation.
+
+    Returns ``(node, component)`` with one row per vertex, where
+    ``component`` is the smallest vertex id reachable from ``node``
+    (singletons map to themselves). Deterministic by construction — the
+    fixpoint of ``label(v) = min(label(v), min over neighbors)`` is unique —
+    so the output is oracle-hashable.
+
+    ``max_iter`` bounds the loop defensively; the fixpoint test exits as
+    soon as an iteration changes no label (propagation strictly decreases
+    labels, so "no label decreased" IS convergence).
+    """
+    # Materialize the symmetrized edge list ONCE — the loop joins it every
+    # iteration, and without this the upstream plan that produced the edges
+    # (e.g. the whole shingle->MinHash->LSH chain) would re-execute per round.
+    sym = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
+        )
+        .localCheckpoint()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("component")
+            ),
+            "nbr",
+        ).select("node", "component")
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_1",
+    dst_col: str = "doc_id_2",
+) -> DataFrame:
+    """Cluster-level dedup verdict per document: ``(doc_id, component,
+    cluster_size, keep)`` where ``component`` is the canonical (minimum)
+    doc id of the connected near-dup cluster, ``cluster_size`` its member
+    count, and ``keep`` marks the one canonical representative — the row a
+    dedup pass retains. Singletons keep themselves."""
+    comp = connected_components(
+        vertices, edges, id_col=id_col, src_col=src_col, dst_col=dst_col
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+    )

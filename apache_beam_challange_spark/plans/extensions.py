@@ -31,6 +31,7 @@ from apache_beam_challange_spark.operators.dedup import (
     shingles,
     simhash64,
 )
+from apache_beam_challange_spark.operators.graph import dedup_clusters
 from apache_beam_challange_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from apache_beam_challange_spark.plans.registry import query
 from apache_beam_challange_spark.sources.catalog import load_table
@@ -356,6 +357,59 @@ def jaccard_on_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
     cand = lsh_candidate_pairs(sigs, rows_per_band=2)
     return jaccard_on_candidates(docs, cand, min_jaccard=0.5)
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_id_1 AS node, doc_id_2 AS nbr FROM cand
+    UNION ALL
+    SELECT doc_id_2 AS node, doc_id_1 AS nbr FROM cand
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS lbl FROM documents
+    UNION
+    SELECT e.nbr AS node, r.lbl
+    FROM reach r JOIN edges e ON e.node = r.node
+),
+comp AS (
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+)
+SELECT c.node AS doc_id, c.component, s.cluster_size,
+       c.node = c.component AS keep
+FROM comp c JOIN sizes s ON c.component = s.component
+""".strip(),
+)
+def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final stage of the near-dup pipeline: LSH candidate pairs form a
+    similarity graph; its connected components are the dedup clusters; each
+    cluster keeps its minimum doc_id as canonical. Iterative min-label
+    propagation on Spark (operators/graph.py — two shuffles per round,
+    O(diameter) rounds); the oracle computes the same fixpoint as a
+    recursive-CTE reachability closure. One row per document:
+    (doc_id, component, cluster_size, keep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    return dedup_clusters(docs, cand)
 
 
 @query("simhash_signatures", extended=True)  # rows-only: xxhash64 has no DuckDB twin

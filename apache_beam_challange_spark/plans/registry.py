@@ -51,6 +51,7 @@ DRIVER_ORDER: list[str] = [
     "text_stats_by_lang",
     # new this round
     "jaccard_on_lsh_candidates",
+    "dedup_connected_components",
     "multimodal_decode_bmp",
     "q3_station_distances_geodesic",
     # round-1 registered but never driver-checked (beyond entry 50)
@@ -92,7 +93,6 @@ DRIVER_ORDER: list[str] = [
     "embedding_near_dup_lsh",
     "embedding_norms_by_label",
     "multimodal_image_features",
-    "multimodal_frame_sample",
 ]
 
 

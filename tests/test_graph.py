@@ -1,0 +1,63 @@
+"""Connected-components dedup clustering (operators/graph.py)."""
+
+from __future__ import annotations
+
+from apache_beam_challange_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _graph(spark, n_vertices, edges):
+    v = spark.createDataFrame([(i,) for i in range(n_vertices)], ["doc_id"])
+    e = spark.createDataFrame(edges, ["doc_id_1", "doc_id_2"]) if edges else (
+        spark.createDataFrame([], "doc_id_1 long, doc_id_2 long")
+    )
+    return v, e
+
+
+def test_path_triangle_singleton(spark):
+    # 0-1-2-3 path, 4-5-6 triangle, 7 singleton: components {0},{4},{7}
+    v, e = _graph(
+        spark, 8, [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)]
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(v, e).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_long_path_converges(spark):
+    # a 12-hop path exercises multi-round propagation (diameter >> 1)
+    v, e = _graph(spark, 13, [(i, i + 1) for i in range(12)])
+    got = connected_components(v, e).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_edge_direction_irrelevant(spark):
+    v, e1 = _graph(spark, 3, [(0, 1), (1, 2)])
+    _, e2 = _graph(spark, 3, [(1, 0), (2, 1)])
+    assert sorted(connected_components(v, e1).collect()) == sorted(
+        connected_components(v, e2).collect()
+    )
+
+
+def test_no_edges_all_singletons(spark):
+    v, e = _graph(spark, 4, [])
+    got = {r["node"]: r["component"] for r in connected_components(v, e).collect()}
+    assert got == {i: i for i in range(4)}
+
+
+def test_dedup_clusters_keep_flags(spark):
+    v, e = _graph(spark, 5, [(0, 1), (1, 2)])
+    rows = {r["doc_id"]: r for r in dedup_clusters(v, e).collect()}
+    assert rows[0]["keep"] and rows[0]["cluster_size"] == 3
+    assert not rows[1]["keep"] and rows[1]["component"] == 0
+    assert not rows[2]["keep"] and rows[2]["cluster_size"] == 3
+    # singletons keep themselves with size 1
+    assert rows[3]["keep"] and rows[3]["cluster_size"] == 1
+    assert rows[4]["keep"] and rows[4]["cluster_size"] == 1
+    # exactly one kept row per component — the dedup invariant
+    kept = [r for r in rows.values() if r["keep"]]
+    assert len(kept) == len({r["component"] for r in rows.values()})
