@@ -48,3 +48,51 @@ def top_k(df: DataFrame, k: int, order: Sequence[Column], tiebreak: Sequence[str
     if k <= 0:
         raise ValueError(f"top_k needs k >= 1, got {k}")
     return df.orderBy(*order, *[F.col(c) for c in tiebreak]).limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (SURVEY.md §2.9 text analysis):
+    ``(doc_id, term, tf, df, tfidf, rank)``.
+
+    Plan shape at scale: tokenize is a narrow explode; term frequency is one
+    (doc, term) aggregation; document frequency REUSES that aggregate (one
+    more groupBy on term — both map-side combined); the corpus size joins in
+    as a broadcast scalar, so no driver-side ``count()`` action. The top-k
+    cut is a per-doc window rank — hash-partitioned by doc, never global.
+
+    Determinism: tfidf is rounded to 6 dp BEFORE ranking, and ties break on
+    the term string, so Spark and the SQL oracle produce the identical cut
+    even when unrounded scores differ in the last ulp.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -32,6 +32,7 @@ from apache_beam_challange_spark.operators.dedup import (
     simhash64,
 )
 from apache_beam_challange_spark.operators.graph import dedup_clusters
+from apache_beam_challange_spark.operators.relational import tfidf_top_terms
 from apache_beam_challange_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from apache_beam_challange_spark.plans.registry import query
 from apache_beam_challange_spark.sources.catalog import load_table
@@ -153,6 +154,45 @@ def quality_scores_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("quality").desc(), F.col("doc_id"))
         .limit(100)
     )
+
+
+@query(
+    "tfidf_top_terms",
+    extended=True,
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           ROUND(tf.tf * LN(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+    ) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 3
+""".strip(),
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction /
+    relevance-weighting pass of a text pipeline, fully relational (explode,
+    two map-side-combined aggregations, broadcast corpus size, per-doc
+    window rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
 
 
 # --- deterministic dataset splitting ----------------------------------------

@@ -123,3 +123,26 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(df, df, on=["k"], salt_col="uid", n_salts=0)
     with _pytest.raises(ValueError):
         salted_join(df, df, on=["k"], salt_col="uid", how="full_outer")
+
+
+def test_tfidf_top_terms_scores_and_ties(spark):
+    import math
+
+    from apache_beam_challange_spark.operators.relational import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry cherry cherry durian")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): r for r in tfidf_top_terms(docs, k=3).collect()
+    }
+    # doc 0: apple tf=2 df=1 beats banana tf=1 df=2
+    assert rows[(0, 1)]["term"] == "apple"
+    assert rows[(0, 1)]["tfidf"] == round(2 * math.log(3 / 1), 6)
+    assert rows[(0, 2)]["term"] == "banana"
+    # doc 1: identical scores -> tie broken by term ascending
+    assert rows[(1, 1)]["term"] == "banana" and rows[(1, 2)]["term"] == "cherry"
+    # doc 2: cherry tf=3 with df=2 outranks rarer durian
+    assert rows[(2, 1)]["term"] == "cherry" and rows[(2, 2)]["term"] == "durian"
+    assert rows[(2, 1)]["tf"] == 3 and rows[(2, 1)]["df"] == 2
