@@ -1,0 +1,171 @@
+"""K-means (Lloyd) clustering over embedding columns (SURVEY.md §2.9).
+
+Closes the "codebook trained offline" seam in the IVF index
+(:mod:`operators.similarity` uses stored vectors as its coarse quantizer):
+this module trains that quantizer — the standard IVF workflow is exactly
+k-means then inverted-list assignment.
+
+Determinism contract (what makes an iterative float algorithm
+oracle-hashable):
+
+- **Init** is the first ``k`` stored vectors (``vec_id < k``) — no RNG.
+- **Assignment** is argmin Euclidean distance with a centroid-id tie-break.
+  Distances on both engines are the same sequential fold over the same
+  doubles, so the comparison is bit-identical.
+- **Update** accumulates components in **fixed-point**: each value is
+  quantized to ``FLOOR(x * scale + 0.5)`` BIGINT before the per-cluster
+  SUM, so the aggregation is exact integer arithmetic — immune to
+  float-sum reassociation across partitions (a plain double SUM is
+  order-dependent in any partial aggregation). The new centroid component
+  is one double division ``sum / (n * scale)`` — a single IEEE op both
+  engines perform identically.
+
+Scale posture (100 TB): per iteration, assignment is a narrow pass against
+a broadcast k-row codebook (no shuffle of the big side), and the update is
+one (centroid, component) aggregation — map-side combined, shuffling k*dim
+partial rows per partition. The iteration count is a small constant; each
+round's centroids are localCheckpoint-ed so lineage stays flat. This is
+the textbook distributed Lloyd shape (same as Spark MLlib's KMeans, minus
+its RNG init, which would break oracle verification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.functions.vector import as_double
+
+
+def _sq_l2(a: F.Column, b: F.Column) -> F.Column:
+    """Euclidean distance: sequential left fold over (a-b)^2 , then sqrt —
+    the same op order DuckDB's list_distance uses."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Lloyd's algorithm, ``n_iter`` update rounds, then a final assignment:
+    ``(vec_id, label, centroid_id, dist)`` with ``dist`` rounded to 6 dp.
+
+    Centroid state after every update is a deterministic function of the
+    input (fixed-point sums — see module docstring), so the full trajectory
+    is reproducible in SQL by unrolling the iterations.
+    """
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+    for _ in range(n_iter):
+        best = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("dist", _sq_l2(F.col("vec"), F.col("cvec")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        comp = best.select(
+            "centroid_id", F.posexplode("vec").alias("pos", "val")
+        )
+        sums = comp.groupBy("centroid_id", "pos").agg(
+            F.sum(F.floor(F.col("val") * scale + 0.5).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cents = (
+            sums.select(
+                "centroid_id",
+                F.struct(
+                    "pos", (F.col("s") / (F.col("n") * float(scale))).alias("cval")
+                ).alias("pc"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("pc")), lambda s: s["cval"]
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sq_l2(F.col("vec"), F.col("cvec")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+    )
+
+
+def kmeans_oracle_sql(k: int = 4, n_iter: int = 2, scale: int = 10_000, dim: int = 64) -> str:
+    """The DuckDB twin of :func:`kmeans_assignments`: iterations unrolled as
+    CTE pairs (assign_i, cents_i) — mechanical, generated, and exactly the
+    fixed-point arithmetic the Spark side performs."""
+    ctes = [
+        """
+vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+cents0 AS (
+    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+    FROM embeddings WHERE vec_id < %d
+)""".strip()
+        % k
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""
+assign{i} AS (
+    SELECT * FROM (
+        SELECT v.vec_id, v.vec, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_distance(v.vec, c.cvec), c.centroid_id
+               ) AS rn
+        FROM vecs v CROSS JOIN cents{i} c
+    ) WHERE rn = 1
+),
+cents{i + 1} AS (
+    SELECT centroid_id,
+           LIST(s / (n * {scale}.0) ORDER BY pos) AS cvec
+    FROM (
+        SELECT a.centroid_id, p.pos,
+               SUM(CAST(FLOOR(a.vec[p.pos] * {scale} + 0.5) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM assign{i} a,
+             (SELECT unnest(generate_series(1, {dim})) AS pos) p
+        GROUP BY a.centroid_id, p.pos
+    )
+    GROUP BY centroid_id
+)""".strip()
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, label, centroid_id, ROUND(dist, 6) AS dist
+FROM (
+    SELECT v.vec_id, v.label, c.centroid_id,
+           list_distance(v.vec, c.cvec) AS dist,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c.cvec), c.centroid_id
+           ) AS rn
+    FROM vecs v CROSS JOIN cents{n_iter} c
+) WHERE rn = 1"""
+    )

@@ -31,6 +31,10 @@ from apache_beam_challange_spark.operators.dedup import (
     shingles,
     simhash64,
 )
+from apache_beam_challange_spark.operators.clustering import (
+    kmeans_assignments,
+    kmeans_oracle_sql,
+)
 from apache_beam_challange_spark.operators.graph import dedup_clusters
 from apache_beam_challange_spark.operators.relational import tfidf_top_terms
 from apache_beam_challange_spark.operators.similarity import ann_lsh_topk, cosine_topk
@@ -494,6 +498,17 @@ def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash64_md5(docs)
+
+
+@query("kmeans_embedding_clusters", extended=True, oracle=kmeans_oracle_sql())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, 2 Lloyd rounds) over the embedding table — trains the
+    coarse quantizer the IVF index consumes. Deterministic init (first k
+    vectors) + fixed-point centroid sums make the whole iterative
+    trajectory oracle-reproducible; the DuckDB twin unrolls the iterations
+    as generated CTEs (operators/clustering.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=4, n_iter=2)
 
 
 # --- similarity search ------------------------------------------------------
