@@ -49,19 +49,15 @@ def _sq_l2(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def kmeans_assignments(
+def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 4,
     n_iter: int = 2,
     scale: int = 10_000,
 ) -> DataFrame:
-    """Lloyd's algorithm, ``n_iter`` update rounds, then a final assignment:
-    ``(vec_id, label, centroid_id, dist)`` with ``dist`` rounded to 6 dp.
-
-    Centroid state after every update is a deterministic function of the
-    input (fixed-point sums — see module docstring), so the full trajectory
-    is reproducible in SQL by unrolling the iterations.
-    """
+    """Train the codebook: ``n_iter`` Lloyd rounds, returning
+    ``(centroid_id, cvec)`` — the coarse quantizer an IVF index consumes
+    (:func:`operators.similarity.ivf_topk_with_centroids`)."""
     vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
@@ -98,6 +94,27 @@ def kmeans_assignments(
             )
             .localCheckpoint()
         )
+    return cents
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Lloyd's algorithm, ``n_iter`` update rounds, then a final assignment:
+    ``(vec_id, label, centroid_id, dist)`` with ``dist`` rounded to 6 dp.
+
+    Centroid state after every update is a deterministic function of the
+    input (fixed-point sums — see module docstring), so the full trajectory
+    is reproducible in SQL by unrolling the iterations.
+    """
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    cents = kmeans_centroids(embeddings, k=k, n_iter=n_iter, scale=scale)
+    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
     return (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("dist", _sq_l2(F.col("vec"), F.col("cvec")))
@@ -112,10 +129,12 @@ def kmeans_assignments(
     )
 
 
-def kmeans_oracle_sql(k: int = 4, n_iter: int = 2, scale: int = 10_000, dim: int = 64) -> str:
-    """The DuckDB twin of :func:`kmeans_assignments`: iterations unrolled as
-    CTE pairs (assign_i, cents_i) — mechanical, generated, and exactly the
-    fixed-point arithmetic the Spark side performs."""
+def kmeans_cents_ctes(
+    k: int = 4, n_iter: int = 2, scale: int = 10_000, dim: int = 64
+) -> str:
+    """The CTE chain (``vecs``, ``cents0`` .. ``cents{n_iter}``) that
+    reproduces :func:`kmeans_centroids` in DuckDB — reused by the k-means
+    oracle and by composed queries (e.g. trained-codebook IVF search)."""
     ctes = [
         """
 vecs AS (
@@ -154,9 +173,18 @@ cents{i + 1} AS (
     GROUP BY centroid_id
 )""".strip()
         )
+    return ",\n".join(ctes)
+
+
+def kmeans_oracle_sql(
+    k: int = 4, n_iter: int = 2, scale: int = 10_000, dim: int = 64
+) -> str:
+    """The DuckDB twin of :func:`kmeans_assignments`: iterations unrolled as
+    CTE pairs (assign_i, cents_i) — mechanical, generated, and exactly the
+    fixed-point arithmetic the Spark side performs."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + kmeans_cents_ctes(k=k, n_iter=n_iter, scale=scale, dim=dim)
         + f"""
 SELECT vec_id, label, centroid_id, ROUND(dist, 6) AS dist
 FROM (

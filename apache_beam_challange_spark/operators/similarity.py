@@ -111,23 +111,33 @@ def ivf_assignments(
     )
 
 
-def ivf_topk(
+def ivf_topk_with_centroids(
     embeddings: DataFrame,
+    cents: DataFrame,
     query_vec_id: int,
     k: int = 20,
-    codebook_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
     n_probe: int = 2,
 ) -> DataFrame:
-    """IVF approximate top-k: rank centroids against the query, probe the
-    ``n_probe`` nearest inverted lists, exact-search only those. With
-    |codebook| lists and n_probe probes the scan shrinks by roughly
-    n_probe/|codebook| — the standard recall/cost dial."""
+    """IVF approximate top-k against an arbitrary ``(centroid_id, cvec)``
+    codebook — sampled vectors, or k-means output
+    (:func:`operators.clustering.kmeans_centroids`). Rank centroids against
+    the query, probe the ``n_probe`` nearest inverted lists, exact-search
+    only those. With |codebook| lists and n_probe probes the scan shrinks
+    by roughly n_probe/|codebook| — the standard recall/cost dial."""
     from pyspark.sql import Window
 
-    assigned = ivf_assignments(embeddings, codebook_ids)
-    cents = embeddings.filter(F.col("vec_id").isin(list(codebook_ids))).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cvec"),
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(aw))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "label", "vec", "centroid_id")
     )
     q = _query_vec(embeddings, query_vec_id)
     probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
@@ -150,6 +160,25 @@ def ivf_topk(
         )
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    codebook_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k with the deterministic sampled codebook
+    (stored vectors ``codebook_ids`` act as centroids). See
+    :func:`ivf_topk_with_centroids` for the general form."""
+    cents = embeddings.filter(F.col("vec_id").isin(list(codebook_ids))).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    return ivf_topk_with_centroids(
+        embeddings, cents, query_vec_id, k=k, n_probe=n_probe
     )
 
 

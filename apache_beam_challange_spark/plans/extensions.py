@@ -33,6 +33,8 @@ from apache_beam_challange_spark.operators.dedup import (
 )
 from apache_beam_challange_spark.operators.clustering import (
     kmeans_assignments,
+    kmeans_cents_ctes,
+    kmeans_centroids,
     kmeans_oracle_sql,
 )
 from apache_beam_challange_spark.operators.graph import dedup_clusters
@@ -498,6 +500,59 @@ def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash64_md5(docs)
+
+
+@query(
+    "ivf_topk_trained_vec0",
+    extended=True,
+    oracle="WITH "
+    + kmeans_cents_ctes(k=4, n_iter=2)
+    + """,
+cents AS (SELECT centroid_id, cvec FROM cents2),
+assign AS (
+    SELECT vec_id, label, vec, centroid_id FROM (
+        SELECT v.vec_id, v.label, v.vec, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC,
+                            c.centroid_id
+               ) AS rk
+        FROM vecs v CROSS JOIN cents c
+    ) WHERE rk = 1
+),
+q AS (SELECT vec AS qv FROM vecs WHERE vec_id = 0),
+probes AS (
+    SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC,
+                            c.centroid_id
+               ) AS rk
+        FROM cents c, q
+    ) WHERE rk <= 2
+)
+SELECT a.vec_id, a.label,
+       ROUND(list_cosine_similarity(a.vec, q.qv), 6) AS cosine_sim
+FROM assign a
+JOIN probes p ON a.centroid_id = p.centroid_id
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 20""",
+)
+def ivf_topk_trained_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN pipeline in one query: train the coarse quantizer with
+    k-means (k=4, 2 Lloyd rounds), build the inverted lists against the
+    TRAINED centroids, probe the 2 nearest, exact-search only those.
+    Composes operators/clustering.py with operators/similarity.py; the
+    oracle chains the unrolled k-means CTEs into the IVF probe SQL."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ivf_topk_with_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=4, n_iter=2)
+    return ivf_topk_with_centroids(emb, cents, query_vec_id=0, k=20, n_probe=2)
 
 
 @query("kmeans_embedding_clusters", extended=True, oracle=kmeans_oracle_sql())
