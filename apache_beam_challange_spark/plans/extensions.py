@@ -163,6 +163,123 @@ def quality_scores_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inverted_index_terms",
+    extended=True,
+    oracle="""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term FROM toks
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       array_to_string((LIST(doc_id ORDER BY doc_id))[1:20], ',') AS postings_head
+FROM tf
+GROUP BY term
+""".strip(),
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> document frequency + the first 20
+    entries of the sorted posting list (the page a search engine would
+    store). One explode + one groupBy — the posting list itself is a
+    sorted array aggregation, capped so no single term materializes an
+    unbounded row. At scale the full lists would write out bucketed by
+    term; the head here keeps the oracle comparable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).distinct()
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+@query(
+    "token_cooccurrence_pmi",
+    extended=True,
+    oracle="""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+    SELECT a.term AS term_1, b.term AS term_2, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+)
+SELECT p.term_1, p.term_2, p.n_pair,
+       ROUND(LN(p.n_pair * n.n_docs * 1.0 / (d1.df * d2.df)), 6) AS pmi
+FROM pairs p
+JOIN dfreq d1 ON p.term_1 = d1.term
+JOIN dfreq d2 ON p.term_2 = d2.term
+CROSS JOIN n
+ORDER BY n_pair DESC, term_1, term_2
+LIMIT 100
+""".strip(),
+)
+def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual information
+    — the statistics behind collocation mining and embedding training
+    (skip-gram objectives are PMI factorizations). Per-doc distinct tokens
+    self-join ON doc_id (quadratic only in per-document vocabulary — the
+    classic bounded blow-up), then PMI = ln(n_pair * N / (df1 * df2)) with
+    exact integers inside the single ln. Top-100 pairs, full-key
+    tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).distinct()
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = toks.select("doc_id", F.col("term").alias("term_1"))
+    b = toks.select("doc_id", F.col("term").alias("term_2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_1") < F.col("term_2"))
+        .groupBy("term_1", "term_2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    d1 = dfreq.select(F.col("term").alias("term_1"), F.col("df").alias("df1"))
+    d2 = dfreq.select(F.col("term").alias("term_2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(d1), "term_1")
+        .join(F.broadcast(d2), "term_2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term_1",
+            "term_2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.col("n_docs")
+                    * F.lit(1.0)
+                    / (F.col("df1") * F.col("df2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_pair").desc(), "term_1", "term_2")
+        .limit(100)
+    )
+
+
+@query(
     "tfidf_top_terms",
     extended=True,
     oracle="""
