@@ -332,6 +332,38 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_rolling_order_totals",
+    extended=True,
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) / 100.0 AS rolling3_total
+FROM orders
+""".strip(),
+)
+def window_rolling_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window-frame aggregate (ROWS BETWEEN): each order's total
+    summed with the customer's two preceding orders — the rolling-metric
+    shape of feature engineering. Prices quantize to BIGINT cents before
+    the frame SUM so the rolling value is exact integer arithmetic (a
+    double frame-sum would be reassociation-sensitive), divided back once."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / 100.0).alias("rolling3_total"),
+    )
+
+
 # --- JSON extraction over events.props (SURVEY §2.9) ------------------------
 
 @query(
