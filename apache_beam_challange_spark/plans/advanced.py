@@ -132,6 +132,51 @@ def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_token_chunks",
+    extended=True,
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, CAST(CEIL(len(toks) / 10.0) AS BIGINT) - 1))
+               AS chunk_idx
+    FROM tok
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(toks[chunk_idx * 10 + 1 : chunk_idx * 10 + 10], ' ') AS chunk
+FROM idx
+""".strip(),
+)
+def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): split each document into
+    fixed-size 10-token chunks with an index — the context-window chunking
+    pass of an LLM data pipeline, and the 1->N table-function modality of
+    the ParDo surface (P6/P7) next to explode / pandas UDF / applyInPandas.
+    The UDTF runs as a lateral join against the documents scan (still a
+    narrow, shuffle-free transform); the oracle reproduces the chunking
+    with array slicing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class TokenChunker:
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(0, len(toks), n):
+                yield i // n, " ".join(toks[i : i + n])
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("token_chunker", TokenChunker)
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk "
+        "FROM __udtf_docs d, LATERAL token_chunker(d.text, 10) c"
+    )
+
+
+@query(
     "salted_join_revenue",
     extended=True,
     oracle="""

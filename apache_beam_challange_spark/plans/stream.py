@@ -113,6 +113,34 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enriched_nation_counts",
+    extended=True,
+    oracle="""
+SELECT c.c_nationkey, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+""".strip(),
+)
+def streaming_enriched_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static customer
+    dimension (broadcast — the static side is re-read per micro-batch but
+    never shuffles the stream), then aggregates per nation. The canonical
+    "enrich events with reference data" streaming shape; availableNow makes
+    the final table equal the batch join the oracle runs."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_memory(agg, "complete")
+
+
+@query(
     "streaming_stateful_user_counts",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts

@@ -116,3 +116,35 @@ def test_hypertable_serves_closed_hours_from_rollup(plans):
     scans = [l for l in p.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 2
     assert any("hypertable_hourly" in l for l in scans)
+
+
+def test_tfidf_corpus_size_is_broadcast(plans):
+    """TF-IDF joins the corpus-size scalar via broadcast — no shuffle of
+    the big side for a 1-row dimension, and no driver-side count()."""
+    p = plans("tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pmi_dim_joins_broadcast(plans):
+    """PMI's df/N lookups must broadcast; the only shuffle joins are the
+    per-doc pair join keyed on doc_id."""
+    p = plans("token_cooccurrence_pmi")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_broadcasts_codebook(plans):
+    """K-means assignment must stream the vector table against a broadcast
+    k-row codebook — the big side is never shuffled for the cross join."""
+    p = plans("kmeans_embedding_clusters")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_frame_single_window_shuffle(plans):
+    """The rolling frame aggregate is one hash-partitioned window — no
+    extra exchanges beyond the per-customer partitioning."""
+    p = plans("window_rolling_order_totals")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
