@@ -163,6 +163,112 @@ def quality_scores_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_flags",
+    extended=True,
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    )
+    GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(MAX(tf) AS BIGINT) AS max_tf,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(MAX(tf) * 1.0 / SUM(tf), 6) AS top_term_share,
+       MAX(tf) * 1.0 / SUM(tf) >= 0.2 AS flagged
+FROM tf
+GROUP BY doc_id
+""".strip(),
+)
+def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate detection, Gopher-rules style: the share of
+    a document owned by its most frequent token; docs above 20% get
+    flagged for removal. One explode and two map-side-combined
+    aggregations — the cheapest of the pretraining quality filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    share = F.col("max_tf") * F.lit(1.0) / F.col("n_tokens")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.max("tf").alias("max_tf"),
+            F.sum("tf").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "max_tf",
+            "n_tokens",
+            F.round(share, 6).alias("top_term_share"),
+            (share >= 0.2).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "data_mixture_weights",
+    extended=True,
+    oracle=f"""
+WITH scored AS (
+    SELECT lang,
+           LEAST(CAST(FLOOR(ROUND({QUALITY_SCORE_SQL}, 6) * 5) AS BIGINT), 4)
+               AS quality_bin,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+agg AS (
+    SELECT lang, quality_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM scored GROUP BY lang, quality_bin
+),
+total AS (SELECT CAST(SUM(tokens) AS BIGINT) AS all_tokens FROM agg)
+SELECT a.lang, a.quality_bin, a.n_docs, a.tokens,
+       ROUND(a.tokens * 1.0 / t.all_tokens, 6) AS weight
+FROM agg a CROSS JOIN total t
+""".strip(),
+)
+def data_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture table: token counts and corpus weight per
+    (language, quality bin) — the input to data-mixing decisions when
+    assembling a pretraining run. Quality is the surface-feature score
+    rounded BEFORE binning so the bin edge is identical in both engines;
+    the corpus total joins back as a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    scored = docs.select(
+        "lang",
+        F.least(F.floor(q * 5).cast("long"), F.lit(4).cast("long")).alias(
+            "quality_bin"
+        ),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    agg = scored.groupBy("lang", "quality_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    total = agg.agg(F.sum("tokens").alias("all_tokens"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "quality_bin",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") * F.lit(1.0) / F.col("all_tokens"), 6).alias(
+            "weight"
+        ),
+    )
+
+
+@query(
     "inverted_index_terms",
     extended=True,
     oracle="""
