@@ -61,3 +61,46 @@ def test_dedup_clusters_keep_flags(spark):
     # exactly one kept row per component — the dedup invariant
     kept = [r for r in rows.values() if r["keep"]]
     assert len(kept) == len({r["component"] for r in rows.values()})
+
+
+def test_random_graphs_match_union_find(spark):
+    """Cross-check min-label propagation against an independent pure-Python
+    union-find on seeded random graphs."""
+    import random
+
+    def uf_components(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in the component
+        label = {}
+        for node in range(n):
+            root = find(node)
+            label.setdefault(root, min(
+                m for m in range(n) if find(m) == root
+            ))
+        return {node: label[find(node)] for node in range(n)}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 25))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        v, e = _graph(spark, n, edges or [(0, 1)])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(v, e).collect()
+        }
+        want = uf_components(n, edges or [(0, 1)])
+        assert got == want, f"trial {trial}: {got} != {want}"
