@@ -192,6 +192,63 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", _sign_votes_to_long().alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    signatures: DataFrame, num_bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Banded SimHash near-dup detection over ``(doc_id, simhash)`` rows:
+    the 64-bit signature splits into ``num_bands`` equal bit bands; any
+    full-band collision proposes a candidate pair (equi-join, same shape as
+    MinHash LSH banding), then the exact Hamming distance verifies. By
+    pigeonhole, every pair within ``num_bands - 1`` differing bits shares
+    at least one intact band, so recall is exact for
+    ``max_hamming <= num_bands - 1`` — the standard SimHash index layout
+    (Manku et al., WWW'07, public literature).
+
+    Output: ``(doc_id_1, doc_id_2, hamming)`` for verified pairs."""
+    bits_per = 64 // num_bands
+    mask = (1 << bits_per) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * bits_per)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bands = signatures.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band_idx"), F.col("bs.band_val"))
+    a = bands.select(F.col("doc_id").alias("doc_id_1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_id_2"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    s1 = signatures.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("s1")
+    )
+    s2 = signatures.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("s2")
+    )
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, group_col: str, text_col: str = "text", min_jaccard: float = 0.0
 ) -> DataFrame:

@@ -691,10 +691,8 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs)
 
 
-@query(
-    "simhash_md5_signatures",
-    oracle="""
-WITH tok AS (
+_SIMHASH_MD5_CTE = """
+tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
 h AS (SELECT doc_id, md5(token) AS hx FROM tok),
@@ -705,15 +703,22 @@ votes AS (
                      >> CAST(b.b % 4 AS INT)) & 1) - 1) AS vote
     FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
     GROUP BY doc_id, b.b
+),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN
+                         CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                              ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN vote > 0 THEN
-                     CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-                          ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
-                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-FROM votes
-GROUP BY doc_id
-""".strip(),
+""".strip()
+
+
+@query(
+    "simhash_md5_signatures",
+    oracle=f"WITH {_SIMHASH_MD5_CTE}\nSELECT doc_id, simhash FROM sig",
 )
 def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with an md5 bit source: the full 64-bit signature of every
@@ -723,6 +728,45 @@ def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash64_md5(docs)
+
+
+@query(
+    "simhash_near_dup_pairs",
+    extended=True,
+    oracle=f"""
+WITH {_SIMHASH_MD5_CTE},
+bands AS (
+    SELECT doc_id, simhash, b.b AS band_idx,
+           (simhash >> CAST(16 * b.b AS INT)) & 65535 AS band_val
+    FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig s1 ON c.doc_id_1 = s1.doc_id
+JOIN sig s2 ON c.doc_id_2 = s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+""".strip(),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, end to end: md5-bit signatures, 4x16-bit
+    band equi-join for candidates (pigeonhole-exact recall at Hamming <= 3),
+    exact Hamming verify. The third dedup family's pairing stage, next to
+    MinHash-LSH->Jaccard and embedding-LSH->cosine — same two-stage
+    recall/precision shape, fully oracle-verified."""
+    from apache_beam_challange_spark.operators.dedup import (
+        simhash64_md5,
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(simhash64_md5(docs), num_bands=4, max_hamming=3)
 
 
 @query(

@@ -102,3 +102,27 @@ def test_jaccard_on_candidates_identical_docs(spark):
     cand = lsh_candidate_pairs(sigs, rows_per_band=2)
     rows = jaccard_on_candidates(docs, cand, min_jaccard=0.5).collect()
     assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_simhash_banding_finds_identical_and_near_docs(spark):
+    from apache_beam_challange_spark.operators.dedup import (
+        simhash64_md5,
+        simhash_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(
+        spark,
+        [
+            (1, base, "a"),
+            (2, base, "a"),  # identical -> hamming 0
+            (3, "completely unrelated vocabulary with zero overlap whatsoever entirely different words", "a"),
+        ],
+    )
+    sigs = simhash64_md5(docs)
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+        for r in simhash_candidate_pairs(sigs, num_bands=4, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
