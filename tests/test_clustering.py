@@ -32,3 +32,43 @@ def test_kmeans_deterministic(spark):
     b = sorted(tuple(r) for r in kmeans_assignments(emb, k=3, n_iter=2).collect())
     assert a == b
     assert len(a) == 20
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Cross-check the DataFrame Lloyd loop against an independent numpy
+    implementation of the same fixed-point update rules."""
+    import numpy as np
+
+    n, dim, k, n_iter, scale = 40, 6, 3, 2, 10_000
+    vecs = np.array(
+        [[((i * 7 + j * 3) % 11) / 2.0 + (i % 5) for j in range(dim)] for i in range(n)]
+    )
+
+    cents = {c: vecs[c].copy() for c in range(k)}
+    for _ in range(n_iter):
+        members = {c: [] for c in cents}
+        for i in range(n):
+            dists = {c: float(np.sqrt(((vecs[i] - cv) ** 2).sum())) for c, cv in cents.items()}
+            best = min(dists, key=lambda c: (dists[c], c))
+            members[best].append(i)
+        cents = {
+            c: np.floor(vecs[m] * scale + 0.5).astype(np.int64).sum(axis=0)
+            / (len(m) * float(scale))
+            for c, m in members.items()
+            if m
+        }
+    want = {}
+    for i in range(n):
+        dists = {c: float(np.sqrt(((vecs[i] - cv) ** 2).sum())) for c, cv in cents.items()}
+        best = min(dists, key=lambda c: (dists[c], c))
+        want[i] = (best, round(dists[best], 6))
+
+    emb = spark.createDataFrame(
+        [(i, 0, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["dist"])
+        for r in kmeans_assignments(emb, k=k, n_iter=n_iter, scale=scale).collect()
+    }
+    assert got == want
