@@ -74,3 +74,54 @@ def test_csv_scan_pushes_filters(spark, sf_dir, tmp_path):
     )
     assert "ReadSchema" in scan and "value" not in scan.split("ReadSchema")[1]
     assert back.count() > 0
+
+
+def test_csv_permissive_captures_corrupt_records(spark, tmp_path):
+    """Malformed source rows must not kill the pipeline: PERMISSIVE mode
+    nulls the bad fields and captures the raw line, DROPMALFORMED removes
+    the row — the ingestion-robustness dial a 100 TB load needs."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,amount\n1,10.5\n2,notanumber\n3,7.25\nbroken line only\n")
+    schema = "id bigint, amount double, _corrupt_record string"
+    read = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    rows = {r["id"]: r for r in read.collect()}
+    assert rows[1]["amount"] == 10.5 and rows[1]["_corrupt_record"] is None
+    assert rows[2]["amount"] is None and "notanumber" in rows[2]["_corrupt_record"]
+    assert rows[3]["amount"] == 7.25
+    corrupt = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 2
+
+    dropped = (
+        spark.read.schema("id bigint, amount double")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+
+def test_json_permissive_captures_corrupt_records(spark, tmp_path):
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "amount": 10.5}\n'
+        "this is not json\n"
+        '{"id": 3, "amount": 7.25}\n'
+    )
+    read = (
+        spark.read.schema("id bigint, amount double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = read.collect()
+    good = {r["id"]: r["amount"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: 10.5, 3: 7.25}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
