@@ -125,3 +125,21 @@ def test_json_permissive_captures_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert good == {1: 10.5, 3: 7.25}
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Long-lived datasets gain columns over time; mergeSchema reconciles
+    old and new footers, with NULLs for pre-evolution rows."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "x")], "id bigint, a string"
+    ).write.parquet(f"{base}/batch=1")
+    spark.createDataFrame(
+        [(2, "y", 7.5)], "id bigint, a string, score double"
+    ).write.parquet(f"{base}/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"id", "a", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[1]["batch"] == 1
+    assert rows[2]["score"] == 7.5
