@@ -130,43 +130,50 @@ def kmeans_assignments(
 
 
 def kmeans_cents_ctes(
-    k: int = 4, n_iter: int = 2, scale: int = 10_000, dim: int = 64
+    k: int = 4,
+    n_iter: int = 2,
+    scale: int = 10_000,
+    dim: int = 64,
+    prefix: str = "",
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
 ) -> str:
-    """The CTE chain (``vecs``, ``cents0`` .. ``cents{n_iter}``) that
-    reproduces :func:`kmeans_centroids` in DuckDB — reused by the k-means
-    oracle and by composed queries (e.g. trained-codebook IVF search)."""
+    """The CTE chain (``{prefix}vecs``, ``{prefix}cents0`` ..
+    ``{prefix}cents{n_iter}``) that reproduces :func:`kmeans_centroids` in
+    DuckDB — reused by the k-means oracle and by composed queries
+    (trained-codebook IVF; product quantization trains one chain per
+    subspace via ``prefix`` + a sliced ``vec_sql``)."""
+    p = prefix
     ctes = [
-        """
-vecs AS (
-    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        f"""
+{p}vecs AS (
+    SELECT vec_id, label, {vec_sql} AS vec FROM embeddings
 ),
-cents0 AS (
-    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-    FROM embeddings WHERE vec_id < %d
+{p}cents0 AS (
+    SELECT vec_id AS centroid_id, {vec_sql} AS cvec
+    FROM embeddings WHERE vec_id < {k}
 )""".strip()
-        % k
     ]
     for i in range(n_iter):
         ctes.append(
             f"""
-assign{i} AS (
+{p}assign{i} AS (
     SELECT * FROM (
         SELECT v.vec_id, v.vec, c.centroid_id,
                ROW_NUMBER() OVER (
                    PARTITION BY v.vec_id
                    ORDER BY list_distance(v.vec, c.cvec), c.centroid_id
                ) AS rn
-        FROM vecs v CROSS JOIN cents{i} c
+        FROM {p}vecs v CROSS JOIN {p}cents{i} c
     ) WHERE rn = 1
 ),
-cents{i + 1} AS (
+{p}cents{i + 1} AS (
     SELECT centroid_id,
            LIST(s / (n * {scale}.0) ORDER BY pos) AS cvec
     FROM (
         SELECT a.centroid_id, p.pos,
                SUM(CAST(FLOOR(a.vec[p.pos] * {scale} + 0.5) AS BIGINT)) AS s,
                COUNT(*) AS n
-        FROM assign{i} a,
+        FROM {p}assign{i} a,
              (SELECT unnest(generate_series(1, {dim})) AS pos) p
         GROUP BY a.centroid_id, p.pos
     )
@@ -196,4 +203,149 @@ FROM (
            ) AS rn
     FROM vecs v CROSS JOIN cents{n_iter} c
 ) WHERE rn = 1"""
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k_results: int = 20,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN (the IVF+PQ memory-compression half, as in
+    Jegou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI'11 — public literature): the vector splits into ``m`` subspaces,
+    each with its own ``k``-centroid Lloyd codebook; every vector stores
+    only ``m`` small codes (here 4 x 2 bits — a 64-float vector compressed
+    to one byte). Query-time scoring is the asymmetric distance (ADC):
+    per-subspace squared distances from the query to each centroid are
+    precomputed (m*k values, broadcast), and a vector's approximate
+    distance is the sum of its codes' entries — no float vector is ever
+    read at query time.
+
+    Scale posture: codebook training touches the data ``m * n_iter`` times
+    (narrow broadcast passes); encoding is one narrow pass; a query scans
+    only the m-code table (bytes per row, not KB) — the entire point at
+    100 TB. Deterministic end to end (fixed-point Lloyd + rounded final
+    ADC), so the whole trajectory is SQL-reproducible.
+
+    Returns top ``k_results`` by ``(adc_dist asc, vec_id)``, excluding the
+    query vector.
+    """
+    sub = dim // m
+    out = embeddings.select("vec_id", "label")
+    adc_terms = []
+    for j in range(m):
+        sub_df = embeddings.select(
+            "vec_id",
+            "label",
+            F.slice(as_double(F.col("embedding")), j * sub + 1, sub).alias(
+                "embedding"
+            ),
+        )
+        cents = kmeans_centroids(sub_df, k=k, n_iter=n_iter, scale=scale)
+        w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+        codes = (
+            sub_df.select("vec_id", F.col("embedding").alias("svec"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("dist", _sq_l2(F.col("svec"), F.col("cvec")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", F.col("centroid_id").alias(f"code_{j}"))
+        )
+        qsub = sub_df.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec")
+        )
+        lut = (
+            cents.crossJoin(F.broadcast(qsub))
+            .withColumn("__d", _sq_l2(F.col("cvec"), F.col("qvec")))
+            .select(
+                F.col("centroid_id").alias(f"code_{j}"),
+                (F.col("__d") * F.col("__d")).alias(f"p_{j}"),
+            )
+        )
+        out = out.join(codes, "vec_id").join(F.broadcast(lut), f"code_{j}")
+        adc_terms.append(F.col(f"p_{j}"))
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    return (
+        out.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k_results)
+    )
+
+
+def pq_oracle_sql(
+    query_vec_id: int = 0,
+    k_results: int = 20,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: one generated k-means CTE chain per
+    subspace (sliced vec_sql), then code assignment, the query's ADC
+    lookup table, and the summed distance — all the same IEEE ops.
+
+    Note ``p_j`` is ``list_distance^2`` (sqrt then square) on BOTH sides,
+    not the raw squared-sum fold: the sqrt/multiply pair reproduces
+    bit-identically, while re-folding a different op order might not."""
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        parts.append(
+            kmeans_cents_ctes(
+                k=k,
+                n_iter=n_iter,
+                scale=scale,
+                dim=sub,
+                prefix=f"s{j}_",
+                vec_sql=(
+                    f"CAST(embedding AS DOUBLE[])[{j * sub + 1}:{j * sub + sub}]"
+                ),
+            )
+        )
+        parts.append(
+            f"""
+enc{j} AS (
+    SELECT vec_id, label, centroid_id AS code_{j} FROM (
+        SELECT v.vec_id, v.label, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_distance(v.vec, c.cvec), c.centroid_id
+               ) AS rn
+        FROM s{j}_vecs v CROSS JOIN s{j}_cents{n_iter} c
+    ) WHERE rn = 1
+),
+qp{j} AS (
+    SELECT c.centroid_id AS code_{j},
+           list_distance(c.cvec, q.vec) * list_distance(c.cvec, q.vec) AS p_{j}
+    FROM s{j}_cents{n_iter} c,
+         (SELECT vec FROM s{j}_vecs WHERE vec_id = {query_vec_id}) q
+)""".strip()
+        )
+    joins = "\n".join(
+        f"JOIN enc{j} ON enc0.vec_id = enc{j}.vec_id\n"
+        f"JOIN qp{j} ON enc{j}.code_{j} = qp{j}.code_{j}"
+        for j in range(1, m)
+    )
+    adc = " + ".join(f"qp{j}.p_{j}" for j in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT enc0.vec_id, enc0.label, ROUND({adc}, 6) AS adc_dist
+FROM enc0
+JOIN qp0 ON enc0.code_0 = qp0.code_0
+{joins}
+WHERE enc0.vec_id <> {query_vec_id}
+ORDER BY adc_dist ASC, enc0.vec_id
+LIMIT {k_results}"""
     )

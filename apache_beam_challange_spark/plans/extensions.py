@@ -36,6 +36,8 @@ from apache_beam_challange_spark.operators.clustering import (
     kmeans_cents_ctes,
     kmeans_centroids,
     kmeans_oracle_sql,
+    pq_oracle_sql,
+    pq_topk,
 )
 from apache_beam_challange_spark.operators.graph import dedup_clusters
 from apache_beam_challange_spark.operators.relational import tfidf_top_terms
@@ -820,6 +822,18 @@ def ivf_topk_trained_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, k=4, n_iter=2)
     return ivf_topk_with_centroids(emb, cents, query_vec_id=0, k=20, n_probe=2)
+
+
+@query("pq_topk_vec0", extended=True, oracle=pq_oracle_sql())
+def pq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-20: 4 subspace Lloyd codebooks compress
+    each 64-float vector to 4 codes; query-time asymmetric distance sums
+    broadcast per-subspace lookup tables — the scan reads codes, never
+    floats. Completes the ANN family (exact / LSH / IVF / IVF-trained /
+    IVF-at-rest / PQ), fully oracle-verified via per-subspace generated
+    k-means CTEs (operators/clustering.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, query_vec_id=0, k_results=20)
 
 
 @query("kmeans_embedding_clusters", extended=True, oracle=kmeans_oracle_sql())

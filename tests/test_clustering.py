@@ -72,3 +72,16 @@ def test_kmeans_matches_numpy_reference(spark):
         for r in kmeans_assignments(emb, k=k, n_iter=n_iter, scale=scale).collect()
     }
     assert got == want
+
+
+def test_pq_topk_deterministic_and_ordered(spark, sf_dir):
+    from apache_beam_challange_spark.operators.clustering import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = pq_topk(emb, query_vec_id=0, k_results=10).collect()
+    b = pq_topk(emb, query_vec_id=0, k_results=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 10
+    assert all(r["vec_id"] != 0 for r in a)
+    dists = [r["adc_dist"] for r in a]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
