@@ -215,6 +215,7 @@ def pq_topk(
     n_iter: int = 1,
     scale: int = 10_000,
     dim: int = 64,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (the IVF+PQ memory-compression half, as in
     Jegou et al., "Product Quantization for Nearest Neighbor Search",
@@ -234,10 +235,15 @@ def pq_topk(
     ADC), so the whole trajectory is SQL-reproducible.
 
     Returns top ``k_results`` by ``(adc_dist asc, vec_id)``, excluding the
-    query vector.
+    query vector. With ``candidates`` (a DataFrame with a ``vec_id``
+    column, e.g. :func:`operators.similarity.ivf_candidates`), scoring is
+    restricted to that set — the full IVF+PQ composition: coarse lists for
+    recall, compressed codes for ranking.
     """
     sub = dim // m
     out = embeddings.select("vec_id", "label")
+    if candidates is not None:
+        out = out.join(candidates.select("vec_id"), "vec_id")
     adc_terms = []
     for j in range(m):
         sub_df = embeddings.select(
@@ -281,22 +287,18 @@ def pq_topk(
     )
 
 
-def pq_oracle_sql(
+def pq_parts_ctes(
     query_vec_id: int = 0,
-    k_results: int = 20,
     m: int = 4,
     k: int = 4,
     n_iter: int = 1,
     scale: int = 10_000,
     dim: int = 64,
-) -> str:
-    """DuckDB twin of :func:`pq_topk`: one generated k-means CTE chain per
-    subspace (sliced vec_sql), then code assignment, the query's ADC
-    lookup table, and the summed distance — all the same IEEE ops.
-
-    Note ``p_j`` is ``list_distance^2`` (sqrt then square) on BOTH sides,
-    not the raw squared-sum fold: the sqrt/multiply pair reproduces
-    bit-identically, while re-folding a different op order might not."""
+) -> tuple[str, str, str]:
+    """The generated PQ building blocks for DuckDB oracles: per-subspace
+    k-means chains + ``enc{j}``/``qp{j}`` CTEs, the enc/qp join clauses
+    (anchored on ``enc0``), and the ADC sum expression. Composable with
+    other CTE chains (e.g. IVF probing for the IVF+PQ oracle)."""
     sub = dim // m
     parts = []
     for j in range(m):
@@ -331,19 +333,40 @@ qp{j} AS (
          (SELECT vec FROM s{j}_vecs WHERE vec_id = {query_vec_id}) q
 )""".strip()
         )
-    joins = "\n".join(
+    joins = "JOIN qp0 ON enc0.code_0 = qp0.code_0\n" + "\n".join(
         f"JOIN enc{j} ON enc0.vec_id = enc{j}.vec_id\n"
         f"JOIN qp{j} ON enc{j}.code_{j} = qp{j}.code_{j}"
         for j in range(1, m)
     )
     adc = " + ".join(f"qp{j}.p_{j}" for j in range(m))
+    return ",\n".join(parts), joins, adc
+
+
+def pq_oracle_sql(
+    query_vec_id: int = 0,
+    k_results: int = 20,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: one generated k-means CTE chain per
+    subspace (sliced vec_sql), then code assignment, the query's ADC
+    lookup table, and the summed distance — all the same IEEE ops.
+
+    Note ``p_j`` is ``list_distance^2`` (sqrt then square) on BOTH sides,
+    not the raw squared-sum fold: the sqrt/multiply pair reproduces
+    bit-identically, while re-folding a different op order might not."""
+    ctes, joins, adc = pq_parts_ctes(
+        query_vec_id=query_vec_id, m=m, k=k, n_iter=n_iter, scale=scale, dim=dim
+    )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ctes
         + f"""
 SELECT enc0.vec_id, enc0.label, ROUND({adc}, 6) AS adc_dist
 FROM enc0
-JOIN qp0 ON enc0.code_0 = qp0.code_0
 {joins}
 WHERE enc0.vec_id <> {query_vec_id}
 ORDER BY adc_dist ASC, enc0.vec_id

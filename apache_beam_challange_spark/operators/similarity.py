@@ -111,19 +111,18 @@ def ivf_assignments(
     )
 
 
-def ivf_topk_with_centroids(
+def ivf_candidates(
     embeddings: DataFrame,
     cents: DataFrame,
     query_vec_id: int,
-    k: int = 20,
     n_probe: int = 2,
 ) -> DataFrame:
-    """IVF approximate top-k against an arbitrary ``(centroid_id, cvec)``
-    codebook — sampled vectors, or k-means output
-    (:func:`operators.clustering.kmeans_centroids`). Rank centroids against
-    the query, probe the ``n_probe`` nearest inverted lists, exact-search
-    only those. With |codebook| lists and n_probe probes the scan shrinks
-    by roughly n_probe/|codebook| — the standard recall/cost dial."""
+    """The IVF recall stage alone: assign every vector to its nearest
+    centroid (broadcast codebook), rank centroids against the query, and
+    return the members of the ``n_probe`` probed inverted lists (query
+    vector excluded) — ``(vec_id, label, vec, centroid_id)``. Composable
+    with any precision stage: exact cosine (:func:`ivf_topk_with_centroids`)
+    or compressed ADC (IVF+PQ, :func:`operators.clustering.pq_topk`)."""
     from pyspark.sql import Window
 
     vecs = embeddings.select(
@@ -148,9 +147,26 @@ def ivf_topk_with_centroids(
         .filter(F.col("__rk") <= n_probe)
         .select("centroid_id")
     )
-    candidates = assigned.join(F.broadcast(probes), "centroid_id").filter(
+    return assigned.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != query_vec_id
     )
+
+
+def ivf_topk_with_centroids(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k against an arbitrary ``(centroid_id, cvec)``
+    codebook — sampled vectors, or k-means output
+    (:func:`operators.clustering.kmeans_centroids`). Rank centroids against
+    the query, probe the ``n_probe`` nearest inverted lists, exact-search
+    only those. With |codebook| lists and n_probe probes the scan shrinks
+    by roughly n_probe/|codebook| — the standard recall/cost dial."""
+    candidates = ivf_candidates(embeddings, cents, query_vec_id, n_probe=n_probe)
+    q = _query_vec(embeddings, query_vec_id)
     return (
         candidates.crossJoin(F.broadcast(q))
         .select(

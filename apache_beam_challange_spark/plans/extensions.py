@@ -37,6 +37,7 @@ from apache_beam_challange_spark.operators.clustering import (
     kmeans_centroids,
     kmeans_oracle_sql,
     pq_oracle_sql,
+    pq_parts_ctes,
     pq_topk,
 )
 from apache_beam_challange_spark.operators.graph import dedup_clusters
@@ -1067,6 +1068,46 @@ def ivf_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_write_index(emb, path, (0, 1, 2, 3, 4, 5, 6, 7))
     index = spark.read.parquet(path)
     return ivf_topk_indexed(emb, index, query_vec_id=0, k=20, n_probe=2)
+
+
+_PQ_CTES, _PQ_JOINS, _PQ_ADC = pq_parts_ctes()
+
+
+@query(
+    "ivfpq_topk_vec0",
+    extended=True,
+    oracle=f"""
+WITH {_IVF_CTE},
+{_PQ_CTES},
+ivf_cand AS (
+    SELECT a.vec_id FROM assign a
+    JOIN probes p ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> 0
+)
+SELECT enc0.vec_id, enc0.label, ROUND({_PQ_ADC}, 6) AS adc_dist
+FROM enc0
+JOIN ivf_cand ON enc0.vec_id = ivf_cand.vec_id
+{_PQ_JOINS}
+ORDER BY adc_dist ASC, enc0.vec_id
+LIMIT 20
+""".strip(),
+)
+def ivfpq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the canonical billion-scale ANN composition: coarse
+    inverted lists bound the candidate set (recall stage, ~n_probe/|lists|
+    of the data), then compressed PQ codes rank it via summed ADC lookups
+    (precision stage — no float vectors read). Both stages are the
+    already-verified operators composed; the oracle chains the IVF CTEs
+    into the per-subspace PQ chains."""
+    from apache_beam_challange_spark.operators.similarity import ivf_candidates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    cand = ivf_candidates(emb, cents, query_vec_id=0, n_probe=2)
+    return pq_topk(emb, query_vec_id=0, k_results=20, candidates=cand)
 
 
 @query(
