@@ -364,6 +364,94 @@ def window_rolling_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_retention_cohorts",
+    extended=True,
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM firsts f
+JOIN activity a ON f.user_id = a.user_id
+WHERE date_diff('day', f.cohort_day, a.active_day) <= 7
+GROUP BY f.cohort_day, day_offset
+""".strip(),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by first-activity day,
+    counted on each of the next 7 days they return — the canonical product
+    analytics query. Two aggregations plus an equi-join on user_id (the
+    cohort side is small and broadcastable)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    offset = F.datediff(F.col("active_day"), F.col("cohort_day"))
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .filter(offset <= 7)
+        .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "event_funnel_counts",
+    extended=True,
+    oracle="""
+WITH m AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_signup,
+       CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
+           AS n_signup_then_click,
+       CAST(COUNT(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END)
+           AS BIGINT) AS n_funnel_complete
+FROM m
+""".strip(),
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup -> click -> purchase by each user's
+    FIRST occurrence of each step): one groupBy(user) computing three
+    conditional MINs, then one conditional-count fold — no joins, no
+    self-unions; the sequence predicate is pure timestamp comparison.
+    NULL-safe by construction (a missing step never compares true)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    m = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return m.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_signup_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_funnel_complete"),
+    )
+
+
 # --- JSON extraction over events.props (SURVEY §2.9) ------------------------
 
 @query(
