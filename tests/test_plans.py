@@ -148,3 +148,18 @@ def test_rolling_frame_single_window_shuffle(plans):
     p = plans("window_rolling_order_totals")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Window" in p
+
+
+def test_funnel_is_two_phase_no_join(plans):
+    """The ordered funnel must be aggregation-only — conditional MINs then
+    a global fold, never self-joins per stage."""
+    p = plans("event_funnel_counts")
+    assert "Join" not in p
+    assert "partial_min" in p
+
+
+def test_retention_cohort_join_broadcasts(plans):
+    """The per-user cohort side must broadcast into the activity join."""
+    p = plans("user_retention_cohorts")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
