@@ -365,6 +365,64 @@ def window_rolling_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hourly_anomaly_zscores",
+    extended=True,
+    oracle="""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS sum1,
+           CAST(SUM(n * n) AS BIGINT) AS sum2,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.window_start, h.n,
+       ROUND((h.n * 1.0 - s.sum1 * 1.0 / s.c)
+             / SQRT((s.sum2 * s.c - s.sum1 * s.sum1) * 1.0 / (s.c * s.c)), 6)
+           AS zscore
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+WHERE ABS((h.n * 1.0 - s.sum1 * 1.0 / s.c)
+          / SQRT((s.sum2 * s.c - s.sum1 * s.sum1) * 1.0 / (s.c * s.c))) >= 2.0
+""".strip(),
+)
+def hourly_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly counts per event type flagged when
+    more than 2 standard deviations from that type's mean — the monitoring
+    query a pipeline runs over its own event flow. Variance is computed
+    from exact BIGINT power sums (sum, sum of squares, count), so the only
+    float ops are the identical final divisions/sqrt in both engines — no
+    order-dependent double aggregation anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("sum1"),
+        F.sum(F.col("n") * F.col("n")).alias("sum2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    z = (F.col("n") * 1.0 - F.col("sum1") * 1.0 / F.col("c")) / F.sqrt(
+        (F.col("sum2") * F.col("c") - F.col("sum1") * F.col("sum1"))
+        * 1.0
+        / (F.col("c") * F.col("c"))
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 2.0)
+        .select(
+            "event_type",
+            "window_start",
+            "n",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+@query(
     "user_retention_cohorts",
     extended=True,
     oracle="""
