@@ -101,6 +101,88 @@ def connected_components(
     return labels
 
 
+def _canon_edges(df: DataFrame) -> DataFrame:
+    """Undirected canonical form: (a < b), no self-loops, distinct."""
+    return (
+        df.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star operation (Kiveris et al., SoCC'14):
+    every node u computes m = min(N(u) ∪ {u}) and re-links neighbors —
+    strictly larger ones (large-star) or smaller-or-equal plus itself
+    (small-star) — directly to m."""
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    j = sym.join(mins, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = j.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).unionByName(
+            mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+    return _canon_edges(out)
+
+
+def connected_components_lss(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_1",
+    dst_col: str = "doc_id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the adversarial-diameter twin of :func:`connected_components`:
+    propagation needs O(diameter) rounds (fine for dense near-dup
+    clusters, hopeless for a million-node path), star contraction
+    converges in O(log^2 n) rounds on ANY graph shape. Each round is two
+    groupBy-min + join passes over the edge set, which *shrinks* toward
+    one star per component. Same output contract as the propagation
+    variant: ``(node, component)``, component = min node id.
+    """
+    e = _canon_edges(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        after = _star_round(_star_round(e, large=True), large=False).localCheckpoint()
+        unchanged = (
+            after.count() == e.count()
+            and after.exceptAll(e).isEmpty()
+        )
+        e = after
+        if unchanged:
+            break
+    sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    nbr_min = sym.groupBy("node").agg(F.min("nbr").alias("mn"))
+    base = vertices.select(F.col(id_col).alias("node"))
+    return base.join(nbr_min, "node", "left").select(
+        "node",
+        F.least(F.coalesce(F.col("mn"), F.col("node")), F.col("node")).alias(
+            "component"
+        ),
+    )
+
+
 def dedup_clusters(
     vertices: DataFrame,
     edges: DataFrame,

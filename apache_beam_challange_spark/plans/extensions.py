@@ -684,6 +684,52 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, cand)
 
 
+@query(
+    "dedup_connected_components_lss",
+    extended=True,
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_id_1 AS node, doc_id_2 AS nbr FROM cand
+    UNION ALL
+    SELECT doc_id_2 AS node, doc_id_1 AS nbr FROM cand
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS lbl FROM documents
+    UNION
+    SELECT e.nbr AS node, r.lbl
+    FROM reach r JOIN edges e ON e.node = r.node
+)
+SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+""".strip(),
+)
+def dedup_connected_components_lss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same dedup clustering through the adversarial-diameter
+    algorithm: alternating large-star/small-star contraction (O(log^2 n)
+    rounds on any graph shape) instead of O(diameter) label propagation.
+    Same reachability oracle — the two variants must agree exactly."""
+    from apache_beam_challange_spark.operators.graph import (
+        connected_components_lss,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    return connected_components_lss(docs, cand)
+
+
 @query("simhash_signatures", extended=True)  # rows-only: xxhash64 has no DuckDB twin
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (bit-vote aggregation over token

@@ -104,3 +104,34 @@ def test_random_graphs_match_union_find(spark):
         }
         want = uf_components(n, edges or [(0, 1)])
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_lss_matches_propagation_and_union_find(spark):
+    """Large-star/small-star must produce identical components to the
+    propagation variant on fixed and random graphs — including the
+    adversarial long path it exists for."""
+    import random
+
+    from apache_beam_challange_spark.operators.graph import (
+        connected_components_lss,
+    )
+
+    cases = [
+        (8, [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)]),
+        (13, [(i, i + 1) for i in range(12)]),  # long path
+        (4, []),
+    ]
+    rng = random.Random(7)
+    for _ in range(2):
+        n = 25
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(15)]
+        cases.append((n, [(a, b) for a, b in es if a != b]))
+    for n, es in cases:
+        v, e = _graph(spark, n, es or [(0, 1)])
+        want = sorted(
+            tuple(r) for r in connected_components(v, e).collect()
+        )
+        got = sorted(
+            tuple(r) for r in connected_components_lss(v, e).collect()
+        )
+        assert got == want, (n, es)
