@@ -61,7 +61,10 @@ def connected_components(
 
     ``max_iter`` bounds the loop defensively; the fixpoint test exits as
     soon as an iteration changes no label (propagation strictly decreases
-    labels, so "no label decreased" IS convergence).
+    labels, so "no label decreased" IS convergence). If the bound is hit
+    before the fixpoint, the result would be silently wrong (labels only
+    propagated ``max_iter`` hops), so a RuntimeError points at the
+    O(log^2 n) twin :func:`connected_components_lss` instead.
     """
     # Materialize the symmetrized edge list ONCE — the loop joins it every
     # iteration, and without this the upstream plan that produced the edges
@@ -97,8 +100,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — the "
+        "graph diameter exceeds the bound; use connected_components_lss "
+        "(O(log^2 n) rounds) for high-diameter graphs"
+    )
 
 
 def _canon_edges(df: DataFrame) -> DataFrame:
@@ -161,6 +168,7 @@ def connected_components_lss(
     e = _canon_edges(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         after = _star_round(_star_round(e, large=True), large=False).localCheckpoint()
         unchanged = (
@@ -169,7 +177,12 @@ def connected_components_lss(
         )
         e = after
         if unchanged:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_lss did not converge in {max_iter} rounds"
+        )
     sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )

@@ -135,3 +135,22 @@ def test_lss_matches_propagation_and_union_find(spark):
             tuple(r) for r in connected_components_lss(v, e).collect()
         )
         assert got == want, (n, es)
+
+
+def test_high_diameter_raises_propagation_but_lss_converges(spark):
+    """The contract behind the twin operators: propagation REFUSES (loud
+    RuntimeError, not silent wrong labels) when the diameter exceeds its
+    round bound, while star contraction handles the same path graph in
+    O(log^2 n) rounds."""
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.operators.graph import (
+        connected_components_lss,
+    )
+
+    n = 60
+    v, e = _graph(spark, n, [(i, i + 1) for i in range(n - 1)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(v, e, max_iter=5)
+    got = connected_components_lss(v, e).collect()
+    assert {r["component"] for r in got} == {0} and len(got) == n
