@@ -56,6 +56,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "when either side is missing (total_distance.py:16-29); id family "
         "only",
     )
+
+    q = sub.add_parser(
+        "query",
+        help="run ANY registry query by name (driver or extended tier) "
+        "and write parquet; --list prints the catalog",
+    )
+    q.add_argument("name", nargs="?", help="registry query name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--output", help="parquet output dir (omit to just show)")
+    q.add_argument("--show", type=int, default=0, metavar="N", help="print first N rows")
+    q.add_argument("--list", action="store_true", help="list all registry queries")
     return p
 
 
@@ -70,6 +81,27 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
     args = _build_parser().parse_args(argv)
     registry.load_all()
+
+    if args.pipeline == "query":
+        catalog = registry.all_queries()
+        if args.list or not args.name:
+            ext = set(registry.EXTENDED_QUERIES)
+            for name in sorted(catalog):
+                tier = "extended" if name in ext else "driver"
+                print(f"{name}\t{tier}")
+            return 0
+        if args.name not in catalog:
+            print(f"unknown query: {args.name} (try --list)", file=sys.stderr)
+            return 2
+        spark = spark or get_spark(f"cli-query-{args.name}")
+        df = catalog[args.name](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"{args.name}: wrote {args.output}")
+        if args.show or not args.output:
+            df.show(args.show or 20, truncate=False)
+        return 0
+
     spark = spark or get_spark(f"cli-{args.pipeline}")
 
     if args.pipeline == "sql-cycle-rides":

@@ -66,3 +66,21 @@ def test_cli_cycle_rides_faithful_swaps(spark, tmp_path):
     assert rows(swapped) == sorted(
         [[e, s, n] for s, e, n in rows(sane)]
     )
+
+
+def test_cli_generic_query_runner(spark, sf_dir, tmp_path, capsys):
+    from apache_beam_challange_spark.cli import main
+
+    assert main(["query", "--list"], spark=spark) == 0
+    listing = capsys.readouterr().out
+    assert "dedup_connected_components\tdriver" in listing
+    assert "pq_topk_vec0\textended" in listing
+
+    out = str(tmp_path / "q")
+    assert main(
+        ["query", "pricing_summary", "--sf-dir", sf_dir, "--output", out],
+        spark=spark,
+    ) == 0
+    assert spark.read.parquet(out).count() > 0
+
+    assert main(["query", "no_such_query"], spark=spark) == 2

@@ -218,3 +218,55 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
     # one update per micro-batch: 2 after A, 3 after A+B (file order is
     # deterministic by path)
     assert counts == [2, 3]
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """State-bounded streaming dedup: dropDuplicatesWithinWatermark keeps
+    a key's dedup state only while it is inside the watermark window, so
+    state size is bounded by the lateness budget instead of growing with
+    total distinct keys forever — the production-scale form of
+    streaming_dedup_events. Duplicates arriving within the window are
+    dropped; the same key reappearing after the watermark has moved past
+    it is treated as new."""
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _write_batch(
+        spark,
+        f"{src}/b0.parquet",
+        [
+            (1, _nanos(10, 0), 7, "click", 1.0, "{}"),
+            (2, _nanos(10, 0), 7, "click", 1.0, "{}"),  # dup within window
+            (3, _nanos(10, 5), 8, "view", 1.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        f"{src}/b1.parquet",
+        # advances the watermark far past 10:00, evicting key (7, click)
+        [(4, _nanos(12, 0), 9, "view", 1.0, "{}")],
+    )
+    _write_batch(
+        spark,
+        f"{src}/b2.parquet",
+        # same key long after its watermark window: the CONTRACT only
+        # guarantees dedup inside the window; beyond it, dropping is
+        # best-effort (state may or may not have been evicted yet), so the
+        # test asserts nothing about this row beyond not crashing
+        [(5, _nanos(12, 1), 7, "click", 1.0, "{}")],
+    )
+    ev = events_stream(spark, src, max_files_per_trigger=1)
+    deduped = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"]) for r in run_to_memory(deduped, "append").collect()
+    )
+    # the in-window duplicate (event 2) is gone; every distinct in-window
+    # key appears exactly once
+    assert got[:3] == [(7, "click"), (8, "view"), (9, "view")]
+    assert len(got) <= 4
