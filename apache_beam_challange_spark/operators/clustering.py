@@ -372,3 +372,135 @@ WHERE enc0.vec_id <> {query_vec_id}
 ORDER BY adc_dist ASC, enc0.vec_id
 LIMIT {k_results}"""
     )
+
+
+def _pq_sub(embeddings: DataFrame, j: int, sub: int) -> DataFrame:
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.slice(as_double(F.col("embedding")), j * sub + 1, sub).alias("embedding"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode every vector to its ``m`` PQ codes:
+    ``(vec_id, label, code_0 .. code_{m-1})`` — the compressed
+    representation an at-rest PQ index stores instead of float vectors."""
+    sub = dim // m
+    out = embeddings.select("vec_id", "label")
+    for j in range(m):
+        sub_df = _pq_sub(embeddings, j, sub)
+        cents = kmeans_centroids(sub_df, k=k, n_iter=n_iter, scale=scale)
+        w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+        codes = (
+            sub_df.select("vec_id", F.col("embedding").alias("svec"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("dist", _sq_l2(F.col("svec"), F.col("cvec")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", F.col("centroid_id").alias(f"code_{j}"))
+        )
+        out = out.join(codes, "vec_id")
+    return out
+
+
+def pq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    coarse_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> None:
+    """Materialize the full IVF+PQ index AT REST: the codes table
+    (``pq_encode`` output — bytes per row) plus each vector's coarse
+    inverted-list assignment, hive-partitioned by ``centroid_id``. At
+    100 TB this is the artifact vector search actually serves from: a
+    query opens only the ``n_probe`` probed partition directories of a
+    table that is ~1000x smaller than the embeddings."""
+    from apache_beam_challange_spark.operators.similarity import ivf_assignments
+
+    codes = pq_encode(embeddings, m=m, k=k, n_iter=n_iter, scale=scale, dim=dim)
+    coarse = ivf_assignments(embeddings, coarse_ids).select(
+        "vec_id", "centroid_id"
+    )
+    codes.join(coarse, "vec_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+
+def ivfpq_topk_indexed(
+    embeddings: DataFrame,
+    index: DataFrame,
+    query_vec_id: int = 0,
+    k_results: int = 20,
+    coarse_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ served from the materialized index: probe the coarse lists
+    (tiny broadcast ranking), join the index on its PARTITION column so
+    dynamic partition pruning skips every non-probed list at the file
+    level, then rank by summed ADC lookups — no float vector of the
+    corpus is read at any point; only the query vector and the (m*k)-row
+    codebooks are recomputed (deterministically) at query time."""
+    from apache_beam_challange_spark.functions.vector import cosine
+    from apache_beam_challange_spark.operators.similarity import _query_vec
+
+    sub = dim // m
+    coarse_cents = embeddings.filter(
+        F.col("vec_id").isin(list(coarse_ids))
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    q = _query_vec(embeddings, query_vec_id)
+    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+    probes = (
+        coarse_cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .filter(F.col("__rk") <= n_probe)
+        .select("centroid_id")
+    )
+    out = index.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    adc_terms = []
+    for j in range(m):
+        sub_df = _pq_sub(embeddings, j, sub)
+        cents = kmeans_centroids(sub_df, k=k, n_iter=n_iter, scale=scale)
+        qsub = sub_df.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec")
+        )
+        lut = (
+            cents.crossJoin(F.broadcast(qsub))
+            .withColumn("__d", _sq_l2(F.col("cvec"), F.col("qvec")))
+            .select(
+                F.col("centroid_id").alias(f"code_{j}"),
+                (F.col("__d") * F.col("__d")).alias(f"p_{j}"),
+            )
+        )
+        out = out.join(F.broadcast(lut), f"code_{j}")
+        adc_terms.append(F.col(f"p_{j}"))
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    return (
+        out.select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k_results)
+    )

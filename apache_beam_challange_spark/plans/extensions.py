@@ -1118,11 +1118,7 @@ def ivf_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_CTES, _PQ_JOINS, _PQ_ADC = pq_parts_ctes()
 
-
-@query(
-    "ivfpq_topk_vec0",
-    extended=True,
-    oracle=f"""
+_IVFPQ_ORACLE = f"""
 WITH {_IVF_CTE},
 {_PQ_CTES},
 ivf_cand AS (
@@ -1136,8 +1132,10 @@ JOIN ivf_cand ON enc0.vec_id = ivf_cand.vec_id
 {_PQ_JOINS}
 ORDER BY adc_dist ASC, enc0.vec_id
 LIMIT 20
-""".strip(),
-)
+""".strip()
+
+
+@query("ivfpq_topk_vec0", extended=True, oracle=_IVFPQ_ORACLE)
 def ivfpq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ — the canonical billion-scale ANN composition: coarse
     inverted lists bound the candidate set (recall stage, ~n_probe/|lists|
@@ -1154,6 +1152,32 @@ def ivfpq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = ivf_candidates(emb, cents, query_vec_id=0, n_probe=2)
     return pq_topk(emb, query_vec_id=0, k_results=20, candidates=cand)
+
+
+@query("ivfpq_topk_indexed_vec0", extended=True, oracle=_IVFPQ_ORACLE)
+def ivfpq_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ served from the AT-REST index: the codes table (4 codes per
+    vector + coarse list id) is materialized once, hive-partitioned by
+    centroid_id; a query broadcasts the probe set into the partition
+    column (dynamic partition pruning skips non-probed lists at the file
+    level) and ranks by ADC lookups — no corpus float vector is read.
+    Same oracle as the inline composition: the index must be semantically
+    invisible."""
+    from apache_beam_challange_spark.operators.clustering import (
+        ivfpq_topk_indexed,
+        pq_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "ivfpq_index_8x4", "embeddings")
+    if not is_materialized(path):
+        pq_write_index(emb, path)
+    index = spark.read.parquet(path)
+    return ivfpq_topk_indexed(emb, index, query_vec_id=0, k_results=20)
 
 
 @query(

@@ -110,3 +110,38 @@ def test_ann_recall_floors_vs_exact(spark):
         assert recalls[name] >= floor, recalls
     # the recall ladder orders as designed: probing lists beats coarse codes
     assert recalls["ivf"] > recalls["pq"] > recalls["lsh"]
+
+
+def test_ivfpq_indexed_matches_inline_and_prunes(spark, tmp_path):
+    """The at-rest IVF+PQ codes table must return exactly what the inline
+    composition returns, and its partitioned scan must prune non-probed
+    lists dynamically."""
+    from apache_beam_challange_spark.operators.clustering import (
+        ivfpq_topk_indexed,
+        pq_topk,
+        pq_write_index,
+    )
+    from apache_beam_challange_spark.operators.similarity import ivf_candidates
+    from apache_beam_challange_spark.sources.catalog import load_table
+    from apache_beam_challange_spark.functions.vector import as_double
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_index")
+    pq_write_index(emb, path)
+    index = spark.read.parquet(path)
+
+    indexed = ivfpq_topk_indexed(emb, index, query_vec_id=0, k_results=10)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    cand = ivf_candidates(emb, cents, query_vec_id=0, n_probe=2)
+    inline = pq_topk(emb, query_vec_id=0, k_results=10, candidates=cand)
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
