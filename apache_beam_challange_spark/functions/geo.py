@@ -67,15 +67,16 @@ def vincenty_km_np(lat1, lon1, lat2, lon2, *, tol=1e-12, max_iter=200):
         return sin_sigma, cos_sigma, sigma, sin_alpha, cos2_alpha, cos2sm
 
     lam = L.copy()
+    converged = np.zeros_like(lam, dtype=bool)
     for _ in range(max_iter):
         sin_sigma, cos_sigma, sigma, sin_alpha, cos2_alpha, cos2sm = _step(lam)
         C = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
         lam_new = L + (1 - C) * f * sin_alpha * (
             sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * cos2sm**2))
         )
-        done = np.all(np.abs(lam_new - lam) < tol)
+        converged |= np.abs(lam_new - lam) < tol
         lam = lam_new
-        if done:
+        if np.all(converged):
             break
     sin_sigma, cos_sigma, sigma, sin_alpha, cos2_alpha, cos2sm = _step(lam)
     u2 = cos2_alpha * (a**2 - b**2) / b**2
@@ -89,7 +90,11 @@ def vincenty_km_np(lat1, lon1, lat2, lon2, *, tol=1e-12, max_iter=200):
         )
     )
     s = b * A * (sigma - dsig)
-    return np.where(sin_sigma == 0, 0.0, s / 1000.0)
+    out = np.where(sin_sigma == 0, 0.0, s / 1000.0)
+    # Non-converged pairs (classically: near-antipodal points, where this
+    # iteration is known to fail) must NOT yield a plausible-looking wrong
+    # distance — surface NaN so callers/tests see the failure explicitly.
+    return np.where(converged | (sin_sigma == 0), out, np.nan)
 
 
 def geodesic_km_udf():

@@ -65,6 +65,13 @@ def salted_join(
         raise ValueError(f"salted_join needs n_salts >= 1, got {n_salts}")
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt_col in on:
+        # Salting by a join key sends every row of a hot key to ONE salt:
+        # no spreading, dim still replicated n_salts times (pure overhead).
+        raise ValueError(
+            f"salt_col {salt_col!r} is a join key; use a row-unique column "
+            "(e.g. the fact table's primary key) so hot keys spread"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
     )

@@ -385,7 +385,8 @@ SELECT h.event_type, h.window_start, h.n,
              / SQRT((s.sum2 * s.c - s.sum1 * s.sum1) * 1.0 / (s.c * s.c)), 6)
            AS zscore
 FROM hourly h JOIN stats s ON h.event_type = s.event_type
-WHERE ABS((h.n * 1.0 - s.sum1 * 1.0 / s.c)
+WHERE s.c > 1 AND s.sum2 * s.c > s.sum1 * s.sum1
+  AND ABS((h.n * 1.0 - s.sum1 * 1.0 / s.c)
           / SQRT((s.sum2 * s.c - s.sum1 * s.sum1) * 1.0 / (s.c * s.c))) >= 2.0
 """.strip(),
 )
@@ -395,7 +396,12 @@ def hourly_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     query a pipeline runs over its own event flow. Variance is computed
     from exact BIGINT power sums (sum, sum of squares, count), so the only
     float ops are the identical final divisions/sqrt in both engines — no
-    order-dependent double aggregation anywhere."""
+    order-dependent double aggregation anywhere. Zero-variance groups
+    (all-equal hourly counts, incl. the single-bucket c=1 case) are
+    excluded with an exact integer predicate BEFORE the division: Spark
+    would produce 0.0/0.0 = NaN and keep the row under NaN-is-largest
+    ordering, while DuckDB's float division by zero yields NULL and drops
+    it — the guard makes both engines drop it identically."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
@@ -412,6 +418,10 @@ def hourly_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hourly.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("c") > 1)
+            & (F.col("sum2") * F.col("c") > F.col("sum1") * F.col("sum1"))
+        )
         .filter(F.abs(z) >= 2.0)
         .select(
             "event_type",

@@ -1097,8 +1097,6 @@ def ivf_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ivf_write_index); the probe join then triggers dynamic partition
     pruning, so non-probed lists are skipped at the FILE level. Same
     oracle as ivf_topk_vec0 — the index must be semantically invisible."""
-    import os
-
     from apache_beam_challange_spark.operators.similarity import (
         ivf_topk_indexed,
         ivf_write_index,

@@ -86,9 +86,14 @@ def warehouse_path(sf_dir: str, layer: str, source_table: str) -> str:
     src = os.path.join(sf_dir, f"{source_table}.parquet")
     try:
         st = os.stat(src)
-        stamp = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        stamp = "unknown"
+    except OSError as e:
+        # A missing source must fail loudly: a fallback stamp would let two
+        # DIFFERENT missing sources collide on one cache key and serve a
+        # stale artifact built from whichever existed first.
+        raise FileNotFoundError(
+            f"warehouse layer {layer!r} needs source parquet {src}"
+        ) from e
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{layer}|{stamp}".encode()
     ).hexdigest()[:16]
@@ -99,6 +104,11 @@ def warehouse_path(sf_dir: str, layer: str, source_table: str) -> str:
 
 
 def is_materialized(path: str) -> bool:
+    # check-then-act with a concurrent builder (e.g. bench + correctness
+    # runs) can double-build the layer; that is BENIGN by construction —
+    # the path is keyed by source content and every build writes identical
+    # bytes via mode("overwrite"), with _SUCCESS committed last, so a
+    # reader either sees a complete artifact or rebuilds it.
     import os
 
     return os.path.exists(os.path.join(path, "_SUCCESS"))
