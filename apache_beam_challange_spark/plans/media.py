@@ -123,7 +123,6 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_wav",
-    extended=True,
     oracle="""
 WITH params AS (
     SELECT doc_id,

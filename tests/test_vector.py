@@ -85,13 +85,21 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, tmp_path):
 
 def test_ann_recall_floors_vs_exact(spark):
     """Measured recall@20 of every approximate path against exact cosine,
-    pinned at floors below the deterministic measured values (LSH 0.10 —
-    4 planes = 16 buckets ≈ 1/16 scan of near-orthogonal synthetic
-    vectors; IVF 0.95; PQ 0.45 — 4x2-bit codes ranked by L2-ADC against a
-    cosine ground truth). Recall is the tunable dial (num_planes,
-    n_probe, m/k); these floors pin the IMPLEMENTATION, not the ceiling."""
-    from apache_beam_challange_spark.operators.clustering import pq_topk
+    pinned at floors below the deterministic measured values (single-table
+    LSH 0.10 — 4 planes = 16 buckets ≈ 1/16 scan of near-orthogonal
+    synthetic vectors; IVF 0.95; PQ 0.45 — 4x2-bit codes ranked by L2-ADC
+    against a cosine ground truth). The SERVABLE paths amplify those
+    baselines: 16-table OR-ed LSH measures 0.85 (floor 0.80) and
+    IVFPQ + exact-rerank refine measures 0.95 (floor 0.90) — the round-3
+    contract that converts honest-but-weak ANN into usable ANN. Recall is
+    the tunable dial (num_tables, num_planes, n_probe, n_refine, m/k);
+    these floors pin the IMPLEMENTATION, not the ceiling."""
+    from apache_beam_challange_spark.operators.clustering import (
+        ivfpq_refined_topk,
+        pq_topk,
+    )
     from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk,
         ann_lsh_topk,
         cosine_topk,
         ivf_topk,
@@ -102,14 +110,19 @@ def test_ann_recall_floors_vs_exact(spark):
     recalls = {}
     for name, df, floor in [
         ("lsh", ann_lsh_topk(emb, 0, k=20, num_planes=4, dim=64), 0.05),
+        ("lsh_multi", ann_lsh_multitable_topk(emb, 0, k=20, num_tables=16), 0.80),
         ("ivf", ivf_topk(emb, 0, k=20, n_probe=2), 0.90),
         ("pq", pq_topk(emb, 0, k_results=20), 0.30),
+        ("ivfpq_refined", ivfpq_refined_topk(emb, 0, k_results=20), 0.90),
     ]:
         got = {r["vec_id"] for r in df.collect()}
         recalls[name] = len(got & exact) / 20
         assert recalls[name] >= floor, recalls
-    # the recall ladder orders as designed: probing lists beats coarse codes
+    # the recall ladder orders as designed: probing lists beats coarse
+    # codes; amplification/refine lift each family above its baseline
     assert recalls["ivf"] > recalls["pq"] > recalls["lsh"]
+    assert recalls["lsh_multi"] > recalls["lsh"]
+    assert recalls["ivfpq_refined"] > recalls["pq"]
 
 
 def test_ivfpq_indexed_matches_inline_and_prunes(spark, tmp_path):
