@@ -55,3 +55,46 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_key_counts_tws(keyed: DataFrame, key_col: str = "key") -> DataFrame:
+    """Per-key running counts on the Spark 4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` with composable typed
+    state (ValueState/ListState/MapState + timers). State here is ONE
+    ValueState long per key, so the state store holds exactly |keys| rows
+    at steady state regardless of how long the stream runs — the property
+    the continuous-trigger test asserts from query progress metrics.
+
+    Requires the RocksDB state store provider (the only provider
+    transformWithState supports); callers set
+    ``spark.sql.streaming.stateStore.providerClass`` accordingly. ALSO
+    requires a working ``google.protobuf`` (the TWS driver worker speaks
+    protobuf to the JVM state server) — absent in this container, so the
+    operator is exercised by a protobuf-gated test and the
+    continuous-trigger proof runs on :func:`running_user_counts`
+    (applyInPandasWithState needs no protobuf)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + n_new
+            self._count.update((total,))
+            yield pd.DataFrame({"key": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningCount(),
+        outputStructType="key bigint, n_events bigint",
+        outputMode="update",
+        timeMode="none",
+    )

@@ -154,3 +154,111 @@ def test_high_diameter_raises_propagation_but_lss_converges(spark):
         connected_components(v, e, max_iter=5)
     got = connected_components_lss(v, e).collect()
     assert {r["component"] for r in got} == {0} and len(got) == n
+
+
+def test_skew_stress_power_law_graph(spark):
+    """Round-2 verdict ask #8: stress CC at a realistic dedup-graph scale
+    with ADVERSARIAL shape — a power-law (Zipf-size star clusters: one
+    hot 3000-member hub down to 60 tail clusters, the degree skew a viral
+    near-dup cluster produces) PLUS a 5000-node path (diameter far beyond
+    propagation's round budget). Built distributed via spark.range — no
+    driver-side row lists. Asserts:
+
+    - large-star/small-star converges within its O(log^2 n) round budget
+      on ~18k nodes / ~18k edges and labels every cluster/path member with
+      the cluster min (exact expected labels, computed analytically);
+    - the known LSS risk — intermediate edge growth — is MEASURED and
+      bounded: no round's canonical edge set exceeds 2x the initial;
+    - min-label propagation handles the power-law clusters in <= 3 rounds
+      (diameter 2, skew stresses the groupBy(node) MIN reducer for the
+      hub) but RAISES on the path rather than returning wrong labels.
+    """
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_beam_challange_spark.operators.graph import (
+        _canon_edges,
+        _star_round,
+        connected_components_lss,
+    )
+
+    n_clusters = 60
+    # cluster c (1-based): ids in [base(c), base(c) + size(c)), star to min
+    sizes = [max(2, 3000 // c) for c in range(1, n_clusters + 1)]
+    bases = [0]
+    for s in sizes[:-1]:
+        bases.append(bases[-1] + s)
+    n_cluster_nodes = bases[-1] + sizes[-1]
+    path_len = 5000
+    n_nodes = n_cluster_nodes + path_len
+
+    cluster_bounds = spark.createDataFrame(
+        [(bases[c], bases[c] + sizes[c]) for c in range(n_clusters)],
+        "base long, stop long",
+    )
+    cluster_edges = (
+        spark.range(n_cluster_nodes)
+        .join(
+            F.broadcast(cluster_bounds),
+            (F.col("id") > F.col("base")) & (F.col("id") < F.col("stop")),
+        )
+        .select(F.col("base").alias("doc_id_1"), F.col("id").alias("doc_id_2"))
+    )
+    path_edges = (
+        spark.range(n_cluster_nodes, n_nodes - 1)
+        .select(
+            F.col("id").alias("doc_id_1"), (F.col("id") + 1).alias("doc_id_2")
+        )
+    )
+    vertices = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
+
+    # --- LSS on the full adversarial graph, measuring edge growth -------
+    e = _canon_edges(
+        cluster_edges.unionByName(path_edges).select(
+            F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+        )
+    ).localCheckpoint()
+    e0 = e.count()
+    max_edges, rounds, converged = e0, 0, False
+    for _ in range(20):
+        rounds += 1
+        mid = _star_round(e, large=True).localCheckpoint()
+        after = _star_round(mid, large=False).localCheckpoint()
+        max_edges = max(max_edges, mid.count(), after.count())
+        unchanged = after.count() == e.count() and after.exceptAll(e).isEmpty()
+        e = after
+        if unchanged:
+            converged = True
+            break
+    assert converged, f"LSS did not converge in 20 rounds (n={n_nodes})"
+    assert rounds <= 15, rounds
+    assert max_edges <= 2 * e0, (max_edges, e0)
+
+    # final labels from the converged star set, checked exactly
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components_lss(
+            vertices, cluster_edges.unionByName(path_edges)
+        ).collect()
+    }
+    for c in range(n_clusters):
+        for node in (bases[c], bases[c] + sizes[c] - 1):
+            assert labels[node] == bases[c]
+    assert labels[n_nodes - 1] == n_cluster_nodes
+    assert labels[n_cluster_nodes] == n_cluster_nodes
+
+    # --- propagation: fine on skewed shallow clusters, raises on path ---
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            vertices.filter(F.col("doc_id") < n_cluster_nodes),
+            cluster_edges,
+            max_iter=3,
+        ).collect()
+    }
+    assert prop[bases[-1] + sizes[-1] - 1] == bases[-1]
+    assert prop[1] == 0 and prop[sizes[0] - 1] == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            vertices, cluster_edges.unionByName(path_edges), max_iter=10
+        )
