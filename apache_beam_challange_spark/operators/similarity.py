@@ -396,3 +396,79 @@ def ann_lsh_topk(
         )
     )
     return candidates.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(k)
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    codebook_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+) -> DataFrame:
+    """Batch k-NN JOIN: for EVERY query vector, its ``k`` nearest corpus
+    vectors by cosine — the operator a curation pipeline actually runs
+    (dedup/enrichment is never one query at a time). Both sides coarse-
+    quantize against the same broadcast codebook; each query is scored
+    only against corpus members of its ``n_probe`` nearest inverted
+    lists, via ONE equi-join on ``centroid_id`` — the classic IVF
+    batch-probe shape, never queries x corpus all-pairs. Per-query top-k
+    is a window rank over the probed candidates.
+
+    Output: ``(query_vec_id, vec_id, label, cosine_sim)``, self-matches
+    excluded (query and corpus may be the same table).
+
+    Scale posture: with |lists| inverted lists and ``n_probe`` probes the
+    join's expected output is ``n_probe/|lists|`` of the all-pairs
+    volume; both sides shuffle once on ``centroid_id`` (or not at all
+    when the corpus is already hive-partitioned by it — the at-rest
+    layout ``ivf_write_index`` produces), and the window's partition key
+    ``query_vec_id`` distributes the ranking."""
+    from pyspark.sql import Window
+
+    cents = corpus.filter(F.col("vec_id").isin(list(codebook_ids))).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    corpus_vecs = corpus.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        corpus_vecs.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(aw))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "label", "vec", "centroid_id")
+    )
+    query_vecs = queries.select(
+        F.col("vec_id").alias("query_vec_id"),
+        as_double(F.col("embedding")).alias("qvec"),
+    )
+    pw = Window.partitionBy("query_vec_id").orderBy(
+        F.col("__qsim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        query_vecs.crossJoin(F.broadcast(cents))
+        .withColumn("__qsim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(pw))
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_vec_id", "qvec", "centroid_id")
+    )
+    kw = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        assigned.join(probes, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .select(
+            "query_vec_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
+        )
+        .withColumn("__rk", F.row_number().over(kw))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -36,6 +36,7 @@ from apache_beam_challange_spark.operators.clustering import (
     kmeans_cents_ctes,
     kmeans_centroids,
     kmeans_oracle_sql,
+    opq_oracle_sql,
     pq_oracle_sql,
     pq_parts_ctes,
     pq_topk,
@@ -1241,6 +1242,66 @@ def ivfpq_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_write_index(emb, path)
     index = spark.read.parquet(path)
     return ivfpq_topk_indexed(emb, index, query_vec_id=0, k_results=20)
+
+
+@query(
+    "knn_join_vec10",
+    extended=True,
+    oracle=f"""
+WITH {_IVF_CTE},
+qset AS (SELECT vec_id AS query_vec_id, v AS qv FROM vecs WHERE vec_id < 10),
+qprobes AS (
+    SELECT query_vec_id, qv, centroid_id FROM (
+        SELECT q.query_vec_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_vec_id
+                   ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC,
+                            c.centroid_id
+               ) AS rk
+        FROM qset q CROSS JOIN cents c
+    ) WHERE rk <= 2
+)
+SELECT query_vec_id, vec_id, label, cosine_sim FROM (
+    SELECT p.query_vec_id, a.vec_id, a.label,
+           ROUND(list_cosine_similarity(a.v, p.qv), 6) AS cosine_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.query_vec_id
+               ORDER BY ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC,
+                        a.vec_id
+           ) AS rk
+    FROM assign a JOIN qprobes p ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> p.query_vec_id
+) WHERE rk <= 5
+""".strip(),
+)
+def knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join — top-5 corpus neighbors for EVERY query in a
+    10-vector batch through one IVF-probed equi-join plan (the
+    many-queries-at-once shape a curation pipeline runs, vs the
+    single-query ann_* entries). The oracle reuses the IVF assign CTE and
+    ranks per query over the probed lists."""
+    from apache_beam_challange_spark.operators.similarity import knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_probe=2
+    )
+
+
+@query("opq_topk_vec0", extended=True, oracle=opq_oracle_sql())
+def opq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ under a TRAINED OPQ space decomposition (Ge et al. CVPR'13
+    eigenvalue-allocation objective on exact integer variances): dims are
+    permuted so each subspace carries balanced energy, then the standard
+    PQ pipeline runs on the permuted vectors at the SAME code budget. On
+    this isotropic synthetic corpus the allocation is a measured near
+    no-op (recall stays 0.45 = plain PQ — asserted, not hidden); the
+    machinery and its fully generated oracle (allocation CTEs feeding
+    permutation-gathered k-means chains) are what this query pins."""
+    from apache_beam_challange_spark.operators.clustering import opq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return opq_topk(emb, query_vec_id=0, k_results=20)
 
 
 @query(

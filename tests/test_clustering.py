@@ -85,3 +85,55 @@ def test_pq_topk_deterministic_and_ordered(spark, sf_dir):
     assert all(r["vec_id"] != 0 for r in a)
     dists = [r["adc_dist"] for r in a]
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+def test_opq_allocation_balances_and_recall_not_regressed(spark):
+    """The trained OPQ permutation must (a) be a true permutation of the
+    dims, (b) achieve its objective EXACTLY on the greedy deal — subspace
+    variance-energy spread bounded by m times the max single-dim key (the
+    round-robin guarantee) — and (c) not regress recall vs plain PQ at
+    the same code budget. On this isotropic corpus (per-dim variance
+    spread 1.3x) a recall LIFT is mathematically unavailable — both
+    measure 0.45 — so the test pins equality-or-better plus the
+    objective, rather than asserting an improvement the data cannot
+    yield."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_challange_spark.functions.vector import as_double
+    from apache_beam_challange_spark.operators.clustering import (
+        opq_dim_allocation,
+        opq_topk,
+        pq_topk,
+    )
+    from apache_beam_challange_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    m, dim = 4, 64
+    subs = opq_dim_allocation(emb, m=m, dim=dim)
+    flat = [d for g in subs for d in g]
+    assert sorted(flat) == list(range(1, dim + 1))
+    assert all(len(g) == dim // m for g in subs)
+
+    comp = emb.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("d0", "x")
+    ).select(
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x") * 10000 + 0.5).cast("long").alias("q"),
+    )
+    keys = {
+        r["d"]: r["n"] * r["s2"] - r["s1"] * r["s1"]
+        for r in comp.groupBy("d")
+        .agg(
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    energies = [sum(keys[d] for d in g) for g in subs]
+    assert max(energies) - min(energies) <= max(keys.values())
+
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, k=20).collect()}
+    pq = {r["vec_id"] for r in pq_topk(emb, 0, k_results=20).collect()}
+    opq = {r["vec_id"] for r in opq_topk(emb, 0, k_results=20).collect()}
+    assert len(opq & exact) >= len(pq & exact)

@@ -158,3 +158,28 @@ def test_ivfpq_indexed_matches_inline_and_prunes(spark, tmp_path):
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_knn_join_matches_single_query_ivf(spark):
+    """The batch kNN join restricted to one query must return exactly the
+    single-query IVF top-k (same codebook, probes, rounding, tie-break) —
+    batching is a plan optimization, not a semantics change."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ivf_topk,
+        knn_join_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(emb, 3, k=5, n_probe=2).collect()
+    ]
+    batch = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in knn_join_ivf(
+            emb.filter(F.col("vec_id") == 3), emb, k=5, n_probe=2
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .collect()
+    ]
+    assert batch == single
