@@ -508,6 +508,17 @@ def pq_write_index(
     codes.join(coarse, "vec_id").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(path)
+    # The trained per-subspace codebooks are part of the index artifact:
+    # serving rebuilds only the query's m*k LUT entries from them instead
+    # of re-running k-means per query (m narrow passes saved per lookup).
+    sub = dim // m
+    books = None
+    for j in range(m):
+        cents = kmeans_centroids(
+            _pq_sub(embeddings, j, sub), k=k, n_iter=n_iter, scale=scale
+        ).select(F.lit(j).alias("subspace"), "centroid_id", "cvec")
+        books = cents if books is None else books.unionByName(cents)
+    books.coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
 
 
 def ivfpq_topk_indexed(
@@ -574,6 +585,91 @@ def ivfpq_topk_indexed(
     return (
         out.select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k_results)
+    )
+
+
+def ivfpq_refined_topk_indexed(
+    embeddings: DataFrame,
+    index: DataFrame,
+    codebooks: DataFrame,
+    query_vec_id: int = 0,
+    k_results: int = 20,
+    n_refine: int = 100,
+    coarse_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+    m: int = 4,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> DataFrame:
+    """The production IVFPQ+refine SERVING path: coarse probes prune the
+    at-rest codes table at the file level (dynamic partition pruning on
+    its ``centroid_id`` partitioning), the query's ADC lookup tables come
+    from the STORED ``codebooks`` (``pq_write_index`` writes them beside
+    the codes — m*k tiny rows; nothing is re-trained at query time), the
+    ADC top ``n_refine`` shortlist is exact-rerank'd against the float
+    vectors. Identical results to :func:`ivfpq_refined_topk`; query-time
+    work drops from (m k-means trainings + full encode) to (one pruned
+    codes scan + m broadcast LUT joins + an n_refine-row rerank)."""
+    from apache_beam_challange_spark.functions.vector import cosine
+    from apache_beam_challange_spark.operators.similarity import _query_vec
+
+    sub = dim // m
+    coarse_cents = embeddings.filter(
+        F.col("vec_id").isin(list(coarse_ids))
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    q = _query_vec(embeddings, query_vec_id)
+    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+    probes = (
+        coarse_cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .filter(F.col("__rk") <= n_probe)
+        .select("centroid_id")
+    )
+    out = index.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    adc_terms = []
+    for j in range(m):
+        qsub = _pq_sub(embeddings, j, sub).filter(
+            F.col("vec_id") == query_vec_id
+        ).select(F.col("embedding").alias("qvec"))
+        lut = (
+            codebooks.filter(F.col("subspace") == j)
+            .crossJoin(F.broadcast(qsub))
+            .withColumn("__d", _sq_l2(F.col("cvec"), F.col("qvec")))
+            .select(
+                F.col("centroid_id").alias(f"code_{j}"),
+                (F.col("__d") * F.col("__d")).alias(f"p_{j}"),
+            )
+        )
+        out = out.join(F.broadcast(lut), f"code_{j}")
+        adc_terms.append(F.col(f"p_{j}"))
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    shortlist = (
+        out.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(n_refine)
+        .select("vec_id")
+    )
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    return (
+        vecs.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k_results)
     )
 

@@ -1304,9 +1304,7 @@ def opq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opq_topk(emb, query_vec_id=0, k_results=20)
 
 
-@query(
-    "ivfpq_refined_topk_vec0",
-    oracle=f"""
+_IVFPQ_REFINED_ORACLE = f"""
 WITH {_IVF_CTE},
 {_PQ_CTES},
 ivf_cand AS (
@@ -1328,8 +1326,10 @@ FROM vecs v JOIN shortlist s ON v.vec_id = s.vec_id
 CROSS JOIN q
 ORDER BY cosine_sim DESC, v.vec_id
 LIMIT 20
-""".strip(),
-)
+""".strip()
+
+
+@query("ivfpq_refined_topk_vec0", oracle=_IVFPQ_REFINED_ORACLE)
 def ivfpq_refined_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVABLE IVF+PQ: the standard IVFADC+R design — coarse lists bound
     candidates, PQ ADC ranks them compressed, then the top-100 shortlist is
@@ -1451,4 +1451,36 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         (F.sum(F.floor(F.col("norm") * 10000 + F.lit(0.5)).cast("long")) / 10000.0)
         .alias("sum_norm"),
+    )
+
+
+@query(
+    "ivfpq_refined_topk_indexed_vec0",
+    extended=True,
+    oracle=_IVFPQ_REFINED_ORACLE,
+)
+def ivfpq_refined_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ+refine SERVED from the at-rest index: DPP-pruned codes scan,
+    LUTs from the STORED codebooks (no per-query k-means), ADC top-100
+    shortlist, exact cosine rerank. Same oracle as the inline refined
+    composition — the index and stored codebooks must be semantically
+    invisible. This is the query-time shape a 100 TB vector-search
+    deployment actually runs."""
+    from apache_beam_challange_spark.operators.clustering import (
+        ivfpq_refined_topk_indexed,
+        pq_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "ivfpq_index_8x4_v2", "embeddings")
+    if not is_materialized(path):
+        pq_write_index(emb, path)
+    index = spark.read.parquet(path)
+    codebooks = spark.read.parquet(path + "_codebooks")
+    return ivfpq_refined_topk_indexed(
+        emb, index, codebooks, query_vec_id=0, k_results=20, n_refine=100
     )

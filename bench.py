@@ -58,6 +58,7 @@ FLAGSHIPS = [
     "event_funnel_counts",
     "ann_lsh_multitable_topk_vec0",
     "ivfpq_refined_topk_vec0",
+    "ivfpq_refined_topk_indexed_vec0",
 ]
 
 

@@ -183,3 +183,31 @@ def test_knn_join_matches_single_query_ivf(spark):
         .collect()
     ]
     assert batch == single
+
+
+def test_ivfpq_refined_indexed_matches_inline(spark, tmp_path):
+    """The served IVFPQ+refine (at-rest codes + STORED codebooks, no
+    query-time training) must return exactly the inline refined
+    composition's rows."""
+    from apache_beam_challange_spark.operators.clustering import (
+        ivfpq_refined_topk,
+        ivfpq_refined_topk_indexed,
+        pq_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpq_idx")
+    pq_write_index(emb, path)
+    index = spark.read.parquet(path)
+    codebooks = spark.read.parquet(path + "_codebooks")
+
+    served = ivfpq_refined_topk_indexed(
+        emb, index, codebooks, query_vec_id=0, k_results=10, n_refine=50
+    )
+    inline = ivfpq_refined_topk(
+        emb, query_vec_id=0, k_results=10, n_refine=50
+    )
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
