@@ -1288,6 +1288,75 @@ def knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_dedup_clusters",
+    extended=True,
+    oracle=f"""
+WITH RECURSIVE {_ANN_CTE},
+pairs AS (
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+    FROM buck a
+    JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(va.v, vb.v) >= 0.4
+),
+edges AS (
+    SELECT vec_id_1 AS node, vec_id_2 AS nbr FROM pairs
+    UNION ALL
+    SELECT vec_id_2 AS node, vec_id_1 AS nbr FROM pairs
+),
+reach AS (
+    SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+    UNION
+    SELECT e.nbr AS node, r.lbl
+    FROM reach r JOIN edges e ON e.node = r.node
+),
+cclab AS (
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM cclab GROUP BY component
+)
+SELECT c.node AS vec_id, c.component, s.cluster_size,
+       c.node = c.component AS keep
+FROM cclab c JOIN sizes s ON c.component = s.component
+""".strip(),
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped EMBEDDING dedup, end to end (Abbas et al. 2023
+    arXiv:2303.09540 describe the semantic-dedup recipe; public
+    literature): LSH-bucketed cosine near-dup pairs form the similarity
+    graph, its connected components are the semantic clusters, and each
+    cluster keeps its canonical (min-id) representative — the full chain
+    a curation pipeline runs on embeddings, mirroring the token-level
+    ``dedup_connected_components`` on the MinHash graph. Every stage is
+    the already-verified operator; the oracle chains the bucket CTEs into
+    the recursive-CTE components."""
+    from apache_beam_challange_spark.functions.vector import cosine
+    from apache_beam_challange_spark.operators.graph import dedup_clusters
+    from apache_beam_challange_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(as_double(F.col("embedding")), 4, 64).alias("bucket"),
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), "bucket")
+    edges = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(cosine(F.col("v1"), F.col("v2")) >= 0.4)
+        .select("vec_id_1", "vec_id_2")
+    )
+    vertices = emb.select("vec_id")
+    return dedup_clusters(
+        vertices, edges, id_col="vec_id", src_col="vec_id_1", dst_col="vec_id_2"
+    )
+
+
 @query("opq_topk_vec0", extended=True, oracle=opq_oracle_sql())
 def opq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ under a TRAINED OPQ space decomposition (Ge et al. CVPR'13
