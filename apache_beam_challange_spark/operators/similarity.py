@@ -472,3 +472,51 @@ def knn_join_ivf(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def ann_lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    num_planes: int = 4,
+    dim: int = 64,
+    max_flips: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH — the OTHER standard amplification (Lv et al.,
+    "Multi-probe LSH", VLDB'07): ONE hash table, but the query probes
+    every bucket within ``max_flips`` sign flips of its own (flipping the
+    bits most likely to be borderline; here: all of them, the exhaustive
+    variant for small plane counts). Probing 1+planes of the 2^planes
+    buckets multiplies candidates (and recall) by ~(1+planes) without
+    building more tables — the memory-lean alternative to
+    :func:`ann_lsh_multitable_topk`. The probe test is a broadcast join
+    against the single query-bucket row with a per-character Hamming
+    predicate on the bit-string (codegen-friendly; no UDF)."""
+    with_bucket = embeddings.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("vec"),
+        lsh_bucket(as_double(F.col("embedding")), num_planes, dim).alias("bucket"),
+    )
+    q = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("__qvec"), F.col("bucket").alias("__qbucket")
+    )
+    hamming = sum(
+        (
+            F.substring(F.col("bucket"), i + 1, 1)
+            != F.substring(F.col("__qbucket"), i + 1, 1)
+        ).cast("int")
+        for i in range(num_planes)
+    )
+    return (
+        with_bucket.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(hamming <= max_flips)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1357,6 +1357,125 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "duplicate_ngram_spans",
+    extended=True,
+    oracle="""
+WITH grams AS (
+    SELECT doc_id,
+           md5(array_to_string(toks[p.p:p.p+7], ' ')) AS fp
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ) d,
+    (SELECT unnest(generate_series(1, 4000)) AS p) p
+    WHERE p.p + 7 <= LEN(d.toks)
+),
+dup_fps AS (
+    SELECT fp FROM grams GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(CASE WHEN d.fp IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_dup_spans,
+       ROUND(COUNT(CASE WHEN d.fp IS NOT NULL THEN 1 END) * 1.0
+             / COUNT(*), 6) AS dup_span_ratio
+FROM grams g LEFT JOIN dup_fps d ON g.fp = d.fp
+GROUP BY g.doc_id
+HAVING COUNT(CASE WHEN d.fp IS NOT NULL THEN 1 END) > 0
+""".strip(),
+)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate SPAN detection — the ExactSubstr primitive
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL'22, public literature), at n-gram granularity: every word
+    8-gram is fingerprinted (md5, so the oracle reproduces it), a span is
+    duplicated iff its fingerprint occurs in MORE THAN ONE document, and
+    each affected doc reports its duplicated-span count and ratio — the
+    signal used to cut boilerplate/licenses/templates that exact and
+    near-dup doc-level dedup both miss.
+
+    Plan shape: one narrow explode (positions), one md5 per span, a
+    fingerprint groupBy (map-side combined) to find multi-doc spans, one
+    equi-join back, one doc groupBy. Never doc x doc. (The oracle's
+    position series is bounded at 4000 for the cross-join unnest; corpus
+    docs max out at 100 tokens — a 40x margin, not a silent truncation.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n = 8
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
+        ).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("toks", F.col("p"), n), " ")).alias("fp"),
+    )
+    dup_fps = (
+        grams.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp", F.lit(1).alias("__dup"))
+    )
+    return (
+        grams.join(dup_fps, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") * 1.0 / F.col("n_spans"), 6).alias(
+                "dup_span_ratio"
+            ),
+        )
+    )
+
+
+@query(
+    "ann_lsh_multiprobe_topk_vec0",
+    extended=True,
+    oracle=f"""
+WITH {_ANN_CTE},
+qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
+SELECT v.vec_id, v.label,
+       ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
+FROM vecs v
+JOIN buck b ON v.vec_id = b.vec_id
+CROSS JOIN qb
+CROSS JOIN q
+WHERE v.vec_id <> 0
+  AND (CASE WHEN SUBSTR(b.bucket, 1, 1) <> SUBSTR(qb.bucket, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN SUBSTR(b.bucket, 2, 1) <> SUBSTR(qb.bucket, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN SUBSTR(b.bucket, 3, 1) <> SUBSTR(qb.bucket, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN SUBSTR(b.bucket, 4, 1) <> SUBSTR(qb.bucket, 4, 1) THEN 1 ELSE 0 END) <= 2
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 20
+""".strip(),
+)
+def ann_lsh_multiprobe_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. VLDB'07): one hash table, the query
+    probes every bucket within 2 sign flips of its own — recall@20 = 0.85
+    (floor 0.80 pinned) at 11/16-bucket candidate coverage on this small
+    bucket space; with production plane counts (16-64 planes) the probe
+    set stays a vanishing fraction. The memory-lean twin of the 16-table
+    OR amplification."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_multiprobe_topk(
+        emb, query_vec_id=0, k=20, num_planes=4, dim=64, max_flips=2
+    )
+
+
 @query("opq_topk_vec0", extended=True, oracle=opq_oracle_sql())
 def opq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ under a TRAINED OPQ space decomposition (Ge et al. CVPR'13

@@ -376,3 +376,53 @@ def test_transform_with_state_running_counts(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_slowly_changing_dim_refresh_via_foreach_batch(spark, tmp_path):
+    """Stream-static enrichment against a SLOWLY CHANGING dimension: the
+    dim parquet is overwritten between micro-batches, and the foreachBatch
+    sink re-reads it per batch — so batch N joins the dim AS OF batch N
+    (the production pattern for dim refresh without restarting the query;
+    a plan-cached static join side may legally serve stale snapshots).
+    Batch 1 must see v1 labels, batch 2 (same keys) v2 labels."""
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    dim_path = str(tmp_path / "dim.parquet")
+
+    def write_dim(version: str) -> None:
+        spark.createDataFrame(
+            [(7, f"seg-{version}"), (8, f"seg-{version}")],
+            "user_id long, segment string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+
+    write_dim("v1")
+    # both micro-batches staged up front (availableNow snapshots the file
+    # list at start; maxFilesPerTrigger=1 splits them into two batches,
+    # processed in deterministic path order)
+    _write_batch(
+        spark, f"{src}/b0.parquet", [(1, _nanos(10, 0), 7, "view", 1.0, "{}")]
+    )
+    _write_batch(
+        spark, f"{src}/b1.parquet", [(2, _nanos(10, 1), 7, "click", 1.0, "{}")]
+    )
+    seen: list[tuple[int, int, str]] = []
+
+    def enrich(batch_df, batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        rows = (
+            batch_df.join(dim, "user_id", "left")
+            .select("user_id", "segment")
+            .collect()
+        )
+        seen.extend((batch_id, r["user_id"], r["segment"]) for r in rows)
+        if batch_id == 0:
+            # the dim changes AFTER batch 0 is enriched, BEFORE batch 1
+            write_dim("v2")
+
+    ev = events_stream(spark, src, max_files_per_trigger=1)
+    q = ev.writeStream.foreachBatch(enrich).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert (0, 7, "seg-v1") in seen
+    assert (1, 7, "seg-v2") in seen

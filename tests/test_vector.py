@@ -99,6 +99,7 @@ def test_ann_recall_floors_vs_exact(spark):
         pq_topk,
     )
     from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
         ann_lsh_multitable_topk,
         ann_lsh_topk,
         cosine_topk,
@@ -111,6 +112,11 @@ def test_ann_recall_floors_vs_exact(spark):
     for name, df, floor in [
         ("lsh", ann_lsh_topk(emb, 0, k=20, num_planes=4, dim=64), 0.05),
         ("lsh_multi", ann_lsh_multitable_topk(emb, 0, k=20, num_tables=16), 0.80),
+        (
+            "lsh_multiprobe",
+            ann_lsh_multiprobe_topk(emb, 0, k=20, max_flips=2),
+            0.80,
+        ),
         ("ivf", ivf_topk(emb, 0, k=20, n_probe=2), 0.90),
         ("pq", pq_topk(emb, 0, k_results=20), 0.30),
         ("ivfpq_refined", ivfpq_refined_topk(emb, 0, k_results=20), 0.90),
@@ -122,6 +128,7 @@ def test_ann_recall_floors_vs_exact(spark):
     # codes; amplification/refine lift each family above its baseline
     assert recalls["ivf"] > recalls["pq"] > recalls["lsh"]
     assert recalls["lsh_multi"] > recalls["lsh"]
+    assert recalls["lsh_multiprobe"] > recalls["lsh"]
     assert recalls["ivfpq_refined"] > recalls["pq"]
 
 
