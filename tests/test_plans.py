@@ -178,3 +178,36 @@ def test_retention_cohort_join_broadcasts(plans):
     p = plans("user_retention_cohorts")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_multitable_lsh_plan_shape(plans):
+    """The servable multitable LSH must stay band-join shaped: candidates
+    from an equi-join (broadcast of the query's 16-bucket list), never a
+    CartesianProduct over vectors; final top-k via TakeOrderedAndProject;
+    and the bucket pipeline must be the codegen'd join+agg shape (a
+    BroadcastHashJoin against the plane matrix), not per-row interpreted
+    folds."""
+    p = plans("ann_lsh_multitable_topk_vec0")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_ivfpq_refined_indexed_prunes_and_reranks(plans):
+    """The served IVFPQ+refine must read the codes table with dynamic
+    partition pruning (probes into the partition column) and end in a
+    TakeOrderedAndProject rerank — no full-corpus float scan shape
+    (CartesianProduct) anywhere."""
+    p = plans("ivfpq_refined_topk_indexed_vec0")
+    assert "dynamicpruning" in p.lower()
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_duplicate_spans_never_doc_by_doc(plans):
+    """Span dedup is fingerprint-join shaped: one explode, hash
+    aggregations, an equi-join on the fingerprint — never a doc x doc
+    join."""
+    p = plans("duplicate_ngram_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
