@@ -294,48 +294,7 @@ def ann_lsh_multitable_topk(
     order within a (vec_id, plane) group is j-ascending on both engines
     (narrow intra-partition order), keeping projections bit-identical to
     the sequential fold."""
-    import math
-
-    spark = embeddings.sparkSession
-    plane_rows = []
-    for p in range(num_tables * num_planes):
-        for idx in range(dim):
-            g = p * dim + idx + 1
-            s = math.sin(float(g)) * 43758.5453
-            plane_rows.append((p, idx + 1, s - math.floor(s) - 0.5))
-    planes = spark.createDataFrame(plane_rows, "p int, j int, h double")
-    comp = embeddings.select(
-        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("j0", "x")
-    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
-    proj = (
-        comp.join(F.broadcast(planes), "j")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("x") * F.col("h")).alias("s"))
-    )
-    flat = (
-        proj.groupBy(
-            "vec_id",
-            F.floor(F.col("p") / num_planes).cast("int").alias("table_idx"),
-        )
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "p",
-                                F.when(F.col("s") > 0, F.lit("1"))
-                                .otherwise(F.lit("0"))
-                                .alias("bit"),
-                            )
-                        )
-                    ),
-                    lambda st: st["bit"],
-                ),
-                "",
-            ).alias("bucket")
-        )
-    )
+    flat = _multitable_buckets(embeddings, num_tables, num_planes, dim)
     q = flat.filter(F.col("vec_id") == query_vec_id).select(
         "table_idx", F.col("bucket").alias("__qbucket")
     )
@@ -512,6 +471,124 @@ def ann_lsh_multiprobe_topk(
         with_bucket.filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .filter(hamming <= max_flips)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _multitable_buckets(
+    embeddings: DataFrame, num_tables: int, num_planes: int, dim: int
+) -> DataFrame:
+    """Narrow (vec_id, table_idx, bucket) rows for every vector — the
+    codegen'd comp→proj→buck pipeline shared by the inline multitable
+    query and the at-rest index builder."""
+    import math
+
+    spark = embeddings.sparkSession
+    plane_rows = []
+    for p in range(num_tables * num_planes):
+        for idx in range(dim):
+            g = p * dim + idx + 1
+            s = math.sin(float(g)) * 43758.5453
+            plane_rows.append((p, idx + 1, s - math.floor(s) - 0.5))
+    planes = spark.createDataFrame(plane_rows, "p int, j int, h double")
+    comp = embeddings.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("j0", "x")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    proj = (
+        comp.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("h")).alias("s"))
+    )
+    return (
+        proj.groupBy(
+            "vec_id",
+            F.floor(F.col("p") / num_planes).cast("int").alias("table_idx"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "p",
+                                F.when(F.col("s") > 0, F.lit("1"))
+                                .otherwise(F.lit("0"))
+                                .alias("bit"),
+                            )
+                        )
+                    ),
+                    lambda st: st["bit"],
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+
+
+def lsh_write_index(
+    embeddings: DataFrame,
+    path: str,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> None:
+    """Materialize the multitable LSH bucket index AT REST: every
+    (vec_id, table_idx, bucket) row written hive-partitioned by
+    (table_idx, bucket) — num_tables * 2^num_planes directories. A query
+    computes its own ``num_tables`` bucket ids (tiny) and joins them into
+    the partition columns, so dynamic partition pruning opens exactly
+    num_tables of the directories and never reads the rest — the same
+    at-rest posture as :func:`ivf_write_index`, completing the LSH family
+    (the L*planes projection passes happen ONCE here, not per query)."""
+    _multitable_buckets(embeddings, num_tables, num_planes, dim).write.mode(
+        "overwrite"
+    ).partitionBy("table_idx", "bucket").parquet(path)
+
+
+def ann_lsh_multitable_topk_indexed(
+    embeddings: DataFrame,
+    index: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multitable LSH top-k served from the at-rest bucket index: the
+    query's bucket list (recomputed for one vector — a pruned scan) joins
+    the index on its PARTITION columns (table_idx, bucket), dynamic
+    partition pruning drops every non-probed bucket directory, the
+    distinct candidate ids semi-join back to the vectors, exact cosine
+    ranks. Identical results to :func:`ann_lsh_multitable_topk`."""
+    qb = _multitable_buckets(
+        embeddings.filter(F.col("vec_id") == query_vec_id),
+        num_tables,
+        num_planes,
+        dim,
+    ).select("table_idx", F.col("bucket").alias("__qbucket"))
+    cand_ids = (
+        index.join(
+            F.broadcast(qb),
+            (index["table_idx"] == qb["table_idx"])
+            & (index["bucket"] == qb["__qbucket"]),
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    qvec = _query_vec(embeddings, query_vec_id)
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    return (
+        vecs.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
             "label",

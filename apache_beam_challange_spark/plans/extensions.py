@@ -1006,9 +1006,7 @@ q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
 """.strip()
 
 
-@query(
-    "ann_lsh_multitable_topk_vec0",
-    oracle=f"""
+_ANN_MULTI_ORACLE = f"""
 WITH {_ANN_MULTI_CTE}
 SELECT v.vec_id, v.label,
        ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
@@ -1016,8 +1014,10 @@ FROM vecs v JOIN cand ON v.vec_id = cand.vec_id
 CROSS JOIN q
 ORDER BY cosine_sim DESC, v.vec_id
 LIMIT 20
-""".strip(),
-)
+""".strip()
+
+
+@query("ann_lsh_multitable_topk_vec0", oracle=_ANN_MULTI_ORACLE)
 def ann_lsh_multitable_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVABLE LSH ANN: 16 independent hash tables OR-ed (candidates =
     union of the query's buckets), exact cosine over the distinct union —
@@ -1671,4 +1671,34 @@ def ivfpq_refined_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFra
     codebooks = spark.read.parquet(path + "_codebooks")
     return ivfpq_refined_topk_indexed(
         emb, index, codebooks, query_vec_id=0, k_results=20, n_refine=100
+    )
+
+
+@query(
+    "ann_lsh_multitable_topk_indexed_vec0",
+    extended=True,
+    oracle=_ANN_MULTI_ORACLE,
+)
+def ann_lsh_multitable_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multitable LSH served from the AT-REST bucket index: buckets are
+    materialized once, hive-partitioned by (table_idx, bucket); the
+    query's 16 bucket ids join the partition columns so pruning opens
+    only the probed directories. Same oracle as the inline multitable
+    query — the index must be semantically invisible."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk_indexed,
+        lsh_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "lsh_index_16x4", "embeddings")
+    if not is_materialized(path):
+        lsh_write_index(emb, path, num_tables=16, num_planes=4, dim=64)
+    index = spark.read.parquet(path)
+    return ann_lsh_multitable_topk_indexed(
+        emb, index, query_vec_id=0, k=20, num_tables=16, num_planes=4, dim=64
     )

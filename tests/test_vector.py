@@ -218,3 +218,55 @@ def test_ivfpq_refined_indexed_matches_inline(spark, tmp_path):
     assert [tuple(r) for r in served.collect()] == [
         tuple(r) for r in inline.collect()
     ]
+
+
+def test_amplified_lsh_always_finds_exact_duplicate(spark):
+    """Sign-projection buckets are a pure function of the vector, so an
+    exact duplicate shares EVERY table's bucket and every probe set —
+    duplicate recall is 1.0 by construction for both amplified LSH paths,
+    the guarantee embedding-dedup relies on."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+        ann_lsh_multitable_topk,
+    )
+
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    rows = [(0, base, 0), (1, list(base), 0)] + [
+        (i, [float(((i * 13 + j * 7) % 23) - 11) for j in range(64)], 1)
+        for i in range(2, 40)
+    ]
+    df = _vec_df(spark, rows)
+    for out in (
+        ann_lsh_multitable_topk(df, 0, k=3, num_tables=16).collect(),
+        ann_lsh_multiprobe_topk(df, 0, k=3, max_flips=2).collect(),
+    ):
+        assert out[0]["vec_id"] == 1 and out[0]["cosine_sim"] == 1.0
+
+
+def test_lsh_indexed_matches_inline(spark, tmp_path):
+    """The at-rest multitable LSH bucket index must return exactly the
+    inline route's rows, and its partitioned scan must be pruned to the
+    probed (table_idx, bucket) directories — static or dynamic partition
+    filters on the index read, never a full-index scan."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk,
+        ann_lsh_multitable_topk_indexed,
+        lsh_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "lsh_index")
+    lsh_write_index(emb, path, num_tables=16, num_planes=4, dim=64)
+    index = spark.read.parquet(path)
+
+    served = ann_lsh_multitable_topk_indexed(
+        emb, index, query_vec_id=0, k=10, num_tables=16
+    )
+    inline = ann_lsh_multitable_topk(emb, query_vec_id=0, k=10, num_tables=16)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
