@@ -674,42 +674,46 @@ def ivfpq_refined_topk_indexed(
     )
 
 
-def opq_dim_allocation(
-    embeddings: DataFrame, m: int = 4, dim: int = 64, scale: int = 10_000
-) -> list[list[int]]:
-    """TRAIN the OPQ space decomposition: allocate dimensions to the ``m``
-    PQ subspaces so their variance energies balance — the "Eigenvalue
-    Allocation" objective of Optimized Product Quantization (Ge et al.,
-    CVPR'13, §4; public literature) restricted to permutation rotations,
-    computed on raw per-dimension variances (no PCA — the corpus is the
-    training set). Dimensions are ranked by an EXACT integer variance key
-    ``n * Σq² - (Σq)²`` over fixed-point components ``q = floor(x*scale
-    + .5)`` (no float aggregation anywhere, so Spark and the SQL oracle
-    derive the IDENTICAL permutation), then dealt round-robin
-    rank→subspace ``rank % m`` — the greedy balancing deal.
-
-    The aggregate is dim rows; collecting it at plan-build time is a
-    64-row driver action (same class as the pandas route's query-vector
-    ``head()``), not a data collect. Intermediates stay < 2^63 for
-    |corpus| * (scale * |x|_max)² < 9e18 — at scale=1e4 and unit-norm-ish
-    components that is hundreds of millions of rows per dimension."""
+def opq_variance_keys(
+    embeddings: DataFrame, scale: int = 10_000
+) -> DataFrame:
+    """Per-dimension EXACT integer variance keys ``(d, s1, s2, n)`` with
+    key ``n * Σq² - (Σq)²`` over fixed-point components ``q =
+    floor(x*scale + .5)`` — no float aggregation anywhere, so Spark and
+    the SQL oracle derive IDENTICAL keys. One aggregation, dim output
+    rows. Intermediates stay < 2^63 for |corpus| * (scale * |x|_max)²
+    < 9e18 — at scale=1e4 and unit-norm-ish components that is hundreds
+    of millions of rows per dimension."""
     comp = embeddings.select(
         F.posexplode(as_double(F.col("embedding"))).alias("d0", "x")
     ).select(
         (F.col("d0") + 1).alias("d"),
         F.floor(F.col("x") * scale + 0.5).cast("long").alias("q"),
     )
-    stats = (
-        comp.groupBy("d")
-        .agg(
-            F.sum("q").alias("s1"),
-            F.sum(F.col("q") * F.col("q")).alias("s2"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
+    return comp.groupBy("d").agg(
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
     )
+
+
+def opq_allocation_from_keys(
+    key_rows, m: int = 4, dim: int = 64
+) -> list[list[int]]:
+    """TRAIN the OPQ space decomposition from collected variance-key rows:
+    the "Eigenvalue Allocation" objective of Optimized Product
+    Quantization (Ge et al., CVPR'13, §4; public literature) restricted
+    to permutation rotations, computed on raw per-dimension variances (no
+    PCA — the corpus is the training set). Dimensions rank by the exact
+    key desc (dim tie-break), then deal round-robin rank→subspace
+    ``rank % m`` — the greedy balancing deal.
+
+    Takes the COLLECTED rows of :func:`opq_variance_keys` (a dim-row
+    driver action performed by the CALLER at plan-build time — engine
+    operators stay collect-free; same class as the pandas route's
+    query-vector ``head()``)."""
     keyed = sorted(
-        ((r["n"] * r["s2"] - r["s1"] * r["s1"], r["d"]) for r in stats),
+        ((r["n"] * r["s2"] - r["s1"] * r["s1"], r["d"]) for r in key_rows),
         key=lambda t: (-t[0], t[1]),
     )
     perm = [d for _, d in keyed]
@@ -725,6 +729,7 @@ def opq_topk(
     n_iter: int = 1,
     scale: int = 10_000,
     dim: int = 64,
+    subs: list[list[int]] | None = None,
 ) -> DataFrame:
     """PQ top-k under the trained OPQ permutation: the embedding column is
     re-ordered so contiguous PQ subspaces are the balanced allocation
@@ -735,7 +740,13 @@ def opq_topk(
     blocks already balanced within 2%) the permutation is provably a
     near-no-op and recall matches plain PQ, which the tests assert
     honestly instead of claiming a lift the data cannot produce."""
-    subs = opq_dim_allocation(embeddings, m=m, dim=dim, scale=scale)
+    if subs is None:
+        raise ValueError(
+            "opq_topk requires a trained allocation: collect "
+            "opq_variance_keys() at plan-build time (a dim-row driver "
+            "action) and pass opq_allocation_from_keys(rows) — engine "
+            "operators perform no collect themselves"
+        )
     order = [d for group in subs for d in group]
     v = as_double(F.col("embedding"))
     permuted = embeddings.select(

@@ -1486,10 +1486,15 @@ def opq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op (recall stays 0.45 = plain PQ — asserted, not hidden); the
     machinery and its fully generated oracle (allocation CTEs feeding
     permutation-gathered k-means chains) are what this query pins."""
-    from apache_beam_challange_spark.operators.clustering import opq_topk
+    from apache_beam_challange_spark.operators.clustering import (
+        opq_allocation_from_keys,
+        opq_topk,
+        opq_variance_keys,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return opq_topk(emb, query_vec_id=0, k_results=20)
+    subs = opq_allocation_from_keys(opq_variance_keys(emb).collect())
+    return opq_topk(emb, query_vec_id=0, k_results=20, subs=subs)
 
 
 _IVFPQ_REFINED_ORACLE = f"""

@@ -101,15 +101,18 @@ def test_opq_allocation_balances_and_recall_not_regressed(spark):
 
     from apache_beam_challange_spark.functions.vector import as_double
     from apache_beam_challange_spark.operators.clustering import (
-        opq_dim_allocation,
+        opq_allocation_from_keys,
         opq_topk,
+        opq_variance_keys,
         pq_topk,
     )
     from apache_beam_challange_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     m, dim = 4, 64
-    subs = opq_dim_allocation(emb, m=m, dim=dim)
+    subs = opq_allocation_from_keys(
+        opq_variance_keys(emb).collect(), m=m, dim=dim
+    )
     flat = [d for g in subs for d in g]
     assert sorted(flat) == list(range(1, dim + 1))
     assert all(len(g) == dim // m for g in subs)
@@ -135,5 +138,8 @@ def test_opq_allocation_balances_and_recall_not_regressed(spark):
 
     exact = {r["vec_id"] for r in cosine_topk(emb, 0, k=20).collect()}
     pq = {r["vec_id"] for r in pq_topk(emb, 0, k_results=20).collect()}
-    opq = {r["vec_id"] for r in opq_topk(emb, 0, k_results=20).collect()}
+    opq = {
+        r["vec_id"]
+        for r in opq_topk(emb, 0, k_results=20, subs=subs).collect()
+    }
     assert len(opq & exact) >= len(pq & exact)
