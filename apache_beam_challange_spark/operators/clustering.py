@@ -498,16 +498,17 @@ def pq_write_index(
     inverted-list assignment, hive-partitioned by ``centroid_id``. At
     100 TB this is the artifact vector search actually serves from: a
     query opens only the ``n_probe`` probed partition directories of a
-    table that is ~1000x smaller than the embeddings."""
+    table that is ~1000x smaller than the embeddings.
+
+    The index is a TWO-PART artifact (codes table + stored codebooks).
+    Commit order matters for crash safety: the codebooks are written
+    FIRST and the codes table LAST, so the codes' ``_SUCCESS`` is the
+    final commit of the whole artifact — a crash between the two writes
+    leaves no ``_SUCCESS`` on the codes dir and readers (which gate on
+    :func:`~apache_beam_challange_spark.sources.catalog.is_materialized`
+    over BOTH directories) rebuild instead of serving a torn index."""
     from apache_beam_challange_spark.operators.similarity import ivf_assignments
 
-    codes = pq_encode(embeddings, m=m, k=k, n_iter=n_iter, scale=scale, dim=dim)
-    coarse = ivf_assignments(embeddings, coarse_ids).select(
-        "vec_id", "centroid_id"
-    )
-    codes.join(coarse, "vec_id").write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(path)
     # The trained per-subspace codebooks are part of the index artifact:
     # serving rebuilds only the query's m*k LUT entries from them instead
     # of re-running k-means per query (m narrow passes saved per lookup).
@@ -519,6 +520,14 @@ def pq_write_index(
         ).select(F.lit(j).alias("subspace"), "centroid_id", "cvec")
         books = cents if books is None else books.unionByName(cents)
     books.coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
+
+    codes = pq_encode(embeddings, m=m, k=k, n_iter=n_iter, scale=scale, dim=dim)
+    coarse = ivf_assignments(embeddings, coarse_ids).select(
+        "vec_id", "centroid_id"
+    )
+    codes.join(coarse, "vec_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
 
 
 def ivfpq_topk_indexed(
@@ -769,7 +778,7 @@ def opq_topk(
 def opq_alloc_ctes(m: int = 4, dim: int = 64, scale: int = 10_000) -> str:
     """The allocation trainer as DuckDB CTE text: exact integer variance
     keys, rank, and one ``alloc{j}`` dim-list per subspace — the SQL twin
-    of :func:`opq_dim_allocation`."""
+    of :func:`opq_variance_keys` + :func:`opq_allocation_from_keys`."""
     allocs = ",\n".join(
         f"alloc{j} AS (SELECT LIST(d ORDER BY rk) AS dims FROM opq_ranked "
         f"WHERE rk % {m} = {j})"

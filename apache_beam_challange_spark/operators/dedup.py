@@ -119,7 +119,16 @@ def lsh_candidate_pairs(
     doubles the most expensive stage of the dedup chain for no benefit.
     The checkpoint caps the recompute at one pass and keeps downstream
     lineage flat; pass False to keep the plan fully lazy (e.g. for plan
-    inspection of the unmaterialized shape)."""
+    inspection of the unmaterialized shape).
+
+    The checkpoint is LAZY (``eager=False``): constructing the DataFrame
+    never runs a job — the banded signatures materialize on first action
+    and both join sides then read the stored blocks. Caveat for cluster
+    deployments: ``localCheckpoint`` stores blocks on executors, not a
+    fault-tolerant filesystem, so losing an executor (preemption, dynamic
+    allocation) fails the query instead of recomputing the lineage; on a
+    preemptible 100 TB cluster prefer a reliable ``checkpoint()`` dir or
+    an explicit intermediate parquet for this stage."""
     bands = (
         signatures.groupBy(
             "doc_id",
@@ -136,7 +145,7 @@ def lsh_candidate_pairs(
         )
     )
     if materialize:
-        bands = bands.localCheckpoint()
+        bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col("doc_id").alias("doc_id_1"), "band_idx", "band_val"
     )
@@ -223,9 +232,12 @@ def simhash_candidate_pairs(
 
     ``materialize`` localCheckpoints the signatures first: they feed FOUR
     plan branches (both band-join sides + both verify joins), so a lazy
-    plan re-runs the token→md5-votes aggregation four times."""
+    plan re-runs the token→md5-votes aggregation four times. The
+    checkpoint is lazy (``eager=False``) — no job runs at plan-build
+    time; see :func:`lsh_candidate_pairs` for the executor-loss caveat
+    that applies to ``localCheckpoint`` on preemptible clusters."""
     if materialize:
-        signatures = signatures.localCheckpoint()
+        signatures = signatures.localCheckpoint(eager=False)
     bits_per = 64 // num_bands
     mask = (1 << bits_per) - 1
     band_structs = F.array(

@@ -545,10 +545,16 @@ def lsh_write_index(
     the partition columns, so dynamic partition pruning opens exactly
     num_tables of the directories and never reads the rest — the same
     at-rest posture as :func:`ivf_write_index`, completing the LSH family
-    (the L*planes projection passes happen ONCE here, not per query)."""
-    _multitable_buckets(embeddings, num_tables, num_planes, dim).write.mode(
-        "overwrite"
-    ).partitionBy("table_idx", "bucket").parquet(path)
+    (the L*planes projection passes happen ONCE here, not per query).
+
+    The stored partition value is ``"b" + bucket``: hive partition-column
+    type inference would read a pure-digit bit-string ("0101") back as an
+    integer with leading zeros dropped, leaving the bucket join to rely on
+    implicit string==int casts. The non-digit prefix pins the partition
+    column to string under any inference config or bucket alphabet."""
+    _multitable_buckets(embeddings, num_tables, num_planes, dim).withColumn(
+        "bucket", F.concat(F.lit("b"), F.col("bucket"))
+    ).write.mode("overwrite").partitionBy("table_idx", "bucket").parquet(path)
 
 
 def ann_lsh_multitable_topk_indexed(
@@ -571,7 +577,12 @@ def ann_lsh_multitable_topk_indexed(
         num_tables,
         num_planes,
         dim,
-    ).select("table_idx", F.col("bucket").alias("__qbucket"))
+    ).select(
+        "table_idx",
+        # lsh_write_index stores "b"-prefixed buckets (string-typed
+        # partition values); mirror the prefix on the query side.
+        F.concat(F.lit("b"), F.col("bucket")).alias("__qbucket"),
+    )
     cand_ids = (
         index.join(
             F.broadcast(qb),

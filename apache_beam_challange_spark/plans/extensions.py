@@ -1238,7 +1238,7 @@ def ivfpq_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = warehouse_path(sf_dir, "ivfpq_index_8x4", "embeddings")
-    if not is_materialized(path):
+    if not is_materialized(path, parts=(path + "_codebooks",)):
         pq_write_index(emb, path)
     index = spark.read.parquet(path)
     return ivfpq_topk_indexed(emb, index, query_vec_id=0, k_results=20)
@@ -1670,7 +1670,7 @@ def ivfpq_refined_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFra
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = warehouse_path(sf_dir, "ivfpq_index_8x4_v2", "embeddings")
-    if not is_materialized(path):
+    if not is_materialized(path, parts=(path + "_codebooks",)):
         pq_write_index(emb, path)
     index = spark.read.parquet(path)
     codebooks = spark.read.parquet(path + "_codebooks")
@@ -1700,7 +1700,10 @@ def ann_lsh_multitable_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> Da
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = warehouse_path(sf_dir, "lsh_index_16x4", "embeddings")
+    # layer name versioned (_b): the stored bucket format changed to
+    # "b"-prefixed strings, so pre-existing content-keyed artifacts from
+    # the digit-string era must not be served.
+    path = warehouse_path(sf_dir, "lsh_index_16x4_b", "embeddings")
     if not is_materialized(path):
         lsh_write_index(emb, path, num_tables=16, num_planes=4, dim=64)
     index = spark.read.parquet(path)

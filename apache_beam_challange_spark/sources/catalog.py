@@ -103,15 +103,22 @@ def warehouse_path(sf_dir: str, layer: str, source_table: str) -> str:
     return os.path.join(root, layer, key)
 
 
-def is_materialized(path: str) -> bool:
+def is_materialized(path: str, parts: tuple[str, ...] = ()) -> bool:
     # check-then-act with a concurrent builder (e.g. bench + correctness
     # runs) can double-build the layer; that is BENIGN by construction —
     # the path is keyed by source content and every build writes identical
-    # bytes via mode("overwrite"), with _SUCCESS committed last, so a
-    # reader either sees a complete artifact or rebuilds it.
+    # bytes via mode("overwrite"), with the primary _SUCCESS committed
+    # last, so a reader either sees a complete artifact or rebuilds it.
+    # Multi-part artifacts (e.g. the IVFPQ codes table + its stored
+    # codebooks) must list every sibling directory in ``parts``: the
+    # builder commits the siblings BEFORE the primary path, and the check
+    # requires _SUCCESS in ALL of them, so a crash mid-sequence can never
+    # present a torn artifact as materialized.
     import os
 
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (path, *parts)
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

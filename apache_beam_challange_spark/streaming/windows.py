@@ -23,10 +23,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# Physical parquet schema of events (ts is TIMESTAMP(NANOS), surfaced as a
-# nano-long under spark.sql.legacy.parquet.nanosAsLong — see session.py).
+# Physical parquet schema of events when ts is TIMESTAMP(NANOS): surfaced
+# as a nano-long under spark.sql.legacy.parquet.nanosAsLong — see
+# session.py. Newer testdata generations write TIMESTAMP(MICROS) instead,
+# which Spark surfaces natively; ``events_stream`` sniffs the footer of one
+# file at plan-build time and picks the matching schema + conversion (file
+# streams REQUIRE a user-declared schema, so the source cannot infer).
 EVENTS_PHYSICAL_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -37,6 +42,34 @@ EVENTS_PHYSICAL_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+def _ts_stored_as_timestamp(path: str, glob_filter: str | None) -> bool:
+    """True iff the ``ts`` column of one sample parquet file under ``path``
+    is a native parquet TIMESTAMP (micros/millis) rather than an int64 of
+    nanos. Footer-only read (pyarrow) of a single file — a driver-side
+    metadata peek, the same cost class as Spark's own schema inference; if
+    no file exists yet (tests stage files after building the plan) fall
+    back to the nano-long layout those tests write."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as papq
+    import pyarrow.types as patypes
+
+    try:
+        if os.path.isfile(path):
+            sample = path
+        else:
+            files = sorted(
+                _glob.glob(os.path.join(path, glob_filter or "*.parquet"))
+            )
+            if not files:
+                return False
+            sample = files[0]
+        return patypes.is_timestamp(papq.read_schema(sample).field("ts").type)
+    except (OSError, KeyError):
+        return False
 
 _sink_counter = itertools.count()
 
@@ -50,15 +83,32 @@ def events_stream(
     from apache_beam_challange_spark.session import ensure_session_confs
 
     ensure_session_confs(spark)
-    reader = spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    glob_filter = None
+    stream_path = path
     if path.endswith(".parquet"):
         # File-stream sources need a directory; narrow it with a glob.
         base, _, fname = path.rpartition("/")
-        reader = reader.option("pathGlobFilter", fname)
-        path = base
-    raw = reader.parquet(path)
+        glob_filter = fname
+        stream_path = base
+    native_ts = _ts_stored_as_timestamp(path, glob_filter)
+    schema = EVENTS_PHYSICAL_SCHEMA
+    if native_ts:
+        schema = StructType(
+            [
+                f
+                if f.name != "ts"
+                else StructField("ts", TimestampNTZType())
+                for f in EVENTS_PHYSICAL_SCHEMA
+            ]
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    raw = reader.parquet(stream_path)
+    if native_ts:
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
     )
