@@ -17,7 +17,7 @@ from apache_beam_challange_spark.sources.catalog import load_table
 
 
 @query(
-    "salted_group_count_events",
+    "salted_group_count_events", extended=True,
     oracle="""
 SELECT event_type, COUNT(*) AS n
 FROM events
@@ -36,7 +36,7 @@ def salted_group_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "range_join_value_bands",
+    "range_join_value_bands", extended=True,
     oracle="""
 WITH bands(band, lo, hi) AS (
     VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
@@ -72,7 +72,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "asof_join_last_event_per_order",
+    "asof_join_last_event_per_order", extended=True,
     oracle="""
 SELECT o.o_orderkey, o.o_orderdate,
        (SELECT MAX(e.ts) FROM events e
@@ -101,7 +101,7 @@ def asof_join_last_event_per_order(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "pandas_udf_char_classes",
+    "pandas_udf_char_classes", extended=True,
     oracle="""
 SELECT doc_id,
        LENGTH(REGEXP_REPLACE(text, '[^aeiou]', '', 'g')) AS n_vowels,
@@ -286,7 +286,7 @@ def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "grouped_map_best_doc",
+    "grouped_map_best_doc", extended=True,
     oracle="""
 SELECT lang, doc_id, n_chars
 FROM (
@@ -392,7 +392,7 @@ GROUP BY 1, 2
 """.strip()
 
 
-@query("hypertable_rollup_hourly", oracle=_HOURLY_SQL)
+@query("hypertable_rollup_hourly", extended=True, oracle=_HOURLY_SQL)
 def hypertable_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: closed hours are served from a
     MATERIALIZED rollup table; only the open tail (past the cutoff) is
@@ -477,7 +477,7 @@ GROUP BY kb.user_id
 """.strip()
 
 
-@query("countmin_user_estimates", oracle=_CM_SQL)
+@query("countmin_user_estimates", extended=True, oracle=_CM_SQL)
 def countmin_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch built relationally (d=4 rows x w=256 counters, md5
     hash family): per-event bucket explode -> one groupBy builds the
@@ -541,7 +541,7 @@ GROUP BY bucket
 """.strip()
 
 
-@query("hll_registers_users", oracle=_HLL_SQL)
+@query("hll_registers_users", extended=True, oracle=_HLL_SQL)
 def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register build, relationally (64 buckets, 24-bit
     substream from an md5-derived hash): register_j = max over keys of
@@ -566,7 +566,7 @@ def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "explode_tokens_topk",
+    "explode_tokens_topk", extended=True,
     oracle="""
 SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

@@ -92,7 +92,7 @@ LIMIT 50
 """.strip()
 
 
-@query("events_group_topk", oracle=_EVENTS_TOPK_SQL)
+@query("events_group_topk", extended=True, oracle=_EVENTS_TOPK_SQL)
 def events_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count.PerElement + Top.Of on the events stream table
     (``pipelines/cycle_rides.py:51,53`` analog): two-phase hash agg then
@@ -123,7 +123,7 @@ GROUP BY l_returnflag, l_linestatus
 """.strip()
 
 
-@query("pricing_summary", oracle=_PRICING_SQL)
+@query("pricing_summary", extended=True, oracle=_PRICING_SQL)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar post-aggregation arithmetic (A4, ``total_distance.py:23-24``)
     generalized to the TPC-H Q1 pricing-summary shape: predicate pushdown +
@@ -185,7 +185,7 @@ def csv_format_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- joins: broadcast equi-join, semi, anti (SURVEY §2.3 free rows) ---------
 
 @query(
-    "join_broadcast_revenue",
+    "join_broadcast_revenue", extended=True,
     oracle=f"""
 SELECT
     c.c_mktsegment,
@@ -624,7 +624,7 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-join analytical pipeline (join ordering + AQE showcase) ----------
 
 @query(
-    "q5_local_supplier_volume",
+    "q5_local_supplier_volume", extended=True,
     oracle=f"""
 SELECT
     n.n_name AS nation,
@@ -672,7 +672,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pivot / argmax aggregates (SURVEY §2.4 not-present rows) ---------------
 
 @query(
-    "pivot_user_event_matrix",
+    "pivot_user_event_matrix", extended=True,
     oracle="""
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
@@ -755,7 +755,7 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "column_profile_rides",
+    "column_profile_rides", extended=True,
     oracle=f"""
 WITH {RIDES_CTE}
 SELECT COUNT(*) AS n_rows,

@@ -686,7 +686,6 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_connected_components_lss",
-    extended=True,
     oracle=f"""
 WITH RECURSIVE {_MINHASH_CTE},
 bands AS (
@@ -782,7 +781,6 @@ def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_near_dup_pairs",
-    extended=True,
     oracle=f"""
 WITH {_SIMHASH_MD5_CTE},
 bands AS (
@@ -1144,7 +1142,6 @@ def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivf_topk_indexed_vec0",
-    extended=True,
     oracle=f"""
 WITH {_IVF_CTE}
 SELECT a.vec_id, a.label,
@@ -1246,7 +1243,6 @@ def ivfpq_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_join_vec10",
-    extended=True,
     oracle=f"""
 WITH {_IVF_CTE},
 qset AS (SELECT vec_id AS query_vec_id, v AS qv FROM vecs WHERE vec_id < 10),
@@ -1290,7 +1286,6 @@ def knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_dedup_clusters",
-    extended=True,
     oracle=f"""
 WITH RECURSIVE {_ANN_CTE},
 pairs AS (
@@ -1359,7 +1354,6 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "duplicate_ngram_spans",
-    extended=True,
     oracle="""
 WITH grams AS (
     SELECT doc_id,
@@ -1619,7 +1613,7 @@ def normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "embedding_norms_by_label",
+    "embedding_norms_by_label", extended=True,
     oracle="""
 WITH norms AS (
     SELECT vec_id, label, SQRT(SUM(x * x)) AS norm
@@ -1649,7 +1643,6 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivfpq_refined_topk_indexed_vec0",
-    extended=True,
     oracle=_IVFPQ_REFINED_ORACLE,
 )
 def ivfpq_refined_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1681,7 +1674,6 @@ def ivfpq_refined_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "ann_lsh_multitable_topk_indexed_vec0",
-    extended=True,
     oracle=_ANN_MULTI_ORACLE,
 )
 def ann_lsh_multitable_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:

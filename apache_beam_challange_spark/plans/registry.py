@@ -44,11 +44,17 @@ EXTENDED_ORACLES: dict[str, str] = {}
 #: tools/check_correctness.py and pytest every round) and rotates in
 #: extended queries that have never had a driver verdict. Over rounds this
 #: retires the never-driver-checked risk query by query while every
-#: past-green query keeps its local gate. Round 3 rotated IN the servable
-#: ANN pair (multitable LSH, IVFPQ+refine) plus ivfpq_indexed, k-means,
-#: TF-IDF, PMI, funnel, retention, anomaly and WAV; rotated OUT ten
-#: twice-green tail entries (q4_cogroup, fixture/csv/nulls/window/json/
-#: rollup/count-distinct basics, doc_fingerprints, simhash signatures).
+#: past-green query keeps its local gate.
+#:
+#: Round 4 rotated IN the 8 new curation queries (plans/curation.py),
+#: the at-rest indexed serving trio (LSH multitable indexed, IVFPQ
+#: refined indexed, IVF indexed — all touched by this round's artifact
+#: hardening, so they need fresh verdicts), LSS connected components,
+#: duplicate n-gram spans, the SemDeDup embedding-cluster chain, the
+#: batch kNN join, and SimHash banded pairing; rotated OUT 16 twice-or-
+#: thrice-green tail entries (pivot/column-profile/salted-count/range/
+#: as-of/pandas-UDF/grouped-map/rollup/count-min/HLL/explode/top-k/
+#: pricing/broadcast-join/q5/embedding-norms).
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
@@ -56,55 +62,59 @@ DRIVER_ORDER: list[str] = [
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # round-3 servable ANN (never driver-checked)
+    # round-4 curation additions (new this round)
+    "batch_sessionize_events",
+    "latest_event_per_user",
+    "stratified_sample_documents",
+    "histogram_quantiles_lineitem",
+    "bloom_membership_orders",
+    "top_decile_quality_by_lang",
+    "customers_without_urgent_orders",
+    "q6_forecast_revenue",
+    # round-4 rotation: never-driver-checked extended queries; the three
+    # indexed-serving entries also carry this round's artifact changes
+    "ann_lsh_multitable_topk_indexed_vec0",
+    "ivfpq_refined_topk_indexed_vec0",
+    "ivf_topk_indexed_vec0",
+    "dedup_connected_components_lss",
+    "duplicate_ngram_spans",
+    "embedding_dedup_clusters",
+    "knn_join_vec10",
+    "simhash_near_dup_pairs",
+    # round-3/4 code changes need fresh verdicts (lazy checkpoints,
+    # micros-timestamp streaming source)
+    "jaccard_on_lsh_candidates",
+    "dedup_connected_components",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "streaming_stateful_user_counts",
+    "streaming_tumbling_counts",
+    # servable ANN + trained structures under continuous driver watch
     "ann_lsh_multitable_topk_vec0",
     "ivfpq_refined_topk_vec0",
-    # round-3 rotation: extended-tier queries without a driver verdict yet
     "ivfpq_topk_indexed_vec0",
     "kmeans_embedding_clusters",
+    "cosine_topk_vec0",
+    "ann_lsh_topk_vec0",
+    "ivf_topk_vec0",
+    "embedding_near_dup_lsh",
+    # curation/analytics core kept under driver watch
     "tfidf_top_terms",
     "token_cooccurrence_pmi",
     "event_funnel_counts",
     "user_retention_cohorts",
     "hourly_anomaly_zscores",
-    "multimodal_decode_wav",
-    # round-2 green, round-3 code changes need fresh verdicts
-    "jaccard_on_lsh_candidates",
-    "dedup_connected_components",
-    "multimodal_decode_bmp",
-    "q3_station_distances_geodesic",
-    # twice-green core kept under continuous driver watch
-    "pivot_user_event_matrix",
-    "column_profile_rides",
     "text_stats_by_lang",
-    "salted_group_count_events",
-    "range_join_value_bands",
-    "asof_join_last_event_per_order",
-    "pandas_udf_char_classes",
-    "grouped_map_best_doc",
-    "hypertable_rollup_hourly",
-    "countmin_user_estimates",
-    "hll_registers_users",
-    "explode_tokens_topk",
-    "streaming_session_windows",
-    "streaming_dedup_events",
-    "streaming_stateful_user_counts",
-    "streaming_tumbling_counts",
-    "events_group_topk",
-    "pricing_summary",
-    "join_broadcast_revenue",
-    "q5_local_supplier_volume",
     "dedup_exact_docs",
     "lang_id_confusion",
     "quality_scores_top",
-    "minhash_signatures",
-    "minhash_candidate_pairs",
-    "cosine_topk_vec0",
-    "ann_lsh_topk_vec0",
-    "ivf_topk_vec0",
-    "embedding_near_dup_lsh",
-    "embedding_norms_by_label",
+    # multimodal + reference parity tail
+    "multimodal_decode_wav",
+    "multimodal_decode_bmp",
     "multimodal_image_features",
+    "q3_station_distances_geodesic",
 ]
 
 
@@ -127,7 +137,15 @@ def query(
 
 def load_all() -> None:
     """Import every query module so the registry is fully populated."""
-    for mod in ("canonical", "coverage", "extensions", "media", "stream", "advanced"):
+    for mod in (
+        "canonical",
+        "coverage",
+        "extensions",
+        "media",
+        "stream",
+        "advanced",
+        "curation",
+    ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 
 

@@ -211,3 +211,58 @@ def test_duplicate_spans_never_doc_by_doc(plans):
     p = plans("duplicate_ngram_spans")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q6_filters_all_reach_scan(plans):
+    """TPC-H Q6 shape: all four predicates in the parquet scan's
+    DataFilters, and no shuffle at all (partial agg folds map-side into
+    the single-row result)."""
+    p = plans("q6_forecast_revenue")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("DataFilters")[1], col
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_sessionize_single_shuffle(plans):
+    """Gaps-and-islands sessionization: the lag window, the running sum,
+    and the session aggregation must all reuse ONE user_id
+    hash-partitioning."""
+    p = plans("batch_sessionize_events")
+    exchanges = [
+        l for l in p.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_latest_snapshot_single_shuffle(plans):
+    """Latest-record-per-key compaction: one key shuffle, nothing else."""
+    p = plans("latest_event_per_user")
+    exchanges = [
+        l for l in p.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_bloom_membership_broadcasts_sketch(plans):
+    """The Bloom bitset and the member dim must broadcast into the probe
+    side; no sort-merge join anywhere; the four counts come from ONE
+    aggregation (no per-count re-execution of the probe subtree)."""
+    p = plans("bloom_membership_orders")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # one final single-partition aggregate, not four cross-joined ones
+    assert p.count("Exchange SinglePartition") == 1
+
+
+def test_anti_join_builds_filtered_side(plans):
+    """NOT EXISTS must compile to a (broadcast) anti join with the
+    priority filter pushed into the orders scan — never a full-orders
+    build."""
+    p = plans("customers_without_urgent_orders")
+    assert "LeftAnti" in p
+    scan = [l for l in p.splitlines() if "FileScan parquet" in l and "o_orderpriority" in l]
+    assert scan, "priority filter must reach the orders scan"
+    assert "SortMergeJoin" not in p
