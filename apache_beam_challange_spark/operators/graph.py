@@ -223,3 +223,64 @@ def dedup_clusters(
             (F.col("node") == F.col("component")).alias("keep"),
         )
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000,
+    src_col: str = "doc_id_1",
+    dst_col: str = "doc_id_2",
+) -> DataFrame:
+    """PageRank over an undirected pair graph in EXACT integer arithmetic.
+
+    Ranks live in fixed-point units of ``1/scale`` and every update is
+    BIGINT: ``contrib = r DIV deg`` (floor division) per edge,
+    ``r' = (15*scale) DIV 100 + (85 * sum(contrib)) DIV 100``. Floor
+    division makes the whole trajectory bit-reproducible on any engine
+    (the same guarantee :func:`~apache_beam_challange_spark.operators.
+    clustering.kmeans_centroids` gets from fixed-point sums), so an
+    unrolled SQL twin hashes identically — no float summation-order wobble
+    compounding across iterations.
+
+    Each iteration is one equi-join (ranks onto the edge list) plus one
+    groupBy(dst) SUM — two hash shuffles on the node id, the same scale
+    shape as :func:`connected_components`. Nodes are the pair-graph
+    members only (isolated docs have no rank mass to exchange; callers
+    union them back at teleport mass if needed). Returns
+    ``(node, rank_int)``, steady-state mass ≈ scale per node.
+
+    The damping split (85/100) and teleport (15/100) are the standard
+    Brin-Page constants as exact rationals.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")
+        )
+    )
+    # the edge list feeds every iteration's join — materialize it once
+    # (lazily; see lsh_candidate_pairs for the executor-loss caveat)
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("node", F.lit(scale).cast("long").alias("r"))
+    teleport = (15 * scale) // 100
+    for _ in range(n_iter):
+        acc = (
+            sym.join(ranks.join(deg, "node"), "node")
+            .select(
+                F.col("nbr").alias("node"),
+                F.expr("r DIV deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("acc"))
+        )
+        ranks = deg.select("node").join(acc, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr("(85 * coalesce(acc, 0)) DIV 100")
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_int"))

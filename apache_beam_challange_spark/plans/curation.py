@@ -24,6 +24,7 @@ from apache_beam_challange_spark.functions.text import (
     QUALITY_SCORE_SQL,
     quality_score,
 )
+from apache_beam_challange_spark.plans.extensions import _MINHASH_CTE
 from apache_beam_challange_spark.plans.registry import query
 from apache_beam_challange_spark.sources.catalog import load_table
 
@@ -536,4 +537,208 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- PageRank over the near-dup graph --------------------------------------
+
+_PR_SCALE = 1_000_000
+_PR_ITER = 3
+
+
+def _pagerank_ctes(n_iter: int = _PR_ITER, scale: int = _PR_SCALE) -> str:
+    """Unrolled integer-PageRank CTEs over ``cand`` pair rows — the SQL
+    twin of :func:`~apache_beam_challange_spark.operators.graph.
+    pagerank_int` (same floor divisions, same 85/100 damping)."""
+    teleport = (15 * scale) // 100
+    parts = [
+        """
+edges AS (
+    SELECT doc_id_1 AS node, doc_id_2 AS nbr FROM cand
+    UNION ALL
+    SELECT doc_id_2 AS node, doc_id_1 AS nbr FROM cand
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY node
+),
+pr0 AS (
+    SELECT node, CAST(%d AS BIGINT) AS r FROM deg
+)""".strip()
+        % scale
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+pr{i} AS (
+    SELECT d.node,
+           CAST({teleport} + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS r
+    FROM deg d LEFT JOIN (
+        SELECT e.nbr AS node, CAST(SUM(p.r // g.deg) AS BIGINT) AS acc
+        FROM edges e
+        JOIN pr{i - 1} p ON p.node = e.node
+        JOIN deg g ON g.node = e.node
+        GROUP BY e.nbr
+    ) s ON s.node = d.node
+)""".strip()
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "pagerank_near_dup_graph",
+    oracle=f"""
+WITH {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+{_pagerank_ctes()}
+SELECT node AS doc_id, r AS rank_int FROM pr{_PR_ITER}
+""".strip(),
+)
+def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup graph — the
+    cluster-representative signal beyond plain connected components (pick
+    the most-linked member, not the min id). Exact integer fixed-point
+    arithmetic end to end (contrib = r DIV deg, 85/100 damping as
+    rationals), so three unrolled iterations hash-match the SQL twin with
+    no float drift. Two shuffles per iteration on the node id; the
+    symmetrized edge list materializes once and feeds all rounds."""
+    from apache_beam_challange_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from apache_beam_challange_spark.operators.graph import pagerank_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    return pagerank_int(cand, n_iter=_PR_ITER, scale=_PR_SCALE).select(
+        F.col("node").alias("doc_id"), "rank_int"
+    )
+
+
+# --- unigram-LM surprise scoring -------------------------------------------
+
+
+@query(
+    "unigram_surprise_docs",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_t FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+doc AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(LN(tf.n_t)) AS s_ln
+    FROM tok t JOIN tf ON tf.token = t.token
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(s_ln / n_tokens - (SELECT LN(n) FROM tot), 6) AS avg_logprob
+FROM doc
+ORDER BY avg_logprob ASC, doc_id
+LIMIT 20
+""".strip(),
+)
+def unigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprise — the shape of CCNet/Gopher
+    perplexity filtering with the corpus itself as the LM: token
+    probabilities from one corpus-wide count, each doc scored by its mean
+    token log-probability, lowest-probability (most surprising / most
+    out-of-distribution) docs surfaced for review. The vocabulary
+    aggregate is zipf-small and broadcasts into the token join; per-doc
+    scoring is one key aggregation. ln() of exact integer counts only —
+    the PMI determinism pattern — and scores are rounded BEFORE ranking
+    so the cut is stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    doc = (
+        tok.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log("n_t")).alias("s_ln"),
+        )
+    )
+    return (
+        doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("s_ln") / F.col("n_tokens") - F.log("n"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy(F.col("avg_logprob").asc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+# --- positional phrase search ----------------------------------------------
+
+_PHRASE = ("row", "column", "sort")
+
+
+@query(
+    "phrase_search_positions",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(generate_series(1, len(ts))) AS i, ts FROM tok
+),
+posting AS (SELECT doc_id, i, ts[i] AS token FROM pos),
+p0 AS (SELECT doc_id, i FROM posting WHERE token = '{_PHRASE[0]}'),
+p1 AS (SELECT doc_id, i - 1 AS i FROM posting WHERE token = '{_PHRASE[1]}'),
+p2 AS (SELECT doc_id, i - 2 AS i FROM posting WHERE token = '{_PHRASE[2]}')
+SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM p0
+JOIN p1 ON p0.doc_id = p1.doc_id AND p0.i = p1.i
+JOIN p2 ON p0.doc_id = p2.doc_id AND p0.i = p2.i
+GROUP BY p0.doc_id
+""".strip(),
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search on a positional posting list: postings filter
+    to the phrase's tokens FIRST (three tiny slices of the index), then
+    adjacency is three equi-joins on (doc_id, normalized position) — the
+    classic positional-index intersection, never a regex scan over full
+    text. At rest the posting list is the inverted index the engine
+    already materializes (`inverted_index_terms`); at query time cost is
+    proportional to the phrase terms' posting sizes, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    posting = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "token"),
+    )
+    p0 = posting.filter(F.col("token") == _PHRASE[0]).select("doc_id", "i")
+    p1 = posting.filter(F.col("token") == _PHRASE[1]).select(
+        "doc_id", (F.col("i") - 1).alias("i")
+    )
+    p2 = posting.filter(F.col("token") == _PHRASE[2]).select(
+        "doc_id", (F.col("i") - 2).alias("i")
+    )
+    return (
+        p0.join(p1, ["doc_id", "i"])
+        .join(p2, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
     )

@@ -51,7 +51,7 @@ from apache_beam_challange_spark.sources.catalog import load_table
 # --- exact dedup ------------------------------------------------------------
 
 @query(
-    "dedup_exact_docs",
+    "dedup_exact_docs", extended=True,
     oracle="""
 SELECT doc_id, lang, source
 FROM (
@@ -129,7 +129,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lang_id_confusion",
+    "lang_id_confusion", extended=True,
     oracle=f"""
 SELECT lang, {lang_id_sql()} AS lang_pred, COUNT(*) AS n
 FROM documents
@@ -148,7 +148,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quality_scores_top",
+    "quality_scores_top", extended=True,
     oracle=f"""
 SELECT doc_id, ROUND({QUALITY_SCORE_SQL}, 6) AS quality
 FROM documents

@@ -71,6 +71,9 @@ DRIVER_ORDER: list[str] = [
     "top_decile_quality_by_lang",
     "customers_without_urgent_orders",
     "q6_forecast_revenue",
+    "pagerank_near_dup_graph",
+    "unigram_surprise_docs",
+    "phrase_search_positions",
     # round-4 rotation: never-driver-checked extended queries; the three
     # indexed-serving entries also carry this round's artifact changes
     "ann_lsh_multitable_topk_indexed_vec0",
@@ -107,9 +110,6 @@ DRIVER_ORDER: list[str] = [
     "user_retention_cohorts",
     "hourly_anomaly_zscores",
     "text_stats_by_lang",
-    "dedup_exact_docs",
-    "lang_id_confusion",
-    "quality_scores_top",
     # multimodal + reference parity tail
     "multimodal_decode_wav",
     "multimodal_decode_bmp",

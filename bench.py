@@ -13,6 +13,9 @@ medians make the driver's recorded number variance-robust. Two series:
 - FLAGSHIPS: round-2/3 operators (CC dedup chain, TF-IDF, at-rest IVF+PQ,
   funnel, and the servable ANN pair), reported as "flagships"/
   "flagships_total" so the new subsystems get tracked wall numbers too.
+- CURATION: the round-4 batch-curation operators (sessionize, snapshot,
+  stratified sample, histogram quantiles, Bloom membership, quality
+  decile, anti join, Q6), reported as "curation"/"curation_total".
 
 Execution is forced with the noop sink (full compute, no driver collect),
 except streaming queries whose callables already run to completion.
@@ -61,6 +64,17 @@ FLAGSHIPS = [
     "ivfpq_refined_topk_indexed_vec0",
 ]
 
+CURATION = [
+    "batch_sessionize_events",
+    "latest_event_per_user",
+    "stratified_sample_documents",
+    "histogram_quantiles_lineitem",
+    "bloom_membership_orders",
+    "top_decile_quality_by_lang",
+    "customers_without_urgent_orders",
+    "q6_forecast_revenue",
+]
+
 
 def _bench_series(qs, names, spark, sf_dir) -> dict[str, float]:
     timings: dict[str, float] = {}
@@ -107,6 +121,7 @@ def main() -> None:
 
     timings = _bench_series(qs, HEADLINE, spark, sf_dir)
     flagships = _bench_series(qs, FLAGSHIPS, spark, sf_dir)
+    curation = _bench_series(qs, CURATION, spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -118,6 +133,8 @@ def main() -> None:
                 "queries": timings,
                 "flagships": flagships,
                 "flagships_total": round(sum(flagships.values()), 3),
+                "curation": curation,
+                "curation_total": round(sum(curation.values()), 3),
                 "repeats": REPEATS,
                 "aggregation": "median",
                 "sf": sf,

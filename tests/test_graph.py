@@ -262,3 +262,56 @@ def test_skew_stress_power_law_graph(spark):
         connected_components(
             vertices, cluster_edges.unionByName(path_edges), max_iter=10
         )
+
+
+def _pagerank_reference(pairs, n_iter=3, scale=1_000_000):
+    """Pure-Python twin of pagerank_int's exact integer trajectory."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    r = {n: scale for n in adj}
+    teleport = (15 * scale) // 100
+    for _ in range(n_iter):
+        acc = defaultdict(int)
+        for n, nbrs in adj.items():
+            c = r[n] // deg[n]
+            for m in nbrs:
+                acc[m] += c
+        r = {n: teleport + (85 * acc[n]) // 100 for n in adj}
+    return r
+
+
+def test_pagerank_int_exact_star_plus_edge(spark):
+    """Star (0-1,0-2,0-3) plus a pendant pair (4-5): ranks must equal the
+    pure-Python integer trajectory BIT-EXACTLY, center must dominate its
+    leaves, and the disconnected pair stays symmetric."""
+    from apache_beam_challange_spark.operators.graph import pagerank_int
+
+    pairs = [(0, 1), (0, 2), (0, 3), (4, 5)]
+    edges = spark.createDataFrame(pairs, ["doc_id_1", "doc_id_2"])
+    got = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_int(edges, n_iter=3).collect()
+    }
+    assert got == _pagerank_reference(pairs)
+    assert got[0] > got[1] == got[2] == got[3]
+    assert got[4] == got[5]
+
+
+def test_pagerank_int_mass_bounds(spark):
+    """On a cycle every node keeps exactly `scale` mass (regular graph
+    fixpoint, floor-exact: contrib = scale, r' = 150000 + 850000)."""
+    from apache_beam_challange_spark.operators.graph import pagerank_int
+
+    n = 6
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(pairs, ["doc_id_1", "doc_id_2"])
+    got = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_int(edges, n_iter=4).collect()
+    }
+    assert set(got.values()) == {1_000_000}
