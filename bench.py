@@ -73,6 +73,9 @@ CURATION = [
     "top_decile_quality_by_lang",
     "customers_without_urgent_orders",
     "q6_forecast_revenue",
+    "pagerank_near_dup_graph",
+    "unigram_surprise_docs",
+    "phrase_search_positions",
 ]
 
 
