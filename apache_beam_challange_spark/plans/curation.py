@@ -742,3 +742,82 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+# --- blocked fuzzy join (entity resolution) --------------------------------
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+blocked AS (
+    SELECT p_name, string_split(p_name, ' ')[-1] AS block FROM names
+)
+SELECT a.p_name AS name_1, b.p_name AS name_2,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM blocked a
+JOIN blocked b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""".strip(),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: near-identical part names within
+    Levenshtein distance 2, BLOCKED on the name's last token so the
+    comparison is an equi-join within blocks — the standard blocking
+    discipline that keeps record linkage linear-ish instead of all-pairs
+    (candidate count is sum of block-size squares, bounded by the
+    blocking key's selectivity, not n^2). Distinct-name dedup first so
+    the quadratic term is over ENTITIES, not rows."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    blocked = names.select(
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    a = blocked.select(F.col("p_name").alias("name_1"), "block")
+    b = blocked.select(F.col("p_name").alias("name_2"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_1") < F.col("name_2"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("name_1"), F.col("name_2"))
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("name_1", "name_2", "edit_dist")
+    )
+
+
+# --- deterministic per-group fixed-k sample --------------------------------
+
+
+@query(
+    "per_lang_doc_sample",
+    oracle="""
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) t
+WHERE rn <= 5
+""".strip(),
+)
+def per_lang_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-stratum sample (the reservoir-sampling
+    use case without reservoir state): rank each language's docs by the
+    md5 of their id — a content-addressed stand-in for a uniform draw —
+    and keep the first k=5. Stable across reshuffles/retries/engines like
+    every sampling op here; one key-partitioned window, no RNG. The
+    eyeball-sample every curation pipeline pulls per shard/language."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+    )

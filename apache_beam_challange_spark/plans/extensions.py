@@ -101,7 +101,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text statistics --------------------------------------------------------
 
 @query(
-    "text_stats_by_lang",
+    "text_stats_by_lang", extended=True,
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -545,7 +545,7 @@ mh AS (
 
 
 @query(
-    "minhash_signatures",
+    "minhash_signatures", extended=True,
     oracle=f"WITH {_MINHASH_CTE}\nSELECT doc_id, hash_idx, min_hash FROM mh",
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:

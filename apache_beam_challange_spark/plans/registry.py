@@ -74,6 +74,8 @@ DRIVER_ORDER: list[str] = [
     "pagerank_near_dup_graph",
     "unigram_surprise_docs",
     "phrase_search_positions",
+    "fuzzy_part_name_pairs",
+    "per_lang_doc_sample",
     # round-4 rotation: never-driver-checked extended queries; the three
     # indexed-serving entries also carry this round's artifact changes
     "ann_lsh_multitable_topk_indexed_vec0",
@@ -88,7 +90,6 @@ DRIVER_ORDER: list[str] = [
     # micros-timestamp streaming source)
     "jaccard_on_lsh_candidates",
     "dedup_connected_components",
-    "minhash_signatures",
     "minhash_candidate_pairs",
     "streaming_session_windows",
     "streaming_dedup_events",
@@ -109,7 +110,6 @@ DRIVER_ORDER: list[str] = [
     "event_funnel_counts",
     "user_retention_cohorts",
     "hourly_anomaly_zscores",
-    "text_stats_by_lang",
     # multimodal + reference parity tail
     "multimodal_decode_wav",
     "multimodal_decode_bmp",

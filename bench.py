@@ -76,6 +76,8 @@ CURATION = [
     "pagerank_near_dup_graph",
     "unigram_surprise_docs",
     "phrase_search_positions",
+    "fuzzy_part_name_pairs",
+    "per_lang_doc_sample",
 ]
 
 
