@@ -91,3 +91,135 @@ def test_zero_fill_join_covers_key_union(spark, left_rows, right_rows):
     assert all(
         r["a"] is not None and r["b"] is not None for r in out.collect()
     )
+
+
+member_keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=40)
+probe_keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=40)
+
+
+@settings(**SETTINGS)
+@given(member_keys, probe_keys)
+def test_bloom_filter_never_false_negative(spark, members, probes):
+    """The Bloom guarantee: a true member ALWAYS passes the filter (false
+    positives allowed, false negatives never) — for any member/probe sets,
+    every probe that is also a member must hit all k bits."""
+    from apache_beam_challange_spark.plans.curation import (
+        _BLOOM_K,
+        _bloom_positions,
+    )
+
+    mdf = spark.createDataFrame([(k,) for k in set(members)], ["key"])
+    pdf = spark.createDataFrame([(k,) for k in set(probes)], ["key"])
+    bits = mdf.select(
+        F.explode(_bloom_positions(F.col("key"))).alias("pos")
+    ).distinct()
+    hits = (
+        pdf.select(
+            "key", F.posexplode(_bloom_positions(F.col("key"))).alias("i", "pos")
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count_distinct("i").alias("n_hits"))
+    )
+    passed = {
+        r["key"] for r in hits.filter(F.col("n_hits") == _BLOOM_K).collect()
+    }
+    true_members = set(members) & set(probes)
+    assert true_members <= passed
+
+
+def _sessionize_reference(rows, gap_s=600):
+    """Pure-Python gaps-and-islands twin of batch_sessionize_events."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, eid in rows:
+        by_user[uid].append((ts, eid))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        start, end, n = evs[0][0], evs[0][0], 1
+        for (ts, _), (prev_ts, _) in zip(evs[1:], evs[:-1]):
+            if ts - prev_ts >= gap_s:
+                out.append((uid, start, end, n))
+                start, end, n = ts, ts, 1
+            else:
+                end, n = ts, n + 1
+        out.append((uid, start, end, n))
+    return sorted(out)
+
+
+session_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # user_id
+        st.integers(0, 5_000),      # seconds offset
+    ),
+    min_size=1,
+    max_size=50,
+    unique=True,
+)
+
+
+@settings(**SETTINGS)
+@given(session_rows)
+def test_sessionize_matches_reference(spark, rows):
+    """Sessionization over arbitrary event times equals the pure-Python
+    gaps-and-islands fold: sessions partition each user's events, split
+    exactly at gaps >= 10 min."""
+    import datetime as dt
+
+    from apache_beam_challange_spark.plans.curation import (
+        batch_sessionize_events,  # noqa: F401 (import proves registration)
+    )
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (uid, base + dt.timedelta(seconds=off), i)
+        for i, (uid, off) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, ["user_id", "ts", "event_id"])
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts") - F.lag("ts").over(order_w)
+            >= F.expr("INTERVAL 10 MINUTES"),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_start"].timestamp() - base.replace(
+                tzinfo=dt.timezone.utc
+            ).timestamp(),
+            r["session_end"].timestamp() - base.replace(
+                tzinfo=dt.timezone.utc
+            ).timestamp(),
+            r["n_events"],
+        )
+        for r in numbered.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    want = [
+        (uid, float(s), float(e), n)
+        for uid, s, e, n in _sessionize_reference(
+            [(uid, off, i) for i, (uid, off) in enumerate(rows)]
+        )
+    ]
+    assert got == sorted(want)
