@@ -426,3 +426,64 @@ def test_slowly_changing_dim_refresh_via_foreach_batch(spark, tmp_path):
     q.awaitTermination()
     assert (0, 7, "seg-v1") in seen
     assert (1, 7, "seg-v2") in seen
+
+
+def test_foreachbatch_latest_snapshot_upsert(spark, tmp_path):
+    """Streaming snapshot maintenance: micro-batches upsert latest-per-user
+    rows into an at-rest parquet snapshot via foreachBatch; after draining
+    the backlog the snapshot equals the batch latest-per-key answer over
+    ALL events, including keys whose latest row arrived in an early batch."""
+    from apache_beam_challange_spark.streaming.maintenance import (
+        maintain_latest_snapshot,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    # batch A: users 1, 2; batch B: user 1 newer, user 3; batch C: user 2
+    # OLDER than its batch-A row (must NOT overwrite — latest-wins)
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "view", 1.0, "{}"),
+            (2, _nanos(10, 30), 2, "click", 2.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [
+            (3, _nanos(11, 0), 1, "buy", 3.0, "{}"),
+            (4, _nanos(9, 0), 3, "view", 4.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        str(d / "c.parquet"),
+        [(5, _nanos(10, 15), 2, "view", 5.0, "{}")],
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    snap = str(tmp_path / "snapshot")
+    maintain_latest_snapshot(
+        ev, snap, str(tmp_path / "ckpt"), key="user_id"
+    )
+    got = {
+        r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {
+        1: ("2024-01-01 11:00:00", "buy", 3.0),
+        2: ("2024-01-01 10:30:00", "click", 2.0),
+        3: ("2024-01-01 09:00:00", "view", 4.0),
+    }
+    # idempotent restart: re-running with the same checkpoint sees no new
+    # files and leaves the snapshot unchanged
+    ev2 = events_stream(spark, str(d), max_files_per_trigger=1)
+    maintain_latest_snapshot(
+        ev2, snap, str(tmp_path / "ckpt"), key="user_id"
+    )
+    again = {
+        r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert again == got
