@@ -821,3 +821,220 @@ def per_lang_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+# --- BM25 lexical retrieval ------------------------------------------------
+
+#: Fixed text query for the retrieval demos (a "user query" in the data's
+#: vocabulary); k1/b are the standard Robertson defaults as exact decimals.
+_BM25_QUERY = ("row", "column", "sort", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_CTE = f"""
+tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+doclen AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens
+    FROM doclen
+),
+qtf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok
+    WHERE term IN {_BM25_QUERY!r}
+    GROUP BY doc_id, term
+),
+qdf AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY term
+),
+bm25 AS (
+    SELECT q.doc_id,
+           ROUND(SUM(
+               LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * q.tf * ({_BM25_K1} + 1.0)
+               / (q.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * l.dl * s.n_docs / s.total_tokens))
+           ), 6) AS score
+    FROM qtf q
+    JOIN qdf d ON d.term = q.term
+    JOIN doclen l ON l.doc_id = q.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.doc_id
+)
+""".strip()
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25-scored (doc_id, score) table for the fixed query — the
+    shared scoring arm of :func:`bm25_top_docs` and
+    :func:`hybrid_rrf_vec0` (which cut at different depths)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    qtf = (
+        tok.filter(F.col("term").isin(list(_BM25_QUERY)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0
+        - _BM25_B
+        + _BM25_B * F.col("dl") * F.col("n_docs") / F.col("total_tokens")
+    )
+    return (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
+            ).alias("score")
+        )
+    )
+
+
+@query(
+    "bm25_top_docs",
+    extended=True,
+    oracle=f"""
+WITH {_BM25_CTE}
+SELECT doc_id, score FROM bm25
+ORDER BY score DESC, doc_id
+LIMIT 20
+""".strip(),
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson k1=1.2, b=0.75, Lucene's +1 IDF)
+    for a fixed multi-term query. Scale shape: per-(doc, term) counts
+    filter to the QUERY terms before any join (posting-list discipline —
+    cost tracks the query terms' postings, not the corpus); doc length
+    and corpus stats are one reusable aggregation, broadcast as scalars.
+    Every score input is an exact integer (tf, df, dl, N, Σdl), so the
+    double arithmetic is engine-reproducible; scores round BEFORE the
+    ranking cut."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+# --- hybrid retrieval: reciprocal rank fusion ------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+@query(
+    "hybrid_rrf_vec0",
+    extended=True,
+    oracle=f"""
+WITH {_BM25_CTE},
+lex AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM bm25
+    ORDER BY score DESC, doc_id
+    LIMIT {_RRF_DEPTH}
+),
+vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qv AS (SELECT v AS qvec FROM vecs WHERE vec_id = 0),
+sim AS (
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(v, (SELECT qvec FROM qv)), 6) AS cs
+    FROM vecs WHERE vec_id <> 0
+),
+vec AS (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS r
+    FROM sim
+    ORDER BY cs DESC, vec_id
+    LIMIT {_RRF_DEPTH}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + v.r), 0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT 20
+""".strip(),
+)
+def hybrid_rrf_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the modern RAG stack as one relational plan:
+    BM25 ranks the text query, exact cosine ranks the query embedding
+    (vec 0), and reciprocal rank fusion (k=60, Cormack et al. SIGIR'09)
+    merges the two top-50 lists on a FULL OUTER join of INTEGER ranks.
+    Fusing ranks (not scores) sidesteps cross-scorer calibration and
+    makes the fusion arithmetic deterministic: 1/(60+r) from exact ints,
+    rounded before the final cut. Both arms are the engine's existing
+    retrieval operators; the fusion adds one tiny join over two
+    top-depth lists."""
+    from apache_beam_challange_spark.functions.vector import as_double, cosine
+    from apache_beam_challange_spark.operators.similarity import _query_vec
+
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .alias("r_lex"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb, 0)
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), F.col("__qvec")), 6).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), F.col("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cs").desc(), F.col("doc_id")))
+            .alias("r_vec"),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(20)
