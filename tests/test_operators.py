@@ -146,3 +146,26 @@ def test_tfidf_top_terms_scores_and_ties(spark):
     # doc 2: cherry tf=3 with df=2 outranks rarer durian
     assert rows[(2, 1)]["term"] == "cherry" and rows[(2, 2)]["term"] == "durian"
     assert rows[(2, 1)]["tf"] == 3 and rows[(2, 1)]["df"] == 2
+
+
+def test_observe_metrics_on_curation_query(spark, sf_dir):
+    """The Observation API — pipeline observability without a second scan:
+    metrics accumulate ON the running query (rows, null keys, value sum),
+    so data-quality counters at 100 TB cost zero extra passes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value")).alias("value_sum"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_users"),
+    )
+    out = observed.groupBy("event_type").count().collect()
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["null_users"] == 0
+    assert abs(got["value_sum"] - ev.agg(F.sum("value")).collect()[0][0]) < 1e-6
+    assert sum(r["count"] for r in out) == got["n_rows"]

@@ -266,3 +266,34 @@ def test_anti_join_builds_filtered_side(plans):
     scan = [l for l in p.splitlines() if "FileScan parquet" in l and "o_orderpriority" in l]
     assert scan, "priority filter must reach the orders scan"
     assert "SortMergeJoin" not in p
+
+
+def test_bm25_postings_filtered_before_joins(plans):
+    """BM25 must be posting-list shaped: the query-term IN-filter applies
+    before the tf aggregation (cost tracks query postings), stats/df join
+    in as broadcasts, and nothing degenerates to a cartesian."""
+    p = plans("bm25_top_docs")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastExchange") >= 2  # qdf + stats scalars
+
+
+def test_rrf_fuses_two_topk_lists(plans):
+    """RRF fuses two ALREADY-CUT top-depth lists: each arm is bounded by
+    its own top-k (TakeOrderedAndProject) BEFORE the full-outer fusion
+    join, so the join touches 2*depth rows regardless of corpus size (a
+    full-outer join cannot broadcast — SMJ over two 50-row lists is the
+    right plan, same rationale as q4's zero-fill join)."""
+    p = plans("hybrid_rrf_vec0")
+    assert p.count("TakeOrderedAndProject") >= 2  # both arms + final cut
+    assert "CartesianProduct" not in p
+
+
+def test_fuzzy_join_is_blocked_equi_join(plans):
+    """The fuzzy join must be an equi-join on the blocking key with the
+    Levenshtein predicate as a post-join filter — never a full cross
+    product over names."""
+    p = plans("fuzzy_part_name_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
