@@ -78,6 +78,8 @@ CURATION = [
     "phrase_search_positions",
     "fuzzy_part_name_pairs",
     "per_lang_doc_sample",
+    "bm25_top_docs",
+    "hybrid_rrf_vec0",
 ]
 
 
