@@ -1,5 +1,5 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-37 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+41 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
@@ -55,6 +55,10 @@ PORTABLE = [
     "asof_join_last_event_per_order",
     "cube_orders",
     "grouped_map_best_doc",
+    "batch_sessionize_events",
+    "latest_event_per_user",
+    "customers_without_urgent_orders",
+    "q6_forecast_revenue",
 ]
 
 
