@@ -169,3 +169,65 @@ def test_observe_metrics_on_curation_query(spark, sf_dir):
     assert got["null_users"] == 0
     assert abs(got["value_sum"] - ev.agg(F.sum("value")).collect()[0][0]) < 1e-6
     assert sum(r["count"] for r in out) == got["n_rows"]
+
+
+def test_incremental_rollup_refresh(spark, tmp_path):
+    """Continuous-aggregate refresh: each refresh folds ONLY newly-closed
+    hours; the final rollup equals a from-scratch aggregation of all raw
+    data below the cutoff, and re-refreshing is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from apache_beam_challange_spark.operators.rollup import (
+        hourly_rollup,
+        refresh_hourly_rollup,
+    )
+
+    raw = tmp_path / "raw"
+    roll = str(tmp_path / "rollup")
+
+    def ev(h, m, etype, val):
+        return (dt.datetime(2024, 1, 1, h, m), etype, float(val))
+
+    batch1 = [ev(10, 5, "view", 1), ev(10, 40, "view", 2), ev(11, 10, "click", 3),
+              ev(12, 1, "view", 4)]
+    spark.createDataFrame(batch1, ["ts", "event_type", "value"]).write.mode(
+        "append"
+    ).parquet(str(raw))
+    n1 = refresh_hourly_rollup(
+        spark.read.parquet(str(raw)), roll, "2024-01-01 12:00:00"
+    )
+    got1 = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert n1 == 2
+    assert got1 == {
+        ("2024-01-01 10:00:00", "view"): (2, 3.0),
+        ("2024-01-01 11:00:00", "click"): (1, 3.0),
+    }
+
+    # second batch: rest of hour 12, hour 13, and a partial (open) hour 14
+    batch2 = [ev(12, 30, "click", 5), ev(13, 15, "view", 6), ev(14, 2, "view", 7)]
+    spark.createDataFrame(batch2, ["ts", "event_type", "value"]).write.mode(
+        "append"
+    ).parquet(str(raw))
+    all_raw = spark.read.parquet(str(raw))
+    n2 = refresh_hourly_rollup(all_raw, roll, "2024-01-01 14:00:00")
+    assert n2 == 3  # (12,view) (12,click) (13,view)
+
+    want = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in hourly_rollup(
+            all_raw.filter(F.col("ts") < F.lit("2024-01-01 14:00:00").cast("timestamp"))
+        ).collect()
+    }
+    got2 = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert got2 == want
+
+    # idempotent: nothing new below the same cutoff
+    assert refresh_hourly_rollup(all_raw, roll, "2024-01-01 14:00:00") == 0
