@@ -1038,3 +1038,51 @@ def hybrid_rrf_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(20)
+
+
+# --- OHLC downsampling bars ------------------------------------------------
+
+
+@query(
+    "ohlc_hourly_value_bars",
+    extended=True,
+    oracle="""
+WITH ranked AS (
+    SELECT date_trunc('hour', ts) AS hour, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts) ORDER BY ts, event_id
+           ) AS rn_a,
+           ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn_d
+    FROM events
+)
+SELECT hour,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY hour
+""".strip(),
+)
+def ohlc_hourly_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars — the time-series compaction every metrics
+    store runs: per hour, the first (open) and last (close) value by
+    event time plus min/max, in ONE aggregation pass via min_by/max_by
+    (no window, no self-join; open/close tie-break on (ts, event_id) so
+    the bar is deterministic under concurrent timestamps). Mergeable
+    shard-wise like any min/max aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour")
+    ).agg(
+        F.min_by(F.col("value"), key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by(F.col("value"), key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
