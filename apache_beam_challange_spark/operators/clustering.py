@@ -542,13 +542,18 @@ def ivfpq_topk_indexed(
     n_iter: int = 1,
     scale: int = 10_000,
     dim: int = 64,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ served from the materialized index: probe the coarse lists
     (tiny broadcast ranking), join the index on its PARTITION column so
     dynamic partition pruning skips every non-probed list at the file
     level, then rank by summed ADC lookups — no float vector of the
-    corpus is read at any point; only the query vector and the (m*k)-row
-    codebooks are recomputed (deterministically) at query time."""
+    corpus is read at any point. With ``codebooks`` (the stored
+    ``pq_write_index`` sibling table — the serving path), the query's ADC
+    lookup tables come from m*k tiny stored rows and NOTHING is
+    re-trained at query time; without it each subspace codebook is
+    re-derived deterministically (the self-contained baseline, m k-means
+    passes per query)."""
     from apache_beam_challange_spark.functions.vector import cosine
     from apache_beam_challange_spark.operators.similarity import _query_vec
 
@@ -574,7 +579,12 @@ def ivfpq_topk_indexed(
     adc_terms = []
     for j in range(m):
         sub_df = _pq_sub(embeddings, j, sub)
-        cents = kmeans_centroids(sub_df, k=k, n_iter=n_iter, scale=scale)
+        if codebooks is not None:
+            cents = codebooks.filter(F.col("subspace") == j).select(
+                "centroid_id", "cvec"
+            )
+        else:
+            cents = kmeans_centroids(sub_df, k=k, n_iter=n_iter, scale=scale)
         qsub = sub_df.filter(F.col("vec_id") == query_vec_id).select(
             F.col("embedding").alias("qvec")
         )

@@ -1238,7 +1238,10 @@ def ivfpq_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not is_materialized(path, parts=(path + "_codebooks",)):
         pq_write_index(emb, path)
     index = spark.read.parquet(path)
-    return ivfpq_topk_indexed(emb, index, query_vec_id=0, k_results=20)
+    codebooks = spark.read.parquet(path + "_codebooks")
+    return ivfpq_topk_indexed(
+        emb, index, query_vec_id=0, k_results=20, codebooks=codebooks
+    )
 
 
 @query(
