@@ -53,12 +53,18 @@ def refresh_hourly_rollup(
     aggregates raw rows in ``(watermark hour, up_to)`` only, and appends
     the delta. Returns the number of delta rows appended (0 when already
     current — the idempotent no-op)."""
+    import os
+
     spark = events.sparkSession
     cutoff = F.lit(up_to).cast("timestamp_ntz")
-    try:
+    # explicit existence check, NOT try/except around the read: a
+    # transient read failure must fail the refresh, never silently reset
+    # the watermark to None (which would re-append every hour — double
+    # counts)
+    if os.path.isdir(rollup_path):
         current = spark.read.parquet(rollup_path)
         wm = current.agg(F.max("hour").alias("wm")).collect()[0]["wm"]
-    except Exception:
+    else:
         wm = None
 
     fresh = events.filter(F.col("ts") < cutoff)

@@ -50,13 +50,18 @@ def maintain_latest_snapshot(
     spark = events.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         fresh = _latest_per_key(batch_df, key, order)
-        try:
+        # explicit existence check, NOT try/except: a transient read
+        # failure must fail the batch (the checkpoint will retry it),
+        # never silently discard the existing snapshot
+        if os.path.isdir(snapshot_path):
             current = spark.read.parquet(snapshot_path)
             merged = _latest_per_key(
                 current.unionByName(fresh), key, order
             )
-        except Exception:
+        else:
             # first batch: no snapshot yet
             merged = fresh
         # localCheckpoint breaks the read->overwrite cycle on the SAME
