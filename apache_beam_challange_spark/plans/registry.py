@@ -46,15 +46,23 @@ EXTENDED_ORACLES: dict[str, str] = {}
 #: retires the never-driver-checked risk query by query while every
 #: past-green query keeps its local gate.
 #:
-#: Round 4 rotated IN the 8 new curation queries (plans/curation.py),
+#: Round 4 rotated IN the 13 new curation/retrieval queries
+#: (plans/curation.py: sessionize, latest snapshot, stratified sample,
+#: histogram quantiles, Bloom membership, quality decile, anti join, Q6,
+#: PageRank, unigram-LM, phrase search, fuzzy join, per-group sample),
 #: the at-rest indexed serving trio (LSH multitable indexed, IVFPQ
 #: refined indexed, IVF indexed — all touched by this round's artifact
 #: hardening, so they need fresh verdicts), LSS connected components,
 #: duplicate n-gram spans, the SemDeDup embedding-cluster chain, the
-#: batch kNN join, and SimHash banded pairing; rotated OUT 16 twice-or-
+#: batch kNN join, and SimHash banded pairing; rotated OUT 21 twice-or-
 #: thrice-green tail entries (pivot/column-profile/salted-count/range/
 #: as-of/pandas-UDF/grouped-map/rollup/count-min/HLL/explode/top-k/
-#: pricing/broadcast-join/q5/embedding-norms).
+#: pricing/broadcast-join/q5/embedding-norms/dedup-exact/lang-id/
+#: quality-top/minhash-sigs/text-stats). Round-5 rotation pool (never
+#: driver-checked): multiprobe LSH, cube, mixture weights, brute-force
+#: embedding pairs, inverted index, trained IVF, inline IVFPQ/PQ/OPQ,
+#: regex counts, repetition flags, salted join, stream-static
+#: enrichment, UDTF, rolling frame, BM25, RRF, OHLC bars.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
