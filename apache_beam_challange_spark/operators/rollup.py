@@ -12,13 +12,16 @@ driver read of a tiny aggregated table, not state kept elsewhere, so
 the refresh is self-describing and restart-safe.
 
 Idempotency & crash model (plain parquet, no table format in this
-container): a refresh APPENDS one delta of whole hours strictly above
-the watermark. Re-running after success appends nothing (the watermark
-has advanced past ``up_to``). A crash BEFORE any file commits leaves the
-old rollup intact. Parquet append is not atomic across files — on a real
-deployment back this with a transactional table format (Delta/Iceberg)
-where the same logic becomes one MERGE/append commit; the operator keeps
-that seam explicit rather than pretending parquet gives transactions.
+container): each refresh publishes ``current UNION delta`` as a new
+version through :mod:`..sources.publish` — version dir first, atomic
+``_CURRENT`` pointer flip last — so a crash at ANY point leaves the old
+rollup intact and fully readable, and the retry folds from the last
+complete version. Re-running after success publishes nothing (the
+watermark has advanced past ``up_to``). Rewriting the rollup is cheap —
+it is the aggregated layer (hours x event_types), orders of magnitude
+smaller than the raw scan the incremental filter avoids; on a
+transactional table format the same logic becomes one append/MERGE
+commit.
 """
 
 from __future__ import annotations
@@ -46,23 +49,42 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
 def refresh_hourly_rollup(
     events: DataFrame, rollup_path: str, up_to: str
 ) -> int:
-    """Advance the rollup at ``rollup_path`` to cover every hour that
-    CLOSED strictly before ``up_to`` (an hour-aligned timestamp string).
+    """Advance the rollup published under ``rollup_path`` to cover every
+    hour that CLOSED strictly before ``up_to`` (an hour-aligned timestamp
+    string — validated, misaligned callers fail fast; read the live
+    rollup with :func:`~apache_beam_challange_spark.sources.publish.
+    read_published`).
 
     Reads the current watermark (MAX(hour) of the rollup — one scalar),
-    aggregates raw rows in ``(watermark hour, up_to)`` only, and appends
-    the delta. Returns the number of delta rows appended (0 when already
-    current — the idempotent no-op)."""
-    import os
+    aggregates raw rows in ``(watermark hour, up_to)`` only, and publishes
+    ``current UNION delta`` as a new atomic version. Returns the number of
+    delta rows folded in (0 when already current — the idempotent no-op)."""
+    import datetime as dt
+
+    from apache_beam_challange_spark.sources.publish import (
+        publish,
+        read_published,
+    )
+
+    # fail fast on a misaligned cutoff: silently accepting e.g.
+    # "…12:30:00" would write a PARTIAL hour-12 row, after which the
+    # strictly-greater-than-watermark filter skips hour 12's remaining
+    # rows on every later refresh — a permanent undercount
+    parsed = dt.datetime.fromisoformat(up_to)
+    if parsed != parsed.replace(minute=0, second=0, microsecond=0):
+        raise ValueError(
+            f"up_to must be hour-aligned, got {up_to!r} — a partial-hour "
+            "cutoff would permanently undercount that hour"
+        )
 
     spark = events.sparkSession
     cutoff = F.lit(up_to).cast("timestamp_ntz")
-    # explicit existence check, NOT try/except around the read: a
-    # transient read failure must fail the refresh, never silently reset
-    # the watermark to None (which would re-append every hour — double
-    # counts)
-    if os.path.isdir(rollup_path):
-        current = spark.read.parquet(rollup_path)
+    # read_published raises on a corrupted pointer and propagates
+    # transient read failures: the refresh must fail, never silently
+    # reset the watermark to None (which would re-fold every hour —
+    # double counts)
+    current = read_published(spark, rollup_path)
+    if current is not None:
         wm = current.agg(F.max("hour").alias("wm")).collect()[0]["wm"]
     else:
         wm = None
@@ -75,10 +97,10 @@ def refresh_hourly_rollup(
             F.date_trunc("hour", F.col("ts")) > F.lit(wm).cast("timestamp_ntz")
         )
     delta = hourly_rollup(fresh)
-    # localCheckpoint: count + append must see one consistent delta, and
-    # the append below must not lazily re-list the rollup dir it extends
+    # localCheckpoint: count + publish must see one consistent delta
     delta = delta.localCheckpoint()
     n = delta.count()
     if n:
-        delta.write.mode("append").parquet(rollup_path)
+        merged = delta if current is None else current.unionByName(delta)
+        publish(merged, rollup_path)
     return n

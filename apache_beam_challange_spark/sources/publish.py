@@ -1,0 +1,102 @@
+"""Atomic snapshot publication over plain parquet (no Delta/Iceberg in
+the container): versioned directories plus a ``_CURRENT`` pointer file,
+flipped with ``os.replace`` (atomic on POSIX).
+
+Layout under a published base path::
+
+    base/
+      v_00000001/          complete parquet dir (_SUCCESS committed last)
+      v_00000002/
+      _CURRENT             text file naming the live version ("v_00000002")
+
+Commit order: (1) write the new version dir fully — Spark commits its
+``_SUCCESS`` marker last; (2) write the pointer to a temp file and
+``os.replace`` it over ``_CURRENT``. A crash anywhere before step 2
+leaves ``_CURRENT`` on the previous complete version, so a concurrent
+reader NEVER observes partial state — the same commit-ordering
+discipline as :func:`~apache_beam_challange_spark.operators.clustering.
+pq_write_index`. Retrying a crashed publish re-derives the same next
+version number and ``mode("overwrite")`` clears the torn dir before the
+pointer ever references it.
+
+On a transactional table format this whole module collapses into the
+table's own commit protocol; the seam is kept explicit rather than
+pretending parquet gives transactions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_CURRENT"
+_KEEP_VERSIONS = 2  # live + one predecessor for in-flight readers
+
+# module-level seam so crash-injection tests can fail the flip without
+# patching the global os module
+_pointer_flip = os.replace
+
+
+def current_version_path(base: str) -> str | None:
+    """Path of the live version dir under ``base``, or ``None`` when
+    nothing has been published. Raises — loudly, per the crash model —
+    if the pointer references a dir without ``_SUCCESS``: that cannot
+    happen under the commit order above, so it means outside interference
+    and the caller must not launder it into a merge."""
+    ptr = os.path.join(base, _POINTER)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        name = fh.read().strip()
+    vdir = os.path.join(base, name)
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        raise RuntimeError(
+            f"published pointer {ptr} references {name!r} which has no "
+            "_SUCCESS marker — refusing to read a torn snapshot"
+        )
+    return vdir
+
+
+def read_published(spark: SparkSession, base: str) -> DataFrame | None:
+    """The live published DataFrame, or ``None`` before the first publish."""
+    vdir = current_version_path(base)
+    return None if vdir is None else spark.read.parquet(vdir)
+
+
+def publish(df: DataFrame, base: str) -> str:
+    """Write ``df`` as the next version under ``base`` and atomically flip
+    ``_CURRENT`` to it. Returns the new version dir. Single-writer by
+    contract (streaming checkpoint / refresh driver); readers need no
+    coordination."""
+    cur = current_version_path(base)
+    nxt = 1 if cur is None else int(os.path.basename(cur).split("_")[1]) + 1
+    name = f"v_{nxt:08d}"
+    vdir = os.path.join(base, name)
+    # overwrite: a retry of a crashed publish clears its own torn dir
+    df.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(base, f"{_POINTER}.tmp.{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(name)
+        fh.flush()
+        os.fsync(fh.fileno())
+    _pointer_flip(tmp, os.path.join(base, _POINTER))
+    _prune(base, keep_from=nxt - _KEEP_VERSIONS + 1)
+    return vdir
+
+
+def _prune(base: str, keep_from: int) -> None:
+    """Best-effort GC of versions older than ``keep_from`` (the live
+    version and one predecessor stay, so a reader that resolved the old
+    pointer just before the flip can finish its scan)."""
+    import shutil
+
+    for entry in os.listdir(base):
+        if not entry.startswith("v_"):
+            continue
+        try:
+            n = int(entry.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if n < keep_from:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)

@@ -4,7 +4,7 @@ snapshot via ``foreachBatch`` — the streaming twin of the batch
 
 This is the standard streaming->lakehouse MERGE pattern expressed over
 plain parquet (the container has no Delta/Iceberg, so the upsert is a
-read-modify-overwrite of the snapshot; on a table format it would be the
+read-modify-publish of the snapshot; on a table format it would be the
 same ``foreachBatch`` body issuing MERGE INTO). The structure that
 matters at 100 TB:
 
@@ -12,8 +12,10 @@ matters at 100 TB:
   the snapshot (per-batch window, shuffle bounded by batch keys);
 - the snapshot merge is a latest-wins window over (snapshot UNION batch)
   keyed rows — cost proportional to snapshot keys, not event history;
-- every batch leaves a complete, readable snapshot (overwrite commits
-  _SUCCESS last), so readers never see a torn table.
+- every batch publishes through :mod:`..sources.publish`: a new version
+  dir plus an atomic ``_CURRENT`` pointer flip, so a crash mid-write can
+  never present a torn snapshot to a reader OR to the retrying batch
+  (the retry re-reads the last COMPLETE version — no data-loss window).
 
 The reference declares streaming and stops (``development.ipynb:114``);
 this surface is part of the beyond-reference mandate.
@@ -42,34 +44,40 @@ def maintain_latest_snapshot(
     order: list[str] | None = None,
 ) -> None:
     """Run the event stream to completion (availableNow), upserting the
-    latest row per ``key`` into the parquet snapshot at ``snapshot_path``
-    once per micro-batch. Restart-safe: the checkpoint tracks source
-    progress, and re-merging an already-applied batch is idempotent
-    (latest-wins on the same rows changes nothing)."""
+    latest row per ``key`` into the versioned parquet snapshot published
+    under ``snapshot_path`` once per micro-batch (read the live version
+    with :func:`~apache_beam_challange_spark.sources.publish.
+    read_published`). Restart-safe: the checkpoint tracks source
+    progress; a batch retried after a crash re-reads the last COMPLETE
+    published version (the atomic pointer never references a torn dir),
+    and re-merging an already-applied batch is idempotent (latest-wins
+    on the same rows changes nothing)."""
+    from apache_beam_challange_spark.sources.publish import (
+        publish,
+        read_published,
+    )
+
     order = order or ["ts", "event_id"]
     spark = events.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         fresh = _latest_per_key(batch_df, key, order)
-        # explicit existence check, NOT try/except: a transient read
-        # failure must fail the batch (the checkpoint will retry it),
-        # never silently discard the existing snapshot
-        if os.path.isdir(snapshot_path):
-            current = spark.read.parquet(snapshot_path)
+        # read_published raises (fails the batch -> checkpoint retries)
+        # on a corrupted pointer rather than merging partial state; a
+        # transient read failure likewise fails the batch, never silently
+        # discarding the existing snapshot
+        current = read_published(spark, snapshot_path)
+        if current is not None:
             merged = _latest_per_key(
                 current.unionByName(fresh), key, order
             )
         else:
-            # first batch: no snapshot yet
+            # first batch: nothing published yet
             merged = fresh
-        # localCheckpoint breaks the read->overwrite cycle on the SAME
-        # path (the merged plan must not lazily re-scan files the
-        # overwrite is about to delete)
-        merged.localCheckpoint().write.mode("overwrite").parquet(
-            snapshot_path
-        )
+        # new version dir + atomic _CURRENT flip; the old version stays
+        # on disk for in-flight readers, so no read->overwrite cycle on
+        # the same files exists to break
+        publish(merged, snapshot_path)
 
     (
         events.writeStream.foreachBatch(_merge)

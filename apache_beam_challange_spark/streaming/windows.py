@@ -67,7 +67,12 @@ def _ts_stored_as_timestamp(path: str, glob_filter: str | None) -> bool:
             if not files:
                 return False
             sample = files[0]
-        return patypes.is_timestamp(papq.read_schema(sample).field("ts").type)
+        t = papq.read_schema(sample).field("ts").type
+        # TIMESTAMP(NANOS) is a pyarrow timestamp type too, but under the
+        # session's spark.sql.legacy.parquet.nanosAsLong=true Spark surfaces
+        # it as a nano-long — only micros/millis read back as native
+        # timestamps, so a ns unit must take the long-conversion path.
+        return patypes.is_timestamp(t) and t.unit != "ns"
     except (OSError, KeyError):
         return False
 

@@ -183,6 +183,7 @@ def test_incremental_rollup_refresh(spark, tmp_path):
         hourly_rollup,
         refresh_hourly_rollup,
     )
+    from apache_beam_challange_spark.sources.publish import read_published
 
     raw = tmp_path / "raw"
     roll = str(tmp_path / "rollup")
@@ -200,7 +201,7 @@ def test_incremental_rollup_refresh(spark, tmp_path):
     )
     got1 = {
         (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
-        for r in spark.read.parquet(roll).collect()
+        for r in read_published(spark, roll).collect()
     }
     assert n1 == 2
     assert got1 == {
@@ -225,9 +226,77 @@ def test_incremental_rollup_refresh(spark, tmp_path):
     }
     got2 = {
         (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
-        for r in spark.read.parquet(roll).collect()
+        for r in read_published(spark, roll).collect()
     }
     assert got2 == want
 
     # idempotent: nothing new below the same cutoff
     assert refresh_hourly_rollup(all_raw, roll, "2024-01-01 14:00:00") == 0
+
+    # misaligned cutoff fails fast instead of silently undercounting the
+    # partial hour forever
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hour-aligned"):
+        refresh_hourly_rollup(all_raw, roll, "2024-01-01 14:30:00")
+
+
+def test_refresh_hourly_rollup_crash_between_write_and_publish(spark, tmp_path):
+    """Crash injection: a refresh that dies after writing its version dir
+    but BEFORE flipping the pointer leaves the old rollup fully readable,
+    and the retry converges to the correct state."""
+    import datetime as dt
+
+    from apache_beam_challange_spark.operators.rollup import (
+        refresh_hourly_rollup,
+    )
+    from apache_beam_challange_spark.sources import publish as pub
+
+    raw = tmp_path / "raw"
+    roll = str(tmp_path / "rollup")
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 5), "view", 1.0),
+        (dt.datetime(2024, 1, 1, 11, 10), "click", 3.0),
+    ]
+    spark.createDataFrame(rows, ["ts", "event_type", "value"]).write.parquet(
+        str(raw)
+    )
+    all_raw = spark.read.parquet(str(raw))
+    assert refresh_hourly_rollup(all_raw, roll, "2024-01-01 11:00:00") == 1
+    before = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in pub.read_published(spark, roll).collect()
+    }
+
+    # crash the NEXT refresh between version-dir write and pointer flip
+    real_flip = pub._pointer_flip
+
+    def _boom(src, dst):
+        raise OSError("injected crash before pointer flip")
+
+    pub._pointer_flip = _boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="injected crash"):
+            refresh_hourly_rollup(all_raw, roll, "2024-01-01 12:00:00")
+    finally:
+        pub._pointer_flip = real_flip
+
+    # old snapshot still the live, complete one
+    after_crash = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in pub.read_published(spark, roll).collect()
+    }
+    assert after_crash == before
+
+    # retry completes and folds hour 11
+    assert refresh_hourly_rollup(all_raw, roll, "2024-01-01 12:00:00") == 1
+    final = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in pub.read_published(spark, roll).collect()
+    }
+    assert final == {
+        ("2024-01-01 10:00:00", "view"): (1, 1.0),
+        ("2024-01-01 11:00:00", "click"): (1, 3.0),
+    }

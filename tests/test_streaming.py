@@ -57,6 +57,44 @@ def _write_batch(spark, path: str, rows: list[tuple]) -> None:
     shutil.rmtree(staging)
 
 
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+def test_events_stream_reads_every_parquet_timestamp_unit(
+    spark, tmp_path, unit
+):
+    """Footer sniffing must route each physical timestamp unit correctly:
+    TIMESTAMP(NANOS) surfaces as a nano-long under the session's
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and needs the long
+    conversion path, while micros/millis read back as native timestamps —
+    treating ns as native raised FAILED_READ_FILE (ADVICE r4, medium)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = tmp_path / "in"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    t1 = dt.datetime(2024, 1, 1, 11, 20)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t0, t1], pa.timestamp(unit)),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["view", "click"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    papq.write_table(
+        table, str(d / "a.parquet"), coerce_timestamps=None
+    )
+    out = run_to_memory(
+        events_stream(spark, str(d)).groupBy("ts").count(), "complete"
+    )
+    assert {str(r["ts"]) for r in out.collect()} == {
+        "2024-01-01 10:05:00",
+        "2024-01-01 11:20:00",
+    }
+
+
 def test_tumbling_counts_match_batch(spark, tmp_path):
     base = tmp_path / "stream_in"
     base.mkdir()
@@ -433,6 +471,7 @@ def test_foreachbatch_latest_snapshot_upsert(spark, tmp_path):
     rows into an at-rest parquet snapshot via foreachBatch; after draining
     the backlog the snapshot equals the batch latest-per-key answer over
     ALL events, including keys whose latest row arrived in an early batch."""
+    from apache_beam_challange_spark.sources.publish import read_published
     from apache_beam_challange_spark.streaming.maintenance import (
         maintain_latest_snapshot,
     )
@@ -469,7 +508,7 @@ def test_foreachbatch_latest_snapshot_upsert(spark, tmp_path):
     )
     got = {
         r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
-        for r in spark.read.parquet(snap).collect()
+        for r in read_published(spark, snap).collect()
     }
     assert got == {
         1: ("2024-01-01 11:00:00", "buy", 3.0),
@@ -484,6 +523,85 @@ def test_foreachbatch_latest_snapshot_upsert(spark, tmp_path):
     )
     again = {
         r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
-        for r in spark.read.parquet(snap).collect()
+        for r in read_published(spark, snap).collect()
     }
     assert again == got
+
+
+def test_latest_snapshot_crash_leaves_old_version_readable(spark, tmp_path):
+    """Crash injection for the streaming upsert: a batch that dies between
+    writing its new snapshot version and flipping the pointer leaves the
+    previous snapshot live; the checkpoint retry re-merges from that
+    COMPLETE version, so no key is lost (the ADVICE torn-dir data-loss
+    window is structurally closed)."""
+    from apache_beam_challange_spark.sources import publish as pub
+    from apache_beam_challange_spark.streaming.maintenance import (
+        maintain_latest_snapshot,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "view", 1.0, "{}"),
+            (2, _nanos(10, 30), 2, "click", 2.0, "{}"),
+        ],
+    )
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_latest_snapshot(
+        events_stream(spark, str(d), max_files_per_trigger=1),
+        snap,
+        ckpt,
+        key="user_id",
+    )
+    before = {
+        r["user_id"]: str(r["ts"])
+        for r in pub.read_published(spark, snap).collect()
+    }
+    assert set(before) == {1, 2}
+
+    # second input file; its merge batch crashes before the pointer flip
+    _write_batch(
+        spark, str(d / "b.parquet"), [(3, _nanos(11, 0), 3, "buy", 3.0, "{}")]
+    )
+    real_flip = pub._pointer_flip
+
+    def _boom(src, dst):
+        raise OSError("injected crash before pointer flip")
+
+    pub._pointer_flip = _boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            maintain_latest_snapshot(
+                events_stream(spark, str(d), max_files_per_trigger=1),
+                snap,
+                ckpt,
+                key="user_id",
+            )
+    finally:
+        pub._pointer_flip = real_flip
+
+    # reader still sees the complete pre-crash snapshot
+    assert {
+        r["user_id"]: str(r["ts"])
+        for r in pub.read_published(spark, snap).collect()
+    } == before
+
+    # checkpoint retry recovers: user 3 lands, users 1 and 2 survive
+    maintain_latest_snapshot(
+        events_stream(spark, str(d), max_files_per_trigger=1),
+        snap,
+        ckpt,
+        key="user_id",
+    )
+    final = {
+        r["user_id"]: str(r["ts"])
+        for r in pub.read_published(spark, snap).collect()
+    }
+    assert set(final) == {1, 2, 3}
+    assert final[1] == before[1] and final[2] == before[2]
