@@ -642,12 +642,13 @@ tf AS (
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
 doc AS (
     SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           SUM(LN(tf.n_t)) AS s_ln
+           SUM(CAST(FLOOR(LN(tf.n_t) * 1000000000 + 0.5) AS BIGINT)) AS s_ln_fp
     FROM tok t JOIN tf ON tf.token = t.token
     GROUP BY t.doc_id
 )
 SELECT doc_id, n_tokens,
-       ROUND(s_ln / n_tokens - (SELECT LN(n) FROM tot), 6) AS avg_logprob
+       ROUND(s_ln_fp / 1000000000.0 / n_tokens - (SELECT LN(n) FROM tot), 6)
+           AS avg_logprob
 FROM doc
 ORDER BY avg_logprob ASC, doc_id
 LIMIT 20
@@ -659,10 +660,17 @@ def unigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilities from one corpus-wide count, each doc scored by its mean
     token log-probability, lowest-probability (most surprising / most
     out-of-distribution) docs surfaced for review. The vocabulary
-    aggregate is zipf-small and broadcasts into the token join; per-doc
-    scoring is one key aggregation. ln() of exact integer counts only —
-    the PMI determinism pattern — and scores are rounded BEFORE ranking
-    so the cut is stable across engines."""
+    aggregate is zipf-small and EXPLICITLY broadcast into the token join
+    (AQE would pick it up at test scale, but a web-scale vocab over the
+    threshold must not silently fall back to a sort-merge shuffle on
+    ``token`` — the most skewed key in the corpus; a corpus whose vocab
+    genuinely outgrows broadcast would salt the hot tokens instead).
+    Per-doc scoring is one key aggregation. Determinism: per-term
+    ``ln(count)`` converts to fixed-point (1e9) BEFORE the sum, so the
+    per-doc total is an exact bigint — engine- and summation-order-
+    independent (the rollup/PageRank fixed-point pattern); only a fixed
+    handful of per-value ulp coincidences could ever differ, not a
+    scale-dependent accumulation."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -670,11 +678,14 @@ def unigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
     tot = tok.agg(F.count(F.lit(1)).alias("n"))
     doc = (
-        tok.join(tf, "token")
+        tok.join(F.broadcast(tf), "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.log("n_t")).alias("s_ln"),
+            F.sum(
+                F.floor(F.log("n_t") * F.lit(1_000_000_000) + F.lit(0.5))
+                .cast("long")
+            ).alias("s_ln_fp"),
         )
     )
     return (
@@ -683,7 +694,9 @@ def unigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.round(
-                F.col("s_ln") / F.col("n_tokens") - F.log("n"), 6
+                F.col("s_ln_fp") / F.lit(1_000_000_000.0) / F.col("n_tokens")
+                - F.log("n"),
+                6,
             ).alias("avg_logprob"),
         )
         .orderBy(F.col("avg_logprob").asc(), F.col("doc_id"))
@@ -747,17 +760,58 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- blocked fuzzy join (entity resolution) --------------------------------
 
 
+#: Hard per-block candidate bound for the fuzzy join: blocks larger than
+#: this are EXCLUDED from matching (standard record-linkage practice for
+#: stop-word blocks — a hot block like every name ending "ltd" would
+#: reopen the quadratic). Mirrored in the oracle, so the bound is part of
+#: the operator's semantics, not an implementation accident. TPC-H part
+#: name blocks stay well under this at every tested sf.
+_FUZZY_BLOCK_CAP = 2000
+
+
+def blocked_fuzzy_pairs(names: DataFrame, cap: int = _FUZZY_BLOCK_CAP) -> DataFrame:
+    """Core of :func:`fuzzy_part_name_pairs` over any one-column ``p_name``
+    DataFrame — factored out so the block-size bound is testable against a
+    synthetic hot block."""
+    blocked = names.select(
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    # enforce the bound: count per block, drop oversized blocks BEFORE
+    # the self-join, so worst-case candidates are <= cap * n_blocks
+    sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = blocked.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= cap).select("block")),
+        "block",
+    )
+    a = bounded.select(F.col("p_name").alias("name_1"), "block")
+    b = bounded.select(F.col("p_name").alias("name_2"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_1") < F.col("name_2"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("name_1"), F.col("name_2"))
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("name_1", "name_2", "edit_dist")
+    )
+
+
 @query(
     "fuzzy_part_name_pairs",
-    oracle="""
+    oracle=f"""
 WITH names AS (SELECT DISTINCT p_name FROM part),
 blocked AS (
     SELECT p_name, string_split(p_name, ' ')[-1] AS block FROM names
+),
+bounded AS (
+    SELECT p_name, block FROM blocked
+    QUALIFY COUNT(*) OVER (PARTITION BY block) <= {_FUZZY_BLOCK_CAP}
 )
 SELECT a.p_name AS name_1, b.p_name AS name_2,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-FROM blocked a
-JOIN blocked b ON a.block = b.block AND a.p_name < b.p_name
+FROM bounded a
+JOIN bounded b ON a.block = b.block AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """.strip(),
 )
@@ -768,24 +822,11 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline that keeps record linkage linear-ish instead of all-pairs
     (candidate count is sum of block-size squares, bounded by the
     blocking key's selectivity, not n^2). Distinct-name dedup first so
-    the quadratic term is over ENTITIES, not rows."""
+    the quadratic term is over ENTITIES, not rows. Blocks larger than
+    ``_FUZZY_BLOCK_CAP`` are excluded (oracle-mirrored), making the
+    quadratic bound ENFORCED rather than assumed on hot-key corpora."""
     part = load_table(spark, sf_dir, "part")
-    names = part.select("p_name").distinct()
-    blocked = names.select(
-        "p_name",
-        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
-    )
-    a = blocked.select(F.col("p_name").alias("name_1"), "block")
-    b = blocked.select(F.col("p_name").alias("name_2"), "block")
-    return (
-        a.join(b, "block")
-        .filter(F.col("name_1") < F.col("name_2"))
-        .withColumn(
-            "edit_dist", F.levenshtein(F.col("name_1"), F.col("name_2"))
-        )
-        .filter(F.col("edit_dist") <= 2)
-        .select("name_1", "name_2", "edit_dist")
-    )
+    return blocked_fuzzy_pairs(part.select("p_name").distinct())
 
 
 # --- deterministic per-group fixed-k sample --------------------------------
@@ -855,12 +896,12 @@ qdf AS (
 ),
 bm25 AS (
     SELECT q.doc_id,
-           ROUND(SUM(
+           ROUND(SUM(CAST(FLOOR(
                LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
                * q.tf * ({_BM25_K1} + 1.0)
                / (q.tf + {_BM25_K1} * (1.0 - {_BM25_B}
                    + {_BM25_B} * l.dl * s.n_docs / s.total_tokens))
-           ), 6) AS score
+               * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0, 6) AS score
     FROM qtf q
     JOIN qdf d ON d.term = q.term
     JOIN doclen l ON l.doc_id = q.doc_id
@@ -898,15 +939,27 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         - _BM25_B
         + _BM25_B * F.col("dl") * F.col("n_docs") / F.col("total_tokens")
     )
+    # per-(doc, term) score -> fixed-point bigint BEFORE the sum: each
+    # term value is a deterministic double from exact integer inputs, and
+    # summing bigints makes the per-doc total independent of partial-
+    # aggregation order in either engine (ADVICE r4 determinism note)
+    term_fp = F.floor(
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / denom
+        * F.lit(1_000_000_000)
+        + F.lit(0.5)
+    ).cast("long")
     return (
         qtf.join(F.broadcast(qdf), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
-            ).alias("score")
+            F.round(F.sum(term_fp) / F.lit(1_000_000_000.0), 6).alias(
+                "score"
+            )
         )
     )
 
@@ -927,9 +980,10 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter to the QUERY terms before any join (posting-list discipline —
     cost tracks the query terms' postings, not the corpus); doc length
     and corpus stats are one reusable aggregation, broadcast as scalars.
-    Every score input is an exact integer (tf, df, dl, N, Σdl), so the
-    double arithmetic is engine-reproducible; scores round BEFORE the
-    ranking cut."""
+    Every score input is an exact integer (tf, df, dl, N, Σdl), each
+    per-term double converts to fixed-point (1e9) before the sum so the
+    per-doc total is an order-independent bigint, and scores round
+    BEFORE the ranking cut."""
     return (
         _bm25_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), F.col("doc_id"))
