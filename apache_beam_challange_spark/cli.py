@@ -85,7 +85,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.pipeline == "query":
         catalog = registry.all_queries()
         if args.list or not args.name:
-            ext = set(registry.EXTENDED_QUERIES)
+            ext = registry.extended_names()
             for name in sorted(catalog):
                 tier = "extended" if name in ext else "driver"
                 print(f"{name}\t{tier}")

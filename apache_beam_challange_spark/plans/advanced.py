@@ -17,7 +17,7 @@ from apache_beam_challange_spark.sources.catalog import load_table
 
 
 @query(
-    "salted_group_count_events", extended=True,
+    "salted_group_count_events",
     oracle="""
 SELECT event_type, COUNT(*) AS n
 FROM events
@@ -36,7 +36,7 @@ def salted_group_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "range_join_value_bands", extended=True,
+    "range_join_value_bands",
     oracle="""
 WITH bands(band, lo, hi) AS (
     VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
@@ -72,7 +72,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "asof_join_last_event_per_order", extended=True,
+    "asof_join_last_event_per_order",
     oracle="""
 SELECT o.o_orderkey, o.o_orderdate,
        (SELECT MAX(e.ts) FROM events e
@@ -101,7 +101,7 @@ def asof_join_last_event_per_order(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "pandas_udf_char_classes", extended=True,
+    "pandas_udf_char_classes",
     oracle="""
 SELECT doc_id,
        LENGTH(REGEXP_REPLACE(text, '[^aeiou]', '', 'g')) AS n_vowels,
@@ -133,7 +133,6 @@ def pandas_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udtf_token_chunks",
-    extended=True,
     oracle="""
 WITH tok AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -178,7 +177,6 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_join_revenue",
-    extended=True,
     oracle="""
 SELECT c.c_mktsegment,
        COUNT(*) AS n_orders
@@ -208,7 +206,6 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_orders",
-    extended=True,
     oracle="""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
 FROM orders
@@ -225,7 +222,6 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_near_dup_pairs",
-    extended=True,
     oracle="""
 WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -264,7 +260,6 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "regex_token_counts",
-    extended=True,
     oracle="""
 SELECT source,
        CAST(SUM(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_tokens
@@ -286,7 +281,7 @@ def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "grouped_map_best_doc", extended=True,
+    "grouped_map_best_doc",
     oracle="""
 SELECT lang, doc_id, n_chars
 FROM (
@@ -316,7 +311,7 @@ def grouped_map_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 from apache_beam_challange_spark.plans.canonical import _q4_sql
 
 
-@query("q4_total_distance_cogroup", extended=True, oracle=_q4_sql(strict=False))
+@query("q4_total_distance_cogroup", oracle=_q4_sql(strict=False))
 def q4_total_distance_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 computed through ``cogroup().applyInPandas`` — the literal Spark
     analog of the reference's tuple-CoGroupByKey + ``CalculateDistanceAll
@@ -392,7 +387,7 @@ GROUP BY 1, 2
 """.strip()
 
 
-@query("hypertable_rollup_hourly", extended=True, oracle=_HOURLY_SQL)
+@query("hypertable_rollup_hourly", oracle=_HOURLY_SQL)
 def hypertable_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: closed hours are served from a
     MATERIALIZED rollup table; only the open tail (past the cutoff) is
@@ -477,7 +472,7 @@ GROUP BY kb.user_id
 """.strip()
 
 
-@query("countmin_user_estimates", extended=True, oracle=_CM_SQL)
+@query("countmin_user_estimates", oracle=_CM_SQL)
 def countmin_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch built relationally (d=4 rows x w=256 counters, md5
     hash family): per-event bucket explode -> one groupBy builds the
@@ -541,7 +536,7 @@ GROUP BY bucket
 """.strip()
 
 
-@query("hll_registers_users", extended=True, oracle=_HLL_SQL)
+@query("hll_registers_users", oracle=_HLL_SQL)
 def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register build, relationally (64 buckets, 24-bit
     substream from an md5-derived hash): register_j = max over keys of
@@ -566,7 +561,7 @@ def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "explode_tokens_topk", extended=True,
+    "explode_tokens_topk",
     oracle="""
 SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

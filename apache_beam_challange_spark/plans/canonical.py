@@ -270,8 +270,7 @@ def q4_total_distance(
     return _q4_frame(spark, sf_dir, strict=False, faithful=faithful)
 
 
-@query("q4_total_distance_strict",
-    extended=True, oracle=_q4_sql(strict=True))
+@query("q4_total_distance_strict", oracle=_q4_sql(strict=True))
 def q4_total_distance_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4's stricter mode: drop pairs missing either side (the ``Filter
     None`` post-join stage of ``notebooks/development copy.ipynb``) —
@@ -379,7 +378,6 @@ _FIXTURE_VALUES = ",\n        ".join(
 
 @query(
     "create_fixture_counts",
-    extended=True,
     oracle=f"""
 WITH fixture(start_station_name, end_station_name) AS (
     VALUES {_FIXTURE_VALUES}

@@ -49,7 +49,6 @@ def _dec_sum_sql(expr: str, alias: str) -> str:
 
 @query(
     "project_filter_nulls",
-    extended=True,
     oracle=f"""
 WITH {RIDES_CTE}
 SELECT ride_id, start_station_id, end_station_id
@@ -69,7 +68,6 @@ def project_filter_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "distinct_pairs",
-    extended=True,
     oracle=f"""
 WITH {RIDES_CTE}
 SELECT DISTINCT start_station_id, end_station_id FROM rides
@@ -92,7 +90,7 @@ LIMIT 50
 """.strip()
 
 
-@query("events_group_topk", extended=True, oracle=_EVENTS_TOPK_SQL)
+@query("events_group_topk", oracle=_EVENTS_TOPK_SQL)
 def events_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count.PerElement + Top.Of on the events stream table
     (``pipelines/cycle_rides.py:51,53`` analog): two-phase hash agg then
@@ -123,7 +121,7 @@ GROUP BY l_returnflag, l_linestatus
 """.strip()
 
 
-@query("pricing_summary", extended=True, oracle=_PRICING_SQL)
+@query("pricing_summary", oracle=_PRICING_SQL)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar post-aggregation arithmetic (A4, ``total_distance.py:23-24``)
     generalized to the TPC-H Q1 pricing-summary shape: predicate pushdown +
@@ -147,7 +145,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "csv_format_lines",
-    extended=True,
     oracle=f"""
 WITH {RIDES_CTE},
 top_pairs AS (
@@ -185,7 +182,7 @@ def csv_format_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- joins: broadcast equi-join, semi, anti (SURVEY §2.3 free rows) ---------
 
 @query(
-    "join_broadcast_revenue", extended=True,
+    "join_broadcast_revenue",
     oracle=f"""
 SELECT
     c.c_mktsegment,
@@ -214,7 +211,6 @@ def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_semi_active_customers",
-    extended=True,
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
@@ -233,7 +229,6 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_anti_unordered_parts",
-    extended=True,
     oracle="""
 SELECT p_partkey, p_name
 FROM part p
@@ -258,7 +253,6 @@ def join_anti_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_ops_customers",
-    extended=True,
     oracle="""
 SELECT c_custkey FROM customer WHERE c_acctbal > 9000
 UNION
@@ -283,7 +277,6 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rank_orders",
-    extended=True,
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -313,7 +306,6 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_lag_event_gaps",
-    extended=True,
     oracle="""
 SELECT user_id, event_id,
        CAST(FLOOR(EPOCH(ts)) AS BIGINT)
@@ -337,7 +329,6 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rolling_order_totals",
-    extended=True,
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
@@ -524,7 +515,6 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_props_histogram",
-    extended=True,
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
 FROM events
@@ -548,7 +538,6 @@ def json_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_nation_revenue",
-    extended=True,
     oracle=f"""
 SELECT
     n.n_name AS nation,
@@ -582,7 +571,6 @@ def rollup_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "count_distinct_users",
-    extended=True,
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
 FROM events
@@ -602,7 +590,6 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sort_limit_offset",
-    extended=True,
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -624,7 +611,7 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-join analytical pipeline (join ordering + AQE showcase) ----------
 
 @query(
-    "q5_local_supplier_volume", extended=True,
+    "q5_local_supplier_volume",
     oracle=f"""
 SELECT
     n.n_name AS nation,
@@ -672,7 +659,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pivot / argmax aggregates (SURVEY §2.4 not-present rows) ---------------
 
 @query(
-    "pivot_user_event_matrix", extended=True,
+    "pivot_user_event_matrix",
     oracle="""
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
@@ -701,7 +688,6 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "argmax_order_per_customer",
-    extended=True,
     oracle="""
 SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
 FROM (
@@ -732,7 +718,6 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "value_quantiles_by_type",
-    extended=True,
     oracle="""
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -755,7 +740,7 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "column_profile_rides", extended=True,
+    "column_profile_rides",
     oracle=f"""
 WITH {RIDES_CTE}
 SELECT COUNT(*) AS n_rows,
@@ -784,7 +769,6 @@ def column_profile_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly_counts",
-    extended=True,
     oracle=f"""
 SELECT
     date_trunc('hour', ts) AS hour,

@@ -966,7 +966,6 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bm25_top_docs",
-    extended=True,
     oracle=f"""
 WITH {_BM25_CTE}
 SELECT doc_id, score FROM bm25
@@ -999,7 +998,6 @@ _RRF_DEPTH = 50
 
 @query(
     "hybrid_rrf_vec0",
-    extended=True,
     oracle=f"""
 WITH {_BM25_CTE},
 lex AS (
@@ -1099,7 +1097,6 @@ def hybrid_rrf_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ohlc_hourly_value_bars",
-    extended=True,
     oracle="""
 WITH ranked AS (
     SELECT date_trunc('hour', ts) AS hour, value,

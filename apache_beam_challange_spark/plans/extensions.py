@@ -51,7 +51,7 @@ from apache_beam_challange_spark.sources.catalog import load_table
 # --- exact dedup ------------------------------------------------------------
 
 @query(
-    "dedup_exact_docs", extended=True,
+    "dedup_exact_docs",
     oracle="""
 SELECT doc_id, lang, source
 FROM (
@@ -75,7 +75,6 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprints",
-    extended=True,
     oracle="""
 SELECT source,
        COUNT(DISTINCT md5(LOWER(text))) AS n_unique,
@@ -101,7 +100,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text statistics --------------------------------------------------------
 
 @query(
-    "text_stats_by_lang", extended=True,
+    "text_stats_by_lang",
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -129,7 +128,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lang_id_confusion", extended=True,
+    "lang_id_confusion",
     oracle=f"""
 SELECT lang, {lang_id_sql()} AS lang_pred, COUNT(*) AS n
 FROM documents
@@ -148,7 +147,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quality_scores_top", extended=True,
+    "quality_scores_top",
     oracle=f"""
 SELECT doc_id, ROUND({QUALITY_SCORE_SQL}, 6) AS quality
 FROM documents
@@ -169,7 +168,6 @@ def quality_scores_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "repetition_flags",
-    extended=True,
     oracle="""
 WITH tf AS (
     SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -221,7 +219,6 @@ def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "data_mixture_weights",
-    extended=True,
     oracle=f"""
 WITH scored AS (
     SELECT lang,
@@ -275,7 +272,6 @@ def data_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "inverted_index_terms",
-    extended=True,
     oracle="""
 WITH toks AS (
     SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -439,7 +435,6 @@ _SPLIT_HEX4 = (
 
 @query(
     "dataset_split_counts",
-    extended=True,
     oracle=f"""
 SELECT lang,
        CASE WHEN {_SPLIT_HEX4} < 80 THEN 'train'
@@ -477,7 +472,6 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "jaccard_pairs_by_source",
-    extended=True,
     oracle="""
 WITH tok AS (
     SELECT DISTINCT source, doc_id, unnest(string_split(text, ' ')) AS token
@@ -545,7 +539,7 @@ mh AS (
 
 
 @query(
-    "minhash_signatures", extended=True,
+    "minhash_signatures",
     oracle=f"WITH {_MINHASH_CTE}\nSELECT doc_id, hash_idx, min_hash FROM mh",
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +723,7 @@ def dedup_connected_components_lss_q(spark: SparkSession, sf_dir: str) -> DataFr
     return connected_components_lss(docs, cand)
 
 
-@query("simhash_signatures", extended=True)  # rows-only: xxhash64 has no DuckDB twin
+@query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (bit-vote aggregation over token
     hashes). Verified by determinism tests (tests/test_dedup.py), not by
@@ -766,7 +760,6 @@ sig AS (
 
 @query(
     "simhash_md5_signatures",
-    extended=True,
     oracle=f"WITH {_SIMHASH_MD5_CTE}\nSELECT doc_id, simhash FROM sig",
 )
 def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,7 +812,6 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivf_topk_trained_vec0",
-    extended=True,
     oracle="WITH "
     + kmeans_cents_ctes(k=4, n_iter=2)
     + """,
@@ -870,7 +862,7 @@ def ivf_topk_trained_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_with_centroids(emb, cents, query_vec_id=0, k=20, n_probe=2)
 
 
-@query("pq_topk_vec0", extended=True, oracle=pq_oracle_sql())
+@query("pq_topk_vec0", oracle=pq_oracle_sql())
 def pq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-20: 4 subspace Lloyd codebooks compress
     each 64-float vector to 4 codes; query-time asymmetric distance sums
@@ -1034,7 +1026,6 @@ def ann_lsh_multitable_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cosine_topk_pandas_vec0",
-    extended=True,
     oracle="""
 WITH q AS (
     SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
@@ -1196,7 +1187,7 @@ LIMIT 20
 """.strip()
 
 
-@query("ivfpq_topk_vec0", extended=True, oracle=_IVFPQ_ORACLE)
+@query("ivfpq_topk_vec0", oracle=_IVFPQ_ORACLE)
 def ivfpq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ — the canonical billion-scale ANN composition: coarse
     inverted lists bound the candidate set (recall stage, ~n_probe/|lists|
@@ -1439,7 +1430,6 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_lsh_multiprobe_topk_vec0",
-    extended=True,
     oracle=f"""
 WITH {_ANN_CTE},
 qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
@@ -1473,7 +1463,7 @@ def ann_lsh_multiprobe_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("opq_topk_vec0", extended=True, oracle=opq_oracle_sql())
+@query("opq_topk_vec0", oracle=opq_oracle_sql())
 def opq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ under a TRAINED OPQ space decomposition (Ge et al. CVPR'13
     eigenvalue-allocation objective on exact integer variances): dims are
@@ -1588,7 +1578,6 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "normalized_fingerprints",
-    extended=True,
     oracle="""
 SELECT lang,
        COUNT(DISTINCT md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
@@ -1616,7 +1605,7 @@ def normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "embedding_norms_by_label", extended=True,
+    "embedding_norms_by_label",
     oracle="""
 WITH norms AS (
     SELECT vec_id, label, SQRT(SUM(x * x)) AS norm

