@@ -16,6 +16,14 @@ medians make the driver's recorded number variance-robust. Two series:
 - CURATION: the round-4 batch-curation operators (sessionize, snapshot,
   stratified sample, histogram quantiles, Bloom membership, quality
   decile, anti join, Q6), reported as "curation"/"curation_total".
+- ABLATIONS (round 5): labeled train-at-query-time baselines kept OUT of
+  the serving series (VERDICT r4 #2) — the inline IVFPQ-refined route
+  re-trains sub-codebooks per query by design; its at-rest indexed twin
+  in FLAGSHIPS is the deployment shape.
+
+Per-query spread: every query also reports {min, max} across its REPEATS
+(the "spread" field), so a regression is distinguishable from host noise
+without cross-referencing PERF.md (VERDICT r4 #6).
 
 Execution is forced with the noop sink (full compute, no driver collect),
 except streaming queries whose callables already run to completion.
@@ -34,7 +42,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPEATS = 3
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 HEADLINE = [
     "q1_sql_top_pairs",
@@ -60,8 +68,12 @@ FLAGSHIPS = [
     "ivfpq_topk_indexed_vec0",
     "event_funnel_counts",
     "ann_lsh_multitable_topk_vec0",
-    "ivfpq_refined_topk_vec0",
+    "ann_lsh_multiprobe_topk_vec0",
     "ivfpq_refined_topk_indexed_vec0",
+]
+
+ABLATIONS = [
+    "ivfpq_refined_topk_vec0",  # inline re-train per query — baseline only
 ]
 
 CURATION = [
@@ -83,7 +95,9 @@ CURATION = [
 ]
 
 
-def _bench_series(qs, names, spark, sf_dir) -> dict[str, float]:
+def _bench_series(
+    qs, names, spark, sf_dir, spread: dict[str, dict[str, float]]
+) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
@@ -94,6 +108,10 @@ def _bench_series(qs, names, spark, sf_dir) -> dict[str, float]:
             df.write.mode("overwrite").format("noop").save()
             walls.append(time.time() - t0)
         timings[name] = round(statistics.median(walls), 3)
+        spread[name] = {
+            "min": round(min(walls), 3),
+            "max": round(max(walls), 3),
+        }
     return timings
 
 
@@ -126,9 +144,11 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    timings = _bench_series(qs, HEADLINE, spark, sf_dir)
-    flagships = _bench_series(qs, FLAGSHIPS, spark, sf_dir)
-    curation = _bench_series(qs, CURATION, spark, sf_dir)
+    spread: dict[str, dict[str, float]] = {}
+    timings = _bench_series(qs, HEADLINE, spark, sf_dir, spread)
+    flagships = _bench_series(qs, FLAGSHIPS, spark, sf_dir, spread)
+    curation = _bench_series(qs, CURATION, spark, sf_dir, spread)
+    ablations = _bench_series(qs, ABLATIONS, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -142,6 +162,8 @@ def main() -> None:
                 "flagships_total": round(sum(flagships.values()), 3),
                 "curation": curation,
                 "curation_total": round(sum(curation.values()), 3),
+                "ablations": ablations,
+                "spread": spread,
                 "repeats": REPEATS,
                 "aggregation": "median",
                 "sf": sf,
