@@ -1,9 +1,15 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-41 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+50 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
+
+The dialect-blocked remainder (65 oracles) is inventoried in COVERAGE.md:
+they use DuckDB-only surface (unnest/string_split lateral explosion,
+list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
+recursive CTE trajectories, md5-hex arithmetic) with no unmodified
+Spark SQL spelling.
 """
 
 from __future__ import annotations
@@ -59,6 +65,16 @@ PORTABLE = [
     "latest_event_per_user",
     "customers_without_urgent_orders",
     "q6_forecast_revenue",
+    # round-5 promotions (VERDICT r4 item 8)
+    "salted_join_revenue",
+    "streaming_enriched_nation_counts",
+    "ohlc_hourly_value_bars",
+    "hourly_anomaly_zscores",
+    "column_profile_rides",
+    "event_funnel_counts",
+    "hypertable_rollup_hourly",
+    "q3_station_distances_geodesic",
+    "window_rolling_order_totals",
 ]
 
 
@@ -69,9 +85,16 @@ def _canon(df):
     # the DataFrame route already emits TIMESTAMP_NTZ.
     from pyspark.sql import functions as F
 
+    # Decimal is the other dialect type artifact: Spark SQL parses "100.0"
+    # as DECIMAL, so bigint/100.0 yields decimal on the SQL route where the
+    # DataFrame route's double literal yields double — same values.
     df = df.select(
         [
-            F.col(c).cast("timestamp_ntz").alias(c) if t == "timestamp" else F.col(c)
+            F.col(c).cast("timestamp_ntz").alias(c)
+            if t == "timestamp"
+            else F.col(c).cast("double").alias(c)
+            if t.startswith("decimal")
+            else F.col(c)
             for c, t in df.dtypes
         ]
     )
