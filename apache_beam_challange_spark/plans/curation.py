@@ -1137,3 +1137,151 @@ def ohlc_hourly_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("value"), key).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- SCD type-2 history (round 5) ------------------------------------------
+
+
+@query(
+    "scd2_event_type_history",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts, event_type,
+           SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS ver
+    FROM ordered
+),
+versions AS (
+    SELECT user_id, event_type, ver,
+           MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, event_type, ver
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from
+       ) AS valid_to,
+       CAST(CASE WHEN LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from
+       ) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+       n_events
+FROM versions
+""".strip(),
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build — the batch twin of
+    ``latest_event_per_user`` (SCD-1): consecutive runs of the same
+    event_type per user collapse into versioned rows carrying
+    ``valid_from`` / ``valid_to`` (LEAD of the next version's start;
+    NULL + ``is_current=1`` on the open row). Change detection (LAG),
+    island numbering (running SUM), version fold (groupBy) and interval
+    assembly (LEAD) all share ONE hash-partitioning on user_id — a
+    single shuffle end to end at any scale, the same plan discipline as
+    ``batch_sessionize_events``. This is how a change feed becomes a
+    point-in-time-queryable dimension at rest."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.when(
+            F.lag("event_type").over(order_w).isNull()
+            | (F.lag("event_type").over(order_w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg")
+    )
+    numbered = ev.select("user_id", "ts", "event_id", "event_type", changed).select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg")
+        .over(order_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("ver"),
+    )
+    versions = numbered.groupBy("user_id", "event_type", "ver").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    interval_w = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(interval_w)
+    return versions.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
+# --- data-quality quarantine routing (round 5) -----------------------------
+
+
+@query(
+    "quarantine_rule_counts",
+    oracle="""
+WITH flags AS (
+    SELECT CASE WHEN value > 400 THEN 1 ELSE 0 END AS f_value,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f_err,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 80
+                THEN 1 ELSE 0 END AS f_props
+    FROM events
+),
+agg AS (
+    SELECT CAST(SUM(f_value) AS BIGINT) AS a, CAST(SUM(f_err) AS BIGINT) AS b,
+           CAST(SUM(f_props) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN f_value = 0 AND f_err = 0 AND f_props = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM flags
+)
+SELECT 'value_above_400' AS rule, a AS n_rows FROM agg
+UNION ALL SELECT 'error_type', b FROM agg
+UNION ALL SELECT 'props_k_above_80', c FROM agg
+UNION ALL SELECT 'clean', d FROM agg
+""".strip(),
+)
+def quarantine_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality quarantine routing — the dead-letter accounting every
+    ingestion pipeline runs before rows reach the lake: each rule's
+    violation count plus the clean remainder, computed in ONE scan and
+    ONE partial-aggregated reduction (per-rule SUM(CASE) flags folded
+    map-side; the per-rule rows come from a 4-row stack unpivot of the
+    single aggregate row — no explode over the fact table, no second
+    scan per rule). Rules exercise range (value), domain (event_type)
+    and nested-JSON (props.k) checks; a malformed props yields NULL from
+    the JSON extractor and fails the rule closed in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    f_value = F.when(F.col("value") > 400, 1).otherwise(0)
+    f_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    f_props = F.when(
+        F.get_json_object(F.col("props"), "$.k").cast("int") > 80, 1
+    ).otherwise(0)
+    agg = ev.select(
+        f_value.alias("f_value"), f_err.alias("f_err"), f_props.alias("f_props")
+    ).agg(
+        F.sum("f_value").alias("a"),
+        F.sum("f_err").alias("b"),
+        F.sum("f_props").alias("c"),
+        F.sum(
+            F.when(
+                (F.col("f_value") == 0)
+                & (F.col("f_err") == 0)
+                & (F.col("f_props") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("d"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'value_above_400', a, 'error_type', b, "
+        "'props_k_above_80', c, 'clean', d) AS (rule, n_rows)"
+    )
