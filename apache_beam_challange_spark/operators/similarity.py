@@ -557,6 +557,35 @@ def lsh_write_index(
     ).write.mode("overwrite").partitionBy("table_idx", "bucket").parquet(path)
 
 
+def lsh_append_index(
+    new_embeddings: DataFrame,
+    path: str,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> None:
+    """Incremental maintenance of the at-rest LSH index: bucket rows for
+    ONLY the new vectors, appended into the existing hive partitions — the
+    corpus grows without ever rebuilding the index (the projection pass is
+    linear in the delta, not the corpus). The plane matrix is a pure
+    function of (table, plane, dim), so appended rows are bit-identical to
+    what a from-scratch rebuild over the union would produce — asserted in
+    tests, not assumed.
+
+    Crash/retry model (plain parquet): Spark stages part files under
+    ``_temporary`` and moves them at job commit, so a crash mid-job leaves
+    no visible partial rows; a crash DURING commit can leave a subset of
+    the delta visible. The retry simply re-appends: duplicate (vec_id,
+    table_idx, bucket) rows are harmless to serving because the indexed
+    query de-duplicates candidate ids before ranking
+    (:func:`ann_lsh_multitable_topk_indexed` ``dropDuplicates``) — append
+    is semantically idempotent, also test-asserted. On a transactional
+    table format the append becomes one atomic commit."""
+    _multitable_buckets(new_embeddings, num_tables, num_planes, dim).withColumn(
+        "bucket", F.concat(F.lit("b"), F.col("bucket"))
+    ).write.mode("append").partitionBy("table_idx", "bucket").parquet(path)
+
+
 def ann_lsh_multitable_topk_indexed(
     embeddings: DataFrame,
     index: DataFrame,

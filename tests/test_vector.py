@@ -270,3 +270,55 @@ def test_lsh_indexed_matches_inline(spark, tmp_path):
 
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_lsh_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
+    """Incremental index maintenance: building over half the corpus then
+    appending the other half must serve EXACTLY what a from-scratch
+    rebuild over the union serves (deterministic planes), and re-appending
+    the same delta (the crash-retry case) must not change query results
+    (candidate ids de-duplicate before ranking)."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk_indexed,
+        lsh_append_index,
+        lsh_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 250)
+    delta = emb.filter(F.col("vec_id") >= 250)
+
+    inc_path = str(tmp_path / "lsh_inc")
+    lsh_write_index(base, inc_path)
+    lsh_append_index(delta, inc_path)
+
+    full_path = str(tmp_path / "lsh_full")
+    lsh_write_index(emb, full_path)
+
+    # identical index contents (bit-identical bucket rows)...
+    inc_rows = sorted(
+        tuple(r) for r in spark.read.parquet(inc_path).collect()
+    )
+    full_rows = sorted(
+        tuple(r) for r in spark.read.parquet(full_path).collect()
+    )
+    assert inc_rows == full_rows
+
+    # ...and identical served answers
+    def serve(path):
+        return [
+            tuple(r)
+            for r in ann_lsh_multitable_topk_indexed(
+                emb, spark.read.parquet(path), query_vec_id=0, k=10
+            ).collect()
+        ]
+
+    assert serve(inc_path) == serve(full_path)
+
+    # crash-retry: double-append leaves duplicates in the index but the
+    # served answer is unchanged
+    lsh_append_index(delta, inc_path)
+    assert serve(inc_path) == serve(full_path)
