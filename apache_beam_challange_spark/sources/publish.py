@@ -46,6 +46,23 @@ def current_version_path(base: str) -> str | None:
     and the caller must not launder it into a merge."""
     ptr = os.path.join(base, _POINTER)
     if not os.path.isfile(ptr):
+        # Unpublished is only a valid state for an empty/new base or one
+        # holding orphaned version dirs from a crashed FIRST publish.
+        # Anything else under base (e.g. a pre-versioning plain parquet
+        # snapshot) must not be silently ignored — restarting from
+        # scratch over live data would masquerade as a fresh table.
+        if os.path.isdir(base):
+            foreign = [
+                e
+                for e in os.listdir(base)
+                if not e.startswith(("v_", _POINTER))
+            ]
+            if foreign:
+                raise RuntimeError(
+                    f"{base} holds non-versioned content {foreign[:3]} — "
+                    "refusing to treat an unversioned layout as empty; "
+                    "migrate it by publishing it as a version first"
+                )
         return None
     with open(ptr, encoding="utf-8") as fh:
         name = fh.read().strip()

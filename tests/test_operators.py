@@ -300,3 +300,17 @@ def test_refresh_hourly_rollup_crash_between_write_and_publish(spark, tmp_path):
         ("2024-01-01 10:00:00", "view"): (1, 1.0),
         ("2024-01-01 11:00:00", "click"): (1, 3.0),
     }
+
+
+def test_publish_refuses_unversioned_layout(spark, tmp_path):
+    """A pre-versioning plain parquet dir at the publish base must raise,
+    not be silently treated as an empty table (which would restart the
+    snapshot from scratch over live data)."""
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.sources.publish import read_published
+
+    legacy = tmp_path / "snap"
+    spark.range(3).write.parquet(str(legacy))
+    with _pytest.raises(RuntimeError, match="non-versioned"):
+        read_published(spark, str(legacy))
