@@ -57,9 +57,11 @@ ORACLES: dict[str, str] = {}
 #: driver tier for good; jaccard-on-LSH / CC / minhash / 4 streaming /
 #: cosine / ivf / embedding-LSH / tfidf / pmi / funnel / bmp+image
 #: multimodal / q3-geodesic rotate to extended with 3-4 green verdicts
-#: each). After this round every oracle-checkable registry query has had
-#: >=1 driver verdict (the sole exception, simhash_signatures, is
-#: rows-only by design with a fully-verified md5 twin).
+#: each). After this round every oracle-checkable registry query that
+#: existed before round 5 has had >=1 driver verdict (the sole
+#: exception, simhash_signatures, is rows-only by design with a
+#: fully-verified md5 twin); the round-6 rotation pool is the two NEW
+#: round-5 queries, scd2_event_type_history and quarantine_rule_counts.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
