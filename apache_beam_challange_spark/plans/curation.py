@@ -1285,3 +1285,94 @@ def quarantine_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'value_above_400', a, 'error_type', b, "
         "'props_k_above_80', c, 'clean', d) AS (rule, n_rows)"
     )
+
+
+# --- benchmark decontamination (round 5) -----------------------------------
+
+
+@query(
+    "benchmark_contamination_topk",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 2)) AS i
+    ) x
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams
+    FROM corpus GROUP BY doc_id
+),
+m AS (
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS matched_ngrams
+    FROM corpus c JOIN bench b ON b.g = c.g
+    GROUP BY c.doc_id
+)
+SELECT t.doc_id, matched_ngrams, total_ngrams,
+       ROUND(CAST(matched_ngrams AS DOUBLE) / total_ngrams, 6)
+           AS contamination
+FROM tot t JOIN m ON m.doc_id = t.doc_id
+ORDER BY contamination DESC, t.doc_id
+LIMIT 20
+""".strip(),
+)
+def benchmark_contamination_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap check every serious
+    pretraining pipeline runs before training (GPT-3 appendix C / Dolma
+    style): a held-out "benchmark" slice (content-addressed: doc_id %% 20
+    == 0 stands in for the eval set) contributes its DISTINCT word
+    n-grams; every corpus doc is scored by the fraction of its distinct
+    n-grams that appear in the benchmark set, and the most-contaminated
+    docs surface for removal. Scale shape: the benchmark n-gram set is
+    small by construction (eval sets are tiny next to the corpus) and
+    BROADCASTS into the corpus n-gram stream — the corpus side never
+    shuffles except for its two per-doc aggregations; n=3 here because
+    the synthetic corpus is short-doc (real pipelines use 8-13), the
+    plan is parameter-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    grams = (
+        toks.filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 2),"
+                    " i -> concat_ws(' ', slice(ts, i, 3)))"
+                )
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 20 != 0)
+    tot = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_ngrams")
+    )
+    matched = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+    )
+    return (
+        tot.join(matched, "doc_id")
+        .select(
+            "doc_id",
+            "matched_ngrams",
+            "total_ngrams",
+            F.round(
+                F.col("matched_ngrams").cast("double")
+                / F.col("total_ngrams"),
+                6,
+            ).alias("contamination"),
+        )
+        .orderBy(F.col("contamination").desc(), F.col("doc_id"))
+        .limit(20)
+    )

@@ -330,3 +330,12 @@ def test_fuzzy_join_block_cap_enforced(spark):
     # pairs may appear; the 2-name "co" block is under it and matches
     assert {(r["name_1"], r["name_2"]) for r in out} == {("alpha co", "alphb co")}
     assert out[0]["edit_dist"] == 1
+
+
+def test_contamination_benchmark_side_broadcasts(plans):
+    """Decontamination must broadcast the (small) benchmark n-gram set
+    into the corpus n-gram stream — the corpus side shuffles only for its
+    per-doc aggregations, never for the membership join."""
+    p = plans("benchmark_contamination_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
