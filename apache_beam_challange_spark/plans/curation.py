@@ -1259,13 +1259,15 @@ def quarantine_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     single aggregate row — no explode over the fact table, no second
     scan per rule). Rules exercise range (value), domain (event_type)
     and nested-JSON (props.k) checks; a malformed props yields NULL from
-    the JSON extractor and fails the rule closed in both engines."""
+    the JSON extractor and fails the rule closed in both engines. Rule
+    definitions are shared with the streaming dead-letter router
+    (functions/quality.py), so accounting and routing cannot drift."""
+    from apache_beam_challange_spark.functions.quality import QUALITY_RULES
+
     ev = load_table(spark, sf_dir, "events")
-    f_value = F.when(F.col("value") > 400, 1).otherwise(0)
-    f_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
-    f_props = F.when(
-        F.get_json_object(F.col("props"), "$.k").cast("int") > 80, 1
-    ).otherwise(0)
+    f_value = F.when(QUALITY_RULES["value_above_400"](), 1).otherwise(0)
+    f_err = F.when(QUALITY_RULES["error_type"](), 1).otherwise(0)
+    f_props = F.when(QUALITY_RULES["props_k_above_80"](), 1).otherwise(0)
     agg = ev.select(
         f_value.alias("f_value"), f_err.alias("f_err"), f_props.alias("f_props")
     ).agg(

@@ -86,3 +86,46 @@ def maintain_latest_snapshot(
         .start()
         .awaitTermination()
     )
+
+
+def route_quality_stream(
+    events: DataFrame,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming dead-letter routing — the ingestion-time twin of the
+    batch ``quarantine_rule_counts`` accounting, sharing its rule
+    definitions (:mod:`..functions.quality`): each micro-batch splits
+    into clean rows (appended to ``good_path``) and violating rows
+    (appended to ``quarantine_path`` with a ``rules`` tag column naming
+    every violated rule), so bad data never reaches the lake silently
+    and every quarantined row says why.
+
+    Delivery model (plain parquet): at-least-once. The checkpoint
+    retries a batch whose twin appends didn't both commit, so a crash
+    between the two writes can duplicate that batch's rows; both sinks
+    carry ``event_id``, and the engine's keyed dedup
+    (``streaming_dedup_events`` / ``exact_dedup``) restores
+    exactly-once downstream. On a transactional table format the two
+    appends become one atomic multi-table commit."""
+    from apache_beam_challange_spark.functions.quality import violated_rules
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = violated_rules(batch_df)
+        clean = tagged.filter(F.size("__rules") == 0).drop("__rules")
+        bad = (
+            tagged.filter(F.size("__rules") > 0)
+            .withColumn("rules", F.array_join(F.col("__rules"), ","))
+            .drop("__rules")
+        )
+        clean.write.mode("append").parquet(good_path)
+        bad.write.mode("append").parquet(quarantine_path)
+
+    (
+        events.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -605,3 +605,57 @@ def test_latest_snapshot_crash_leaves_old_version_readable(spark, tmp_path):
     }
     assert set(final) == {1, 2, 3}
     assert final[1] == before[1] and final[2] == before[2]
+
+
+def test_route_quality_stream_splits_and_tags(spark, tmp_path):
+    """Streaming dead-letter routing: micro-batches split into clean and
+    quarantined rows using the SAME rule definitions as the batch
+    accounting query; quarantined rows carry the names of every violated
+    rule, the union of both sinks is exactly the input, and a checkpoint
+    restart appends nothing."""
+    from apache_beam_challange_spark.streaming.maintenance import (
+        route_quality_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "view", 10.0, "{}"),        # clean
+            (2, _nanos(10, 1), 2, "error", 10.0, "{}"),       # error_type
+            (3, _nanos(10, 2), 3, "view", 500.0, '{"k": 90}'),  # value+props
+        ],
+    )
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [
+            (4, _nanos(11, 0), 4, "click", 20.0, '{"k": 5}'),  # clean
+            (5, _nanos(11, 1), 5, "error", 450.0, "{}"),       # error+value
+        ],
+    )
+    good, bad = str(tmp_path / "good"), str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    route_quality_stream(
+        events_stream(spark, str(d), max_files_per_trigger=1), good, bad, ckpt
+    )
+    good_ids = {r["event_id"] for r in spark.read.parquet(good).collect()}
+    bad_rows = {
+        r["event_id"]: r["rules"] for r in spark.read.parquet(bad).collect()
+    }
+    assert good_ids == {1, 4}
+    assert bad_rows == {
+        2: "error_type",
+        3: "value_above_400,props_k_above_80",
+        5: "value_above_400,error_type",
+    }
+    # restart: checkpoint sees no new files, sinks unchanged
+    route_quality_stream(
+        events_stream(spark, str(d), max_files_per_trigger=1), good, bad, ckpt
+    )
+    assert {r["event_id"] for r in spark.read.parquet(good).collect()} == good_ids
+    assert {
+        r["event_id"] for r in spark.read.parquet(bad).collect()
+    } == set(bad_rows)
