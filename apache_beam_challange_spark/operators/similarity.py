@@ -219,6 +219,46 @@ def ivf_write_index(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def ivf_append_index(
+    new_embeddings: DataFrame,
+    codebook_source: DataFrame,
+    path: str,
+    codebook_ids: tuple[int, ...],
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new vectors against
+    the FIXED stored codebook (``codebook_source`` is any table holding
+    the codebook vectors — the base corpus or a stored centroids table;
+    serving systems never retrain between periodic rebuilds) and append
+    their rows into the existing ``centroid_id`` partitions. Because the
+    codebook is fixed, appended rows are bit-identical to a from-scratch
+    rebuild over the union — test-asserted. Same at-least-once append
+    seam as :func:`lsh_append_index`; the indexed reader de-duplicates
+    candidate ids, so a crash-retry re-append cannot change served
+    results."""
+    from pyspark.sql import Window
+
+    cents = codebook_source.filter(
+        F.col("vec_id").isin(list(codebook_ids))
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    vecs = new_embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(aw))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "label", "vec", "centroid_id")
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def ivf_topk_indexed(
     embeddings: DataFrame,
     index: DataFrame,
@@ -248,8 +288,12 @@ def ivf_topk_indexed(
         .filter(F.col("__rk") <= n_probe)
         .select("centroid_id")
     )
-    candidates = index.join(F.broadcast(probes), "centroid_id").filter(
-        F.col("vec_id") != query_vec_id
+    candidates = (
+        index.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        # identity on a clean index; makes a crash-retried incremental
+        # append (duplicate rows, see ivf_append_index) result-invisible
+        .dropDuplicates(["vec_id"])
     )
     return (
         candidates.crossJoin(F.broadcast(q))

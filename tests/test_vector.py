@@ -322,3 +322,48 @@ def test_lsh_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
     # served answer is unchanged
     lsh_append_index(delta, inc_path)
     assert serve(inc_path) == serve(full_path)
+
+
+def test_ivf_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
+    """Incremental IVF maintenance: appending a delta assigned against the
+    FIXED stored codebook must produce an index identical to a
+    from-scratch rebuild over the union, and a crash-retried double
+    append must not change served results (candidate dedup)."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_challange_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ids = (0, 1, 2, 3, 4, 5, 6, 7)
+    base = emb.filter(F.col("vec_id") < 250)  # codebook ids all < 250
+    delta = emb.filter(F.col("vec_id") >= 250)
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_write_index(base, inc, ids)
+    ivf_append_index(delta, emb, inc, ids)
+
+    full = str(tmp_path / "ivf_full")
+    ivf_write_index(emb, full, ids)
+
+    canon = lambda p: sorted(
+        (r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(p).collect()
+    )
+    assert canon(inc) == canon(full)
+
+    def serve(p):
+        return [
+            tuple(r)
+            for r in ivf_topk_indexed(
+                emb, spark.read.parquet(p), query_vec_id=0, k=10,
+                codebook_ids=ids,
+            ).collect()
+        ]
+
+    assert serve(inc) == serve(full)
+    ivf_append_index(delta, emb, inc, ids)  # retry after simulated crash
+    assert serve(inc) == serve(full)
