@@ -1378,3 +1378,59 @@ def benchmark_contamination_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("contamination").desc(), F.col("doc_id"))
         .limit(20)
     )
+
+
+# --- end-to-end curation funnel (round 5) ----------------------------------
+
+
+@query(
+    "curation_funnel_by_lang",
+    oracle=f"""
+WITH staged AS (
+    SELECT lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+               ORDER BY doc_id
+           ) AS rn,
+           {QUALITY_SCORE_SQL} AS q,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tok
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN rn = 1 AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 AND q >= 0.5 THEN n_tok ELSE 0 END)
+           AS BIGINT) AS tokens_kept
+FROM staged
+GROUP BY lang
+""".strip(),
+)
+def curation_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END TO END as one relational plan — the
+    composition every training-data run executes: prefix-fingerprint
+    dedup (md5 of the first 8 tokens — the cheap prefix-dup detector;
+    keep-first by doc_id) -> surface-quality gate (the engine's
+    deterministic quality score, cut at 0.5) -> per-language accounting
+    of documents and tokens surviving each stage. Two shuffles total at
+    any scale: the fingerprint window and the per-language aggregation —
+    the stages FUSE into one pass over the corpus instead of three
+    materialized intermediate tables, which is the point of declaring
+    the funnel to one optimizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    staged = docs.select(
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        quality_score(F.col("text")).alias("q"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    kept = (F.col("rn") == 1) & (F.col("q") >= 0.5)
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_dedup"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("tokens_kept"),
+    )

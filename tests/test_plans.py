@@ -339,3 +339,12 @@ def test_contamination_benchmark_side_broadcasts(plans):
     p = plans("benchmark_contamination_topk")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_curation_funnel_is_two_shuffles(plans):
+    """The end-to-end funnel (dedup window -> quality gate -> per-lang
+    accounting) must fuse into exactly two hash shuffles — fingerprint
+    window + language aggregation — not one per stage."""
+    p = plans("curation_funnel_by_lang")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
