@@ -659,3 +659,75 @@ def test_route_quality_stream_splits_and_tags(spark, tmp_path):
     assert {
         r["event_id"] for r in spark.read.parquet(bad).collect()
     } == set(bad_rows)
+
+
+def test_maintain_lsh_index_stream_matches_batch_rebuild(spark, tmp_path):
+    """Streaming index maintenance: ingesting embeddings as micro-batches
+    must leave the at-rest LSH index identical (contents AND served
+    answers) to a batch rebuild over the same vectors, and a checkpoint
+    restart must change nothing."""
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk_indexed,
+        lsh_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+    from apache_beam_challange_spark.streaming.maintenance import (
+        maintain_lsh_index_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    d = tmp_path / "vec_in"
+    d.mkdir()
+    # two micro-batch files splitting the corpus
+    for name, pred in (("a", F.col("vec_id") < 250), ("b", F.col("vec_id") >= 250)):
+        import glob as _glob
+        import shutil
+
+        staging = str(tmp_path / f"stage_{name}")
+        emb.filter(pred).coalesce(1).write.parquet(staging)
+        (part,) = _glob.glob(f"{staging}/part-*.parquet")
+        shutil.copy(part, str(d / f"{name}.parquet"))
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    inc = str(tmp_path / "lsh_stream")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_lsh_index_stream(stream, inc, ckpt)
+
+    full = str(tmp_path / "lsh_full")
+    lsh_write_index(emb, full)
+    canon = lambda p: sorted(
+        tuple(r) for r in spark.read.parquet(p).collect()
+    )
+    assert canon(inc) == canon(full)
+
+    def serve(p):
+        return [
+            tuple(r)
+            for r in ann_lsh_multitable_topk_indexed(
+                emb, spark.read.parquet(p), query_vec_id=0, k=10
+            ).collect()
+        ]
+
+    assert serve(inc) == serve(full)
+
+    # restart: no new files -> nothing appended
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    maintain_lsh_index_stream(stream2, inc, ckpt)
+    assert canon(inc) == canon(full)
