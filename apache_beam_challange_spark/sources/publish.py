@@ -75,8 +75,42 @@ def current_version_path(base: str) -> str | None:
     return vdir
 
 
-def read_published(spark: SparkSession, base: str) -> DataFrame | None:
-    """The live published DataFrame, or ``None`` before the first publish."""
+def published_versions(base: str) -> list[int]:
+    """Version numbers currently retained under ``base`` (complete dirs
+    only), ascending — the snapshot-history window a reader can time-travel
+    within (GC keeps the live version plus one predecessor)."""
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for entry in os.listdir(base):
+        if entry.startswith("v_") and os.path.exists(
+            os.path.join(base, entry, "_SUCCESS")
+        ):
+            try:
+                out.append(int(entry.split("_")[1]))
+            except (IndexError, ValueError):
+                continue
+    return sorted(out)
+
+
+def read_published(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame | None:
+    """The live published DataFrame, or ``None`` before the first publish.
+
+    ``version`` time-travels to a retained historical snapshot (the
+    versioned layout gives the last ``_KEEP_VERSIONS`` publishes for
+    free — the same read-old-snapshot contract a table format sells);
+    asking for a pruned or never-published version raises rather than
+    silently serving the wrong data."""
+    if version is not None:
+        vdir = os.path.join(base, f"v_{version:08d}")
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            raise ValueError(
+                f"version {version} is not retained under {base} "
+                f"(available: {published_versions(base)})"
+            )
+        return spark.read.parquet(vdir)
     vdir = current_version_path(base)
     return None if vdir is None else spark.read.parquet(vdir)
 

@@ -314,3 +314,56 @@ def test_publish_refuses_unversioned_layout(spark, tmp_path):
     spark.range(3).write.parquet(str(legacy))
     with _pytest.raises(RuntimeError, match="non-versioned"):
         read_published(spark, str(legacy))
+
+
+def test_publish_time_travel_within_retention(spark, tmp_path):
+    """The versioned publish layout gives snapshot time travel over the
+    retention window: after two publishes the previous version is still
+    readable by number, the live read serves the newest, and a pruned
+    version raises instead of silently serving wrong data."""
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.sources import publish as pub
+
+    base = str(tmp_path / "t")
+    pub.publish(spark.range(3), base)
+    pub.publish(spark.range(5), base)
+    assert pub.published_versions(base) == [1, 2]
+    assert pub.read_published(spark, base).count() == 5
+    assert pub.read_published(spark, base, version=1).count() == 3
+    pub.publish(spark.range(7), base)  # v1 pruned (keep 2)
+    assert pub.published_versions(base) == [2, 3]
+    with _pytest.raises(ValueError, match="not retained"):
+        pub.read_published(spark, base, version=1)
+
+
+def test_scd2_versions_partition_each_users_timeline(spark, sf_dir):
+    """SCD-2 invariants on real data: per user, version intervals are
+    non-overlapping and contiguous (each valid_to equals the next
+    valid_from), exactly one open row exists, and version event counts
+    sum back to the user's raw row count — the properties a point-in-time
+    join relies on."""
+    from collections import defaultdict
+
+    from apache_beam_challange_spark.plans.curation import (
+        scd2_event_type_history,
+    )
+
+    rows = scd2_event_type_history(spark, sf_dir).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per_user) == set(raw_counts)
+    for uid, versions in per_user.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in versions if r["is_current"] == 1]
+        assert len(opens) == 1 and opens[0] is versions[-1]
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous, no overlap
+        assert versions[-1]["valid_to"] is None
+        assert sum(r["n_events"] for r in versions) == raw_counts[uid]
