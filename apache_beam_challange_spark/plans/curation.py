@@ -619,8 +619,12 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from apache_beam_challange_spark.operators.graph import pagerank_int
 
+    from apache_beam_challange_spark.plans.extensions import (
+        minhash_sigs_at_rest,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs, rows_per_band=2)
     return pagerank_int(cand, n_iter=_PR_ITER, scale=_PR_SCALE).select(
         F.col("node").alias("doc_id"), "rank_int"

@@ -550,6 +550,31 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(shingles(docs, n=3), num_hashes=8)
 
 
+def minhash_sigs_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash signature table AT REST — the dedup family's shared
+    recall stage materialized once per source stamp (warehouse-cached like
+    the ANN codebooks, the round-4 serving discipline) and served to every
+    consumer: band pairs, Jaccard verify, connected components (both
+    variants), PageRank. The signature chain is deterministic (md5 family),
+    so the stored rows are bit-identical to the inline computation
+    (``minhash_signatures_q`` stays inline and oracle-verifies exactly
+    those values); repeated dedup queries then skip the shingle+md5 pass
+    entirely — at 100 TB the signature scan replaces a full-corpus
+    tokenization per query."""
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    path = warehouse_path(sf_dir, "minhash_sigs_n3h8", "documents")
+    if not is_materialized(path):
+        docs = load_table(spark, sf_dir, "documents")
+        minhash_signatures(shingles(docs, n=3), num_hashes=8).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 @query(
     "minhash_candidate_pairs",
     oracle=f"""
@@ -569,8 +594,7 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
 def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket join (4 bands x 2 rows): the scalable replacement
     for all-pairs comparison — candidates only where a full band collides."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
     return lsh_candidate_pairs(sigs, rows_per_band=2)
 
 
@@ -620,7 +644,7 @@ def jaccard_on_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB corpus dedup actually runs: cheap probabilistic recall stage,
     exact precision stage on the survivors."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs, rows_per_band=2)
     return jaccard_on_candidates(docs, cand, min_jaccard=0.5)
 
@@ -673,7 +697,7 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability closure. One row per document:
     (doc_id, component, cluster_size, keep)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs, rows_per_band=2)
     return dedup_clusters(docs, cand)
 
@@ -718,7 +742,7 @@ def dedup_connected_components_lss_q(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs, rows_per_band=2)
     return connected_components_lss(docs, cand)
 
