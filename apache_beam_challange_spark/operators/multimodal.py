@@ -166,12 +166,11 @@ def encode_wav(doc_id: int) -> bytes:
     return hdr + data
 
 
-def decode_wav(data: bytes) -> dict:
-    """Decode RIFF/WAVE PCM-16 mono with numpy only: validates magics and
-    format tag, walks the chunk list to the ``data`` chunk (a decoder that
-    assumes byte offset 44 breaks on files with extra chunks), and emits
-    sample statistics. ``abs_sum``/``first``/``last`` pin byte order and
-    chunk addressing."""
+def _parse_wav(data: bytes) -> tuple[int, "np.ndarray"]:
+    """Chunk-walk a RIFF/WAVE PCM-16 mono payload to ``(rate, samples)``:
+    validates magics and format tag, walks the chunk list to the ``data``
+    chunk (a decoder that assumes byte offset 44 breaks on files with
+    extra chunks)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -186,16 +185,40 @@ def decode_wav(data: bytes) -> dict:
             tag, channels, rate, _byterate, _align, bits = fmt
             if tag != 1 or channels != 1 or bits != 16:
                 raise ValueError(f"only PCM-16 mono (tag={tag} ch={channels})")
-            samples = np.frombuffer(data, "<i2", size // 2, pos + 8)
-            return {
-                "sample_rate": rate,
-                "n_samples": int(samples.size),
-                "abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
-                "first": int(samples[0]),
-                "last": int(samples[-1]),
-            }
+            return rate, np.frombuffer(data, "<i2", size // 2, pos + 8)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk")
+
+
+def decode_wav(data: bytes) -> dict:
+    """Decode RIFF/WAVE PCM-16 mono with numpy only and emit sample
+    statistics. ``abs_sum``/``first``/``last`` pin byte order and chunk
+    addressing."""
+    rate, samples = _parse_wav(data)
+    return {
+        "sample_rate": rate,
+        "n_samples": int(samples.size),
+        "abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
+        "first": int(samples[0]),
+        "last": int(samples[-1]),
+    }
+
+
+def wav_audio_features(data: bytes) -> dict:
+    """Signal-analysis features from decoded PCM samples — the audio
+    analog of the image feature extractor: exact integer energy (sum of
+    squares), peak amplitude, and zero-crossing count (sign defined as
+    ``s >= 0`` so the closed-form oracle can mirror it)."""
+    rate, samples = _parse_wav(data)
+    s64 = samples.astype(np.int64)
+    nonneg = s64 >= 0
+    return {
+        "sample_rate": rate,
+        "n_samples": int(s64.size),
+        "energy": int((s64 * s64).sum()),
+        "peak": int(np.abs(s64).max()),
+        "zero_crossings": int((nonneg[1:] != nonneg[:-1]).sum()),
+    }
 
 
 WAV_FEATURES_SCHEMA = (
@@ -235,6 +258,36 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
             ]
 
     return audio.mapInPandas(extract, schema=WAV_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, energy bigint, "
+    "peak int, zero_crossings bigint"
+)
+
+
+def decode_audio_features(audio: DataFrame) -> DataFrame:
+    """Real-codec WAV decode feeding signal features (energy / peak /
+    zero crossings) — same shuffle-free mapInPandas shape as
+    :func:`decode_wav_features`."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [wav_audio_features(d) for d in pdf["audio_bytes"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                [
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "energy",
+                    "peak",
+                    "zero_crossings",
+                ]
+            ]
+
+    return audio.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
 BMP_FEATURES_SCHEMA = (

@@ -159,3 +159,56 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_wav_features(attach_wav_audio(docs))
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+WITH params AS (
+    SELECT doc_id,
+           8000 + (doc_id % 3) * 4000 AS rate,
+           doc_id % 50 + 20 AS n
+    FROM documents
+),
+samp AS (
+    SELECT p.doc_id, p.rate, p.n,
+           (p.doc_id * 31 + i.i * 17) % 2001 - 1000 AS s,
+           i.i AS i
+    FROM params p, (SELECT unnest(generate_series(0, 69)) AS i) i
+    WHERE i.i < p.n
+),
+lagged AS (
+    SELECT doc_id, rate, n, s,
+           CASE WHEN s >= 0 THEN 1 ELSE 0 END AS sg,
+           LAG(CASE WHEN s >= 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY i
+           ) AS prev_sg
+    FROM samp
+)
+SELECT doc_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+       CAST(SUM(CASE WHEN prev_sg IS NOT NULL AND sg <> prev_sg
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY doc_id, rate, n
+""".strip(),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal analysis over the REAL WAV codec round-trip — the
+    audio twin of ``multimodal_image_features``: encode deterministic
+    PCM-16 RIFF/WAVE bytes per document, chunk-walk-decode them back, and
+    compute exact-integer signal features (energy = sum of squares, peak
+    amplitude, zero-crossing count). The oracle recomputes all three in
+    closed form from the generating series, so a wrong sample decode,
+    endianness slip, or off-by-one in the crossing definition hash-fails.
+    Shuffle-free: encode and decode are narrow mapInPandas passes."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_wav_audio,
+        decode_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_features(attach_wav_audio(docs))

@@ -60,9 +60,10 @@ ORACLES: dict[str, str] = {}
 #: each). After this round every oracle-checkable registry query that
 #: existed before round 5 has had >=1 driver verdict (the sole
 #: exception, simhash_signatures, is rows-only by design with a
-#: fully-verified md5 twin); the round-6 rotation pool is the four NEW
+#: fully-verified md5 twin); the round-6 rotation pool is the five NEW
 #: round-5 queries: scd2_event_type_history, quarantine_rule_counts,
-#: benchmark_contamination_topk, curation_funnel_by_lang.
+#: benchmark_contamination_topk, curation_funnel_by_lang,
+#: multimodal_audio_features.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
