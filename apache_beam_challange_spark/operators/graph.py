@@ -284,3 +284,72 @@ def pagerank_int(
             ).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_int"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Triangle count + global clustering coefficient via the
+    degree-ordered node-iterator (Schank & Wagner '05).
+
+    ``edges`` carries one undirected edge per row in columns (u, v) with
+    u < v and no duplicates. Every edge is oriented from its
+    (degree, id)-smaller endpoint, wedges join at the common source, and
+    each wedge closes against the oriented edge set — so every triangle
+    is counted exactly once, from its lowest-degree corner, and each
+    source's out-degree is O(sqrt(m)) on any graph (the arboricity
+    bound). All equi-joins + two aggregates; nothing quadratic in nodes.
+
+    Returns one row: n_nodes, n_edges, n_triangles, n_wedges,
+    clustering_coeff (= 3*triangles / wedges, exact integers inside one
+    rounded division).
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = edges.join(
+        deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
+    ).join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_lt = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
+        (F.col("e1.dst_d") == F.col("e2.dst_d"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_lt)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    wed = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"))
+    counts = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    return (
+        counts.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

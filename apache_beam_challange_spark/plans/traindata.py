@@ -1,0 +1,604 @@
+"""Round-5 late additions — the remaining operations a 100 TB
+training-data pipeline runs that the registry did not yet cover:
+
+- **sequence packing** (`sequence_packing_by_shard`): GPT-style
+  concat-and-chunk packing accounting — how many fixed-length training
+  sequences a corpus yields, how many documents straddle a sequence
+  boundary, and how much tail padding each shard pays. Pure prefix-sum
+  windows, partitioned by (lang, shard) so no global total order is ever
+  required — the shard key IS the parallelism unit at 100 TB.
+- **PII detection / redaction** (`pii_redaction_counts`): regex
+  email/phone/IPv4 detection and redaction accounting. The synthetic
+  corpus carries no PII, so the query *constructs* deterministic contact
+  strings from the data and then detects and redacts them — the same
+  encode-then-decode discipline the multimodal codecs use (the regexes
+  are exercised against real matches, not vacuous zeros).
+- **time-series gap fill + LOCF** (`resample_locf_hourly`): resample the
+  events stream onto a dense hourly spine per event type and carry the
+  last observation forward across gaps — the standard feature-store /
+  sensor-series repair. The carried value is a *picked* row value (no
+  float arithmetic), so the result is engine-exact.
+- **triangle counting** (`near_dup_triangle_stats`): the classic
+  degree-ordered node-iterator (each triangle counted exactly once from
+  its lowest-degree corner) over the MinHash-LSH near-dup pair graph,
+  plus the global clustering coefficient — the graph-shape diagnostic for
+  a dedup candidate graph (cliquish = true duplicate clusters,
+  star-heavy = a hub key worth inspecting).
+- **scalar-quantized ANN** (`sq8_topk_vec0`): SQ8 — per-dimension
+  min/max train, 8-bit codes, integer symmetric ADC shortlist, exact
+  cosine rerank. Completes the quantization family (PQ / OPQ / IVFPQ /
+  SQ) with the memory-4x-cheaper route every vector store ships first.
+- **BPE pair statistics** (`bpe_pair_counts`): the first iteration of
+  byte-pair-encoding tokenizer training — corpus-frequency-weighted
+  adjacent character-pair counts, the argmax of which is BPE's first
+  merge. One word-frequency aggregate (vocab-sized, tiny) then a
+  per-pair aggregate — the map-side-combined shape tokenizer training
+  uses at corpus scale.
+
+The reference has no analog for any of these (SURVEY.md §2.9's "beyond
+the reference" mandate); every query is expressed as pure DataFrame ops
+(windows, two-phase aggregates, equi-joins — no UDFs, no collect) and
+every oracle reproduces the exact arithmetic, so the driver's hash gate
+verifies values, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.plans.extensions import _MINHASH_CTE
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+# --- sequence packing (concat-and-chunk) -----------------------------------
+
+#: Tokens per training sequence. 256 keeps sf0.01 shards multi-sequence;
+#: the arithmetic is budget-agnostic.
+_SEQ_BUDGET = 256
+#: Shards per language — the packing parallelism unit. Within a shard the
+#: pack order is doc_id; across shards there is NO ordering requirement,
+#: which is what makes the plan scale: each (lang, shard) group packs
+#: independently under one hash partitioning.
+_N_SHARDS = 8
+
+
+@query(
+    "sequence_packing_by_shard",
+    oracle=f"""
+WITH toks AS (
+    SELECT lang, doc_id % {_N_SHARDS} AS shard, doc_id,
+           LEN(string_split(text, ' ')) AS n_tok
+    FROM documents
+),
+placed AS (
+    SELECT lang, shard, n_tok,
+           SUM(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) - n_tok AS off
+    FROM toks
+),
+agg AS (
+    SELECT lang, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN off // {_SEQ_BUDGET}
+                              <> (off + n_tok - 1) // {_SEQ_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+    FROM placed
+    GROUP BY lang, shard
+)
+SELECT lang, shard, n_docs, n_tokens,
+       (n_tokens + {_SEQ_BUDGET - 1}) // {_SEQ_BUDGET} AS n_sequences,
+       n_split_docs,
+       ((n_tokens + {_SEQ_BUDGET - 1}) // {_SEQ_BUDGET}) * {_SEQ_BUDGET}
+           - n_tokens AS pad_tokens
+FROM agg
+""".strip(),
+)
+def sequence_packing_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing, accounted per
+    (lang, shard): documents are laid end-to-end in doc_id order within
+    a shard and cut every ``_SEQ_BUDGET`` tokens. Reports sequences
+    yielded, documents split across a boundary, and tail padding.
+
+    Scale shape: ONE window + ONE aggregate, both on the same
+    (lang, shard) hash partitioning — a single shuffle, no global sort.
+    At 100 TB the shard count widens and every shard packs independently;
+    the per-shard prefix sum is the only ordered computation and it never
+    leaves its partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.select(
+        "lang",
+        "shard",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("off"),
+    )
+    b = F.lit(_SEQ_BUDGET)
+    agg = placed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.expr(f"off div {_SEQ_BUDGET}")
+                != F.expr(f"(off + n_tok - 1) div {_SEQ_BUDGET}"),
+                1,
+            ).otherwise(0)
+        ).alias("n_split_docs"),
+    )
+    n_seq = (F.col("n_tokens") + (_SEQ_BUDGET - 1)) / b
+    n_seq = F.floor(n_seq).cast("long")
+    return agg.select(
+        "lang",
+        "shard",
+        "n_docs",
+        "n_tokens",
+        n_seq.alias("n_sequences"),
+        "n_split_docs",
+        (n_seq * b - F.col("n_tokens")).cast("long").alias("pad_tokens"),
+    )
+
+
+# --- PII detection / redaction ---------------------------------------------
+
+#: RE2- and java.util.regex-compatible by construction: character classes,
+#: bounded repetition, no backreferences, no lookaround.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+#: SQL expression constructing the deterministic contact tail appended to
+#: each document (DuckDB spelling; the Spark twin is built in-function).
+_RAW_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source "
+    "|| '.com or call +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+    "|| '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+    "|| CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+@query(
+    "pii_redaction_counts",
+    oracle=f"""
+WITH raw AS (
+    SELECT lang, {_RAW_SQL} AS raw FROM documents
+),
+red AS (
+    SELECT lang, raw,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM raw
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(raw, '{_EMAIL_RE}'))) AS BIGINT)
+           AS n_emails,
+       CAST(SUM(LEN(regexp_extract_all(raw, '{_PHONE_RE}'))) AS BIGINT)
+           AS n_phones,
+       CAST(SUM(LEN(regexp_extract_all(raw, '{_IP_RE}'))) AS BIGINT)
+           AS n_ips,
+       CAST(SUM(LEN(raw) - LEN(redacted)) AS BIGINT) AS chars_redacted
+FROM red
+GROUP BY lang
+""".strip(),
+)
+def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting per language: regex
+    email / NANP-phone / IPv4 detectors counted on the raw text, then a
+    three-pass redaction (match -> placeholder) whose removed-character
+    total is verified exactly. The corpus is synthetic, so the
+    deterministic contact tail is CONSTRUCTED from each row first — the
+    detectors run against real matches (500 each at sf0.01), and a regex
+    drift between engines fails the hash gate instead of comparing zeros.
+
+    Scale shape: one narrow projection (regex work is per-row, pushed
+    into the scan stage) and one map-side-combined aggregate — redaction
+    at 100 TB is embarrassingly parallel and this plan keeps it that
+    way. Patterns stay in the RE2 ∩ java.util.regex dialect (classes and
+    bounded repeats only) so the same text matches identically here, in
+    the DuckDB oracle, and in any sidecar scrubber."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".com or call +1-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    staged = docs.select(
+        "lang",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("ne"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).alias("np"),
+        F.regexp_count(raw, F.lit(_IP_RE)).alias("ni"),
+        (F.length(raw) - F.length(redacted)).alias("delta"),
+    )
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ne").cast("long").alias("n_emails"),
+        F.sum("np").cast("long").alias("n_phones"),
+        F.sum("ni").cast("long").alias("n_ips"),
+        F.sum("delta").cast("long").alias("chars_redacted"),
+    )
+
+
+# --- time-series resample + LOCF gap fill ----------------------------------
+
+
+@query(
+    "resample_locf_hourly",
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('hour', MIN(ts)) AS h0,
+           date_trunc('hour', MAX(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT event_type, hour FROM types CROSS JOIN spine),
+ranked AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+),
+lastv AS (SELECT event_type, hour, value FROM ranked WHERE rn = 1)
+SELECT g.event_type, g.hour,
+       LAST_VALUE(l.value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour
+           ROWS UNBOUNDED PRECEDING
+       ) AS value_locf,
+       CAST(CASE WHEN l.value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM grid g
+LEFT JOIN lastv l ON l.event_type = g.event_type AND l.hour = g.hour
+""".strip(),
+)
+def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the events stream onto a dense hourly spine per event
+    type and repair gaps by last-observation-carried-forward — the
+    standard sensor-series / feature-store densification. The carried
+    value is the hour's LAST raw reading (row_number pick, ties broken
+    on event_id), never an aggregate of floats, so the filled series is
+    bit-identical in any engine; hours before the first observation stay
+    NULL honestly.
+
+    Scale shape: the spine is bounds × types — dimension-sized however
+    large the fact table gets — so the grid build is a broadcast-able
+    cross of two tiny inputs; the per-hour pick and the LOCF window both
+    run on one event_type partitioning. The LOCF window orders the
+    per-type DENSE spine (bounded rows/hour), not raw events."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    w_pick = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        events.select("event_type", hour.alias("hour"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "hour", "value")
+    )
+    w_locf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(lastv, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.last("value", ignorenulls=True).over(w_locf).alias("value_locf"),
+            F.when(F.col("value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+    )
+
+
+# --- triangle counting over the near-dup graph -----------------------------
+
+
+def _lsh_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate pair graph (a < b), from the at-rest
+    signature table — the same edge list CC and PageRank consume."""
+    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
+    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
+    return lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+@query(
+    "near_dup_triangle_stats",
+    oracle=f"""
+WITH {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx)
+               AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+edges AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_d
+    FROM edges e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e2.src = e1.src
+                    AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+    JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+wed AS (
+    SELECT SUM(d * (d - 1) // 2) AS n_wedges FROM deg
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       CAST(wed.n_wedges AS BIGINT) AS n_wedges,
+       ROUND(CASE WHEN wed.n_wedges = 0 THEN 0.0
+                  ELSE 3.0 * tri.n_triangles / wed.n_wedges END, 6)
+           AS clustering_coeff
+FROM tri, wed
+""".strip(),
+)
+def near_dup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    candidate graph, via the degree-ordered node-iterator (Schank &
+    Wagner '05): orient every edge from its (degree, id)-smaller
+    endpoint, join wedges at the common source, and close each wedge
+    against the oriented edge set — every triangle is counted exactly
+    once, from its lowest-degree corner.
+
+    Scale shape: orientation bounds each source's out-degree by
+    O(sqrt(m)) on any graph, so the wedge join — the only superlinear
+    step — is the arboricity-optimal one; everything is equi-joins and
+    two aggregates on the edge list (no matrix, no all-pairs). The
+    coefficient (cliquishness of candidate clusters vs star-shaped hub
+    keys) is one division of exact integers, rounded once."""
+    from apache_beam_challange_spark.operators.graph import triangle_stats
+
+    edges = _lsh_pair_graph(spark, sf_dir).select(
+        F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
+    )
+    return triangle_stats(edges)
+
+
+# --- SQ8 scalar-quantized ANN ----------------------------------------------
+
+
+@query(
+    "sq8_topk_vec0",
+    oracle="""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+    SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, 64)) AS j
+    FROM vecs
+),
+stats AS (
+    SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY j
+),
+codes AS (
+    SELECT c.vec_id, c.j,
+           CAST(CASE WHEN s.mx = s.mn THEN 0
+                     ELSE LEAST(FLOOR((c.x - s.mn) * 255.0 / (s.mx - s.mn)),
+                                255)
+                END AS BIGINT) AS code
+    FROM comp c JOIN stats s ON s.j = c.j
+),
+scored AS (
+    SELECT c.vec_id,
+           SUM((c.code - q.code) * (c.code - q.code)) AS l2c
+    FROM codes c
+    JOIN (SELECT j, code FROM codes WHERE vec_id = 0) q ON q.j = c.j
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+),
+short AS (
+    SELECT vec_id FROM scored ORDER BY l2c ASC, vec_id LIMIT 100
+)
+SELECT v.vec_id, v.label,
+       ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
+FROM short s
+JOIN vecs v ON v.vec_id = s.vec_id
+CROSS JOIN (SELECT v AS qv FROM vecs WHERE vec_id = 0) q
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 20
+""".strip(),
+)
+def sq8_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized similarity search: train per-dimension
+    (min, max) over the corpus, quantize every component to an 8-bit
+    code, shortlist by the INTEGER symmetric code-space L2 distance
+    (a bigint sum of squared code deltas — engine-exact, and invariant
+    to the per-dim mn offsets that make a raw code dot product drift
+    from the true ranking: measured recall@20 0.65 dot vs 1.00 L2 on
+    this corpus, floor 0.90 pinned in tests), then rerank the
+    100-candidate shortlist by exact cosine on the float vectors. The
+    4x-compressed route every vector store ships first, completing the
+    quantization family next to PQ/OPQ/IVFPQ.
+
+    Scale shape: the trained stats are 64 rows (broadcast); the scan
+    reads CODES (one byte per component at rest, bigint here), never
+    corpus floats, until the <=100-row rerank; the shortlist is a
+    TakeOrderedAndProject over the code aggregate. FLOOR quantization
+    (not ROUND) keeps the code boundary identical across engines —
+    DuckDB rounds half-away while Spark rounds half-up, and FLOOR
+    sidesteps the disagreement."""
+    from apache_beam_challange_spark.functions.vector import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("j0", "x"),
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    stats = comp.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    codes = comp.join(F.broadcast(stats), "j").select(
+        "vec_id",
+        "j",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))),
+                F.lit(255),
+            )
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    qcodes = codes.filter(F.col("vec_id") == 0).select(
+        "j", F.col("code").alias("qcode")
+    )
+    delta = F.col("code") - F.col("qcode")
+    shortlist = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qcodes), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(delta * delta).alias("l2c"))
+        .orderBy(F.col("l2c").asc(), F.col("vec_id"))
+        .limit(100)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("__qvec")
+    )
+    return (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double(F.col("embedding")), F.col("__qvec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+# --- BPE pair statistics ----------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+WITH wf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+),
+pos AS (
+    SELECT token, freq,
+           unnest(generate_series(1, len(token) - 1)) AS i
+    FROM wf
+    WHERE len(token) >= 2
+),
+pairs AS (SELECT substr(token, i, 2) AS pair, freq FROM pos)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+""".strip(),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-frequency-
+    weighted adjacent character-pair counts; the argmax is BPE's first
+    merge. The word-frequency table is computed ONCE (vocab-sized —
+    Zipf-small next to the corpus) so the character explosion runs over
+    distinct words, not over every corpus occurrence — the standard
+    trick that makes tokenizer training tractable at 100 TB: corpus
+    pass produces (word, freq), all later merge iterations run on the
+    tiny vocab table alone.
+
+    Top-50 via TakeOrderedAndProject with the pair itself as the tie
+    break, so the cut is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = (
+        wf.filter(F.length("token") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("token") - 1),
+                    lambda i: F.col("token").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(50)
+    )
