@@ -60,13 +60,14 @@ ORACLES: dict[str, str] = {}
 #: each). After this round every oracle-checkable registry query that
 #: existed before round 5 has had >=1 driver verdict (the sole
 #: exception, simhash_signatures, is rows-only by design with a
-#: fully-verified md5 twin); the round-6 rotation pool is the ELEVEN new
+#: fully-verified md5 twin); the round-6 rotation pool is the FIFTEEN new
 #: round-5 queries: scd2_event_type_history, quarantine_rule_counts,
 #: benchmark_contamination_topk, curation_funnel_by_lang,
 #: multimodal_audio_features, plus the traindata family
 #: (sequence_packing_by_shard, pii_redaction_counts,
 #: resample_locf_hourly, near_dup_triangle_stats, sq8_topk_vec0,
-#: bpe_pair_counts).
+#: bpe_pair_counts, prefix_filter_jaccard_pairs, weighted_doc_sample,
+#: entity_part_clusters, zorder_orders_keys).
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",

@@ -602,3 +602,367 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(50)
     )
+
+
+# --- exact set-similarity join via prefix filtering -------------------------
+
+#: DuckDB spelling of the 15-hex-digit md5 prefix of a doc_id as a BIGINT
+#: (twin of Spark's conv(substring(md5(...), 1, 15), 16, 10)).
+from apache_beam_challange_spark.plans.extensions import _HEXD  # noqa: E402
+
+_DOC_HEX15 = " + ".join(
+    _HEXD.format(m="md5(CAST(doc_id AS VARCHAR))", p=p) + f" * {16 ** (15 - p)}"
+    for p in range(1, 16)
+)
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, greatest(len(tokens) - 2, 1))) AS i
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+    FROM pos
+),
+freq AS (SELECT shingle, COUNT(*) AS sf FROM sh GROUP BY shingle),
+ranked AS (
+    SELECT s.doc_id, s.shingle,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.doc_id ORDER BY f.sf, s.shingle
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+    FROM sh s JOIN freq f ON f.shingle = s.shingle
+),
+prefix AS (
+    SELECT doc_id, shingle FROM ranked
+    WHERE rn <= n - (n + 1) // 2 + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM prefix a
+    JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_id_1, c.doc_id_2, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_id_1
+    JOIN sh b ON b.doc_id = c.doc_id_2 AND b.shingle = a.shingle
+    GROUP BY c.doc_id_1, c.doc_id_2
+)
+SELECT i.doc_id_1, i.doc_id_2,
+       ROUND(n_inter / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.doc_id_1 = s1.doc_id
+JOIN sizes s2 ON i.doc_id_2 = s2.doc_id
+WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+""".strip(),
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (shingle-set Jaccard >= 0.5) via prefix
+    filtering (PPJoin-family, Xiao et al. WWW'08): order each document's
+    distinct word-3-gram shingles by ascending global frequency (rarest
+    first), keep only the first n - ceil(t*n) + 1 as the document's
+    PREFIX, and generate candidates only where two prefixes share a
+    shingle. Pigeonhole guarantee: any pair with Jaccard >= t shares
+    >= ceil(t*|x|) elements, so the globally-smallest shared element
+    sits inside BOTH prefixes — recall is exactly 1.0 by construction
+    (asserted against brute force in tests), unlike the probabilistic
+    MinHash route, and with no signature to tune.
+
+    The set universe is SHINGLES, not tokens, deliberately: on shingles
+    (order-sensitive, near-unique) high-Jaccard pairs are the true
+    near-dups, so the output is sparse; token sets over a Zipf vocab
+    would make most pairs qualify and the join inherently quadratic.
+    Scale shape: prefix elements are the RARE ones, so candidate blocks
+    are the small-posting blocks — the frequent-element blowup is
+    filtered out by construction; everything else is equi-joins and
+    per-doc windows. The third member of the near-dup join family: LSH
+    (probabilistic, driver tier), blocked-by-source (quadratic
+    baseline), prefix-filter (exact, subquadratic)."""
+    from apache_beam_challange_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, n=3, distinct=True)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sf"))
+    w_rank = Window.partitionBy("doc_id").orderBy("sf", "shingle")
+    w_n = Window.partitionBy("doc_id")
+    # shingle frequencies are corpus-scale (unlike a word vocab), so the
+    # attach is a plain equi-join — NOT broadcast — by design
+    ranked = sh.join(freq, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(n + 1) div 2") + 1
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    inter = (
+        cand.join(sa, "doc_id_1")
+        .join(sb, ["doc_id_2", "shingle"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    return (
+        inter.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(jac >= 0.5)
+        .select("doc_id_1", "doc_id_2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) -----------
+
+
+@query(
+    "weighted_doc_sample",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           LN(CAST(({_DOC_HEX15}) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+               / n_chars AS k
+    FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       ROUND(k, 6) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 25
+""".strip(),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res, IPL'06): each row draws a deterministic
+    uniform u from the md5 of its id, scores k = ln(u)/w with weight
+    w = n_chars, and the k-largest keys ARE a weighted sample without
+    replacement — the one-pass, merge-friendly way to draw
+    quality-weighted training subsets from a 100 TB corpus (top-k of
+    keys is a TakeOrderedAndProject; no sequential reservoir state, no
+    RNG service — retries and reshuffles reproduce the same sample).
+
+    The uniform is (md5_15hex % 1000003 + 1) / 1000004 — the engine's
+    content-addressed md5 discipline — and ln()/division are single
+    IEEE-exact ops per row (no summation), so keys are bit-identical in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 1000003
+            + 1
+        ).cast("double")
+        / 1000004.0
+    )
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            k.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(25)
+        .select("doc_id", "lang", "weight", F.round(F.col("k"), 6).alias("sample_key"))
+    )
+
+
+# --- entity resolution end-to-end: fuzzy edges -> clusters ------------------
+
+
+@query(
+    "entity_part_clusters",
+    oracle="""
+WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+ids AS (
+    SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS nid FROM names
+),
+blocked AS (
+    SELECT p_name, nid, string_split(p_name, ' ')[-1] AS block FROM ids
+),
+bounded AS (
+    SELECT p_name, nid, block FROM blocked
+    QUALIFY COUNT(*) OVER (PARTITION BY block) <= 2000
+),
+pairs AS (
+    SELECT a.nid AS n1, b.nid AS n2
+    FROM bounded a
+    JOIN bounded b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS (
+    SELECT n1 AS node, n2 AS nbr FROM pairs
+    UNION ALL
+    SELECT n2 AS node, n1 AS nbr FROM pairs
+),
+reach AS (
+    SELECT nid AS node, nid AS lbl FROM ids
+    UNION
+    SELECT e.nbr AS node, r.lbl
+    FROM reach r JOIN edges e ON e.node = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+sizes AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+)
+SELECT i.p_name, ci.p_name AS canonical_name, s.cluster_size,
+       c.node = c.component AS is_canonical
+FROM comp c
+JOIN ids i ON i.nid = c.node
+JOIN ids ci ON ci.nid = c.component
+JOIN sizes s ON s.component = c.component
+""".strip(),
+)
+def entity_part_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END TO END: the blocked Levenshtein fuzzy join
+    proposes same-entity edges over distinct part names, connected
+    components merges them into entity clusters, and each cluster's
+    lexicographically-first name becomes the canonical entity — the full
+    record-linkage pipeline (block -> match -> cluster -> canonicalize)
+    as one composition of already-verified operators
+    (``blocked_fuzzy_pairs`` + ``connected_components``).
+
+    Name -> integer ids via ROW_NUMBER over the DISTINCT-name table
+    (entity-count-sized — 64 rows here, vocab-scale at 100 TB — so the
+    global window is a deliberate small-side step, like the probe lists
+    and histogram bins the global-window audit already covers); the
+    iterative min-label propagation runs on integers, the recursive-CTE
+    oracle reproduces the same fixpoint."""
+    from apache_beam_challange_spark.operators.graph import connected_components
+    from apache_beam_challange_spark.plans.curation import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    ids = names.select(
+        "p_name", F.row_number().over(Window.orderBy("p_name")).alias("nid")
+    )
+    pairs = blocked_fuzzy_pairs(names)
+    edges = (
+        pairs.join(
+            ids.select(F.col("p_name").alias("name_1"), F.col("nid").alias("doc_id_1")),
+            "name_1",
+        )
+        .join(
+            ids.select(F.col("p_name").alias("name_2"), F.col("nid").alias("doc_id_2")),
+            "name_2",
+        )
+        .select("doc_id_1", "doc_id_2")
+    )
+    comp = connected_components(
+        ids.select(F.col("nid").alias("doc_id")), edges
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.join(ids, comp["node"] == ids["nid"])
+        .join(
+            ids.select(
+                F.col("nid").alias("component"),
+                F.col("p_name").alias("canonical_name"),
+            ),
+            "component",
+        )
+        .join(sizes, "component")
+        .select(
+            "p_name",
+            "canonical_name",
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )
+
+
+# --- Z-order layout keys ----------------------------------------------------
+
+
+@query(
+    "zorder_orders_keys",
+    oracle="""
+WITH dims AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+    FROM orders
+),
+b AS (
+    SELECT MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+           MIN(day) AS mn_d, MAX(day) AS mx_d
+    FROM dims
+),
+scaled AS (
+    SELECT o_orderkey,
+           CAST(FLOOR(CAST(((o_custkey) - (mn_c)) * 256 AS DOUBLE) / ((mx_c) - (mn_c) + 1)) AS BIGINT) AS za,
+           CAST(FLOOR(CAST(((day) - (mn_d)) * 256 AS DOUBLE) / ((mx_d) - (mn_d) + 1)) AS BIGINT) AS zb
+    FROM dims, b
+)
+SELECT o_orderkey, CAST((((za) // 1) % 2 + 2 * (((zb) // 1) % 2)) * 1 + (((za) // 2) % 2 + 2 * (((zb) // 2) % 2)) * 4 + (((za) // 4) % 2 + 2 * (((zb) // 4) % 2)) * 16 + (((za) // 8) % 2 + 2 * (((zb) // 8) % 2)) * 64 + (((za) // 16) % 2 + 2 * (((zb) // 16) % 2)) * 256 + (((za) // 32) % 2 + 2 * (((zb) // 32) % 2)) * 1024 + (((za) // 64) % 2 + 2 * (((zb) // 64) % 2)) * 4096 + (((za) // 128) % 2 + 2 * (((zb) // 128) % 2)) * 16384 AS BIGINT) AS zkey
+FROM scaled
+""".strip(),
+)
+def zorder_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (o_custkey, order day): both
+    dimensions scaled to 8-bit ranks by exact monotone integer
+    arithmetic, then bit-interleaved into one bigint sort key. Writing
+    the table sorted by this key clusters row groups into small
+    rectangles of the (customer, date) plane, so min/max skipping prunes
+    scans filtered on EITHER dimension — the two-predicate upgrade over
+    single-column sort-on-write (tests/test_rowgroup_clustering.py), and
+    what lakehouse engines expose as OPTIMIZE ZORDER. The layout effect
+    itself (narrow per-file ranges on both dims after a z-sorted write)
+    is asserted in tests/test_traindata.py; this query oracle-verifies
+    the key arithmetic bit-for-bit.
+
+    Scale shape: one narrow projection against broadcast global bounds —
+    the sort itself is the range-partitioned write the compaction
+    operator already owns."""
+    from apache_beam_challange_spark.functions.layout import (
+        scale_to_bits,
+        zorder_key,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias(
+            "day"
+        ),
+    )
+    b = dims.agg(
+        F.min("o_custkey").alias("mn_c"),
+        F.max("o_custkey").alias("mx_c"),
+        F.min("day").alias("mn_d"),
+        F.max("day").alias("mx_d"),
+    )
+    scaled = dims.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        scale_to_bits(F.col("o_custkey"), F.col("mn_c"), F.col("mx_c")).alias("za"),
+        scale_to_bits(F.col("day"), F.col("mn_d"), F.col("mx_d")).alias("zb"),
+    )
+    return scaled.select(
+        "o_orderkey", zorder_key(F.col("za"), F.col("zb")).alias("zkey")
+    )

@@ -211,3 +211,178 @@ def test_bpe_pairs_match_manual_count(spark, sf_dir):
         for r in QS["bpe_pair_counts"](spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+# --- prefix-filter exact similarity join ------------------------------------
+
+
+def test_prefix_filter_equals_brute_force(spark, sf_dir):
+    """The PPJoin-style prefix filter must be EXACT: identical pair set
+    and Jaccard values to the all-pairs brute force over shingle sets."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sets = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        n = max(len(toks) - 2, 1)
+        sets[r.doc_id] = {" ".join(toks[i : i + 3]) for i in range(n)}
+    ids = sorted(sets)
+    expect = set()
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            s1, s2 = sets[d1], sets[d2]
+            inter = len(s1 & s2)
+            if inter and inter / (len(s1) + len(s2) - inter) >= 0.5:
+                expect.add((d1, d2, round(inter / (len(s1) + len(s2) - inter), 6)))
+    got = {
+        (r.doc_id_1, r.doc_id_2, round(r.jaccard, 6))
+        for r in QS["prefix_filter_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain at least one near-dup pair"
+
+
+# --- weighted sampling ------------------------------------------------------
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """The A-Res keys are deterministic md5 arithmetic — an independent
+    python computation must produce the identical top-25."""
+    import hashlib
+    import math as m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    keyed = []
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        u = (h % 1000003 + 1) / 1000004.0
+        keyed.append((m.log(u) / r.n_chars, r.doc_id))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expect = [doc_id for _, doc_id in keyed[:25]]
+    got = [r.doc_id for r in QS["weighted_doc_sample"](spark, sf_dir).collect()]
+    assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With one row weighted 1000x the rest, a top-1 draw must pick it for
+    the overwhelming majority of hash seeds — sanity that the weight
+    actually steers the sample (exactness is pinned by the oracle)."""
+    import hashlib
+    import math as m
+
+    wins = 0
+    for seed in range(200):
+        best, best_k = None, -m.inf
+        for doc_id, w in [(seed * 7 + i, 1000 if i == 0 else 1) for i in range(10)]:
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+            u = (h % 1000003 + 1) / 1000004.0
+            k = m.log(u) / w
+            if k > best_k:
+                best, best_k = doc_id, k
+        if best == seed * 7:
+            wins += 1
+    assert wins > 180  # heavy row wins ~ w/(w+9) = 99.1% of trials
+
+
+# --- entity clustering ------------------------------------------------------
+
+
+def test_entity_clusters_invariants(spark, sf_dir):
+    rows = QS["entity_part_clusters"](spark, sf_dir).collect()
+    names = {r.p_name for r in rows}
+    n_names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_name")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == len(names) == n_names
+    by_canon: dict = {}
+    for r in rows:
+        assert r.canonical_name <= r.p_name  # canonical = lexicographic min
+        assert r.is_canonical == (r.p_name == r.canonical_name)
+        by_canon.setdefault(r.canonical_name, []).append(r)
+    for canon, members in by_canon.items():
+        assert canon in {m_.p_name for m_ in members}
+        for m_ in members:
+            assert m_.cluster_size == len(members)
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from apache_beam_challange_spark.functions.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101), (0, 0), (255, 255), (1, 0), (0, 1)], "a long, b long"
+    )
+    got = [r.z for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).collect()]
+    def morton(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == [morton(a, b) for a, b in [(0b1010, 0b0101), (0, 0), (255, 255), (1, 0), (0, 1)]]
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """A z-sorted write must give narrow per-row-group ranges on BOTH
+    dimensions, where a single-column sort is narrow on one and spans the
+    full domain on the other."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from apache_beam_challange_spark.functions.layout import (
+        scale_to_bits,
+        zorder_key,
+    )
+
+    # sf0.001's 1.5k orders fit in ~3 row groups even at a 16 KiB block
+    # size — too few to measure clustering; use the sf0.01 table (15k rows)
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+    )
+    b = orders.agg(
+        F.min("o_custkey").alias("mn_c"), F.max("o_custkey").alias("mx_c"),
+        F.min("day").alias("mn_d"), F.max("day").alias("mx_d"),
+    )
+    keyed = orders.crossJoin(F.broadcast(b)).select(
+        "o_orderkey", "o_custkey", "day",
+        zorder_key(
+            scale_to_bits(F.col("o_custkey"), F.col("mn_c"), F.col("mx_c")),
+            scale_to_bits(F.col("day"), F.col("mn_d"), F.col("mx_d")),
+        ).alias("zkey"),
+    )
+    small = {"parquet.block.size": 16 * 1024}
+    zpath, cpath = str(tmp_path / "z"), str(tmp_path / "c")
+    keyed.orderBy("zkey").coalesce(1).write.options(**small).parquet(zpath)
+    keyed.orderBy("o_custkey", "day").coalesce(1).write.options(**small).parquet(cpath)
+
+    def ranges(path, col):
+        out = []
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    def avg_width(rs):
+        return sum(mx - mn for mn, mx in rs) / len(rs)
+
+    assert len(ranges(zpath, "day")) > 3, "need several row groups"
+    full_day = avg_width([(min(mn for mn, _ in ranges(cpath, "day")),
+                           max(mx for _, mx in ranges(cpath, "day")))])
+    # custkey-sorted: day ranges span nearly the whole domain per row group
+    assert avg_width(ranges(cpath, "day")) > full_day * 0.5
+    # z-sorted: BOTH dims clustered well below the single-sort's bad dim
+    assert avg_width(ranges(zpath, "day")) < avg_width(ranges(cpath, "day")) / 2
+    assert avg_width(ranges(zpath, "o_custkey")) < full_custkey_width(ranges(cpath, "o_custkey")) * 0.5
+
+
+def full_custkey_width(rs):
+    return max(mx for _, mx in rs) - min(mn for mn, _ in rs)
