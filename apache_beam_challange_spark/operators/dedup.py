@@ -383,3 +383,46 @@ def jaccard_on_candidates(
         )
     )
     return scored.filter(F.col("jaccard") >= min_jaccard)
+
+
+def minhash_write_signatures(
+    docs: DataFrame, path: str, n: int = 3, num_hashes: int = 8
+) -> None:
+    """Materialize the MinHash signature table for a corpus at ``path`` —
+    the dedup family's shared recall stage at rest (see
+    ``plans/extensions.py:minhash_sigs_at_rest`` for the warehouse-stamped
+    variant this mirrors)."""
+    minhash_signatures(shingles(docs, n=n), num_hashes=num_hashes).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def minhash_append_signatures(
+    new_docs: DataFrame, path: str, n: int = 3, num_hashes: int = 8
+) -> None:
+    """Incremental maintenance of the at-rest signature table: signatures
+    for ONLY the delta documents, appended — the corpus grows without
+    re-tokenizing what is already signed (the shingle+md5 pass is linear
+    in the delta, not the corpus). A MinHash signature is a pure per-doc
+    function, so appended rows are bit-identical to what a from-scratch
+    rebuild over the union would produce — asserted in tests, the same
+    discipline as ``lsh_append_index`` / ``ivf_append_index``.
+
+    Crash/retry model (plain parquet): a crash during job commit can leave
+    a subset of the delta visible; the retry re-appends, and duplicate
+    (doc_id, hash_idx) rows are neutralized by the stored-table reader
+    (:func:`minhash_stored_signatures` de-duplicates on the signature
+    key), so append is semantically idempotent."""
+    minhash_signatures(shingles(new_docs, n=n), num_hashes=num_hashes).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def minhash_stored_signatures(spark, path: str) -> DataFrame:
+    """Read the at-rest signature table for serving. Drops duplicate
+    (doc_id, hash_idx) rows so a crash-retried append never corrupts the
+    band aggregation downstream (``lsh_candidate_pairs`` concatenates a
+    band's min_hashes — a duplicated row would double one position);
+    signature values are deterministic, so duplicates are always exact
+    copies and the drop is a pure idempotence guard."""
+    return spark.read.parquet(path).dropDuplicates(["doc_id", "hash_idx"])

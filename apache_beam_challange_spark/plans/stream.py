@@ -152,3 +152,39 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     the state store, so the final update equals the batch GROUP BY."""
     ev = events_stream(spark, f"{sf_dir}/events.parquet")
     return run_to_memory(running_user_counts(ev), "update")
+
+
+@query(
+    "streaming_ohlc_hourly",
+    oracle="""
+WITH ranked AS (
+    SELECT date_trunc('hour', ts) AS window_start, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts) ORDER BY ts, event_id
+           ) AS rn_a,
+           ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn_d
+    FROM events
+)
+SELECT window_start,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY window_start
+""".strip(),
+)
+def streaming_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC time-series bars computed BY THE STREAMING ENGINE —
+    min_by/max_by/min/max/count are mergeable aggregates, so the bars
+    fold incrementally across micro-batches (complete mode here so the
+    final table equals the batch answer; the batch twin
+    ``ohlc_hourly_value_bars`` shares the window-based oracle)."""
+    from apache_beam_challange_spark.streaming.windows import ohlc_bars
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(ohlc_bars(ev, "1 hour"), "complete")

@@ -966,3 +966,254 @@ def zorder_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "o_orderkey", zorder_key(F.col("za"), F.col("zb")).alias("zkey")
     )
+
+
+# --- mergeable-sketch rollup: sliding-window HLL ----------------------------
+
+
+@query(
+    "hll_sliding_distinct_users",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+hashed AS (
+    SELECT day,
+           ((STRPOS('0123456789abcdef', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)) % 64 AS bucket,
+           (((STRPOS('0123456789abcdef', SUBSTR(md5('w#' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5('w#' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5('w#' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5('w#' || CAST(user_id AS VARCHAR)), 4, 1)) - 1)) * 65536 + ((STRPOS('0123456789abcdef', SUBSTR(md5('v#' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5('v#' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5('v#' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5('v#' || CAST(user_id AS VARCHAR)), 4, 1)) - 1))) % 16777216 AS w
+    FROM pairs
+),
+regs AS (
+    SELECT day, bucket,
+           MAX(CASE WHEN w = 0 THEN 25
+                    ELSE 24 - CAST(FLOOR(LOG2(w)) AS INT) END) AS r
+    FROM hashed
+    GROUP BY day, bucket
+),
+rep AS (
+    SELECT r.day + o.o AS win_day, r.bucket, r.r
+    FROM regs r, (SELECT CAST(unnest(generate_series(0, 6)) AS INT) AS o) o
+    WHERE r.day + o.o IN (SELECT day FROM days)
+),
+spine AS (
+    SELECT d.day AS win_day, b.b AS bucket
+    FROM days d, (SELECT unnest(generate_series(0, 63)) AS b) b
+),
+merged AS (
+    SELECT s.win_day, s.bucket, COALESCE(MAX(rep.r), 0) AS r
+    FROM spine s
+    LEFT JOIN rep ON rep.win_day = s.win_day AND rep.bucket = s.bucket
+    GROUP BY s.win_day, s.bucket
+),
+sums AS (
+    SELECT win_day,
+           SUM(1.0 / (CAST(1 AS BIGINT) << r)) AS s,
+           SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+    FROM merged
+    GROUP BY win_day
+),
+est AS (
+    SELECT win_day,
+           CASE WHEN 0.709 * 64 * 64 / s <= 2.5 * 64 AND v > 0
+                THEN 64 * LN(64.0 / v)
+                ELSE 0.709 * 64 * 64 / s END AS e
+    FROM sums
+),
+exact AS (
+    SELECT p.day + o.o AS win_day, COUNT(DISTINCT p.user_id) AS exact_users
+    FROM pairs p, (SELECT CAST(unnest(generate_series(0, 6)) AS INT) AS o) o
+    WHERE p.day + o.o IN (SELECT day FROM days)
+    GROUP BY p.day + o.o
+)
+SELECT e.win_day, ROUND(e.e, 6) AS hll_estimate,
+       CAST(x.exact_users AS BIGINT) AS exact_users
+FROM est e JOIN exact x ON x.win_day = e.win_day
+""".strip(),
+)
+def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users from MERGED HyperLogLog sketches —
+    the reason sketches exist at 100 TB: per-day register tables (the
+    same md5-derived 64-register layout ``hll_registers_users``
+    verifies) are merged by register-wise MAX into every 7-day trailing
+    window, so the sliding distinct-count rollup touches only
+    days x 64 register rows, never the raw events again. The bounded
+    x7 replication is the standard sliding-window-merge trick; the
+    estimator is the HLL harmonic mean with the small-range linear
+    count — and because every 2^-r term is an exact dyadic double whose
+    exponents span < 53 bits, the harmonic sum is EXACT in any
+    summation order, keeping even this float estimator engine- and
+    partitioning-reproducible. Exact distinct counts ride along so the
+    sketch error is visible in the verified output."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def hex4(prefix: str | None, col):
+        s = (
+            col.cast("string")
+            if prefix is None
+            else F.concat(F.lit(prefix), col.cast("string"))
+        )
+        return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    hashed = pairs.select(
+        "day",
+        (hex4(None, F.col("user_id")) % 64).alias("bucket"),
+        (
+            (hex4("w#", F.col("user_id")) * 65536 + hex4("v#", F.col("user_id")))
+            % 16777216
+        ).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(25)).otherwise(
+        F.lit(24) - F.floor(F.log2(F.col("w"))).cast("int")
+    )
+    regs = hashed.groupBy("day", "bucket").agg(F.max(rho).alias("r"))
+    offs = spark.range(0, 7).select(F.col("id").cast("int").alias("o"))
+    rep = (
+        regs.crossJoin(F.broadcast(offs))
+        .select(F.date_add(F.col("day"), F.col("o")).alias("win_day"), "bucket", "r")
+        .join(F.broadcast(days.select(F.col("day").alias("win_day"))), "win_day")
+    )
+    buckets = spark.range(0, 64).select(F.col("id").cast("long").alias("bucket"))
+    spine = days.select(F.col("day").alias("win_day")).crossJoin(F.broadcast(buckets))
+    merged = (
+        spine.join(rep, ["win_day", "bucket"], "left")
+        .groupBy("win_day", "bucket")
+        .agg(F.coalesce(F.max("r"), F.lit(0)).alias("r"))
+    )
+    sums = merged.groupBy("win_day").agg(
+        F.sum(F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), r)")).alias("s"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(0.709) * 64 * 64 / F.col("s")
+    est = sums.select(
+        "win_day",
+        F.when(
+            (raw <= 2.5 * 64) & (F.col("v") > 0),
+            F.lit(64) * F.log(F.lit(64.0) / F.col("v")),
+        )
+        .otherwise(raw)
+        .alias("e"),
+    )
+    exact = (
+        pairs.crossJoin(F.broadcast(offs))
+        .select(F.date_add(F.col("day"), F.col("o")).alias("win_day"), "user_id")
+        .join(F.broadcast(days.select(F.col("day").alias("win_day"))), "win_day")
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    )
+    return est.join(exact, "win_day").select(
+        "win_day", F.round(F.col("e"), 6).alias("hll_estimate"), "exact_users"
+    )
+
+
+# --- interval overlap join (bucketed, not theta) ----------------------------
+
+
+@query(
+    "sessions_overlapping_error_hours",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS sess_id
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id, sess_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+    FROM numbered GROUP BY user_id, sess_id
+),
+errs AS (
+    SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS h
+    FROM errs
+),
+hot AS (
+    SELECT e.hour FROM errs e, tot WHERE e.n * tot.h > tot.t
+)
+SELECT h.hour,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+FROM hot h
+JOIN sessions s
+  ON s.s_start < h.hour + INTERVAL 1 HOUR AND s.s_end >= h.hour
+GROUP BY h.hour
+""".strip(),
+)
+def sessions_overlapping_error_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join done the scalable way: user sessions
+    (gaps-and-islands intervals) against "hot" error hours (hours whose
+    error count exceeds the average — an integer cross-multiplication,
+    no float threshold). The oracle states the natural THETA join
+    (s_start < h_end AND s_end >= h_start); the engine never executes
+    one — each session EXPLODES into the hours it covers (bounded
+    fan-out: sessions are gap-bounded and short) and overlap becomes a
+    hash EQUI-join on the hour, the interval-bucketing rewrite every
+    scale-out engine uses for range-overlap joins. Plan-asserted: no
+    CartesianProduct / BroadcastNestedLoopJoin.
+
+    Output per hot hour: sessions and distinct users active in it — the
+    'who was exposed to the incident window' query."""
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.col("ts") - F.lag("ts").over(w_lag) >= F.expr("INTERVAL 10 MINUTES"),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id", "ts", "event_id", new_sess.alias("new_sess")
+    ).select("user_id", "ts", F.sum("new_sess").over(w_run).alias("sess_id"))
+    sessions = numbered.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = errs.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("h")
+    )
+    hot = (
+        errs.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("h") > F.col("t"))
+        .select("hour")
+    )
+    # bucketize: one row per hour the session touches (bounded fan-out)
+    cover = sessions.select(
+        "user_id",
+        "sess_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour"),
+    )
+    return (
+        hot.join(cover, "hour")
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -194,3 +194,31 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def ohlc_bars(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Streaming OHLC downsampling bars: per tumbling window, the first
+    (open) and last (close) value by (ts, event_id) plus min/max/count —
+    the SAME one-pass min_by/max_by aggregation as the batch
+    ``ohlc_hourly_value_bars``, run under the streaming engine. min_by /
+    max_by / min / max / count are all mergeable, so each micro-batch
+    folds into window state without ever re-reading earlier batches."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(F.window(F.col("ts"), window).alias("w"))
+        .agg(
+            F.min_by(F.col("value"), key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -386,3 +386,137 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
 
 def full_custkey_width(rs):
     return max(mx for _, mx in rs) - min(mn for mn, _ in rs)
+
+
+# --- sliding HLL merge ------------------------------------------------------
+
+
+def test_hll_sliding_estimate_tracks_exact(spark, sf_dir):
+    """64 registers give ~13% standard error; every 7-day window estimate
+    must land within 40% of the exact distinct count (loose bound — the
+    exact values are pinned by the oracle, this guards the estimator
+    shape), and windows covering more days must never see the exact
+    count shrink."""
+    rows = QS["hll_sliding_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        assert abs(r.hll_estimate - r.exact_users) / r.exact_users < 0.40
+
+
+# --- interval overlap join --------------------------------------------------
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    p = (
+        QS["sessions_overlapping_error_hours"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    # the ONLY nested-loop allowed is the 1-row total-errors scalar attach;
+    # the session x hour overlap itself must be a hash equi-join
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_interval_overlap_matches_theta_join(spark, sf_dir):
+    """The bucketed (explode-to-hours) rewrite must equal the naive theta
+    join computed row-by-row in python."""
+    import datetime as dt
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    ev.sort(key=lambda r: (r.user_id, r.ts, r.event_id))
+    sessions = []
+    for r in ev:
+        if (
+            sessions
+            and sessions[-1][0] == r.user_id
+            and (r.ts - sessions[-1][2]).total_seconds() < 600
+        ):
+            sessions[-1][2] = r.ts
+        else:
+            sessions.append([r.user_id, r.ts, r.ts])
+    hours: dict = {}
+    for r in ev:
+        if r.event_type == "error":
+            h = r.ts.replace(minute=0, second=0, microsecond=0)
+            hours[h] = hours.get(h, 0) + 1
+    total, nh = sum(hours.values()), len(hours)
+    hot = {h for h, n in hours.items() if n * nh > total}
+    expect: dict = {}
+    for h in hot:
+        hs, users = 0, set()
+        for u, s, e in sessions:
+            if s < h + dt.timedelta(hours=1) and e >= h:
+                hs += 1
+                users.add(u)
+        if hs:
+            expect[h] = (hs, len(users))
+    got = {
+        r.hour: (r.n_sessions, r.n_users)
+        for r in QS["sessions_overlapping_error_hours"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# --- incremental MinHash signature maintenance ------------------------------
+
+
+def test_minhash_append_equals_rebuild(spark, sf_dir, tmp_path):
+    from apache_beam_challange_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_append_signatures,
+        minhash_stored_signatures,
+        minhash_write_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    minhash_write_signatures(old, inc)
+    minhash_append_signatures(delta, inc)
+    minhash_write_signatures(docs, full)
+
+    def sig_set(df):
+        return {(r.doc_id, r.hash_idx, r.min_hash) for r in df.collect()}
+
+    assert sig_set(minhash_stored_signatures(spark, inc)) == sig_set(
+        spark.read.parquet(full)
+    )
+
+    # crash-retry: double-append duplicates rows; the reader neutralizes
+    # them and the downstream band pairing is unchanged
+    minhash_append_signatures(delta, inc)
+    pairs_inc = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in lsh_candidate_pairs(
+            minhash_stored_signatures(spark, inc), materialize=False
+        ).collect()
+    }
+    pairs_full = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in lsh_candidate_pairs(
+            spark.read.parquet(full), materialize=False
+        ).collect()
+    }
+    assert pairs_inc == pairs_full
+    assert pairs_full, "fixture must contain near-dup pairs"
+
+
+# --- streaming OHLC ---------------------------------------------------------
+
+
+def test_streaming_ohlc_equals_batch(spark, sf_dir):
+    got = {
+        r.window_start: (r.open, r.high, r.low, r.close, r.n_events)
+        for r in QS["streaming_ohlc_hourly"](spark, sf_dir).collect()
+    }
+    expect = {
+        r.hour: (r.open, r.high, r.low, r.close, r.n_events)
+        for r in QS["ohlc_hourly_value_bars"](spark, sf_dir).collect()
+    }
+    assert got == expect
