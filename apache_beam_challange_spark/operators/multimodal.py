@@ -433,3 +433,58 @@ def sample_frames(images: DataFrame, every: int = 4, n_frames: int = 4) -> DataF
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_byte"])
 
     return images.mapInPandas(frames, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# --- perceptual hash (aHash) over decoded images ----------------------------
+
+PHASH_SCHEMA = "doc_id bigint, width int, height int, phash16 bigint"
+
+
+def _bmp_phash16(data: bytes) -> dict:
+    """16-bit average-hash of a decoded BMP: decode the real bytes, sum the
+    BGR channels to a grayscale grid, pool into 4x4 cells
+    (gy = y*4 // h, gx = x*4 // w — integer floors, every pixel lands in
+    exactly one cell), and set bit gy*4+gx iff the cell MEAN exceeds the
+    image mean. The comparison is the integer cross-multiplication
+    cell_sum * n_pixels > total_sum * cell_count — no float means, so the
+    hash is bit-identical to the oracle's closed-form recomputation."""
+    magic, _size = struct.unpack_from("<2sI", data, 0)
+    (offset,) = struct.unpack_from("<I", data, 10)
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if magic != b"BM" or bpp != 24 or comp != 0:
+        raise ValueError("not an uncompressed 24-bit BMP")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(data, np.uint8, h * stride, offset).reshape(h, stride)
+    px = arr[:, : 3 * w].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    gray = px.sum(axis=2, dtype=np.int64)  # [y][x] channel-sum grayscale
+    total = int(gray.sum())
+    n_px = h * w
+    gy = np.arange(h) * 4 // h
+    gx = np.arange(w) * 4 // w
+    phash = 0
+    for cy in range(4):
+        for cx in range(4):
+            cell = gray[np.ix_(gy == cy, gx == cx)]
+            if cell.size and int(cell.sum()) * n_px > total * cell.size:
+                phash |= 1 << (cy * 4 + cx)
+    return {"width": w, "height": h, "phash16": phash}
+
+
+def bmp_phash16(images: DataFrame) -> DataFrame:
+    """Perceptual hashes for a binary image column via mapInPandas — the
+    image twin of text fingerprinting: identical/near-identical renders
+    collide on phash16, so exact-dedup machinery (hash groupBy) extends to
+    decoded pixels. Narrow, no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_bmp_phash16(d) for d in pdf["image_bytes"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "width", "height", "phash16"]]
+
+    return images.mapInPandas(extract, schema=PHASH_SCHEMA)

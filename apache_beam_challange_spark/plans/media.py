@@ -212,3 +212,59 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_audio_features(attach_wav_audio(docs))
+
+
+@query(
+    "multimodal_image_phash",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           (y.y * 4) // d.h AS gy, (x.x * 4) // d.w AS gx,
+           (d.doc_id * 7 + y.y * 31 + x.x * 5) % 256
+         + (d.doc_id * 7 + y.y * 31 + x.x * 5 + 11) % 256
+         + (d.doc_id * 7 + y.y * 31 + x.x * 5 + 22) % 256 AS g
+    FROM dims d,
+         (SELECT unnest(generate_series(0, 8)) AS y) y,
+         (SELECT unnest(generate_series(0, 15)) AS x) x
+    WHERE y.y < d.h AND x.x < d.w
+),
+cells AS (
+    SELECT doc_id, gy, gx, SUM(g) AS cs, COUNT(*) AS cc
+    FROM px GROUP BY doc_id, gy, gx
+),
+tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY doc_id),
+bits AS (
+    SELECT c.doc_id,
+           SUM(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                    THEN (CAST(1 AS BIGINT) << (c.gy * 4 + c.gx))
+                    ELSE 0 END) AS phash16
+    FROM cells c JOIN tot t ON t.doc_id = c.doc_id
+    GROUP BY c.doc_id
+)
+SELECT d.doc_id, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+       CAST(b.phash16 AS BIGINT) AS phash16
+FROM dims d JOIN bits b ON b.doc_id = d.doc_id
+""".strip(),
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashing over DECODED pixels — the multimodal x dedup
+    crossover: encode each document's deterministic 24-bit BMP (real
+    bytes), decode it with the pure-numpy parser, and compute a 16-bit
+    average-hash (4x4 cell means vs image mean, integer
+    cross-multiplication — no float means). The oracle recomputes every
+    hash in closed form from the pixel generator, so a decoder or
+    pooling bug (padding, row flip, cell assignment) flips bits and
+    hash-fails. phash equality/Hamming distance then feeds the SAME
+    dedup machinery as text fingerprints (hash groupBy / banded
+    pairing). Narrow mapInPandas; no shuffle until the downstream
+    groupBy."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_bmp_image,
+        bmp_phash16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_phash16(attach_bmp_image(docs))

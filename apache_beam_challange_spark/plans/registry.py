@@ -68,8 +68,8 @@ ORACLES: dict[str, str] = {}
 #: resample_locf_hourly, near_dup_triangle_stats, sq8_topk_vec0,
 #: bpe_pair_counts, prefix_filter_jaccard_pairs, weighted_doc_sample,
 #: entity_part_clusters, zorder_orders_keys, hll_sliding_distinct_users,
-#: sessions_overlapping_error_hours, streaming_ohlc_hourly) — eighteen
-#: in all.
+#: sessions_overlapping_error_hours, streaming_ohlc_hourly,
+#: cusum_hourly_changepoints, multimodal_image_phash) — twenty in all.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",

@@ -1217,3 +1217,77 @@ def sessions_overlapping_error_hours(spark: SparkSession, sf_dir: str) -> DataFr
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# --- CUSUM changepoint detection --------------------------------------------
+
+
+@query(
+    "cusum_hourly_changepoints",
+    oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS h
+    FROM hourly
+),
+pre AS (
+    SELECT hour, x,
+           SUM(x * tot.h - tot.t) OVER (
+               ORDER BY hour ROWS UNBOUNDED PRECEDING
+           ) AS p,
+           tot.t AS t
+    FROM hourly, tot
+),
+cusum AS (
+    SELECT hour, x, t,
+           p - LEAST(0, MIN(p) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING))
+               AS s
+    FROM pre
+)
+SELECT hour, x AS n_events, CAST(s AS BIGINT) AS cusum_scaled,
+       CAST(CASE WHEN s > 12 * t THEN 1 ELSE 0 END AS INT) AS alarm
+FROM cusum
+""".strip(),
+)
+def cusum_hourly_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event-rate series — the
+    classic sequential drift detector, made relational by the prefix-min
+    rewrite: S_t = max(0, S_{t-1} + (x_t - mean)) has the closed form
+    S_t = P_t - min(0, min_{j<=t} P_j) with P the prefix sum of
+    (x_t - mean), so the apparently-sequential recurrence becomes two
+    stock window functions. All arithmetic is scaled by the hour count
+    (x*H - T) so the drift term is an exact integer — no float mean —
+    and the alarm threshold (cumulated excess of 12 average-hours) is an
+    integer comparison.
+
+    Scale shape: the windows run over the HOURLY aggregate (~bounded
+    rows/day however big the fact table), the established
+    small-input-global-window pattern; the raw scan is one map-side
+    combined groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = hourly.agg(F.sum("x").alias("t"), F.count(F.lit(1)).alias("h"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hourly.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        "x",
+        "t",
+        F.sum(F.col("x") * F.col("h") - F.col("t")).over(w).alias("p"),
+    )
+    cusum = pre.select(
+        "hour",
+        "x",
+        "t",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w))).alias("s"),
+    )
+    return cusum.select(
+        "hour",
+        F.col("x").alias("n_events"),
+        F.col("s").alias("cusum_scaled"),
+        F.when(F.col("s") > 12 * F.col("t"), 1).otherwise(0).cast("int").alias("alarm"),
+    )

@@ -520,3 +520,106 @@ def test_streaming_ohlc_equals_batch(spark, sf_dir):
         for r in QS["ohlc_hourly_value_bars"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# --- CUSUM changepoints -----------------------------------------------------
+
+
+def test_cusum_prefix_min_rewrite_equals_sequential_fold(spark, sf_dir):
+    """The window rewrite S_t = P_t - min(0, min P) must equal the
+    textbook sequential recurrence S_t = max(0, S_{t-1} + (x_t - k)),
+    folded in python over the same scaled integers."""
+    rows = sorted(
+        QS["cusum_hourly_changepoints"](spark, sf_dir).collect(),
+        key=lambda r: r.hour,
+    )
+    t = sum(r.n_events for r in rows)
+    h = len(rows)
+    s = 0
+    for r in rows:
+        s = max(0, s + (r.n_events * h - t))
+        assert r.cusum_scaled == s
+        assert r.alarm == (1 if s > 12 * t else 0)
+
+
+def test_cusum_alarm_fires_on_injected_shift(spark):
+    """A series with a sustained level shift must alarm after the shift,
+    never before (validates the detector on a known changepoint)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "view", 1.0, "{}")
+        for i in range(48)
+    ]
+    # hours 0-35 run at 10 events/h, 36-47 at 40: inject by replication
+    data = []
+    eid = 0
+    for i, ts, *_ in rows:
+        n = 10 if i < 36 else 40
+        for _ in range(n):
+            data.append((eid, ts, 1, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = sorted(
+            QS["cusum_hourly_changepoints"](spark, d).collect(),
+            key=lambda r: r.hour,
+        )
+    alarms = [i for i, r in enumerate(out) if r.alarm == 1]
+    assert alarms, "sustained shift must eventually alarm"
+    assert min(alarms) >= 36, "no alarm before the injected changepoint"
+
+
+# --- perceptual hash --------------------------------------------------------
+
+
+def test_phash_matches_numpy_reference(spark, sf_dir):
+    """The decoded-pixel phash must equal an independent numpy
+    recomputation from the generator formula (not via the codec)."""
+    import numpy as np
+
+    rows = QS["multimodal_image_phash"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        w, h = r.doc_id % 13 + 4, r.doc_id % 7 + 3
+        assert (r.width, r.height) == (w, h)
+        y = np.arange(h)[:, None, None]
+        x = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        px = (r.doc_id * 7 + y * 31 + x * 5 + c * 11) % 256
+        gray = px.sum(axis=2)
+        total, n_px = int(gray.sum()), h * w
+        gy = np.arange(h) * 4 // h
+        gx = np.arange(w) * 4 // w
+        expect = 0
+        for cy in range(4):
+            for cx in range(4):
+                cell = gray[np.ix_(gy == cy, gx == cx)]
+                if cell.size and int(cell.sum()) * n_px > total * cell.size:
+                    expect |= 1 << (cy * 4 + cx)
+        assert r.phash16 == expect
+
+
+def test_phash_identical_images_collide(spark):
+    """Two byte-identical images must share a phash; a structurally
+    different image (inverted gradient) must not collide with both."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        _bmp_phash16,
+        encode_bmp,
+    )
+
+    a = _bmp_phash16(encode_bmp(7))
+    b = _bmp_phash16(encode_bmp(7))
+    assert a == b
+    other = _bmp_phash16(encode_bmp(123))
+    assert (a["width"], a["height"]) != (other["width"], other["height"]) or a[
+        "phash16"
+    ] != other["phash16"]
