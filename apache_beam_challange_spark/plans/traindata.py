@@ -1291,3 +1291,296 @@ def cusum_hourly_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("cusum_scaled"),
         F.when(F.col("s") > 12 * F.col("t"), 1).otherwise(0).cast("int").alias("alarm"),
     )
+
+
+# --- split leakage guard ----------------------------------------------------
+
+@query(
+    "split_leakage_pairs",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, greatest(len(tokens) - 2, 1))) AS i
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+    FROM pos
+),
+hb AS (
+    SELECT doc_id, ((STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 1, 1)) - 1) * 72057594037927936 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 2, 1)) - 1) * 4503599627370496 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 3, 1)) - 1) * 281474976710656 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 4, 1)) - 1) * 17592186044416 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 5, 1)) - 1) * 1099511627776 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 6, 1)) - 1) * 68719476736 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 7, 1)) - 1) * 4294967296 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 8, 1)) - 1) * 268435456 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 9, 1)) - 1) * 16777216 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 10, 1)) - 1) * 1048576 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 11, 1)) - 1) * 65536 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 12, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 13, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 14, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 15, 1)) - 1) * 1) % 2147483647 AS base FROM sh
+),
+mh AS (
+    SELECT doc_id, h.i AS hash_idx,
+           MIN((base * (700001 + 2 * h.i) + h.i * 12345) % 2147483647) AS min_hash
+    FROM hb, (SELECT unnest(generate_series(0, 7)) AS i) h
+    GROUP BY doc_id, h.i
+),
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+splits AS (
+    SELECT doc_id,
+           CASE WHEN (((STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 80 THEN 'train'
+                WHEN (((STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT LEAST(s1.split, s2.split) AS split_1,
+       GREATEST(s1.split, s2.split) AS split_2,
+       CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+FROM cand c
+JOIN splits s1 ON s1.doc_id = c.doc_id_1
+JOIN splits s2 ON s2.doc_id = c.doc_id_2
+WHERE s1.split <> s2.split
+GROUP BY 1, 2
+""".strip(),
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE GUARD — the eval-hygiene check every training
+    pipeline must run: near-duplicate document pairs (MinHash-LSH
+    candidates, the verified recall stage) whose two sides land in
+    DIFFERENT dataset splits (the content-addressed 80/10/10 of
+    ``dataset_split_counts``). A near-dup of a training doc sitting in
+    val/test silently inflates eval scores; this query counts exactly
+    those pairs per (split, split) cell, split pair canonicalized with
+    LEAST/GREATEST so (train,val) and (val,train) fold together.
+
+    Pure composition of two already-verified components — signatures
+    from the at-rest table, splits from the md5 bucket — so the only new
+    work is two dimension-cheap joins on the sparse candidate pairs."""
+    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
+    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    splits = docs.select("doc_id", split.alias("split"))
+    s1 = splits.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("split").alias("split_a")
+    )
+    s2 = splits.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("split").alias("split_b")
+    )
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_1"),
+            F.greatest("split_a", "split_b").alias("split_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_leaked_pairs"))
+    )
+
+
+# --- per-group OLS trend (exact integer sums) -------------------------------
+
+
+@query(
+    "daily_trend_slopes",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT MIN(day) AS d0 FROM daily),
+xy AS (
+    SELECT event_type, CAST(day - b.d0 AS BIGINT) AS x, y FROM daily, b
+),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM xy GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS slope
+FROM agg
+WHERE n >= 2
+""".strip(),
+)
+def daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend — is each event type's
+    daily volume rising or falling? — computed GROUPED and EXACTLY:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) where x is the integer
+    day index and y the integer daily count, so every sum is an exact
+    bigint in any partitioning/summation order and the single float
+    division at the end is IEEE-exact. The pattern (sufficient
+    statistics as integer map-side-combined sums, model math on the
+    tiny aggregate) is how regression-per-key scales to millions of
+    groups — no per-group iteration, one groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        "y",
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(num / den, 6).alias("slope"),
+    )
+
+
+# --- Johnson-Lindenstrauss random-projection ANN ----------------------------
+
+
+def _jl_plane(plane: int, dim: int = 64) -> list:
+    """Component j of JL projection vector ``plane``: the same
+    deterministic frac(sin)-family as the LSH hyperplanes
+    (operators/similarity.py:_hyperplane) at a disjoint plane-index range,
+    evaluated once at plan-build time; repr() round-trips the doubles
+    exactly into the DuckDB oracle literal."""
+    import math
+
+    vals = []
+    for j in range(plane * dim + 1, plane * dim + dim + 1):
+        s = math.sin(float(j)) * 43758.5453
+        vals.append(s - math.floor(s) - 0.5)
+    return vals
+
+
+_JL_PLANES = [_jl_plane(200 + p) for p in range(32)]
+
+
+def _jl_oracle() -> str:
+    projs = ",\n           ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(x) for x in _JL_PLANES[p])
+        + f"]) AS p{p}"
+        for p in range(32)
+    )
+    score = " + ".join(f"c.p{p} * q.p{p}" for p in range(32))
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+proj AS (
+    SELECT vec_id,
+           {projs}
+    FROM vecs
+),
+scored AS (
+    SELECT c.vec_id, {score} AS s
+    FROM proj c CROSS JOIN (SELECT * FROM proj WHERE vec_id = 0) q
+    WHERE c.vec_id <> 0
+),
+short AS (SELECT vec_id FROM scored ORDER BY s DESC, vec_id LIMIT 100)
+SELECT v.vec_id, v.label,
+       ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
+FROM short s
+JOIN vecs v ON v.vec_id = s.vec_id
+CROSS JOIN (SELECT v AS qv FROM vecs WHERE vec_id = 0) q
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 20
+""".strip()
+
+
+@query("rp_jl_topk_vec0", oracle=_jl_oracle())
+def rp_jl_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via Johnson-Lindenstrauss random projection: every vector is
+    reduced 64 -> 32 dims through deterministic frac(sin) projection
+    vectors, the shortlist ranks by the PROJECTED dot product (JL
+    preserves inner products to within distortion ~ sqrt(ln n / k)),
+    and exact cosine reranks the top-100. The continuous-projection
+    sibling of the sign-LSH family: same hyperplane machinery, but
+    keeping the real projections instead of quantizing to sign bits.
+    HONEST ABLATION, not a serving route: on this NEAR-ORTHOGONAL corpus
+    the JL distortion (~1/sqrt(k)) exceeds the tiny true-neighbor signal
+    gap, so measured recall@20 is corpus-size-dependent — 0.85 at 500
+    vectors (sf0.01), 0.75 at the sf0.001 fixture (floor 0.70 pinned),
+    collapsing to 0.35 at 2000 vectors (sf0.1) — which is exactly WHY
+    the servable ANN tier uses OR-amplified sign-LSH / IVF(+PQ) /
+    SQ8-rerank instead of raw dimensionality reduction; this query
+    documents that design decision with a measured, oracle-checked
+    datapoint (the same role the recall-0.10 single-table LSH ablation
+    plays). Each projection is the SAME
+    sequential left-to-right fold in both engines (the
+    ``functions.vector.dot`` discipline), so even this float shortlist
+    is oracle-stable.
+
+    Scale shape: projections are a narrow per-row map against literal
+    plane vectors (broadcast by value into the codegen'd expression);
+    the shortlist is a TakeOrderedAndProject; only <=100 float vectors
+    are ever reread for the rerank."""
+    from apache_beam_challange_spark.functions.vector import as_double, cosine, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    proj = emb.select(
+        "vec_id",
+        *[dot(v, F.lit(_JL_PLANES[p])).alias(f"p{p}") for p in range(32)],
+    )
+    qproj = proj.filter(F.col("vec_id") == 0).select(
+        *[F.col(f"p{p}").alias(f"q{p}") for p in range(32)]
+    )
+    score = None
+    for p in range(32):
+        term = F.col(f"p{p}") * F.col(f"q{p}")
+        score = term if score is None else score + term
+    shortlist = (
+        proj.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qproj))
+        .select("vec_id", score.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(100)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("__qvec")
+    )
+    return (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double(F.col("embedding")), F.col("__qvec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )

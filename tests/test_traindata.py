@@ -623,3 +623,101 @@ def test_phash_identical_images_collide(spark):
     assert (a["width"], a["height"]) != (other["width"], other["height"]) or a[
         "phash16"
     ] != other["phash16"]
+
+
+# --- split leakage guard ----------------------------------------------------
+
+
+def test_split_leakage_counts_match_manual(spark, sf_dir):
+    """Leakage cells must equal the manual composition of the verified
+    candidate pairs and the verified split assignment."""
+    import hashlib
+
+    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
+    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    pairs = lsh_candidate_pairs(
+        minhash_sigs_at_rest(spark, sf_dir), rows_per_band=2
+    ).collect()
+    expect: dict = {}
+    for r in pairs:
+        a, b = split_of(r.doc_id_1), split_of(r.doc_id_2)
+        if a != b:
+            key = (min(a, b), max(a, b))
+            expect[key] = expect.get(key, 0) + 1
+    got = {
+        (r.split_1, r.split_2): r.n_leaked_pairs
+        for r in QS["split_leakage_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# --- OLS trend slopes -------------------------------------------------------
+
+
+def test_trend_slope_matches_numpy_on_fixture(spark, sf_dir):
+    import numpy as np
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily: dict = {}
+    for r in ev:
+        daily.setdefault(r.event_type, {}).setdefault(r.ts.date(), 0)
+        daily[r.event_type][r.ts.date()] += 1
+    d0 = min(d for per in daily.values() for d in per)
+    got = {r.event_type: r.slope for r in QS["daily_trend_slopes"](spark, sf_dir).collect()}
+    for et, per in daily.items():
+        x = np.array([(d - d0).days for d in per], dtype=float)
+        y = np.array([per[d] for d in per], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(got[et] - slope) < 1e-6
+
+
+def test_trend_slope_exact_on_synthetic_line(spark, tmp_path):
+    """y = 3x + 7 must give slope exactly 3.0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = []
+    eid = 0
+    for day in range(10):
+        for _ in range(3 * day + 7):
+            data.append(
+                (eid, base + dt.timedelta(days=day), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    rows = QS["daily_trend_slopes"](spark, d).collect()
+    assert len(rows) == 1 and rows[0].slope == 3.0
+
+
+# --- JL random projection ---------------------------------------------------
+
+
+def test_jl_recall_floor(spark, sf_dir):
+    """JL is the honest dimensionality-reduction ABLATION (see its
+    docstring): 0.75 measured on this fixture, floor 0.70 — the serving
+    routes (multitable LSH / IVFPQ / SQ8) hold the >=0.80 floors."""
+    exact = {r.vec_id for r in QS["cosine_topk_vec0"](spark, sf_dir).collect()}
+    jl = {r.vec_id for r in QS["rp_jl_topk_vec0"](spark, sf_dir).collect()}
+    assert len(jl) == 20
+    assert len(exact & jl) / 20 >= 0.70
+
+
+def test_jl_shortlist_is_topk(spark, sf_dir):
+    p = (
+        QS["rp_jl_topk_vec0"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in p
