@@ -70,8 +70,9 @@ ORACLES: dict[str, str] = {}
 #: entity_part_clusters, zorder_orders_keys, hll_sliding_distinct_users,
 #: sessions_overlapping_error_hours, streaming_ohlc_hourly,
 #: cusum_hourly_changepoints, multimodal_image_phash,
-#: split_leakage_pairs, daily_trend_slopes, rp_jl_topk_vec0) —
-#: twenty-three in all.
+#: split_leakage_pairs, daily_trend_slopes, rp_jl_topk_vec0,
+#: session_covisit_pmi, timed_conversion_counts, station_grid_density) —
+#: twenty-six in all.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",

@@ -690,6 +690,10 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_beam_challange_spark.operators.dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # the distinct shingle set feeds five consumers (freq, ranked, both
+    # verify sides, sizes); Spark's exchange reuse already shares the
+    # materialized distinct across them (verified: a localCheckpoint here
+    # does not change the 4.7 s sf0.1 wall), so the plan stays fully lazy
     sh = shingles(docs, n=3, distinct=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sf"))
     w_rank = Window.partitionBy("doc_id").orderBy("sf", "shingle")
@@ -1583,4 +1587,281 @@ def rp_jl_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(20)
+    )
+
+
+# --- session co-visitation PMI ----------------------------------------------
+
+
+@query(
+    "session_covisit_pmi",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+numbered AS (
+    SELECT user_id, event_type,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS sess_id
+    FROM flagged
+),
+member AS (
+    SELECT DISTINCT user_id, sess_id, event_type FROM numbered
+),
+n_sess AS (
+    SELECT CAST(COUNT(DISTINCT (user_id, sess_id)) AS BIGINT) AS n
+    FROM member
+),
+singles AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM member GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS et_1, b.event_type AS et_2,
+           CAST(COUNT(*) AS BIGINT) AS c_ab
+    FROM member a
+    JOIN member b ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+                 AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.et_1, p.et_2, p.c_ab AS n_sessions_together,
+       ROUND(LN(CAST(p.c_ab AS DOUBLE) * n_sess.n / (s1.c * s2.c)), 6) AS pmi
+FROM pairs p
+JOIN singles s1 ON s1.event_type = p.et_1
+JOIN singles s2 ON s2.event_type = p.et_2
+CROSS JOIN n_sess
+""".strip(),
+)
+def session_covisit_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral co-visitation: which event types co-occur in the SAME
+    user session more than chance — the session-level twin of
+    ``token_cooccurrence_pmi`` (documents -> sessions, tokens -> event
+    types), the signal behind co-view/co-purchase recommenders. Sessions
+    come from the verified gaps-and-islands rewrite; membership is
+    distinct (session, type); PMI keeps exact integers inside ONE ln
+    (the established determinism discipline — no float intermediate
+    sums).
+
+    Scale shape: the pair self-join is within (user, sess) groups whose
+    distinct-type cardinality is bounded by the type vocabulary (5 here,
+    rarely >100s in practice), so the quadratic term is per-session
+    vocab, never corpus-sized; everything else is map-side-combined
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.col("ts") - F.lag("ts").over(w_lag) >= F.expr("INTERVAL 10 MINUTES"),
+        1,
+    ).otherwise(0)
+    member = (
+        ev.select("user_id", "ts", "event_id", "event_type", new_sess.alias("ns"))
+        .select("user_id", "event_type", F.sum("ns").over(w_run).alias("sess_id"))
+        .select("user_id", "sess_id", "event_type")
+        .distinct()
+    )
+    n_sess = member.select("user_id", "sess_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    singles = member.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = member.select("user_id", "sess_id", F.col("event_type").alias("et_1"))
+    b = member.select("user_id", "sess_id", F.col("event_type").alias("et_2"))
+    pairs = (
+        a.join(b, ["user_id", "sess_id"])
+        .filter(F.col("et_1") < F.col("et_2"))
+        .groupBy("et_1", "et_2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    s1 = singles.select(F.col("event_type").alias("et_1"), F.col("c").alias("c1"))
+    s2 = singles.select(F.col("event_type").alias("et_2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(s1), "et_1")
+        .join(F.broadcast(s2), "et_2")
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "et_1",
+            "et_2",
+            F.col("c_ab").alias("n_sessions_together"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# --- windowed conversion funnel (last-touch within 1h) ----------------------
+
+
+@query(
+    "timed_conversion_counts",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click
+    FROM events
+),
+conv AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM ordered
+    WHERE event_type = 'purchase'
+      AND last_click IS NOT NULL
+      AND ts - last_click <= INTERVAL 1 HOUR
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM conv
+GROUP BY day
+""".strip(),
+)
+def timed_conversion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel — purchases attributed to a click
+    within the last hour (last-touch attribution with a conversion
+    window): the click timestamp is carried forward per user by a
+    LAST_VALUE IGNORE NULLS window (the LOCF machinery applied to
+    attribution), and a purchase converts iff the carried click is
+    within the window. One user_id-partitioned window + one aggregate —
+    no clicks x purchases join, which is how attribution stays linear
+    when both sides are corpus-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    conv = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            last_click.alias("last_click"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+            & (F.col("ts") - F.col("last_click") <= F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+    )
+    return conv.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# --- spatial grid density ---------------------------------------------------
+
+
+@query(
+    "station_grid_density",
+    oracle="""
+WITH stations AS (
+    SELECT
+        s_suppkey AS id,
+        s_name    AS name,
+        CAST(51.4 AS DOUBLE) + (s_suppkey % 20) * CAST(0.01 AS DOUBLE)
+            AS latitude,
+        CAST(-0.25 AS DOUBLE)
+            + FLOOR(s_suppkey / 20.0) * CAST(0.015 AS DOUBLE) AS longitude
+    FROM supplier
+),
+rides AS (
+    SELECT
+        l_orderkey * 10 + l_linenumber AS ride_id,
+        CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_suppkey END AS start_station_id
+    FROM lineitem
+),
+counts AS (
+    SELECT start_station_id AS id, CAST(COUNT(*) AS BIGINT) AS n_rides
+    FROM rides WHERE start_station_id IS NOT NULL
+    GROUP BY 1
+),
+micro AS (
+    SELECT s.id,
+           CAST(ROUND(s.latitude * 1000000, 0) AS BIGINT) AS lat6,
+           CAST(ROUND(s.longitude * 1000000, 0) AS BIGINT) AS lon6,
+           COALESCE(c.n_rides, 0) AS n_rides
+    FROM stations s LEFT JOIN counts c ON c.id = s.id
+),
+cells AS (
+    SELECT id, lat6, lon6, n_rides,
+           CAST(FLOOR(CAST(lat6 AS DOUBLE) / 20000) AS BIGINT) AS cell_y,
+           CAST(FLOOR(CAST(lon6 AS DOUBLE) / 30000) AS BIGINT) AS cell_x
+    FROM micro
+)
+SELECT cell_y, cell_x,
+       CAST(COUNT(*) AS BIGINT) AS n_stations,
+       CAST(SUM(n_rides) AS BIGINT) AS n_rides,
+       ROUND(CAST(SUM(lat6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+           AS centroid_lat,
+       ROUND(CAST(SUM(lon6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+           AS centroid_lon
+FROM cells
+GROUP BY cell_y, cell_x
+""".strip(),
+)
+def station_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial grid aggregation (geohash-style binning): stations bucket
+    into fixed lat/lon cells (floor division — the degenerate-but-
+    universal spatial index), ride volume folds in through one
+    broadcast-joined count, and per-cell centroids come from integer
+    microdegree sums (each coordinate is rounded ONCE to 1e-6 degrees,
+    then summed as exact bigints — the fixed-point discipline — so the
+    centroid is engine-exact up to the single final division). The
+    grid-cell key is what a spatial join at 100 TB equi-joins on: two
+    datasets gridded the same way become a hash join plus a
+    neighbor-cell union, never a geometry cross join."""
+    from apache_beam_challange_spark.sources.catalog import rides, stations
+
+    st = stations(spark, sf_dir)
+    rd = rides(spark, sf_dir)
+    counts = (
+        rd.filter(F.col("start_station_id").isNotNull())
+        .groupBy(F.col("start_station_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_rides"))
+    )
+    # cells derive from INTEGER microdegrees, not raw doubles: stations sit
+    # exactly on 0.02-degree boundaries, where flooring a double division
+    # is representation-sensitive (DuckDB's decimal literals vs Spark's
+    # doubles disagreed by one cell before this); rounding once to 1e-6
+    # degrees makes the cell key a function of exact bigints
+    micro = st.join(counts, "id", "left").select(
+        F.round(F.col("latitude") * 1000000, 0).cast("long").alias("lat6"),
+        F.round(F.col("longitude") * 1000000, 0).cast("long").alias("lon6"),
+        F.coalesce(F.col("n_rides"), F.lit(0)).alias("n_rides"),
+    )
+    cells = micro.select(
+        "lat6",
+        "lon6",
+        "n_rides",
+        F.floor(F.col("lat6").cast("double") / 20000).cast("long").alias("cell_y"),
+        F.floor(F.col("lon6").cast("double") / 30000).cast("long").alias("cell_x"),
+    )
+    return cells.groupBy("cell_y", "cell_x").agg(
+        F.count(F.lit(1)).alias("n_stations"),
+        F.sum("n_rides").alias("n_rides"),
+        F.round(
+            F.sum("lat6").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("centroid_lat"),
+        F.round(
+            F.sum("lon6").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("centroid_lon"),
     )

@@ -76,6 +76,35 @@ ABLATIONS = [
     "ivfpq_refined_topk_vec0",  # inline re-train per query — baseline only
 ]
 
+#: The round-5 traindata family (this session's 21 additions), tracked as
+#: its own series; the five earlier round-5 queries (SCD-2, quarantine,
+#: contamination, funnel, audio) stay gate-timed in PERF.md to bound
+#: bench growth. prefix_filter (~4.7 s) is the family's one multi-second
+#: member — the exact global similarity join over all documents.
+TRAINDATA = [
+    "sequence_packing_by_shard",
+    "pii_redaction_counts",
+    "resample_locf_hourly",
+    "near_dup_triangle_stats",
+    "sq8_topk_vec0",
+    "bpe_pair_counts",
+    "prefix_filter_jaccard_pairs",
+    "weighted_doc_sample",
+    "entity_part_clusters",
+    "zorder_orders_keys",
+    "hll_sliding_distinct_users",
+    "sessions_overlapping_error_hours",
+    "streaming_ohlc_hourly",
+    "cusum_hourly_changepoints",
+    "multimodal_image_phash",
+    "split_leakage_pairs",
+    "daily_trend_slopes",
+    "rp_jl_topk_vec0",
+    "session_covisit_pmi",
+    "timed_conversion_counts",
+    "station_grid_density",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -148,6 +177,7 @@ def main() -> None:
     timings = _bench_series(qs, HEADLINE, spark, sf_dir, spread)
     flagships = _bench_series(qs, FLAGSHIPS, spark, sf_dir, spread)
     curation = _bench_series(qs, CURATION, spark, sf_dir, spread)
+    traindata = _bench_series(qs, TRAINDATA, spark, sf_dir, spread)
     ablations = _bench_series(qs, ABLATIONS, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
@@ -162,6 +192,8 @@ def main() -> None:
                 "flagships_total": round(sum(flagships.values()), 3),
                 "curation": curation,
                 "curation_total": round(sum(curation.values()), 3),
+                "traindata": traindata,
+                "traindata_total": round(sum(traindata.values()), 3),
                 "ablations": ablations,
                 "spread": spread,
                 "repeats": REPEATS,

@@ -721,3 +721,98 @@ def test_jl_shortlist_is_topk(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in p
+
+
+# --- session co-visitation PMI ----------------------------------------------
+
+
+def test_covisit_pmi_matches_manual(spark, sf_dir):
+    import math as m
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    ev.sort(key=lambda r: (r.user_id, r.ts, r.event_id))
+    members = set()
+    sess_count = 0
+    cur_user, last_ts, sid = None, None, -1
+    for r in ev:
+        if r.user_id != cur_user or (r.ts - last_ts).total_seconds() >= 600:
+            if r.user_id != cur_user:
+                sid = -1
+            cur_user = r.user_id
+            sid += 1
+            sess_count += 1
+        last_ts = r.ts
+        members.add((r.user_id, sid, r.event_type))
+    singles: dict = {}
+    pair_counts: dict = {}
+    by_sess: dict = {}
+    for u, s, t in members:
+        singles[t] = singles.get(t, 0) + 1
+        by_sess.setdefault((u, s), []).append(t)
+    for types in by_sess.values():
+        types.sort()
+        for i, a in enumerate(types):
+            for b in types[i + 1 :]:
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    got = {
+        (r.et_1, r.et_2): (r.n_sessions_together, r.pmi)
+        for r in QS["session_covisit_pmi"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(pair_counts)
+    for (a, b), c_ab in pair_counts.items():
+        n, pmi = got[(a, b)]
+        assert n == c_ab
+        expect = round(m.log(c_ab * sess_count / (singles[a] * singles[b])), 6)
+        assert abs(pmi - expect) < 1e-9
+
+
+# --- timed conversion funnel ------------------------------------------------
+
+
+def test_timed_conversion_semantics(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: click then purchase 30 min later -> converts
+        (0, base, 1, "click"),
+        (1, base + dt.timedelta(minutes=30), 1, "purchase"),
+        # user 2: purchase with no prior click -> no conversion
+        (2, base, 2, "purchase"),
+        # user 3: click then purchase 2h later -> outside window
+        (3, base, 3, "click"),
+        (4, base + dt.timedelta(hours=2), 3, "purchase"),
+        # user 4: click, view, purchase 50 min after the click -> converts
+        (5, base, 4, "click"),
+        (6, base + dt.timedelta(minutes=10), 4, "view"),
+        (7, base + dt.timedelta(minutes=50), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QS["timed_conversion_counts"](spark, d).collect()
+    assert len(out) == 1
+    assert (out[0].n_conversions, out[0].n_users) == (2, 2)
+
+
+# --- spatial grid density ---------------------------------------------------
+
+
+def test_grid_density_invariants(spark, sf_dir):
+    from apache_beam_challange_spark.sources.catalog import rides, stations
+
+    out = QS["station_grid_density"](spark, sf_dir).collect()
+    n_st = stations(spark, sf_dir).count()
+    n_rd = (
+        rides(spark, sf_dir).filter(F.col("start_station_id").isNotNull()).count()
+    )
+    assert sum(r.n_stations for r in out) == n_st
+    assert sum(r.n_rides for r in out) == n_rd
+    for r in out:
+        # centroid lies inside its cell rectangle
+        assert r.cell_y * 0.02 - 1e-9 <= r.centroid_lat <= (r.cell_y + 1) * 0.02
+        assert r.cell_x * 0.03 - 1e-9 <= r.centroid_lon <= (r.cell_x + 1) * 0.03
