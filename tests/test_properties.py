@@ -223,3 +223,131 @@ def test_sessionize_matches_reference(spark, rows):
         )
     ]
     assert got == sorted(want)
+
+
+# --- round-5 traindata operators -------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_stats_match_brute_force(spark, raw_pairs):
+    """Degree-ordered triangle counting equals the O(n^3) brute force on
+    random graphs (self-loops dropped, edges canonicalized)."""
+    from apache_beam_challange_spark.operators.graph import triangle_stats
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_pairs if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    r = triangle_stats(df).collect()[0]
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b not in adj[a]:
+                continue
+            for c in nodes[nodes.index(b) + 1 :]:
+                if c in adj[a] and c in adj[b]:
+                    tri += 1
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (
+        len(nodes),
+        len(edges),
+        tri,
+        wedges,
+    )
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 2000), min_size=2, max_size=40))
+def test_cusum_rewrite_equals_fold_on_random_series(spark, xs):
+    """The prefix-min CUSUM rewrite equals the sequential recurrence on
+    arbitrary integer series (scaled drift = x*H - T)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, base + dt.timedelta(hours=i), 1, "view", 1.0, "{}"))
+            eid += 1
+    if eid == 0:
+        return
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = sorted(
+            entrymod.all_queries()["cusum_hourly_changepoints"](spark, d).collect(),
+            key=lambda r: r.hour,
+        )
+    present = [x for x in xs if x > 0]
+    t, h = sum(present), len(present)
+    s = 0
+    for r in out:
+        s = max(0, s + (r.n_events * h - t))
+        assert r.cusum_scaled == s
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(1, 300), min_size=1, max_size=30),
+    st.integers(1, 4),
+)
+def test_packing_prefix_sum_invariants(spark, tok_counts, n_shards):
+    """Concat-and-chunk accounting on random doc lengths: boundary-split
+    docs counted exactly (vs a python replay of the same layout)."""
+    from pyspark.sql import Window
+
+    rows = [(i, i % n_shards, n) for i, n in enumerate(tok_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tok long")
+    B = 256
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = df.select(
+        "shard",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("off"),
+    )
+    got = {
+        r.shard: r.n_split
+        for r in placed.groupBy("shard")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(f"off div {B}") != F.expr(f"(off + n_tok - 1) div {B}"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_split")
+        )
+        .collect()
+    }
+    expect: dict = {}
+    offs: dict = {}
+    for i, n in enumerate(tok_counts):
+        sh = i % n_shards
+        off = offs.get(sh, 0)
+        expect[sh] = expect.get(sh, 0) + (1 if off // B != (off + n - 1) // B else 0)
+        offs[sh] = off + n
+    assert got == expect
