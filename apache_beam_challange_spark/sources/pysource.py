@@ -119,3 +119,88 @@ class EventsGenDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(EventsGenDataSource)
+
+
+# --- custom Python data sink: JSONL with manifest commit --------------------
+
+import os
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task side of the commit protocol: each task writes ONE uniquely
+    named part file (uuid — a retried/speculative task never collides
+    with its twin) and reports it in its commit message. Files are
+    invisible to readers until the DRIVER's commit() publishes the
+    manifest, so a failed/partial job leaves garbage bytes but never a
+    readable half-result — the same write-then-publish discipline as
+    sources/publish.py, expressed through Spark's own two-phase
+    commit hooks."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommitMessage(name, n)
+
+    def commit(self, messages):
+        # manifest lists exactly the committed task outputs; readers
+        # trust ONLY manifested files, so stray part files from aborted
+        # attempts are inert
+        manifest = sorted(m.filename for m in messages if m is not None)
+        tmp = os.path.join(self.path, f"_MANIFEST.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"files": manifest}))
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic flip
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlCommitDataSource(DataSource):
+    """``df.write.format("jsonl_commit").option("path", ...).save()`` —
+    a custom Python data SINK with a manifest-based two-phase commit."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options)
+
+
+def read_jsonl_commit(path: str) -> list[dict]:
+    """Reader half of the contract: parse ONLY manifested part files
+    (a directory without a _MANIFEST is unreadable-by-definition, not
+    empty — mirroring sources/publish.py's refusal to treat an
+    unversioned layout as an empty table)."""
+    mpath = os.path.join(path, "_MANIFEST")
+    if not os.path.isfile(mpath):
+        raise FileNotFoundError(f"no _MANIFEST under {path}: nothing committed")
+    with open(mpath) as f:
+        files = json.load(f)["files"]
+    rows: list[dict] = []
+    for name in files:
+        with open(os.path.join(path, name)) as f:
+            rows.extend(json.loads(line) for line in f if line.strip())
+    return rows

@@ -110,3 +110,60 @@ def test_stream_offset_replay_is_deterministic(spark):
     # exhaustion: empty batch, offset stable
     it3, off3 = rd.read({"index": 50})
     assert list(it3) == [] and off3 == {"index": 50}
+
+
+# --- custom Python data sink (jsonl_commit) ---------------------------------
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    import json
+
+    from apache_beam_challange_spark.sources.pysource import (
+        JsonlCommitDataSource,
+        read_jsonl_commit,
+    )
+
+    spark.dataSource.register(JsonlCommitDataSource)
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.5) for i in range(200)], "id long, name string, v double"
+    ).repartition(5)
+    path = str(tmp_path / "out")
+    df.write.format("jsonl_commit").option("path", path).mode("append").save()
+    rows = sorted(read_jsonl_commit(path), key=lambda d: d["id"])
+    assert len(rows) == 200
+    assert rows[7] == {"id": 7, "name": "n7", "v": 10.5}
+    # manifest exists and covers every part file it lists
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        files = json.load(f)["files"]
+    assert len(files) == 5
+    assert all(os.path.isfile(os.path.join(path, p)) for p in files)
+
+
+def test_jsonl_sink_unmanifested_files_are_inert(spark, tmp_path):
+    from apache_beam_challange_spark.sources.pysource import (
+        JsonlCommitDataSource,
+        read_jsonl_commit,
+    )
+
+    spark.dataSource.register(JsonlCommitDataSource)
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    path = str(tmp_path / "out")
+    df.write.format("jsonl_commit").option("path", path).mode("append").save()
+    # a stray part file from a dead attempt must not change the read
+    with open(f"{path}/part-deadattempt.jsonl", "w") as f:
+        f.write('{"id": 999}\n')
+    assert sorted(d["id"] for d in read_jsonl_commit(path)) == [1, 2]
+
+
+def test_jsonl_sink_no_manifest_is_unreadable_not_empty(tmp_path):
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.sources.pysource import read_jsonl_commit
+
+    p = tmp_path / "never_committed"
+    p.mkdir()
+    (p / "part-orphan.jsonl").write_text('{"id": 1}\n')
+    with _pytest.raises(FileNotFoundError):
+        read_jsonl_commit(str(p))

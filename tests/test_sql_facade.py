@@ -1,11 +1,11 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-51 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+56 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
 
-The dialect-blocked remainder (66 oracles) is inventoried in COVERAGE.md:
+The dialect-blocked remainder (85 oracles) is inventoried in COVERAGE.md:
 they use DuckDB-only surface (unnest/string_split lateral explosion,
 list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
 recursive CTE trajectories, md5-hex arithmetic) with no unmodified
@@ -76,6 +76,13 @@ PORTABLE = [
     "q3_station_distances_geodesic",
     "window_rolling_order_totals",
     "scd2_event_type_history",
+    # round-5 traindata members whose oracles are ANSI enough to run
+    # unmodified (verified MATCH against the DataFrame route):
+    "cusum_hourly_changepoints",
+    "sessions_overlapping_error_hours",
+    "station_grid_density",
+    "daily_trend_slopes",
+    "session_covisit_pmi",
 ]
 
 
