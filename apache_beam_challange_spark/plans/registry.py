@@ -60,7 +60,7 @@ ORACLES: dict[str, str] = {}
 #: each). After this round every oracle-checkable registry query that
 #: existed before round 5 has had >=1 driver verdict (the sole
 #: exception, simhash_signatures, is rows-only by design with a
-#: fully-verified md5 twin); the round-6 rotation pool is the FIFTEEN new
+#: fully-verified md5 twin); the round-6 rotation pool is the set of NEW
 #: round-5 queries: scd2_event_type_history, quarantine_rule_counts,
 #: benchmark_contamination_topk, curation_funnel_by_lang,
 #: multimodal_audio_features, plus the traindata family
@@ -71,8 +71,9 @@ ORACLES: dict[str, str] = {}
 #: sessions_overlapping_error_hours, streaming_ohlc_hourly,
 #: cusum_hourly_changepoints, multimodal_image_phash,
 #: split_leakage_pairs, daily_trend_slopes, rp_jl_topk_vec0,
-#: session_covisit_pmi, timed_conversion_counts, station_grid_density) —
-#: twenty-six in all.
+#: session_covisit_pmi, timed_conversion_counts, station_grid_density,
+#: bigram_surprise_docs, quality_percentile_by_lang) — twenty-eight in
+#: all.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",

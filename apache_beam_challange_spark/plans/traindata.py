@@ -1865,3 +1865,157 @@ def station_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lon6").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("centroid_lon"),
     )
+
+
+# --- bigram LM surprise (add-one smoothed) ----------------------------------
+
+
+@query(
+    "bigram_surprise_docs",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, len(tokens) - 1)) AS i
+    FROM tok WHERE len(tokens) >= 2
+),
+bg AS (SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2 FROM pos),
+c12 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1),
+v AS (
+    SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+),
+doc AS (
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(CAST(FLOOR(LN(c12.c + 1) * 1000000000 + 0.5) AS BIGINT)
+               - CAST(FLOOR(LN(c1.c + v.v) * 1000000000 + 0.5) AS BIGINT))
+               AS s_fp
+    FROM bg b
+    JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(s_fp / 1000000000.0 / n_bigrams, 6) AS avg_logprob
+FROM doc
+ORDER BY avg_logprob ASC, doc_id
+LIMIT 20
+""".strip(),
+)
+def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprise with add-one smoothing — the
+    order-2 extension of ``unigram_surprise_docs`` (CCNet-style
+    perplexity filtering, the corpus as its own LM): per-doc mean of
+    ln((C(w1,w2)+1) / (C(w1)+V)), the 20 most surprising documents
+    surfaced. Every ln sees only exact integers and is fixed-pointed to
+    1e-9 BEFORE summation (the round-5 determinism discipline), so
+    per-doc totals are summation-order-independent bigints in both
+    engines.
+
+    Scale shape: the bigram-count table is an equi-join (bigram vocab is
+    corpus-scale — deliberately NOT broadcast), the unigram-count and
+    vocabulary-size sides broadcast; one groupBy per aggregation level,
+    all map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select(F.explode(toks).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    fp = lambda col: F.floor(F.log(col) * 1000000000 + 0.5).cast("long")
+    doc = (
+        bg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(fp(F.col("c12") + 1) - fp(F.col("c1") + F.col("v"))).alias("s_fp"),
+        )
+    )
+    return (
+        doc.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s_fp") / 1000000000.0 / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy(F.col("avg_logprob").asc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --- per-language percentile normalization ----------------------------------
+
+
+@query(
+    "quality_percentile_by_lang",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang, LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
++ LEAST(((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))
+         / LEN(STRING_SPLIT(text, ' '))) / 8.0, 1.0) * 0.4
++ (1.0 - LEAST((LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                / LENGTH(text)) * 10.0, 1.0)) * 0.2 AS q FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+               AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+)
+SELECT doc_id, lang,
+       ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank
+FROM ranked
+WHERE n > 1
+""".strip(),
+)
+def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank normalization of the quality score WITHIN each
+    language — the calibration step that makes quality cuts comparable
+    across strata (a fixed absolute threshold keeps different fractions
+    of each language; the percentile is the score that does not). Rank
+    ties break on doc_id so the normalized value is deterministic; the
+    one division is exact-integer-in, IEEE-exact out.
+
+    Scale shape: one key-partitioned window per language — the same
+    single-shuffle shape as the top-decile cut this generalizes."""
+    from apache_beam_challange_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
+    w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("n") > 1).select(
+        "doc_id",
+        "lang",
+        F.round((F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6).alias(
+            "pct_rank"
+        ),
+    )

@@ -816,3 +816,60 @@ def test_grid_density_invariants(spark, sf_dir):
         # centroid lies inside its cell rectangle
         assert r.cell_y * 0.02 - 1e-9 <= r.centroid_lat <= (r.cell_y + 1) * 0.02
         assert r.cell_x * 0.03 - 1e-9 <= r.centroid_lon <= (r.cell_x + 1) * 0.03
+
+
+# --- bigram LM surprise -----------------------------------------------------
+
+
+def test_bigram_surprise_matches_python_lm(spark, sf_dir):
+    """The fixed-point bigram LM must equal a python add-one-smoothed
+    reference (same 1e-9 per-term quantization)."""
+    import math as m
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    c12: dict = {}
+    c1: dict = {}
+    vocab = set()
+    for toks in texts.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+
+    def fp(x):
+        return m.floor(m.log(x) * 1e9 + 0.5)
+
+    scores = {}
+    for d, toks in texts.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        s = sum(fp(c12[(a, b)] + 1) - fp(c1[a] + V) for a, b in bgs)
+        scores[d] = (round(s / 1e9 / len(bgs), 6), len(bgs))
+    expect = sorted(scores.items(), key=lambda kv: (kv[1][0], kv[0]))[:20]
+    got = [
+        (r.doc_id, (r.avg_logprob, r.n_bigrams))
+        for r in QS["bigram_surprise_docs"](spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+# --- percentile normalization -----------------------------------------------
+
+
+def test_percentile_rank_properties(spark, sf_dir):
+    rows = QS["quality_percentile_by_lang"](spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        by_lang.setdefault(r.lang, []).append(r.pct_rank)
+    for lang, pcts in by_lang.items():
+        pcts.sort()
+        # every stratum is normalized onto the same [0, 1] lattice
+        assert pcts[0] == 0.0 and pcts[-1] == 1.0
+        n = len(pcts)
+        assert pcts == [round(i / (n - 1), 6) for i in range(n)]
