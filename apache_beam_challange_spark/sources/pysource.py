@@ -65,15 +65,59 @@ class _RangePartition(InputPartition):
 
 
 class _EventsGenReader(DataSourceReader):
+    """Supports FILTER PUSHDOWN on ``event_id``: range predicates narrow
+    the generated index range BEFORE partition planning, so a filtered
+    scan never produces (or even plans) the pruned rows — the connector
+    half of predicate pushdown, the same contract a parquet scan's
+    ``PushedFilters`` delivers. Unsupported filters are returned to Spark
+    for post-scan evaluation (correctness never depends on pushdown)."""
+
     def __init__(self, options):
         self.n_rows = int(options.get("numRows", 1000))
         self.n_parts = int(options.get("numPartitions", 4))
+        self.lo_bound = 0
+        self.hi_bound = self.n_rows
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            val = getattr(f, "value", None)
+            if col == "event_id" and isinstance(val, int):
+                if isinstance(f, EqualTo):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    self.hi_bound = min(self.hi_bound, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo_bound = max(self.lo_bound, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi_bound = min(self.hi_bound, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi_bound = min(self.hi_bound, f.value + 1)
+                    continue
+            yield f  # not pushable — Spark evaluates it post-scan
 
     def partitions(self):
-        step = max(1, -(-self.n_rows // self.n_parts))
+        lo0, hi0 = self.lo_bound, max(self.hi_bound, self.lo_bound)
+        span = hi0 - lo0
+        if span == 0:
+            return [_RangePartition(0, 0)]
+        step = max(1, -(-span // self.n_parts))
         return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
+            _RangePartition(lo, min(lo + step, hi0))
+            for lo in range(lo0, hi0, step)
         ]
 
     def read(self, partition: _RangePartition):
@@ -118,6 +162,8 @@ class EventsGenDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # required for pushFilters to reach the reader (off by default)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EventsGenDataSource)
 
 

@@ -58,6 +58,7 @@ def compact_parquet(
     dst_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Small-file compaction — the standing maintenance job of any long-run
     ingestion path (streaming sinks and partitioned writers accumulate
@@ -65,7 +66,12 @@ def compact_parquet(
     Rewrites ``src_dir`` into ``ceil(total_bytes / target_file_bytes)``
     files; with ``sort_by``, rows are range-partitioned and sorted within
     files so row-group min/max stats stay selective after the rewrite
-    (see tests/test_rowgroup_clustering.py). Returns the output file count.
+    (see tests/test_rowgroup_clustering.py); with ``zorder_by=(a, b)``,
+    the sort key is the Morton interleave of the two integer columns
+    (functions/layout.py) so min/max stats stay selective on BOTH
+    dimensions — what lakehouse engines ship as OPTIMIZE ZORDER, run
+    here as part of the standing compaction job. Returns the output
+    file count.
 
     Sizing uses a driver-side *metadata* listing (no data moves through the
     driver); on HDFS/S3 the same numbers come from the FileSystem API or
@@ -81,6 +87,31 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_dir)
+    if zorder_by is not None:
+        from apache_beam_challange_spark.functions.layout import (
+            scale_to_bits,
+            zorder_key,
+        )
+
+        a, b = zorder_by
+        bounds = df.agg(
+            F.min(a).alias("__mna"), F.max(a).alias("__mxa"),
+            F.min(b).alias("__mnb"), F.max(b).alias("__mxb"),
+        )
+        keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+            "__zkey",
+            zorder_key(
+                scale_to_bits(F.col(a), F.col("__mna"), F.col("__mxa")),
+                scale_to_bits(F.col(b), F.col("__mnb"), F.col("__mxb")),
+            ),
+        )
+        out = (
+            keyed.repartitionByRange(n_files, F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey", "__mna", "__mxa", "__mnb", "__mxb")
+        )
+        out.write.mode("overwrite").parquet(dst_dir)
+        return n_files
     if sort_by:
         cols = [F.col(c) for c in sort_by]
         out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)

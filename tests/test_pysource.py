@@ -207,3 +207,55 @@ def test_stream_checkpoint_restart_resumes_without_dupes(spark, tmp_path):
     # file sink + offset log = exactly-once: the union is the full range,
     # no gaps, no duplicates, despite the mid-backlog kill
     assert got == list(range(300))
+
+
+def test_filter_pushdown_narrows_generated_range(spark):
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from apache_beam_challange_spark.sources.pysource import _EventsGenReader
+
+    rd = _EventsGenReader({"numRows": "1000", "numPartitions": "4"})
+    leftover = list(
+        rd.pushFilters(
+            [GreaterThanOrEqual(("event_id",), 100), LessThan(("event_id",), 160)]
+        )
+    )
+    assert leftover == []  # both bounds accepted by the source
+    parts = rd.partitions()
+    produced = [i for p in parts for i, *_ in rd.read(p)]
+    assert produced == list(range(100, 160))  # pruned rows never generated
+
+    rd2 = _EventsGenReader({"numRows": "1000"})
+    assert list(rd2.pushFilters([EqualTo(("event_id",), 7)])) == []
+    assert [i for p in rd2.partitions() for i, *_ in rd2.read(p)] == [7]
+
+    # a filter on another column is NOT consumed — returned to Spark
+    rd3 = _EventsGenReader({"numRows": "100"})
+    leftover3 = list(rd3.pushFilters([EqualTo(("event_type",), "click")]))
+    assert len(leftover3) == 1
+
+
+def test_filter_pushdown_end_to_end_equality(spark):
+    register(spark)
+    df = (
+        spark.read.format("events_gen")
+        .option("numRows", 500)
+        .load()
+    )
+    got = sorted(
+        r.event_id
+        for r in df.filter(
+            (F.col("event_id") >= 50) & (F.col("event_id") < 75)
+        ).collect()
+    )
+    assert got == list(range(50, 75))
+    # non-pushable predicate still correct (post-scan evaluation)
+    types = {
+        r.event_type
+        for r in df.filter(F.col("event_type") == "click").collect()
+    }
+    assert types == {"click"}
