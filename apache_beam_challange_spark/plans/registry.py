@@ -72,8 +72,8 @@ ORACLES: dict[str, str] = {}
 #: cusum_hourly_changepoints, multimodal_image_phash,
 #: split_leakage_pairs, daily_trend_slopes, rp_jl_topk_vec0,
 #: session_covisit_pmi, timed_conversion_counts, station_grid_density,
-#: bigram_surprise_docs, quality_percentile_by_lang) — twenty-eight in
-#: all.
+#: bigram_surprise_docs, quality_percentile_by_lang,
+#: mmr_diversified_topk_vec0) — twenty-nine in all.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",

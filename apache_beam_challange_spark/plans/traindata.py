@@ -2019,3 +2019,139 @@ def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_rank"
         ),
     )
+
+
+# --- MMR diversified re-ranking ---------------------------------------------
+
+
+def _mmr_oracle(k_cand: int = 50, k_out: int = 10, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle: one CTE pair per selection step (the
+    k-means/PageRank unrolled-trajectory discipline) — sel_t picks the
+    argmax of lam*rel - (1-lam)*max-sim-to-selected over the remaining
+    candidates, ordering on the UNROUNDED score (identical doubles in
+    both engines because rel and sim are 1e-6-rounded first)."""
+    head = f"""
+vecs AS MATERIALIZED (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+rel AS MATERIALIZED (
+    SELECT v.vec_id, v.label,
+           ROUND(list_cosine_similarity(v.v, q.qv), 6) AS rel
+    FROM vecs v
+    CROSS JOIN (SELECT v AS qv FROM vecs WHERE vec_id = 0) q
+    WHERE v.vec_id <> 0
+    ORDER BY rel DESC, v.vec_id LIMIT {k_cand}
+),
+sim AS MATERIALIZED (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(va.v, vb.v), 6) AS s
+    FROM rel a
+    JOIN rel b ON a.vec_id <> b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id
+),
+sel1 AS MATERIALIZED (
+    SELECT vec_id, label, {lam} * rel AS mmr, 1 AS rnk FROM rel
+    ORDER BY rel DESC, vec_id LIMIT 1
+),
+selu1 AS MATERIALIZED (SELECT vec_id FROM sel1)"""
+    parts = [head.strip()]
+    for t in range(2, k_out + 1):
+        parts.append(
+            f"""cand{t} AS MATERIALIZED (
+    SELECT r.vec_id, r.label,
+           {lam} * r.rel - {round(1 - lam, 10)} * (
+               SELECT MAX(s.s) FROM sim s
+               WHERE s.a = r.vec_id
+                 AND s.b IN (SELECT vec_id FROM selu{t - 1})
+           ) AS mmr
+    FROM rel r
+    WHERE r.vec_id NOT IN (SELECT vec_id FROM selu{t - 1})
+),
+sel{t} AS MATERIALIZED (
+    SELECT vec_id, label, mmr, {t} AS rnk FROM cand{t}
+    ORDER BY mmr DESC, vec_id LIMIT 1
+),
+selu{t} AS MATERIALIZED (
+    SELECT vec_id FROM selu{t - 1} UNION ALL SELECT vec_id FROM sel{t}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM sel{t}" for t in range(1, k_out + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT rnk AS rank, vec_id, label, ROUND(mmr, 6) AS mmr_score
+FROM ({union})
+ORDER BY rank
+"""
+    ).strip()
+
+
+@query("mmr_diversified_topk_vec0", oracle=_mmr_oracle())
+def mmr_diversified_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversification stage completing the retrieval stack
+    (BM25 -> RRF fusion -> MMR): greedily pick 10 of the top-50 cosine
+    candidates, each step maximizing lam*relevance - (1-lam)*max
+    similarity to what is already selected, so near-duplicate hits stop
+    crowding the result page.
+
+    Scale shape: the RECALL stage (corpus top-50) and the PAIRWISE sims
+    (50x50, parameter-bounded) are distributed DataFrame plans; the
+    greedy selection itself is inherently sequential over k*|cand|
+    (500 comparisons) and runs driver-side on the collected
+    candidate-set — the reranker head-node step, same cost class as the
+    sanctioned OPQ dim-allocation and CC convergence scalars. Both rel
+    and pairwise sims are rounded to 1e-6 BEFORE the greedy loop, so
+    the driver's doubles equal the oracle's and the unrolled-CTE
+    trajectory reproduces the selection exactly."""
+    from apache_beam_challange_spark.functions.vector import as_double, cosine
+    from apache_beam_challange_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_topk(emb, query_vec_id=0, k=50)
+    cvecs = cand.select("vec_id", "label", "cosine_sim").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = cvecs.select(
+        F.col("vec_id").alias("a"), as_double(F.col("embedding")).alias("va")
+    )
+    b = cvecs.select(
+        F.col("vec_id").alias("b"), as_double(F.col("embedding")).alias("vb")
+    )
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+    )
+    # parameter-bounded collects: 50 rel rows + 50*49 sim rows
+    rel_rows = cand.select("vec_id", "label", "cosine_sim").collect()
+    sim_map = {(r.a, r.b): r.s for r in sims.collect()}
+    rel = {r.vec_id: (r.label, r.cosine_sim) for r in rel_rows}
+    lam = 0.7
+    selected: list[tuple] = []
+    chosen: list = []
+    remaining = sorted(rel)
+    first = max(remaining, key=lambda v: (rel[v][1], -v))
+    selected.append((1, first, rel[first][0], lam * rel[first][1]))
+    chosen.append(first)
+    remaining.remove(first)
+    for t in range(2, 11):
+        best, best_score = None, None
+        for v in remaining:
+            pen = max(sim_map[(v, s)] for s in chosen)
+            score = lam * rel[v][1] - (1 - lam) * pen
+            if best is None or score > best_score or (
+                score == best_score and v < best
+            ):
+                best, best_score = v, score
+        selected.append((t, best, rel[best][0], best_score))
+        chosen.append(best)
+        remaining.remove(best)
+    out = spark.createDataFrame(
+        selected, "rank int, vec_id long, label int, mmr double"
+    )
+    return out.select(
+        "rank", "vec_id", "label", F.round(F.col("mmr"), 6).alias("mmr_score")
+    )

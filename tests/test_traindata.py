@@ -873,3 +873,45 @@ def test_percentile_rank_properties(spark, sf_dir):
         assert pcts[0] == 0.0 and pcts[-1] == 1.0
         n = len(pcts)
         assert pcts == [round(i / (n - 1), 6) for i in range(n)]
+
+
+# --- MMR diversified re-ranking ---------------------------------------------
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR's selected set must be (a) headed by the plain cosine argmax,
+    (b) 10 distinct candidates from the top-50 pool, and (c) strictly
+    less self-similar than the plain top-10 (the point of MMR)."""
+    import itertools
+
+    from apache_beam_challange_spark.functions.vector import as_double, cosine
+    from apache_beam_challange_spark.operators.similarity import cosine_topk
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = [r.vec_id for r in cosine_topk(emb, 0, k=50).collect()]
+    mmr_rows = sorted(
+        QS["mmr_diversified_topk_vec0"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    sel = [r.vec_id for r in mmr_rows]
+    assert len(sel) == len(set(sel)) == 10
+    assert sel[0] == plain[0]
+    assert set(sel) <= set(plain)
+    assert [r.rank for r in mmr_rows] == list(range(1, 11))
+
+    def max_pairwise(ids):
+        sub = emb.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        a = sub.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+        b = sub.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+        rows = (
+            a.crossJoin(b)
+            .filter(F.col("a") < F.col("b"))
+            .select(cosine(F.col("va"), F.col("vb")).alias("s"))
+            .collect()
+        )
+        return max(r.s for r in rows)
+
+    assert max_pairwise(sel) <= max_pairwise(plain[:10])
