@@ -333,7 +333,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    wed = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"))
+    wed = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
     counts = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
         deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )

@@ -107,12 +107,11 @@ def encode_bmp(doc_id: int) -> bytes:
     return header + rows.tobytes()
 
 
-def decode_bmp(data: bytes) -> dict:
-    """Decode an uncompressed 24-bit BMP with numpy only: validates magic /
+def _bmp_pixel_array(data: bytes) -> "np.ndarray":
+    """Shared BMP-byte -> top-down [y][x][BGR] pixel-array parser used by
+    both :func:`decode_bmp` and :func:`_bmp_phash16`: validates magic /
     bpp / BI_RGB, honors the pixel-data offset, strips row padding, and
-    flips bottom-up storage back to top-down [y][x][BGR]. Emits dimensional
-    and positional features (``corner_br`` = bottom-right pixel's c=2 byte,
-    which lands in the FIRST stored row — wrong without the flip)."""
+    flips bottom-up storage back to top-down."""
     magic, _size = struct.unpack_from("<2sI", data, 0)
     (offset,) = struct.unpack_from("<I", data, 10)
     _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
@@ -125,6 +124,17 @@ def decode_bmp(data: bytes) -> dict:
     px = arr[:, : 3 * w].reshape(h, w, 3)
     if bottom_up:
         px = px[::-1]
+    return px
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP with numpy only: validates magic /
+    bpp / BI_RGB, honors the pixel-data offset, strips row padding, and
+    flips bottom-up storage back to top-down [y][x][BGR]. Emits dimensional
+    and positional features (``corner_br`` = bottom-right pixel's c=2 byte,
+    which lands in the FIRST stored row — wrong without the flip)."""
+    px = _bmp_pixel_array(data)
+    h, w, _ = px.shape
     return {
         "width": w,
         "height": h,
@@ -448,18 +458,8 @@ def _bmp_phash16(data: bytes) -> dict:
     image mean. The comparison is the integer cross-multiplication
     cell_sum * n_pixels > total_sum * cell_count — no float means, so the
     hash is bit-identical to the oracle's closed-form recomputation."""
-    magic, _size = struct.unpack_from("<2sI", data, 0)
-    (offset,) = struct.unpack_from("<I", data, 10)
-    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
-    if magic != b"BM" or bpp != 24 or comp != 0:
-        raise ValueError("not an uncompressed 24-bit BMP")
-    bottom_up = h > 0
-    h = abs(h)
-    stride = (3 * w + 3) // 4 * 4
-    arr = np.frombuffer(data, np.uint8, h * stride, offset).reshape(h, stride)
-    px = arr[:, : 3 * w].reshape(h, w, 3)
-    if bottom_up:
-        px = px[::-1]
+    px = _bmp_pixel_array(data)
+    h, w, _ = px.shape
     gray = px.sum(axis=2, dtype=np.int64)  # [y][x] channel-sum grayscale
     total = int(gray.sum())
     n_px = h * w

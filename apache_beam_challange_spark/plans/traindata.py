@@ -47,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_beam_challange_spark.plans.extensions import _MINHASH_CTE
+from apache_beam_challange_spark.plans.extensions import (
+    _MINHASH_CTE,
+    _SPLIT_HEX4,
+)
+from apache_beam_challange_spark.functions.text import QUALITY_SCORE_SQL
+from apache_beam_challange_spark.plans.curation import _FUZZY_BLOCK_CAP
 from apache_beam_challange_spark.plans.registry import query
 from apache_beam_challange_spark.sources.catalog import load_table
 
@@ -799,7 +804,7 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_part_clusters",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
 ids AS (
     SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS nid FROM names
@@ -809,7 +814,7 @@ blocked AS (
 ),
 bounded AS (
     SELECT p_name, nid, block FROM blocked
-    QUALIFY COUNT(*) OVER (PARTITION BY block) <= 2000
+    QUALIFY COUNT(*) OVER (PARTITION BY block) <= {_FUZZY_BLOCK_CAP}
 ),
 pairs AS (
     SELECT a.nid AS n1, b.nid AS n2
@@ -1302,27 +1307,7 @@ def cusum_hourly_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_leakage_pairs",
     oracle=f"""
-WITH tok AS (
-    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-),
-pos AS (
-    SELECT doc_id, tokens,
-           unnest(generate_series(1, greatest(len(tokens) - 2, 1))) AS i
-    FROM tok
-),
-sh AS (
-    SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
-    FROM pos
-),
-hb AS (
-    SELECT doc_id, ((STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 1, 1)) - 1) * 72057594037927936 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 2, 1)) - 1) * 4503599627370496 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 3, 1)) - 1) * 281474976710656 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 4, 1)) - 1) * 17592186044416 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 5, 1)) - 1) * 1099511627776 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 6, 1)) - 1) * 68719476736 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 7, 1)) - 1) * 4294967296 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 8, 1)) - 1) * 268435456 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 9, 1)) - 1) * 16777216 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 10, 1)) - 1) * 1048576 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 11, 1)) - 1) * 65536 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 12, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 13, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 14, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5(shingle), 15, 1)) - 1) * 1) % 2147483647 AS base FROM sh
-),
-mh AS (
-    SELECT doc_id, h.i AS hash_idx,
-           MIN((base * (700001 + 2 * h.i) + h.i * 12345) % 2147483647) AS min_hash
-    FROM hb, (SELECT unnest(generate_series(0, 7)) AS i) h
-    GROUP BY doc_id, h.i
-),
+WITH {_MINHASH_CTE},
 bands AS (
     SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
            STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
@@ -1337,8 +1322,8 @@ cand AS (
 ),
 splits AS (
     SELECT doc_id,
-           CASE WHEN (((STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 80 THEN 'train'
-                WHEN (((STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 90 THEN 'val'
+           CASE WHEN {_SPLIT_HEX4} < 80 THEN 'train'
+                WHEN {_SPLIT_HEX4} < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
 )
@@ -1969,13 +1954,9 @@ def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_percentile_by_lang",
-    oracle="""
+    oracle=f"""
 WITH scored AS (
-    SELECT doc_id, lang, LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
-+ LEAST(((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))
-         / LEN(STRING_SPLIT(text, ' '))) / 8.0, 1.0) * 0.4
-+ (1.0 - LEAST((LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
-                / LENGTH(text)) * 10.0, 1.0)) * 0.2 AS q FROM documents
+    SELECT doc_id, lang, {QUALITY_SCORE_SQL} AS q FROM documents
 ),
 ranked AS (
     SELECT doc_id, lang,
@@ -2129,7 +2110,11 @@ def mmr_diversified_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_rows = cand.select("vec_id", "label", "cosine_sim").collect()
     sim_map = {(r.a, r.b): r.s for r in sims.collect()}
     rel = {r.vec_id: (r.label, r.cosine_sim) for r in rel_rows}
-    lam = 0.7
+    # NOTE: mu is the LITERAL 0.3, matching the oracle's round(1-lam, 10)
+    # — python's (1 - 0.7) is 0.30000000000000004, a DIFFERENT double,
+    # and the engine==oracle trajectory claim rests on identical
+    # coefficients (found by review; the two constants must stay paired)
+    lam, mu = 0.7, 0.3
     selected: list[tuple] = []
     chosen: list = []
     remaining = sorted(rel)
@@ -2141,7 +2126,7 @@ def mmr_diversified_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         best, best_score = None, None
         for v in remaining:
             pen = max(sim_map[(v, s)] for s in chosen)
-            score = lam * rel[v][1] - (1 - lam) * pen
+            score = lam * rel[v][1] - mu * pen
             if best is None or score > best_score or (
                 score == best_score and v < best
             ):

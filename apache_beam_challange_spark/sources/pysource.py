@@ -191,8 +191,9 @@ class _JsonlWriter(DataSourceWriter):
     sources/publish.py, expressed through Spark's own two-phase
     commit hooks."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
+        self.overwrite = overwrite
 
     def write(self, iterator):
         os.makedirs(self.path, exist_ok=True)
@@ -207,12 +208,18 @@ class _JsonlWriter(DataSourceWriter):
     def commit(self, messages):
         # manifest lists exactly the committed task outputs; readers
         # trust ONLY manifested files, so stray part files from aborted
-        # attempts are inert
+        # attempts are inert. APPEND mode merges the prior manifest (an
+        # append that replaced it would silently orphan every earlier
+        # committed row — found by review); OVERWRITE replaces it.
         manifest = sorted(m.filename for m in messages if m is not None)
+        mpath = os.path.join(self.path, "_MANIFEST")
+        if not self.overwrite and os.path.isfile(mpath):
+            with open(mpath) as f:
+                manifest = sorted(set(json.load(f)["files"]) | set(manifest))
         tmp = os.path.join(self.path, f"_MANIFEST.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(json.dumps({"files": manifest}))
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic flip
+        os.replace(tmp, mpath)  # atomic flip
 
     def abort(self, messages):
         for m in messages:
@@ -232,7 +239,7 @@ class JsonlCommitDataSource(DataSource):
         return "jsonl_commit"
 
     def writer(self, schema, overwrite):
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, overwrite)
 
 
 def read_jsonl_commit(path: str) -> list[dict]:

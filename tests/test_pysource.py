@@ -259,3 +259,26 @@ def test_filter_pushdown_end_to_end_equality(spark):
         for r in df.filter(F.col("event_type") == "click").collect()
     }
     assert types == {"click"}
+
+
+def test_jsonl_sink_append_merges_manifest(spark, tmp_path):
+    from apache_beam_challange_spark.sources.pysource import (
+        JsonlCommitDataSource,
+        read_jsonl_commit,
+    )
+
+    spark.dataSource.register(JsonlCommitDataSource)
+    path = str(tmp_path / "out")
+    spark.createDataFrame([(1,), (2,)], "id long").write.format(
+        "jsonl_commit"
+    ).option("path", path).mode("append").save()
+    spark.createDataFrame([(3,), (4,)], "id long").write.format(
+        "jsonl_commit"
+    ).option("path", path).mode("append").save()
+    # second append must UNION with the first commit, not orphan it
+    assert sorted(d["id"] for d in read_jsonl_commit(path)) == [1, 2, 3, 4]
+    # overwrite replaces the manifest: only the new rows remain visible
+    spark.createDataFrame([(9,)], "id long").write.format("jsonl_commit").option(
+        "path", path
+    ).mode("overwrite").save()
+    assert [d["id"] for d in read_jsonl_commit(path)] == [9]

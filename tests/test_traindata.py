@@ -915,3 +915,10 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
         return max(r.s for r in rows)
 
     assert max_pairwise(sel) <= max_pairwise(plain[:10])
+
+
+def test_triangle_empty_graph_returns_zeros(spark):
+    df = spark.createDataFrame([], "u long, v long")
+    r = triangle_stats(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (0, 0, 0, 0)
+    assert r.clustering_coeff == 0.0
