@@ -2140,3 +2140,127 @@ def mmr_diversified_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rank", "vec_id", "label", F.round(F.col("mmr"), 6).alias("mmr_score")
     )
+
+
+# --- declarative data-quality verification (Deequ-shaped) -------------------
+
+
+@query(
+    "dq_verification_report",
+    oracle="""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dist_orderkey,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+),
+fk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+      )
+)
+SELECT * FROM (
+    SELECT 'size(orders) > 0' AS constraint,
+           CAST(n AS DOUBLE) AS metric,
+           CAST(CASE WHEN n > 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM base
+    UNION ALL
+    SELECT 'completeness(o_custkey) = 1.0',
+           ROUND(CAST(n_custkey AS DOUBLE) / n, 6),
+           CAST(CASE WHEN n_custkey = n THEN 1 ELSE 0 END AS INT)
+    FROM base
+    UNION ALL
+    SELECT 'uniqueness(o_orderkey) = 1.0',
+           ROUND(CAST(n_dist_orderkey AS DOUBLE) / n, 6),
+           CAST(CASE WHEN n_dist_orderkey = n THEN 1 ELSE 0 END AS INT)
+    FROM base
+    UNION ALL
+    SELECT 'min(o_totalprice) >= 0',
+           ROUND(min_price, 6),
+           CAST(CASE WHEN min_price >= 0 THEN 1 ELSE 0 END AS INT)
+    FROM base
+    UNION ALL
+    SELECT 'referential_integrity(o_custkey -> c_custkey)',
+           CAST(n_orphans AS DOUBLE),
+           CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INT)
+    FROM fk
+) t
+""".strip(),
+)
+def dq_verification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification (the Deequ/Great-Expectations
+    shape): a constraint suite — row count, completeness, key
+    uniqueness, value bounds, referential integrity — evaluated into ONE
+    report of (constraint, metric, passed) rows. The scan metrics fold
+    in a single aggregation pass over the fact table; the FK check is
+    one anti-join with the filter on the probe side; metrics are exact
+    integer ratios (single rounded division each), so the report is
+    engine-exact, and `passed` compares INTEGERS, never floats.
+
+    Scale shape: at 100 TB this is the nightly contract gate — one scan
+    + one anti-join however many constraints share them, which is
+    exactly why the declarative form (state constraints, let one plan
+    serve all) beats N ad-hoc queries."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count_distinct("o_orderkey").alias("n_dist_orderkey"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+    orphans = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+    def row(name, metric, passed):
+        return F.struct(
+            F.lit(name).alias("constraint"),
+            metric.alias("metric"),
+            passed.cast("int").alias("passed"),
+        )
+
+    checks = base.select(
+        F.explode(
+            F.array(
+                row(
+                    "size(orders) > 0",
+                    F.col("n").cast("double"),
+                    F.when(F.col("n") > 0, 1).otherwise(0),
+                ),
+                row(
+                    "completeness(o_custkey) = 1.0",
+                    F.round(F.col("n_custkey").cast("double") / F.col("n"), 6),
+                    F.when(F.col("n_custkey") == F.col("n"), 1).otherwise(0),
+                ),
+                row(
+                    "uniqueness(o_orderkey) = 1.0",
+                    F.round(
+                        F.col("n_dist_orderkey").cast("double") / F.col("n"), 6
+                    ),
+                    F.when(F.col("n_dist_orderkey") == F.col("n"), 1).otherwise(0),
+                ),
+                row(
+                    "min(o_totalprice) >= 0",
+                    F.round(F.col("min_price"), 6),
+                    F.when(F.col("min_price") >= 0, 1).otherwise(0),
+                ),
+            )
+        ).alias("c")
+    ).select("c.constraint", "c.metric", "c.passed")
+    fk = orphans.select(
+        F.lit("referential_integrity(o_custkey -> c_custkey)").alias("constraint"),
+        F.col("n_orphans").cast("double").alias("metric"),
+        F.when(F.col("n_orphans") == 0, 1).otherwise(0).cast("int").alias("passed"),
+    )
+    return checks.unionAll(fk)

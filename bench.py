@@ -76,7 +76,7 @@ ABLATIONS = [
     "ivfpq_refined_topk_vec0",  # inline re-train per query — baseline only
 ]
 
-#: The round-5 traindata family (this session's 24 additions), tracked as
+#: The round-5 traindata family (this session's 25 additions), tracked as
 #: its own series; the five earlier round-5 queries (SCD-2, quarantine,
 #: contamination, funnel, audio) stay gate-timed in PERF.md to bound
 #: bench growth. prefix_filter (~4.7 s) is the family's one multi-second
@@ -106,6 +106,7 @@ TRAINDATA = [
     "bigram_surprise_docs",
     "quality_percentile_by_lang",
     "mmr_diversified_topk_vec0",
+    "dq_verification_report",
 ]
 
 CURATION = [

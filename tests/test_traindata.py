@@ -922,3 +922,60 @@ def test_triangle_empty_graph_returns_zeros(spark):
     r = triangle_stats(df).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (0, 0, 0, 0)
     assert r.clustering_coeff == 0.0
+
+
+# --- data-quality verification ----------------------------------------------
+
+
+def test_dq_report_passes_on_clean_fixture(spark, sf_dir):
+    rows = {r.constraint: r for r in QS["dq_verification_report"](spark, sf_dir).collect()}
+    assert len(rows) == 5
+    assert all(r.passed == 1 for r in rows.values())
+    assert rows["completeness(o_custkey) = 1.0"].metric == 1.0
+    assert rows["uniqueness(o_orderkey) = 1.0"].metric == 1.0
+    assert rows["referential_integrity(o_custkey -> c_custkey)"].metric == 0.0
+
+
+def test_dq_report_fails_on_injected_violations(spark, tmp_path):
+    """Duplicate keys, NULL custkeys, a negative price, and an orphan FK
+    must each flip exactly their own constraint."""
+    import shutil
+
+    d = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    first = orders.limit(1)
+    bad = (
+        orders.unionAll(first)  # duplicate o_orderkey
+        .unionAll(
+            first.select(
+                (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+                F.lit(None).cast("long").alias("o_custkey"),  # NULL custkey
+                "o_orderstatus",
+                F.lit(-5.0).alias("o_totalprice"),  # negative price
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+        .unionAll(
+            first.select(
+                (F.col("o_orderkey") + 2 * 10**9).alias("o_orderkey"),
+                F.lit(10**9).alias("o_custkey"),  # orphan FK
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    )
+    import os
+
+    os.remove(os.path.join(d, "orders.parquet"))  # single file in testdata
+    bad.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    rows = {r.constraint: r for r in QS["dq_verification_report"](spark, d).collect()}
+    assert rows["size(orders) > 0"].passed == 1
+    assert rows["completeness(o_custkey) = 1.0"].passed == 0
+    assert rows["uniqueness(o_orderkey) = 1.0"].passed == 0
+    assert rows["min(o_totalprice) >= 0"].passed == 0
+    assert rows["referential_integrity(o_custkey -> c_custkey)"].passed == 0
+    assert rows["referential_integrity(o_custkey -> c_custkey)"].metric == 1.0
