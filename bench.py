@@ -74,9 +74,11 @@ FLAGSHIPS = [
 
 ABLATIONS = [
     "ivfpq_refined_topk_vec0",  # inline re-train per query — baseline only
+    "rp_jl_topk_vec0",  # JL dim-reduction ablation (recall collapses at n=2000)
 ]
 
-#: The round-5 traindata family (this session's 25 additions), tracked as
+#: The round-5 traindata family (serving-shape members; the JL ablation
+#: sits in ABLATIONS with the other labeled baseline), tracked as
 #: its own series; the five earlier round-5 queries (SCD-2, quarantine,
 #: contamination, funnel, audio) stay gate-timed in PERF.md to bound
 #: bench growth. prefix_filter (~4.7 s) is the family's one multi-second
@@ -99,7 +101,6 @@ TRAINDATA = [
     "multimodal_image_phash",
     "split_leakage_pairs",
     "daily_trend_slopes",
-    "rp_jl_topk_vec0",
     "session_covisit_pmi",
     "timed_conversion_counts",
     "station_grid_density",
@@ -107,6 +108,7 @@ TRAINDATA = [
     "quality_percentile_by_lang",
     "mmr_diversified_topk_vec0",
     "dq_verification_report",
+    "stations_within_radius_pairs",
 ]
 
 CURATION = [

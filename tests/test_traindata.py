@@ -979,3 +979,44 @@ def test_dq_report_fails_on_injected_violations(spark, tmp_path):
     assert rows["min(o_totalprice) >= 0"].passed == 0
     assert rows["referential_integrity(o_custkey -> c_custkey)"].passed == 0
     assert rows["referential_integrity(o_custkey -> c_custkey)"].metric == 1.0
+
+
+# --- spatial radius join ----------------------------------------------------
+
+
+def test_radius_join_equals_brute_force(spark, sf_dir):
+    """The 3x3 neighborhood join must find EXACTLY the brute-force
+    all-pairs within-radius set (cells >= radius => recall 1.0)."""
+    import math as m
+
+    from apache_beam_challange_spark.sources.catalog import stations
+
+    pts = {
+        r.id: (r.latitude, r.longitude)
+        for r in stations(spark, sf_dir).collect()
+    }
+
+    def hav(a, b):
+        la1, lo1 = pts[a]
+        la2, lo2 = pts[b]
+        h = (
+            m.sin(m.radians(la2 - la1) / 2) ** 2
+            + m.cos(m.radians(la1))
+            * m.cos(m.radians(la2))
+            * m.sin(m.radians(lo2 - lo1) / 2) ** 2
+        )
+        return round(2 * 6371.0088 * m.asin(m.sqrt(h)), 6)
+
+    ids = sorted(pts)
+    expect = {
+        (a, b, hav(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hav(a, b) <= 2.0
+    }
+    got = {
+        (r.id_1, r.id_2, r.distance_km)
+        for r in QS["stations_within_radius_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain within-radius pairs"
