@@ -357,3 +357,51 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def k_core(edges: DataFrame, k: int = 2, max_iter: int = 40) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with degree < k (and their edges) until the fixpoint; what survives
+    is the k-core. ``edges`` carries (u, v) with u < v, no duplicates.
+
+    Scale shape: each round is one degree aggregation + one semi-join
+    filter on both endpoints — two shuffles per round, the same
+    per-iteration cost class as ``connected_components``; the driver
+    reads ONE scalar (surviving-edge count) per round for the
+    convergence test. Peeling strictly shrinks the edge set, so "no edge
+    removed" IS the fixpoint. Raises at ``max_iter`` instead of
+    returning a half-peeled graph (the CC discipline: loud, not wrong) —
+    the bound also lets the unrolled-CTE oracle replay the identical
+    trajectory.
+
+    Returns (node, core_degree): the k-core members with their degree
+    INSIDE the core."""
+    cur = edges.select("u", "v").localCheckpoint(eager=False)
+    prev_n = cur.count()
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        if n == prev_n:
+            core = nxt
+            break
+        cur, prev_n = nxt, n
+    else:
+        raise RuntimeError(f"k_core: no fixpoint within {max_iter} rounds")
+    return (
+        core.select(F.col("u").alias("node"))
+        .unionAll(core.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -2392,3 +2392,78 @@ def stations_within_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("distance_km"),
     ).distinct()
     return dist.filter(F.col("distance_km") <= _RADIUS_KM)
+
+
+# --- k-core of the near-dup graph -------------------------------------------
+
+
+def _k_core_oracle(k: int = 2, rounds: int = 25) -> str:
+    """Unrolled peeling trajectory: round t recomputes degrees over the
+    surviving edges and keeps nodes with degree >= k. After the fixpoint
+    further rounds are no-ops, so running exactly ``rounds`` rounds
+    equals the engine's converge-or-raise loop (same bound)."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+    SELECT node, COUNT(*) AS d
+    FROM (SELECT u AS node FROM e{t - 1} UNION ALL SELECT v FROM e{t - 1})
+    GROUP BY node
+),
+kp{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE d >= {k}),
+e{t} AS MATERIALIZED (
+    SELECT u, v FROM e{t - 1}
+    WHERE u IN (SELECT node FROM kp{t}) AND v IN (SELECT node FROM kp{t})
+)"""
+        )
+    return (
+        "WITH "
+        + _MINHASH_CTE
+        + """,
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+"""
+        + ",\n".join(parts)
+        + f"""
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY node
+"""
+    ).strip()
+
+
+@query("near_dup_k_core", oracle=_k_core_oracle())
+def near_dup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup candidate graph — the degeneracy peel that
+    separates genuinely clustered duplicates from incidental single-band
+    collisions: iteratively drop degree-<2 nodes until stable; what
+    survives has at least two independent similarity links (a hub-and-
+    spoke false-positive pattern peels away entirely). The fourth member
+    of the graph family (CC x2, PageRank, triangles), sharing their
+    two-shuffles-per-round + one-scalar-convergence-test shape; the
+    oracle replays the identical peeling trajectory as unrolled
+    MATERIALIZED CTEs under the same round bound the engine raises at
+    (loud, never half-peeled)."""
+    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
+    from apache_beam_challange_spark.operators.graph import k_core
+    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+
+    sigs = minhash_sigs_at_rest(spark, sf_dir)
+    edges = lsh_candidate_pairs(sigs, rows_per_band=2).select(
+        F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
+    )
+    return k_core(edges, k=2, max_iter=25).select(
+        F.col("node").alias("doc_id"), "core_degree"
+    )

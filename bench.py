@@ -109,6 +109,7 @@ TRAINDATA = [
     "mmr_diversified_topk_vec0",
     "dq_verification_report",
     "stations_within_radius_pairs",
+    "near_dup_k_core",
 ]
 
 CURATION = [

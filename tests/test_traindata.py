@@ -1020,3 +1020,59 @@ def test_radius_join_equals_brute_force(spark, sf_dir):
     }
     assert got == expect
     assert expect, "fixture must contain within-radius pairs"
+
+
+# --- k-core -----------------------------------------------------------------
+
+
+def test_k_core_known_graphs(spark):
+    from apache_beam_challange_spark.operators.graph import k_core
+
+    def core(pairs, k=2):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        return {
+            (r.node, r.core_degree) for r in k_core(df, k=k).collect()
+        }
+
+    # triangle with a pendant: the pendant (and nothing else) peels away
+    assert core([(1, 2), (1, 3), (2, 3), (3, 4)]) == {(1, 2), (2, 2), (3, 2)}
+    # pure path: 2-core is empty (peels from both ends to nothing)
+    assert core([(1, 2), (2, 3), (3, 4), (4, 5)]) == set()
+    # K4: everything survives with degree 3
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert core(k4) == {(n, 3) for n in range(1, 5)}
+    # 3-core of K4 survives; 3-core of a triangle does not
+    assert core(k4, k=3) == {(n, 3) for n in range(1, 5)}
+    assert core([(1, 2), (1, 3), (2, 3)], k=3) == set()
+
+
+def test_k_core_matches_python_peel(spark, sf_dir):
+    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
+    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+
+    pairs = [
+        (r.doc_id_1, r.doc_id_2)
+        for r in lsh_candidate_pairs(
+            minhash_sigs_at_rest(spark, sf_dir), rows_per_band=2
+        ).collect()
+    ]
+    edges = set(pairs)
+    while True:
+        deg: dict = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        nxt = {(u, v) for u, v in edges if u in keep and v in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    expect_deg: dict = {}
+    for u, v in edges:
+        expect_deg[u] = expect_deg.get(u, 0) + 1
+        expect_deg[v] = expect_deg.get(v, 0) + 1
+    got = {
+        (r.doc_id, r.core_degree)
+        for r in QS["near_dup_k_core"](spark, sf_dir).collect()
+    }
+    assert got == set(expect_deg.items())
