@@ -558,21 +558,17 @@ def ivfpq_topk_indexed(
     from apache_beam_challange_spark.operators.similarity import _query_vec
 
     sub = dim // m
-    coarse_cents = embeddings.filter(
-        F.col("vec_id").isin(list(coarse_ids))
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cvec"),
+    # shared serve-path helpers — the same codebook + probe definitions
+    # the IVF build/serve/append paths use (operators/similarity.py), so
+    # the routes can never drift on tie-break or metric
+    from apache_beam_challange_spark.operators.similarity import (
+        centroid_table,
+        probe_centroids,
     )
+
+    coarse_cents = centroid_table(embeddings, coarse_ids)
     q = _query_vec(embeddings, query_vec_id)
-    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
-    probes = (
-        coarse_cents.crossJoin(F.broadcast(q))
-        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
-        .withColumn("__rk", F.row_number().over(probe_w))
-        .filter(F.col("__rk") <= n_probe)
-        .select("centroid_id")
-    )
+    probes = probe_centroids(coarse_cents, q, n_probe)
     out = index.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != query_vec_id
     )
@@ -634,21 +630,17 @@ def ivfpq_refined_topk_indexed(
     from apache_beam_challange_spark.operators.similarity import _query_vec
 
     sub = dim // m
-    coarse_cents = embeddings.filter(
-        F.col("vec_id").isin(list(coarse_ids))
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cvec"),
+    # shared serve-path helpers — the same codebook + probe definitions
+    # the IVF build/serve/append paths use (operators/similarity.py), so
+    # the routes can never drift on tie-break or metric
+    from apache_beam_challange_spark.operators.similarity import (
+        centroid_table,
+        probe_centroids,
     )
+
+    coarse_cents = centroid_table(embeddings, coarse_ids)
     q = _query_vec(embeddings, query_vec_id)
-    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
-    probes = (
-        coarse_cents.crossJoin(F.broadcast(q))
-        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
-        .withColumn("__rk", F.row_number().over(probe_w))
-        .filter(F.col("__rk") <= n_probe)
-        .select("centroid_id")
-    )
+    probes = probe_centroids(coarse_cents, q, n_probe)
     out = index.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != query_vec_id
     )

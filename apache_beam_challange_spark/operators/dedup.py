@@ -311,11 +311,15 @@ def jaccard_pairs(
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    s1 = F.broadcast(
-        sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_tokens").alias("n1"))
+    # per-document sizes are corpus-scale: a forced broadcast would have
+    # to ship O(corpus) rows to every executor (and the driver) at 100 TB
+    # (found by review) — plain equi-joins on doc_id; AQE may still
+    # broadcast at test scale where the table is actually small
+    s1 = sizes.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n_tokens").alias("n1")
     )
-    s2 = F.broadcast(
-        sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_tokens").alias("n2"))
+    s2 = sizes.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n_tokens").alias("n2")
     )
     out = (
         inter.join(s1, "doc_id_1")

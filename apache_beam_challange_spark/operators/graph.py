@@ -92,15 +92,32 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
+        # a node APPEARING for the first time (an edge endpoint absent
+        # from `vertices`, acting as a relay) is also a change — an inner
+        # join silently dropped it and could end the loop one round
+        # before its label propagated onward (found by review test)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") < F.col("o.component"))
+            .join(labels.alias("o"), "node", "left")
+            .filter(
+                F.col("o.component").isNull()
+                | (F.col("n.component") < F.col("o.component"))
+            )
             .count()
         )
         labels = new_labels
         if changed == 0:
-            return labels
+            # Edge endpoints absent from `vertices` act as relay nodes
+            # during propagation (rows for them accrue via the neighbor
+            # union) but are NOT part of the output contract — the LSS
+            # twin never emits them, and cluster sizes would overcount.
+            # Constrain the result to the declared vertex set (found by
+            # review: the two variants disagreed on phantom endpoints).
+            return labels.join(
+                vertices.select(F.col(id_col).alias("node")),
+                "node",
+                "left_semi",
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — the "
         "graph diameter exceeds the bound; use connected_components_lss "

@@ -47,7 +47,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
 
 
 def refresh_hourly_rollup(
-    events: DataFrame, rollup_path: str, up_to: str
+    events: DataFrame, rollup_path: str, up_to: str, lookback_hours: int = 0
 ) -> int:
     """Advance the rollup published under ``rollup_path`` to cover every
     hour that CLOSED strictly before ``up_to`` (an hour-aligned timestamp
@@ -58,7 +58,19 @@ def refresh_hourly_rollup(
     Reads the current watermark (MAX(hour) of the rollup — one scalar),
     aggregates raw rows in ``(watermark hour, up_to)`` only, and publishes
     ``current UNION delta`` as a new atomic version. Returns the number of
-    delta rows folded in (0 when already current — the idempotent no-op)."""
+    delta rows folded in (0 when already current — the idempotent no-op).
+
+    LATENESS CONTRACT: with the default ``lookback_hours=0`` a raw row
+    appended AFTER its hour was folded is never counted (the
+    strictly-greater-than-watermark filter skips it forever) — the same
+    drop-beyond-watermark semantics a streaming aggregation has, but it
+    makes the incremental result diverge from a full rebuild when
+    ingestion lags event time. ``lookback_hours=L`` bounds that loss the
+    way production rollup jobs do: each refresh RE-AGGREGATES the last L
+    hours (replacing those rows), so any straggler within L hours of the
+    watermark is repaired on the next refresh; only rows later than L are
+    dropped. Test-asserted in both directions (repair within L,
+    documented divergence without)."""
     import datetime as dt
 
     from apache_beam_challange_spark.sources.publish import (
@@ -90,17 +102,22 @@ def refresh_hourly_rollup(
         wm = None
 
     fresh = events.filter(F.col("ts") < cutoff)
+    kept = current
     if wm is not None:
         # the watermark hour itself is complete (it was only written when
-        # it had closed); fold strictly-later hours
-        fresh = fresh.filter(
-            F.date_trunc("hour", F.col("ts")) > F.lit(wm).cast("timestamp_ntz")
+        # it had closed); fold strictly-later hours — minus the lookback
+        # window, which is re-aggregated from raw to absorb stragglers
+        refold_from = F.lit(wm).cast("timestamp_ntz") - F.expr(
+            f"make_interval(0, 0, 0, 0, {int(lookback_hours)}, 0, 0)"
         )
+        fresh = fresh.filter(F.date_trunc("hour", F.col("ts")) > refold_from)
+        if lookback_hours > 0:
+            kept = current.filter(F.col("hour") <= refold_from)
     delta = hourly_rollup(fresh)
     # localCheckpoint: count + publish must see one consistent delta
     delta = delta.localCheckpoint()
     n = delta.count()
     if n:
-        merged = delta if current is None else current.unionByName(delta)
+        merged = delta if kept is None else kept.unionByName(delta)
         publish(merged, rollup_path)
     return n

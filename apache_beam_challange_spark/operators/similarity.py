@@ -89,6 +89,55 @@ def lsh_bucket(vec: F.Column, num_planes: int, dim: int) -> F.Column:
     return F.concat(*bits)
 
 
+def centroid_table(source: DataFrame, codebook_ids: tuple[int, ...]) -> DataFrame:
+    """The broadcastable IVF codebook ``(centroid_id, cvec)`` extracted
+    from stored vectors — ONE definition for build, serve, append and
+    batch-join paths (this and the two helpers below existed as eight
+    near-identical inline copies; a tie-break or metric change applied to
+    one copy would silently desynchronize index-build from index-serve —
+    found by review)."""
+    return source.filter(F.col("vec_id").isin(list(codebook_ids))).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+
+
+def assign_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Coarse quantization shared by every IVF path: broadcast the
+    codebook, score cosine, keep the argmax with centroid-id tie-break.
+    ``vecs`` must carry (vec_id, ..., vec); output appends
+    ``centroid_id``."""
+    from pyspark.sql import Window
+
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    keep = [c for c in vecs.columns] + ["centroid_id"]
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(aw))
+        .filter(F.col("__rk") == 1)
+        .select(*keep)
+    )
+
+
+def probe_centroids(cents: DataFrame, q: DataFrame, n_probe: int) -> DataFrame:
+    """Single-query probe ranking shared by every IVF serve path: rank
+    the codebook against the broadcast query vector, keep the top
+    ``n_probe`` list ids (centroid-id tie-break)."""
+    from pyspark.sql import Window
+
+    pw = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+    return (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
+        .withColumn("__rk", F.row_number().over(pw))
+        .filter(F.col("__rk") <= n_probe)
+        .select("centroid_id")
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame, codebook_ids: tuple[int, ...]
 ) -> DataFrame:
@@ -98,25 +147,11 @@ def ivf_assignments(
     centroids, trained offline); it broadcasts, so assignment is one
     narrow pass over the table — the inverted lists are then just a
     cluster_id column to partition/bucket by."""
-    from pyspark.sql import Window
-
-    cents = embeddings.filter(F.col("vec_id").isin(list(codebook_ids))).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cvec"),
-    )
-    scored = embeddings.select(
+    cents = centroid_table(embeddings, codebook_ids)
+    vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
-    ).crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", cosine(F.col("vec"), F.col("cvec"))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id")
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "label", "vec", "centroid_id")
-    )
+    return assign_nearest(vecs, cents)
 
 
 def ivf_candidates(
@@ -131,30 +166,12 @@ def ivf_candidates(
     vector excluded) — ``(vec_id, label, vec, centroid_id)``. Composable
     with any precision stage: exact cosine (:func:`ivf_topk_with_centroids`)
     or compressed ADC (IVF+PQ, :func:`operators.clustering.pq_topk`)."""
-    from pyspark.sql import Window
-
     vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn("__rk", F.row_number().over(aw))
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "label", "vec", "centroid_id")
-    )
+    assigned = assign_nearest(vecs, cents)
     q = _query_vec(embeddings, query_vec_id)
-    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
-        .withColumn("__rk", F.row_number().over(probe_w))
-        .filter(F.col("__rk") <= n_probe)
-        .select("centroid_id")
-    )
+    probes = probe_centroids(cents, q, n_probe)
     return assigned.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != query_vec_id
     )
@@ -235,28 +252,13 @@ def ivf_append_index(
     seam as :func:`lsh_append_index`; the indexed reader de-duplicates
     candidate ids, so a crash-retry re-append cannot change served
     results."""
-    from pyspark.sql import Window
-
-    cents = codebook_source.filter(
-        F.col("vec_id").isin(list(codebook_ids))
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cvec"),
-    )
+    cents = centroid_table(codebook_source, codebook_ids)
     vecs = new_embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn("__rk", F.row_number().over(aw))
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "label", "vec", "centroid_id")
-    )
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    assign_nearest(vecs, cents).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(path)
 
 
 def ivf_topk_indexed(
@@ -273,21 +275,9 @@ def ivf_topk_indexed(
     pruning drops every non-probed inverted list at the FILE level before
     any vector is read. Same results as :func:`ivf_topk`; the scan cost
     drops from full-table to ~n_probe/|codebook|."""
-    from pyspark.sql import Window
-
-    cents = embeddings.filter(F.col("vec_id").isin(list(codebook_ids))).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cvec"),
-    )
+    cents = centroid_table(embeddings, codebook_ids)
     q = _query_vec(embeddings, query_vec_id)
-    probe_w = Window.orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("__qsim", cosine(F.col("cvec"), F.col("__qvec")))
-        .withColumn("__rk", F.row_number().over(probe_w))
-        .filter(F.col("__rk") <= n_probe)
-        .select("centroid_id")
-    )
+    probes = probe_centroids(cents, q, n_probe)
     candidates = (
         index.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != query_vec_id)
@@ -311,7 +301,11 @@ def ann_lsh_multitable_topk(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 20,
-    num_tables: int = 8,
+    # default matches lsh_write_index / ann_lsh_multitable_topk_indexed so
+    # a default-parameter inline-vs-indexed comparison probes the SAME
+    # table count (a 8-vs-16 defaults skew silently halved inline recall
+    # in such comparisons; found by review)
+    num_tables: int = 16,
     num_planes: int = 4,
     dim: int = 64,
 ) -> DataFrame:
@@ -428,23 +422,11 @@ def knn_join_ivf(
     ``query_vec_id`` distributes the ranking."""
     from pyspark.sql import Window
 
-    cents = corpus.filter(F.col("vec_id").isin(list(codebook_ids))).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cvec"),
-    )
+    cents = centroid_table(corpus, codebook_ids)
     corpus_vecs = corpus.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        corpus_vecs.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn("__rk", F.row_number().over(aw))
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "label", "vec", "centroid_id")
-    )
+    assigned = assign_nearest(corpus_vecs, cents)
     query_vecs = queries.select(
         F.col("vec_id").alias("query_vec_id"),
         as_double(F.col("embedding")).alias("qvec"),

@@ -36,6 +36,15 @@ def salted_group_count(
     (keys..., hash(salt_col) % n_salts), then merge per key."""
     if n_salts < 1:
         raise ValueError(f"salted_group_count needs n_salts >= 1, got {n_salts}")
+    if salt_col in keys:
+        # salting BY a grouping key gives every row of a hot key the same
+        # salt — zero mitigation for the price of two phases (the twin
+        # guard salted_join already raises; found by review)
+        raise ValueError(
+            f"salt_col {salt_col!r} is one of the grouping keys — salting "
+            "by a key does not split it; salt by a high-cardinality "
+            "non-key column"
+        )
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
     partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(*keys).agg(F.sum("__partial").cast("long").alias(alias))

@@ -75,11 +75,22 @@ def current_version_path(base: str) -> str | None:
     return vdir
 
 
+def _current_version_num(base: str) -> int | None:
+    """Version number the pointer names, or None before the first flip."""
+    vdir = current_version_path(base)
+    return None if vdir is None else int(os.path.basename(vdir).split("_")[1])
+
+
 def published_versions(base: str) -> list[int]:
     """Version numbers currently retained under ``base`` (complete dirs
-    only), ascending — the snapshot-history window a reader can time-travel
-    within (GC keeps the live version plus one predecessor)."""
-    if not os.path.isdir(base):
+    only, AND at-or-below the live pointer), ascending — the
+    snapshot-history window a reader can time-travel within (GC keeps the
+    live version plus one predecessor). A fully-written dir ABOVE the
+    pointer is a publish that crashed before its flip: it was never live,
+    its retrying writer will overwrite it in place, and it must not be
+    listed as readable (found by review)."""
+    cur = _current_version_num(base)
+    if cur is None:
         return []
     out = []
     for entry in os.listdir(base):
@@ -87,9 +98,11 @@ def published_versions(base: str) -> list[int]:
             os.path.join(base, entry, "_SUCCESS")
         ):
             try:
-                out.append(int(entry.split("_")[1]))
+                n = int(entry.split("_")[1])
             except (IndexError, ValueError):
                 continue
+            if n <= cur:
+                out.append(n)
     return sorted(out)
 
 
@@ -105,10 +118,16 @@ def read_published(
     silently serving the wrong data."""
     if version is not None:
         vdir = os.path.join(base, f"v_{version:08d}")
-        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        cur = _current_version_num(base)
+        # the second clause rejects a complete-but-never-flipped dir: that
+        # version never became live and its writer may be mid-overwrite
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")) or (
+            cur is None or version > cur
+        ):
             raise ValueError(
                 f"version {version} is not retained under {base} "
-                f"(available: {published_versions(base)})"
+                "(pruned, or never published — a complete dir above the "
+                f"pointer was never live; available: {published_versions(base)})"
             )
         return spark.read.parquet(vdir)
     vdir = current_version_path(base)

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, last_ts timestamp_ntz"
-STATE_SCHEMA = "n bigint"
+#: (count, last-seen ts as epoch MICROS) — last_ts must live in state, not
+#: be recomputed per batch, or an out-of-order micro-batch would emit a
+#: REGRESSED last-seen value (found by review; the docstring's
+#: "(count, last_ts) pair" contract is now actually what is stored).
+STATE_SCHEMA = "n bigint, t bigint"
 
 
 def _count_updates(
@@ -32,17 +36,30 @@ def _count_updates(
     # for state batches; it is upstream noise, not ours.
     warnings.filterwarnings("ignore", category=FutureWarning)
     n_new = 0
-    last_ts = None
+    batch_last = None
     for pdf in batches:
         n_new += len(pdf)
         batch_max = pdf["ts"].max()
-        if last_ts is None or batch_max > last_ts:
-            last_ts = batch_max
-    (prev,) = state.get if state.exists else (0,)
-    total = prev + n_new
-    state.update((total,))
+        if batch_last is None or batch_max > batch_last:
+            batch_last = batch_max
+    prev_n, prev_t = state.get if state.exists else (0, None)
+    total = prev_n + n_new
+    # merge, don't replace: a late batch must never regress last-seen
+    batch_micros = (
+        None if batch_last is None else int(pd.Timestamp(batch_last).value // 1000)
+    )
+    last_micros = max(
+        (t for t in (prev_t, batch_micros) if t is not None), default=None
+    )
+    state.update((total, last_micros))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [total], "last_ts": [last_ts]}
+        {
+            "user_id": [key[0]],
+            "n_events": [total],
+            "last_ts": [
+                None if last_micros is None else pd.Timestamp(last_micros * 1000)
+            ],
+        }
     )
 
 

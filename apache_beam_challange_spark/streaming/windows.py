@@ -164,9 +164,7 @@ def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
-def run_to_memory(
-    sdf: DataFrame, output_mode: str = "complete", with_watermark_col: str | None = None
-) -> DataFrame:
+def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow trigger)
     into an in-memory sink and return the materialized result table.
 

@@ -367,3 +367,73 @@ def test_scd2_versions_partition_each_users_timeline(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"]  # contiguous, no overlap
         assert versions[-1]["valid_to"] is None
         assert sum(r["n_events"] for r in versions) == raw_counts[uid]
+
+
+def test_publish_never_flipped_version_is_unreadable(spark, tmp_path):
+    """A version dir that was fully written but whose pointer flip never
+    happened (crash between write and flip) was never live: time-travel
+    reads and the version listing must refuse it."""
+    import os
+
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.sources import publish as pub
+
+    base = str(tmp_path / "t")
+    pub.publish(spark.range(3), base)
+    # simulate: v2 fully written (with _SUCCESS) but _CURRENT never flipped
+    orphan = os.path.join(base, "v_00000002")
+    spark.range(5).write.mode("overwrite").parquet(orphan)
+    assert os.path.exists(os.path.join(orphan, "_SUCCESS"))
+    assert pub.published_versions(base) == [1]
+    with _pytest.raises(ValueError, match="not retained"):
+        pub.read_published(spark, base, version=2)
+    # the live read is unaffected
+    assert pub.read_published(spark, base).count() == 3
+
+
+def test_rollup_lookback_repairs_stragglers(spark, tmp_path):
+    """A raw row appended into an already-folded hour is dropped forever
+    at lookback 0 (the documented watermark semantics) and repaired by
+    the next refresh when the lookback covers it."""
+    import datetime as dt
+
+    from apache_beam_challange_spark.operators.rollup import (
+        hourly_rollup,
+        refresh_hourly_rollup,
+    )
+    from apache_beam_challange_spark.sources.publish import read_published
+
+    base = dt.datetime(2024, 6, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def ev_df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    on_time = [
+        (i, base + dt.timedelta(hours=h, minutes=5), 1, "view", 1.0, "{}")
+        for i, h in enumerate([0, 0, 1, 2])
+    ]
+    straggler = [(99, base + dt.timedelta(hours=1, minutes=40), 1, "view", 1.0, "{}")]
+
+    for lb, repaired in ((0, False), (2, True)):
+        path = str(tmp_path / f"roll_lb{lb}")
+        refresh_hourly_rollup(ev_df(on_time), path, "2024-06-01T03:00:00", lookback_hours=lb)
+        # straggler lands in hour 1 AFTER hour 1 was folded
+        allrows = ev_df(on_time + straggler)
+        refresh_hourly_rollup(allrows, path, "2024-06-01T04:00:00", lookback_hours=lb)
+        got = {
+            (r.hour, r.event_type): r.n
+            for r in read_published(spark, path).collect()
+        }
+        full = {
+            (r.hour, r.event_type): r.n for r in hourly_rollup(allrows).collect()
+        }
+        h1 = (base + dt.timedelta(hours=1), "view")
+        if repaired:
+            assert got == full  # lookback window re-folded the straggler
+        else:
+            assert got[h1] == full[h1] - 1  # documented bounded loss

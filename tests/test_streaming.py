@@ -258,6 +258,31 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
     assert counts == [2, 3]
 
 
+def test_stateful_last_ts_never_regresses_on_late_batch(spark, tmp_path):
+    """The (count, last_ts) pair lives in STATE: a second micro-batch
+    carrying only LATE events must not pull last-seen backwards."""
+    d = tmp_path / "late_in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [(1, _nanos(12, 0), 7, "view", 1.0, "{}")],
+    )
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [(2, _nanos(10, 30), 7, "view", 1.0, "{}")],  # out-of-order
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_memory(running_user_counts(ev), "update")
+    rows = sorted(
+        (r["n_events"], r["last_ts"]) for r in out.collect() if r["user_id"] == 7
+    )
+    assert [n for n, _ in rows] == [1, 2]
+    # the second (late) update keeps the 12:00 last-seen, not 10:30
+    assert rows[1][1] == rows[0][1]
+
+
 def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     """State-bounded streaming dedup: dropDuplicatesWithinWatermark keeps
     a key's dedup state only while it is inside the watermark window, so

@@ -1076,3 +1076,41 @@ def test_k_core_matches_python_peel(spark, sf_dir):
         for r in QS["near_dup_k_core"](spark, sf_dir).collect()
     }
     assert got == set(expect_deg.items())
+
+
+# --- review-fix regressions (older modules) ---------------------------------
+
+
+def test_salted_group_count_rejects_salting_by_key(spark):
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.operators.skew import salted_group_count
+
+    df = spark.createDataFrame([(1, 2)], "k long, other long")
+    with _pytest.raises(ValueError, match="grouping keys"):
+        salted_group_count(df, keys=["k"], salt_col="k")
+    # non-key salt still works
+    out = salted_group_count(df, keys=["k"], salt_col="other").collect()
+    assert [(r.k, r.n) for r in out] == [(1, 1)]
+
+
+def test_connected_components_ignores_phantom_endpoints(spark):
+    """Edge endpoints absent from the vertex table may relay
+    connectivity but must not appear in the output — the contract the
+    LSS twin already had."""
+    from apache_beam_challange_spark.operators.graph import (
+        connected_components,
+        connected_components_lss,
+    )
+
+    vertices = spark.createDataFrame([(1,), (2,), (5,)], "doc_id long")
+    # 1-3-2 connected only through phantom node 3; 5 isolated
+    edges = spark.createDataFrame(
+        [(1, 3), (3, 2)], "doc_id_1 long, doc_id_2 long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert {n for n, _ in got} == {1, 2, 5}  # no phantom node 3
+    assert got == {(1, 1), (2, 1), (5, 5)}  # relay still connects 1 and 2
