@@ -108,26 +108,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         df = registry.QUERIES["q1_sql_top_pairs"](spark, args.sf_dir)
         write_text(df, args.output)
     elif args.pipeline == "cycle-rides":
-        from apache_beam_challange_spark.operators.relational import group_count, top_k
-        from apache_beam_challange_spark.sources.catalog import rides
+        # the SAME driver-verified query, parameterized — the CLI must
+        # never drift from what the gate checks (it previously inlined a
+        # copy of the project/count/top-k/faithful-swap block)
+        from apache_beam_challange_spark.plans.canonical import q2_top_pairs_ops
 
-        r = rides(spark, args.sf_dir).select("start_station_id", "end_station_id")
-        counts = group_count(r, ["start_station_id", "end_station_id"])
-        df = top_k(
-            counts,
-            args.top_n,
-            order=[
-                F.col("amount_of_rides").desc(),
-                F.col("start_station_id").asc_nulls_last(),
-                F.col("end_station_id").asc_nulls_last(),
-            ],
+        df = q2_top_pairs_ops(
+            spark, args.sf_dir, faithful=args.faithful, k=args.top_n
         )
-        if args.faithful:
-            df = df.select(
-                F.col("end_station_id").alias("start_station_id"),
-                F.col("start_station_id").alias("end_station_id"),
-                "amount_of_rides",
-            )
         write_csv(df, args.output, header=True)
     elif args.pipeline == "stations":
         df = registry.QUERIES["q3_station_distances"](spark, args.sf_dir)

@@ -12,16 +12,20 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: rule name -> violation predicate over the events schema. A malformed
-#: ``props`` JSON yields NULL from the extractor, and NULL comparisons are
-#: falsy, so rules fail closed (the row is NOT flagged by a rule whose
-#: input is unparseable — the range/domain rules still apply).
+#: rule name -> violation predicate over the events schema. The gate
+#: FAILS CLOSED on unparseable input: a NULL from the JSON extractor is
+#: falsy in the value rules, so ``props_malformed`` exists to flag the
+#: row explicitly (malformed or NULL props quarantines; a VALID object
+#: merely missing the optional key does not — absence is data, garbage
+#: is not). Earlier revisions claimed fail-closed while the extractor's
+#: NULL silently routed malformed rows as clean (found by review).
 QUALITY_RULES: dict[str, Callable[[], Column]] = {
     "value_above_400": lambda: F.col("value") > 400,
     "error_type": lambda: F.col("event_type") == "error",
     "props_k_above_80": lambda: (
         F.get_json_object(F.col("props"), "$.k").cast("int") > 80
     ),
+    "props_malformed": lambda: F.try_parse_json(F.col("props")).isNull(),
 }
 
 

@@ -73,7 +73,7 @@ def q1_sql_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q2_top_pairs_ops", oracle=_PAIR_COUNT_SQL)
 def q2_top_pairs_ops(
-    spark: SparkSession, sf_dir: str, *, faithful: bool = False
+    spark: SparkSession, sf_dir: str, *, faithful: bool = False, k: int = 100
 ) -> DataFrame:
     """Q1's result recomputed through composed operators (project ->
     group-count -> top-k), the reference's "hard" route
@@ -89,7 +89,7 @@ def q2_top_pairs_ops(
     counts = group_count(r, ["start_station_id", "end_station_id"])
     out = top_k(
         counts,
-        100,
+        k,
         order=[
             F.col("amount_of_rides").desc(),
             F.col("start_station_id").asc_nulls_last(),
@@ -236,7 +236,6 @@ def _q4_frame(
     )
     if strict:
         joined = counts.join(dists, ["start_station_id", "end_station_id"], "inner")
-        joined = joined.withColumn("amount_of_rides", F.col("amount_of_rides"))
     else:
         joined = full_outer_zero_fill(
             counts, dists,

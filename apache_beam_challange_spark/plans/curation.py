@@ -508,7 +508,8 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "q6_forecast_revenue",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+SELECT ROUND(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                 AS BIGINT)) / CAST(10000.0 AS DOUBLE), 4) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -524,7 +525,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chunks of a date-partitioned 100 TB fact table. No shuffle at
     all: partial sums combine map-side into a single-row result. Discount
     bounds sit between the data's 0.01 grid points so double comparison
-    is unambiguous in both engines."""
+    is unambiguous in both engines. Revenue uses the fixed-point-per-row
+    sum discipline (every other revenue aggregate's `_dec_sum` pattern):
+    a raw double SUM's partial-aggregation order differs between engines
+    and could flip the 4-dp rounding at larger row counts."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -534,7 +538,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     ).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            / 10000.0,
+            4,
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -612,20 +623,10 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals), so three unrolled iterations hash-match the SQL twin with
     no float drift. Two shuffles per iteration on the node id; the
     symmetrized edge list materializes once and feeds all rounds."""
-    from apache_beam_challange_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
-    )
     from apache_beam_challange_spark.operators.graph import pagerank_int
+    from apache_beam_challange_spark.plans.extensions import lsh_pair_graph
 
-    from apache_beam_challange_spark.plans.extensions import (
-        minhash_sigs_at_rest,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_sigs_at_rest(spark, sf_dir)
-    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    cand = lsh_pair_graph(spark, sf_dir)
     return pagerank_int(cand, n_iter=_PR_ITER, scale=_PR_SCALE).select(
         F.col("node").alias("doc_id"), "rank_int"
     )
@@ -1237,20 +1238,26 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flags AS (
     SELECT CASE WHEN value > 400 THEN 1 ELSE 0 END AS f_value,
            CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f_err,
-           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 80
+           CASE WHEN props IS NULL OR NOT json_valid(props) THEN 1
+                ELSE 0 END AS f_malformed,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                 AND CAST(json_extract_string(props, '$.k') AS INT) > 80
                 THEN 1 ELSE 0 END AS f_props
     FROM events
 ),
 agg AS (
     SELECT CAST(SUM(f_value) AS BIGINT) AS a, CAST(SUM(f_err) AS BIGINT) AS b,
            CAST(SUM(f_props) AS BIGINT) AS c,
+           CAST(SUM(f_malformed) AS BIGINT) AS m,
            CAST(SUM(CASE WHEN f_value = 0 AND f_err = 0 AND f_props = 0
+                          AND f_malformed = 0
                     THEN 1 ELSE 0 END) AS BIGINT) AS d
     FROM flags
 )
 SELECT 'value_above_400' AS rule, a AS n_rows FROM agg
 UNION ALL SELECT 'error_type', b FROM agg
 UNION ALL SELECT 'props_k_above_80', c FROM agg
+UNION ALL SELECT 'props_malformed', m FROM agg
 UNION ALL SELECT 'clean', d FROM agg
 """.strip(),
 )
@@ -1262,8 +1269,12 @@ def quarantine_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the per-rule rows come from a 4-row stack unpivot of the
     single aggregate row — no explode over the fact table, no second
     scan per rule). Rules exercise range (value), domain (event_type)
-    and nested-JSON (props.k) checks; a malformed props yields NULL from
-    the JSON extractor and fails the rule closed in both engines. Rule
+    nested-JSON (props.k) and malformed-payload checks; a malformed or
+    NULL props is quarantined by its own explicit rule (true fail-closed
+    — the extractor's silent NULL previously let such rows route as
+    clean), while a valid object merely missing the optional key stays
+    clean. The oracle guards its extractor behind json_valid because
+    DuckDB ERRORS on malformed JSON rather than returning NULL. Rule
     definitions are shared with the streaming dead-letter router
     (functions/quality.py), so accounting and routing cannot drift."""
     from apache_beam_challange_spark.functions.quality import QUALITY_RULES
@@ -1272,24 +1283,31 @@ def quarantine_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_value = F.when(QUALITY_RULES["value_above_400"](), 1).otherwise(0)
     f_err = F.when(QUALITY_RULES["error_type"](), 1).otherwise(0)
     f_props = F.when(QUALITY_RULES["props_k_above_80"](), 1).otherwise(0)
+    f_malformed = F.when(QUALITY_RULES["props_malformed"](), 1).otherwise(0)
     agg = ev.select(
-        f_value.alias("f_value"), f_err.alias("f_err"), f_props.alias("f_props")
+        f_value.alias("f_value"),
+        f_err.alias("f_err"),
+        f_props.alias("f_props"),
+        f_malformed.alias("f_malformed"),
     ).agg(
         F.sum("f_value").alias("a"),
         F.sum("f_err").alias("b"),
         F.sum("f_props").alias("c"),
+        F.sum("f_malformed").alias("m"),
         F.sum(
             F.when(
                 (F.col("f_value") == 0)
                 & (F.col("f_err") == 0)
-                & (F.col("f_props") == 0),
+                & (F.col("f_props") == 0)
+                & (F.col("f_malformed") == 0),
                 1,
             ).otherwise(0)
         ).alias("d"),
     )
     return agg.selectExpr(
-        "stack(4, 'value_above_400', a, 'error_type', b, "
-        "'props_k_above_80', c, 'clean', d) AS (rule, n_rows)"
+        "stack(5, 'value_above_400', a, 'error_type', b, "
+        "'props_k_above_80', c, 'props_malformed', m, 'clean', d) "
+        "AS (rule, n_rows)"
     )
 
 

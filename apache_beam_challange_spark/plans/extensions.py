@@ -575,6 +575,20 @@ def minhash_sigs_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def lsh_pair_graph(spark: SparkSession, sf_dir: str):
+    """The MinHash-LSH candidate pair graph (doc_id_1 < doc_id_2), served
+    from the at-rest signature table — ONE definition of the edge list
+    that band pairing, Jaccard verify, connected components, PageRank,
+    k-core, triangles and the split-leakage guard all consume (the
+    construction previously existed as several inline copies that could
+    drift on rows_per_band or the at-rest layer)."""
+    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        minhash_sigs_at_rest(spark, sf_dir), rows_per_band=2
+    )
+
+
 @query(
     "minhash_candidate_pairs",
     oracle=f"""

@@ -350,13 +350,11 @@ def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash-LSH candidate pair graph (a < b), from the at-rest
-    signature table — the same edge list CC and PageRank consume."""
-    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
-    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+    """The shared MinHash-LSH candidate pair graph (a < b) — see
+    plans/extensions.py:lsh_pair_graph, the single edge-list definition."""
+    from apache_beam_challange_spark.plans.extensions import lsh_pair_graph
 
-    sigs = minhash_sigs_at_rest(spark, sf_dir)
-    return lsh_candidate_pairs(sigs, rows_per_band=2)
+    return lsh_pair_graph(spark, sf_dir)
 
 
 @query(
@@ -1350,11 +1348,7 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure composition of two already-verified components — signatures
     from the at-rest table, splits from the md5 bucket — so the only new
     work is two dimension-cheap joins on the sparse candidate pairs."""
-    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
-    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
-
-    sigs = minhash_sigs_at_rest(spark, sf_dir)
-    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    cand = _lsh_pair_graph(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(
@@ -2456,12 +2450,9 @@ def near_dup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical peeling trajectory as unrolled
     MATERIALIZED CTEs under the same round bound the engine raises at
     (loud, never half-peeled)."""
-    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
     from apache_beam_challange_spark.operators.graph import k_core
-    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
 
-    sigs = minhash_sigs_at_rest(spark, sf_dir)
-    edges = lsh_candidate_pairs(sigs, rows_per_band=2).select(
+    edges = _lsh_pair_graph(spark, sf_dir).select(
         F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
     )
     return k_core(edges, k=2, max_iter=25).select(

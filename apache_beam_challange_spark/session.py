@@ -34,6 +34,14 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+#: Applied only when the session has no explicit value yet —
+#: ensure_session_confs previously force-set this and silently clobbered
+#: a caller's get_spark(shuffle_partitions=N) on the first load_table()
+#: (found by review: the tests' shuffle_partitions=8 actually ran at the
+#: env default).
+DEFAULT_ONLY_CONFS = {
     # stateful streaming disables AQE, so the raw shuffle partition count
     # matters there; size it to the local core budget
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
@@ -43,10 +51,21 @@ RUNTIME_CONFS = {
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's required runtime confs to an externally-created
     session. Best-effort: confs that a given deployment locks down are
-    skipped rather than fatal."""
+    skipped rather than fatal. Parallelism-tuning confs are defaults, not
+    requirements — an explicit caller choice is never overridden."""
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
+        except Exception:
+            pass
+    for key, value in DEFAULT_ONLY_CONFS.items():
+        try:
+            # the SparkContext conf holds only EXPLICITLY-configured
+            # values (builder .config / spark-submit), never Spark's
+            # global defaults — so it distinguishes "caller chose N"
+            # (respect it) from "nobody chose" (apply our default)
+            if spark.sparkContext.getConf().get(key, None) is None:
+                spark.conf.set(key, value)
         except Exception:
             pass
     return spark

@@ -42,13 +42,23 @@ BASE_TABLES = (
 
 # The same derivations as ANSI SQL, inlined into every oracle query that
 # needs them (the driver's DuckDB session registers only the base tables).
+#: The CASTs are load-bearing: DuckDB types bare numeric literals as
+#: DECIMAL and evaluates the whole expression exactly before one final
+#: cast to double, which lands on a DIFFERENT double than Spark's
+#: per-operation double arithmetic for 19 of the 20 latitude values
+#: (measured). Forcing DOUBLE literals makes DuckDB perform the same
+#: IEEE op sequence as the engine, so lat/lon are bit-identical and the
+#: haversine chain downstream cannot drift a ROUND(...,6) across a
+#: boundary at any scale factor.
 STATIONS_CTE = """
 stations AS (
     SELECT
         s_suppkey AS id,
         s_name    AS name,
-        51.4  + (s_suppkey % 20) * 0.01            AS latitude,
-        -0.25 + FLOOR(s_suppkey / 20.0) * 0.015    AS longitude
+        CAST(51.4 AS DOUBLE) + (s_suppkey % 20) * CAST(0.01 AS DOUBLE)
+            AS latitude,
+        CAST(-0.25 AS DOUBLE)
+            + FLOOR(s_suppkey / 20.0) * CAST(0.015 AS DOUBLE) AS longitude
     FROM supplier
 )
 """.strip()

@@ -659,6 +659,7 @@ def test_route_quality_stream_splits_and_tags(spark, tmp_path):
         [
             (4, _nanos(11, 0), 4, "click", 20.0, '{"k": 5}'),  # clean
             (5, _nanos(11, 1), 5, "error", 450.0, "{}"),       # error+value
+            (6, _nanos(11, 2), 6, "view", 5.0, "not json"),    # malformed
         ],
     )
     good, bad = str(tmp_path / "good"), str(tmp_path / "quarantine")
@@ -675,6 +676,7 @@ def test_route_quality_stream_splits_and_tags(spark, tmp_path):
         2: "error_type",
         3: "value_above_400,props_k_above_80",
         5: "value_above_400,error_type",
+        6: "props_malformed",  # fail-closed: garbage props quarantines
     }
     # restart: checkpoint sees no new files, sinks unchanged
     route_quality_stream(
