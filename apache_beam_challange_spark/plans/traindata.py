@@ -2458,3 +2458,52 @@ def near_dup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2, max_iter=25).select(
         F.col("node").alias("doc_id"), "core_degree"
     )
+
+
+# --- CDC snapshot with delete tombstones ------------------------------------
+
+
+@query(
+    "cdc_snapshot_with_deletes",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""".strip(),
+)
+def cdc_snapshot_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> serving snapshot with DELETE semantics — the full
+    MERGE contract (upsert + tombstone), extending
+    ``latest_event_per_user`` (SCD-1 upsert only): the key's LATEST
+    change wins, and when that latest change is a tombstone ('error'
+    rows stand in for deletes in this schema) the key is ABSENT from the
+    snapshot — not carrying its stale pre-delete row, which is the bug
+    naive "latest non-delete" folds have. One key-partitioned window +
+    one filter: the tombstone decision uses the same ranked row, so no
+    second pass, no anti-join.
+
+    Scale shape: identical to the upsert snapshot (single shuffle on the
+    key); at 100 TB this is how a CDC feed with deletes compacts into a
+    queryable table without a table format's MERGE."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

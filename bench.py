@@ -110,6 +110,7 @@ TRAINDATA = [
     "dq_verification_report",
     "stations_within_radius_pairs",
     "near_dup_k_core",
+    "cdc_snapshot_with_deletes",
 ]
 
 CURATION = [

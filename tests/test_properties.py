@@ -351,3 +351,38 @@ def test_packing_prefix_sum_invariants(spark, tok_counts, n_shards):
         expect[sh] = expect.get(sh, 0) + (1 if off // B != (off + n - 1) // B else 0)
         offs[sh] = off + n
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=50,
+    ),
+    st.integers(2, 3),
+)
+def test_k_core_matches_python_peel_on_random_graphs(spark, raw_pairs, k):
+    from apache_beam_challange_spark.operators.graph import k_core
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_pairs if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {(r.node, r.core_degree) for r in k_core(df, k=k).collect()}
+    cur = set(edges)
+    while True:
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expect: dict = {}
+    for u, v in cur:
+        expect[u] = expect.get(u, 0) + 1
+        expect[v] = expect.get(v, 0) + 1
+    assert got == set(expect.items())

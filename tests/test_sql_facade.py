@@ -1,5 +1,5 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-57 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+58 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
@@ -84,6 +84,7 @@ PORTABLE = [
     "daily_trend_slopes",
     "session_covisit_pmi",
     "dq_verification_report",
+    "cdc_snapshot_with_deletes",
 ]
 
 

@@ -1114,3 +1114,37 @@ def test_connected_components_ignores_phantom_endpoints(spark):
     }
     assert {n for n, _ in got} == {1, 2, 5}  # no phantom node 3
     assert got == {(1, 1), (2, 1), (5, 5)}  # relay still connects 1 and 2
+
+
+# --- CDC with tombstones ----------------------------------------------------
+
+
+def test_cdc_tombstone_semantics(spark, tmp_path):
+    """A key whose LATEST change is a tombstone must vanish; a tombstone
+    followed by a reinsert must survive with the new row."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        # user 1: upsert then tombstone -> absent
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=1), 1, "error", 0.0, "{}"),
+        # user 2: tombstone then reinsert -> present with the new row
+        (2, base, 2, "error", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=1), 2, "click", 7.0, "{}"),
+        # user 3: upserts only -> latest wins
+        (4, base, 3, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=2), 3, "purchase", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.user_id: (r.last_event_type, r.last_value)
+        for r in QS["cdc_snapshot_with_deletes"](spark, d).collect()
+    }
+    assert got == {2: ("click", 7.0), 3: ("purchase", 9.0)}
