@@ -1063,9 +1063,19 @@ def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
 
-    pairs = ev.select(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
-    ).distinct()
+    # the distinct (day, user) table feeds FIVE consumers (hashed->regs,
+    # the day spine twice, the replication filter, and the exact arm);
+    # materialize it once (lazy localCheckpoint, the dedup-chain
+    # discipline) or Spark re-runs the events scan + distinct per
+    # consumer — measured 5 fact scans -> 1 in the executed plan
+    pairs = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = pairs.select("day").distinct()
     hashed = pairs.select(
         "day",

@@ -1148,3 +1148,48 @@ def test_cdc_tombstone_semantics(spark, tmp_path):
         for r in QS["cdc_snapshot_with_deletes"](spark, d).collect()
     }
     assert got == {2: ("click", 7.0), 3: ("purchase", 9.0)}
+
+
+# --- plan-quality assertions for the late-round queries ---------------------
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        QS[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_cdc_snapshot_single_shuffle(spark, sf_dir):
+    """Latest-wins + tombstone must stay ONE key-partitioned window —
+    the tombstone filter reuses the ranked row, no second pass."""
+    p = _plan(spark, sf_dir, "cdc_snapshot_with_deletes")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_radius_join_is_hash_join(spark, sf_dir):
+    """The 3x3 neighborhood join must be a hash equi-join on the cell
+    key — never a geometry theta join."""
+    p = _plan(spark, sf_dir, "stations_within_radius_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_hll_sliding_stays_on_register_rows(spark, sf_dir):
+    """After the materialized (day, user) distinct, every later stage
+    operates on register/day-count rows — the raw events table must
+    never be re-scanned per consumer (this assertion caught the
+    pre-checkpoint plan running FIVE fact scans)."""
+    p = _plan(spark, sf_dir, "hll_sliding_distinct_users")
+    assert p.count("FileScan parquet") <= 1
+
+
+def test_dq_report_single_fact_scan_per_arm(spark, sf_dir):
+    """All four scan constraints fold in ONE aggregation pass over
+    orders; only the FK anti-join adds a second orders scan."""
+    p = _plan(spark, sf_dir, "dq_verification_report")
+    orders_scans = sum(
+        1 for l in p.splitlines() if "FileScan parquet" in l and "orders" in l
+    )
+    assert orders_scans <= 2
+    assert "CartesianProduct" not in p
