@@ -75,7 +75,8 @@ ORACLES: dict[str, str] = {}
 #: bigram_surprise_docs, quality_percentile_by_lang,
 #: mmr_diversified_topk_vec0, dq_verification_report,
 #: stations_within_radius_pairs, near_dup_k_core,
-#: cdc_snapshot_with_deletes) — thirty-three in all.
+#: cdc_snapshot_with_deletes, cdc_chunk_dedup_stats) — thirty-four
+#: in all.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",

@@ -2517,3 +2517,175 @@ def cdc_snapshot_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# --- rolling-hash content-defined chunking ----------------------------------
+
+#: Rabin-Karp parameters: base, modulus (2^31-1), window length, and the
+#: boundary mask (cut where H % 64 == 0 -> expected chunk ~64 chars).
+_RK_B, _RK_P, _RK_L, _RK_DIV = 256, 2147483647, 16, 64
+
+#: (j, B^(L-1-j) mod P) rows — the power table both engines join.
+_RK_POWS = [( j, pow(_RK_B, _RK_L - 1 - j, _RK_P)) for j in range(_RK_L)]
+
+
+def _cdc_oracle() -> str:
+    pow_values = ", ".join(f"({j}, {pw})" for j, pw in _RK_POWS)
+    return f"""
+WITH chars AS MATERIALIZED (
+    SELECT doc_id, text, LEN(text) AS n,
+           unnest(generate_series(1, LEN(text))) AS p
+    FROM documents
+),
+coded AS (
+    SELECT doc_id, n, p, unicode(SUBSTR(text, p, 1)) AS code FROM chars
+),
+pows(j, pw) AS (VALUES {pow_values}),
+terms AS (
+    SELECT c.doc_id, c.n, c.p - pows.j AS s,
+           (CAST(c.code AS BIGINT) * pows.pw) % {_RK_P} AS term
+    FROM coded c, pows
+),
+win AS (
+    SELECT doc_id, n, s, SUM(term) % {_RK_P} AS h
+    FROM terms
+    WHERE s >= 1 AND s <= n - {_RK_L} + 1
+    GROUP BY doc_id, n, s
+),
+cuts AS (
+    SELECT doc_id, s + {_RK_L} - 1 AS cut
+    FROM win
+    WHERE h % {_RK_DIV} = 0 AND s + {_RK_L} - 1 < n
+),
+cutlists AS (
+    SELECT d.doc_id, d.text, LEN(d.text) AS n,
+           COALESCE(list_sort(list(DISTINCT c.cut) FILTER (c.cut IS NOT NULL)), []) AS cuts
+    FROM documents d LEFT JOIN cuts c ON c.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.text
+),
+bounds AS (
+    SELECT doc_id, text,
+           list_prepend(0, cuts) AS starts,
+           list_append(cuts, n) AS ends
+    FROM cutlists
+),
+chunks AS (
+    SELECT doc_id,
+           SUBSTR(text, starts[i] + 1, ends[i] - starts[i]) AS chunk
+    FROM bounds,
+         LATERAL (
+             SELECT unnest(generate_series(1, len(starts))) AS i
+         ) ix
+),
+hashed AS (
+    SELECT doc_id, md5(chunk) AS h, LEN(chunk) AS clen FROM chunks
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(clen) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_chunks,
+       CAST((SELECT SUM(mx) FROM (
+           SELECT MAX(clen) AS mx FROM hashed GROUP BY h
+       )) AS BIGINT) AS unique_chars,
+       ROUND(CAST((SELECT SUM(mx) FROM (
+           SELECT MAX(clen) AS mx FROM hashed GROUP BY h
+       )) AS DOUBLE) / SUM(clen), 6) AS dedup_ratio
+FROM hashed
+""".strip()
+
+
+@query("cdc_chunk_dedup_stats", oracle=_cdc_oracle())
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking via a Rabin-Karp ROLLING HASH — the
+    block-level dedup primitive (rsync / LBFS / FastCDC): a 16-char
+    polynomial window hash marks a chunk boundary wherever
+    H % 64 == 0, so boundaries follow CONTENT, not offsets — an
+    insertion shifts bytes but downstream boundaries re-align, which is
+    exactly why backup/dedup systems chunk this way. The corpus then
+    reports its block-level dedup potential: total chars vs chars of
+    distinct chunks (by md5 of chunk content).
+
+    Relationally the sequential rolling update becomes the closed form
+    H(s) = sum_j code(s+j) * B^(L-1-j) mod P: each char explodes into
+    its L windows with a precomputed power-table term and one groupBy
+    sums exact integers (terms < P, window sum < 16P << 2^63 — no
+    overflow, no float). Per-doc chunk assembly is array ops over the
+    sorted cut list (doc-length bounded). Everything else is hash
+    aggregation — the corpus never sorts globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    pows = spark.createDataFrame(_RK_POWS, "j int, pw long")
+    chars = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.posexplode(F.split(F.col("text"), "(?!^)")).alias("p0", "ch"),
+    ).select(
+        "doc_id", "n", (F.col("p0") + 1).alias("p"), F.ascii("ch").alias("code")
+    )
+    terms = chars.crossJoin(F.broadcast(pows)).select(
+        "doc_id",
+        "n",
+        (F.col("p") - F.col("j")).alias("s"),
+        (F.col("code") * F.col("pw") % _RK_P).alias("term"),
+    )
+    win = (
+        terms.filter((F.col("s") >= 1) & (F.col("s") <= F.col("n") - _RK_L + 1))
+        .groupBy("doc_id", "n", "s")
+        .agg((F.sum("term") % _RK_P).alias("h"))
+    )
+    cuts = win.filter(
+        (F.col("h") % _RK_DIV == 0) & (F.col("s") + _RK_L - 1 < F.col("n"))
+    ).select("doc_id", (F.col("s") + _RK_L - 1).alias("cut"))
+    cutlists = (
+        docs.join(cuts, "doc_id", "left")
+        .groupBy("doc_id", "text")
+        .agg(
+            F.sort_array(
+                F.array_distinct(
+                    F.filter(F.collect_list("cut"), lambda c: c.isNotNull())
+                )
+            ).alias("cuts")
+        )
+    )
+    bounds = cutlists.select(
+        "doc_id",
+        "text",
+        F.concat(F.array(F.lit(0)), F.col("cuts")).alias("starts"),
+        F.concat(F.col("cuts"), F.array(F.length("text").cast("long"))).alias(
+            "ends"
+        ),
+    )
+    chunks = bounds.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.col("starts"),
+                F.col("ends"),
+                lambda a, b: F.col("text").substr(
+                    (a + 1).cast("int"), (b - a).cast("int")
+                ),
+            )
+        ).alias("chunk"),
+    )
+    hashed = chunks.select(
+        "doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
+    )
+    per_hash = hashed.groupBy("h").agg(F.max("clen").alias("mx"))
+    uniq = per_hash.agg(
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum("mx").alias("unique_chars"),
+    )
+    tot = hashed.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").alias("total_chars"),
+    )
+    return tot.crossJoin(F.broadcast(uniq)).select(
+        "n_docs",
+        "n_chunks",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "n_unique_chunks",
+        F.col("unique_chars").cast("long").alias("unique_chars"),
+        F.round(
+            F.col("unique_chars").cast("double") / F.col("total_chars"), 6
+        ).alias("dedup_ratio"),
+    )

@@ -111,6 +111,7 @@ TRAINDATA = [
     "stations_within_radius_pairs",
     "near_dup_k_core",
     "cdc_snapshot_with_deletes",
+    "cdc_chunk_dedup_stats",
 ]
 
 CURATION = [

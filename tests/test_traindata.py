@@ -1193,3 +1193,64 @@ def test_dq_report_single_fact_scan_per_arm(spark, sf_dir):
     )
     assert orders_scans <= 2
     assert "CartesianProduct" not in p
+
+
+# --- content-defined chunking -----------------------------------------------
+
+
+def test_cdc_chunks_match_python_rolling_hash(spark, sf_dir):
+    """The closed-form window hash must equal the classic INCREMENTAL
+    rolling update (the identity CDC rests on), and the chunk accounting
+    must match a python reference end-to-end."""
+    import hashlib
+
+    from apache_beam_challange_spark.plans.traindata import (
+        _RK_B,
+        _RK_DIV,
+        _RK_L,
+        _RK_P,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    seen = set()
+    tot = uniq = n_chunks = 0
+    for r in rows:
+        text = r.text
+        n = len(text)
+        cuts = []
+        if n >= _RK_L:
+            # incremental Rabin-Karp update, not the closed form
+            h = 0
+            for j in range(_RK_L):
+                h = (h * _RK_B + ord(text[j])) % _RK_P
+            bl = pow(_RK_B, _RK_L - 1, _RK_P)
+            s = 1
+            while True:
+                if h % _RK_DIV == 0 and s + _RK_L - 1 < n:
+                    cuts.append(s + _RK_L - 1)
+                if s > n - _RK_L:
+                    break
+                if s + _RK_L - 1 < n:
+                    h = (
+                        (h - ord(text[s - 1]) * bl) * _RK_B + ord(text[s + _RK_L - 1])
+                    ) % _RK_P
+                s += 1
+        cuts = sorted(set(cuts))
+        prev = 0
+        for c in cuts + [n]:
+            chunk = text[prev:c]
+            prev = c
+            n_chunks += 1
+            tot += len(chunk)
+            k = hashlib.md5(chunk.encode()).hexdigest()
+            if k not in seen:
+                seen.add(k)
+                uniq += len(chunk)
+    got = QS["cdc_chunk_dedup_stats"](spark, sf_dir).collect()[0]
+    assert (got.n_chunks, got.total_chars, got.unique_chars) == (
+        n_chunks,
+        tot,
+        uniq,
+    )
+    assert got.n_unique_chunks == len(seen)
+    assert got.dedup_ratio == round(uniq / tot, 6)
