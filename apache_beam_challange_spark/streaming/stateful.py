@@ -74,6 +74,153 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+#: user_session_stats output — the value sum is carried as FIXED-POINT
+#: MICROS (per-term floor(value*1e6) summed as int64): integer addition is
+#: associative/commutative, so the result is bit-identical regardless of
+#: how rows are partitioned across micro-batches or tasks, and DuckDB's
+#: floor matches IEEE floor exactly (the FLOOR-not-ROUND quantization
+#: discipline used across the oracle suite).
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, n_types int, "
+    "first_ts timestamp_ntz, last_ts timestamp_ntz, value_micros bigint"
+)
+#: (count, '|'-joined sorted event-type set, first/last ts micros, value
+#: micros sum) — every field merges commutatively, so late or re-ordered
+#: micro-batches fold to the same state.
+SESSION_STATE_SCHEMA = "n bigint, types string, ft bigint, lt bigint, vm bigint"
+
+
+def _session_stats_updates(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into per-user lifetime session stats."""
+    import warnings
+
+    import numpy as np
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    n_new = 0
+    types_new: set[str] = set()
+    ft_new = lt_new = None
+    vm_new = 0
+    for pdf in batches:
+        n_new += len(pdf)
+        types_new.update(pdf["event_type"].dropna())
+        ts_ns = pdf["ts"].astype("int64")
+        b_min, b_max = int(ts_ns.min()) // 1000, int(ts_ns.max()) // 1000
+        ft_new = b_min if ft_new is None else min(ft_new, b_min)
+        lt_new = b_max if lt_new is None else max(lt_new, b_max)
+        vm_new += int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
+    if state.exists:
+        n0, types0, ft0, lt0, vm0 = state.get
+        types_new.update(t for t in types0.split("|") if t)
+        ft_new = min(x for x in (ft0, ft_new) if x is not None)
+        lt_new = max(x for x in (lt0, lt_new) if x is not None)
+        n_new, vm_new = n0 + n_new, vm0 + vm_new
+    state.update((n_new, "|".join(sorted(types_new)), ft_new, lt_new, vm_new))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_new],
+            "n_types": [len(types_new)],
+            "first_ts": [pd.Timestamp(ft_new * 1000)],
+            "last_ts": [pd.Timestamp(lt_new * 1000)],
+            "value_micros": [vm_new],
+        }
+    )
+
+
+def user_session_stats(events: DataFrame) -> DataFrame:
+    """Multi-stat keyed-state streaming operator: per-user event count,
+    distinct-type count, first/last seen, and fixed-point value sum — all
+    commutative merges, so the final update after an availableNow run
+    equals the batch GROUP BY the oracle computes.
+
+    Runs on ``applyInPandasWithState``; :func:`user_session_stats_tws` is
+    the same operator on the Spark 4 ``transformWithStateInPandas`` API
+    (protobuf-gated in this container, see :func:`running_key_counts_tws`)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_stats_updates,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_session_stats_tws(events: DataFrame) -> DataFrame:
+    """:func:`user_session_stats` on ``transformWithStateInPandas`` with
+    composable typed state — one ValueState per stat instead of a packed
+    tuple, the shape the TWS API is designed for. Requires RocksDB state
+    store + a working ``google.protobuf`` (absent in this container; the
+    protobuf-gated test in tests/test_streaming.py asserts equality with
+    the batch GROUP BY where available)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SessionStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+            self._types = handle.getListState("types", "t string")
+            self._ft = handle.getValueState("ft", "ft bigint")
+            self._lt = handle.getValueState("lt", "lt bigint")
+            self._vm = handle.getValueState("vm", "vm bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n_new, vm_new = 0, 0
+            types_new: set[str] = set()
+            ft_new = lt_new = None
+            for pdf in rows:
+                n_new += len(pdf)
+                types_new.update(pdf["event_type"].dropna())
+                ts_ns = pdf["ts"].astype("int64")
+                b_min, b_max = int(ts_ns.min()) // 1000, int(ts_ns.max()) // 1000
+                ft_new = b_min if ft_new is None else min(ft_new, b_min)
+                lt_new = b_max if lt_new is None else max(lt_new, b_max)
+                vm_new += int(
+                    np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
+                )
+            n = (self._n.get()[0] if self._n.exists() else 0) + n_new
+            vm = (self._vm.get()[0] if self._vm.exists() else 0) + vm_new
+            types_new.update(t[0] for t in self._types.get())
+            ft0 = self._ft.get()[0] if self._ft.exists() else None
+            lt0 = self._lt.get()[0] if self._lt.exists() else None
+            ft = min(x for x in (ft0, ft_new) if x is not None)
+            lt = max(x for x in (lt0, lt_new) if x is not None)
+            self._n.update((n,))
+            self._vm.update((vm,))
+            self._ft.update((ft,))
+            self._lt.update((lt,))
+            self._types.clear()
+            self._types.appendList([(t,) for t in sorted(types_new)])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [len(types_new)],
+                    "first_ts": [pd.Timestamp(ft * 1000)],
+                    "last_ts": [pd.Timestamp(lt * 1000)],
+                    "value_micros": [vm],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_SessionStats(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def running_key_counts_tws(keyed: DataFrame, key_col: str = "key") -> DataFrame:
     """Per-key running counts on the Spark 4 ``transformWithStateInPandas``
     API — the successor to ``applyInPandasWithState`` with composable typed

@@ -194,6 +194,70 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     return spark.table(name)
 
 
+def click_purchase_interval_join(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM event-time interval join (click-to-purchase
+    attribution): each click joins the purchases of the same user whose
+    event time falls in ``[click_ts, click_ts + attribution_window)``.
+
+    Both sides carry watermarks, which is what lets Spark BOUND the join
+    state: a buffered click can be evicted once the purchase-side watermark
+    passes ``click_ts + attribution_window`` (and vice versa), so state is
+    O(events inside the watermark horizon), not O(stream length) — the
+    property that makes this run forever on a real cluster. The time-range
+    predicate rides the user_id equi-join, so the shuffle is hash(user_id)
+    on both streams and the range check is evaluated within the co-located
+    state store — never a cartesian. Append output (the only mode
+    stream-stream joins support): a pair is emitted exactly once, when both
+    sides have arrived."""
+    # Watermarks only attach to TIMESTAMP (tz-aware) event time; the
+    # session is pinned to UTC (session.py:32), so ntz->timestamp is a
+    # wall-clock identity here, and the outputs cast back to ntz below.
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark_delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark_delay)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+    )
+    # delay in whole seconds: floor(epoch) diff on both engines (cast
+    # timestamp->long truncates; DuckDB date_diff counts second boundaries
+    # — identical for the positive epochs in this data)
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("delay_sec"),
+    )
+
+
 def ohlc_bars(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Streaming OHLC downsampling bars: per tumbling window, the first
     (open) and last (close) value by (ts, event_id) plus min/max/count —

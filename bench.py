@@ -190,6 +190,36 @@ def main() -> None:
     ablations = _bench_series(qs, ABLATIONS, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "flagships": flagships,
+        "flagships_total": round(sum(flagships.values()), 3),
+        "curation": curation,
+        "curation_total": round(sum(curation.values()), 3),
+        "traindata": traindata,
+        "traindata_total": round(sum(traindata.values()), 3),
+        "ablations": ablations,
+        "spread": spread,
+        "repeats": REPEATS,
+        "aggregation": "median",
+        "sf": sf,
+    }
+    # Full per-query detail (all five series + min/max spreads) goes to a
+    # file and an EARLIER stdout line; the driver's tail capture is ~2 KB
+    # (BENCH_r05 `parsed: null` — the ~6 KB single-line record overflowed
+    # it, so round 5's -16% headline win went unrecorded; VERDICT r5 #1).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f)
+    print(json.dumps(detail))
+    # Compact totals-only record as the FINAL line (<1.5 KB): headline
+    # per-query timings + per-series totals. This is what the driver
+    # parses into BENCH_r{N}.json.
     print(
         json.dumps(
             {
@@ -197,14 +227,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "flagships": flagships,
                 "flagships_total": round(sum(flagships.values()), 3),
-                "curation": curation,
                 "curation_total": round(sum(curation.values()), 3),
-                "traindata": traindata,
                 "traindata_total": round(sum(traindata.values()), 3),
-                "ablations": ablations,
-                "spread": spread,
+                "ablations_total": round(sum(ablations.values()), 3),
+                "detail": "BENCH_DETAIL.json",
                 "repeats": REPEATS,
                 "aggregation": "median",
                 "sf": sf,
