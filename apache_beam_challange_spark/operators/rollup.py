@@ -117,6 +117,20 @@ def refresh_hourly_rollup(
     # localCheckpoint: count + publish must see one consistent delta
     delta = delta.localCheckpoint()
     n = delta.count()
+    if n and lookback_hours > 0 and wm is not None:
+        # the lookback window re-aggregates on EVERY refresh, so delta is
+        # non-empty even when nothing changed — without this check each
+        # no-change refresh would publish a new version (burning one of
+        # the retained snapshots) and break the "returns 0 when already
+        # current" contract (ADVICE r5). Rollup rows are exactly
+        # comparable (counts + fixed-point sums), and the refold window
+        # is hours x event_type — tiny — so the two-way exceptAll is a
+        # few-row check, not a data-scale one.
+        replaced = current.filter(F.col("hour") > refold_from)
+        if delta.exceptAll(replaced).isEmpty() and replaced.exceptAll(
+            delta
+        ).isEmpty():
+            return 0
     if n:
         merged = delta if kept is None else kept.unionByName(delta)
         publish(merged, rollup_path)

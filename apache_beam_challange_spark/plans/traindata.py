@@ -1907,10 +1907,13 @@ def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc totals are summation-order-independent bigints in both
     engines.
 
-    Scale shape: the bigram-count table is an equi-join (bigram vocab is
-    corpus-scale — deliberately NOT broadcast), the unigram-count and
-    vocabulary-size sides broadcast; one groupBy per aggregation level,
-    all map-side combined."""
+    Scale shape: BOTH count tables join as plain equi-joins — a word
+    vocabulary grows with the corpus (URLs, typos), so force-broadcasting
+    the unigram side is the same hazard class as the per-doc size tables
+    removed from jaccard_pairs in round 4 (ADVICE r5); AQE broadcasts it
+    at runtime when it actually is small. Only the 1-row vocabulary-size
+    scalar is forced. One groupBy per aggregation level, all map-side
+    combined."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     bg = docs.select(
@@ -1932,7 +1935,7 @@ def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = lambda col: F.floor(F.log(col) * 1000000000 + 0.5).cast("long")
     doc = (
         bg.join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        .join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
@@ -2073,6 +2076,35 @@ ORDER BY rank
     ).strip()
 
 
+def mmr_candidate_sims(spark: SparkSession, sf_dir: str, k_cand: int = 50):
+    """MMR's DISTRIBUTED stages, exposed for plan assertions: the corpus
+    top-``k_cand`` recall cut (TakeOrderedAndProject — the only
+    corpus-scale scan) and the pairwise cosine block over those
+    candidates only. The cross join's BOTH sides descend from the
+    top-k cut, so it is k_cand x k_cand by construction — never
+    corpus-sized (plan-asserted in tests/test_plans.py)."""
+    from apache_beam_challange_spark.functions.vector import as_double, cosine
+    from apache_beam_challange_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_topk(emb, query_vec_id=0, k=k_cand)
+    cvecs = cand.select("vec_id", "label", "cosine_sim").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = cvecs.select(
+        F.col("vec_id").alias("a"), as_double(F.col("embedding")).alias("va")
+    )
+    b = cvecs.select(
+        F.col("vec_id").alias("b"), as_double(F.col("embedding")).alias("vb")
+    )
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+    )
+    return cand, sims
+
+
 @query("mmr_diversified_topk_vec0", oracle=_mmr_oracle())
 def mmr_diversified_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
@@ -2091,25 +2123,7 @@ def mmr_diversified_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pairwise sims are rounded to 1e-6 BEFORE the greedy loop, so
     the driver's doubles equal the oracle's and the unrolled-CTE
     trajectory reproduces the selection exactly."""
-    from apache_beam_challange_spark.functions.vector import as_double, cosine
-    from apache_beam_challange_spark.operators.similarity import cosine_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cand = cosine_topk(emb, query_vec_id=0, k=50)
-    cvecs = cand.select("vec_id", "label", "cosine_sim").join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    )
-    a = cvecs.select(
-        F.col("vec_id").alias("a"), as_double(F.col("embedding")).alias("va")
-    )
-    b = cvecs.select(
-        F.col("vec_id").alias("b"), as_double(F.col("embedding")).alias("vb")
-    )
-    sims = (
-        a.crossJoin(b)
-        .filter(F.col("a") != F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
-    )
+    cand, sims = mmr_candidate_sims(spark, sf_dir, k_cand=50)
     # parameter-bounded collects: 50 rel rows + 50*49 sim rows
     rel_rows = cand.select("vec_id", "label", "cosine_sim").collect()
     sim_map = {(r.a, r.b): r.s for r in sims.collect()}

@@ -40,11 +40,15 @@ RUNTIME_CONFS = {
 #: ensure_session_confs previously force-set this and silently clobbered
 #: a caller's get_spark(shuffle_partitions=N) on the first load_table()
 #: (found by review: the tests' shuffle_partitions=8 actually ran at the
-#: env default).
+#: env default). Values are (engine default, Spark's own unset default):
+#: a session whose CURRENT runtime value already differs from Spark's
+#: unset default was set by the caller (builder OR spark.conf.set) and is
+#: respected either way (ADVICE r5: the SparkContext conf alone misses
+#: runtime spark.conf.set calls).
 DEFAULT_ONLY_CONFS = {
     # stateful streaming disables AQE, so the raw shuffle partition count
     # matters there; size it to the local core budget
-    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    "spark.sql.shuffle.partitions": (str(DEFAULT_SHUFFLE_PARTITIONS), "200"),
 }
 
 
@@ -58,13 +62,20 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass
-    for key, value in DEFAULT_ONLY_CONFS.items():
+    for key, (value, spark_default) in DEFAULT_ONLY_CONFS.items():
         try:
-            # the SparkContext conf holds only EXPLICITLY-configured
-            # values (builder .config / spark-submit), never Spark's
-            # global defaults — so it distinguishes "caller chose N"
-            # (respect it) from "nobody chose" (apply our default)
-            if spark.sparkContext.getConf().get(key, None) is None:
+            # "caller chose N" comes in two flavors, both respected:
+            # builder/spark-submit values live in the SparkContext conf;
+            # runtime spark.conf.set(key, N) calls do NOT — they only show
+            # as a current value differing from Spark's unset default. A
+            # caller who deliberately set the value TO the unset default
+            # is indistinguishable from nobody-chose and gets the engine
+            # default; route such overrides through the builder.
+            explicitly_built = (
+                spark.sparkContext.getConf().get(key, None) is not None
+            )
+            runtime_overridden = spark.conf.get(key, None) != spark_default
+            if not explicitly_built and not runtime_overridden:
                 spark.conf.set(key, value)
         except Exception:
             pass

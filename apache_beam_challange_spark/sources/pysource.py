@@ -213,9 +213,37 @@ class _JsonlWriter(DataSourceWriter):
         # committed row — found by review); OVERWRITE replaces it.
         manifest = sorted(m.filename for m in messages if m is not None)
         mpath = os.path.join(self.path, "_MANIFEST")
-        if not self.overwrite and os.path.isfile(mpath):
-            with open(mpath) as f:
-                manifest = sorted(set(json.load(f)["files"]) | set(manifest))
+        if self.overwrite:
+            self._flip_manifest(mpath, manifest)
+            return
+        # APPEND is a read-modify-write of the manifest: two concurrent
+        # appends could each read the old file and the second flip would
+        # silently drop the first job's committed rows. An O_EXCL lock
+        # makes the single-writer contract a LOUD error instead (ADVICE
+        # r5); a crashed holder leaves the lock behind by design — the
+        # operator inspects and removes it, same as any half-finished
+        # ingest.
+        lock = os.path.join(self.path, "_MANIFEST.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent append to {self.path}: {lock} exists — the "
+                "jsonl_commit sink is single-writer per directory; if no "
+                "other job is running, remove the stale lock"
+            ) from None
+        try:
+            os.close(fd)
+            if os.path.isfile(mpath):
+                with open(mpath) as f:
+                    manifest = sorted(
+                        set(json.load(f)["files"]) | set(manifest)
+                    )
+            self._flip_manifest(mpath, manifest)
+        finally:
+            os.remove(lock)
+
+    def _flip_manifest(self, mpath: str, manifest: list[str]) -> None:
         tmp = os.path.join(self.path, f"_MANIFEST.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(json.dumps({"files": manifest}))

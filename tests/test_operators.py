@@ -437,3 +437,58 @@ def test_rollup_lookback_repairs_stragglers(spark, tmp_path):
             assert got == full  # lookback window re-folded the straggler
         else:
             assert got[h1] == full[h1] - 1  # documented bounded loss
+
+
+def test_rollup_lookback_noop_refresh_publishes_nothing(spark, tmp_path):
+    """With lookback > 0 the delta re-aggregates the lookback window on
+    every refresh, so it is non-empty even when NOTHING changed — the
+    refresh must detect that, return 0, and not burn a snapshot version
+    (ADVICE r5: the 'returns 0 when already current' contract)."""
+    import datetime as dt
+
+    from apache_beam_challange_spark.operators.rollup import refresh_hourly_rollup
+    from apache_beam_challange_spark.sources.publish import published_versions
+
+    base = dt.datetime(2024, 6, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (i, base + dt.timedelta(hours=h, minutes=5), 1, "view", 1.0, "{}")
+        for i, h in enumerate([0, 0, 1, 2])
+    ]
+    path = str(tmp_path / "roll_noop")
+    ev = spark.createDataFrame(rows, schema)
+    n1 = refresh_hourly_rollup(ev, path, "2024-06-01T03:00:00", lookback_hours=2)
+    assert n1 > 0
+    v_before = published_versions(path)
+    # same data, same cutoff: the lookback refold reproduces the rows it
+    # replaces exactly -> no-op, no new version
+    n2 = refresh_hourly_rollup(ev, path, "2024-06-01T03:00:00", lookback_hours=2)
+    assert n2 == 0
+    assert published_versions(path) == v_before
+    # a real straggler inside the lookback window DOES publish
+    late = spark.createDataFrame(
+        rows + [(99, base + dt.timedelta(hours=2, minutes=40), 1, "view", 1.0, "{}")],
+        schema,
+    )
+    n3 = refresh_hourly_rollup(late, path, "2024-06-01T03:00:00", lookback_hours=2)
+    assert n3 > 0
+    assert len(published_versions(path)) != len(v_before) or published_versions(path) != v_before
+
+
+def test_ensure_session_confs_respects_runtime_override(spark):
+    """A shuffle-partition value set at RUNTIME via spark.conf.set (not
+    the builder) must survive ensure_session_confs — ADVICE r5: the
+    SparkContext-conf-only check silently reset runtime overrides."""
+    from apache_beam_challange_spark.session import ensure_session_confs
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "13")
+        ensure_session_confs(spark)
+        assert spark.conf.get(key) == "13"
+    finally:
+        spark.conf.set(key, prev)

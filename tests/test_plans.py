@@ -348,3 +348,90 @@ def test_curation_funnel_is_two_shuffles(plans):
     p = plans("curation_funnel_by_lang")
     assert p.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+# --- round-6 shapes (VERDICT r5 #5): post-b11ce1f queries -------------------
+
+
+def test_cdc_chunking_is_narrow_until_chunk_rows(plans):
+    """Content-defined chunking must compute chunk boundaries INSIDE the
+    task that read the document — one narrow mapInPandas over the scan,
+    ZERO Exchange between them (round 5 shipped a 16x char-row shuffle
+    here; VERDICT r5 'What's wrong' #1). Only emitted chunk rows may
+    shuffle, for the global distinct-hash stats."""
+    p = plans("cdc_chunk_dedup_stats")
+    assert "MapInPandas" in p
+    # tree prints children below their parent: everything after the last
+    # MapInPandas line is its scan-side subtree
+    below = p[p.rindex("MapInPandas"):]
+    assert "Exchange" not in below
+    assert "FileScan parquet" in below
+    # the char-explosion closed form must be gone from the Spark side
+    assert "posexplode" not in p
+
+
+def test_radius_join_is_cell_equi_join(plans):
+    """The geo radius join must equi-join on integer grid cells with the
+    haversine predicate as a residual — never a theta/cartesian join over
+    station pairs. (The 9-row neighbor-offset crossJoin on the build side
+    is a constant-size dimension, not a pair enumeration.)"""
+    p = plans("stations_within_radius_pairs")
+    assert "CartesianProduct" not in p
+    # the pair join itself is hash on the (ny, nx) cell key
+    assert "BroadcastHashJoin [ny" in p or "SortMergeJoin [ny" in p
+
+
+def test_mmr_distributed_stages_bounded_by_topk(spark, sf_dir):
+    """MMR's only corpus-scale stage is the top-k recall cut; the pairwise
+    cosine cross join must have BOTH sides descend from that cut, so it is
+    k x k by construction — a corpus-sized side showing up here would be
+    the classic all-pairs regression."""
+    from apache_beam_challange_spark.plans.traindata import mmr_candidate_sims
+
+    cand, sims = mmr_candidate_sims(spark, sf_dir, k_cand=50)
+    pc = cand._jdf.queryExecution().executedPlan().toString()
+    ps = sims._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=50" in pc
+    # both cross sides are the candidate set: the top-k cut appears on
+    # each side of the (bounded) nested-loop block
+    assert ps.count("TakeOrderedAndProject(limit=50") >= 2
+
+
+def test_cdc_snapshot_single_shuffle_with_group_limit(plans):
+    """The CDC snapshot (latest-change-wins + tombstones) must be ONE
+    key-partitioned shuffle with the rank-1 cut pushed below it
+    (WindowGroupLimit partial before the Exchange) — per-partition
+    pre-pruning, not a full sort of the changelog."""
+    p = plans("cdc_snapshot_with_deletes")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in p
+
+
+def test_covisit_pmi_is_blocked_self_join(plans):
+    """Session co-visitation PMI must pair event types WITHIN a session
+    key (equi self-join on (user, session)) — never a cartesian across
+    sessions; marginals join back on the type keys."""
+    p = plans("session_covisit_pmi")
+    assert "CartesianProduct" not in p
+
+
+def test_grid_density_two_phase_agg(plans):
+    """Grid density is a pure hash aggregation on integer cells — partial
+    (map-side) combine before its single shuffle, no join at all."""
+    p = plans("station_grid_density")
+    assert "partial_count" in p
+    assert "Join" not in p or "BroadcastNestedLoopJoin" not in p.split("Exchange")[0]
+
+
+def test_bigram_counts_join_not_forced_broadcast(spark, sf_dir):
+    """The unigram-count side of the bigram LM join must NOT be a forced
+    broadcast (ADVICE r5: word vocabulary grows with the corpus) — the
+    logical plan carries no broadcast hint on it; AQE may still CHOOSE
+    broadcast at runtime when the vocab is actually small."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    df = qs["bigram_surprise_docs"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one forced broadcast remains: the 1-row vocabulary scalar
+    assert logical.count("ResolvedHint") <= 1

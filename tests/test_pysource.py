@@ -282,3 +282,39 @@ def test_jsonl_sink_append_merges_manifest(spark, tmp_path):
         "path", path
     ).mode("overwrite").save()
     assert [d["id"] for d in read_jsonl_commit(path)] == [9]
+
+
+def test_jsonl_sink_append_lock_makes_concurrency_loud(spark, tmp_path):
+    """The append path is single-writer by contract: with another
+    writer's lock present, commit must raise (not silently drop the
+    other job's committed files), and a successful append must leave no
+    lock behind."""
+    import os
+
+    import pytest
+
+    from apache_beam_challange_spark.sources.pysource import (
+        JsonlCommitDataSource,
+        read_jsonl_commit,
+    )
+
+    spark.dataSource.register(JsonlCommitDataSource)
+    path = str(tmp_path / "locked")
+    df = spark.createDataFrame([(1,)], "id long")
+    df.write.format("jsonl_commit").option("path", path).mode("append").save()
+    assert not os.path.exists(os.path.join(path, "_MANIFEST.lock"))
+    # a concurrent appender holds the lock -> loud error, manifest intact
+    lock = os.path.join(path, "_MANIFEST.lock")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(Exception, match="single-writer|concurrent"):
+        spark.createDataFrame([(2,)], "id long").write.format(
+            "jsonl_commit"
+        ).option("path", path).mode("append").save()
+    assert [d["id"] for d in read_jsonl_commit(path)] == [1]
+    os.remove(lock)
+    # lock released -> append works again and merges
+    spark.createDataFrame([(2,)], "id long").write.format(
+        "jsonl_commit"
+    ).option("path", path).mode("append").save()
+    assert sorted(d["id"] for d in read_jsonl_commit(path)) == [1, 2]

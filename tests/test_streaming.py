@@ -758,3 +758,161 @@ def test_maintain_lsh_index_stream_matches_batch_rebuild(spark, tmp_path):
     )
     maintain_lsh_index_stream(stream2, inc, ckpt)
     assert canon(inc) == canon(full)
+
+
+def test_interval_join_operator_joins_across_batches(spark, tmp_path):
+    """The click->purchase attribution join must match across micro-batch
+    boundaries (click buffered in join state until its purchase arrives),
+    and a click whose attribution window has fully passed the watermark
+    must be EVICTED from join state — the state-bounding contract the
+    operator's docstring claims. (Input-side late-row filtering in
+    stream-stream joins is best-effort in Spark; eviction is the hard
+    guarantee, so that is what this asserts: by batch 3 the end-of-batch-2
+    eviction pass has dropped the 10:00 click — watermark 12:00 is past
+    10:30 — and its in-window purchase can no longer join.)"""
+    from apache_beam_challange_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    d = tmp_path / "cpj_in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "b1.parquet"),
+        [
+            (1, _nanos(11, 50), 1, "click", 1.0, "{}"),  # joins in batch 2
+            (2, _nanos(10, 0), 2, "click", 1.0, "{}"),   # evicted by batch 3
+            # watermark advancers on BOTH sides: the global watermark is
+            # the MIN across the two watermark operators, so a side that
+            # never sees a row would pin it at epoch 0 and nothing would
+            # ever evict (users 8/9 join nothing)
+            (3, _nanos(13, 0), 8, "click", 1.0, "{}"),
+            (6, _nanos(13, 0), 9, "purchase", 1.0, "{}"),
+        ],
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    joined = click_purchase_interval_join(ev)
+    # stage later batches BEFORE starting: availableNow lists all files
+    # and maxFilesPerTrigger=1 sequences them into separate micro-batches
+    # in staging (mtime) order
+    _write_batch(
+        spark,
+        str(d / "b2.parquet"),
+        [(4, _nanos(12, 5), 1, "purchase", 1.0, "{}")],  # in window, on time
+    )
+    _write_batch(
+        spark,
+        str(d / "b3.parquet"),
+        # in-window for click 2, but that click's state was evicted at the
+        # end of batch 2 (watermark 12:00 > 10:00 + 30m) -> no join
+        [(5, _nanos(10, 10), 2, "purchase", 1.0, "{}")],
+    )
+    out = run_to_memory(joined, "append")
+    rows = {(r["click_id"], r["purchase_id"], r["delay_sec"]) for r in out.collect()}
+    assert rows == {(1, 4, 15 * 60)}
+
+
+def test_user_session_stats_across_batches_match_batch_groupby(spark, tmp_path):
+    """The multi-stat keyed-state operator must fold micro-batches into
+    the same per-user stats a batch GROUP BY computes — count, distinct
+    types, first/last seen, fixed-point value sum."""
+    from apache_beam_challange_spark.streaming.stateful import user_session_stats
+
+    d = tmp_path / "uss_in"
+    d.mkdir()
+    b1 = [
+        (1, _nanos(10, 0), 1, "view", 1.25, "{}"),
+        (2, _nanos(10, 5), 1, "click", 2.5, "{}"),
+        (3, _nanos(10, 2), 2, "view", -0.75, "{}"),
+    ]
+    b2 = [
+        (4, _nanos(9, 55), 1, "view", 0.1, "{}"),   # earlier first_ts, dup type
+        (5, _nanos(10, 30), 2, "purchase", 3.3, "{}"),
+    ]
+    _write_batch(spark, str(d / "b1.parquet"), b1)
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    sdf = user_session_stats(ev)
+    _write_batch(spark, str(d / "b2.parquet"), b2)
+    out = run_to_memory(sdf, "update")
+    # update mode emits one row per touched key per batch: the FINAL
+    # update per user is the lifetime answer
+    final = {}
+    for r in out.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in (
+            events_stream(spark, str(d))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                # reuse the operator in ONE batch as the reference fold
+                __import__(
+                    "apache_beam_challange_spark.streaming.stateful",
+                    fromlist=["_session_stats_updates"],
+                )._session_stats_updates,
+                outputStructType=(
+                    "user_id bigint, n_events bigint, n_types int, "
+                    "first_ts timestamp_ntz, last_ts timestamp_ntz, "
+                    "value_micros bigint"
+                ),
+                stateStructType=(
+                    "n bigint, types string, ft bigint, lt bigint, vm bigint"
+                ),
+                outputMode="update",
+                timeoutConf=__import__(
+                    "pyspark.sql.streaming.state", fromlist=["GroupStateTimeout"]
+                ).GroupStateTimeout.NoTimeout,
+            )
+            .transform(lambda df: run_to_memory(df, "update"))
+            .collect()
+        )
+    }
+    assert set(final) == {1, 2}
+    for uid in final:
+        for f in ("n_events", "n_types", "first_ts", "last_ts", "value_micros"):
+            assert final[uid][f] == batch[uid][f], (uid, f)
+    # spot-check the exact fixed-point fold for user 1
+    import math
+
+    expect_vm = sum(int(math.floor(v * 1e6)) for v in (1.25, 2.5, 0.1))
+    assert final[1]["value_micros"] == expect_vm
+    assert final[1]["n_events"] == 3 and final[1]["n_types"] == 2
+
+
+def test_user_session_stats_tws_twin(spark, tmp_path):
+    """The transformWithStateInPandas twin of user_session_stats (typed
+    ValueState/ListState). Protobuf-gated like the running-counts TWS
+    test; where it runs it must equal the batch GROUP BY."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from apache_beam_challange_spark.streaming.stateful import (
+        user_session_stats_tws,
+    )
+
+    d = tmp_path / "tws_in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "b1.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "view", 1.25, "{}"),
+            (2, _nanos(10, 5), 1, "click", 2.5, "{}"),
+        ],
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, str(d))
+        out = run_to_memory(user_session_stats_tws(ev), "update")
+        (r,) = out.collect()
+        assert (r["user_id"], r["n_events"], r["n_types"]) == (1, 2, 2)
+        assert r["value_micros"] == 1250000 + 2500000
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
