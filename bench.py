@@ -44,6 +44,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+#: The de-facto perf baseline (VERDICT r5 #7): BENCH_r01.json's parsed
+#: per-query medians at sf0.1 — the first complete engine. BASELINE.md's
+#: guardrail is "within 2x of driver BASELINE at the same sf"; every bench
+#: run emits per-query wall / r1 wall ("vs_r1") for the queries the r1
+#: series shares with today's headline, so the claim is checkable at a
+#: glance. (r1 ran three since-retired headline members — events_hourly_
+#: counts, distinct_pairs, jaccard_pairs_by_source — hence 12 ratios, not
+#: 15.)
+R1_BASELINE = {
+    "q1_sql_top_pairs": 1.148,
+    "q2_top_pairs_ops": 0.676,
+    "q3_station_distances": 1.206,
+    "q4_total_distance": 1.796,
+    "pricing_summary": 0.505,
+    "join_broadcast_revenue": 0.525,
+    "window_rank_orders": 0.543,
+    "minhash_candidate_pairs": 2.381,
+    "cosine_topk_vec0": 0.538,
+    "ann_lsh_topk_vec0": 0.759,
+    "multimodal_image_features": 1.158,
+    "streaming_tumbling_counts": 1.408,
+}
+
 HEADLINE = [
     "q1_sql_top_pairs",
     "q2_top_pairs_ops",
@@ -112,6 +135,11 @@ TRAINDATA = [
     "near_dup_k_core",
     "cdc_snapshot_with_deletes",
     "cdc_chunk_dedup_stats",
+    # round-6 streaming additions (VERDICT r5 #8) — availableNow runs to
+    # completion, so the wall includes the streaming engine's fixed
+    # per-query startup, not just the plan
+    "stream_stream_interval_join",
+    "stateful_user_session_stats",
 ]
 
 CURATION = [
@@ -190,6 +218,11 @@ def main() -> None:
     ablations = _bench_series(qs, ABLATIONS, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
+    vs_r1 = {
+        n: round(timings[n] / R1_BASELINE[n], 2)
+        for n in timings
+        if n in R1_BASELINE
+    } if sf == 0.1 else {}
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -203,6 +236,7 @@ def main() -> None:
         "traindata_total": round(sum(traindata.values()), 3),
         "ablations": ablations,
         "spread": spread,
+        "vs_r1": vs_r1,
         "repeats": REPEATS,
         "aggregation": "median",
         "sf": sf,
@@ -231,6 +265,7 @@ def main() -> None:
                 "curation_total": round(sum(curation.values()), 3),
                 "traindata_total": round(sum(traindata.values()), 3),
                 "ablations_total": round(sum(ablations.values()), 3),
+                "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "detail": "BENCH_DETAIL.json",
                 "repeats": REPEATS,
                 "aggregation": "median",
