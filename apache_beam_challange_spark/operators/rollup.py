@@ -112,7 +112,14 @@ def refresh_hourly_rollup(
         )
         fresh = fresh.filter(F.date_trunc("hour", F.col("ts")) > refold_from)
         if lookback_hours > 0:
-            kept = current.filter(F.col("hour") <= refold_from)
+            # a refresh only recomputes hours in (refold_from, cutoff):
+            # hours >= cutoff stay untouched, so a REPLAYED refresh with an
+            # earlier (still hour-aligned) up_to can never truncate hours a
+            # later refresh already folded — it repairs its own window and
+            # keeps the rest
+            kept = current.filter(
+                (F.col("hour") <= refold_from) | (F.col("hour") >= cutoff)
+            )
     delta = hourly_rollup(fresh)
     # localCheckpoint: count + publish must see one consistent delta
     delta = delta.localCheckpoint()
@@ -125,12 +132,23 @@ def refresh_hourly_rollup(
         # current" contract (ADVICE r5). Rollup rows are exactly
         # comparable (counts + fixed-point sums), and the refold window
         # is hours x event_type — tiny — so the two-way exceptAll is a
-        # few-row check, not a data-scale one.
-        replaced = current.filter(F.col("hour") > refold_from)
-        if delta.exceptAll(replaced).isEmpty() and replaced.exceptAll(
-            delta
-        ).isEmpty():
-            return 0
+        # few-row check, not a data-scale one. When the delta provably
+        # advances past the watermark the refresh cannot be a no-op, so
+        # skip the two exceptAll jobs (one limit(1) on the checkpointed
+        # delta instead).
+        advanced = (
+            delta.filter(F.col("hour") > F.lit(wm).cast("timestamp_ntz"))
+            .limit(1)
+            .count()
+        )
+        if not advanced:
+            replaced = current.filter(
+                (F.col("hour") > refold_from) & (F.col("hour") < cutoff)
+            )
+            if delta.exceptAll(replaced).isEmpty() and replaced.exceptAll(
+                delta
+            ).isEmpty():
+                return 0
     if n:
         merged = delta if kept is None else kept.unionByName(delta)
         publish(merged, rollup_path)

@@ -213,7 +213,18 @@ class _JsonlWriter(DataSourceWriter):
         # committed row — found by review); OVERWRITE replaces it.
         manifest = sorted(m.filename for m in messages if m is not None)
         mpath = os.path.join(self.path, "_MANIFEST")
+        lock = os.path.join(self.path, "_MANIFEST.lock")
         if self.overwrite:
+            # OVERWRITE doesn't read the old manifest, but racing an
+            # in-flight append would silently lose one side's flip — the
+            # same lost-update class the lock exists for. Fail loudly
+            # instead of flipping under a held lock.
+            if os.path.exists(lock):
+                raise RuntimeError(
+                    f"concurrent write to {self.path}: {lock} exists — the "
+                    "jsonl_commit sink is single-writer per directory; if "
+                    "no other job is running, remove the stale lock"
+                )
             self._flip_manifest(mpath, manifest)
             return
         # APPEND is a read-modify-write of the manifest: two concurrent
@@ -223,7 +234,6 @@ class _JsonlWriter(DataSourceWriter):
         # r5); a crashed holder leaves the lock behind by design — the
         # operator inspects and removes it, same as any half-finished
         # ingest.
-        lock = os.path.join(self.path, "_MANIFEST.lock")
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:

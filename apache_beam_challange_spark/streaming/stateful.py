@@ -90,21 +90,20 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "n bigint, types string, ft bigint, lt bigint, vm bigint"
 
 
-def _session_stats_updates(
-    key: tuple,
+def _fold_session_batches(
     batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch into per-user lifetime session stats."""
-    import warnings
-
+) -> tuple[int, set[str], int | None, int | None, int]:
+    """Fold an iterator of pandas chunks into the (n, types, first_micros,
+    last_micros, value_micros) session accumulator — the ONE definition
+    both the ``applyInPandasWithState`` operator and its
+    ``transformWithStateInPandas`` twin call, so the two APIs cannot
+    silently diverge on null/timestamp/fixed-point handling (their
+    equality is this module's stated contract)."""
     import numpy as np
 
-    warnings.filterwarnings("ignore", category=FutureWarning)
-    n_new = 0
+    n_new, vm_new = 0, 0
     types_new: set[str] = set()
     ft_new = lt_new = None
-    vm_new = 0
     for pdf in batches:
         n_new += len(pdf)
         types_new.update(pdf["event_type"].dropna())
@@ -113,6 +112,19 @@ def _session_stats_updates(
         ft_new = b_min if ft_new is None else min(ft_new, b_min)
         lt_new = b_max if lt_new is None else max(lt_new, b_max)
         vm_new += int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
+    return n_new, types_new, ft_new, lt_new, vm_new
+
+
+def _session_stats_updates(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into per-user lifetime session stats."""
+    import warnings
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    n_new, types_new, ft_new, lt_new, vm_new = _fold_session_batches(batches)
     if state.exists:
         n0, types0, ft0, lt0, vm0 = state.get
         types_new.update(t for t in types0.split("|") if t)
@@ -171,21 +183,9 @@ def user_session_stats_tws(events: DataFrame) -> DataFrame:
             self._vm = handle.getValueState("vm", "vm bigint")
 
         def handleInputRows(self, key, rows, timerValues):
-            import numpy as np
-
-            n_new, vm_new = 0, 0
-            types_new: set[str] = set()
-            ft_new = lt_new = None
-            for pdf in rows:
-                n_new += len(pdf)
-                types_new.update(pdf["event_type"].dropna())
-                ts_ns = pdf["ts"].astype("int64")
-                b_min, b_max = int(ts_ns.min()) // 1000, int(ts_ns.max()) // 1000
-                ft_new = b_min if ft_new is None else min(ft_new, b_min)
-                lt_new = b_max if lt_new is None else max(lt_new, b_max)
-                vm_new += int(
-                    np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
-                )
+            n_new, types_new, ft_new, lt_new, vm_new = _fold_session_batches(
+                rows
+            )
             n = (self._n.get()[0] if self._n.exists() else 0) + n_new
             vm = (self._vm.get()[0] if self._vm.exists() else 0) + vm_new
             types_new.update(t[0] for t in self._types.get())

@@ -478,6 +478,73 @@ def test_rollup_lookback_noop_refresh_publishes_nothing(spark, tmp_path):
     assert len(published_versions(path)) != len(v_before) or published_versions(path) != v_before
 
 
+def test_rollup_lookback_replay_with_earlier_cutoff_never_truncates(
+    spark, tmp_path
+):
+    """A REPLAYED refresh with an earlier (still hour-aligned) up_to inside
+    the lookback window must not delete hours a later refresh already
+    folded — it recomputes only its own (refold_from, cutoff) window and
+    keeps everything at or past the cutoff (found by review: the refold
+    replacement used to be bounded only below, so the replay published a
+    rollup WITHOUT the newest hour)."""
+    import datetime as dt
+
+    from apache_beam_challange_spark.operators.rollup import (
+        hourly_rollup,
+        refresh_hourly_rollup,
+    )
+    from apache_beam_challange_spark.sources.publish import read_published
+
+    base = dt.datetime(2024, 6, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (i, base + dt.timedelta(hours=h, minutes=5), 1, "view", 1.0, "{}")
+        for i, h in enumerate([0, 0, 1, 2, 2])
+    ]
+    path = str(tmp_path / "roll_replay")
+    ev = spark.createDataFrame(rows, schema)
+    # fold hours 0-2
+    assert refresh_hourly_rollup(ev, path, "2024-06-01T03:00:00", lookback_hours=2) > 0
+    want = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_published(spark, path).collect()
+    }
+    assert ("2024-06-01 02:00:00", "view") in want
+    # replay at the earlier cutoff: same data, so either a no-op or a
+    # republish of identical content — NEVER a rollup missing hour 2
+    refresh_hourly_rollup(ev, path, "2024-06-01T02:00:00", lookback_hours=2)
+    got = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_published(spark, path).collect()
+    }
+    assert got == want
+    # a straggler inside the REPLAYED window is still repaired, and hour 2
+    # still survives
+    late = spark.createDataFrame(
+        rows
+        + [(99, base + dt.timedelta(hours=1, minutes=50), 1, "view", 1.0, "{}")],
+        schema,
+    )
+    assert (
+        refresh_hourly_rollup(late, path, "2024-06-01T02:00:00", lookback_hours=2)
+        > 0
+    )
+    got2 = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_published(spark, path).collect()
+    }
+    full = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in hourly_rollup(
+            late.filter("ts < timestamp'2024-06-01 03:00:00'")
+        ).collect()
+    }
+    assert got2 == full
+
+
 def test_ensure_session_confs_respects_runtime_override(spark):
     """A shuffle-partition value set at RUNTIME via spark.conf.set (not
     the builder) must survive ensure_session_confs — ADVICE r5: the

@@ -318,3 +318,14 @@ def test_jsonl_sink_append_lock_makes_concurrency_loud(spark, tmp_path):
         "jsonl_commit"
     ).option("path", path).mode("append").save()
     assert sorted(d["id"] for d in read_jsonl_commit(path)) == [1, 2]
+    # OVERWRITE racing an in-flight append is the same lost-update class:
+    # it must also refuse while the lock is held (found by review — the
+    # overwrite path used to bypass the lock entirely)
+    with open(lock, "w"):
+        pass
+    with pytest.raises(Exception, match="single-writer|concurrent"):
+        spark.createDataFrame([(3,)], "id long").write.format(
+            "jsonl_commit"
+        ).option("path", path).mode("overwrite").save()
+    assert sorted(d["id"] for d in read_jsonl_commit(path)) == [1, 2]
+    os.remove(lock)
