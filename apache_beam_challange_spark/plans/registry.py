@@ -61,6 +61,11 @@ ORACLES: dict[str, str] = {}
 #: for it. After this round the never-driver-checked set is exactly the
 #: queries round 6 adds (the two new streaming batch-twins, rotated in
 #: below per VERDICT r5 #8).
+#:
+#: ROUND-7 ROTATION POOL (added round 6 after the tier froze, never
+#: driver-checked): bpe_train_merges, vocab_coverage_topk,
+#: chunk_overlap_dedup, robust_outlier_hours. Swap them in next round
+#: for four twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
@@ -153,6 +158,7 @@ def load_all() -> None:
         "advanced",
         "curation",
         "traindata",
+        "tokenizer",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

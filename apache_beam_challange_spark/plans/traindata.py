@@ -2692,3 +2692,82 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("unique_chars").cast("double") / F.col("total_chars"), 6
         ).alias("dedup_ratio"),
     )
+
+
+# --- robust (median/MAD) outlier detection ----------------------------------
+
+
+@query(
+    "robust_outlier_hours",
+    oracle="""
+WITH hx AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+st AS (SELECT event_type, quantile_cont(x, 0.5) AS med FROM hx GROUP BY 1),
+d AS (
+    SELECT hx.event_type, hour, x, ABS(x - med) AS dev
+    FROM hx JOIN st USING (event_type)
+),
+m AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.event_type, hour, x AS value_fp,
+       CAST(FLOOR(4 * dev) AS BIGINT) AS dev4,
+       CAST(FLOOR(4 * mad) AS BIGINT) AS mad4
+FROM d JOIN m USING (event_type)
+WHERE 4 * dev > 12 * mad
+ORDER BY 1, 2
+""".strip(),
+)
+def robust_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly detection: hours whose fixed-point value
+    sum deviates from the per-event-type MEDIAN by more than 3x the MAD
+    (median absolute deviation) — the outlier screen that, unlike
+    z-scores, is not itself dragged by the outliers it hunts (the
+    data-quality monitor for ingest volume/value drift).
+
+    Exactness across engines: the hourly series is fixed-point integers
+    (floor(value*1e4+0.5), the rollup discipline); an exact interpolated
+    median of integers is integer-or-half, so deviations are halves and
+    the MAD is quarter-valued — every quantity is exactly representable
+    in a double, quadrupled values are exact integers (emitted via
+    FLOOR, the FLOOR-not-ROUND discipline: CAST double->bigint rounds
+    in DuckDB but truncates in Spark), and the 3xMAD flag compares
+    exactly-represented values, so both engines flag identical hours.
+
+    Scale shape: ONE fact scan into the (type, hour) aggregate
+    (map-side combined), localCheckpoint-ed so the median, the
+    deviation join, and the MAD all run on the tiny hourly table — the
+    returned plan re-reads no corpus data. The median/MAD sides are
+    type-cardinality rows and explicitly broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    hx = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    st = hx.groupBy("event_type").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    d = hx.join(F.broadcast(st), "event_type").select(
+        "event_type", "hour", "x", F.abs(F.col("x") - F.col("med")).alias("dev")
+    )
+    m = d.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .filter(4 * F.col("dev") > 12 * F.col("mad"))
+        .select(
+            "event_type",
+            "hour",
+            F.col("x").alias("value_fp"),
+            F.floor(4 * F.col("dev")).cast("long").alias("dev4"),
+            F.floor(4 * F.col("mad")).cast("long").alias("mad4"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -140,6 +140,13 @@ TRAINDATA = [
     # per-query startup, not just the plan
     "stream_stream_interval_join",
     "stateful_user_session_stats",
+    # round-6 tokenizer-pipeline family: BPE merge training (iterative —
+    # its wall includes BPE_ROUNDS vocab-table jobs), coverage curve,
+    # RAG chunking, robust MAD outliers
+    "bpe_train_merges",
+    "vocab_coverage_topk",
+    "chunk_overlap_dedup",
+    "robust_outlier_hours",
 ]
 
 CURATION = [
