@@ -63,9 +63,9 @@ ORACLES: dict[str, str] = {}
 #: below per VERDICT r5 #8).
 #:
 #: ROUND-7 ROTATION POOL (added round 6 after the tier froze, never
-#: driver-checked): bpe_train_merges, vocab_coverage_topk,
-#: chunk_overlap_dedup, robust_outlier_hours. Swap them in next round
-#: for four twice-driver-green tail entries.
+#: driver-checked): bpe_train_merges, bpe_encode_token_counts,
+#: vocab_coverage_topk, chunk_overlap_dedup, robust_outlier_hours.
+#: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",

@@ -54,11 +54,12 @@ from apache_beam_challange_spark.sources.catalog import load_table
 BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled-trajectory DuckDB oracle for :func:`bpe_train_merges`:
-    one MATERIALIZED state CTE per merge round (lazy re-expansion of a
-    chained greedy trajectory is exponential — the MMR/k-means oracle
-    discipline), replaying the identical argmax + replace per round."""
+def _bpe_cte_prefix(rounds: int) -> str:
+    """Unrolled-trajectory DuckDB CTE chain shared by the training and
+    encode oracles: one MATERIALIZED state CTE per merge round (lazy
+    re-expansion of a chained greedy trajectory is exponential — the
+    MMR/k-means oracle discipline), replaying the identical argmax +
+    replace per round."""
     parts = [
         "WITH wf AS MATERIALIZED (",
         "    SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq",
@@ -66,7 +67,7 @@ def _bpe_oracle(rounds: int) -> str:
         "    WHERE token <> '' GROUP BY token",
         "),",
         "s0 AS MATERIALIZED (",
-        r"    SELECT freq, regexp_replace(word, '(.)', '⟨\1⟩', 'g') AS state FROM wf",
+        r"    SELECT word, freq, regexp_replace(word, '(.)', '⟨\1⟩', 'g') AS state FROM wf",
         ")",
     ]
     for i in range(1, rounds + 1):
@@ -85,7 +86,7 @@ t{i} AS MATERIALIZED (
     FROM pos{i} GROUP BY 1, 2 ORDER BY pair_count DESC, l, r LIMIT 1
 ),
 s{i} AS MATERIALIZED (
-    SELECT freq,
+    SELECT word, freq,
            replace(state, '⟨' || l || '⟩⟨' || r || '⟩', '⟨' || l || r || '⟩') AS state
     FROM s{i - 1} CROSS JOIN t{i}
 ),
@@ -100,12 +101,35 @@ o{i} AS (
     FROM t{i} CROSS JOIN c{i}
 )"""
         )
-    parts.append(
-        "\n"
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    return (
+        _bpe_cte_prefix(rounds)
+        + "\n"
         + " UNION ALL ".join(f"SELECT * FROM o{i}" for i in range(1, rounds + 1))
         + " ORDER BY round"
     )
-    return "".join(parts)
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    return (
+        _bpe_cte_prefix(rounds)
+        + f""",
+tokc AS (
+    SELECT word, len(state) - len(replace(state, '⟨', '')) AS n_tok FROM s{rounds}
+),
+docw AS (
+    SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tok) * 100) // COUNT(*) AS BIGINT) AS tokens_per_100_words
+FROM docw JOIN tokc USING (word)
+GROUP BY lang ORDER BY lang"""
+    )
 
 
 @query("bpe_train_merges", oracle=_bpe_oracle(BPE_ROUNDS))
@@ -131,6 +155,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side read is the per-round 1-row argmax (the merge decision —
     parameter-bounded by BPE_ROUNDS, the k-means-centroid class of
     scalar read)."""
+    rounds = _train(spark, sf_dir)[1]
+    out = rounds[0]
+    for df in rounds[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("round")
+
+
+def _train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the BPE_ROUNDS greedy merge loop on the vocab table; returns
+    (final word states, per-round 1-row summary frames). Shared by the
+    training query (which returns the round summaries) and the encode
+    query (which joins the final word->token-count map back onto the
+    corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -141,7 +178,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-sized from here on; checkpoint so each round starts from the
     # materialized word dict, not a corpus re-scan
     states = wf.select(
-        "freq", F.regexp_replace("word", "(.)", "⟨$1⟩").alias("state")
+        "word", "freq", F.regexp_replace("word", "(.)", "⟨$1⟩").alias("state")
     ).localCheckpoint()
     rounds: list[DataFrame] = []
     for r in range(1, BPE_ROUNDS + 1):
@@ -173,6 +210,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         states = (
             states.crossJoin(F.broadcast(top.select("l", "r")))
             .select(
+                "word",
                 "freq",
                 F.replace(
                     F.col("state"),
@@ -205,10 +243,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "corpus_tokens",
             )
         )
-    out = rounds[0]
-    for df in rounds[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("round")
+    return states, rounds
 
 
 # --- vocabulary coverage curve ----------------------------------------------
@@ -347,6 +382,56 @@ def chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "(n_chunks - n_distinct) * 1000000 DIV n_chunks"
             ).alias("dup_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- BPE corpus encoding (the end use of the trained merges) -----------------
+
+
+@query("bpe_encode_token_counts", oracle=_bpe_encode_oracle(BPE_ROUNDS))
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained BPE vocabulary and report
+    per-language token accounting: (lang, n_docs, n_words, n_tokens,
+    tokens_per_100_words) — the fertility / data-budget numbers a
+    training run plans token counts with, and the END USE of
+    :func:`bpe_train_merges`.
+
+    Scale shape — how corpus tokenization actually runs at 100 TB: the
+    merge loop produced a finished word -> token-count map on the
+    Zipf-small vocab table; encoding is then ONE corpus pass joining
+    each word occurrence against that map (a plain equi-join — AQE
+    broadcasts the vocab side when it is actually small, per the
+    no-forced-broadcast-of-growing-tables discipline) and one
+    per-language aggregate. No per-round work ever touches corpus
+    rows."""
+    states, _ = _train(spark, sf_dir)
+    tokc = states.select(
+        "word",
+        (
+            F.length("state")
+            - F.length(F.replace(F.col("state"), F.lit("⟨"), F.lit("")))
+        ).alias("n_tok"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "lang", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return (
+        docw.join(tokc, "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 100 DIV n_words").alias("tokens_per_100_words"),
         )
         .orderBy("lang")
     )

@@ -144,6 +144,7 @@ TRAINDATA = [
     # its wall includes BPE_ROUNDS vocab-table jobs), coverage curve,
     # RAG chunking, robust MAD outliers
     "bpe_train_merges",
+    "bpe_encode_token_counts",
     "vocab_coverage_topk",
     "chunk_overlap_dedup",
     "robust_outlier_hours",

@@ -102,6 +102,51 @@ def test_bpe_plan_has_no_corpus_scan(spark, sf_dir):
     assert "Scan parquet" not in p and "FileScan" not in p
 
 
+def test_bpe_encode_matches_python_trainer_states(spark, sf_dir):
+    """Per-language token counts after encoding must equal re-encoding
+    with the python trainer's final states (the end-use contract: the
+    trained vocab IS the tokenizer)."""
+    import duckdb
+
+    wf = duckdb.sql(
+        f"""SELECT token, COUNT(*) FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM '{sf_dir}/documents.parquet')
+            WHERE token <> '' GROUP BY token"""
+    ).fetchall()
+    states = {tuple(w): f for w, f in wf}
+    for _, l, rr, *_ in _python_bpe(dict(wf), BPE_ROUNDS):
+        new_states: dict[tuple, int] = {}
+        for syms, f in states.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    merged.append(l + rr)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_states[tuple(merged)] = new_states.get(tuple(merged), 0) + f
+        states = new_states
+    tok_len = {"".join(s): len(s) for s in states}
+    docs = duckdb.sql(
+        f"SELECT lang, doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    want: dict[str, list[int]] = {}
+    for lang, doc_id, text in docs:
+        words = [w for w in text.split(" ") if w]
+        acc = want.setdefault(lang, [set(), 0, 0])
+        acc[0].add(doc_id)
+        acc[1] += len(words)
+        acc[2] += sum(tok_len[w] for w in words)
+    for r in QS["bpe_encode_token_counts"](spark, sf_dir).collect():
+        docs_set, n_words, n_tokens = want[r.lang]
+        assert r.n_docs == len(docs_set)
+        assert r.n_words == n_words
+        assert r.n_tokens == n_tokens
+        assert r.tokens_per_100_words == n_tokens * 100 // n_words
+
+
 # --- vocabulary coverage -----------------------------------------------------
 
 
