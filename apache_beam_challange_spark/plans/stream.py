@@ -189,6 +189,55 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_outer_join",
+    oracle="""
+WITH wm AS (
+    SELECT date_trunc('milliseconds',
+               LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                     (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')))
+           - INTERVAL 1 HOUR AS w
+)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       date_diff('second', c.ts, p.ts) AS delay_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE p.event_id IS NOT NULL
+   OR c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+""".strip(),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: the inner attribution join
+    plus the abandoned-click rows — a click with no purchase in its
+    30-minute window is emitted once, null-padded, when the watermark
+    proves no match can still arrive (the state-eviction semantics only a
+    real stream-stream outer join exercises; an inner join never emits
+    from eviction).
+
+    The batch-twin oracle reproduces the eviction boundary exactly
+    (empirically pinned at sf0.001/0.01/0.1): Spark tracks per-input max
+    event time in milliseconds, the global watermark is
+    min(max click_ts, max purchase_ts) ms-truncated minus the 1 h delay,
+    and a null row appears iff the click's window end falls strictly
+    before it. Unexpired unmatched clicks are (correctly) absent from
+    both sides of the comparison."""
+    from apache_beam_challange_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(
+        click_purchase_interval_join(ev, how="leftOuter"), "append"
+    )
+
+
+@query(
     "stateful_user_session_stats",
     oracle="""
 SELECT user_id,

@@ -198,6 +198,7 @@ def click_purchase_interval_join(
     events: DataFrame,
     attribution_window: str = "30 minutes",
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM event-time interval join (click-to-purchase
     attribution): each click joins the purchases of the same user whose
@@ -212,7 +213,15 @@ def click_purchase_interval_join(
     on both streams and the range check is evaluated within the co-located
     state store — never a cartesian. Append output (the only mode
     stream-stream joins support): a pair is emitted exactly once, when both
-    sides have arrived."""
+    sides have arrived.
+
+    ``how="leftOuter"`` adds the abandoned-click rows: a click with NO
+    purchase in its window is emitted once, null-padded, when the global
+    watermark proves no match can still arrive. Eviction semantics
+    (empirically pinned, three SFs): Spark tracks per-input max event time
+    in MILLISECONDS, the global watermark is min(per-side max, ms-
+    truncated) - delay, and the null row is emitted when
+    ``click_ts + attribution_window`` falls STRICTLY before it."""
     # Watermarks only attach to TIMESTAMP (tz-aware) event time; the
     # session is pinned to UTC (session.py:32), so ntz->timestamp is a
     # wall-clock identity here, and the outputs cast back to ntz below.
@@ -242,6 +251,7 @@ def click_purchase_interval_join(
             F.col("purchase_ts")
             < F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
         ),
+        how,
     )
     # delay in whole seconds: floor(epoch) diff on both engines (cast
     # timestamp->long truncates; DuckDB date_diff counts second boundaries

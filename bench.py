@@ -139,6 +139,7 @@ TRAINDATA = [
     # completion, so the wall includes the streaming engine's fixed
     # per-query startup, not just the plan
     "stream_stream_interval_join",
+    "stream_stream_left_outer_join",
     "stateful_user_session_stats",
     # round-6 tokenizer-pipeline family: BPE merge training (iterative —
     # its wall includes BPE_ROUNDS vocab-table jobs), coverage curve,

@@ -211,6 +211,43 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert pairs == {(1, 2)}
 
 
+def test_stream_stream_left_outer_emits_expired_unmatched_only(spark, tmp_path):
+    """LEFT OUTER stream-stream join eviction semantics: an unmatched
+    click whose 30-minute window closed before the final watermark is
+    emitted once with nulls; an unmatched click still inside the
+    watermark horizon is emitted NOT AT ALL (a match could still
+    arrive); matched clicks join normally."""
+    from apache_beam_challange_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    d = tmp_path / "ssloj_in"
+    d.mkdir()
+    # final watermark = min(max click_ts, max purchase_ts) - 1h
+    #                 = min(16:00, 18:00) - 1h = 15:00
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "click", 1.0, "{}"),   # matched by 2
+            (2, _nanos(10, 10), 1, "purchase", 1.0, "{}"),
+            (3, _nanos(11, 0), 2, "click", 1.0, "{}"),   # unmatched, window
+            #   ends 11:30 < 15:00 -> expired -> null row
+            (4, _nanos(16, 0), 3, "click", 1.0, "{}"),   # unmatched, window
+            #   ends 16:30 > 15:00 -> still live -> absent
+            (5, _nanos(18, 0), 4, "purchase", 1.0, "{}"),
+        ],
+    )
+    ev = events_stream(spark, str(d))
+    out = run_to_memory(
+        click_purchase_interval_join(ev, how="leftOuter"), "append"
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+    assert got == {(1, 2), (3, None)}
+    null_row = [r for r in out.collect() if r["purchase_id"] is None][0]
+    assert null_row["purchase_ts"] is None and null_row["delay_sec"] is None
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     """foreachBatch custom sink: per-micro-batch Python callback."""
     d = tmp_path / "feb_in"
