@@ -143,3 +143,57 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[1]["batch"] == 1
     assert rows[2]["score"] == 7.5
+
+
+def test_xml_source_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4 ships a native XML source (the spark-xml package folded
+    into core): row-tagged write/read must round-trip typed rows."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_xml")
+    nation.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nation.schema)
+        .load(path)
+    )
+    want = {tuple(r) for r in nation.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+
+
+def test_observation_inline_metrics_single_pass(spark, sf_dir):
+    """The Observation API attaches DQ metrics to a query WITHOUT a
+    second scan: the observed row count / null count / sum arrive as a
+    side effect of the one action, and match a direct recomputation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = Observation("dq")
+    out = (
+        ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+                "value_fp_sum"
+            ),
+        )
+        .groupBy("event_type")
+        .count()
+    )
+    out.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+            "value_fp_sum"
+        ),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["null_users"] == (direct["null_users"] or 0)
+    assert got["value_fp_sum"] == direct["value_fp_sum"]
