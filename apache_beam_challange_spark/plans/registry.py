@@ -65,7 +65,8 @@ ORACLES: dict[str, str] = {}
 #: ROUND-7 ROTATION POOL (added round 6 after the tier froze, never
 #: driver-checked): bpe_train_merges, bpe_encode_token_counts,
 #: vocab_coverage_topk, chunk_overlap_dedup, robust_outlier_hours,
-#: stream_stream_left_outer_join, variant_props_stats.
+#: stream_stream_left_outer_join, variant_props_stats,
+#: lateral_top_customers_per_nation, recursive_hour_spine_counts.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

@@ -444,3 +444,13 @@ def test_bigram_counts_join_not_forced_broadcast(spark, sf_dir):
     # 1-row vocabulary scalar.
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") <= 1
+
+
+def test_lateral_join_is_decorrelated(plans):
+    """The correlated LATERAL subquery must be DECORRELATED by Catalyst:
+    the executed plan is window/limit + one equi-join — never a
+    nested-loop re-scan of customer per nation row."""
+    p = plans("lateral_top_customers_per_nation")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p or "Window" in p
