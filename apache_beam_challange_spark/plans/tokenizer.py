@@ -328,7 +328,7 @@ WITH pos AS (
     SELECT lang, text,
            unnest(generate_series(0, CAST((len(text) + {CHUNK_S - 1}) // {CHUNK_S}
                                           AS BIGINT) - 1)) AS i
-    FROM documents
+    FROM documents WHERE len(text) > 0
 ),
 ch AS (
     SELECT lang, md5(substr(text, CAST(i * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W})) AS h
@@ -356,7 +356,11 @@ def chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte hash."""
     docs = load_table(spark, sf_dir, "documents")
     n_chunks = (F.length("text") + F.lit(CHUNK_S - 1)) / F.lit(CHUNK_S)
-    pos = docs.select(
+    # empty docs yield ZERO chunks on both engines: DuckDB's
+    # generate_series(0, -1) is empty but Spark's sequence(0, -1) DESCENDS
+    # to [0, -1] (two phantom chunks — found by review), so the guard is
+    # explicit rather than left to sequence semantics
+    pos = docs.filter(F.length("text") > 0).select(
         "lang",
         "text",
         F.explode(

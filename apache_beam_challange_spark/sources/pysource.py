@@ -213,38 +213,27 @@ class _JsonlWriter(DataSourceWriter):
         # committed row — found by review); OVERWRITE replaces it.
         manifest = sorted(m.filename for m in messages if m is not None)
         mpath = os.path.join(self.path, "_MANIFEST")
+        # BOTH commit paths hold the same O_EXCL lock through their flip:
+        # append is a read-modify-write (two concurrent appends could each
+        # read the old file and the second flip would silently drop the
+        # first job's committed rows — ADVICE r5), and an overwrite racing
+        # an in-flight append is the same lost-update class (a mere
+        # exists() check would be check-then-act and still racy — found by
+        # review). The single-writer contract is a LOUD error instead; a
+        # crashed holder leaves the lock behind by design — the operator
+        # inspects and removes it, same as any half-finished ingest.
         lock = os.path.join(self.path, "_MANIFEST.lock")
-        if self.overwrite:
-            # OVERWRITE doesn't read the old manifest, but racing an
-            # in-flight append would silently lose one side's flip — the
-            # same lost-update class the lock exists for. Fail loudly
-            # instead of flipping under a held lock.
-            if os.path.exists(lock):
-                raise RuntimeError(
-                    f"concurrent write to {self.path}: {lock} exists — the "
-                    "jsonl_commit sink is single-writer per directory; if "
-                    "no other job is running, remove the stale lock"
-                )
-            self._flip_manifest(mpath, manifest)
-            return
-        # APPEND is a read-modify-write of the manifest: two concurrent
-        # appends could each read the old file and the second flip would
-        # silently drop the first job's committed rows. An O_EXCL lock
-        # makes the single-writer contract a LOUD error instead (ADVICE
-        # r5); a crashed holder leaves the lock behind by design — the
-        # operator inspects and removes it, same as any half-finished
-        # ingest.
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             raise RuntimeError(
-                f"concurrent append to {self.path}: {lock} exists — the "
+                f"concurrent write to {self.path}: {lock} exists — the "
                 "jsonl_commit sink is single-writer per directory; if no "
                 "other job is running, remove the stale lock"
             ) from None
         try:
             os.close(fd)
-            if os.path.isfile(mpath):
+            if not self.overwrite and os.path.isfile(mpath):
                 with open(mpath) as f:
                     manifest = sorted(
                         set(json.load(f)["files"]) | set(manifest)

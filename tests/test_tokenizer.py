@@ -260,3 +260,19 @@ def test_robust_outliers_plan_single_fact_scan(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in p and "FileScan" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_chunk_overlap_empty_text_yields_zero_chunks(spark, tmp_path):
+    """An empty document must contribute ZERO chunks — Spark's
+    sequence(0, -1) DESCENDS to [0, -1] (two phantom chunks) where
+    DuckDB's generate_series(0, -1) is empty, so the guard is explicit
+    (found by review). Non-empty docs still chunk normally."""
+    df = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "x" * (CHUNK_S + 1), "en", "s", CHUNK_S + 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = QS["chunk_overlap_dedup"](spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].n_chunks == 2  # ceil(61/60) for the non-empty doc only
