@@ -149,6 +149,7 @@ TRAINDATA = [
     "vocab_coverage_topk",
     "chunk_overlap_dedup",
     "robust_outlier_hours",
+    "enriched_orders_view_revenue",
 ]
 
 CURATION = [

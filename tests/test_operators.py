@@ -559,3 +559,83 @@ def test_ensure_session_confs_respects_runtime_override(spark):
         assert spark.conf.get(key) == "13"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_join_view_incremental_refresh_equals_rebuild(spark, tmp_path):
+    """Two fact appends folded incrementally must equal a one-shot enrich
+    of all facts; a refresh with nothing new returns 0 and publishes no
+    version (the idempotent no-op)."""
+    from apache_beam_challange_spark.operators.joinview import (
+        enrich_orders,
+        refresh_enriched_orders,
+    )
+    from apache_beam_challange_spark.sources.publish import (
+        published_versions,
+        read_published,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, "a", 10, 5.0, "BUILDING"), (2, "b", 20, 6.0, "MACHINERY")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+
+    def orders_df(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+
+    batch1 = [(1, 1, 100.0), (2, 2, 200.0)]
+    batch2 = [(3, 1, 300.0), (4, 2, 400.0)]
+    path = str(tmp_path / "enriched")
+    assert refresh_enriched_orders(orders_df(batch1), cust, path) == 2
+    assert refresh_enriched_orders(orders_df(batch1 + batch2), cust, path) == 2
+    got = {
+        (r.o_orderkey, r.c_mktsegment, r.c_nationkey)
+        for r in read_published(spark, path).collect()
+    }
+    want = {
+        (r.o_orderkey, r.c_mktsegment, r.c_nationkey)
+        for r in enrich_orders(orders_df(batch1 + batch2), cust).collect()
+    }
+    assert got == want
+    v = published_versions(path)
+    assert refresh_enriched_orders(orders_df(batch1 + batch2), cust, path) == 0
+    assert published_versions(path) == v
+
+
+def test_join_view_dim_change_affects_new_rows_only(spark, tmp_path):
+    """The documented enrich-at-ingest contract: a dim attribute change
+    between refreshes reaches NEW fact rows only; already-enriched
+    history keeps the attributes it was ingested with (point-in-time
+    history is SCD-2's job, not this view's)."""
+    from apache_beam_challange_spark.operators.joinview import (
+        refresh_enriched_orders,
+    )
+    from apache_beam_challange_spark.sources.publish import read_published
+
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string"
+    )
+    cust_v1 = spark.createDataFrame([(1, "a", 10, 5.0, "BUILDING")], schema)
+    cust_v2 = spark.createDataFrame([(1, "a", 10, 5.0, "FURNITURE")], schema)
+
+    def orders_df(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+
+    path = str(tmp_path / "enriched_dim")
+    assert refresh_enriched_orders(orders_df([(1, 1, 100.0)]), cust_v1, path) == 1
+    assert (
+        refresh_enriched_orders(
+            orders_df([(1, 1, 100.0), (2, 1, 200.0)]), cust_v2, path
+        )
+        == 1
+    )
+    got = {
+        r.o_orderkey: r.c_mktsegment
+        for r in read_published(spark, path).collect()
+    }
+    assert got == {1: "BUILDING", 2: "FURNITURE"}

@@ -454,3 +454,15 @@ def test_lateral_join_is_decorrelated(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p or "Window" in p
+
+
+def test_enriched_view_serves_history_from_warehouse(plans):
+    """The join-view serving query must union a warehouse scan of the
+    pre-enriched layer with the live-tail join: two parquet scan groups,
+    one of them the materialized enriched_orders table, and the only
+    JOIN in the plan is the tail's broadcast dim join."""
+    p = plans("enriched_orders_view_revenue")
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert any("enriched_orders" in l for l in scans)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
