@@ -170,3 +170,48 @@ def _prune(base: str, keep_from: int) -> None:
             continue
         if n < keep_from:
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+
+def delete_published_keys(
+    spark: SparkSession,
+    base: str,
+    key_col: str,
+    keys,
+    purge_history: bool = True,
+) -> int:
+    """Compliance (right-to-be-forgotten) delete: republish the live
+    version under ``base`` WITHOUT the rows whose ``key_col`` is in
+    ``keys`` (a python sequence for a request batch, or a DataFrame of
+    keys for bulk erasure — the DataFrame route is a broadcast anti-join,
+    so the table never shuffles). Returns the number of rows removed
+    (0 = nothing matched, nothing published — the idempotent no-op, so a
+    retried erasure job cannot burn versions).
+
+    ``purge_history=True`` (the default, because this is the compliance
+    path) then prunes EVERY retained older version: time-travel snapshots
+    also contain the subject's rows, and an erasure that leaves them
+    readable under ``read_published(version=...)`` has not erased
+    anything. The publish-then-purge order inherits the crash model: a
+    crash before the pointer flip leaves the old data live (the retry
+    redoes the delete); a crash between flip and purge leaves only
+    already-superseded versions behind, and the retry's purge is a no-op
+    re-scan. Set ``purge_history=False`` to keep the audit window when
+    policy allows."""
+    current = read_published(spark, base)
+    if current is None:
+        return 0
+    if isinstance(keys, DataFrame):
+        from pyspark.sql import functions as F
+
+        key_df = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+        kept = current.join(F.broadcast(key_df), key_col, "left_anti")
+    else:
+        kept = current.filter(~current[key_col].isin(list(keys)))
+    # one consistent snapshot for count + publish
+    kept = kept.localCheckpoint()
+    n_removed = current.count() - kept.count()
+    if n_removed:
+        publish(kept, base)
+        if purge_history:
+            _prune(base, keep_from=_current_version_num(base))
+    return n_removed

@@ -639,3 +639,47 @@ def test_join_view_dim_change_affects_new_rows_only(spark, tmp_path):
         for r in read_published(spark, path).collect()
     }
     assert got == {1: "BUILDING", 2: "FURNITURE"}
+
+
+def test_delete_published_keys_erases_rows_and_history(spark, tmp_path):
+    """Right-to-be-forgotten through the versioned layer: the subject's
+    rows leave the LIVE version AND every retained time-travel snapshot
+    (an erasure that leaves old versions readable has not erased
+    anything); nothing-matched is an idempotent no-op that publishes no
+    version. The DataFrame-of-keys route (broadcast anti-join) must
+    agree with the sequence route."""
+    from apache_beam_challange_spark.sources.publish import (
+        delete_published_keys,
+        publish,
+        published_versions,
+        read_published,
+    )
+
+    base = str(tmp_path / "subjects")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "user_id long, payload string"
+    )
+    publish(v1, base)
+    publish(
+        v1.unionByName(
+            spark.createDataFrame([(4, "d")], "user_id long, payload string")
+        ),
+        base,
+    )
+    assert len(published_versions(base)) == 2
+    # erase subject 2: gone from live AND history purged to the new version
+    assert delete_published_keys(spark, base, "user_id", [2]) == 1
+    assert {r.user_id for r in read_published(spark, base).collect()} == {1, 3, 4}
+    assert len(published_versions(base)) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_published(spark, base, version=1)  # old snapshot is truly gone
+    # idempotent: nothing matched -> 0, no new version
+    v = published_versions(base)
+    assert delete_published_keys(spark, base, "user_id", [2]) == 0
+    assert published_versions(base) == v
+    # bulk route: DataFrame of keys via broadcast anti-join
+    keys = spark.createDataFrame([(1,), (4,)], "user_id long")
+    assert delete_published_keys(spark, base, "user_id", keys) == 2
+    assert {r.user_id for r in read_published(spark, base).collect()} == {3}
