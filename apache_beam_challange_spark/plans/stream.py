@@ -112,6 +112,40 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour
+FROM events
+""".strip(),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    holds each key only until the watermark passes its event time + the
+    1 h horizon, so state is O(keys inside the horizon) — the variant
+    that runs forever at 100 TB, where ``streaming_dedup_events``'s plain
+    ``dropDuplicates`` documents the unbounded-state tradeoff. Within one
+    availableNow backlog every duplicate is inside the horizon, so the
+    final table equals DISTINCT (the batch-twin oracle); the semantic
+    difference — a duplicate arriving AFTER its key's state expired is
+    re-emitted — is pinned by the crafted multi-batch test."""
+    from pyspark.sql import functions as F
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
+        .select("user_id", "event_type", "hour")
+    )
+    return run_to_memory(deduped, "append")
+
+
+@query(
     "streaming_enriched_nation_counts",
     oracle="""
 SELECT c.c_nationkey, COUNT(*) AS n_events

@@ -953,3 +953,53 @@ def test_user_session_stats_tws_twin(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_dedup_within_watermark_reemits_after_state_expiry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's bounded-state contract: a
+    duplicate inside the horizon is suppressed; once the watermark
+    passes the key's expiry its state is dropped, so a LATER duplicate
+    is re-emitted (plain dropDuplicates would suppress it forever —
+    with unbounded state)."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "ddww_in"
+    d.mkdir()
+    # batch a: first occurrence of the key
+    _write_batch(spark, str(d / "a.parquet"), [(1, _nanos(10, 0), 1, "view", 1.0, "{}")])
+    # batch b: duplicate within the 1h horizon (suppressed) + a row far
+    # ahead that advances the watermark past the key's expiry
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [
+            (2, _nanos(10, 10), 1, "view", 1.0, "{}"),
+            (3, _nanos(20, 0), 9, "click", 1.0, "{}"),
+        ],
+    )
+    # batch c: same key again. Still SUPPRESSED: state eviction runs at
+    # the END of a batch with the watermark derived from the PREVIOUS
+    # batch's max event time, so (1, view)'s expired state (expiry 11:00
+    # < wm 19:00) is only removed when batch c commits — its row dedups
+    # against the stale entry first. This is the documented
+    # at-least-the-horizon guarantee: within-delay duplicates are ALWAYS
+    # suppressed; expired keys are dropped eventually, not instantly.
+    _write_batch(spark, str(d / "c.parquet"), [(4, _nanos(21, 0), 1, "view", 1.0, "{}")])
+    # batch d: after c's commit evicted the key, the next duplicate IS
+    # re-emitted — bounded state means history is forgotten past the
+    # horizon (plain dropDuplicates would suppress it forever).
+    _write_batch(spark, str(d / "d.parquet"), [(5, _nanos(21, 30), 1, "view", 1.0, "{}")])
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    ded = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_to_memory(ded, "append")
+    rows = sorted((r.user_id, r.event_type) for r in out.collect())
+    assert rows == [(1, "view"), (1, "view"), (9, "click")]
