@@ -39,7 +39,7 @@ data-pipeline surface the build brief mandates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -422,3 +422,57 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 40) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al.): every node starts as its own label; each round, every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label — fully deterministic, unlike the classic
+    random-order asynchronous LPA (determinism is what lets an oracle
+    replay the trajectory and two engines agree). ``edges`` carries
+    (u, v) with u < v, no duplicates.
+
+    Runs EXACTLY ``rounds`` rounds: synchronous LPA can 2-cycle on
+    bipartite-ish structures, so "converged" is not well-defined — a
+    fixed round count is both the standard remedy and what makes the
+    result reproducible (the k-means/PageRank bounded-iteration
+    discipline). Communities denser than their surroundings (duplicate
+    cliques) absorb their members within 1-2 rounds; the bridge
+    structure between them keeps oscillating labels localized.
+
+    Scale shape: each round is one neighbor-label expansion (two
+    equi-joins on the static edge list), one (node, label) count, and
+    one per-node argmax window — all hash-partitioned on node, no
+    driver reads at all. Labels are checkpointed per round so round r+1
+    starts from materialized labels, not a growing lineage.
+
+    Returns (node, community)."""
+    e = edges.select("u", "v").localCheckpoint(eager=False)
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for _ in range(rounds):
+        nb = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+            .unionAll(
+                e.join(labels.withColumnRenamed("node", "u"), "u").select(
+                    F.col("v").alias("node"), "label"
+                )
+            )
+        )
+        labels = (
+            nb.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

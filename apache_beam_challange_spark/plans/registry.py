@@ -67,7 +67,8 @@ ORACLES: dict[str, str] = {}
 #: vocab_coverage_topk, chunk_overlap_dedup, robust_outlier_hours,
 #: stream_stream_left_outer_join, variant_props_stats,
 #: lateral_top_customers_per_nation, recursive_hour_spine_counts,
-#: enriched_orders_view_revenue, streaming_dedup_within_watermark.
+#: enriched_orders_view_revenue, streaming_dedup_within_watermark,
+#: near_dup_label_propagation.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

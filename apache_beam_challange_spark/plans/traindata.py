@@ -2771,3 +2771,88 @@ def robust_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --- label-propagation communities on the near-dup graph ---------------------
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA trajectory on the band-candidate graph:
+    per round, neighbor-label counts then the (count DESC, label) argmax
+    per node — the same deterministic tie-break the engine uses."""
+    parts = [
+        """e0 AS MATERIALIZED (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+l0 AS MATERIALIZED (
+    SELECT node, node AS label
+    FROM (SELECT u AS node FROM e0 UNION SELECT v FROM e0)
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""nb{t} AS (
+    SELECT e.u AS node, l.label FROM e0 e JOIN l{t - 1} l ON l.node = e.v
+    UNION ALL
+    SELECT e.v AS node, l.label FROM e0 e JOIN l{t - 1} l ON l.node = e.u
+),
+cnt{t} AS (
+    SELECT node, label, COUNT(*) AS c FROM nb{t} GROUP BY 1, 2
+),
+l{t} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY node ORDER BY c DESC, label
+               ) AS rn
+        FROM cnt{t}
+    ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + _MINHASH_CTE
+        + """,
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+"""
+        + ",\n".join(parts)
+        + f"""
+SELECT node AS doc_id, label AS community FROM l{rounds} ORDER BY doc_id
+"""
+    ).strip()
+
+
+@query("near_dup_label_propagation", oracle=_lpa_oracle())
+def near_dup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the near-dup
+    candidate graph — the density-seeking member of the graph family
+    (CC x2, PageRank, triangles, k-core): where connected components
+    merge everything reachable, LPA's neighbor-majority vote keeps a
+    thin bridge between two duplicate cliques from fusing them into one
+    community. Deterministic by construction (synchronous rounds,
+    count-then-smallest-label tie-break, fixed round count — the
+    bounded-iteration discipline), so the DuckDB oracle replays the
+    identical trajectory as unrolled MATERIALIZED CTEs.
+
+    Scale shape: per round two equi-joins against the static edge list,
+    one (node, label) count, one per-node argmax window — all
+    hash-partitioned on node, zero driver reads."""
+    from apache_beam_challange_spark.operators.graph import label_propagation
+
+    edges = _lsh_pair_graph(spark, sf_dir).select(
+        F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
+    )
+    return (
+        label_propagation(edges, rounds=4)
+        .select(F.col("node").alias("doc_id"), "community")
+        .orderBy("doc_id")
+    )

@@ -151,6 +151,7 @@ TRAINDATA = [
     "chunk_overlap_dedup",
     "robust_outlier_hours",
     "enriched_orders_view_revenue",
+    "near_dup_label_propagation",
 ]
 
 CURATION = [

@@ -315,3 +315,74 @@ def test_pagerank_int_mass_bounds(spark):
         for r in pagerank_int(edges, n_iter=4).collect()
     }
     assert set(got.values()) == {1_000_000}
+
+
+# --- label propagation -------------------------------------------------------
+
+
+def _uv_edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "u long, v long")
+
+
+def _python_lpa(pairs, rounds):
+    """Reference synchronous LPA: neighbor-majority, tie -> smallest."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            counts = collections.Counter(labels[m] for m in adj[n])
+            nxt[n] = min(
+                counts, key=lambda lb: (-counts[lb], lb)
+            )
+        labels = nxt
+    return labels
+
+
+def test_lpa_two_cliques_separate_communities(spark):
+    """Two 4-cliques joined by one bridge edge: CC fuses them into one
+    component, but LPA's neighbor-majority keeps two communities — the
+    property that makes it the density-seeking member of the family."""
+    from apache_beam_challange_spark.operators.graph import label_propagation
+
+    k4a = [(u, v) for u in (1, 2, 3, 4) for v in (1, 2, 3, 4) if u < v]
+    k4b = [(u, v) for u in (5, 6, 7, 8) for v in (5, 6, 7, 8) if u < v]
+    pairs = k4a + k4b + [(4, 5)]
+    got = {
+        r.node: r.community
+        for r in label_propagation(_uv_edges(spark, pairs), rounds=4).collect()
+    }
+    assert got == _python_lpa(pairs, 4)
+    # one label per clique, and the two cliques differ
+    assert len({got[n] for n in (1, 2, 3)}) == 1
+    assert len({got[n] for n in (6, 7, 8)}) == 1
+    assert got[1] != got[8]
+
+
+def test_lpa_matches_python_reference_on_random_graph(spark):
+    """Full-trajectory equality on a deterministic pseudo-random graph
+    (including oscillation-prone structures — synchronous LPA runs a
+    FIXED round count, so both implementations must agree exactly)."""
+    from apache_beam_challange_spark.operators.graph import label_propagation
+
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for i in range(120)
+            for a, b in [((i * i * 7) % 30, (i * 13 + 5) % 30)]
+            if a != b
+        }
+    )
+    for rounds in (1, 3, 4):
+        got = {
+            r.node: r.community
+            for r in label_propagation(
+                _uv_edges(spark, pairs), rounds=rounds
+            ).collect()
+        }
+        assert got == _python_lpa(pairs, rounds), rounds
