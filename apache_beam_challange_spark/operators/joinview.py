@@ -23,6 +23,14 @@ Semantics contract (documented, test-asserted):
   point-in-time-correct history is the SCD-2 operator's job,
   ``plans/curation.py:scd2_event_type_history``, which this view
   deliberately does not duplicate).
+- **Erasure composition**: the view is DERIVED data — a compliance
+  delete (``sources/publish.py:delete_published_keys``) must erase the
+  upstream facts too, or the watermark mechanics can resurrect erased
+  rows: deleting the view rows that held MAX(o_orderkey) regresses the
+  watermark, and the next refresh re-joins those keys from the
+  still-present facts. Erase upstream first, then the view; a fully
+  emptied view raises on refresh rather than silently stalling (its
+  watermark is undefined).
 
 Idempotency & crash model: each refresh publishes ``current UNION
 delta`` through :mod:`..sources.publish` (version dir first, atomic
@@ -68,6 +76,16 @@ def refresh_enriched_orders(
     current = read_published(spark, view_path)
     if current is not None:
         wm = current.agg(F.max("o_orderkey").alias("wm")).collect()[0]["wm"]
+        if wm is None:
+            # a published-but-empty view (e.g. a compliance delete erased
+            # every row) has NO watermark: refreshing from None would
+            # silently re-enrich nothing forever. Loud, not stalled —
+            # found by review. Rebuild from the (erased-upstream!) facts.
+            raise RuntimeError(
+                f"enriched view at {view_path} is published but empty — "
+                "its append watermark is undefined; erase the upstream "
+                "facts and rebuild the view instead of refreshing"
+            )
         fresh = orders.filter(F.col("o_orderkey") > F.lit(wm))
     else:
         fresh = orders

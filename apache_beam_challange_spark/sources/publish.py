@@ -188,30 +188,71 @@ def delete_published_keys(
     retried erasure job cannot burn versions).
 
     ``purge_history=True`` (the default, because this is the compliance
-    path) then prunes EVERY retained older version: time-travel snapshots
-    also contain the subject's rows, and an erasure that leaves them
-    readable under ``read_published(version=...)`` has not erased
-    anything. The publish-then-purge order inherits the crash model: a
-    crash before the pointer flip leaves the old data live (the retry
-    redoes the delete); a crash between flip and purge leaves only
-    already-superseded versions behind, and the retry's purge is a no-op
-    re-scan. Set ``purge_history=False`` to keep the audit window when
-    policy allows."""
-    current = read_published(spark, base)
-    if current is None:
-        return 0
-    if isinstance(keys, DataFrame):
-        from pyspark.sql import functions as F
+    path) guarantees that AFTER the call only the live version is
+    retained: time-travel snapshots also contain the subject's rows, and
+    an erasure that leaves them readable under
+    ``read_published(version=...)`` has not erased anything. The purge
+    runs even when nothing matched — that is what makes a RETRY after a
+    crash between publish and purge (or after an earlier
+    ``purge_history=False`` call) complete the erasure instead of
+    skipping it (found by review: gating the purge on the removal count
+    left old snapshots readable forever on exactly that retry). Set
+    ``purge_history=False`` to keep the audit window when policy allows.
 
-        key_df = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
-        kept = current.join(F.broadcast(key_df), key_col, "left_anti")
-    else:
-        kept = current.filter(~current[key_col].isin(list(keys)))
-    # one consistent snapshot for count + publish
-    kept = kept.localCheckpoint()
-    n_removed = current.count() - kept.count()
-    if n_removed:
-        publish(kept, base)
-        if purge_history:
-            _prune(base, keep_from=_current_version_num(base))
+    NULL-key rows are never deleted by either route (a NULL key matches
+    no erasure request; the naive ``~isin`` filter silently dropped them
+    — found by review). A bare string for ``keys`` is rejected rather
+    than exploded into per-character keys, and the DataFrame route
+    requires the key column by name (or a single-column frame) rather
+    than silently taking the first column.
+
+    Derived tables are the caller's responsibility, as with every
+    erasure system: anything built FROM this data (e.g. an enriched join
+    view) still holds the subject's rows and must be erased or re-derived
+    too — and a re-derivation from un-erased upstream facts resurrects
+    them, so erase upstream first."""
+    from pyspark.sql import functions as F
+
+    if isinstance(keys, str):
+        raise TypeError(
+            "keys must be a sequence of key values or a DataFrame — a bare "
+            "string would be exploded into per-character keys"
+        )
+    current = read_published(spark, base)
+    n_removed = 0
+    if current is not None:
+        if isinstance(keys, DataFrame):
+            if key_col in keys.columns:
+                src = key_col
+            elif len(keys.columns) == 1:
+                src = keys.columns[0]
+            else:
+                raise ValueError(
+                    f"keys DataFrame must carry {key_col!r} or exactly one "
+                    f"column, got {keys.columns}"
+                )
+            key_df = keys.select(F.col(src).alias("__del_key")).distinct()
+            flagged = current.join(
+                F.broadcast(key_df),
+                current[key_col] == F.col("__del_key"),
+                "left",
+            ).withColumn("__del", F.col("__del_key").isNotNull())
+            flagged = flagged.drop("__del_key")
+        else:
+            # NULL-safe: isNull rows are kept, never silently erased
+            flagged = current.withColumn(
+                "__del",
+                current[key_col].isNotNull()
+                & current[key_col].isin(list(keys)),
+            )
+        # ONE source scan: flag + checkpoint, then both counts and the
+        # publish read the local snapshot
+        flagged = flagged.localCheckpoint()
+        n_removed = flagged.filter(F.col("__del")).count()
+        if n_removed:
+            publish(flagged.filter(~F.col("__del")).drop("__del"), base)
+    if purge_history:
+        cur = _current_version_num(base)
+        if cur is not None:
+            _prune(base, keep_from=cur)
     return n_removed

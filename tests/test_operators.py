@@ -683,3 +683,84 @@ def test_delete_published_keys_erases_rows_and_history(spark, tmp_path):
     keys = spark.createDataFrame([(1,), (4,)], "user_id long")
     assert delete_published_keys(spark, base, "user_id", keys) == 2
     assert {r.user_id for r in read_published(spark, base).collect()} == {3}
+
+
+def test_delete_published_keys_guards(spark, tmp_path):
+    """Review-found hazards of a destructive API: NULL-key rows are never
+    erased (a NULL matches no request; naive ~isin dropped them), a bare
+    string is rejected instead of exploding into characters, a
+    wrong-shaped keys DataFrame is rejected instead of silently
+    anti-joining the wrong column, and a retry completes a purge an
+    earlier crash (or purge_history=False call) left undone."""
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.sources.publish import (
+        delete_published_keys,
+        publish,
+        published_versions,
+        read_published,
+    )
+
+    base = str(tmp_path / "subjects2")
+    publish(
+        spark.createDataFrame(
+            [(1, "a"), (None, "ghost"), (3, "c")], "user_id long, payload string"
+        ),
+        base,
+    )
+    # NULL-key row survives the sequence route and the count is honest
+    assert delete_published_keys(spark, base, "user_id", [1]) == 1
+    assert {
+        r.payload for r in read_published(spark, base).collect()
+    } == {"ghost", "c"}
+    with _pytest.raises(TypeError):
+        delete_published_keys(spark, base, "payload", "abc")
+    bad = spark.createDataFrame([("x", 3)], "payload string, other long")
+    with _pytest.raises(ValueError):
+        delete_published_keys(spark, base, "user_id", bad)
+    # retry completes the purge: an earlier call kept history...
+    publish(
+        spark.createDataFrame(
+            [(None, "ghost"), (3, "c"), (9, "z")],
+            "user_id long, payload string",
+        ),
+        base,
+    )
+    assert len(published_versions(base)) == 2
+    assert (
+        delete_published_keys(spark, base, "user_id", [3], purge_history=False)
+        == 1
+    )
+    assert len(published_versions(base)) >= 2
+    # ...and the no-op retry with purge_history=True still purges
+    assert delete_published_keys(spark, base, "user_id", [3]) == 0
+    assert len(published_versions(base)) == 1
+
+
+def test_join_view_refresh_raises_on_emptied_view(spark, tmp_path):
+    """A published-but-empty enriched view (e.g. after a full compliance
+    delete) has no defined append watermark: refresh must raise loudly
+    instead of silently enriching nothing forever."""
+    import pytest as _pytest
+
+    from apache_beam_challange_spark.operators.joinview import (
+        refresh_enriched_orders,
+    )
+    from apache_beam_challange_spark.sources.publish import (
+        delete_published_keys,
+        publish,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, "a", 10, 5.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, 100.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    path = str(tmp_path / "enriched_empty")
+    assert refresh_enriched_orders(orders, cust, path) == 1
+    assert delete_published_keys(spark, path, "o_custkey", [1]) == 1
+    with _pytest.raises(RuntimeError, match="empty"):
+        refresh_enriched_orders(orders, cust, path)
