@@ -68,7 +68,7 @@ ORACLES: dict[str, str] = {}
 #: stream_stream_left_outer_join, variant_props_stats,
 #: lateral_top_customers_per_nation, recursive_hour_spine_counts,
 #: enriched_orders_view_revenue, streaming_dedup_within_watermark,
-#: near_dup_label_propagation.
+#: near_dup_label_propagation, stateful_gap_sessions.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

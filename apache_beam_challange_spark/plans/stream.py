@@ -335,3 +335,59 @@ def streaming_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, f"{sf_dir}/events.parquet")
     return run_to_memory(ohlc_bars(ev, "1 hour"), "complete")
+
+
+@query(
+    "stateful_gap_sessions",
+    oracle="""
+WITH wm AS (
+    SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+    FROM events
+),
+flag AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                ) <= INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_s
+    FROM events
+),
+grp AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS g
+    FROM flag
+),
+sess AS (
+    SELECT user_id, g, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY MAX(ts) DESC
+           ) AS rn
+    FROM grp GROUP BY user_id, g
+)
+SELECT user_id, session_start, session_end, n_events FROM sess
+WHERE rn > 1 OR session_end + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+""".strip(),
+)
+def stateful_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMER-driven stateful sessionization: 30-minute-gap sessions per
+    user on ``applyInPandasWithState`` with ``EventTimeTimeout`` — the
+    state-timeout mechanism the other stateful operators never need,
+    because their emissions are all data-driven. Sessions closed by a
+    later event stream out of the data path; each user's FINAL open
+    session has no later event to close it, so only its event-time TIMER
+    (set to session_end + gap) can flush it, firing when the watermark
+    passes.
+
+    The batch-twin oracle is the verified gaps-and-islands rewrite plus
+    the timer boundary: every non-final session appears; a user's final
+    session appears iff its gap horizon closed strictly before the final
+    watermark (ms-truncated max event time minus the 1 h delay — the
+    same empirically pinned eviction arithmetic as the left-outer
+    stream-stream join)."""
+    from apache_beam_challange_spark.streaming.stateful import gap_sessions
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(gap_sessions(ev), "append")

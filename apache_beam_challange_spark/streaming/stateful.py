@@ -262,3 +262,87 @@ def running_key_counts_tws(keyed: DataFrame, key_col: str = "key") -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+#: gap-session operator constants: 30-minute inactivity gap
+GAP_SESSION_MS = 30 * 60 * 1000
+GAP_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp_ntz, "
+    "session_end timestamp_ntz, n_events bigint"
+)
+GAP_STATE_SCHEMA = "s bigint, l bigint, n bigint"
+
+
+def _gap_session_updates(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer with TIMER-driven emission: sessions that
+    close INSIDE a batch (a later event starts a new one) are emitted
+    from data; the final open session is emitted by the EVENT-TIME
+    TIMEOUT when the watermark passes its gap — the state-timeout
+    mechanism that only a timer can exercise (no later event ever
+    arrives to close it)."""
+
+    def frame(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "session_start": [pd.Timestamp(s * 1000) for s, _, _ in rows],
+                "session_end": [pd.Timestamp(l * 1000) for _, l, _ in rows],
+                "n_events": [n for _, _, n in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        s0, l0, n0 = state.get
+        state.remove()
+        yield frame([(s0, l0, n0)])
+        return
+    ts: list[int] = []
+    for pdf in batches:
+        ts.extend(int(x) // 1000 for x in pdf["ts"].astype("int64"))
+    ts.sort()
+    if state.exists:
+        s0, l0, n0 = state.get
+    else:
+        s0 = l0 = n0 = None
+    closed: list[tuple[int, int, int]] = []
+    for t in ts:
+        if l0 is not None and (t - l0) <= GAP_SESSION_MS * 1000:
+            l0, n0 = t, n0 + 1
+        else:
+            if l0 is not None:
+                closed.append((s0, l0, n0))
+            s0, l0, n0 = t, t, 1
+    state.update((s0, l0, n0))
+    # event-time timer in MILLIS: fires when the watermark passes the
+    # session's gap horizon
+    state.setTimeoutTimestamp(l0 // 1000 + GAP_SESSION_MS)
+    # ONE frame per key per batch, never per session — a per-session
+    # 1-row yield was a 3x constant-factor drag at sf0.1
+    if closed:
+        yield frame(closed)
+
+
+def gap_sessions(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming gap sessionization on ``applyInPandasWithState`` with
+    ``EventTimeTimeout``: the closed-by-data sessions stream out as the
+    backlog folds, and each user's final OPEN session is flushed by its
+    event-time TIMER once the watermark proves the gap elapsed. The
+    other stateful operators here (running counts, session stats) never
+    need timers because every emission is data-driven; this one is the
+    canonical can't-do-it-without-timeouts shape."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", watermark_delay)
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _gap_session_updates,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

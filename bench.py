@@ -142,6 +142,7 @@ TRAINDATA = [
     "stream_stream_left_outer_join",
     "streaming_dedup_within_watermark",
     "stateful_user_session_stats",
+    "stateful_gap_sessions",
     # round-6 tokenizer-pipeline family: BPE merge training (iterative —
     # its wall includes BPE_ROUNDS vocab-table jobs), coverage curve,
     # RAG chunking, robust MAD outliers

@@ -1003,3 +1003,45 @@ def test_dedup_within_watermark_reemits_after_state_expiry(spark, tmp_path):
     out = run_to_memory(ded, "append")
     rows = sorted((r.user_id, r.event_type) for r in out.collect())
     assert rows == [(1, "view"), (1, "view"), (9, "click")]
+
+
+def test_gap_sessions_timer_flushes_only_after_watermark(spark, tmp_path):
+    """EventTimeTimeout semantics: a session closed BY DATA (later event
+    past the gap) emits immediately; the final open session emits only
+    when a later batch's watermark passes its gap horizon — the
+    timer-driven flush. A session whose horizon the watermark never
+    passes stays in state, unemitted."""
+    from apache_beam_challange_spark.streaming.stateful import gap_sessions
+
+    d = tmp_path / "gap_in"
+    d.mkdir()
+    # batch a: user 1 has two sessions' worth of data (gap > 30 min
+    # between 10:00-10:10 and 11:00) -> first session emitted from data
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "view", 1.0, "{}"),
+            (2, _nanos(10, 10), 1, "view", 1.0, "{}"),
+            (3, _nanos(11, 0), 1, "view", 1.0, "{}"),
+        ],
+    )
+    # batch b: another user far ahead -> watermark 19:00 passes user 1's
+    # open-session horizon (11:30) -> timer fires, session flushed; user
+    # 9's own session (19:50..) stays open forever (watermark never
+    # reaches 20:20+)
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [(4, _nanos(19, 50), 9, "view", 1.0, "{}")],
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_memory(gap_sessions(ev), "append")
+    rows = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1),
+    ]
