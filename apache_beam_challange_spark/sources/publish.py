@@ -239,11 +239,17 @@ def delete_published_keys(
             ).withColumn("__del", F.col("__del_key").isNotNull())
             flagged = flagged.drop("__del_key")
         else:
-            # NULL-safe: isNull rows are kept, never silently erased
+            # NULL-safe on BOTH sides: isNull rows are kept, never
+            # silently erased, and a None inside the request list is
+            # dropped rather than poisoning isin() into three-valued
+            # NULL (which silently discarded every non-matching row —
+            # found by review)
+            vals = [k for k in keys if k is not None]
             flagged = current.withColumn(
                 "__del",
-                current[key_col].isNotNull()
-                & current[key_col].isin(list(keys)),
+                current[key_col].isNotNull() & current[key_col].isin(vals)
+                if vals
+                else F.lit(False),
             )
         # ONE source scan: flag + checkpoint, then both counts and the
         # publish read the local snapshot

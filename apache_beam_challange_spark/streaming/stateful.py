@@ -302,20 +302,42 @@ def _gap_session_updates(
         return
     ts: list[int] = []
     for pdf in batches:
-        ts.extend(int(x) // 1000 for x in pdf["ts"].astype("int64"))
+        # vectorized: the per-element python loop was interpreter cost in
+        # the hot path (review)
+        ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
     ts.sort()
     if state.exists:
         s0, l0, n0 = state.get
     else:
         s0 = l0 = n0 = None
+    gap_us = GAP_SESSION_MS * 1000
     closed: list[tuple[int, int, int]] = []
     for t in ts:
-        if l0 is not None and (t - l0) <= GAP_SESSION_MS * 1000:
-            l0, n0 = t, n0 + 1
-        else:
-            if l0 is not None:
-                closed.append((s0, l0, n0))
+        if l0 is None:
             s0, l0, n0 = t, t, 1
+        elif t > l0:
+            # forward in time: the only case a single sorted batch hits
+            if t - l0 <= gap_us:
+                l0, n0 = t, n0 + 1
+            else:
+                closed.append((s0, l0, n0))
+                s0, l0, n0 = t, t, 1
+        elif t >= s0 - gap_us:
+            # LATE but adjacent to the open session (inside its span or
+            # within one gap before its start): merge without ever
+            # regressing boundaries — the naive `l0 = t` assignment
+            # emitted session_end < session_start and pulled the timer an
+            # hour early (review; the sibling _count_updates' "merge,
+            # don't replace" discipline)
+            s0, n0 = min(s0, t), n0 + 1
+        else:
+            # LATE beyond the open session's horizon: its original
+            # session may already be emitted, so retroactive merge is
+            # impossible with O(1) state — it sessionizes alone, the
+            # documented bounded-state compromise (Spark's native
+            # session_window pays buffered-state merges for the same
+            # case)
+            closed.append((t, t, 1))
     state.update((s0, l0, n0))
     # event-time timer in MILLIS: fires when the watermark passes the
     # session's gap horizon
@@ -333,7 +355,15 @@ def gap_sessions(events: DataFrame, watermark_delay: str = "1 hour") -> DataFram
     event-time TIMER once the watermark proves the gap elapsed. The
     other stateful operators here (running counts, session stats) never
     need timers because every emission is data-driven; this one is the
-    canonical can't-do-it-without-timeouts shape."""
+    canonical can't-do-it-without-timeouts shape.
+
+    LATE-DATA CONTRACT (O(1) state per key, by design): a late event
+    adjacent to the OPEN session (inside its span, or within one gap
+    before its start) merges into it without regressing either boundary
+    or the timer; a late event beyond that horizon sessionizes alone —
+    its original session may already be emitted, and retroactive merge
+    requires the buffered-event state Spark's native ``session_window``
+    pays for. Test-pinned in both directions."""
     from pyspark.sql import functions as F
 
     keyed = events.select(

@@ -715,6 +715,13 @@ def test_delete_published_keys_guards(spark, tmp_path):
     } == {"ghost", "c"}
     with _pytest.raises(TypeError):
         delete_published_keys(spark, base, "payload", "abc")
+    # a None inside the request list must not poison isin() into
+    # three-valued NULL (which silently dropped every NON-matching row)
+    assert delete_published_keys(spark, base, "user_id", [None, 3]) == 1
+    assert {
+        r.payload for r in read_published(spark, base).collect()
+    } == {"ghost"}
+    assert delete_published_keys(spark, base, "user_id", [None]) == 0
     bad = spark.createDataFrame([("x", 3)], "payload string, other long")
     with _pytest.raises(ValueError):
         delete_published_keys(spark, base, "user_id", bad)

@@ -1045,3 +1045,50 @@ def test_gap_sessions_timer_flushes_only_after_watermark(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
         (1, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1),
     ]
+
+
+def test_gap_sessions_late_data_never_regresses_boundaries(spark, tmp_path):
+    """Late-data contract: a late event adjacent to the open session
+    merges WITHOUT regressing session_end (the naive merge emitted
+    session_end < session_start and pulled the timer early — found by
+    review); a late event beyond the open session's gap horizon
+    sessionizes alone."""
+    from apache_beam_challange_spark.streaming.stateful import gap_sessions
+
+    d = tmp_path / "gap_late_in"
+    d.mkdir()
+    # batch a: open session 12:00-12:05
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(12, 0), 1, "view", 1.0, "{}"),
+            (2, _nanos(12, 5), 1, "view", 1.0, "{}"),
+        ],
+    )
+    # batch b: late 11:50 (within one gap before start -> merges, start
+    # moves back, END DOES NOT REGRESS), late 9:00 (beyond horizon ->
+    # singleton), plus a far-future row advancing the watermark so every
+    # session flushes
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [
+            (3, _nanos(11, 50), 1, "view", 1.0, "{}"),
+            (4, _nanos(9, 0), 1, "view", 1.0, "{}"),
+            (5, _nanos(23, 0), 9, "click", 1.0, "{}"),
+        ],
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_memory(gap_sessions(ev), "append")
+    rows = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in out.collect()
+        if r.user_id == 1
+    )
+    assert rows == [
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+        (1, "2024-01-01 11:50:00", "2024-01-01 12:05:00", 3),
+    ]
+    for _, start, end, _ in rows:
+        assert start <= end
