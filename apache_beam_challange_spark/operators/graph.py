@@ -476,3 +476,53 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def adamic_adar(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    non-adjacent pair (u, v) with at least one common neighbor, the score
+    ``sum over common neighbors z of 1 / ln(deg(z))`` (Adamic & Adar 2003;
+    Liben-Nowell & Kleinberg 2003 — public literature). ``edges`` carries
+    (u, v) with u < v, no duplicates.
+
+    Shape: degree aggregation, symmetric adjacency with deg(z) attached,
+    wedge self-equi-join on the center z (the triangle-counting join
+    class — never pair x pair), score aggregation, and an anti-join
+    against the existing edges so only PREDICTED links remain. A wedge
+    center needs >= 2 neighbors, so deg(z) >= 2 and ln(deg) is never 0.
+
+    Scale: wedge count is sum over z of C(deg(z), 2) — quadratic in hub
+    degree, the same exposure triangle counting bounds by degree
+    orientation. Here orientation cannot apply (both wedge endpoints are
+    outputs, not a count), so the guard is ``max_degree``: hub centers
+    above the cap are EXCLUDED (with 1/ln(d) their per-wedge weight is
+    already the smallest) — the standard bounded-AA trade, off by
+    default so small graphs stay exact.
+
+    Returns (u, v, n_common, aa_score): u < v, not an existing edge.
+    """
+    e = edges.select("u", "v")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("d") <= max_degree)
+    adj = (
+        e.select(F.col("u").alias("z"), F.col("v").alias("n"))
+        .unionAll(e.select(F.col("v").alias("z"), F.col("u").alias("n")))
+        .join(deg.withColumnRenamed("node", "z"), "z")
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = a.join(
+        b, (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n"))
+    ).select(
+        F.col("a.n").alias("u"), F.col("b.n").alias("v"), F.col("a.d").alias("dz")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(F.lit(1.0) / F.log(F.col("dz").cast("double"))).alias("aa_score"),
+    )
+    return scored.join(e, ["u", "v"], "left_anti")

@@ -68,7 +68,9 @@ ORACLES: dict[str, str] = {}
 #: stream_stream_left_outer_join, variant_props_stats,
 #: lateral_top_customers_per_nation, recursive_hour_spine_counts,
 #: enriched_orders_view_revenue, streaming_dedup_within_watermark,
-#: near_dup_label_propagation, stateful_gap_sessions.
+#: near_dup_label_propagation, stateful_gap_sessions,
+#: gopher_quality_flags, dsir_importance_weights,
+#: duplicate_span_islands, adamic_adar_link_prediction.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
@@ -163,6 +165,7 @@ def load_all() -> None:
         "curation",
         "traindata",
         "tokenizer",
+        "filtering",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 
