@@ -1,0 +1,283 @@
+"""Evaluation & audit operators — cluster quality, privacy risk, and
+CEP-style behavioral patterns (SURVEY.md §2.9's "beyond the reference"
+mandate; the reference has no analog):
+
+- **simplified silhouette** (`kmeans_silhouette`): per-cluster quality of
+  the k-means codebook (`kmeans_embedding_clusters`) via the simplified
+  silhouette (centroid-based, the classic approximation that avoids the
+  all-pairs point-to-point silhouette): for every vector,
+  ``s = (b - a) / max(a, b)`` where ``a`` is the distance to its own
+  centroid and ``b`` the distance to the nearest OTHER centroid — both
+  read from one ranked distance list, so the whole evaluation is the
+  assignment join (vectors x broadcast k-row codebook) plus one window
+  and one aggregate. The oracle replays the identical Lloyd trajectory
+  through the shared generated CTE chain (operators/clustering.py).
+- **k-anonymity audit** (`k_anonymity_audit`): the privacy-release check
+  for a training corpus: bucket every document by its quasi-identifier
+  tuple (lang, source, n_chars rounded to 50) and report, per language,
+  how many equivalence classes fall below k=5 and how many rows sit in
+  them (Sweeney 2002 — public literature). One groupBy on the
+  quasi-identifier tuple, one per-lang rollup — map-side combined, the
+  cheapest audit in the suite; pairs with the PII redaction counts
+  (plans/traindata.py) as the privacy family.
+- **event pattern matching** (`event_pattern_matches`): complex-event
+  processing (the Flink CEP / MATCH_RECOGNIZE class) by relational
+  encoding: per (user, day), order events by (ts, event_id), project
+  each to a one-char tag, concatenate the day's journey string, and
+  count regex matches — the conversion funnel ``vc*p`` (view, any
+  clicks, purchase) and the error-retry ``e+p``. Tags are DISJOINT
+  single characters, so leftmost-first and leftmost-longest regex
+  semantics coincide and Spark's (Java regex) and DuckDB's (RE2) counts
+  are identical by construction. The day scope bounds the per-group
+  state exactly like a streaming watermark would — no unbounded
+  collect_list, and the only shuffle is the (user, day) aggregate.
+
+Every query is pure DataFrame composition — no UDFs, no driver-side
+collection — and every oracle reproduces the exact arithmetic so the
+driver's value-hash gate verifies results, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.operators.clustering import (
+    kmeans_centroids,
+    kmeans_cents_ctes,
+)
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+# --- simplified silhouette of the k-means clustering ------------------------
+
+_K, _N_ITER = 4, 2
+
+
+@query(
+    "kmeans_silhouette",
+    oracle=f"""
+WITH {kmeans_cents_ctes(k=_K, n_iter=_N_ITER)},
+ranked AS (
+    SELECT v.vec_id, c.centroid_id,
+           list_distance(v.vec, c.cvec) AS dist,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c.cvec), c.centroid_id
+           ) AS rn
+    FROM vecs v CROSS JOIN cents{_N_ITER} c
+),
+ab AS (
+    SELECT vec_id,
+           MAX(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+           MAX(CASE WHEN rn = 1 THEN dist END) AS a,
+           MAX(CASE WHEN rn = 2 THEN dist END) AS b
+    FROM ranked WHERE rn <= 2 GROUP BY vec_id
+),
+sil AS (
+    SELECT centroid_id,
+           CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                ELSE (b - a) / GREATEST(a, b) END AS s
+    FROM ab
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(s), 6) AS avg_silhouette,
+       ROUND(MIN(s), 6) AS min_silhouette
+FROM sil
+GROUP BY centroid_id
+ORDER BY centroid_id
+""".strip(),
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the k-means codebook: how
+    separated each cluster is, from the SAME ranked distance list the
+    assignment already computes — rank 1 is the own-centroid distance
+    ``a``, rank 2 the nearest-other-centroid distance ``b``,
+    ``s = (b - a) / max(a, b)`` (0 when both distances are 0, the
+    duplicate-of-centroid guard). Vectors x broadcast k-row codebook,
+    one per-vector window, one per-cluster aggregate — the evaluation
+    costs no more than the assignment it grades."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from apache_beam_challange_spark.functions.vector import as_double
+    from apache_beam_challange_spark.operators.clustering import _sq_l2
+
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    cents = kmeans_centroids(emb, k=_K, n_iter=_N_ITER)
+    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+    ranked = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sq_l2(F.col("vec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("centroid_id"))).alias(
+            "centroid_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        ab.select("centroid_id", s.alias("s"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg("s"), 6).alias("avg_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+_K_ANON = 5
+_CHARS_BUCKET = 50
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH classes AS (
+    SELECT lang, source,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE) / {_CHARS_BUCKET}) AS BIGINT)
+               AS chars_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM documents
+    GROUP BY lang, source, FLOOR(CAST(n_chars AS DOUBLE) / {_CHARS_BUCKET})
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < {_K_ANON} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violating_classes,
+       CAST(SUM(CASE WHEN class_size < {_K_ANON} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size
+FROM classes
+GROUP BY lang
+ORDER BY lang
+""".strip(),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5, ``_K_ANON``) over the quasi-identifier
+    tuple (lang, source, n_chars bucketed to ``_CHARS_BUCKET``=50): per language,
+    how many equivalence classes a release would expose with fewer than
+    k members and how many rows sit in them — the check run before
+    publishing a corpus with per-document metadata. Two stacked
+    aggregates, both map-side combined; the quasi-identifier groupBy is
+    the only shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = (
+        docs.select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars").cast("double") / _CHARS_BUCKET)
+            .cast("long")
+            .alias("chars_bucket"),
+        )
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    return (
+        classes.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("class_size") < _K_ANON).cast("long")).alias(
+                "n_violating_classes"
+            ),
+            F.sum(
+                F.when(F.col("class_size") < _K_ANON, F.col("class_size"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.min("class_size").alias("min_class_size"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- CEP-style event pattern matching ---------------------------------------
+
+#: conversion funnel: a view, any number of clicks, then a purchase
+_FUNNEL_RE = "vc*p"
+#: error-retry: one or more errors immediately before a purchase
+_RETRY_RE = "e+p"
+
+
+@query(
+    "event_pattern_matches",
+    oracle=f"""
+WITH tagged AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           ts, event_id, substr(event_type, 1, 1) AS tag
+    FROM events
+),
+journeys AS (
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           STRING_AGG(tag, '' ORDER BY ts, event_id) AS journey
+    FROM tagged
+    GROUP BY user_id, day
+),
+matched AS (
+    SELECT user_id, day, n_events,
+           CAST(LEN(regexp_extract_all(journey, '{_FUNNEL_RE}')) AS BIGINT)
+               AS n_funnel,
+           CAST(LEN(regexp_extract_all(journey, '{_RETRY_RE}')) AS BIGINT)
+               AS n_error_retry
+    FROM journeys
+)
+SELECT user_id, day, n_events, n_funnel, n_error_retry
+FROM matched
+WHERE n_funnel > 0 OR n_error_retry > 0
+""".strip(),
+)
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern matching by relational encoding (the MATCH_RECOGNIZE /
+    Flink-CEP class): each (user, day) concatenates its time-ordered
+    one-char event tags into a journey string and counts non-overlapping
+    regex matches — the conversion funnel ``vc*p`` (``_FUNNEL_RE``) and
+    the error-retry ``e+p`` (``_RETRY_RE``). Event-type tags are disjoint single
+    characters, so greedy leftmost matching is unambiguous and the
+    Java-regex (Spark) and RE2 (DuckDB) counts coincide by construction;
+    ties in ``ts`` are broken by event_id so the journey string itself
+    is deterministic. The day scope bounds per-group state (the batch
+    twin of a watermarked session) — one (user, day) shuffle, journeys
+    of at most one day's events, never an unbounded collect."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("tag"),
+        ).alias("evt"),
+    )
+    journeys = tagged.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("evt")), lambda s: s["tag"]
+            ),
+            "",
+        ).alias("journey"),
+    )
+    matched = journeys.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.size(F.regexp_extract_all("journey", F.lit(_FUNNEL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_funnel"),
+        F.size(F.regexp_extract_all("journey", F.lit(_RETRY_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_error_retry"),
+    )
+    return matched.filter(
+        (F.col("n_funnel") > 0) | (F.col("n_error_retry") > 0)
+    )

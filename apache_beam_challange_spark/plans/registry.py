@@ -70,7 +70,8 @@ ORACLES: dict[str, str] = {}
 #: enriched_orders_view_revenue, streaming_dedup_within_watermark,
 #: near_dup_label_propagation, stateful_gap_sessions,
 #: gopher_quality_flags, dsir_importance_weights,
-#: duplicate_span_islands, adamic_adar_link_prediction.
+#: duplicate_span_islands, adamic_adar_link_prediction,
+#: kmeans_silhouette, k_anonymity_audit, event_pattern_matches.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
@@ -166,6 +167,7 @@ def load_all() -> None:
         "traindata",
         "tokenizer",
         "filtering",
+        "audit",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

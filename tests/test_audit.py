@@ -1,0 +1,178 @@
+"""Round-6 audit family: simplified silhouette, k-anonymity audit,
+CEP-style event pattern matching.
+
+The oracle gate verifies exact values against DuckDB; these tests pin
+the semantic invariants (silhouette bounds and agreement with a Python
+reference on the assignment, k-anonymity accounting, regex-journey
+counts recomputed from raw events) and the plan shapes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QS = entrymod.all_queries()
+
+
+# --- kmeans_silhouette ------------------------------------------------------
+
+
+def test_silhouette_bounds_and_population(spark, sf_dir):
+    rows = QS["kmeans_silhouette"](spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_points for r in rows) == emb_n
+    for r in rows:
+        assert -1.0 <= r.min_silhouette <= r.avg_silhouette <= 1.0
+
+
+def test_silhouette_agrees_with_assignment(spark, sf_dir):
+    """Cluster sizes must match the k-means assignment query — the
+    silhouette is an evaluation of THAT clustering, not a re-clustering."""
+    sil = {r.centroid_id: r.n_points for r in QS["kmeans_silhouette"](spark, sf_dir).collect()}
+    asg = (
+        QS["kmeans_embedding_clusters"](spark, sf_dir)
+        .groupBy("centroid_id")
+        .count()
+        .collect()
+    )
+    assert sil == {r.centroid_id: r["count"] for r in asg}
+
+
+def test_silhouette_separated_clusters_score_high(spark):
+    """Closed-form check: two tight, far-apart clusters must score near 1."""
+    from apache_beam_challange_spark.functions.vector import as_double
+    from apache_beam_challange_spark.operators.clustering import (
+        _sq_l2,
+        kmeans_centroids,
+    )
+    from pyspark.sql import Window
+
+    pts = [([0.0, 0.0], 0), ([0.0, 0.1], 1), ([10.0, 10.0], 2), ([10.0, 10.1], 3)]
+    emb = spark.createDataFrame(
+        [(i, v, l) for i, (v, l) in enumerate(pts)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = kmeans_centroids(emb, k=2, n_iter=2)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+    ranked = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sq_l2(F.col("vec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
+    )
+    for r in ab.collect():
+        s = (r.b - r.a) / max(r.a, r.b)
+        assert s > 0.98
+
+
+# --- k_anonymity_audit ------------------------------------------------------
+
+
+def test_k_anonymity_matches_python_reference(spark, sf_dir):
+    from apache_beam_challange_spark.plans.audit import _CHARS_BUCKET, _K_ANON
+
+    got = {r.lang: r for r in QS["k_anonymity_audit"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    classes: dict[tuple, int] = {}
+    for d in docs:
+        key = (d.lang, d.source, d.n_chars // _CHARS_BUCKET)
+        classes[key] = classes.get(key, 0) + 1
+    langs = {k[0] for k in classes}
+    assert set(got) == langs
+    for lang in langs:
+        mine = {k: v for k, v in classes.items() if k[0] == lang}
+        r = got[lang]
+        assert r.n_classes == len(mine)
+        assert r.n_violating_classes == sum(1 for v in mine.values() if v < _K_ANON)
+        assert r.n_rows_at_risk == sum(v for v in mine.values() if v < _K_ANON)
+        assert r.min_class_size == min(mine.values())
+
+
+# --- event_pattern_matches --------------------------------------------------
+
+
+def test_patterns_match_python_reference(spark, sf_dir):
+    """Rebuild every journey string in Python and re-count both regexes —
+    pins the ordering tiebreak, the day scoping and the match
+    semantics end to end."""
+    got = {
+        (r.user_id, str(r.day)): (r.n_events, r.n_funnel, r.n_error_retry)
+        for r in QS["event_pattern_matches"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    journeys: dict[tuple, list] = {}
+    for e in ev:
+        key = (e.user_id, str(e.ts.date()))
+        journeys.setdefault(key, []).append((e.ts, e.event_id, e.event_type[0]))
+    expect = {}
+    for key, evs in journeys.items():
+        evs.sort()
+        j = "".join(t for _, _, t in evs)
+        nf = len(re.findall("vc*p", j))
+        nr = len(re.findall("e+p", j))
+        if nf > 0 or nr > 0:
+            expect[key] = (len(evs), nf, nr)
+    assert got == expect
+
+
+def test_pattern_counts_on_crafted_journey(spark):
+    """Closed-form: 'vccp ecp vp ep' tags — 3 funnel matches (vccp, vp via
+    greedy c*, and the vp inside 'vcp'?) verified by explicit string."""
+    j = "vccpevpeep"
+    assert len(re.findall("vc*p", j)) == 2  # vccp, vp
+    assert len(re.findall("e+p", j)) == 1  # eep (the 'e' before 'vp' is not followed by p)
+    row = (
+        spark.range(1)
+        .select(
+            F.size(F.regexp_extract_all(F.lit(j), F.lit("vc*p"), F.lit(0))).alias("nf"),
+            F.size(F.regexp_extract_all(F.lit(j), F.lit("e+p"), F.lit(0))).alias("nr"),
+        )
+        .collect()[0]
+    )
+    assert (row.nf, row.nr) == (2, 1)
+
+
+# --- plan shapes ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entrymod.all_queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_silhouette_broadcasts_codebook(plans):
+    """The vectors x centroids join must broadcast the k-row codebook —
+    never shuffle the embedding table against it."""
+    p = plans("kmeans_silhouette")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_k_anonymity_two_phase_no_join(plans):
+    p = plans("k_anonymity_audit")
+    assert "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_patterns_single_shuffle_no_join(plans):
+    """One (user, day) aggregate carries the whole query — no join, no
+    global window, one exchange."""
+    p = plans("event_pattern_matches")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # the (user, day) hash + AQE reads
