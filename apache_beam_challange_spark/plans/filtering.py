@@ -259,6 +259,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # the hashed-feature stream feeds THREE consumers (raw totals, target
+    # totals, per-doc counts); materialize it once (lazy localCheckpoint,
+    # the dedup-chain discipline) or Spark re-runs the corpus explode +
+    # md5 per consumer
     feat = bi.select(
         "doc_id",
         "source",
@@ -266,7 +270,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
             % _DSIR_BUCKETS
         ).alias("f"),
-    )
+    ).localCheckpoint(eager=False)
     raw = feat.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         feat.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
@@ -394,16 +398,25 @@ def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     n = _SPAN_N
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
-        ).alias("p"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.col("p").cast("long").alias("p"),
-        F.md5(F.array_join(F.slice("toks", F.col("p"), n), " ")).alias("fp"),
+    # two consumers (the dup-fingerprint groupBy and the position join);
+    # materialize the fingerprint stream once or the tokenize+md5 pass
+    # runs twice
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0))
+                )
+            ).alias("p"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            F.md5(F.array_join(F.slice("toks", F.col("p"), n), " ")).alias("fp"),
+        )
+        .localCheckpoint(eager=False)
     )
     dup_fps = (
         grams.groupBy("fp")
