@@ -430,3 +430,56 @@ def minhash_stored_signatures(spark, path: str) -> DataFrame:
     signature values are deterministic, so duplicates are always exact
     copies and the drop is a pure idempotence guard."""
     return spark.read.parquet(path).dropDuplicates(["doc_id", "hash_idx"])
+
+
+def containment_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Exact token-set CONTAINMENT evaluated only on candidate pairs —
+    the asymmetric complement of :func:`jaccard_on_candidates`:
+    ``containment = |A ∩ B| / min(|A|, |B|)``, i.e. how much of the
+    SMALLER document lives inside the larger one. Symmetric Jaccard
+    misses subset duplication (a short document quoted wholesale inside
+    a long one scores low Jaccard but containment ~1); this is the
+    verifier Broder's containment sketch targets.
+
+    Plan shape identical to the Jaccard verifier: two doc_id equi-joins
+    attach the distinct-token arrays, a narrow ``array_intersect``
+    scores — candidate-sized, never all-pairs.
+
+    Pairs with an empty intersection require ``min_containment > 0`` to
+    stay equivalent to the inner-join oracle formulation.
+    """
+    toksets = df.select(
+        "doc_id", F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
+    )
+    t1 = toksets.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("toks_1")
+    )
+    t2 = toksets.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("toks_2")
+    )
+    cont = F.col("n_inter") / F.least("n1", "n2")
+    return (
+        candidates.join(t1, "doc_id_1")
+        .join(t2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("toks_1", "toks_2")).cast("long").alias("n_inter"),
+            F.size("toks_1").cast("long").alias("n1"),
+            F.size("toks_2").cast("long").alias("n2"),
+        )
+        .filter(cont >= min_containment)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_inter",
+            "n1",
+            "n2",
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -281,3 +281,86 @@ def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.filter(
         (F.col("n_funnel") > 0) | (F.col("n_error_retry") > 0)
     )
+
+
+# --- differentially-private noisy release -----------------------------------
+
+_DP_EPSILON = 1.0
+_DP_SEED = "dp-seed-"
+#: 16^15 — the divisor turning a 15-hex-digit md5 prefix into a [0,1) double
+_DP_DENOM = 16 ** 15
+
+#: DuckDB spelling of md5('dp-seed-' || lang)'s first 15 hex digits as BIGINT
+from apache_beam_challange_spark.plans.extensions import _HEXD  # noqa: E402
+
+_DP_HEX15 = " + ".join(
+    _HEXD.format(m=f"md5('{_DP_SEED}' || lang)", p=p) + f" * {16 ** (15 - p)}"
+    for p in range(1, 16)
+)
+
+
+@query(
+    "dp_noisy_lang_counts",
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+),
+seeded AS (
+    SELECT lang, n_docs,
+           CAST(({_DP_HEX15}) AS DOUBLE) / {_DP_DENOM}.0 AS u
+    FROM counts
+),
+noised AS (
+    SELECT lang, n_docs,
+           CASE WHEN u >= 0.5
+                THEN -(1.0 / {_DP_EPSILON}) * ln(1.0 - 2.0 * (u - 0.5))
+                ELSE  (1.0 / {_DP_EPSILON}) * ln(1.0 - 2.0 * (0.5 - u)) END
+               AS noise
+    FROM seeded
+)
+SELECT lang, n_docs,
+       ROUND(n_docs + noise, 6) AS noisy_count,
+       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+FROM noised
+ORDER BY lang
+""".strip(),
+)
+def dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (the Laplace mechanism, Dwork
+    et al. 2006 — public literature) over the per-language document
+    counts: sensitivity-1 counts + Laplace(1/epsilon) noise, epsilon=1.
+    The noise draw is DERANDOMIZED for verifiability: the uniform comes
+    from a seeded md5 of the group key (the engine's established
+    deterministic-hash discipline), pushed through the Laplace inverse
+    CDF — so the oracle reproduces the exact noisy value while the
+    mechanism's arithmetic stays the published one. The true count rides
+    along for test/verification purposes (a production release would
+    drop it — and use a real entropy source). Completes the privacy
+    family (PII redaction, k-anonymity, DP release); one tiny aggregate,
+    noise applied on lang-cardinality rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_DP_SEED), F.col("lang"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(_DP_DENOM))
+    )
+    b = 1.0 / _DP_EPSILON
+    noise = F.when(
+        u >= 0.5, -F.lit(b) * F.log(1.0 - 2.0 * (u - 0.5))
+    ).otherwise(F.lit(b) * F.log(1.0 - 2.0 * (0.5 - u)))
+    return (
+        counts.select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") + noise, 6).alias("noisy_count"),
+            F.lit(float(_DP_EPSILON)).alias("epsilon"),
+        )
+        .orderBy("lang")
+    )

@@ -921,3 +921,50 @@ def recursive_hour_spine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the recursion limit never needs raising for realistic spans."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+# --- UNPIVOT / melt ----------------------------------------------------------
+
+
+@query(
+    "unpivot_returnflag_metrics",
+    oracle="""
+WITH agg AS (
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_base_price', sum_base_price FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM agg
+ORDER BY l_returnflag, metric
+""".strip(),
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the wide-to-long reshape completing the modern-SQL
+    reshaping surface next to PIVOT (`pivot_user_event_matrix`), CUBE and
+    ROLLUP: the per-returnflag pricing aggregates unpivot into
+    (l_returnflag, metric, value) rows via the native
+    ``DataFrame.unpivot`` (Spark's Expand operator — one pass over the
+    3-row aggregate, no join, no union re-scan; the oracle's UNION ALL
+    spelling re-reads a 3-row CTE, equivalent at any scale because the
+    reshape runs on POST-aggregation rows, never on the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc_price"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")

@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_beam_challange_spark.plans.extensions import _HEXD
+from apache_beam_challange_spark.plans.extensions import _HEXD, _MINHASH_CTE
 from apache_beam_challange_spark.plans.registry import query
 from apache_beam_challange_spark.sources.catalog import load_table
 
@@ -596,4 +596,73 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("aa_score").desc(), "id_1", "id_2")
         .limit(50)
+    )
+
+
+# --- containment on LSH candidates ------------------------------------------
+
+_MIN_CONTAINMENT = 0.8
+
+
+@query(
+    "containment_dup_pairs",
+    oracle=f"""
+WITH {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+tokset AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_tokens FROM tokset GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_id_1, c.doc_id_2, CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM cand c
+    JOIN tokset a ON a.doc_id = c.doc_id_1
+    JOIN tokset b ON b.doc_id = c.doc_id_2 AND b.token = a.token
+    GROUP BY c.doc_id_1, c.doc_id_2
+)
+SELECT i.doc_id_1, i.doc_id_2, i.n_inter,
+       CAST(s1.n_tokens AS BIGINT) AS n1,
+       CAST(s2.n_tokens AS BIGINT) AS n2,
+       ROUND(i.n_inter * 1.0 / LEAST(s1.n_tokens, s2.n_tokens), 6)
+           AS containment
+FROM inter i
+JOIN sizes s1 ON i.doc_id_1 = s1.doc_id
+JOIN sizes s2 ON i.doc_id_2 = s2.doc_id
+WHERE i.n_inter * 1.0 / LEAST(s1.n_tokens, s2.n_tokens) >= 0.8
+""".strip(),
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verification on the MinHash-LSH candidates:
+    ``|A ∩ B| / min(|A|, |B|)`` — the subset-duplication detector
+    (a short document quoted wholesale inside a long one scores low
+    symmetric Jaccard but containment ~1; Broder's containment measure).
+    Same two-stage scale shape as `jaccard_on_lsh_candidates`: the LSH
+    recall stage proposes linearly many candidates from the at-rest
+    signature table, the exact verifier touches only those."""
+    from apache_beam_challange_spark.operators.dedup import (
+        containment_on_candidates,
+        lsh_candidate_pairs,
+    )
+    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        minhash_sigs_at_rest(spark, sf_dir), rows_per_band=2
+    )
+    return containment_on_candidates(
+        docs, cand, min_containment=_MIN_CONTAINMENT
     )

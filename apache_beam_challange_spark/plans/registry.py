@@ -71,7 +71,9 @@ ORACLES: dict[str, str] = {}
 #: near_dup_label_propagation, stateful_gap_sessions,
 #: gopher_quality_flags, dsir_importance_weights,
 #: duplicate_span_islands, adamic_adar_link_prediction,
-#: kmeans_silhouette, k_anonymity_audit, event_pattern_matches.
+#: kmeans_silhouette, k_anonymity_audit, event_pattern_matches,
+#: containment_dup_pairs, dp_noisy_lang_counts,
+#: unpivot_returnflag_metrics.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

@@ -176,3 +176,66 @@ def test_patterns_single_shuffle_no_join(plans):
     p = plans("event_pattern_matches")
     assert "Join" not in p
     assert p.count("Exchange") <= 2  # the (user, day) hash + AQE reads
+
+
+# --- dp_noisy_lang_counts ---------------------------------------------------
+
+
+def test_dp_noise_matches_python_reference(spark, sf_dir):
+    """Recompute the seeded Laplace inverse-CDF draw from hashlib/math —
+    pins the derandomized mechanism end to end."""
+    import hashlib
+    import math
+
+    from apache_beam_challange_spark.plans.audit import _DP_EPSILON, _DP_SEED
+
+    rows = QS["dp_noisy_lang_counts"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert {r.lang for r in rows} == set(true)
+    b = 1.0 / _DP_EPSILON
+    for r in rows:
+        assert r.n_docs == true[r.lang]
+        u = int(hashlib.md5(f"{_DP_SEED}{r.lang}".encode()).hexdigest()[:15], 16) / 16**15
+        if u >= 0.5:
+            noise = -b * math.log(1.0 - 2.0 * (u - 0.5))
+        else:
+            noise = b * math.log(1.0 - 2.0 * (0.5 - u))
+        assert r.noisy_count == pytest.approx(round(r.n_docs + noise, 6), abs=2e-6)
+        assert r.epsilon == _DP_EPSILON
+
+
+# --- unpivot_returnflag_metrics ---------------------------------------------
+
+
+def test_unpivot_matches_wide_aggregate(spark, sf_dir):
+    rows = QS["unpivot_returnflag_metrics"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wide = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+        )
+        .collect()
+    }
+    assert len(rows) == 3 * len(wide)
+    for r in rows:
+        assert r.value == wide[r.l_returnflag][r.metric]
+
+
+def test_unpivot_is_expand_not_union_rescan(spark, sf_dir):
+    """The reshape must be one Expand over the aggregate — not three
+    re-scans of the fact table unioned together."""
+    p = (
+        QS["unpivot_returnflag_metrics"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in p
+    assert p.count("FileScan parquet") == 1

@@ -281,3 +281,42 @@ def test_aa_wedge_join_is_equi(plans):
     a pair x pair product."""
     p = plans("adamic_adar_link_prediction")
     assert "CartesianProduct" not in p
+
+
+# --- containment_dup_pairs --------------------------------------------------
+
+
+def test_containment_detects_subset_doc(spark):
+    """A short doc fully inside a long one: containment 1.0 while Jaccard
+    is low — the asymmetric case the symmetric verifier misses."""
+    from apache_beam_challange_spark.operators.dedup import (
+        containment_on_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z w"),
+            (2, "x y z w q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_id_1 long, doc_id_2 long")
+    rows = containment_on_candidates(docs, cand, min_containment=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_inter, r.n1, r.n2, r.containment) == (4, 4, 10, 1.0)
+    # the same pair fails a 0.5-Jaccard verify: 4 / (4 + 10 - 4) < 0.5
+    from apache_beam_challange_spark.operators.dedup import jaccard_on_candidates
+
+    assert jaccard_on_candidates(docs, cand, min_jaccard=0.5).count() == 0
+
+
+def test_containment_invariants_on_corpus(spark, sf_dir):
+    rows = QS["containment_dup_pairs"](spark, sf_dir).collect()
+    assert len(rows) >= 1  # exact dups collide in every band
+    for r in rows:
+        assert r.n_inter <= min(r.n1, r.n2)
+        assert 0.8 <= r.containment <= 1.0
+        assert r.containment == pytest.approx(
+            round(r.n_inter / min(r.n1, r.n2), 6)
+        )
