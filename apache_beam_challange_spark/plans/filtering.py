@@ -666,3 +666,244 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_on_candidates(
         docs, cand, min_containment=_MIN_CONTAINMENT
     )
+
+
+# --- grid DBSCAN over the station layout ------------------------------------
+
+#: DBSCAN core threshold: a station is core with >= this many radius
+#: neighbors (minPts excluding the point itself)
+_DBSCAN_MIN_NEIGHBORS = 2
+
+
+@query(
+    "station_dbscan_clusters",
+    oracle=f"""
+WITH RECURSIVE {_STATION_EDGES_CTE},
+deg AS (
+    SELECT node, COUNT(*) AS d
+    FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+    GROUP BY node
+),
+core AS (
+    SELECT node FROM deg WHERE d >= {_DBSCAN_MIN_NEIGHBORS}
+),
+core_edges AS (
+    SELECT e.u AS node, e.v AS nbr FROM edges e
+    WHERE e.u IN (SELECT node FROM core) AND e.v IN (SELECT node FROM core)
+    UNION ALL
+    SELECT e.v AS node, e.u AS nbr FROM edges e
+    WHERE e.u IN (SELECT node FROM core) AND e.v IN (SELECT node FROM core)
+),
+reach AS (
+    SELECT node, node AS lbl FROM core
+    UNION
+    SELECT e.nbr AS node, r.lbl
+    FROM reach r JOIN core_edges e ON e.node = r.node
+),
+comp AS (
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+),
+adj AS (
+    SELECT e.u AS node, e.v AS nbr FROM edges e
+    UNION ALL
+    SELECT e.v AS node, e.u AS nbr FROM edges e
+),
+border AS (
+    SELECT a.node, MIN(c.component) AS component
+    FROM adj a JOIN comp c ON a.nbr = c.node
+    WHERE a.node NOT IN (SELECT node FROM core)
+    GROUP BY a.node
+),
+labeled AS (
+    SELECT s.id,
+           CASE WHEN co.node IS NOT NULL THEN 'core'
+                WHEN b.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cm.component, b.component, -1) AS cluster
+    FROM stations s
+    LEFT JOIN core co ON co.node = s.id
+    LEFT JOIN comp cm ON cm.node = s.id
+    LEFT JOIN border b ON b.node = s.id
+)
+SELECT id, role, CAST(cluster AS BIGINT) AS cluster
+FROM labeled
+""".strip(),
+)
+def station_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN (Ester et al. 1996 — public literature)
+    over the station layout: the 2 km radius-pair edge list (grid-cell
+    equi-join, the shared definition with `stations_within_radius_pairs`
+    and the Adamic-Adar query) provides the epsilon-neighborhoods; a
+    station with >= 2 neighbors is CORE; clusters are the connected
+    components of the core-core subgraph (min-label propagation, the CC
+    operator); non-core stations adjacent to a core join its cluster as
+    BORDER (ties to the smallest component label — deterministic where
+    classical DBSCAN is arrival-order-dependent); everything else is
+    NOISE (cluster -1). Density-based clustering at scale without any
+    all-pairs step: the neighborhood join is the cell equi-join, and
+    per-round CC cost is two shuffles."""
+    from apache_beam_challange_spark.operators.graph import connected_components
+    from apache_beam_challange_spark.plans.traindata import (
+        stations_within_radius_pairs,
+    )
+    from apache_beam_challange_spark.sources.catalog import stations as station_dim
+
+    edges = stations_within_radius_pairs(spark, sf_dir).select(
+        F.col("id_1").alias("u"), F.col("id_2").alias("v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    core = deg.filter(F.col("d") >= _DBSCAN_MIN_NEIGHBORS).select("node")
+    core_edges = (
+        edges.join(core.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(core.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select("u", "v")
+    )
+    comp = connected_components(
+        core.withColumnRenamed("node", "id"),
+        core_edges,
+        id_col="id",
+        src_col="u",
+        dst_col="v",
+    )
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    border = (
+        adj.join(core.withColumnRenamed("node", "__c"), adj.node == F.col("__c"), "left_anti")
+        .join(
+            comp.select(F.col("node").alias("nbr"), "component"),
+            "nbr",
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("b_component"))
+    )
+    stations = station_dim(spark, sf_dir).select("id")
+    return (
+        stations.join(
+            comp.select(F.col("node").alias("id"), F.col("component").alias("c_component")),
+            "id",
+            "left",
+        )
+        .join(
+            border.select(F.col("node").alias("id"), "b_component"), "id", "left"
+        )
+        .select(
+            "id",
+            F.when(F.col("c_component").isNotNull(), "core")
+            .when(F.col("b_component").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("c_component", "b_component", F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+
+
+# --- canonical representative per near-dup cluster --------------------------
+
+from apache_beam_challange_spark.functions.text import (  # noqa: E402
+    QUALITY_SCORE_SQL,
+    quality_score,
+)
+
+
+@query(
+    "cluster_canonical_docs",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, CAST(FLOOR(hash_idx / 2) AS BIGINT) AS band_idx,
+           STRING_AGG(CAST(min_hash AS VARCHAR), '|' ORDER BY hash_idx) AS band_val
+    FROM mh
+    GROUP BY doc_id, FLOOR(hash_idx / 2)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+),
+sym AS (
+    SELECT doc_id_1 AS node, doc_id_2 AS nbr FROM cand
+    UNION ALL
+    SELECT doc_id_2 AS node, doc_id_1 AS nbr FROM cand
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS lbl FROM documents
+    UNION
+    SELECT e.nbr AS node, r.lbl
+    FROM reach r JOIN sym e ON e.node = r.node
+),
+comp AS (
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+),
+scored AS (
+    SELECT c.node AS doc_id, c.component,
+           ROUND({QUALITY_SCORE_SQL}, 6) AS quality
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+ranked AS (
+    SELECT doc_id, component, quality,
+           ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY quality DESC, doc_id ASC
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM scored
+)
+SELECT component, doc_id AS canonical_doc_id, quality AS canonical_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked
+WHERE rn = 1 AND cluster_size >= 2
+""".strip(),
+)
+def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster — the
+    keep-the-BEST policy real dedup pipelines use where
+    `dedup_connected_components` keeps the min-id: each multi-member LSH
+    connected component elects the member with the highest surface
+    quality score (tie -> smallest doc_id), and reports how many
+    near-dups retire. The composition is the existing CC fixpoint plus
+    one quality-ranked window per component — one extra shuffle over
+    the verdict the cluster stage already computes."""
+    from apache_beam_challange_spark.operators.graph import connected_components
+    from apache_beam_challange_spark.operators.dedup import lsh_candidate_pairs
+    from apache_beam_challange_spark.plans.extensions import minhash_sigs_at_rest
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        minhash_sigs_at_rest(spark, sf_dir), rows_per_band=2
+    )
+    comp = connected_components(docs, cand)
+    scored = comp.join(
+        docs.select(
+            "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+        ),
+        comp.node == F.col("doc_id"),
+    ).select("doc_id", "component", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "doc_id",
+        "component",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias(
+            "cluster_size"
+        ),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") >= 2)).select(
+        "component",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("quality").alias("canonical_quality"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+    )

@@ -73,7 +73,8 @@ ORACLES: dict[str, str] = {}
 #: duplicate_span_islands, adamic_adar_link_prediction,
 #: kmeans_silhouette, k_anonymity_audit, event_pattern_matches,
 #: containment_dup_pairs, dp_noisy_lang_counts,
-#: unpivot_returnflag_metrics, bq_topk_vec0, matryoshka_topk_vec0.
+#: unpivot_returnflag_metrics, bq_topk_vec0, matryoshka_topk_vec0,
+#: station_dbscan_clusters, cluster_canonical_docs.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

@@ -320,3 +320,98 @@ def test_containment_invariants_on_corpus(spark, sf_dir):
         assert r.containment == pytest.approx(
             round(r.n_inter / min(r.n1, r.n2), 6)
         )
+
+
+# --- station_dbscan_clusters ------------------------------------------------
+
+
+def test_dbscan_roles_partition_stations(spark, sf_dir):
+    """Every station gets exactly one role; clusters are consistent:
+    cores carry their component, borders a neighboring core's cluster,
+    noise -1."""
+    rows = QS["station_dbscan_clusters"](spark, sf_dir).collect()
+    from apache_beam_challange_spark.sources.catalog import stations
+
+    assert len(rows) == stations(spark, sf_dir).count()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+        assert r.role in ("core", "border", "noise")
+        if r.role == "noise":
+            assert r.cluster == -1
+        else:
+            assert r.cluster >= 0
+    # cluster labels are core ids (min-label CC over cores)
+    core_ids = {r.id for r in by_role.get("core", [])}
+    for r in by_role.get("core", []) + by_role.get("border", []):
+        assert r.cluster in core_ids
+
+
+def test_dbscan_matches_python_reference(spark, sf_dir):
+    """Recompute DBSCAN from the radius edge list in Python: same cores,
+    same cluster partition (up to the deterministic min-label), same
+    border attachment."""
+    edges = [
+        (r.id_1, r.id_2)
+        for r in QS["stations_within_radius_pairs"](spark, sf_dir).collect()
+    ]
+    got = {r.id: (r.role, r.cluster) for r in QS["station_dbscan_clusters"](spark, sf_dir).collect()}
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    core = {n for n, s in nbrs.items() if len(s) >= 2}
+    # min-label CC over the core-core subgraph
+    label = {n: n for n in core}
+    changed = True
+    while changed:
+        changed = False
+        for u in core:
+            for v in nbrs[u] & core:
+                m = min(label[u], label[v])
+                if label[u] != m or label[v] != m:
+                    label[u] = label[v] = m
+                    changed = True
+    for sid, (role, cluster) in got.items():
+        if sid in core:
+            assert role == "core" and cluster == label[sid]
+        elif sid in nbrs and nbrs[sid] & core:
+            assert role == "border"
+            assert cluster == min(label[c] for c in nbrs[sid] & core)
+        else:
+            assert role == "noise" and cluster == -1
+
+
+# --- cluster_canonical_docs -------------------------------------------------
+
+
+def test_canonical_beats_min_id_policy(spark, sf_dir):
+    """The quality-elected canonical must be a member of the same CC
+    cluster the min-id policy reports, with maximal quality among its
+    members (tie -> smallest doc_id)."""
+    cc = {}
+    for r in QS["dedup_connected_components"](spark, sf_dir).collect():
+        cc.setdefault(r.component, []).append(r.doc_id)
+    quality = {
+        r.doc_id: r.quality
+        for r in QS["quality_scores_top"](spark, sf_dir).limit(10**9).collect()
+    }
+    got = {r.component: r for r in QS["cluster_canonical_docs"](spark, sf_dir).collect()}
+    multi = {c: m for c, m in cc.items() if len(m) >= 2}
+    assert set(got) == set(multi)
+    for comp, r in got.items():
+        members = multi[comp]
+        assert r.canonical_doc_id in members
+        assert r.cluster_size == len(members)
+        assert r.n_dropped == len(members) - 1
+        # maximal quality among members that HAVE a quality row (top-100
+        # truncation of the quality query may omit some members)
+        if r.canonical_doc_id in quality:
+            for m in members:
+                if m in quality:
+                    assert (
+                        quality[r.canonical_doc_id],
+                        -r.canonical_doc_id,
+                    ) >= (quality[m], -m)
