@@ -740,9 +740,15 @@ def station_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     BORDER (ties to the smallest component label — deterministic where
     classical DBSCAN is arrival-order-dependent); everything else is
     NOISE (cluster -1). Density-based clustering at scale without any
-    all-pairs step: the neighborhood join is the cell equi-join, and
-    per-round CC cost is two shuffles."""
-    from apache_beam_challange_spark.operators.graph import connected_components
+    all-pairs step: the neighborhood join is the cell equi-join, and the
+    core clustering uses the large-star/small-star CC (O(log^2 n)
+    rounds) because a geometric graph's diameter GROWS with the layout —
+    the min-label propagation variant hit its 25-round bound loudly at
+    sf0.1 (1000-station grid chains), exactly the failure mode LSS
+    exists for."""
+    from apache_beam_challange_spark.operators.graph import (
+        connected_components_lss,
+    )
     from apache_beam_challange_spark.plans.traindata import (
         stations_within_radius_pairs,
     )
@@ -763,7 +769,7 @@ def station_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(core.withColumnRenamed("node", "v"), "v", "left_semi")
         .select("u", "v")
     )
-    comp = connected_components(
+    comp = connected_components_lss(
         core.withColumnRenamed("node", "id"),
         core_edges,
         id_col="id",
