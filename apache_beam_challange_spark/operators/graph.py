@@ -501,7 +501,11 @@ def adamic_adar(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
 
     Returns (u, v, n_common, aa_score): u < v, not an existing edge.
     """
-    e = edges.select("u", "v")
+    # the edge list feeds ~7 plan branches (deg x2, adj x2 then self-joined,
+    # and the final anti-join) — materialize it once or the upstream
+    # edge-producing chain re-executes per consumer (the label_propagation
+    # discipline above)
+    e = edges.select("u", "v").localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -1429,11 +1429,14 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     n = 8
-    grams = docs.select(
+    # the pre-filter is load-bearing, not an optimization: for a doc
+    # shorter than n tokens, sequence(1, 0) is DESCENDING [1, 0] (Spark
+    # defaults the step to -1 when start > stop) and slice(toks, 0, n)
+    # throws INVALID_PARAMETER_VALUE — short docs must produce no grams
+    # (as the oracle's WHERE p + 7 <= LEN does), not crash the query
+    grams = docs.filter(F.size("toks") >= n).select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
-        ).alias("p"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("p"),
         "toks",
     ).select(
         "doc_id",

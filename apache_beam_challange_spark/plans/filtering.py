@@ -242,17 +242,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a {_DSIR_BUCKETS}-row bucket dimension (broadcast-class: AQE
     sees a sub-kilobyte side). The bucket totals are a 1-row
     cross-join, the scalar-aggregate pattern the canonical q4 uses.
-    Nothing doc x doc, nothing collected."""
+    Nothing doc x doc, nothing collected. (The oracle's bigram position
+    series is bounded at 4000 for the cross-join unnest; corpus docs max
+    out at ~100 tokens — a 40x margin, not a silent truncation — the
+    same documented bound `duplicate_span_islands` carries.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
-    bi = toks.select(
+    # the >= 2 pre-filter is load-bearing: for a single-token doc,
+    # sequence(1, 0) is DESCENDING [1, 0] (Spark defaults the step to -1
+    # when start > stop) and element_at(t, 0)/element_at(t, 2) throw
+    # under ANSI mode — one-token docs must contribute no bigrams (as
+    # the oracle's WHERE p.i + 1 <= len(toks) does), not crash the query
+    bi = toks.filter(F.size("t") >= 2).select(
         "doc_id",
         "source",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))
-                ),
+                F.sequence(F.lit(1), F.size("t") - 1),
                 lambda i: F.concat(
                     F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
                 ),
@@ -401,14 +407,18 @@ def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (the dup-fingerprint groupBy and the position join);
     # materialize the fingerprint stream once or the tokenize+md5 pass
     # runs twice
+    # the >= n pre-filter is load-bearing: for a doc shorter than n
+    # tokens, sequence(1, 0) is DESCENDING [1, 0] (Spark defaults the
+    # step to -1 when start > stop) and slice(toks, 0, n) throws
+    # INVALID_PARAMETER_VALUE — short docs must produce no spans (as the
+    # oracle's WHERE p + 7 <= LEN does), not crash the query
     grams = (
-        docs.select(
+        docs.filter(F.size("toks") >= n)
+        .select(
             "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0))
-                )
-            ).alias("p"),
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias(
+                "p"
+            ),
             "toks",
         )
         .select(
@@ -475,59 +485,22 @@ def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Adamic-Adar link prediction over the near-dup graph --------------------
 
 
-#: the station-proximity graph's edge list — the CTE chain of
-#: plans/traindata.py:stations_within_radius_pairs (grid-cell equi-join,
-#: exact haversine verify, 2 km radius), reused verbatim so ONE edge
-#: definition backs both queries
-_STATION_EDGES_CTE = """
-stations AS (
-    SELECT
-        s_suppkey AS id,
-        CAST(51.4 AS DOUBLE) + (s_suppkey % 20) * CAST(0.01 AS DOUBLE)
-            AS latitude,
-        CAST(-0.25 AS DOUBLE)
-            + FLOOR(s_suppkey / 20.0) * CAST(0.015 AS DOUBLE) AS longitude
-    FROM supplier
-),
-micro AS (
-    SELECT id, latitude, longitude,
-           CAST(ROUND(latitude * 1000000, 0) AS BIGINT) AS lat6,
-           CAST(ROUND(longitude * 1000000, 0) AS BIGINT) AS lon6
-    FROM stations
-),
-cells AS (
-    SELECT id, latitude, longitude,
-           CAST(FLOOR(CAST(lat6 AS DOUBLE) / 20000) AS BIGINT) AS cy,
-           CAST(FLOOR(CAST(lon6 AS DOUBLE) / 30000) AS BIGINT) AS cx
-    FROM micro
-),
-probe AS (
-    SELECT c.id, c.latitude, c.longitude,
-           c.cy + dy.d AS ny, c.cx + dx.d AS nx
-    FROM cells c,
-         (SELECT unnest(generate_series(-1, 1)) AS d) dy,
-         (SELECT unnest(generate_series(-1, 1)) AS d) dx
-),
-cand AS (
-    SELECT a.id AS id_1, b.id AS id_2,
-           a.latitude AS la1, a.longitude AS lo1,
-           b.latitude AS la2, b.longitude AS lo2
-    FROM probe a
-    JOIN cells b ON b.cy = a.ny AND b.cx = a.nx AND a.id < b.id
-),
-dist AS (
-    SELECT DISTINCT id_1, id_2,
-           ROUND(2 * 6371.0088 * ASIN(SQRT(
-               POW(SIN(RADIANS(la2 - la1) / 2), 2)
-               + COS(RADIANS(la1)) * COS(RADIANS(la2))
-                 * POW(SIN(RADIANS(lo2 - lo1) / 2), 2)
-           )), 6) AS distance_km
-    FROM cand
-),
+#: the station-proximity graph's edge list — built on
+#: plans/traindata.py:STATION_RADIUS_CTE (the SINGLE SQL definition of
+#: the station/grid/radius geometry, also backing the
+#: stations_within_radius_pairs oracle) so the radius, cell size and
+#: station formula cannot drift between the three oracles
+from apache_beam_challange_spark.plans.traindata import (  # noqa: E402
+    STATION_RADIUS_CTE,
+)
+
+_STATION_EDGES_CTE = (
+    STATION_RADIUS_CTE
+    + """,
 edges AS (
     SELECT id_1 AS u, id_2 AS v FROM dist WHERE distance_km <= 2.0
+)"""
 )
-""".strip()
 
 
 @query(
@@ -754,8 +727,13 @@ def station_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from apache_beam_challange_spark.sources.catalog import stations as station_dim
 
-    edges = stations_within_radius_pairs(spark, sf_dir).select(
-        F.col("id_1").alias("u"), F.col("id_2").alias("v")
+    # the radius edge list feeds deg (x2), the core semi-joins, adj (x2)
+    # and border — materialize it once or the grid-probe + haversine +
+    # distinct chain re-executes per consumer
+    edges = (
+        stations_within_radius_pairs(spark, sf_dir)
+        .select(F.col("id_1").alias("u"), F.col("id_2").alias("v"))
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))

@@ -2293,10 +2293,13 @@ def dq_verification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RADIUS_KM = 2.0
 
 
-@query(
-    "stations_within_radius_pairs",
-    oracle="""
-WITH stations AS (
+#: the station/grid/radius CTE chain (stations -> micro -> cells ->
+#: probe -> cand -> dist) — the SINGLE SQL definition of the station
+#: radius geometry, shared by this query's oracle and the
+#: plans/filtering.py consumers (Adamic-Adar, grid DBSCAN) so the
+#: radius / cell size / station formula cannot drift between oracles
+STATION_RADIUS_CTE = """
+stations AS (
     SELECT
         s_suppkey AS id,
         CAST(51.4 AS DOUBLE) + (s_suppkey % 20) * CAST(0.01 AS DOUBLE)
@@ -2340,6 +2343,13 @@ dist AS (
            )), 6) AS distance_km
     FROM cand
 )
+""".strip()
+
+
+@query(
+    "stations_within_radius_pairs",
+    oracle=f"""
+WITH {STATION_RADIUS_CTE}
 SELECT id_1, id_2, distance_km
 FROM dist
 WHERE distance_km <= 2.0

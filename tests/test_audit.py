@@ -126,8 +126,8 @@ def test_patterns_match_python_reference(spark, sf_dir):
 
 
 def test_pattern_counts_on_crafted_journey(spark):
-    """Closed-form: 'vccp ecp vp ep' tags — 3 funnel matches (vccp, vp via
-    greedy c*, and the vp inside 'vcp'?) verified by explicit string."""
+    """Closed-form on the journey 'vccpevpeep': exactly 2 funnel matches
+    (vccp, vp) and 1 error-retry match (eep) — Python and Spark agree."""
     j = "vccpevpeep"
     assert len(re.findall("vc*p", j)) == 2  # vccp, vp
     assert len(re.findall("e+p", j)) == 1  # eep (the 'e' before 'vp' is not followed by p)

@@ -415,3 +415,37 @@ def test_canonical_beats_min_id_policy(spark, sf_dir):
                         quality[r.canonical_doc_id],
                         -r.canonical_doc_id,
                     ) >= (quality[m], -m)
+
+
+# --- short-document crash guards (review-found) -----------------------------
+
+
+def test_short_docs_produce_no_spans_and_no_crash(spark, tmp_path):
+    """Docs shorter than the 8-gram window (and single-token docs for the
+    bigram explode) must contribute NOTHING — not crash: Spark's
+    sequence(1, 0) is descending [1, 0], so without the pre-filter
+    slice()/element_at() throw. Review-found, fixed with load-bearing
+    pre-filters in duplicate_span_islands / duplicate_ngram_spans /
+    dsir_importance_weights."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "one", "en", "src0", 3),
+            (2, "a b", "en", "src1", 3),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "src0", 26),
+            (4, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "de", "src5", 26),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    # islands: the two identical 9-token docs share every 8-gram; the
+    # 1- and 2-token docs must be silently absent
+    islands = QS["duplicate_span_islands"](spark, sf).collect()
+    assert {r.doc_id for r in islands} == {3, 4}
+    for r in islands:
+        assert (r.n_islands, r.covered_tokens, r.n_tokens) == (1, 9, 9)
+    spans = QS["duplicate_ngram_spans"](spark, sf).collect()
+    assert {r.doc_id for r in spans} == {3, 4}
+    # DSIR: the single-token doc contributes no bigrams; every other doc
+    # scores
+    weights = QS["dsir_importance_weights"](spark, sf).collect()
+    assert {r.doc_id for r in weights} == {2, 3, 4}
