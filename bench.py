@@ -155,6 +155,28 @@ TRAINDATA = [
     "near_dup_label_propagation",
 ]
 
+#: Round-6 continued-session families (published curation filters,
+#: evaluation/audit, coarse quantized ANN, density clustering) — their
+#: own series so the prior series' totals stay roster-comparable.
+#: station_dbscan_clusters (~6.7 s) is the one multi-second member
+#: (LSS CC round count on the 2-shuffle-per-round core subgraph).
+FILTERING = [
+    "gopher_quality_flags",
+    "dsir_importance_weights",
+    "duplicate_span_islands",
+    "adamic_adar_link_prediction",
+    "kmeans_silhouette",
+    "k_anonymity_audit",
+    "event_pattern_matches",
+    "containment_dup_pairs",
+    "dp_noisy_lang_counts",
+    "unpivot_returnflag_metrics",
+    "bq_topk_vec0",
+    "matryoshka_topk_vec0",
+    "station_dbscan_clusters",
+    "cluster_canonical_docs",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -229,6 +251,7 @@ def main() -> None:
     curation = _bench_series(qs, CURATION, spark, sf_dir, spread)
     traindata = _bench_series(qs, TRAINDATA, spark, sf_dir, spread)
     ablations = _bench_series(qs, ABLATIONS, spark, sf_dir, spread)
+    filtering = _bench_series(qs, FILTERING, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     vs_r1 = {
@@ -248,6 +271,8 @@ def main() -> None:
         "traindata": traindata,
         "traindata_total": round(sum(traindata.values()), 3),
         "ablations": ablations,
+        "filtering": filtering,
+        "filtering_total": round(sum(filtering.values()), 3),
         "spread": spread,
         "vs_r1": vs_r1,
         "repeats": REPEATS,
@@ -278,6 +303,7 @@ def main() -> None:
                 "curation_total": round(sum(curation.values()), 3),
                 "traindata_total": round(sum(traindata.values()), 3),
                 "ablations_total": round(sum(ablations.values()), 3),
+                "filtering_total": round(sum(filtering.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "detail": "BENCH_DETAIL.json",
                 "repeats": REPEATS,
