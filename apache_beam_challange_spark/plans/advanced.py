@@ -639,3 +639,162 @@ def enriched_orders_view_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# --- HLL sketch algebra: intersection via inclusion-exclusion ---------------
+
+#: alpha_64 — the standard HLL bias constant for m=64 registers
+_HLL_ALPHA64 = 0.709
+_HLL_M = 64
+
+#: per-set estimate from conditional registers: raw HLL
+#: (alpha * m^2 / sum 2^-M_j, empty buckets contribute 2^0) with the
+#: standard small-range linear-counting correction (E <= 2.5m and
+#: V zero registers > 0 -> m * ln(m / V))
+_HLL_EST_SQL = """
+CASE WHEN {raw} <= 160.0 AND {zeros} > 0
+     THEN 64.0 * ln(64.0 / {zeros})
+     ELSE {raw} END
+""".strip()
+
+
+def _hll_set_sql(flag: str) -> str:
+    """DuckDB: registers for the user subset where ``{flag}`` holds, from
+    the shared per-user flag table, then the corrected estimate."""
+    return f"""
+    SELECT SUM(POW(2.0, -COALESCE(mr.max_rho, 0))) AS s,
+           SUM(CASE WHEN COALESCE(mr.max_rho, 0) = 0 THEN 1 ELSE 0 END) AS z
+    FROM spine LEFT JOIN (
+        SELECT bucket, MAX(rho) AS max_rho FROM regs WHERE {flag} GROUP BY bucket
+    ) mr ON mr.bucket = spine.bucket
+""".strip()
+
+
+@query(
+    "hll_intersection_users",
+    oracle=f"""
+WITH flags AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS in_a,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS in_b
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+),
+regs AS (
+    SELECT in_a, in_b,
+           {_hex4_sql("CAST(user_id AS VARCHAR)")} % 64 AS bucket,
+           CASE WHEN ({_hex4_sql("'w#' || CAST(user_id AS VARCHAR)")} * 65536
+                      + {_hex4_sql("'v#' || CAST(user_id AS VARCHAR)")}) % 16777216 = 0
+                THEN 25
+                ELSE 24 - CAST(FLOOR(LOG2(
+                    ({_hex4_sql("'w#' || CAST(user_id AS VARCHAR)")} * 65536
+                     + {_hex4_sql("'v#' || CAST(user_id AS VARCHAR)")}) % 16777216)) AS INT)
+           END AS rho
+    FROM flags
+),
+spine AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+est_a AS ({_hll_set_sql("in_a")}),
+est_b AS ({_hll_set_sql("in_b")}),
+est_u AS ({_hll_set_sql("in_a OR in_b")}),
+corrected AS (
+    SELECT
+        ({_HLL_EST_SQL.format(raw=f"{_HLL_ALPHA64} * 4096.0 / est_a.s", zeros="est_a.z")}) AS ea,
+        ({_HLL_EST_SQL.format(raw=f"{_HLL_ALPHA64} * 4096.0 / est_b.s", zeros="est_b.z")}) AS eb,
+        ({_HLL_EST_SQL.format(raw=f"{_HLL_ALPHA64} * 4096.0 / est_u.s", zeros="est_u.z")}) AS eu
+    FROM est_a, est_b, est_u
+),
+exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM flags WHERE in_a AND in_b
+)
+SELECT ROUND(ea, 4) AS est_view_users,
+       ROUND(eb, 4) AS est_purchase_users,
+       ROUND(eu, 4) AS est_union_users,
+       ROUND(ea + eb - eu, 4) AS est_intersection_users,
+       n_exact AS exact_intersection_users
+FROM corrected, exact
+""".strip(),
+)
+def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA: estimate the view-AND-purchase user overlap by
+    inclusion-exclusion over three mergeable register sets (A, B, A|B)
+    built in ONE pass — the standard way sketch stores answer
+    intersection questions HLL cannot answer directly (Flajolet et al.
+    2007 HLL + the classic |A∩B| = |A|+|B|-|A∪B| combination). The
+    register construction is the engine's established md5-deterministic
+    one (`hll_registers_users`), the estimator is the published formula
+    (alpha_64 * m^2 / sum 2^-M_j, small-range linear counting), so the
+    whole pipeline — registers, corrections, algebra — is oracle-EXACT,
+    and the exact intersection rides along to show the sketch error
+    (the `hll_sliding_distinct_users` honesty pattern).
+
+    Shape: one (user) groupBy builds the membership flags, one 64-spine
+    conditional-max per set (the three registers come from the SAME
+    scan), three 1-row estimates cross-joined — nothing wider than the
+    user aggregate ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def hex4(prefix, col):
+        s = col.cast("string") if prefix is None else F.concat(F.lit(prefix), col.cast("string"))
+        return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+
+    flags = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            (F.max((F.col("event_type") == "view").cast("int")) == 1).alias("in_a"),
+            (F.max((F.col("event_type") == "purchase").cast("int")) == 1).alias("in_b"),
+        )
+    )
+    w = (hex4("w#", F.col("user_id")) * 65536 + hex4("v#", F.col("user_id"))) % 16777216
+    regs = flags.select(
+        "in_a",
+        "in_b",
+        (hex4(None, F.col("user_id")) % _HLL_M).alias("bucket"),
+        F.when(w == 0, F.lit(25))
+        .otherwise(F.lit(24) - F.floor(F.log2(w)).cast("int"))
+        .alias("rho"),
+    ).localCheckpoint(eager=False)
+    spine = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+
+    def est(flag_col):
+        mr = (
+            regs.filter(flag_col)
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        joined = spine.join(mr, "bucket", "left").select(
+            F.coalesce("max_rho", F.lit(0)).alias("m")
+        )
+        agg = joined.agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+            F.sum((F.col("m") == 0).cast("long")).alias("z"),
+        )
+        raw = F.lit(_HLL_ALPHA64) * (_HLL_M * _HLL_M) / F.col("s")
+        corrected = F.when(
+            (raw <= 2.5 * _HLL_M) & (F.col("z") > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("z")),
+        ).otherwise(raw)
+        return agg.select(corrected.alias("e"))
+
+    ea = est(F.col("in_a")).select(F.col("e").alias("ea"))
+    eb = est(F.col("in_b")).select(F.col("e").alias("eb"))
+    eu = est(F.col("in_a") | F.col("in_b")).select(F.col("e").alias("eu"))
+    exact = flags.filter(F.col("in_a") & F.col("in_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection_users")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            F.round("ea", 4).alias("est_view_users"),
+            F.round("eb", 4).alias("est_purchase_users"),
+            F.round("eu", 4).alias("est_union_users"),
+            F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4).alias(
+                "est_intersection_users"
+            ),
+            "exact_intersection_users",
+        )
+    )

@@ -364,3 +364,60 @@ def dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Markov transition matrix over event sequences --------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(n_transitions * 1.0
+             / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+FROM trans
+ORDER BY from_type, to_type
+""".strip(),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LAG per (user ORDER BY ts, event_id) pairs each event
+    with its predecessor, the (from, to) counts aggregate, and each
+    row's probability normalizes within its from-state (a window over
+    the 5x5 post-aggregation matrix — the established small-input
+    global-window class). The behavioral-model companion to
+    `event_pattern_matches`: the CEP query finds specific journeys,
+    this one fits the chain those journeys are drawn from. One user
+    window shuffle + one tiny aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    trans = (
+        seq.groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    w_norm = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(w_norm),
+            6,
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")

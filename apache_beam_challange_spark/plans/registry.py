@@ -74,7 +74,8 @@ ORACLES: dict[str, str] = {}
 #: kmeans_silhouette, k_anonymity_audit, event_pattern_matches,
 #: containment_dup_pairs, dp_noisy_lang_counts,
 #: unpivot_returnflag_metrics, bq_topk_vec0, matryoshka_topk_vec0,
-#: station_dbscan_clusters, cluster_canonical_docs.
+#: station_dbscan_clusters, cluster_canonical_docs,
+#: hll_intersection_users, event_transition_matrix.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

@@ -239,3 +239,87 @@ def test_unpivot_is_expand_not_union_rescan(spark, sf_dir):
     )
     assert "Expand" in p
     assert p.count("FileScan parquet") == 1
+
+
+# --- event_transition_matrix ------------------------------------------------
+
+
+def test_transition_matrix_matches_python_reference(spark, sf_dir):
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob)
+        for r in QS["event_transition_matrix"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    seqs: dict[int, list] = {}
+    for e in ev:
+        seqs.setdefault(e.user_id, []).append((e.ts, e.event_id, e.event_type))
+    counts: dict[tuple, int] = {}
+    for evs in seqs.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    assert set(got) == set(counts)
+    row_tot: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    for (a, b), (n, p) in got.items():
+        assert n == counts[(a, b)]
+        assert p == pytest.approx(round(counts[(a, b)] / row_tot[a], 6))
+
+
+def test_transition_rows_normalize_to_one(spark, sf_dir):
+    rows = QS["event_transition_matrix"](spark, sf_dir).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.prob
+    for total in by_from.values():
+        assert total == pytest.approx(1.0, abs=5e-6)
+
+
+# --- hll_intersection_users -------------------------------------------------
+
+
+def test_hll_intersection_tracks_exact(spark, sf_dir):
+    """The inclusion-exclusion estimate must land near the exact overlap
+    (64 registers -> ~13% standard error; assert a generous 3-sigma
+    band) and the estimates must be internally consistent."""
+    r = QS["hll_intersection_users"](spark, sf_dir).collect()[0]
+    assert r.est_union_users <= r.est_view_users + r.est_purchase_users + 1e-6
+    assert r.exact_intersection_users >= 0
+    if r.exact_intersection_users > 0:
+        rel = abs(r.est_intersection_users - r.exact_intersection_users) / r.exact_intersection_users
+        assert rel < 0.45  # 3 sigma of ~13% + algebra amplification
+
+
+def test_hll_register_construction_shared_with_base_query(spark, sf_dir):
+    """The union-set registers must equal the standalone
+    hll_registers_users registers restricted to view/purchase users —
+    one register definition, not a drifted copy."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = {
+        r.user_id
+        for r in ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    import hashlib
+
+    def hex4(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    regs: dict[int, int] = {}
+    for u in users:
+        b = hex4(str(u)) % 64
+        w = (hex4(f"w#{u}") * 65536 + hex4(f"v#{u}")) % 16777216
+        rho = 25 if w == 0 else 24 - int(__import__("math").floor(__import__("math").log2(w)))
+        regs[b] = max(regs.get(b, 0), rho)
+    # recompute the union estimate from the Python registers
+    import math
+
+    s = sum(2.0 ** -regs.get(b, 0) for b in range(64))
+    z = sum(1 for b in range(64) if regs.get(b, 0) == 0)
+    raw = 0.709 * 64 * 64 / s
+    est = 64.0 * math.log(64.0 / z) if (raw <= 160.0 and z > 0) else raw
+    r = QS["hll_intersection_users"](spark, sf_dir).collect()[0]
+    assert r.est_union_users == pytest.approx(round(est, 4), abs=2e-4)
