@@ -968,3 +968,167 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("l_returnflag", "metric")
+
+
+# --- TPC-H classics (adapted to the available columns) -----------------------
+
+_Q3_CUTOFF = "1998-06-01 00:00:00"
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {_dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""".strip(),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (Shipping Priority), adapted to the generated schema
+    (no o_shippriority column): the ten highest-revenue orders from the
+    BUILDING segment that were placed before the cutoff but have
+    lineitems still shipping after it. The classic 3-table
+    star-join + date-sargable plan: both date predicates and the
+    segment filter push into their scans, the customer side reduces to
+    a broadcastable key set, and the top-10 is a
+    TakeOrderedAndProject over the (orderkey, orderdate) aggregate —
+    the join-order/pushdown benchmark shape the canonical suite was
+    missing next to Q1 (`pricing_summary`), Q5
+    (`q5_local_supplier_volume`) and Q6 (`q6_forecast_revenue`)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {_dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       ROUND(c.c_acctbal, 2) AS c_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, ROUND(c.c_acctbal, 2)
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""".strip(),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (Returned Item Reporting): the twenty customers who
+    generated the most revenue on RETURNED lineitems in 1999Q1 — the
+    lost-revenue triage list. Four-table shape: the 25-row nation dim
+    broadcasts, the returnflag + quarter predicates push to the fact
+    scans, and the customer-keyed aggregate feeds a
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- exact rolling median ----------------------------------------------------
+
+_ROLL_MED_FRAME = 10
+
+
+@query(
+    "rolling_median_value",
+    oracle=f"""
+WITH framed AS (
+    SELECT event_id, user_id,
+           list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_ROLL_MED_FRAME - 1} PRECEDING AND CURRENT ROW
+           )) AS win
+    FROM events
+)
+SELECT event_id, user_id,
+       ROUND((win[(len(win) + 1) // 2] + win[len(win) // 2 + 1]) / 2.0, 6)
+           AS rolling_median
+FROM framed
+""".strip(),
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of each user's last {n} event values — the
+    windowed robust statistic (the median-of-window complement to the
+    mean-based `window_rolling_order_totals` and the global-median MAD
+    screen `robust_outlier_hours`). The median is computed EXPLICITLY
+    from the sorted frame array with identical integer indexing in both
+    engines — ``(a[(n+1) div 2] + a[n div 2 + 1]) / 2`` on 1-indexed
+    sorted values, which collapses to the middle element for odd n —
+    rather than trusting two engines' median() interpolation conventions
+    to agree. The frame is 10 rows, so the per-row array is bounded (no
+    unbounded collect); one user-window shuffle carries the query."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_MED_FRAME - 1), 0)
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        F.sort_array(F.collect_list("value").over(w)).alias("win"),
+    )
+    n = F.size("win")
+    lower = F.element_at("win", ((n + 1) / 2).cast("int"))
+    upper = F.element_at("win", (n / 2).cast("int") + 1)
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.round((lower + upper) / 2.0, 6).alias("rolling_median"),
+    )

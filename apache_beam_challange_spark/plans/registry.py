@@ -75,7 +75,9 @@ ORACLES: dict[str, str] = {}
 #: containment_dup_pairs, dp_noisy_lang_counts,
 #: unpivot_returnflag_metrics, bq_topk_vec0, matryoshka_topk_vec0,
 #: station_dbscan_clusters, cluster_canonical_docs,
-#: hll_intersection_users, event_transition_matrix.
+#: hll_intersection_users, event_transition_matrix,
+#: tpch_q3_shipping_priority, tpch_q10_returned_items,
+#: rolling_median_value.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

@@ -1,0 +1,88 @@
+"""Round-6 wave 7: TPC-H Q3/Q10 adaptations and the exact rolling
+median. Oracle gate pins values; these tests pin a Python reference for
+the rolling median and the plan shapes the star joins depend on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QS = entrymod.all_queries()
+
+
+def test_rolling_median_matches_python_reference(spark, sf_dir):
+    got = {
+        r.event_id: r.rolling_median
+        for r in QS["rolling_median_value"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    seqs: dict[int, list] = {}
+    for e in ev:
+        seqs.setdefault(e.user_id, []).append((e.ts, e.event_id, e.value))
+    expect = {}
+    for evs in seqs.values():
+        evs.sort()
+        for i in range(len(evs)):
+            win = sorted(v for _, _, v in evs[max(0, i - 9) : i + 1])
+            n = len(win)
+            med = (win[(n + 1) // 2 - 1] + win[n // 2]) / 2.0
+            expect[evs[i][1]] = round(med, 6)
+    assert len(got) == len(expect)
+    for eid, m in got.items():
+        assert m == pytest.approx(expect[eid], abs=2e-6)
+
+
+def test_q3_revenue_descends_and_respects_cutoff(spark, sf_dir):
+    rows = QS["tpch_q3_shipping_priority"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    import datetime
+
+    for r in rows:
+        assert r.o_orderdate < datetime.datetime(1998, 6, 1)
+
+
+def test_q10_rows_are_returned_revenue(spark, sf_dir):
+    rows = QS["tpch_q10_returned_items"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20
+    assert all(r.revenue > 0 for r in rows)
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entrymod.all_queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q3_predicates_reach_scans(plans):
+    """Both date predicates and the segment filter must push into their
+    parquet scans; the top-10 must be TakeOrderedAndProject."""
+    p = plans("tpch_q3_shipping_priority")
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert any("o_orderdate" in l and "DataFilters: [" in l for l in scans)
+    assert any("l_shipdate" in l and "DataFilters: [" in l for l in scans)
+    assert any("c_mktsegment" in l and "DataFilters: [" in l for l in scans)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q10_nation_broadcasts(plans):
+    p = plans("tpch_q10_returned_items")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert any("l_returnflag" in l and "DataFilters: [" in l for l in scans)
+
+
+def test_rolling_median_single_window_shuffle(plans):
+    p = plans("rolling_median_value")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
