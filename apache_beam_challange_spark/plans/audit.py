@@ -421,3 +421,82 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prob"),
     ).orderBy("from_type", "to_type")
+
+
+# --- shuffle-skew diagnostic ------------------------------------------------
+
+
+@query(
+    "shuffle_skew_report",
+    oracle="""
+WITH per_key AS (
+    SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT key, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk,
+           CAST(SUM(n) OVER () AS BIGINT) AS total,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+           CAST(MAX(n) OVER () AS BIGINT) AS max_n
+    FROM per_key
+)
+SELECT n_keys,
+       total AS n_rows,
+       max_n AS max_key_rows,
+       ROUND(max_n * 1.0 / total, 6) AS top_key_share,
+       ROUND(max_n * n_keys * 1.0 / total, 6) AS skew_factor,
+       CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT)
+           AS top10_rows,
+       ROUND(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1.0 / total, 6)
+           AS top10_share
+FROM ranked
+GROUP BY n_keys, total, max_n
+""".strip(),
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic over orders.o_custkey — the
+    report run BEFORE choosing between a plain hash join, salting
+    (`salted_join_revenue`) and AQE's skew-join split: distinct-key
+    count, the heaviest key's row share, the skew factor
+    (max_key * n_keys / total — 1.0 means perfectly uniform), and the
+    top-10-key share. One key aggregate; the windows run over the
+    POST-aggregation per-key table (the small-input global-window
+    class), and the final output is a single summary row."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("key"))
+    ranked = per_key.select(
+        "key",
+        "n",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("n").over(w_all).cast("long").alias("total"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_keys"),
+        F.max("n").over(w_all).cast("long").alias("max_n"),
+    )
+    return (
+        ranked.groupBy("n_keys", "total", "max_n")
+        .agg(
+            F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("top10_rows"),
+        )
+        .select(
+            "n_keys",
+            F.col("total").alias("n_rows"),
+            F.col("max_n").alias("max_key_rows"),
+            F.round(F.col("max_n") * 1.0 / F.col("total"), 6).alias(
+                "top_key_share"
+            ),
+            F.round(
+                F.col("max_n") * F.col("n_keys") * 1.0 / F.col("total"), 6
+            ).alias("skew_factor"),
+            "top10_rows",
+            F.round(F.col("top10_rows") * 1.0 / F.col("total"), 6).alias(
+                "top10_share"
+            ),
+        )
+    )

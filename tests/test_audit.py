@@ -323,3 +323,24 @@ def test_hll_register_construction_shared_with_base_query(spark, sf_dir):
     est = 64.0 * math.log(64.0 / z) if (raw <= 160.0 and z > 0) else raw
     r = QS["hll_intersection_users"](spark, sf_dir).collect()[0]
     assert r.est_union_users == pytest.approx(round(est, 4), abs=2e-4)
+
+
+# --- shuffle_skew_report ----------------------------------------------------
+
+
+def test_skew_report_matches_python_reference(spark, sf_dir):
+    r = QS["shuffle_skew_report"](spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    counts: dict[int, int] = {}
+    for row in o:
+        counts[row.o_custkey] = counts.get(row.o_custkey, 0) + 1
+    total = sum(counts.values())
+    mx = max(counts.values())
+    top10 = sum(sorted(counts.values(), reverse=True)[:10])
+    assert r.n_keys == len(counts)
+    assert r.n_rows == total
+    assert r.max_key_rows == mx
+    assert r.top_key_share == pytest.approx(round(mx / total, 6))
+    assert r.skew_factor == pytest.approx(round(mx * len(counts) / total, 6))
+    assert r.top10_rows == top10
+    assert r.skew_factor >= 1.0  # max >= mean always
