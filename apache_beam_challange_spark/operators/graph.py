@@ -501,11 +501,12 @@ def adamic_adar(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
 
     Returns (u, v, n_common, aa_score): u < v, not an existing edge.
     """
-    # the edge list feeds ~7 plan branches (deg x2, adj x2 then self-joined,
-    # and the final anti-join) — materialize it once or the upstream
-    # edge-producing chain re-executes per consumer (the label_propagation
-    # discipline above)
-    e = edges.select("u", "v").localCheckpoint(eager=False)
+    # NOTE: the edge list feeds ~7 plan branches (deg x2, adj x2 then
+    # self-joined, and the final anti-join); callers whose edge input is
+    # expensive should materialize it BEFORE passing it in (the
+    # registered query does) — the operator itself stays policy-free so
+    # cheap or already-cached inputs pay nothing
+    e = edges.select("u", "v")
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

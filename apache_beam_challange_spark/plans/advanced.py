@@ -746,6 +746,10 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max((F.col("event_type") == "view").cast("int")) == 1).alias("in_a"),
             (F.max((F.col("event_type") == "purchase").cast("int")) == 1).alias("in_b"),
         )
+        # four consumers (the three register sets AND the exact arm) —
+        # materialize the per-user flags once so the events scan +
+        # groupBy truly runs a single time
+        .localCheckpoint(eager=False)
     )
     w = (hex4("w#", F.col("user_id")) * 65536 + hex4("v#", F.col("user_id"))) % 16777216
     regs = flags.select(
@@ -755,7 +759,7 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(w == 0, F.lit(25))
         .otherwise(F.lit(24) - F.floor(F.log2(w)).cast("int"))
         .alias("rho"),
-    ).localCheckpoint(eager=False)
+    )
     spine = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
 
     def est(flag_col):

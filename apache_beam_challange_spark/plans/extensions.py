@@ -1434,13 +1434,21 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defaults the step to -1 when start > stop) and slice(toks, 0, n)
     # throws INVALID_PARAMETER_VALUE — short docs must produce no grams
     # (as the oracle's WHERE p + 7 <= LEN does), not crash the query
-    grams = docs.filter(F.size("toks") >= n).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("p"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.md5(F.array_join(F.slice("toks", F.col("p"), n), " ")).alias("fp"),
+    # two consumers (the dup-fingerprint groupBy and the join back) —
+    # materialize the fingerprint stream once (the span-islands twin's
+    # discipline) or the tokenize+md5 corpus pass runs twice
+    grams = (
+        docs.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("p"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("toks", F.col("p"), n), " ")).alias("fp"),
+        )
+        .localCheckpoint(eager=False)
     )
     dup_fps = (
         grams.groupBy("fp")

@@ -556,8 +556,13 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         stations_within_radius_pairs,
     )
 
-    edges = stations_within_radius_pairs(spark, sf_dir).select(
-        F.col("id_1").alias("u"), F.col("id_2").alias("v")
+    # the operator reads its edge input from ~7 plan branches; the
+    # radius-join chain is expensive, so materialize it once here (the
+    # operator itself stays policy-free)
+    edges = (
+        stations_within_radius_pairs(spark, sf_dir)
+        .select(F.col("id_1").alias("u"), F.col("id_2").alias("v"))
+        .localCheckpoint(eager=False)
     )
     return (
         adamic_adar(edges)

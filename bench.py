@@ -279,7 +279,7 @@ def main() -> None:
         "aggregation": "median",
         "sf": sf,
     }
-    # Full per-query detail (all five series + min/max spreads) goes to a
+    # Full per-query detail (all six series + min/max spreads) goes to a
     # file and an EARLIER stdout line; the driver's tail capture is ~2 KB
     # (BENCH_r05 `parsed: null` — the ~6 KB single-line record overflowed
     # it, so round 5's -16% headline win went unrecorded; VERDICT r5 #1).

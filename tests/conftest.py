@@ -21,3 +21,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def plans(spark, sf_dir):
+    """Shared executed-plan dump for plan-shape assertions (hoisted from
+    five per-module copies — one definition of how plans are rendered)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+
+    def plan_of(name: str) -> str:
+        return (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    return plan_of

@@ -145,14 +145,6 @@ def test_pattern_counts_on_crafted_journey(spark):
 # --- plan shapes ------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    qs = entrymod.all_queries()
-
-    def plan_of(name: str) -> str:
-        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-
-    return plan_of
 
 
 def test_silhouette_broadcasts_codebook(plans):

@@ -236,14 +236,6 @@ def test_dsir_matches_python_reference(spark, sf_dir):
 # --- plan shapes ------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    qs = entrymod.all_queries()
-
-    def plan_of(name: str) -> str:
-        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-
-    return plan_of
 
 
 def test_gopher_is_single_scan_no_join(plans):

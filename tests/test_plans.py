@@ -10,14 +10,6 @@ import pytest
 import __spark_entry__ as entrymod
 
 
-@pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    qs = entrymod.all_queries()
-
-    def plan_of(name: str) -> str:
-        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-
-    return plan_of
 
 
 def test_dim_join_broadcasts(plans):

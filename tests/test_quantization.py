@@ -90,14 +90,6 @@ def test_topk_results_are_subset_of_rerank_scores(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
-@pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    qs = entrymod.all_queries()
-
-    def plan_of(name: str) -> str:
-        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-
-    return plan_of
 
 
 def test_bq_shortlist_is_take_ordered(plans):

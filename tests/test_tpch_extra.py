@@ -53,14 +53,6 @@ def test_q10_rows_are_returned_revenue(spark, sf_dir):
     assert revs == sorted(revs, reverse=True)
 
 
-@pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    qs = entrymod.all_queries()
-
-    def plan_of(name: str) -> str:
-        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-
-    return plan_of
 
 
 def test_q3_predicates_reach_scans(plans):
