@@ -1,11 +1,11 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-60 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+66 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
 
-The dialect-blocked remainder (100 oracles) is inventoried in COVERAGE.md:
+The dialect-blocked remainder (118 oracles) is inventoried in COVERAGE.md:
 they use DuckDB-only surface (unnest/string_split lateral explosion,
 list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
 recursive CTE trajectories, md5-hex arithmetic) with no unmodified
@@ -90,6 +90,13 @@ PORTABLE = [
     # week-batched recursive CTE)
     "lateral_top_customers_per_nation",
     "recursive_hour_spine_counts",
+    # round-6 continued-session members with dialect-portable oracles
+    "unpivot_returnflag_metrics",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "event_transition_matrix",
+    "shuffle_skew_report",
+    "k_anonymity_audit",
 ]
 
 
