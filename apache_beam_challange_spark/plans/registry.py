@@ -77,7 +77,8 @@ ORACLES: dict[str, str] = {}
 #: station_dbscan_clusters, cluster_canonical_docs,
 #: hll_intersection_users, event_transition_matrix,
 #: tpch_q3_shipping_priority, tpch_q10_returned_items,
-#: rolling_median_value, shuffle_skew_report.
+#: rolling_median_value, shuffle_skew_report,
+#: stream_stream_full_outer_join.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

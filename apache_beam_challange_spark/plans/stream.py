@@ -391,3 +391,67 @@ def stateful_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, f"{sf_dir}/events.parquet")
     return run_to_memory(gap_sessions(ev), "append")
+
+
+@query(
+    "stream_stream_full_outer_join",
+    oracle="""
+WITH wm AS (
+    SELECT date_trunc('milliseconds',
+               LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                     (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')))
+           - INTERVAL 1 HOUR AS w
+),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+matched AS (
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           date_diff('second', c.ts, p.ts) AS delay_sec
+    FROM c JOIN p ON c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+),
+null_clicks AS (
+    SELECT c.user_id, c.event_id AS click_id, NULL::BIGINT AS purchase_id,
+           c.ts AS click_ts, NULL::TIMESTAMP AS purchase_ts,
+           NULL::BIGINT AS delay_sec
+    FROM c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE)
+      AND c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+),
+null_purchases AS (
+    SELECT p.user_id, NULL::BIGINT AS click_id, p.event_id AS purchase_id,
+           NULL::TIMESTAMP AS click_ts, p.ts AS purchase_ts,
+           NULL::BIGINT AS delay_sec
+    FROM p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE)
+      AND p.ts < (SELECT w FROM wm)
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM null_clicks
+UNION ALL SELECT * FROM null_purchases
+""".strip(),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completing the join-mode
+    matrix next to the inner and left-outer twins: the attribution pairs
+    PLUS abandoned clicks (no purchase in the 30-minute window,
+    null-padded once their window end falls strictly before the global
+    watermark) PLUS orphan purchases (no qualifying click, null-padded
+    once the watermark passes their own event time — any matching click
+    would carry click_ts <= purchase_ts, so watermark > purchase_ts
+    proves no match can still arrive). Both eviction boundaries are
+    empirically pinned by the batch-twin oracle at three SFs, the same
+    discipline that pinned the left-outer boundary."""
+    from apache_beam_challange_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(
+        click_purchase_interval_join(ev, how="fullOuter"), "append"
+    )

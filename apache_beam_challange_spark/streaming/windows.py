@@ -256,8 +256,11 @@ def click_purchase_interval_join(
     # delay in whole seconds: floor(epoch) diff on both engines (cast
     # timestamp->long truncates; DuckDB date_diff counts second boundaries
     # — identical for the positive epochs in this data)
+    # coalesce the key across sides: identical to "user_id" for inner and
+    # leftOuter (the purchase key is only non-null when matched), and the
+    # correct side-agnostic key for fullOuter's purchase-only rows
     return joined.select(
-        "user_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
         "click_id",
         "purchase_id",
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),

@@ -1092,3 +1092,24 @@ def test_gap_sessions_late_data_never_regresses_boundaries(spark, tmp_path):
     ]
     for _, start, end, _ in rows:
         assert start <= end
+
+
+def test_full_outer_interval_join_partitions_rows(spark, sf_dir):
+    """Full outer = inner pairs + null-padded clicks + null-padded
+    purchases, mutually exclusive; the left-outer result is exactly the
+    full-outer rows carrying a click."""
+    import __spark_entry__ as em
+
+    QS = em.all_queries()
+    full = QS["stream_stream_full_outer_join"](spark, sf_dir).collect()
+    left = QS["stream_stream_left_outer_join"](spark, sf_dir).collect()
+    inner = QS["stream_stream_interval_join"](spark, sf_dir).collect()
+    matched = [r for r in full if r.click_id is not None and r.purchase_id is not None]
+    null_p = [r for r in full if r.purchase_id is None]
+    null_c = [r for r in full if r.click_id is None]
+    assert len(matched) + len(null_p) + len(null_c) == len(full)
+    assert len(matched) == len(inner)
+    # left outer == full outer minus the purchase-only rows
+    assert len(left) == len(matched) + len(null_p)
+    # every row still carries the side-agnostic user key
+    assert all(r.user_id is not None for r in full)
