@@ -386,3 +386,139 @@ def test_k_core_matches_python_peel_on_random_graphs(spark, raw_pairs, k):
         expect[u] = expect.get(u, 0) + 1
         expect[v] = expect.get(v, 0) + 1
     assert got == set(expect.items())
+
+
+# --- adamic_adar on random graphs -------------------------------------------
+
+aa_pairs = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=25
+)
+
+
+@settings(**SETTINGS)
+@given(aa_pairs)
+def test_adamic_adar_matches_python_reference(spark, raw_pairs):
+    """AA scores on random small graphs equal a brute-force Python
+    recompute: predicted pairs are exactly the non-adjacent pairs with a
+    common neighbor, each scored sum(1/ln(deg z))."""
+    import math
+
+    from apache_beam_challange_spark.operators.graph import adamic_adar
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_pairs if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {
+        (r.u, r.v): (r.n_common, r.aa_score)
+        for r in adamic_adar(df).collect()
+    }
+    nbrs: dict[int, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nodes = sorted(nbrs)
+    expect = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in edges:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if common:
+                score = sum(1.0 / math.log(len(nbrs[z])) for z in common)
+                expect[(u, v)] = (len(common), score)
+    assert set(got) == set(expect)
+    for k, (n, s) in expect.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 1e-9
+
+
+# --- islands merge on random position sets ----------------------------------
+
+positions = st.lists(st.integers(1, 60), min_size=1, max_size=30, unique=True)
+
+
+@settings(**SETTINGS)
+@given(positions)
+def test_island_merge_matches_interval_union(spark, ps):
+    """The stacked-window gaps-and-islands construction (the
+    duplicate_span_islands core) must produce exactly the union of
+    merged [p, p+7] intervals a Python sweep computes."""
+    from pyspark.sql import Window
+
+    n = 8
+    pos = spark.createDataFrame([(1, p) for p in ps], "doc_id long, p long")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("p") + (n - 1)).over(w_prev)
+    flagged = pos.select(
+        "doc_id",
+        "p",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        flagged.select("doc_id", "p", F.sum("ni").over(w_run).alias("isl"))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("p").alias("s"), F.max(F.col("p") + (n - 1)).alias("e"))
+        .orderBy("s")
+        .collect()
+    )
+    # Python reference: merge touching/overlapping [p, p+7] intervals
+    expect = []
+    for p in sorted(ps):
+        if expect and p <= expect[-1][1] + 1:
+            expect[-1][1] = max(expect[-1][1], p + n - 1)
+        else:
+            expect.append([p, p + n - 1])
+    assert [(r.s, r.e) for r in spans] == [tuple(x) for x in expect]
+
+
+# --- containment vs Jaccard -------------------------------------------------
+
+docpair = st.tuples(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+)
+
+
+@settings(**SETTINGS)
+@given(docpair)
+def test_containment_dominates_jaccard(spark, pair):
+    """For any doc pair: containment >= Jaccard (min(|A|,|B|) <= |A u B|),
+    and both match their set-arithmetic definitions."""
+    from apache_beam_challange_spark.operators.dedup import (
+        containment_on_candidates,
+        jaccard_on_candidates,
+    )
+
+    t1, t2 = pair
+    docs = spark.createDataFrame(
+        [(1, " ".join(t1)), (2, " ".join(t2))], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_id_1 long, doc_id_2 long")
+    a, b = set(t1), set(t2)
+    inter = len(a & b)
+    if inter == 0:
+        # the documented contract: zero-overlap pairs drop only when
+        # min_containment > 0 (the inner-join-oracle equivalence)
+        assert (
+            containment_on_candidates(docs, cand, min_containment=1e-9).count()
+            == 0
+        )
+        return
+    crow = containment_on_candidates(docs, cand, min_containment=0.0).collect()[0]
+    jrow = jaccard_on_candidates(docs, cand, min_jaccard=0.0).collect()[0]
+    assert crow.n_inter == inter
+    assert crow.containment == round(inter / min(len(a), len(b)), 6)
+    assert jrow.jaccard == round(inter / len(a | b), 6)
+    assert crow.containment >= jrow.jaccard - 1e-9
