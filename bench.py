@@ -140,6 +140,7 @@ TRAINDATA = [
     # per-query startup, not just the plan
     "stream_stream_interval_join",
     "stream_stream_left_outer_join",
+    "stream_stream_full_outer_join",
     "streaming_dedup_within_watermark",
     "stateful_user_session_stats",
     "stateful_gap_sessions",
