@@ -1456,3 +1456,156 @@ def curation_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("tokens_kept"),
     )
+
+
+# --- attribution delay quantiles ---------------------------------------------
+
+
+@query(
+    "attribution_delay_quantiles",
+    oracle="""
+WITH pairs AS (
+    SELECT date_diff('second', c.ts, p.ts) AS delay_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+),
+ranked AS (
+    SELECT delay_sec,
+           ROW_NUMBER() OVER (ORDER BY delay_sec) AS rk,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM pairs
+)
+SELECT n AS n_pairs,
+       CAST(MIN(CASE WHEN rk = (n + 3) // 4 THEN delay_sec END) AS BIGINT)
+           AS p25_sec,
+       CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN delay_sec END) AS BIGINT)
+           AS p50_sec,
+       CAST(MIN(CASE WHEN rk = (3 * n + 3) // 4 THEN delay_sec END) AS BIGINT)
+           AS p75_sec,
+       CAST(MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_sec END) AS BIGINT)
+           AS p90_sec
+FROM ranked
+GROUP BY n
+""".strip(),
+)
+def attribution_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact click-to-purchase delay quantiles over the attribution pairs
+    (the same 30-minute interval join the stream-stream family runs,
+    batch-side): p25/p50/p75/p90 by EXPLICIT rank indexing —
+    ``rank = ceil(q * n)`` on the ordered delays, identical integer
+    arithmetic in both engines (the rolling-median discipline: never
+    trust two engines' quantile interpolation conventions to agree).
+    One equi-join with a range predicate, one global ordered window over
+    the pair DELAYS only (post-join scalar column, not the fact table),
+    one 1-row summary."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        # NTZ has no direct long cast; via tz-typed timestamp (session is
+        # pinned UTC, so this is a wall-clock identity — the stream-join
+        # family's established spelling)
+        (
+            F.col("p_ts").cast("timestamp").cast("long")
+            - F.col("c_ts").cast("timestamp").cast("long")
+        ).alias("delay_sec")
+    )
+    w_rank = Window.orderBy("delay_sec")
+    w_all = Window.partitionBy()
+    ranked = pairs.select(
+        "delay_sec",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+
+    def q_at(num: int, den: int) -> F.Column:
+        # ceil((num/den) * n) as exact integer arithmetic: (num*n + den-1) div den
+        target = F.floor((num * F.col("n") + (den - 1)) / den).cast("long")
+        return (
+            F.min(F.when(F.col("rk") == target, F.col("delay_sec")))
+            .cast("long")
+        )
+
+    return (
+        ranked.groupBy("n")
+        .agg(
+            q_at(1, 4).alias("p25_sec"),
+            q_at(1, 2).alias("p50_sec"),
+            q_at(3, 4).alias("p75_sec"),
+            q_at(9, 10).alias("p90_sec"),
+        )
+        .select(
+            F.col("n").alias("n_pairs"), "p25_sec", "p50_sec", "p75_sec", "p90_sec"
+        )
+    )
+
+
+# --- week-over-week revenue --------------------------------------------------
+
+
+@query(
+    "weekly_revenue_wow",
+    oracle="""
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+               AS revenue
+    FROM orders
+    GROUP BY CAST(date_trunc('week', o_orderdate) AS DATE)
+)
+SELECT week_start, revenue,
+       ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY week_start) > 0
+                  THEN (revenue - LAG(revenue) OVER (ORDER BY week_start))
+                       / LAG(revenue) OVER (ORDER BY week_start)
+             END, 6) AS wow_change,
+       ROUND(AVG(revenue) OVER (
+           ORDER BY week_start ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ), 4) AS revenue_4wk_avg
+FROM weekly
+ORDER BY week_start
+""".strip(),
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue reporting — the everyday business-metric
+    shape (weekly rollup, LAG percent change, 4-week trailing average)
+    every analytics engine must do well. The weekly rollup is the only
+    fact-table shuffle (exact fixed-point sum, the `_dec_sum`
+    discipline); the LAG and moving-average windows run over the
+    ~350-row post-aggregation weekly table (the established small-input
+    global-window class)."""
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias(
+            "week_start"
+        )
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
+            )
+            / 10000.0
+        ).alias("revenue")
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_start",
+        "revenue",
+        F.round(
+            F.when(prev > 0, (F.col("revenue") - prev) / prev), 6
+        ).alias("wow_change"),
+        F.round(
+            F.avg("revenue").over(w.rowsBetween(-3, 0)), 4
+        ).alias("revenue_4wk_avg"),
+    ).orderBy("week_start")

@@ -78,7 +78,8 @@ ORACLES: dict[str, str] = {}
 #: hll_intersection_users, event_transition_matrix,
 #: tpch_q3_shipping_priority, tpch_q10_returned_items,
 #: rolling_median_value, shuffle_skew_report,
-#: stream_stream_full_outer_join.
+#: stream_stream_full_outer_join, attribution_delay_quantiles,
+#: weekly_revenue_wow.
 #: Swap them in next round for twice-driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

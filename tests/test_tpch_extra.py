@@ -78,3 +78,59 @@ def test_rolling_median_single_window_shuffle(plans):
     p = plans("rolling_median_value")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+# --- attribution_delay_quantiles / weekly_revenue_wow (wave 10) --------------
+
+
+def test_delay_quantiles_match_python_reference(spark, sf_dir):
+    r = QS["attribution_delay_quantiles"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    clicks = [(e.user_id, e.ts) for e in ev if e.event_type == "click"]
+    purchases = [(e.user_id, e.ts) for e in ev if e.event_type == "purchase"]
+    import datetime
+    import math
+
+    # the engine computes floor(epoch(p)) - floor(epoch(c)) (timestamp ->
+    # long truncates each side), which differs from truncating the
+    # DIFFERENCE when sub-second parts straddle a boundary
+    def fsec(ts):
+        return math.floor(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
+
+    delays = sorted(
+        fsec(pts) - fsec(cts)
+        for cu, cts in clicks
+        for pu, pts in purchases
+        if cu == pu and cts <= pts < cts + datetime.timedelta(minutes=30)
+    )
+    n = len(delays)
+    assert r.n_pairs == n
+
+    def q(num, den):
+        return delays[(num * n + den - 1) // den - 1]
+
+    assert (r.p25_sec, r.p50_sec, r.p75_sec, r.p90_sec) == (
+        q(1, 4),
+        q(1, 2),
+        q(3, 4),
+        q(9, 10),
+    )
+    assert r.p25_sec <= r.p50_sec <= r.p75_sec <= r.p90_sec
+
+
+def test_wow_change_consistent_with_revenue(spark, sf_dir):
+    rows = QS["weekly_revenue_wow"](spark, sf_dir).collect()
+    assert rows[0].wow_change is None
+    for prev, cur in zip(rows, rows[1:]):
+        if prev.revenue > 0:
+            assert cur.wow_change == pytest.approx(
+                round((cur.revenue - prev.revenue) / prev.revenue, 6), abs=2e-6
+            )
+    # the 4-week average over the first 4 rows is the plain mean
+    import statistics
+
+    for i, r in enumerate(rows[:8]):
+        window = [x.revenue for x in rows[max(0, i - 3) : i + 1]]
+        assert r.revenue_4wk_avg == pytest.approx(
+            round(statistics.mean(window), 4), abs=2e-4
+        )
