@@ -1471,22 +1471,27 @@ WITH pairs AS (
       ON c.user_id = p.user_id
      AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
 ),
-ranked AS (
+counts AS (
+    SELECT delay_sec, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY delay_sec
+),
+cum AS (
     SELECT delay_sec,
-           ROW_NUMBER() OVER (ORDER BY delay_sec) AS rk,
-           CAST(COUNT(*) OVER () AS BIGINT) AS n
-    FROM pairs
+           SUM(cnt) OVER (ORDER BY delay_sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n
+    FROM counts
 )
 SELECT n AS n_pairs,
-       CAST(MIN(CASE WHEN rk = (n + 3) // 4 THEN delay_sec END) AS BIGINT)
+       CAST(MIN(CASE WHEN c >= (n + 3) // 4 THEN delay_sec END) AS BIGINT)
            AS p25_sec,
-       CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN delay_sec END) AS BIGINT)
+       CAST(MIN(CASE WHEN c >= (n + 1) // 2 THEN delay_sec END) AS BIGINT)
            AS p50_sec,
-       CAST(MIN(CASE WHEN rk = (3 * n + 3) // 4 THEN delay_sec END) AS BIGINT)
+       CAST(MIN(CASE WHEN c >= (3 * n + 3) // 4 THEN delay_sec END) AS BIGINT)
            AS p75_sec,
-       CAST(MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_sec END) AS BIGINT)
+       CAST(MIN(CASE WHEN c >= (9 * n + 9) // 10 THEN delay_sec END) AS BIGINT)
            AS p90_sec
-FROM ranked
+FROM cum
 GROUP BY n
 """.strip(),
 )
@@ -1497,9 +1502,10 @@ def attribution_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rank = ceil(q * n)`` on the ordered delays, identical integer
     arithmetic in both engines (the rolling-median discipline: never
     trust two engines' quantile interpolation conventions to agree).
-    One equi-join with a range predicate, one global ordered window over
-    the pair DELAYS only (post-join scalar column, not the fact table),
-    one 1-row summary."""
+    One equi-join with a range predicate, a per-delay count (map-side
+    combined — the delay domain is bounded at 1800 values by the
+    30-minute window), a cumulative window over that tiny table, one
+    1-row summary. Never a global sort of the raw pairs."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts")
@@ -1521,24 +1527,34 @@ def attribution_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("c_ts").cast("timestamp").cast("long")
         ).alias("delay_sec")
     )
-    w_rank = Window.orderBy("delay_sec")
+    # per-delay counts first: the delay domain is BOUNDED by the window
+    # (30 min = at most 1800 distinct second values), so the cumulative
+    # window runs over a provably tiny post-aggregation table — never a
+    # global sort of the raw pair rows
+    counts = pairs.groupBy("delay_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = Window.orderBy("delay_sec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     w_all = Window.partitionBy()
-    ranked = pairs.select(
+    cum = counts.select(
         "delay_sec",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
     )
 
     def q_at(num: int, den: int) -> F.Column:
-        # ceil((num/den) * n) as exact integer arithmetic: (num*n + den-1) div den
+        # rank = ceil((num/den) * n) via exact integers: (num*n + den-1) div den;
+        # the quantile is the smallest delay whose cumulative count reaches it
         target = F.floor((num * F.col("n") + (den - 1)) / den).cast("long")
         return (
-            F.min(F.when(F.col("rk") == target, F.col("delay_sec")))
+            F.min(F.when(F.col("c") >= target, F.col("delay_sec")))
             .cast("long")
         )
 
     return (
-        ranked.groupBy("n")
+        cum.groupBy("n")
         .agg(
             q_at(1, 4).alias("p25_sec"),
             q_at(1, 2).alias("p50_sec"),
