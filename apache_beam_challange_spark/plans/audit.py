@@ -460,30 +460,32 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`salted_join_revenue`) and AQE's skew-join split: distinct-key
     count, the heaviest key's row share, the skew factor
     (max_key * n_keys / total — 1.0 means perfectly uniform), and the
-    top-10-key share. One key aggregate; the windows run over the
-    POST-aggregation per-key table (the small-input global-window
-    class), and the final output is a single summary row."""
+    top-10-key share. Unlike this module's other global-window uses, the
+    per-key table's cardinality GROWS with the fact table, so no global
+    window touches it (review): total/n_keys/max come from one agg(),
+    the top-10 from orderBy(desc).limit(10) — TakeOrderedAndProject,
+    per-partition heaps, no single-partition funnel — and the two
+    single-row frames cross-join into the summary row. per_key is
+    localCheckpoint-ed so the orders scan+shuffle runs once, not once
+    per consumer."""
     o = load_table(spark, sf_dir, "orders")
-    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    per_key = (
+        o.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
     )
-    w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.col("n").desc(), F.col("key"))
-    ranked = per_key.select(
-        "key",
-        "n",
-        F.row_number().over(w_rank).alias("rk"),
-        F.sum("n").over(w_all).cast("long").alias("total"),
-        F.count(F.lit(1)).over(w_all).cast("long").alias("n_keys"),
-        F.max("n").over(w_all).cast("long").alias("max_n"),
+    summary = per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    top10 = (
+        per_key.orderBy(F.col("n").desc(), F.col("key"))
+        .limit(10)
+        .agg(F.sum("n").cast("long").alias("top10_rows"))
     )
     return (
-        ranked.groupBy("n_keys", "total", "max_n")
-        .agg(
-            F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
-            .cast("long")
-            .alias("top10_rows"),
-        )
+        summary.crossJoin(top10)
         .select(
             "n_keys",
             F.col("total").alias("n_rows"),

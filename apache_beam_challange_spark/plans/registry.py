@@ -62,25 +62,10 @@ ORACLES: dict[str, str] = {}
 #: queries round 6 adds (the two new streaming batch-twins, rotated in
 #: below per VERDICT r5 #8).
 #:
-#: ROUND-7 ROTATION POOL (added round 6 after the tier froze, never
-#: driver-checked): bpe_train_merges, bpe_encode_token_counts,
-#: vocab_coverage_topk, chunk_overlap_dedup, robust_outlier_hours,
-#: stream_stream_left_outer_join, variant_props_stats,
-#: lateral_top_customers_per_nation, recursive_hour_spine_counts,
-#: enriched_orders_view_revenue, streaming_dedup_within_watermark,
-#: near_dup_label_propagation, stateful_gap_sessions,
-#: gopher_quality_flags, dsir_importance_weights,
-#: duplicate_span_islands, adamic_adar_link_prediction,
-#: kmeans_silhouette, k_anonymity_audit, event_pattern_matches,
-#: containment_dup_pairs, dp_noisy_lang_counts,
-#: unpivot_returnflag_metrics, bq_topk_vec0, matryoshka_topk_vec0,
-#: station_dbscan_clusters, cluster_canonical_docs,
-#: hll_intersection_users, event_transition_matrix,
-#: tpch_q3_shipping_priority, tpch_q10_returned_items,
-#: rolling_median_value, shuffle_skew_report,
-#: stream_stream_full_outer_join, attribution_delay_quantiles,
-#: weekly_revenue_wow.
-#: Swap them in next round for twice-driver-green tail entries.
+#: ROUND-8 ROTATION POOL: queries round 7 adds after the tier froze
+#: (never driver-checked) — tpch_q17_small_qty_revenue,
+#: tpch_q22_idle_customers, nsw_topk_vec0, kll_value_quantiles.
+#: Swap them in next round for driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
@@ -88,48 +73,47 @@ DRIVER_ORDER: list[str] = [
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # round-6 rotation: the 34 never-driver-checked round-5 queries,
-    # placed right after the canonical core so a shrinking window cannot
-    # skip them
-    "scd2_event_type_history",
-    "quarantine_rule_counts",
-    "benchmark_contamination_topk",
-    "curation_funnel_by_lang",
-    "multimodal_audio_features",
-    "sequence_packing_by_shard",
-    "pii_redaction_counts",
-    "resample_locf_hourly",
-    "near_dup_triangle_stats",
-    "sq8_topk_vec0",
-    "bpe_pair_counts",
-    "prefix_filter_jaccard_pairs",
-    "weighted_doc_sample",
-    "entity_part_clusters",
-    "zorder_orders_keys",
-    "hll_sliding_distinct_users",
-    "sessions_overlapping_error_hours",
-    "streaming_ohlc_hourly",
-    "cusum_hourly_changepoints",
-    "multimodal_image_phash",
-    "split_leakage_pairs",
-    "daily_trend_slopes",
-    "rp_jl_topk_vec0",
-    "session_covisit_pmi",
-    "timed_conversion_counts",
-    "station_grid_density",
-    "bigram_surprise_docs",
-    "quality_percentile_by_lang",
-    "mmr_diversified_topk_vec0",
-    "dq_verification_report",
-    "stations_within_radius_pairs",
-    "near_dup_k_core",
-    "cdc_snapshot_with_deletes",
-    "cdc_chunk_dedup_stats",
-    # round-6 new streaming batch-twins (VERDICT r5 #8): stream-stream
-    # interval join and transformWithStateInPandas, each oracle-checked
-    # through its batch-equivalent plan
-    "stream_stream_interval_join",
-    "stateful_user_session_stats",
+    # round-7 rotation (VERDICT r6 #1): the complete 36-query
+    # never-driver-checked round-7 pool, placed right after the
+    # canonical core so a shrinking window cannot skip them. Every
+    # round-6 driver entry that earned its verdict rotates out to the
+    # extended tier (still locally gated every round).
+    "bpe_train_merges",
+    "bpe_encode_token_counts",
+    "vocab_coverage_topk",
+    "chunk_overlap_dedup",
+    "robust_outlier_hours",
+    "stream_stream_left_outer_join",
+    "variant_props_stats",
+    "lateral_top_customers_per_nation",
+    "recursive_hour_spine_counts",
+    "enriched_orders_view_revenue",
+    "streaming_dedup_within_watermark",
+    "near_dup_label_propagation",
+    "stateful_gap_sessions",
+    "gopher_quality_flags",
+    "dsir_importance_weights",
+    "duplicate_span_islands",
+    "adamic_adar_link_prediction",
+    "kmeans_silhouette",
+    "k_anonymity_audit",
+    "event_pattern_matches",
+    "containment_dup_pairs",
+    "dp_noisy_lang_counts",
+    "unpivot_returnflag_metrics",
+    "bq_topk_vec0",
+    "matryoshka_topk_vec0",
+    "station_dbscan_clusters",
+    "cluster_canonical_docs",
+    "hll_intersection_users",
+    "event_transition_matrix",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "rolling_median_value",
+    "shuffle_skew_report",
+    "stream_stream_full_outer_join",
+    "attribution_delay_quantiles",
+    "weekly_revenue_wow",
     # serving-shape entries kept under continuous driver watch: at-rest
     # indexed ANN routes, the bucketed embedding near-dup twin, the
     # scale-path dedup clustering chain, and the codec seam — no

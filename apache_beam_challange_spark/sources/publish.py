@@ -232,8 +232,12 @@ def delete_published_keys(
                     f"column, got {keys.columns}"
                 )
             key_df = keys.select(F.col(src).alias("__del_key")).distinct()
+            # No forced broadcast: a bulk-erasure key set can be
+            # arbitrarily large (review — the same no-forced-broadcast-
+            # of-growing-inputs discipline as bigram_surprise_docs); AQE
+            # picks broadcast vs shuffle from the measured size.
             flagged = current.join(
-                F.broadcast(key_df),
+                key_df,
                 current[key_col] == F.col("__del_key"),
                 "left",
             ).withColumn("__del", F.col("__del_key").isNotNull())

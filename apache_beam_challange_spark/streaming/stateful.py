@@ -168,7 +168,13 @@ def user_session_stats_tws(events: DataFrame) -> DataFrame:
     tuple, the shape the TWS API is designed for. Requires RocksDB state
     store + a working ``google.protobuf`` (absent in this container; the
     protobuf-gated test in tests/test_streaming.py asserts equality with
-    the batch GROUP BY where available)."""
+    the batch GROUP BY where available).
+
+    UNVERIFIED IN THIS CONTAINER: the equality-with-batch contract is
+    never exercised here because the protobuf-gated tests skip —
+    ``tools/check_tws.py`` reports the gap loudly each round. The shared
+    :func:`_fold_session_batches` accumulator (the part that can diverge)
+    IS covered via the ``applyInPandasWithState`` twin."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -191,8 +197,14 @@ def user_session_stats_tws(events: DataFrame) -> DataFrame:
             types_new.update(t[0] for t in self._types.get())
             ft0 = self._ft.get()[0] if self._ft.exists() else None
             lt0 = self._lt.get()[0] if self._lt.exists() else None
-            ft = min(x for x in (ft0, ft_new) if x is not None)
-            lt = max(x for x in (lt0, lt_new) if x is not None)
+            ft_c = [x for x in (ft0, ft_new) if x is not None]
+            lt_c = [x for x in (lt0, lt_new) if x is not None]
+            if not ft_c or not lt_c:
+                # Empty chunk iterator with no prior state (possible under
+                # timer-driven invocations): nothing to fold, emit nothing
+                # rather than raise on min()/max() of an empty sequence.
+                return
+            ft, lt = min(ft_c), max(lt_c)
             self._n.update((n,))
             self._vm.update((vm,))
             self._ft.update((ft,))
@@ -312,6 +324,7 @@ def _gap_session_updates(
         s0 = l0 = n0 = None
     gap_us = GAP_SESSION_MS * 1000
     closed: list[tuple[int, int, int]] = []
+    late: list[int] = []
     for t in ts:
         if l0 is None:
             s0, l0, n0 = t, t, 1
@@ -332,12 +345,26 @@ def _gap_session_updates(
             s0, n0 = min(s0, t), n0 + 1
         else:
             # LATE beyond the open session's horizon: its original
-            # session may already be emitted, so retroactive merge is
-            # impossible with O(1) state — it sessionizes alone, the
-            # documented bounded-state compromise (Spark's native
-            # session_window pays buffered-state merges for the same
-            # case)
-            closed.append((t, t, 1))
+            # session may already be emitted, so retroactive cross-batch
+            # merge is impossible with O(1) state — but late events in
+            # the SAME batch gap-fold among themselves below (review:
+            # two same-batch late events within one gap formed two
+            # singleton sessions, diverging from the batch-twin oracle)
+            late.append(t)
+    if late:
+        # `late` is in ascending ts order (the horizon s0 - gap only
+        # rises as the sorted batch folds), so one linear gap fold —
+        # the same rule as the main loop — sessionizes them the way
+        # the batch oracle's global gaps-and-islands would for the
+        # in-batch case.
+        ls, ll, ln = late[0], late[0], 1
+        for t in late[1:]:
+            if t - ll <= gap_us:
+                ll, ln = t, ln + 1
+            else:
+                closed.append((ls, ll, ln))
+                ls, ll, ln = t, t, 1
+        closed.append((ls, ll, ln))
     state.update((s0, l0, n0))
     # event-time timer in MILLIS: fires when the watermark passes the
     # session's gap horizon
@@ -360,10 +387,14 @@ def gap_sessions(events: DataFrame, watermark_delay: str = "1 hour") -> DataFram
     LATE-DATA CONTRACT (O(1) state per key, by design): a late event
     adjacent to the OPEN session (inside its span, or within one gap
     before its start) merges into it without regressing either boundary
-    or the timer; a late event beyond that horizon sessionizes alone —
-    its original session may already be emitted, and retroactive merge
-    requires the buffered-event state Spark's native ``session_window``
-    pays for. Test-pinned in both directions."""
+    or the timer; late events beyond that horizon gap-fold AMONG
+    THEMSELVES within the batch (two late events within one gap form one
+    session, as the batch oracle would compute) but never merge
+    retroactively across batches — their original session may already be
+    emitted, and cross-batch merge requires the buffered-event state
+    Spark's native ``session_window`` pays for. Test-pinned in all three
+    directions (adjacent merge, same-batch late fold, cross-batch
+    isolation)."""
     from pyspark.sql import functions as F
 
     keyed = events.select(

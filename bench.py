@@ -246,6 +246,21 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # noise_ref (VERDICT r6 #5): median wall of a tiny FIXED reference
+    # workload (the warmup aggregation, now timed, 5 reps) emitted with
+    # every record — a host-state barometer. A 9.0-vs-7.5 headline swing
+    # with noise_ref steady is a real regression; with noise_ref inflated
+    # by the same ratio it's host noise, adjudicable from the record
+    # alone. Clean-host reference value: PERF.md "noise_ref".
+    noise_walls = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+            "l_returnflag"
+        ).count().write.mode("overwrite").format("noop").save()
+        noise_walls.append(time.time() - t0)
+    noise_ref = round(statistics.median(noise_walls), 3)
+
     spread: dict[str, dict[str, float]] = {}
     timings = _bench_series(qs, HEADLINE, spark, sf_dir, spread)
     flagships = _bench_series(qs, FLAGSHIPS, spark, sf_dir, spread)
@@ -275,6 +290,7 @@ def main() -> None:
         "filtering": filtering,
         "filtering_total": round(sum(filtering.values()), 3),
         "spread": spread,
+        "noise_ref": noise_ref,
         "vs_r1": vs_r1,
         "repeats": REPEATS,
         "aggregation": "median",
@@ -306,6 +322,7 @@ def main() -> None:
                 "ablations_total": round(sum(ablations.values()), 3),
                 "filtering_total": round(sum(filtering.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
+                "noise_ref": noise_ref,
                 "detail": "BENCH_DETAIL.json",
                 "repeats": REPEATS,
                 "aggregation": "median",

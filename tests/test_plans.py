@@ -448,6 +448,17 @@ def test_lateral_join_is_decorrelated(plans):
     assert "WindowGroupLimit" in p or "Window" in p
 
 
+def test_skew_report_has_no_global_window(plans):
+    """shuffle_skew_report's per-key table grows with the fact table, so
+    no single-partition WindowExec may touch it (review): the top-10 is
+    TakeOrderedAndProject (per-partition heaps) and the totals are one
+    two-phase agg — zero Window operators anywhere in the plan."""
+    p = plans("shuffle_skew_report")
+    assert "Window" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_sum" in p
+
+
 def test_enriched_view_serves_history_from_warehouse(plans):
     """The join-view serving query must union a warehouse scan of the
     pre-enriched layer with the live-tail join: two parquet scan groups,

@@ -1094,6 +1094,52 @@ def test_gap_sessions_late_data_never_regresses_boundaries(spark, tmp_path):
         assert start <= end
 
 
+def test_gap_sessions_same_batch_late_events_fold_together(spark, tmp_path):
+    """Late-data contract, third direction (review): two beyond-horizon
+    late events in the SAME batch that are within one gap of each other
+    form ONE session — the same answer the batch-twin oracle's global
+    gaps-and-islands gives — while a late event more than one gap from
+    them still sessionizes alone."""
+    from apache_beam_challange_spark.streaming.stateful import gap_sessions
+
+    d = tmp_path / "gap_multi_late_in"
+    d.mkdir()
+    # batch a: open session 12:00-12:05 (horizon = 11:30)
+    _write_batch(
+        spark,
+        str(d / "a.parquet"),
+        [
+            (1, _nanos(12, 0), 1, "view", 1.0, "{}"),
+            (2, _nanos(12, 5), 1, "view", 1.0, "{}"),
+        ],
+    )
+    # batch b: three beyond-horizon late events — 9:00 and 9:20 are
+    # within one 30-min gap of each other (one session), 8:00 is not
+    # (singleton) — plus a far-future watermark advancer
+    _write_batch(
+        spark,
+        str(d / "b.parquet"),
+        [
+            (3, _nanos(9, 0), 1, "view", 1.0, "{}"),
+            (4, _nanos(9, 20), 1, "view", 1.0, "{}"),
+            (5, _nanos(8, 0), 1, "view", 1.0, "{}"),
+            (6, _nanos(23, 0), 9, "click", 1.0, "{}"),
+        ],
+    )
+    ev = events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_memory(gap_sessions(ev), "append")
+    rows = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in out.collect()
+        if r.user_id == 1
+    )
+    assert rows == [
+        (1, "2024-01-01 08:00:00", "2024-01-01 08:00:00", 1),
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:20:00", 2),
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:05:00", 2),
+    ]
+
+
 def test_full_outer_interval_join_partitions_rows(spark, sf_dir):
     """Full outer = inner pairs + null-padded clicks + null-padded
     purchases, mutually exclusive; the left-outer result is exactly the

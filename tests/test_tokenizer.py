@@ -150,6 +150,42 @@ def test_bpe_encode_matches_python_trainer_states(spark, sf_dir):
 # --- vocabulary coverage -----------------------------------------------------
 
 
+def test_vocab_rank_window_input_bounded_10k_token_types(spark, sf_dir):
+    """The ranking window in vocab_coverage_topk runs over the VOCAB
+    aggregate (distinct token types), not corpus tokens — Zipf-small and
+    provably bounded here (≤10k types for the synthetic corpus), so the
+    single-partition row_number window is safe at any corpus scale. If
+    this fires, the vocabulary stopped being post-aggregation-small and
+    the ranking needs TakeOrderedAndProject-style capping first."""
+    import duckdb
+
+    n_types = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT token) FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM '{sf_dir}/documents.parquet')
+            WHERE token <> ''"""
+    ).fetchone()[0]
+    assert n_types <= 10_000
+
+
+def test_robust_outlier_window_input_bounded_8784_hours(spark, sf_dir):
+    """robust_outlier_hours' median/MAD percentiles aggregate the
+    (event_type, hour) table whose cardinality is CALENDAR HOURS × event
+    types — bounded (≤8784 hours/leap-year per type), not fact-row-
+    driven, so the broadcast median/MAD sides stay tiny at any event
+    volume. If this fires, the hourly domain grew and the broadcast
+    hints need revisiting."""
+    import duckdb
+
+    n_hours, n_types = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT date_trunc('hour', ts)),
+                   COUNT(DISTINCT event_type)
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchone()
+    assert n_hours <= 8784
+    assert n_types <= 50
+
+
 def test_vocab_coverage_curve_invariants(spark, sf_dir):
     """Coverage is monotone in k, bounded by the total, and the ppm is
     the exact floor — checked against a pandas recount of the corpus."""

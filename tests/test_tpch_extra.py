@@ -118,6 +118,16 @@ def test_delay_quantiles_match_python_reference(spark, sf_dir):
     assert r.p25_sec <= r.p50_sec <= r.p75_sec <= r.p90_sec
 
 
+def test_weekly_wow_window_input_bounded_600_weeks(spark, sf_dir):
+    """The LAG/moving-average window runs over the post-aggregation
+    weekly table whose cardinality is CALENDAR WEEKS, not fact rows —
+    provably bounded (≤600 ≈ 11.5 years; TPC-H orderdates span 7), so
+    the single-partition WindowExec shape is safe at any fact-table
+    scale. If this fires, the window input grew with the data and the
+    plan needs a partitioned window instead."""
+    assert QS["weekly_revenue_wow"](spark, sf_dir).count() <= 600
+
+
 def test_wow_change_consistent_with_revenue(spark, sf_dir):
     rows = QS["weekly_revenue_wow"](spark, sf_dir).collect()
     assert rows[0].wow_change is None
