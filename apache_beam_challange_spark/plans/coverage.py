@@ -1080,6 +1080,89 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_SQL = """
+SELECT CAST(FLOOR(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  / CAST(7 AS DOUBLE)) AS BIGINT) AS avg_yearly_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND p.p_size <= 25
+  AND l.l_quantity < (
+        SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+  )
+""".strip()
+
+
+@query("tpch_q17_small_qty_revenue", oracle=_Q17_SQL)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (Small-Quantity-Order Revenue), adapted to the generated
+    schema (p_size stands in for the absent p_container): yearly revenue
+    that would be lost by refusing orders below 20% of a part's average
+    order quantity — the canonical CORRELATED SCALAR SUBQUERY (the
+    per-part average correlates through the join). Catalyst DECORRELATES
+    it: the executed plan aggregates lineitem by partkey once and
+    equi-joins it back — never a per-row re-scan of lineitem
+    (plan-asserted: no nested-loop, no cartesian), so the correlated
+    spelling costs two fact scans at any scale. One SQL text runs
+    verbatim on Spark AND DuckDB (facade-portable).
+
+    Cross-engine exactness: revenue goes through cent fixed-point; the
+    threshold AVG is exact because integer-valued quantities sum exactly
+    in doubles regardless of partitioning order, and both engines then
+    perform the identical IEEE divide/multiply."""
+    register_views(spark, sf_dir, tables=("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+WITH eligible AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+)
+SELECT e.c_nationkey AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(e.acctbal_cents) AS BIGINT) AS totacctbal_cents
+FROM eligible e
+WHERE e.acctbal_cents * (SELECT COUNT(*) FROM eligible WHERE acctbal_cents > 0)
+      > (SELECT SUM(acctbal_cents) FROM eligible WHERE acctbal_cents > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = e.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  )
+GROUP BY e.c_nationkey
+ORDER BY cntrycode
+""".strip()
+
+
+@query("tpch_q22_idle_customers", oracle=_Q22_SQL)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (Global Sales Opportunity), adapted to the generated
+    schema (c_nationkey stands in for the absent phone country code, and
+    "never ordered" — impossible here, every customer has orders —
+    becomes "no URGENT order since 1997"): per-country count and total
+    balance of above-average-balance customers with no recent urgent
+    order. The canonical NOT EXISTS anti-join surface: Catalyst plans a
+    LEFT ANTI hash join with the priority/date predicates pushed into
+    the orders scan (plan-asserted: LeftAnti present, no nested-loop,
+    no cartesian), and the two uncorrelated scalar subqueries evaluate
+    once each. One SQL text runs verbatim on Spark AND DuckDB
+    (facade-portable).
+
+    Cross-engine exactness: the above-average test is the exact integer
+    cross-multiplication acctbal_cents * n > sum_cents (no
+    double-precision average on a boundary), with balances through cent
+    fixed-point throughout."""
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_Q22_SQL)
+
+
 # --- exact rolling median ----------------------------------------------------
 
 _ROLL_MED_FRAME = 10

@@ -448,6 +448,32 @@ def test_lateral_join_is_decorrelated(plans):
     assert "WindowGroupLimit" in p or "Window" in p
 
 
+def test_q17_correlated_scalar_subquery_decorrelated(plans):
+    """Q17's per-part correlated AVG must DECORRELATE: lineitem is
+    aggregated by partkey ONCE (partial_avg visible → map-side combined)
+    and equi-joined back — never a per-outer-row re-scan (no
+    nested-loop, no cartesian), the same discipline the LATERAL test
+    pins."""
+    p = plans("tpch_q17_small_qty_revenue")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_avg" in p
+
+
+def test_q22_not_exists_is_anti_hash_join(plans):
+    """Q22's NOT EXISTS must plan as a LEFT ANTI hash join with the
+    priority/date predicates pushed into the orders scan — never a
+    nested-loop existence probe."""
+    p = plans("tpch_q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert any(
+        "o_orderpriority" in l and "DataFilters" in l for l in scans
+    )
+
+
 def test_skew_report_has_no_global_window(plans):
     """shuffle_skew_report's per-key table grows with the fact table, so
     no single-partition WindowExec may touch it (review): the top-10 is

@@ -97,6 +97,10 @@ PORTABLE = [
     "event_transition_matrix",
     "shuffle_skew_report",
     "k_anonymity_audit",
+    # round-7: correlated scalar subquery + NOT EXISTS (facade-portable
+    # by construction — the Spark route runs the oracle text verbatim)
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_customers",
 ]
 
 
