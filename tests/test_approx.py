@@ -26,3 +26,68 @@ def test_approx_percentile_brackets_median(spark, sf_dir):
     assert lo <= mid <= hi
     vmin, vmax = ev.select(F.min("value"), F.max("value")).collect()[0]
     assert vmin <= lo and hi <= vmax
+
+
+def test_kll_rank_error_within_emitted_bound(spark, sf_dir):
+    """The KLL-class sketch's estimated quantile values must land within
+    the rank-error bound the query itself emits (sum of per-shard
+    strides): for each q, the true rank of est_value_fp differs from the
+    target rank by at most rank_err_bound. Also pins the register table
+    staying register-sized (<= shards * (64 + 1) rows)."""
+    import bisect
+
+    import __spark_entry__ as em
+
+    rows = em.all_queries()["kll_value_quantiles"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    exact = sorted(
+        r.v
+        for r in ev.select(
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("v")
+        ).collect()
+    )
+    n = len(exact)
+    for r in rows:
+        assert r.n_rows == n
+        assert r.sketch_rows <= 8 * 65
+        target = (r.q_pct * n + 99) // 100
+        # true rank range of the estimated value in the sorted data
+        lo = bisect.bisect_left(exact, r.est_value_fp) + 1
+        hi = bisect.bisect_right(exact, r.est_value_fp)
+        err = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+        assert err <= r.rank_err_bound, (r.q_pct, err, r.rank_err_bound)
+
+
+def test_kll_merge_is_register_union(spark, sf_dir):
+    """Mergeability proof: the register table built from ONLY one shard's
+    rows equals the full build's registers for that shard, row for row —
+    so merging independently-built shard sketches is plain UNION, no
+    recompaction (the content-keyed shard assignment makes each shard's
+    compaction independent of every other shard's data)."""
+    from pyspark.sql import functions as SF
+
+    from apache_beam_challange_spark.plans.advanced import kll_register_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def hex4(prefix, col):
+        return SF.conv(
+            SF.substring(
+                SF.md5(SF.concat(SF.lit(prefix), col.cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    shard0_events = ev.filter(hex4("s#", F.col("event_id")) % 8 == 0)
+    solo = sorted(
+        (r.shard, r.v, r.rk0, r.w)
+        for r in kll_register_table(shard0_events).collect()
+    )
+    full = sorted(
+        (r.shard, r.v, r.rk0, r.w)
+        for r in kll_register_table(ev).filter(F.col("shard") == 0).collect()
+    )
+    assert solo == full and len(solo) > 0
