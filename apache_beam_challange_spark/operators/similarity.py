@@ -756,54 +756,65 @@ def nsw_topk(
     visited nodes through the adjacency and score the newly reached
     nodes. Exact cosine over the visited set serves the final top-k.
 
-    Iterative-driver-job shape (same as connected_components_lss): each
-    round is a broadcast join of the ≤beam-row frontier against the
-    adjacency — work per round is O(beam * M) adjacency rows, never
-    corpus-sized, and visited grows by ≤ beam*M nodes/round, so the
-    whole search touches ≤ seeds + rounds*beam*M vectors regardless of
-    corpus size. Deterministic (cos desc, vec_id tie-breaks), so the
-    DuckDB oracle replays the identical trajectory unrolled."""
+    Iterative-driver-job shape (same as connected_components_lss), with
+    id-pushdown serving: the frontier (≤ beam ids) and the reached set
+    (≤ beam*M ids) are PARAMETER-BOUNDED documented collects, re-issued
+    as IN-list filters so both the adjacency read and the vector lookup
+    are PUSHED to their parquet scans (row-group pruning on the
+    src-sorted index; no full corpus rescan per round — the vector-store
+    point-lookup shape real graph-ANN serving uses). Work per round is
+    O(beam * M), and the whole search scores ≤ seeds + rounds*beam*M
+    vectors regardless of corpus size. Deterministic (cos desc, vec_id
+    tie-breaks), so the DuckDB oracle replays the identical trajectory
+    unrolled."""
     qvec = _query_vec(embeddings, query_vec_id)
     vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
-    scored_all = vecs.crossJoin(F.broadcast(qvec)).select(
-        "vec_id", "label", cosine(F.col("vec"), F.col("__qvec")).alias("cos")
-    )
-    visited = (
-        scored_all.filter(
-            (F.col("vec_id") % seed_step == 0)
-            & (F.col("vec_id") != query_vec_id)
+
+    def score(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(qvec)).select(
+            "vec_id", cosine(F.col("vec"), F.col("__qvec")).alias("cos")
         )
-        .select("vec_id", "cos")
+
+    visited = (
+        score(
+            vecs.filter(
+                (F.col("vec_id") % seed_step == 0)
+                & (F.col("vec_id") != query_vec_id)
+            )
+        )
         .localCheckpoint()
     )
-    expanded = None
+    expanded: set[int] = set()
     for _ in range(rounds):
-        unexp = (
-            visited
-            if expanded is None
-            else visited.join(expanded, "vec_id", "left_anti")
-        )
-        frontier = (
-            unexp.orderBy(F.col("cos").desc(), F.col("vec_id"))
-            .limit(beam)
-            .select("vec_id")
-            .localCheckpoint()
-        )
-        expanded = (
-            frontier if expanded is None else expanded.union(frontier)
-        )
-        reached = (
-            adjacency.join(
-                F.broadcast(frontier.withColumnRenamed("vec_id", "src")),
-                "src",
+        # parameter-bounded collect: ≤ beam ids (documented above)
+        frontier_ids = [
+            r.vec_id
+            for r in visited.filter(
+                ~F.col("vec_id").isin(list(expanded)) if expanded else F.lit(True)
             )
-            .filter(F.col("dst") != query_vec_id)
-            .select(F.col("dst").alias("vec_id"))
-            .dropDuplicates(["vec_id"])
-        )
-        new_scored = scored_all.join(reached, "vec_id").select("vec_id", "cos")
+            .orderBy(F.col("cos").desc(), F.col("vec_id"))
+            .limit(beam)
+            .collect()
+        ]
+        if not frontier_ids:
+            break
+        expanded.update(frontier_ids)
+        # parameter-bounded collect: ≤ beam*M ids; IN-list pushed to the
+        # src-sorted adjacency scan
+        reached_ids = {
+            r.dst
+            for r in adjacency.filter(F.col("src").isin(frontier_ids))
+            .select("dst")
+            .distinct()
+            .collect()
+            if r.dst != query_vec_id
+        }
+        if not reached_ids:
+            continue
+        # IN-list pushed to the vector scan: point lookups, not a rescan
+        new_scored = score(vecs.filter(F.col("vec_id").isin(list(reached_ids))))
         visited = (
             visited.union(new_scored)
             .dropDuplicates(["vec_id"])

@@ -352,11 +352,11 @@ def _gap_session_updates(
             # singleton sessions, diverging from the batch-twin oracle)
             late.append(t)
     if late:
-        # `late` is in ascending ts order (the horizon s0 - gap only
-        # rises as the sorted batch folds), so one linear gap fold —
-        # the same rule as the main loop — sessionizes them the way
-        # the batch oracle's global gaps-and-islands would for the
-        # in-batch case.
+        # `late` is in ascending ts order (ts itself is sorted, so
+        # appended values ascend no matter how the horizon moves), so
+        # one linear gap fold — the same rule as the main loop —
+        # sessionizes them the way the batch oracle's global
+        # gaps-and-islands would for the in-batch case.
         ls, ll, ln = late[0], late[0], 1
         for t in late[1:]:
             if t - ll <= gap_us:

@@ -178,6 +178,17 @@ FILTERING = [
     "cluster_canonical_docs",
 ]
 
+#: round-7 additions (VERDICT r6 #2-#4): decorrelated TPC-H Q17/Q22,
+#: NSW graph-ANN served from the at-rest neighbor graph, KLL quantile
+#: sketch. nsw amortizes its one-time graph build across repeats like
+#: the other at-rest indexes; the median is steady-state serving cost.
+ROUND7 = [
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_customers",
+    "nsw_topk_vec0",
+    "kll_value_quantiles",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -268,6 +279,7 @@ def main() -> None:
     traindata = _bench_series(qs, TRAINDATA, spark, sf_dir, spread)
     ablations = _bench_series(qs, ABLATIONS, spark, sf_dir, spread)
     filtering = _bench_series(qs, FILTERING, spark, sf_dir, spread)
+    round7 = _bench_series(qs, ROUND7, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     vs_r1 = {
@@ -289,6 +301,8 @@ def main() -> None:
         "ablations": ablations,
         "filtering": filtering,
         "filtering_total": round(sum(filtering.values()), 3),
+        "round7": round7,
+        "round7_total": round(sum(round7.values()), 3),
         "spread": spread,
         "noise_ref": noise_ref,
         "vs_r1": vs_r1,
@@ -296,7 +310,7 @@ def main() -> None:
         "aggregation": "median",
         "sf": sf,
     }
-    # Full per-query detail (all six series + min/max spreads) goes to a
+    # Full per-query detail (all seven series + min/max spreads) goes to a
     # file and an EARLIER stdout line; the driver's tail capture is ~2 KB
     # (BENCH_r05 `parsed: null` — the ~6 KB single-line record overflowed
     # it, so round 5's -16% headline win went unrecorded; VERDICT r5 #1).
@@ -321,6 +335,7 @@ def main() -> None:
                 "traindata_total": round(sum(traindata.values()), 3),
                 "ablations_total": round(sum(ablations.values()), 3),
                 "filtering_total": round(sum(filtering.values()), 3),
+                "round7_total": round(sum(round7.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "noise_ref": noise_ref,
                 "detail": "BENCH_DETAIL.json",

@@ -1159,3 +1159,27 @@ def test_full_outer_interval_join_partitions_rows(spark, sf_dir):
     assert len(left) == len(matched) + len(null_p)
     # every row still carries the side-agnostic user key
     assert all(r.user_id is not None for r in full)
+
+
+def test_tws_gap_reported_loudly():
+    """tools/check_tws.py (VERDICT r6 #8) must either run the real TWS
+    equality check (exit 0/1) or report the environment gap LOUDLY
+    (exit 3 with the exact missing piece) — the unverified-in-container
+    status of the transformWithStateInPandas twins shows up in every
+    round's record, not only in a docstring."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "tools/check_tws.py"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=600,
+    )
+    assert r.returncode in (0, 3), r.stdout + r.stderr
+    if r.returncode == 3:
+        assert "TWS ENVIRONMENT GAP" in r.stdout
+        assert "protobuf" in r.stdout
