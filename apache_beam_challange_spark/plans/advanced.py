@@ -7,7 +7,7 @@ rows) but first-class engine surface for the 100 TB design."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -1018,3 +1018,116 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+# --- mergeable top-k heavy hitters (SpaceSaving-merge class) -----------------
+
+_HH_SHARDS = 4
+_HH_K = 20
+
+
+@query(
+    "mergeable_topk_user_counts",
+    oracle=f"""
+WITH sharded AS (
+    SELECT CAST(event_id % {_HH_SHARDS} AS BIGINT) AS shard, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT shard, user_id, n,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n DESC, user_id) AS rk
+    FROM sharded
+),
+kept AS (SELECT shard, user_id, n FROM ranked WHERE rk <= {_HH_K}),
+bounds AS (
+    SELECT shard,
+           CAST(COALESCE(MAX(CASE WHEN rk = {_HH_K + 1} THEN n END), 0)
+                AS BIGINT) AS rb
+    FROM ranked GROUP BY shard
+),
+cand AS (SELECT DISTINCT user_id FROM kept),
+merged AS (
+    SELECT c.user_id,
+           CAST(SUM(COALESCE(k.n, 0)) AS BIGINT) AS est_lo,
+           CAST(SUM(COALESCE(k.n, b.rb)) AS BIGINT) AS est_hi,
+           CAST(SUM(CASE WHEN k.n IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_shards_present
+    FROM cand c CROSS JOIN bounds b
+    LEFT JOIN kept k ON k.shard = b.shard AND k.user_id = c.user_id
+    GROUP BY c.user_id
+)
+SELECT user_id, est_lo, est_hi, n_shards_present
+FROM merged
+ORDER BY est_hi DESC, est_lo DESC, user_id
+LIMIT 10
+""".strip(),
+)
+def mergeable_topk_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-k heavy hitters with DETERMINISTIC per-item error
+    bounds — the distributed-summary answer to "who are the heaviest
+    users?" when shards can only ship a bounded summary (Agarwal et
+    al., "Mergeable Summaries", PODS'12; the merge rule is the
+    SpaceSaving/Misra-Gries one — public literature). Each of the
+    {S} shards (event_id mod {S} — order-insensitive, unlike the
+    classic streaming formulation, so the sketch content is a pure
+    function of the data) summarizes itself as its exact top-{K}
+    (count DESC, user_id) plus a residual bound rb = the (K+1)-th
+    count: any key ABSENT from the shard summary has shard-count
+    <= rb. Merging sums present counts into est_lo and charges rb
+    for every missing shard into est_hi, so est_lo <= true <=
+    est_hi with NO probabilistic caveat — the deterministic
+    complement to the Count-Min estimates (`countmin_user_estimates`,
+    one-sided overcount w.p. 1-delta) and the same
+    shard-register-then-merge discipline as `kll_value_quantiles`
+    and `hll_registers_users`. The bound is pinned against exact
+    counts in tests, like the KLL rank-error bound.
+
+    Scale posture: one partial-agg shuffle builds the per-shard
+    counts; the rank window partitions by shard (S partitions of
+    key-cardinality rows); everything after `kept` is O(S*K) rows —
+    the merge is head-node-sized by construction, which is the whole
+    point of a mergeable summary at 100 TB (summaries fly, rows
+    don't)."""
+    ev = load_table(spark, sf_dir, "events")
+    sharded = (
+        ev.groupBy(
+            (F.col("event_id") % _HH_SHARDS).cast("long").alias("shard"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rk_w = Window.partitionBy("shard").orderBy(F.col("n").desc(), "user_id")
+    # The summary everything downstream consumes is rk <= K+1 — S*(K+1)
+    # rows BY CONSTRUCTION (the mergeable-sketch property). Materialize
+    # that head-node-sized cut once so the three consumers (kept, bounds,
+    # cand) don't re-scan events + re-rank 3x.
+    ranked = (
+        sharded.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= _HH_K + 1)
+        .localCheckpoint(eager=False)
+    )
+    kept = ranked.filter(F.col("rk") <= _HH_K).select("shard", "user_id", "n")
+    bounds = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _HH_K + 1, F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rb")
+    )
+    cand = kept.select("user_id").dropDuplicates()
+    merged = (
+        cand.crossJoin(F.broadcast(bounds))
+        .join(kept, ["shard", "user_id"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_lo"),
+            F.sum(F.coalesce(F.col("n"), F.col("rb"))).cast("long").alias("est_hi"),
+            F.sum(F.when(F.col("n").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_shards_present"),
+        )
+    )
+    return merged.orderBy(
+        F.col("est_hi").desc(), F.col("est_lo").desc(), "user_id"
+    ).limit(10)

@@ -1215,3 +1215,109 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((lower + upper) / 2.0, 6).alias("rolling_median"),
     )
+
+
+# --- TPC-H Q21: double-correlated EXISTS / NOT EXISTS ------------------------
+
+_Q21_SQL = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""".strip()
+
+
+@query("tpch_q21_waiting_suppliers", oracle=_Q21_SQL)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (Suppliers Who Kept Orders Waiting), adapted to the
+    generated schema (no l_receiptdate/l_commitdate, so "late" becomes
+    shipping more than a year after the order date): for finalized
+    orders, count per supplier the lineitems where THIS supplier was
+    late, ANOTHER supplier contributed to the same order (EXISTS), and
+    NO OTHER supplier was also late (NOT EXISTS) — sole-blame
+    attribution. Completes the Q17/Q21/Q22 correlated-subquery trio:
+    Q17 is a correlated SCALAR subquery, Q22 a single NOT EXISTS; Q21
+    stacks an EXISTS and a NOT EXISTS on the SAME table, and the NOT
+    EXISTS branch additionally correlates through a non-equi predicate
+    on a THIRD relation's column (o.o_orderdate). Catalyst decorrelates
+    both into one left-semi and one left-anti hash join on l_orderkey
+    with the extra predicates as residual join conditions — never a
+    per-row re-scan of lineitem (plan-asserted: no nested-loop, no
+    cartesian), so the three logical lineitem references cost three
+    parallel scans of the same columnar files at any scale. One SQL
+    text runs verbatim on Spark AND DuckDB (facade-portable).
+
+    Cross-engine exactness: the output is a pure COUNT over equality /
+    interval-shifted timestamp comparisons — no floating arithmetic —
+    and the top-20 is fully tie-broken by (numwait DESC, s_name)."""
+    register_views(spark, sf_dir, tables=("supplier", "lineitem", "orders"))
+    return spark.sql(_Q21_SQL)
+
+
+# --- time-RANGE window frame -------------------------------------------------
+
+_RANGE_FRAME_SECONDS = 86_400
+
+
+@query(
+    "range_frame_user_day_totals",
+    oracle=f"""
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_cents_24h
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+    RANGE BETWEEN {_RANGE_FRAME_SECONDS - 1} PRECEDING AND CURRENT ROW
+)
+""".strip(),
+)
+def range_frame_user_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each event joined with the count and
+    value-sum of the SAME user's events in the trailing 24 hours — the
+    rate-limit / rolling-exposure feature shape. This is the RangeFrame
+    physical variant the window family was missing next to the
+    ROWS-frame `window_rolling_order_totals` and the unbounded frames:
+    the frame is defined by the ORDER-BY VALUE (epoch seconds), not a
+    row count, so rows sharing a second share a frame and sparse users
+    get narrow frames. One user-keyed shuffle; frame evaluation is a
+    per-partition sliding pass over the sorted run (bounded by the
+    24 h span, never the partition length).
+
+    Cross-engine exactness: epoch seconds via FLOOR (DuckDB CAST
+    double->BIGINT rounds, Spark truncates — the one-engine-only
+    spelling this repo's conventions ban), value through cent
+    fixed-point so the frame SUM is exact integer arithmetic, and ties
+    inside one second are frame-identical in both engines because
+    RANGE includes all peer rows."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-(_RANGE_FRAME_SECONDS - 1), 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_24h"),
+        F.sum(cents).over(w).cast("long").alias("sum_cents_24h"),
+    )

@@ -91,3 +91,43 @@ def test_kll_merge_is_register_union(spark, sf_dir):
         for r in kll_register_table(ev).filter(F.col("shard") == 0).collect()
     )
     assert solo == full and len(solo) > 0
+
+
+def test_mergeable_topk_bounds_bracket_exact_counts(spark, sf_dir):
+    """The deterministic heavy-hitter guarantee: for every reported user,
+    est_lo <= exact count <= est_hi, and a user present in all shards
+    is EXACT (lo == hi == truth) — the mergeable-summary analogue of
+    the KLL rank-error-bound test."""
+    from apache_beam_challange_spark.plans.advanced import (
+        _HH_SHARDS,
+        mergeable_topk_user_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = mergeable_topk_user_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        t = exact[r["user_id"]]
+        assert r["est_lo"] <= t <= r["est_hi"], (r, t)
+        if r["n_shards_present"] == _HH_SHARDS:
+            assert r["est_lo"] == t == r["est_hi"]
+
+
+def test_semdedup_prune_is_selective_and_keeps_rank1(spark, sf_dir):
+    """SemDeDup invariants: every cluster keeps at least its rank-1
+    member (the closest-to-centroid item can never be pruned by an
+    earlier one), pruning is selective (neither 0% nor 100% overall at
+    tau=0.35 on this corpus), and the cluster sizes partition the
+    corpus."""
+    from apache_beam_challange_spark.plans.filtering import semdedup_cluster_prune
+
+    rows = semdedup_cluster_prune(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_items"] for r in rows) == n_vecs
+    for r in rows:
+        assert r["n_pruned"] < r["n_items"]
+    assert sum(r["n_pruned"] for r in rows) > 0

@@ -495,3 +495,52 @@ def test_enriched_view_serves_history_from_warehouse(plans):
     assert any("enriched_orders" in l for l in scans)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q21_double_correlation_is_semi_plus_anti(plans):
+    """Q21 stacks an EXISTS and a NOT EXISTS on lineitem, the NOT EXISTS
+    correlating through a non-equi predicate on a third table's column
+    (o_orderdate). Both must decorrelate to hash joins on l_orderkey
+    (LeftSemi + LeftAnti) with the residual predicates as join
+    conditions — never a per-row re-scan — and the orderstatus filter
+    must reach the orders scan."""
+    p = plans("tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert any("o_orderstatus" in l and "DataFilters" in l for l in scans)
+
+
+def test_range_frame_is_single_shuffle_rangeframe(plans):
+    """The trailing-24h window must plan as a RANGE frame (RangeFrame in
+    the window spec — frame bounds from the ORDER-BY value, not row
+    offsets) over exactly one user-keyed shuffle."""
+    p = plans("range_frame_user_day_totals")
+    assert "RangeFrame" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_semdedup_pair_stage_is_cluster_bucketed(plans):
+    """SemDeDup's quadratic stage must be BUCKETED by centroid_id — an
+    equi-join on the cluster key with the cosine threshold as residual —
+    never a global all-pairs product; and the ranked assignment must be
+    materialized once (ExistingRDD reuse), not re-derived per consumer."""
+    p = plans("semdedup_cluster_prune")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("ExistingRDD") >= 2
+
+
+def test_mergeable_topk_merges_summaries_not_rows(plans):
+    """The heavy-hitter merge must consume ONLY the S*(K+1)-row summary:
+    the serve plan reads the materialized cut (ExistingRDD), never the
+    events parquet (zero fact scans), the per-shard rank is
+    WindowGroupLimit-pruned inside the summary lineage, and the final
+    top-10 is a TakeOrderedAndProject."""
+    p = plans("mergeable_topk_user_counts")
+    assert "TakeOrderedAndProject" in p
+    serve_scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert not serve_scans
+    assert p.count("ExistingRDD") >= 2

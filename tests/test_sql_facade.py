@@ -1,11 +1,11 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-68 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+70 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
 
-The dialect-blocked remainder (123 oracles) is inventoried in COVERAGE.md:
+The dialect-blocked remainder (125 oracles) is inventoried in COVERAGE.md:
 they use DuckDB-only surface (unnest/string_split lateral explosion,
 list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
 recursive CTE trajectories, md5-hex arithmetic) with no unmodified
@@ -101,6 +101,10 @@ PORTABLE = [
     # by construction — the Spark route runs the oracle text verbatim)
     "tpch_q17_small_qty_revenue",
     "tpch_q22_idle_customers",
+    # round-7 wave 2: double-correlated EXISTS/NOT EXISTS (verbatim
+    # oracle text) + the pure-ANSI mergeable heavy-hitter merge
+    "tpch_q21_waiting_suppliers",
+    "mergeable_topk_user_counts",
 ]
 
 
