@@ -64,7 +64,9 @@ ORACLES: dict[str, str] = {}
 #:
 #: ROUND-8 ROTATION POOL: queries round 7 adds after the tier froze
 #: (never driver-checked) — tpch_q17_small_qty_revenue,
-#: tpch_q22_idle_customers, nsw_topk_vec0, kll_value_quantiles.
+#: tpch_q22_idle_customers, nsw_topk_vec0, kll_value_quantiles,
+#: tpch_q21_waiting_suppliers, range_frame_user_day_totals,
+#: semdedup_cluster_prune, mergeable_topk_user_counts.
 #: Swap them in next round for driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

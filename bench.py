@@ -187,6 +187,10 @@ ROUND7 = [
     "tpch_q22_idle_customers",
     "nsw_topk_vec0",
     "kll_value_quantiles",
+    "tpch_q21_waiting_suppliers",
+    "range_frame_user_day_totals",
+    "semdedup_cluster_prune",
+    "mergeable_topk_user_counts",
 ]
 
 CURATION = [
