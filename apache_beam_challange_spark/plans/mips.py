@@ -1,0 +1,230 @@
+"""Maximum-inner-product search (MIPS) — the retrieval objective
+recommender and retrieval-augmented-generation scorers actually optimize
+(unnormalized dot product, NOT cosine), completing the ANN family next to
+the cosine routes (plans/extensions.py), the quantized ladder
+(plans/quantization.py), and the NSW graph (operators/similarity.py):
+
+- **exact MIPS** (`mips_topk_vec0`): brute-force top-20 by dot product —
+  the baseline arm, same zero-shuffle narrow-scan + TakeOrdered shape as
+  ``cosine_topk_vec0``. Cosine ANN cannot serve this: dot ranking weights
+  vector NORMS, so high-norm vectors outrank nearer-by-angle ones.
+- **augmented-LSH MIPS** (`mips_augmented_lsh_topk_vec0`): the published
+  MIPS-to-cosine reduction (Bachrach et al. RecSys 2014; Neyshabur &
+  Srebro ICML 2015 "simple LSH"): append one dimension
+  ``sqrt(M^2 - ||x||^2)`` to every corpus vector (``M`` = corpus max
+  norm) and ``0`` to the query — every augmented corpus vector then has
+  norm exactly ``M``, so angular similarity to the augmented query is
+  MONOTONE in the original inner product, and the existing
+  sign-random-projection multitable machinery
+  (operators/similarity.py:_multitable_buckets) applies unchanged with
+  ``dim=65``. Candidates come from the same 16-table OR-amplified bucket
+  equi-join (never all-pairs); the rerank is exact dot over the distinct
+  union. The corpus max norm is a 1-row aggregate broadcast — the only
+  extra cost over the cosine route.
+
+Scale shape: identical to ``ann_lsh_multitable_topk_vec0`` — posexplode
+to narrow component rows, broadcast plane matrix, one codegen'd hash
+aggregation per (vec_id, plane), band-shaped candidate equi-join,
+zero-shuffle TakeOrdered rerank. The augmentation adds one component row
+per vector and one broadcast scalar.
+
+Both oracles reproduce the exact arithmetic (DuckDB ``list_dot_product``
+is the same sequential fold as the engine's ``aggregate`` dot; the
+augmented projections replay the identical sin-hash over 65 components),
+so the driver's value-hash gate verifies the ranked results end to end.
+Measured recall@20 vs the exact twin is pinned in tests/test_mips.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.functions.vector import as_double, dot
+from apache_beam_challange_spark.operators.similarity import (
+    _multitable_buckets,
+    _query_vec,
+)
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+_TOPK = 20
+_MIPS_TABLES, _MIPS_PLANES, _MIPS_DIM = 16, 4, 65
+
+
+@query(
+    "mips_topk_vec0",
+    oracle=f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
+SELECT v.vec_id, v.label,
+       ROUND(list_dot_product(v.v, q.qv), 6) AS dot_score
+FROM vecs v CROSS JOIN q
+WHERE v.vec_id <> 0
+ORDER BY dot_score DESC, v.vec_id
+LIMIT {_TOPK}
+""".strip(),
+)
+def mips_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-20 against vector 0: one narrow
+    scan, per-row ``aggregate``/``zip_with`` dot fold, partial-top-k
+    merge (TakeOrderedAndProject) — zero shuffles, the same plan shape
+    as ``cosine_topk_vec0`` but ranking by the UNNORMALIZED dot.
+
+    HONESTY NOTE: the synthetic test embeddings are unit-normalized
+    (measured norm^2 = 1 +/- 2e-7), so on THIS corpus the MIPS and
+    cosine rankings coincide; tests/test_mips.py proves the norm
+    sensitivity on a constructed varied-norm fixture instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mips_topk(emb, query_vec_id=0, k=_TOPK)
+
+
+def mips_topk(embeddings: DataFrame, query_vec_id: int, k: int) -> DataFrame:
+    """Exact MIPS top-k of ``embeddings`` (vec_id, label, embedding)
+    against one stored vector — the reusable arm the registry query and
+    the constructed-fixture tests share."""
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    qvec = _query_vec(embeddings, query_vec_id)
+    return (
+        vecs.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("v"), F.col("__qvec")), 6).alias("dot_score"),
+        )
+        .orderBy(F.col("dot_score").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+# The oracle replays the identical augmentation + 65-dim sin-hash: the
+# corpus max squared norm is a 1-row aggregate, the augmented component
+# list is v || [sqrt(m2 - |v|^2)] (0 for the query), and comp/proj/buck
+# mirror operators/similarity.py:_multitable_buckets with dim=65 —
+# sin(p * 65 + j) — so buckets, candidates, and the ranked rerank are
+# bit-identical across engines.
+_MIPS_LSH_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m2 AS (
+    SELECT MAX(list_dot_product(v, v)) AS m2 FROM vecs WHERE vec_id <> 0
+),
+augv AS (
+    SELECT vec_id,
+           v || [CASE WHEN vec_id = 0 THEN 0.0
+                      ELSE sqrt(GREATEST(
+                          m2.m2 - list_dot_product(v, v), 0.0)) END] AS av
+    FROM vecs CROSS JOIN m2
+),
+comp AS (
+    SELECT vec_id, unnest(av) AS x,
+           unnest(generate_series(1, {_MIPS_DIM})) AS j
+    FROM augv
+),
+proj AS (
+    SELECT vec_id, p.p,
+           SUM(x * (sin(p.p * {_MIPS_DIM} + j) * 43758.5453
+                    - FLOOR(sin(p.p * {_MIPS_DIM} + j) * 43758.5453)
+                    - 0.5)) AS s
+    FROM comp,
+         (SELECT unnest(generate_series(0, {_MIPS_TABLES * _MIPS_PLANES - 1}))
+              AS p) p
+    GROUP BY vec_id, p.p
+),
+buck AS (
+    SELECT vec_id, p // {_MIPS_PLANES} AS table_idx,
+           STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY p) AS bucket
+    FROM proj
+    GROUP BY vec_id, p // {_MIPS_PLANES}
+),
+qb AS (SELECT table_idx, bucket FROM buck WHERE vec_id = 0),
+cand AS (
+    SELECT DISTINCT b.vec_id
+    FROM buck b
+    JOIN qb ON b.table_idx = qb.table_idx AND b.bucket = qb.bucket
+    WHERE b.vec_id <> 0
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
+SELECT v.vec_id, v.label,
+       ROUND(list_dot_product(v.v, q.qv), 6) AS dot_score
+FROM vecs v JOIN cand ON v.vec_id = cand.vec_id
+CROSS JOIN q
+ORDER BY dot_score DESC, v.vec_id
+LIMIT {_TOPK}
+""".strip()
+
+
+@query("mips_augmented_lsh_topk_vec0", oracle=_MIPS_LSH_ORACLE)
+def mips_augmented_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVABLE MIPS: the Neyshabur-Srebro "simple LSH" reduction — one
+    augmented dimension makes every corpus vector's norm equal the
+    corpus max ``M`` (the query gets ``0``, which no sign hash ever
+    sees scaled), turning inner-product ranking into angular ranking
+    that the existing 16-table sign-LSH serves unchanged at ``dim=65``.
+    Scale posture: the max-norm is a 1-row broadcast aggregate, the
+    augmentation a narrow per-row append, and everything downstream is
+    the proven multitable band-join shape. Recall@20 vs the exact twin
+    is measured and pinned in tests/test_mips.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    m2 = (
+        vecs.filter(F.col("vec_id") != 0)
+        .select(dot(F.col("v"), F.col("v")).alias("n2"))
+        .agg(F.max("n2").alias("m2"))
+    )
+    augmented = (
+        vecs.crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            F.concat(
+                F.col("v"),
+                F.array(
+                    F.when(F.col("vec_id") == 0, F.lit(0.0)).otherwise(
+                        F.sqrt(
+                            F.greatest(
+                                F.col("m2") - dot(F.col("v"), F.col("v")),
+                                F.lit(0.0),
+                            )
+                        )
+                    )
+                ),
+            ).alias("embedding"),
+        )
+    )
+    flat = _multitable_buckets(
+        augmented, _MIPS_TABLES, _MIPS_PLANES, _MIPS_DIM
+    )
+    qb = flat.filter(F.col("vec_id") == 0).select(
+        "table_idx", F.col("bucket").alias("__qbucket")
+    )
+    cand_ids = (
+        flat.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(qb),
+            (flat["table_idx"] == qb["table_idx"])
+            & (flat["bucket"] == qb["__qbucket"]),
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    qvec = _query_vec(emb, 0)
+    return (
+        vecs.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("v"), F.col("__qvec")), 6).alias("dot_score"),
+        )
+        .orderBy(F.col("dot_score").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+    )

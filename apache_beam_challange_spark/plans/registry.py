@@ -163,6 +163,7 @@ def load_all() -> None:
         "filtering",
         "audit",
         "quantization",
+        "mips",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

