@@ -502,3 +502,105 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+#: Benford probabilities log10(1 + 1/d) in exact integer MILLIONTHS —
+#: rounded to 6 dp they sum to exactly 1_000_000, so the expected counts
+#: partition total*1e6 with no remainder drift. Pinned as literals (not
+#: computed) so the audit is engine-exact: libm log10 can differ in the
+#: last ulp across engines, a FLOOR boundary hazard the integer table
+#: removes entirely.
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = "CASE d.first_digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_MICRO.items()
+) + " END"
+_BENFORD_VALUES = ", ".join(f"({d})" for d in range(1, 10))
+
+
+@query(
+    "benford_price_audit",
+    oracle=f"""
+WITH obs AS (
+    SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                               AS STRING), 1, 1) AS INT) AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS observed
+    FROM lineitem
+    GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM obs)
+SELECT d.first_digit,
+       COALESCE(o.observed, 0) AS observed,
+       tot.total * {_BENFORD_CASE} AS expected_micro,
+       ABS(COALESCE(o.observed, 0) * 1000000
+           - tot.total * {_BENFORD_CASE}) AS abs_dev_micro
+FROM (VALUES {_BENFORD_VALUES}) AS d(first_digit)
+LEFT JOIN obs o ON o.first_digit = d.first_digit
+CROSS JOIN tot
+ORDER BY d.first_digit
+""".strip(),
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of lineitem.l_extendedprice — the
+    classic fraud / synthetic-data screen (Benford 1938, Nigrini 1996 —
+    public literature): observed first-digit counts against the expected
+    Benford distribution log10(1 + 1/d).
+
+    Engine-exact by integer arithmetic end to end: the first digit comes
+    from the FLOOR'd price's decimal string (prices are >= 1 here; FLOOR
+    then CAST is exact on both engines, unlike CAST of a raw double,
+    which rounds in DuckDB and truncates in Spark), the Benford
+    probabilities are pinned integer-millionth literals that sum to
+    exactly 1e6, and the deviation is |observed*1e6 - total*p_micro| in
+    bigint — no float comparison anywhere. The digit spine is a 9-row
+    literal VALUES table left-joined so absent digits report 0. Scale
+    shape: one map-side-combined groupBy on a 9-value key, a 1-row total
+    cross-joined back, and a 9-row broadcast spine — nothing grows with
+    the fact table except the scan. Facade-portable: the oracle text
+    runs unmodified on Spark SQL (tests/test_sql_facade.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = (
+        li.select(
+            F.substring(
+                F.floor(F.col("l_extendedprice")).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("first_digit"))
+    p_micro = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, p in _BENFORD_MICRO.items()
+                for x in (d, p)
+            ]
+        ),
+        F.col("first_digit"),
+    ).cast("long")
+    return (
+        spine.join(obs, "first_digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            (F.col("total") * p_micro).cast("long").alias("expected_micro"),
+            F.abs(
+                F.coalesce(F.col("observed"), F.lit(0)) * F.lit(1000000)
+                - F.col("total") * p_micro
+            )
+            .cast("long")
+            .alias("abs_dev_micro"),
+        )
+        .orderBy("first_digit")
+    )

@@ -336,3 +336,31 @@ def test_skew_report_matches_python_reference(spark, sf_dir):
     assert r.skew_factor == pytest.approx(round(mx * len(counts) / total, 6))
     assert r.top10_rows == top10
     assert r.skew_factor >= 1.0  # max >= mean always
+
+
+# --- benford_price_audit ------------------------------------------------------
+
+
+def test_benford_micro_table_is_rounded_log10(spark):
+    """The pinned integer-millionth literals ARE round(log10(1+1/d)*1e6)
+    and partition 1e6 exactly — the property that makes expected counts
+    drift-free."""
+    import math
+
+    from apache_beam_challange_spark.plans.audit import _BENFORD_MICRO
+
+    for d, p in _BENFORD_MICRO.items():
+        assert p == round(math.log10(1 + 1 / d) * 1_000_000)
+    assert sum(_BENFORD_MICRO.values()) == 1_000_000
+
+
+def test_benford_audit_conservation(spark, sf_dir):
+    """Observed digits sum to the row count; expected_micro sums to
+    exactly total*1e6 (no rounding remainder); all 9 digits present."""
+    rows = QS["benford_price_audit"](spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert [r.first_digit for r in rows] == list(range(1, 10))
+    assert sum(r.observed for r in rows) == n
+    assert sum(r.expected_micro for r in rows) == n * 1_000_000
+    for r in rows:
+        assert r.abs_dev_micro == abs(r.observed * 1_000_000 - r.expected_micro)

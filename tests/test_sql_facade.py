@@ -105,6 +105,9 @@ PORTABLE = [
     # oracle text) + the pure-ANSI mergeable heavy-hitter merge
     "tpch_q21_waiting_suppliers",
     "mergeable_topk_user_counts",
+    # round-7 wave 3: integer-exact Benford audit (VALUES spine, CASE
+    # probability map, SUBSTRING digit extraction — all dialect-shared)
+    "benford_price_audit",
 ]
 
 
