@@ -1321,3 +1321,83 @@ def range_frame_user_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_24h"),
         F.sum(cents).over(w).cast("long").alias("sum_cents_24h"),
     )
+
+
+# --- distributed contiguous global row numbering ------------------------------
+
+
+@query(
+    "global_row_ids_orders",
+    oracle="""
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS global_id
+FROM orders
+""".strip(),
+)
+def global_row_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 1-based global row ids in (o_totalprice, o_orderkey)
+    order WITHOUT a global window — the distributed zipWithIndex pattern
+    (Spark's own RDD.zipWithIndex, re-expressed DataFrame-first):
+
+    1. ``repartitionByRange`` on the sort key: one shuffle into
+       key-contiguous, key-ordered partition ranges.
+    2. ``sortWithinPartitions`` + a NARROW Arrow ``mapInPandas`` that
+       assigns each partition a local 0-based sequence (a running
+       counter across the partition's record batches — per-batch work is
+       one ``np.arange``).
+    3. Per-partition counts -> cumulative offsets: a window over AT MOST
+       ``spark.sql.shuffle.partitions`` rows (a CONFIG-bounded input,
+       the same row count RDD.zipWithIndex collects to the driver — not
+       a data-sized global window).
+    4. Broadcast-join offsets back: ``global_id = offset + local_seq + 1``.
+
+    The ids are INVARIANT to where the sampled range boundaries fall:
+    ranges are disjoint and ordered, so offset + local rank is the global
+    rank regardless of the split. A single-partition ROW_NUMBER (the
+    oracle's spelling, correct at any SF in DuckDB and fine at test SFs
+    in Spark) funnels every row through one task; this shape's widest
+    single-task input is one partition range. The counts branch and the
+    numbering branch share the range shuffle via exchange reuse rather
+    than a full-size checkpoint."""
+    import numpy as np
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = (
+        o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def number(batches):
+        seen = 0
+        for pdf in batches:
+            out = pdf[["o_orderkey", "pid"]].assign(
+                local_seq=np.arange(seen, seen + len(pdf), dtype="int64")
+            )
+            seen += len(pdf)
+            yield out
+
+    numbered = ranged.mapInPandas(
+        number, "o_orderkey long, pid int, local_seq long"
+    )
+    counts = ranged.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("offset"),
+    )
+    return numbered.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey",
+        (F.col("offset") + F.col("local_seq") + 1).alias("global_id"),
+    )

@@ -544,3 +544,18 @@ def test_mergeable_topk_merges_summaries_not_rows(plans):
     serve_scans = [l for l in p.splitlines() if "FileScan parquet" in l]
     assert not serve_scans
     assert p.count("ExistingRDD") >= 2
+
+
+def test_global_row_ids_no_data_sized_global_window(plans):
+    """global_row_ids_orders must number rows via range-shuffle +
+    narrow MapInPandas + config-bounded offsets — the only Window sits
+    above the per-partition-count aggregate (<= shuffle.partitions
+    rows), never above the orders scan, and the range repartition is
+    the single data-sized exchange consumed by both branches."""
+    p = plans("global_row_ids_orders")
+    assert "MapInPandas" in p
+    assert "Exchange rangepartitioning" in p
+    assert "BroadcastHashJoin" in p  # offsets join back as a broadcast
+    # the Window's input is the aggregated counts: partial_count proves
+    # the agg runs below it (a Window straight over the scan would not)
+    assert "partial_count" in p

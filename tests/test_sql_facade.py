@@ -107,7 +107,9 @@ PORTABLE = [
     "mergeable_topk_user_counts",
     # round-7 wave 3: integer-exact Benford audit (VALUES spine, CASE
     # probability map, SUBSTRING digit extraction — all dialect-shared)
+    # and the zipWithIndex-shaped global numbering (plain ROW_NUMBER text)
     "benford_price_audit",
+    "global_row_ids_orders",
 ]
 
 

@@ -144,3 +144,27 @@ def test_wow_change_consistent_with_revenue(spark, sf_dir):
         assert r.revenue_4wk_avg == pytest.approx(
             round(statistics.mean(window), 4), abs=2e-4
         )
+
+
+# --- global_row_ids_orders ----------------------------------------------------
+
+
+def test_global_row_ids_are_the_sort_permutation(spark, sf_dir):
+    """ids are exactly 1..n and agree with the (o_totalprice,
+    o_orderkey) sort order recomputed driver-side."""
+    import __spark_entry__ as entrymod
+
+    got = {
+        r.o_orderkey: r.global_id
+        for r in entrymod.all_queries()["global_row_ids_orders"](
+            spark, sf_dir
+        ).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    want = {
+        row.o_orderkey: i + 1
+        for i, row in enumerate(
+            sorted(o, key=lambda r: (r.o_totalprice, r.o_orderkey))
+        )
+    }
+    assert got == want
