@@ -455,3 +455,40 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(
         click_purchase_interval_join(ev, how="fullOuter"), "append"
     )
+
+
+@query(
+    "stream_stream_left_semi_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = c.user_id
+        AND p.ts >= c.ts
+        AND p.ts < c.ts + INTERVAL 30 MINUTE)
+""".strip(),
+)
+def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the attribution EXISTENCE
+    check (which clicks converted, without duplicating a click per
+    purchase), extending the join-mode matrix past inner/left-outer/
+    full-outer. Semi is the cheapest stateful mode: the engine emits a
+    buffered click once, on its first in-window purchase, then drops its
+    match state; unmatched clicks age out of the state store unemitted
+    when the watermark passes their window end — so unlike the outer
+    modes, NO eviction boundary appears in the output and the batch twin
+    is a plain correlated EXISTS (also how Catalyst plans it in batch: a
+    LeftSemi hash join). Same bounded-state posture as the other modes:
+    hash(user_id) shuffle on both streams, range predicate inside the
+    co-located state store, state O(watermark horizon)."""
+    from apache_beam_challange_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    ev = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(
+        click_purchase_interval_join(ev, how="leftSemi"), "append"
+    )

@@ -253,6 +253,17 @@ def click_purchase_interval_join(
         ),
         how,
     )
+    if how == "leftSemi":
+        # Semi join keeps only the click side: a click is emitted exactly
+        # once, when its FIRST in-window purchase arrives (the engine
+        # drops the click's semi state after emission). No eviction
+        # boundary shapes the OUTPUT — unmatched clicks are silently
+        # evicted, never emitted — so the batch twin is a plain EXISTS.
+        return joined.select(
+            "user_id",
+            "click_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        )
     # delay in whole seconds: floor(epoch) diff on both engines (cast
     # timestamp->long truncates; DuckDB date_diff counts second boundaries
     # — identical for the positive epochs in this data)

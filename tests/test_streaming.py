@@ -1183,3 +1183,18 @@ def test_tws_gap_reported_loudly():
     if r.returncode == 3:
         assert "TWS ENVIRONMENT GAP" in r.stdout
         assert "protobuf" in r.stdout
+
+
+def test_left_semi_interval_join_is_distinct_matched_clicks(spark, sf_dir):
+    """Semi = the DISTINCT click side of the inner join (one row per
+    converting click, no per-purchase duplication), and every semi row
+    is unique."""
+    import __spark_entry__ as em
+
+    QS = em.all_queries()
+    semi = QS["stream_stream_left_semi_join"](spark, sf_dir).collect()
+    inner = QS["stream_stream_interval_join"](spark, sf_dir).collect()
+    semi_keys = [(r.user_id, r.click_id) for r in semi]
+    inner_clicks = {(r.user_id, r.click_id) for r in inner}
+    assert set(semi_keys) == inner_clicks
+    assert len(semi_keys) == len(set(semi_keys))
