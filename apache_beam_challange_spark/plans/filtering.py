@@ -936,7 +936,7 @@ pruned AS (
         JOIN vecs va ON va.vec_id = a.vec_id
         JOIN vecs vb ON vb.vec_id = b.vec_id
         WHERE a.centroid_id = b.centroid_id AND a.rk < b.rk
-          AND list_cosine_similarity(va.vec, vb.vec) >= {_SEMDEDUP_TAU}
+          AND list_dot_product(va.vec, vb.vec) >= {_SEMDEDUP_TAU}
     )
 )
 SELECT r.centroid_id,
@@ -962,9 +962,13 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds — `operators/clustering.py`, the same trajectory the IVF
     index trains); stage 2 compares pairs ONLY inside a cluster:
     members are ranked by (distance-to-centroid, vec_id) and an item
-    is pruned when any earlier-ranked cluster-mate has cosine >= tau
-    (0.35 — above the p99 of this corpus's pair-cosine distribution,
-    so the verdict is selective, ~20%). Deterministic keep-first
+    is pruned when any earlier-ranked cluster-mate has similarity
+    >= tau (0.35 — above the p99 of this corpus's pair-similarity
+    distribution, so the verdict is selective, ~20%). Similarity is
+    the DOT PRODUCT on L2-normalized embeddings — exactly the paper's
+    cosine (SemDeDup normalizes on ingest; this corpus measures
+    norm^2 = 1 +/- 2e-7), at a third of the per-pair fold cost of
+    recomputing both norms for every pair. Deterministic keep-first
     discipline replaces the paper's random keep, making the whole
     verdict oracle-checkable; output is the per-cluster audit (sizes,
     pruned counts, pruned id range).
@@ -974,19 +978,34 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost by growing k with the corpus (k ~ N/target_cluster_size), so
     the comparison volume is sum of bounded cluster squares, never a
     global all-pairs; the pair stage is one centroid-keyed shuffle of
-    the (already tiny) id+vector projection. The cluster assignment
-    reuses the broadcast-centroid narrow pass (`kmeans_assignments`).
+    the (already tiny) id+vector projection, and the pruned set comes
+    from a LEFT SEMI join (stop at the first qualifying earlier mate —
+    no all-pairs materialization, no dedup shuffle). The cluster
+    assignment reuses the broadcast-centroid narrow pass
+    (`kmeans_assignments`).
 
     Cross-engine exactness: ranking uses the ROUNDED (6 dp) centroid
     distance the k-means operator already emits (ties -> vec_id), the
-    tau comparison is on raw IEEE cosine identical in both engines,
+    tau comparison is the same sequential-fold dot in both engines,
     and every output column is an integer."""
-    from apache_beam_challange_spark.functions.vector import as_double, cosine
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, k=4, n_iter=2)
+
+
+def semdedup_prune(emb: DataFrame, k: int, n_iter: int) -> DataFrame:
+    """Parametrized SemDeDup core. ``k`` is the LINEARITY KNOB: per-item
+    pair cost is the cluster size N/k, so production grows
+    ``k ~ N / target_cluster_size`` and total pair volume stays linear
+    (the paper clusters 50k-wide at web scale). The registry entry pins
+    k=4 only because the DuckDB oracle replays the Lloyd trajectory as a
+    static CTE chain; PERF.md records the measured 10x-data points for
+    k=4 (super-linear, as fixed k must be) and k=32 (restored) to prove
+    the knob works on this exact plan."""
+    from apache_beam_challange_spark.functions.vector import as_double, dot
     from apache_beam_challange_spark.operators.clustering import kmeans_assignments
 
-    emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("vec"))
-    assign = kmeans_assignments(emb, k=4, n_iter=2)
+    assign = kmeans_assignments(emb, k=k, n_iter=n_iter)
     rk_w = Window.partitionBy("centroid_id").orderBy("dist", "vec_id")
     # Three consumers read the ranked assignment (both pair sides + the
     # final audit join); materialize the narrow (id, cluster, rank)
@@ -1009,14 +1028,15 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").alias("rk_b"),
         F.col("vec").alias("vec_b"),
     )
-    pruned = (
-        b.join(a, (a.cid == b.centroid_id) & (a.rk_a < b.rk_b))
-        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= _SEMDEDUP_TAU)
-        .select(
-            F.col("centroid_id").alias("p_cid"),
-            F.col("pruned_vec_id"),
-        )
-        .dropDuplicates()
+    pruned = b.join(
+        a,
+        (a.cid == b.centroid_id)
+        & (a.rk_a < b.rk_b)
+        & (dot(F.col("vec_a"), F.col("vec_b")) >= _SEMDEDUP_TAU),
+        "leftsemi",
+    ).select(
+        F.col("centroid_id").alias("p_cid"),
+        F.col("pruned_vec_id"),
     )
     return (
         ranked.join(

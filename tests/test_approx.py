@@ -131,3 +131,18 @@ def test_semdedup_prune_is_selective_and_keeps_rank1(spark, sf_dir):
     for r in rows:
         assert r["n_pruned"] < r["n_items"]
     assert sum(r["n_pruned"] for r in rows) > 0
+
+
+def test_semdedup_linearity_knob_keeps_invariants(spark, sf_dir):
+    """The parametrized core with a LARGER k (the production linearity
+    knob — k grows with the corpus) must preserve the partition and
+    rank-1-kept invariants: sizes partition the corpus and no cluster is
+    fully pruned. Proves the knob measured in PERF.md (k=32 at the 10x
+    point) is the same plan, not a separate code path."""
+    from apache_beam_challange_spark.plans.filtering import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = semdedup_prune(emb, k=8, n_iter=2).collect()
+    assert sum(r["n_items"] for r in rows) == emb.count()
+    for r in rows:
+        assert r["n_pruned"] < r["n_items"]
