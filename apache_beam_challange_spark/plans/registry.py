@@ -66,7 +66,9 @@ ORACLES: dict[str, str] = {}
 #: (never driver-checked) — tpch_q17_small_qty_revenue,
 #: tpch_q22_idle_customers, nsw_topk_vec0, kll_value_quantiles,
 #: tpch_q21_waiting_suppliers, range_frame_user_day_totals,
-#: semdedup_cluster_prune, mergeable_topk_user_counts.
+#: semdedup_cluster_prune, mergeable_topk_user_counts,
+#: mips_topk_vec0, mips_augmented_lsh_topk_vec0, benford_price_audit,
+#: global_row_ids_orders, stream_stream_left_semi_join.
 #: Swap them in next round for driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

@@ -191,6 +191,11 @@ ROUND7 = [
     "range_frame_user_day_totals",
     "semdedup_cluster_prune",
     "mergeable_topk_user_counts",
+    "mips_topk_vec0",
+    "mips_augmented_lsh_topk_vec0",
+    "benford_price_audit",
+    "global_row_ids_orders",
+    "stream_stream_left_semi_join",
 ]
 
 CURATION = [
