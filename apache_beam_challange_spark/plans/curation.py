@@ -1625,3 +1625,122 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("revenue").over(w.rowsBetween(-3, 0)), 4
         ).alias("revenue_4wk_avg"),
     ).orderBy("week_start")
+
+
+# --- temperature-scaled training-mix allocation -------------------------------
+
+#: total sampling budget to apportion across languages (docs, tokens —
+#: unit-agnostic) and the smoothing exponent alpha = 1/2 (the
+#: multilingual-LM upsampling literature uses alpha in [0.2, 0.7]:
+#: q_s ~ p_s^alpha lifts low-resource groups; Conneau & Lample 2019,
+#: Arivazhagan et al. 2019 — public literature). sqrt is the one
+#: fractional power both engines evaluate bit-identically.
+_MIX_BUDGET = 10_000
+
+
+@query(
+    "lang_mixing_allocation",
+    oracle=f"""
+WITH mass AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+),
+weighted AS (
+    SELECT lang, n_docs, chars,
+           CAST(FLOOR(SQRT(chars) * 1000000) AS BIGINT) AS weight_micro
+    FROM mass
+),
+totals AS (
+    SELECT SUM(weight_micro) AS tot_w FROM weighted
+),
+shares AS (
+    SELECT w.lang, w.n_docs, w.chars, w.weight_micro,
+           CAST(({_MIX_BUDGET} * w.weight_micro
+                 - MOD({_MIX_BUDGET} * w.weight_micro, t.tot_w))
+                / t.tot_w AS BIGINT) AS n_floor,
+           MOD({_MIX_BUDGET} * w.weight_micro, t.tot_w) AS rem
+    FROM weighted w CROSS JOIN totals t
+),
+ranked AS (
+    SELECT lang, n_docs, chars, weight_micro, n_floor,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+           {_MIX_BUDGET} - SUM(n_floor) OVER () AS leftover
+    FROM shares
+)
+SELECT lang, n_docs, chars, weight_micro,
+       n_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+FROM ranked
+ORDER BY lang
+""".strip(),
+)
+def lang_mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-data mixing: apportion a fixed
+    sampling budget across languages with alpha=0.5 smoothing
+    (q_s ~ mass_s^alpha — the multilingual-LM upsampling rule that
+    lifts low-resource groups; on this corpus en holds 43% of the
+    char mass raw but ~32% smoothed) and EXACT largest-remainder
+    (Hamilton) apportionment, so the integer allocations sum to the
+    budget exactly.
+
+    Engine-exact end to end: per-language char mass is an exact bigint
+    sum, the smoothed weight is FLOOR(sqrt(mass)*1e6) (one IEEE sqrt —
+    bit-stable in both engines), and floor/remainder come from bigint
+    MOD — the division (num - MOD(num, tot))/tot is exactly divisible,
+    so the double division is exact. No float comparison anywhere;
+    ties in the remainder ranking break on lang.
+
+    Scale shape: one map-side-combined groupBy on lang, a 1-row total
+    broadcast back, and the apportionment window runs over the
+    LANGUAGE-bounded weight table (5 rows; bounded like the calendar
+    and vocab windows). Facade-portable: this text runs verbatim on
+    Spark SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("chars"),
+    )
+    weighted = mass.select(
+        "lang",
+        "n_docs",
+        "chars",
+        F.floor(F.sqrt(F.col("chars")) * 1000000).cast("long").alias(
+            "weight_micro"
+        ),
+    )
+    totals = weighted.agg(F.sum("weight_micro").alias("tot_w"))
+    num = F.lit(_MIX_BUDGET) * F.col("weight_micro")
+    shares = weighted.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "chars",
+        "weight_micro",
+        ((num - num % F.col("tot_w")) / F.col("tot_w"))
+        .cast("long")
+        .alias("n_floor"),
+        (num % F.col("tot_w")).alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    ranked = shares.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "weight_micro",
+        "n_floor",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("lang")))
+        .alias("rk"),
+        (F.lit(_MIX_BUDGET) - F.sum("n_floor").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "weight_micro",
+        (
+            F.col("n_floor")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    ).orderBy("lang")

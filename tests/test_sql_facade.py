@@ -110,6 +110,8 @@ PORTABLE = [
     # and the zipWithIndex-shaped global numbering (plain ROW_NUMBER text)
     "benford_price_audit",
     "global_row_ids_orders",
+    # exact-integer Hamilton apportionment (SQRT/FLOOR/MOD/ROW_NUMBER)
+    "lang_mixing_allocation",
 ]
 
 
