@@ -604,3 +604,126 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# --- two-snapshot diff / reconciliation audit --------------------------------
+
+
+@query(
+    "snapshot_diff_audit",
+    oracle="""
+WITH cutoff AS (
+    SELECT date_trunc('day', MAX(ts)) AS c FROM events
+),
+old_ranked AS (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events, cutoff
+    WHERE ts < cutoff.c
+),
+old_snap AS (
+    SELECT user_id, event_type, value FROM old_ranked
+    WHERE rn = 1 AND event_type <> 'error'
+),
+new_ranked AS (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+),
+new_snap AS (
+    SELECT user_id, event_type, value FROM new_ranked
+    WHERE rn = 1 AND event_type <> 'error'
+),
+j AS (
+    SELECT o.user_id AS ou, n.user_id AS nu,
+           o.event_type AS oet, n.event_type AS net,
+           o.value AS ov, n.value AS nv
+    FROM old_snap o FULL JOIN new_snap n ON o.user_id = n.user_id
+)
+SELECT CAST(COUNT(ou) AS BIGINT) AS n_keys_old,
+       CAST(COUNT(nu) AS BIGINT) AS n_keys_new,
+       CAST(SUM(CASE WHEN ou IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+       CAST(SUM(CASE WHEN nu IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+       CAST(SUM(CASE WHEN ou IS NOT NULL AND nu IS NOT NULL
+                      AND (oet IS DISTINCT FROM net
+                           OR ov IS DISTINCT FROM nv)
+                THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+       CAST(SUM(CASE WHEN ou IS NOT NULL AND nu IS NOT NULL
+                      AND NOT (oet IS DISTINCT FROM net)
+                      AND NOT (ov IS DISTINCT FROM nv)
+                THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+       CAST(SUM(CASE WHEN ou IS NOT NULL AND nu IS NOT NULL
+                      AND oet IS DISTINCT FROM net
+                THEN 1 ELSE 0 END) AS BIGINT) AS changed_event_type,
+       CAST(SUM(CASE WHEN ou IS NOT NULL AND nu IS NOT NULL
+                      AND ov IS DISTINCT FROM nv
+                THEN 1 ELSE 0 END) AS BIGINT) AS changed_value
+FROM j
+""".strip(),
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot diff / reconciliation audit — the table-diff report
+    run before promoting a rebuilt table (the Datafold-class data-diff
+    op): materialize the serving snapshot AS OF the last day boundary
+    and AS OF now from the same changelog (both via the verified
+    latest-row-wins + tombstone fold of ``cdc_snapshot_with_deletes``),
+    FULL OUTER join on the key, and classify every key as
+    added / removed / changed / unchanged, with per-column change
+    counts (which column drifted — the first question any
+    reconciliation asks).
+
+    NULL-safe comparison via IS DISTINCT FROM; values compare the
+    identical stored doubles on both sides so the comparison is exact.
+    Scale shape: two key-partitioned window folds + one key-keyed FULL
+    OUTER hash join + one global aggregate to a single row — everything
+    shuffles on the snapshot key, nothing collects. Facade-portable:
+    this text runs verbatim on Spark SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.date_trunc("day", F.max("ts")).alias("c"))
+
+    def snap(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", "event_type", "value")
+        )
+
+    old_snap = snap(
+        ev.crossJoin(F.broadcast(cutoff)).filter(F.col("ts") < F.col("c"))
+    ).select(
+        F.col("user_id").alias("ou"),
+        F.col("event_type").alias("oet"),
+        F.col("value").alias("ov"),
+    )
+    new_snap = snap(ev).select(
+        F.col("user_id").alias("nu"),
+        F.col("event_type").alias("net"),
+        F.col("value").alias("nv"),
+    )
+    j = old_snap.join(new_snap, old_snap.ou == new_snap.nu, "full")
+    both = F.col("ou").isNotNull() & F.col("nu").isNotNull()
+    et_diff = ~F.col("oet").eqNullSafe(F.col("net"))
+    v_diff = ~F.col("ov").eqNullSafe(F.col("nv"))
+
+    def n(cond: F.Column, alias: str) -> F.Column:
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias)
+        )
+
+    return j.agg(
+        F.count("ou").cast("long").alias("n_keys_old"),
+        F.count("nu").cast("long").alias("n_keys_new"),
+        n(F.col("ou").isNull(), "added"),
+        n(F.col("nu").isNull(), "removed"),
+        n(both & (et_diff | v_diff), "changed"),
+        n(both & ~et_diff & ~v_diff, "unchanged"),
+        n(both & et_diff, "changed_event_type"),
+        n(both & v_diff, "changed_value"),
+    )

@@ -364,3 +364,39 @@ def test_benford_audit_conservation(spark, sf_dir):
     assert sum(r.expected_micro for r in rows) == n * 1_000_000
     for r in rows:
         assert r.abs_dev_micro == abs(r.observed * 1_000_000 - r.expected_micro)
+
+
+# --- snapshot_diff_audit ------------------------------------------------------
+
+
+def test_snapshot_diff_partitions_and_matches_python(spark, sf_dir):
+    """added+changed+unchanged == n_keys_new; removed+changed+unchanged
+    == n_keys_old; counts match a driver-side recompute of both
+    snapshots (latest-row-wins with 'error' tombstones)."""
+    r = QS["snapshot_diff_audit"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cutoff = max(e.ts for e in ev).replace(hour=0, minute=0, second=0, microsecond=0)
+
+    def snap(rows):
+        best = {}
+        for e in rows:
+            k = e.user_id
+            if k not in best or (e.ts, e.event_id) > (best[k].ts, best[k].event_id):
+                best[k] = e
+        return {
+            k: (e.event_type, e.value)
+            for k, e in best.items()
+            if e.event_type != "error"
+        }
+
+    old = snap([e for e in ev if e.ts < cutoff])
+    new = snap(ev)
+    added = len(new.keys() - old.keys())
+    removed = len(old.keys() - new.keys())
+    common = old.keys() & new.keys()
+    changed = sum(1 for k in common if old[k] != new[k])
+    assert (r.n_keys_old, r.n_keys_new) == (len(old), len(new))
+    assert (r.added, r.removed, r.changed) == (added, removed, changed)
+    assert r.added + r.changed + r.unchanged == r.n_keys_new
+    assert r.removed + r.changed + r.unchanged == r.n_keys_old
+    assert r.changed_event_type <= r.changed and r.changed_value <= r.changed

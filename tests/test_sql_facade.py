@@ -112,6 +112,8 @@ PORTABLE = [
     "global_row_ids_orders",
     # exact-integer Hamilton apportionment (SQRT/FLOOR/MOD/ROW_NUMBER)
     "lang_mixing_allocation",
+    # snapshot reconciliation (FULL JOIN + IS DISTINCT FROM, shared)
+    "snapshot_diff_audit",
 ]
 
 
