@@ -727,3 +727,79 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(both & et_diff, "changed_event_type"),
         n(both & v_diff, "changed_value"),
     )
+
+
+# --- l-diversity audit --------------------------------------------------------
+
+_L_DIVERSITY = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+WITH classes AS (
+    SELECT source,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE) / {_CHARS_BUCKET}) AS BIGINT)
+               AS chars_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_sensitive
+    FROM documents
+    GROUP BY source, FLOOR(CAST(n_chars AS DOUBLE) / {_CHARS_BUCKET})
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n_sensitive < {_L_DIVERSITY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violating_classes,
+       CAST(SUM(CASE WHEN n_sensitive < {_L_DIVERSITY} THEN class_size
+                ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+FROM classes
+GROUP BY source
+ORDER BY source
+""".strip(),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3, ``_L_DIVERSITY``) — the attribute-disclosure
+    check k-anonymity misses (Machanavajjhala et al. 2007 — public
+    literature): a class can be k-anonymous yet reveal its members'
+    SENSITIVE attribute when all members share it. Quasi-identifiers are
+    (source, n_chars bucketed to ``_CHARS_BUCKET``); the sensitive
+    attribute is ``lang``; per source the audit reports equivalence
+    classes whose distinct-sensitive count falls below l and the rows in
+    them. Completes the privacy family next to ``k_anonymity_audit``
+    (same bucketing constants) and ``pii_redaction_counts``. Two stacked
+    aggregates; the distinct-count is a partial-combined two-phase
+    distinct on the quasi-id shuffle, the only wide op. Facade-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = (
+        docs.select(
+            "source",
+            "lang",
+            F.floor(F.col("n_chars").cast("double") / _CHARS_BUCKET)
+            .cast("long")
+            .alias("chars_bucket"),
+        )
+        .groupBy("source", "chars_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct("lang").cast("long").alias("n_sensitive"),
+        )
+    )
+    return (
+        classes.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("n_sensitive") < _L_DIVERSITY).cast("long")).alias(
+                "n_violating_classes"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n_sensitive") < _L_DIVERSITY, F.col("class_size")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.min("n_sensitive").alias("min_diversity"),
+        )
+        .orderBy("source")
+    )

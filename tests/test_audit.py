@@ -400,3 +400,30 @@ def test_snapshot_diff_partitions_and_matches_python(spark, sf_dir):
     assert r.added + r.changed + r.unchanged == r.n_keys_new
     assert r.removed + r.changed + r.unchanged == r.n_keys_old
     assert r.changed_event_type <= r.changed and r.changed_value <= r.changed
+
+
+# --- l_diversity_audit --------------------------------------------------------
+
+
+def test_l_diversity_matches_python_and_fires(spark, sf_dir):
+    """Per-source class stats match a driver-side recompute, the l=3
+    threshold actually fires somewhere (non-vacuous), and rows at risk
+    never exceed the source's row count."""
+    from apache_beam_challange_spark.plans.audit import _CHARS_BUCKET, _L_DIVERSITY
+
+    rows = QS["l_diversity_audit"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    classes: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for d in docs:
+        k = (d.source, int(d.n_chars // _CHARS_BUCKET))
+        classes.setdefault(k, set()).add(d.lang)
+        sizes[k] = sizes.get(k, 0) + 1
+    for r in rows:
+        ks = [k for k in classes if k[0] == r.source]
+        viol = [k for k in ks if len(classes[k]) < _L_DIVERSITY]
+        assert r.n_classes == len(ks)
+        assert r.n_violating_classes == len(viol)
+        assert r.n_rows_at_risk == sum(sizes[k] for k in viol)
+        assert r.min_diversity == min(len(classes[k]) for k in ks)
+    assert sum(r.n_violating_classes for r in rows) > 0

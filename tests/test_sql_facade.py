@@ -114,6 +114,8 @@ PORTABLE = [
     "lang_mixing_allocation",
     # snapshot reconciliation (FULL JOIN + IS DISTINCT FROM, shared)
     "snapshot_diff_audit",
+    # privacy-family completion (COUNT DISTINCT over the quasi-id agg)
+    "l_diversity_audit",
 ]
 
 
