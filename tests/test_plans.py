@@ -559,3 +559,38 @@ def test_global_row_ids_no_data_sized_global_window(plans):
     # the Window's input is the aggregated counts: partial_count proves
     # the agg runs below it (a Window straight over the scan would not)
     assert "partial_count" in p
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
+    """100 TB posture beyond static pushdown: with a selective dim
+    filter and a non-broadcastable join, Spark's runtime Bloom-filter
+    injection (spark.sql.optimizer.runtime.bloomFilter.*) must plant a
+    might_contain probe on the FACT side — rows that cannot join are
+    dropped at the scan, before the shuffle. Pin the capability so a
+    Spark upgrade or conf drift that silently loses it fails here."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F2
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            F2.col("p_name").contains("green")
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_name").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
