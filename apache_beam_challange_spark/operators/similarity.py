@@ -333,20 +333,8 @@ def ann_lsh_multitable_topk(
     (narrow intra-partition order), keeping projections bit-identical to
     the sequential fold."""
     flat = _multitable_buckets(embeddings, num_tables, num_planes, dim)
-    q = flat.filter(F.col("vec_id") == query_vec_id).select(
-        "table_idx", F.col("bucket").alias("__qbucket")
-    )
     qvec = _query_vec(embeddings, query_vec_id)
-    cand_ids = (
-        flat.filter(F.col("vec_id") != query_vec_id)
-        .join(
-            F.broadcast(q),
-            (flat["table_idx"] == q["table_idx"])
-            & (flat["bucket"] == q["__qbucket"]),
-        )
-        .select("vec_id")
-        .dropDuplicates(["vec_id"])
-    )
+    cand_ids = _bucket_candidate_ids(flat, query_vec_id)
     vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
@@ -554,6 +542,27 @@ def _multitable_buckets(
                 "",
             ).alias("bucket")
         )
+    )
+
+
+def _bucket_candidate_ids(flat: DataFrame, query_vec_id: int) -> DataFrame:
+    """Distinct candidate vec_ids sharing any (table_idx, bucket) row with
+    the query — the OR-amplified band equi-join shared by the cosine
+    multitable route and the augmented-MIPS route (plans/mips.py); one
+    definition so tie-break/join fixes can never desynchronize the two."""
+    q = flat.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("table_idx").alias("__qtable"),
+        F.col("bucket").alias("__qbucket"),
+    )
+    return (
+        flat.filter(F.col("vec_id") != query_vec_id)
+        .join(
+            F.broadcast(q),
+            (F.col("table_idx") == F.col("__qtable"))
+            & (F.col("bucket") == F.col("__qbucket")),
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
     )
 
 
@@ -787,6 +796,7 @@ def nsw_topk(
         .localCheckpoint()
     )
     expanded: set[int] = set()
+    seen_reached: set[int] = set()
     for _ in range(rounds):
         # parameter-bounded collect: ≤ beam ids (documented above)
         frontier_ids = [
@@ -811,6 +821,12 @@ def nsw_topk(
             .collect()
             if r.dst != query_vec_id
         }
+        # neighborhoods overlap across rounds: drop ids already scored
+        # (expanded or reached before) so the point-lookup IN-list and
+        # the union never redo work — results identical, dropDuplicates
+        # was absorbing the redundancy (review)
+        reached_ids -= expanded | seen_reached
+        seen_reached.update(reached_ids)
         if not reached_ids:
             continue
         # IN-list pushed to the vector scan: point lookups, not a rescan

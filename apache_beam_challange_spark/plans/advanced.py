@@ -887,8 +887,6 @@ def kll_register_table(ev: DataFrame) -> DataFrame:
         .groupBy("shard", "step")
         .agg(F.coalesce(F.sum("bit"), F.lit(0)).alias("roff"))
     )
-    from pyspark.sql import Window
-
     rk0 = (
         F.row_number().over(
             Window.partitionBy("shard").orderBy("v", "event_id")
@@ -901,10 +899,6 @@ def kll_register_table(ev: DataFrame) -> DataFrame:
         .filter(F.col("rk0") % F.col("step") == F.col("roff"))
         .select("shard", "v", "rk0", F.col("step").alias("w"))
     )
-
-
-def _kll_hex4_sql(expr: str) -> str:
-    return _hex4_sql(expr)
 
 
 _KLL_POWERS_SQL = ", ".join(f"({l}, {p})" for l, p in _KLL_POWERS)
@@ -980,8 +974,6 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), never over fact rows."""
     ev = load_table(spark, sf_dir, "events")
     kept = kll_register_table(ev)
-    from pyspark.sql import Window
-
     tot = kept.agg(
         F.sum("w").cast("long").alias("tw"),
         F.count(F.lit(1)).cast("long").alias("sketch_rows"),

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from apache_beam_challange_spark.functions.vector import as_double, dot
 from apache_beam_challange_spark.operators.similarity import (
+    _bucket_candidate_ids,
     _multitable_buckets,
     _query_vec,
 )
@@ -203,19 +204,7 @@ def mips_augmented_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = _multitable_buckets(
         augmented, _MIPS_TABLES, _MIPS_PLANES, _MIPS_DIM
     )
-    qb = flat.filter(F.col("vec_id") == 0).select(
-        "table_idx", F.col("bucket").alias("__qbucket")
-    )
-    cand_ids = (
-        flat.filter(F.col("vec_id") != 0)
-        .join(
-            F.broadcast(qb),
-            (flat["table_idx"] == qb["table_idx"])
-            & (flat["bucket"] == qb["__qbucket"]),
-        )
-        .select("vec_id")
-        .dropDuplicates(["vec_id"])
-    )
+    cand_ids = _bucket_candidate_ids(flat, query_vec_id=0)
     qvec = _query_vec(emb, 0)
     return (
         vecs.join(cand_ids, "vec_id")

@@ -68,7 +68,8 @@ ORACLES: dict[str, str] = {}
 #: tpch_q21_waiting_suppliers, range_frame_user_day_totals,
 #: semdedup_cluster_prune, mergeable_topk_user_counts,
 #: mips_topk_vec0, mips_augmented_lsh_topk_vec0, benford_price_audit,
-#: global_row_ids_orders, stream_stream_left_semi_join.
+#: global_row_ids_orders, stream_stream_left_semi_join,
+#: lang_mixing_allocation, snapshot_diff_audit, l_diversity_audit.
 #: Swap them in next round for driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

@@ -196,6 +196,9 @@ ROUND7 = [
     "benford_price_audit",
     "global_row_ids_orders",
     "stream_stream_left_semi_join",
+    "lang_mixing_allocation",
+    "snapshot_diff_audit",
+    "l_diversity_audit",
 ]
 
 CURATION = [

@@ -88,7 +88,19 @@ def run_equality_check() -> int:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # A timed-out run left the memory table partially populated;
+            # comparing it would report a FAKE correctness mismatch.
+            # Report the environment condition loudly instead (exit 3,
+            # like the missing-protobuf gap).
+            q.stop()
+            print(
+                "TWS ENVIRONMENT GAP: availableNow run did not finish "
+                "within 300 s — equality NOT checked (not a mismatch). "
+                "Re-run on a faster host or smaller SPARK_GRAFT_SF_DIR."
+            )
+            sys.exit(3)
         # last update per user wins
         got = {
             r.user_id: (r.n_events, r.n_types, r.value_micros)
