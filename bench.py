@@ -199,6 +199,7 @@ ROUND7 = [
     "lang_mixing_allocation",
     "snapshot_diff_audit",
     "l_diversity_audit",
+    "image_phash_dup_clusters",
 ]
 
 CURATION = [
