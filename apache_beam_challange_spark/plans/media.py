@@ -9,7 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_beam_challange_spark.operators.multimodal import (
+    attach_bmp_image,
     attach_fake_image,
+    attach_wav_audio,
+    bmp_phash16,
     decode_image_features,
     sample_frames,
 )
@@ -113,7 +116,6 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding, the pixel-data offset, or the row flip hash-fails (corner_br
     reads the bottom-right pixel, which lives in the FIRST stored row)."""
     from apache_beam_challange_spark.operators.multimodal import (
-        attach_bmp_image,
         decode_bmp_features,
     )
 
@@ -154,7 +156,6 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes sample statistics in closed form — wrong endianness, a
     byte-offset-44 assumption, or off-by-one sample counts hash-fail."""
     from apache_beam_challange_spark.operators.multimodal import (
-        attach_wav_audio,
         decode_wav_features,
     )
 
@@ -207,7 +208,6 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     endianness slip, or off-by-one in the crossing definition hash-fails.
     Shuffle-free: encode and decode are narrow mapInPandas passes."""
     from apache_beam_challange_spark.operators.multimodal import (
-        attach_wav_audio,
         decode_audio_features,
     )
 
@@ -269,11 +269,6 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup machinery as text fingerprints (hash groupBy / banded
     pairing). Narrow mapInPandas; no shuffle until the downstream
     groupBy."""
-    from apache_beam_challange_spark.operators.multimodal import (
-        attach_bmp_image,
-        bmp_phash16,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     return bmp_phash16(attach_bmp_image(docs))
 
@@ -307,11 +302,6 @@ def image_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured 19k hamming<=2 pairs on 500 synthetic docs confirm;
     the banded machinery lives in the text family where the hash space
     is 2^64)."""
-    from apache_beam_challange_spark.operators.multimodal import (
-        attach_bmp_image,
-        bmp_phash16,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     hashes = bmp_phash16(attach_bmp_image(docs))
     return (
