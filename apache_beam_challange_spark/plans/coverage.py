@@ -1359,27 +1359,41 @@ def global_row_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task input is one partition range. The counts branch and the
     numbering branch share the range shuffle via exchange reuse rather
     than a full-size checkpoint."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return assign_global_row_ids(
+        o, order_cols=["o_totalprice", "o_orderkey"], keep="o_orderkey"
+    )
+
+
+def assign_global_row_ids(
+    df: DataFrame, order_cols: list[str], keep: str
+) -> DataFrame:
+    """The distributed numbering core (extracted for the generated-input
+    property test): range-shuffle on ``order_cols``, narrow Arrow local
+    sequences, config-bounded offsets, broadcast join back. Returns
+    (``keep``, global_id) with 1-based ids in ``order_cols`` order —
+    invariant to where the sampled range boundaries fall."""
     import numpy as np
 
+    spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranged = (
-        o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("pid", F.spark_partition_id())
     )
 
     def number(batches):
         seen = 0
         for pdf in batches:
-            out = pdf[["o_orderkey", "pid"]].assign(
+            out = pdf[[keep, "pid"]].assign(
                 local_seq=np.arange(seen, seen + len(pdf), dtype="int64")
             )
             seen += len(pdf)
             yield out
 
     numbered = ranged.mapInPandas(
-        number, "o_orderkey long, pid int, local_seq long"
+        number, f"{keep} long, pid int, local_seq long"
     )
     counts = ranged.groupBy("pid").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -1398,6 +1412,6 @@ def global_row_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("offset"),
     )
     return numbered.join(F.broadcast(offsets), "pid").select(
-        "o_orderkey",
+        keep,
         (F.col("offset") + F.col("local_seq") + 1).alias("global_id"),
     )

@@ -1710,8 +1710,18 @@ def lang_mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_micro"
         ),
     )
+    return hamilton_apportion(weighted, _MIX_BUDGET)
+
+
+def hamilton_apportion(weighted: DataFrame, budget: int) -> DataFrame:
+    """Largest-remainder apportionment of ``budget`` across the rows of
+    ``weighted`` (key col ``lang``, passthrough cols ``n_docs``/``chars``,
+    positive bigint ``weight_micro``): exact bigint floor/remainder, ties
+    broken on the key. Extracted so tests/test_properties.py can drive it
+    over generated weight tables (quota rule: every alloc within 1 of its
+    real share; allocs sum EXACTLY to the budget)."""
     totals = weighted.agg(F.sum("weight_micro").alias("tot_w"))
-    num = F.lit(_MIX_BUDGET) * F.col("weight_micro")
+    num = F.lit(budget) * F.col("weight_micro")
     shares = weighted.crossJoin(F.broadcast(totals)).select(
         "lang",
         "n_docs",
@@ -1732,7 +1742,7 @@ def lang_mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.col("rem").desc(), F.col("lang")))
         .alias("rk"),
-        (F.lit(_MIX_BUDGET) - F.sum("n_floor").over(w_all)).alias("leftover"),
+        (F.lit(budget) - F.sum("n_floor").over(w_all)).alias("leftover"),
     )
     return ranked.select(
         "lang",

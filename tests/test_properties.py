@@ -522,3 +522,92 @@ def test_containment_dominates_jaccard(spark, pair):
     assert crow.containment == round(inter / min(len(a), len(b)), 6)
     assert jrow.jaccard == round(inter / len(a | b), 6)
     assert crow.containment >= jrow.jaccard - 1e-9
+
+
+# --- round-7 operators over generated inputs ---------------------------------
+
+masses = st.lists(
+    st.tuples(st.integers(1, 10**9)), min_size=1, max_size=6, unique=True
+)
+
+
+@settings(**SETTINGS)
+@given(masses, st.integers(1, 100_000))
+def test_hamilton_apportionment_quota_rule(spark, rows, budget):
+    """Largest-remainder invariants on generated weight tables: allocs
+    sum EXACTLY to the budget and every alloc is within 1 of its
+    real-valued quota (the quota rule Hamilton's method satisfies)."""
+    from apache_beam_challange_spark.plans.curation import hamilton_apportion
+
+    weighted = spark.createDataFrame(
+        [(f"k{i}", 1, m[0], m[0]) for i, m in enumerate(rows)],
+        "lang string, n_docs long, chars long, weight_micro long",
+    )
+    out = hamilton_apportion(weighted, budget).collect()
+    tot_w = sum(m[0] for m in rows)
+    assert sum(r.alloc for r in out) == budget
+    for r in out:
+        quota = budget * r.weight_micro / tot_w
+        assert quota - 1 < r.alloc < quota + 1
+
+
+ids_and_vals = st.lists(
+    st.tuples(st.integers(0, 10**6), st.integers(-5, 5)),
+    min_size=1,
+    max_size=80,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(ids_and_vals)
+def test_global_row_ids_match_python_sort(spark, rows):
+    """The distributed numbering equals the driver-side sort rank for
+    ANY generated key table — duplicates in the first sort column break
+    ties on the unique key, empty range partitions are harmless."""
+    from apache_beam_challange_spark.plans.coverage import assign_global_row_ids
+
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice long")
+    got = {
+        r.o_orderkey: r.global_id
+        for r in assign_global_row_ids(
+            df, order_cols=["o_totalprice", "o_orderkey"], keep="o_orderkey"
+        ).collect()
+    }
+    want = {
+        k: i + 1
+        for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+vecs_strategy = st.lists(
+    st.lists(
+        st.integers(-100, 100).map(float), min_size=3, max_size=3
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(vecs_strategy)
+def test_mips_topk_matches_numpy_on_generated_vectors(spark, vec_rows):
+    """Exact MIPS over generated integer-valued vectors (dot products
+    exact in both engines) equals the numpy argsort, including the
+    rounded-score/vec_id tie-break."""
+    import numpy as np
+
+    from apache_beam_challange_spark.plans.mips import mips_topk
+
+    emb = spark.createDataFrame(
+        [(i, f"v{i}", v) for i, v in enumerate(vec_rows)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = [r.vec_id for r in mips_topk(emb, query_vec_id=0, k=5).collect()]
+    q = np.asarray(vec_rows[0])
+    scored = sorted(
+        ((round(float(np.asarray(v) @ q), 6), i) for i, v in enumerate(vec_rows) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert got == [i for _, i in scored]
