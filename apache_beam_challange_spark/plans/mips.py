@@ -162,6 +162,36 @@ LIMIT {_TOPK}
 """.strip()
 
 
+def _augmented_frame(emb: DataFrame, query_vec_id: int = 0) -> DataFrame:
+    """(vec_id, embedding) with the 65th Neyshabur-Srebro component:
+    sqrt(m2 - |v|^2) for corpus rows (m2 = corpus max squared norm, a
+    1-row broadcast aggregate), 0 for the query — whose hash therefore
+    never depends on m2, which is what lets the INDEXED route serve
+    without storing the build-time norm."""
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    m2 = (
+        vecs.filter(F.col("vec_id") != query_vec_id)
+        .select(dot(F.col("v"), F.col("v")).alias("n2"))
+        .agg(F.max("n2").alias("m2"))
+    )
+    return vecs.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        F.concat(
+            F.col("v"),
+            F.array(
+                F.when(F.col("vec_id") == query_vec_id, F.lit(0.0)).otherwise(
+                    F.sqrt(
+                        F.greatest(
+                            F.col("m2") - dot(F.col("v"), F.col("v")),
+                            F.lit(0.0),
+                        )
+                    )
+                )
+            ),
+        ).alias("embedding"),
+    )
+
+
 @query("mips_augmented_lsh_topk_vec0", oracle=_MIPS_LSH_ORACLE)
 def mips_augmented_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVABLE MIPS: the Neyshabur-Srebro "simple LSH" reduction — one
@@ -177,34 +207,84 @@ def mips_augmented_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-    m2 = (
-        vecs.filter(F.col("vec_id") != 0)
-        .select(dot(F.col("v"), F.col("v")).alias("n2"))
-        .agg(F.max("n2").alias("m2"))
-    )
-    augmented = (
-        vecs.crossJoin(F.broadcast(m2))
-        .select(
-            "vec_id",
-            F.concat(
-                F.col("v"),
-                F.array(
-                    F.when(F.col("vec_id") == 0, F.lit(0.0)).otherwise(
-                        F.sqrt(
-                            F.greatest(
-                                F.col("m2") - dot(F.col("v"), F.col("v")),
-                                F.lit(0.0),
-                            )
-                        )
-                    )
-                ),
-            ).alias("embedding"),
-        )
-    )
     flat = _multitable_buckets(
-        augmented, _MIPS_TABLES, _MIPS_PLANES, _MIPS_DIM
+        _augmented_frame(emb), _MIPS_TABLES, _MIPS_PLANES, _MIPS_DIM
     )
     cand_ids = _bucket_candidate_ids(flat, query_vec_id=0)
+    qvec = _query_vec(emb, 0)
+    return (
+        vecs.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("v"), F.col("__qvec")), 6).alias("dot_score"),
+        )
+        .orderBy(F.col("dot_score").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+    )
+
+
+@query("mips_augmented_lsh_topk_indexed_vec0", oracle=_MIPS_LSH_ORACLE)
+def mips_augmented_lsh_topk_indexed_vec0(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIPS served from the AT-REST augmented-bucket index — the
+    deployment shape: the 65-dim augmented buckets are materialized once
+    (hive-partitioned by table_idx/bucket, the `lsh_write_index` layout),
+    and a query touches only its own 16 partition directories via
+    dynamic partition pruning. The query's augmented component is 0 BY
+    CONSTRUCTION, so its bucket ids depend only on the public plane
+    family — no build-time corpus norm needs storing or refreshing for
+    serving (index maintenance = the same append-only delta pass as the
+    cosine index). Same oracle as the inline route: the index must be
+    semantically invisible."""
+    from apache_beam_challange_spark.operators.similarity import (
+        lsh_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "mips_lsh_index_16x4_b", "embeddings")
+    if not is_materialized(path):
+        lsh_write_index(
+            _augmented_frame(emb),
+            path,
+            num_tables=_MIPS_TABLES,
+            num_planes=_MIPS_PLANES,
+            dim=_MIPS_DIM,
+        )
+    index = spark.read.parquet(path)
+    # query-side buckets: one augmented row ([q, 0]), a pruned 1-row pass
+    q_aug = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id",
+        F.concat(
+            as_double(F.col("embedding")), F.array(F.lit(0.0))
+        ).alias("embedding"),
+    )
+    qb = _multitable_buckets(
+        q_aug, _MIPS_TABLES, _MIPS_PLANES, _MIPS_DIM
+    ).select(
+        F.col("table_idx").alias("__qtable"),
+        # the stored partition value is "b"-prefixed (string-typed)
+        F.concat(F.lit("b"), F.col("bucket")).alias("__qbucket"),
+    )
+    cand_ids = (
+        index.join(
+            F.broadcast(qb),
+            (index["table_idx"] == F.col("__qtable"))
+            & (index["bucket"] == F.col("__qbucket")),
+        )
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    vecs = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
     qvec = _query_vec(emb, 0)
     return (
         vecs.join(cand_ids, "vec_id")

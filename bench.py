@@ -200,6 +200,7 @@ ROUND7 = [
     "snapshot_diff_audit",
     "l_diversity_audit",
     "image_phash_dup_clusters",
+    "mips_augmented_lsh_topk_indexed_vec0",
 ]
 
 CURATION = [

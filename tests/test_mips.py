@@ -90,3 +90,11 @@ def test_mips_exact_matches_bruteforce_python(spark, sf_dir):
     want = [vid for _, vid in scored]
     got = [r.vec_id for r in QS["mips_topk_vec0"](spark, sf_dir).collect()]
     assert got == want
+
+
+def test_mips_indexed_equals_inline_route(spark, sf_dir):
+    """The at-rest index must be semantically invisible: indexed and
+    inline augmented-LSH routes return identical ranked rows."""
+    inline = QS["mips_augmented_lsh_topk_vec0"](spark, sf_dir).collect()
+    indexed = QS["mips_augmented_lsh_topk_indexed_vec0"](spark, sf_dir).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in indexed]

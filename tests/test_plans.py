@@ -594,3 +594,14 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mips_indexed_prunes_and_reranks(plans):
+    """The at-rest MIPS route must probe the augmented-bucket index via
+    dynamic partition pruning (the query's 16 bucket ids into the
+    partition columns), rerank as a TakeOrderedAndProject, and never
+    fall back to a corpus-product shape."""
+    p = plans("mips_augmented_lsh_topk_indexed_vec0")
+    assert "dynamicpruning" in p.lower()
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
