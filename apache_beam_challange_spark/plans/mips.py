@@ -235,10 +235,14 @@ def mips_augmented_lsh_topk_indexed_vec0(
     and a query touches only its own 16 partition directories via
     dynamic partition pruning. The query's augmented component is 0 BY
     CONSTRUCTION, so its bucket ids depend only on the public plane
-    family — no build-time corpus norm needs storing or refreshing for
-    serving (index maintenance = the same append-only delta pass as the
-    cosine index). Same oracle as the inline route: the index must be
-    semantically invisible."""
+    family — no build-time corpus norm is needed to SERVE. MAINTENANCE
+    CONTRACT (unlike the cosine index, which is append-only): corpus
+    rows hash with sqrt(m2 - |v|^2), so appending is valid only while
+    new vectors' norms stay <= the build-time max — a delta whose norm
+    exceeds it forces a rebuild (production builds pick M as an a
+    priori upper bound with headroom, the Neyshabur-Srebro setting,
+    exactly to keep appends valid). Same oracle as the inline route:
+    the index must be semantically invisible."""
     from apache_beam_challange_spark.operators.similarity import (
         lsh_write_index,
     )
