@@ -162,33 +162,117 @@ LIMIT {_TOPK}
 """.strip()
 
 
-def _augmented_frame(emb: DataFrame, query_vec_id: int = 0) -> DataFrame:
+def _augmented_frame(
+    emb: DataFrame, query_vec_id: int | None = 0, m2: float | None = None
+) -> DataFrame:
     """(vec_id, embedding) with the 65th Neyshabur-Srebro component:
     sqrt(m2 - |v|^2) for corpus rows (m2 = corpus max squared norm, a
-    1-row broadcast aggregate), 0 for the query — whose hash therefore
-    never depends on m2, which is what lets the INDEXED route serve
-    without storing the build-time norm."""
+    1-row broadcast aggregate unless a STORED value is passed), 0 for
+    the query — whose hash therefore never depends on m2, which is what
+    lets the INDEXED route serve without reading the stored norm.
+    ``query_vec_id=None`` augments every row as corpus (append deltas);
+    ``m2`` set uses the build-time bound instead of recomputing, so
+    appended rows hash bit-identically to a from-scratch rebuild."""
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    m2 = (
-        vecs.filter(F.col("vec_id") != query_vec_id)
-        .select(dot(F.col("v"), F.col("v")).alias("n2"))
-        .agg(F.max("n2").alias("m2"))
+    if m2 is None:
+        corpus = (
+            vecs
+            if query_vec_id is None
+            else vecs.filter(F.col("vec_id") != query_vec_id)
+        )
+        m2_df = corpus.select(dot(F.col("v"), F.col("v")).alias("n2")).agg(
+            F.max("n2").alias("m2")
+        )
+        base = vecs.crossJoin(F.broadcast(m2_df))
+    else:
+        base = vecs.withColumn("m2", F.lit(float(m2)))
+    corpus_aug = F.sqrt(
+        F.greatest(F.col("m2") - dot(F.col("v"), F.col("v")), F.lit(0.0))
     )
-    return vecs.crossJoin(F.broadcast(m2)).select(
-        "vec_id",
-        F.concat(
-            F.col("v"),
-            F.array(
-                F.when(F.col("vec_id") == query_vec_id, F.lit(0.0)).otherwise(
-                    F.sqrt(
-                        F.greatest(
-                            F.col("m2") - dot(F.col("v"), F.col("v")),
-                            F.lit(0.0),
-                        )
-                    )
-                )
-            ),
-        ).alias("embedding"),
+    aug = (
+        corpus_aug
+        if query_vec_id is None
+        else F.when(F.col("vec_id") == query_vec_id, F.lit(0.0)).otherwise(
+            corpus_aug
+        )
+    )
+    return base.select(
+        "vec_id", F.concat(F.col("v"), F.array(aug)).alias("embedding")
+    )
+
+
+def mips_lsh_write_index(emb: DataFrame, path: str) -> None:
+    """Build the at-rest augmented-bucket index PLUS the ``_meta``
+    sidecar holding the build-time norm bound — the one scalar the
+    maintenance contract needs. The sidecar commits BEFORE the primary
+    path (the torn-artifact rule of `sources/catalog.py:is_materialized`:
+    readers require _SUCCESS in all parts, primary last)."""
+    from apache_beam_challange_spark.operators.similarity import (
+        lsh_write_index,
+    )
+
+    spark = emb.sparkSession
+    # the bound spans the CORPUS — vec 0 is the designated query row in
+    # this testbed and hashes with component 0, so it must not raise the
+    # bound (keeps index buckets bit-identical to the inline route's)
+    m2 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            dot(
+                as_double(F.col("embedding")), as_double(F.col("embedding"))
+            ).alias("n2")
+        )
+        .agg(F.max("n2"))
+        .head()[0]
+    )
+    spark.createDataFrame([(float(m2),)], "m2 double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "_meta")
+    lsh_write_index(
+        _augmented_frame(emb, query_vec_id=0, m2=m2),
+        path,
+        num_tables=_MIPS_TABLES,
+        num_planes=_MIPS_PLANES,
+        dim=_MIPS_DIM,
+    )
+
+
+def mips_lsh_append_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental maintenance with the contract ENFORCED, not just
+    documented: a delta whose max norm exceeds the stored build bound
+    would hash with a stale augmentation (every at-rest component
+    depends on the build m2), so the append REFUSES loudly and the
+    caller must rebuild (production avoids this by building with an a
+    priori norm headroom). Valid deltas hash with the STORED bound and
+    are bit-identical to a from-scratch rebuild — test-asserted."""
+    spark = new_embeddings.sparkSession
+    m2 = float(spark.read.parquet(path + "_meta").head()[0])
+    max_new = (
+        new_embeddings.select(
+            dot(
+                as_double(F.col("embedding")), as_double(F.col("embedding"))
+            ).alias("n2")
+        )
+        .agg(F.max("n2"))
+        .head()[0]
+    )
+    if max_new is not None and float(max_new) > m2:
+        raise ValueError(
+            f"MIPS index append refused: delta max norm^2 {max_new!r} "
+            f"exceeds the build bound {m2!r} — stored augmented "
+            "components would be stale; rebuild the index (or build "
+            "with norm headroom)."
+        )
+    from apache_beam_challange_spark.operators.similarity import (
+        lsh_append_index,
+    )
+
+    lsh_append_index(
+        _augmented_frame(new_embeddings, query_vec_id=None, m2=m2),
+        path,
+        num_tables=_MIPS_TABLES,
+        num_planes=_MIPS_PLANES,
+        dim=_MIPS_DIM,
     )
 
 
@@ -243,9 +327,6 @@ def mips_augmented_lsh_topk_indexed_vec0(
     priori upper bound with headroom, the Neyshabur-Srebro setting,
     exactly to keep appends valid). Same oracle as the inline route:
     the index must be semantically invisible."""
-    from apache_beam_challange_spark.operators.similarity import (
-        lsh_write_index,
-    )
     from apache_beam_challange_spark.sources.catalog import (
         is_materialized,
         warehouse_path,
@@ -253,14 +334,8 @@ def mips_augmented_lsh_topk_indexed_vec0(
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = warehouse_path(sf_dir, "mips_lsh_index_16x4_b", "embeddings")
-    if not is_materialized(path):
-        lsh_write_index(
-            _augmented_frame(emb),
-            path,
-            num_tables=_MIPS_TABLES,
-            num_planes=_MIPS_PLANES,
-            dim=_MIPS_DIM,
-        )
+    if not is_materialized(path, parts=(path + "_meta",)):
+        mips_lsh_write_index(emb, path)
     index = spark.read.parquet(path)
     # query-side buckets: one augmented row ([q, 0]), a pruned 1-row pass
     q_aug = emb.filter(F.col("vec_id") == 0).select(

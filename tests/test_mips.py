@@ -98,3 +98,67 @@ def test_mips_indexed_equals_inline_route(spark, sf_dir):
     inline = QS["mips_augmented_lsh_topk_vec0"](spark, sf_dir).collect()
     indexed = QS["mips_augmented_lsh_topk_indexed_vec0"](spark, sf_dir).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in indexed]
+
+
+def _mk_emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, f"v{i}", v) for i, v in rows],
+        "vec_id long, label string, embedding array<double>",
+    )
+
+
+def test_mips_index_append_equals_rebuild(spark, tmp_path):
+    """A valid delta (norms <= the stored build bound) appended with the
+    STORED m2 produces buckets bit-identical to a from-scratch rebuild
+    over the union — the maintenance contract's positive half."""
+    from apache_beam_challange_spark.plans.mips import (
+        mips_lsh_append_index,
+        mips_lsh_write_index,
+    )
+
+    def vec(scale, j):
+        v = [0.0] * 64
+        v[j] = float(scale)
+        v[(j + 7) % 64] = 0.5
+        return v
+
+    base = _mk_emb(
+        spark, [(0, vec(1, 0)), (1, vec(3, 5)), (2, vec(2, 9)), (3, vec(1, 13))]
+    )
+    delta = _mk_emb(spark, [(10, vec(2, 21)), (11, vec(1, 33))])
+    p1 = str(tmp_path / "idx_appended")
+    mips_lsh_write_index(base, p1)
+    mips_lsh_append_index(delta, p1)
+    p2 = str(tmp_path / "idx_rebuilt")
+    mips_lsh_write_index(base.union(delta), p2)
+    rows1 = sorted(
+        tuple(r) for r in spark.read.parquet(p1).collect()
+    )
+    rows2 = sorted(
+        tuple(r) for r in spark.read.parquet(p2).collect()
+    )
+    assert rows1 == rows2
+
+
+def test_mips_index_append_refuses_norm_overflow(spark, tmp_path):
+    """The contract's negative half: a delta whose norm exceeds the
+    stored bound would make every at-rest augmented component stale, so
+    the append must refuse loudly."""
+    import pytest
+
+    from apache_beam_challange_spark.plans.mips import (
+        mips_lsh_append_index,
+        mips_lsh_write_index,
+    )
+
+    def vec(scale):
+        v = [0.0] * 64
+        v[3] = float(scale)
+        return v
+
+    base = _mk_emb(spark, [(0, vec(1)), (1, vec(2)), (2, vec(1))])
+    p = str(tmp_path / "idx")
+    mips_lsh_write_index(base, p)
+    big = _mk_emb(spark, [(10, vec(9))])
+    with pytest.raises(ValueError, match="append refused"):
+        mips_lsh_append_index(big, p)
