@@ -162,3 +162,24 @@ def test_mips_index_append_refuses_norm_overflow(spark, tmp_path):
     big = _mk_emb(spark, [(10, vec(9))])
     with pytest.raises(ValueError, match="append refused"):
         mips_lsh_append_index(big, p)
+
+
+def test_mips_index_torn_artifact_not_materialized(spark, tmp_path):
+    """Torn-artifact rule for the two-part index: the sidecar commits
+    FIRST, the primary LAST, and is_materialized requires _SUCCESS in
+    both — so a crash between the two (simulated by deleting either
+    marker) forces a rebuild instead of serving a torn index."""
+    import os
+
+    from apache_beam_challange_spark.plans.mips import mips_lsh_write_index
+    from apache_beam_challange_spark.sources.catalog import is_materialized
+
+    emb = _mk_emb(spark, [(0, [1.0] + [0.0] * 63), (1, [0.0, 2.0] + [0.0] * 62)])
+    p = str(tmp_path / "idx")
+    mips_lsh_write_index(emb, p)
+    assert is_materialized(p, parts=(p + "_meta",))
+    os.remove(p + "/_SUCCESS")
+    assert not is_materialized(p, parts=(p + "_meta",))
+    mips_lsh_write_index(emb, p)  # rebuild restores it
+    os.remove(p + "_meta/_SUCCESS")
+    assert not is_materialized(p, parts=(p + "_meta",))
