@@ -803,3 +803,147 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- CUPED variance reduction --------------------------------------------------
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(FLOOR((FLOOR(epoch(MIN(ts))) + FLOOR(epoch(MAX(ts)))) / 2)
+                AS BIGINT) AS mid
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN FLOOR(epoch(ts)) < b.mid
+                         THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN FLOOR(epoch(ts)) >= b.mid
+                         THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+    FROM events CROSS JOIN bounds b
+    GROUP BY user_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(38, 0)) * x) AS DECIMAL(38, 0)) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(38, 0)) * y) AS DECIMAL(38, 0)) AS sxy,
+           CAST(SUM(CAST(y AS DECIMAL(38, 0)) * y) AS DECIMAL(38, 0)) AS syy
+    FROM per_user
+),
+scalars AS (
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS varx_num,
+           CAST(n * syy - sy * sy AS DOUBLE) AS vary_num,
+           CAST(n * n AS DOUBLE) AS n2
+    FROM stats
+)
+SELECT n_users,
+       ROUND(cov_num / varx_num, 6) AS theta,
+       ROUND(vary_num / n2 / 1e12, 4) AS var_y,
+       ROUND((vary_num / n2
+              - 2 * (cov_num / varx_num) * (cov_num / n2)
+              + (cov_num / varx_num) * (cov_num / varx_num)
+                * (varx_num / n2)) / 1e12, 4) AS var_y_adj,
+       ROUND((2 * (cov_num / varx_num) * (cov_num / n2)
+              - (cov_num / varx_num) * (cov_num / varx_num)
+                * (varx_num / n2)) / (vary_num / n2), 6) AS var_reduction
+FROM scalars
+""".strip(),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM 2013 — public literature): the experimentation-pipeline
+    variance-reduction report. Each user's post-period metric y is
+    adjusted by theta * (x - x_bar) using their PRE-period metric x
+    (theta = cov(x,y)/var(x)); the report gives theta, the raw and
+    adjusted variance, and the variance reduction ratio (= rho^2 at the
+    optimal theta) — the number that tells an experimenter how much
+    smaller their A/B test can be. Periods split at the midpoint epoch
+    second of the event timeline.
+
+    Engine-exactness: per-user x/y are exact bigint micros (the
+    established floor(value*1e6) discipline), the five moment sums are
+    exact DECIMAL(38,0) (products up to ~1e23 — far under the 1e38
+    cap, checked against the data's value/event ranges), and the final
+    doubles are computed from identical exact integers by structurally
+    identical formulas, rounded for the hash. Scale shape: one
+    user-keyed shuffle (the per-user fold), then a single 6-scalar
+    aggregate to one row — nothing widens with the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    # ntz -> timestamp -> long: the session is pinned to UTC, so the
+    # intermediate cast is a wall-clock identity (the interval-join
+    # precedent in streaming/windows.py) and long truncation == FLOOR(epoch)
+    e = F.col("ts").cast("timestamp").cast("long")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("timestamp").cast("long")).alias("mn"),
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("mx"),
+    ).select(
+        F.floor((F.col("mn") + F.col("mx")) / 2).cast("long").alias("mid")
+    )
+    micros = F.floor(F.col("value") * 1000000).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(e < F.col("mid"), micros).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(e >= F.col("mid"), micros).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    scalars = stats.select(
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cov_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("varx_num"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("vary_num"),
+        (F.col("n") * F.col("n")).cast("double").alias("n2"),
+    )
+    theta = F.col("cov_num") / F.col("varx_num")
+    return scalars.select(
+        "n_users",
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("vary_num") / F.col("n2") / F.lit(1e12), 4).alias(
+            "var_y"
+        ),
+        F.round(
+            (
+                F.col("vary_num") / F.col("n2")
+                - F.lit(2) * theta * (F.col("cov_num") / F.col("n2"))
+                + theta * theta * (F.col("varx_num") / F.col("n2"))
+            )
+            / F.lit(1e12),
+            4,
+        ).alias("var_y_adj"),
+        F.round(
+            (
+                F.lit(2) * theta * (F.col("cov_num") / F.col("n2"))
+                - theta * theta * (F.col("varx_num") / F.col("n2"))
+            )
+            / (F.col("vary_num") / F.col("n2")),
+            6,
+        ).alias("var_reduction"),
+    )

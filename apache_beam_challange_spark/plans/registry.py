@@ -70,7 +70,8 @@ ORACLES: dict[str, str] = {}
 #: mips_topk_vec0, mips_augmented_lsh_topk_vec0, benford_price_audit,
 #: global_row_ids_orders, stream_stream_left_semi_join,
 #: lang_mixing_allocation, snapshot_diff_audit, l_diversity_audit,
-#: image_phash_dup_clusters, mips_augmented_lsh_topk_indexed_vec0.
+#: image_phash_dup_clusters, mips_augmented_lsh_topk_indexed_vec0,
+#: cuped_variance_reduction.
 #: Swap them in next round for driver-green tail entries.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core

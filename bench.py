@@ -201,6 +201,7 @@ ROUND7 = [
     "l_diversity_audit",
     "image_phash_dup_clusters",
     "mips_augmented_lsh_topk_indexed_vec0",
+    "cuped_variance_reduction",
 ]
 
 CURATION = [

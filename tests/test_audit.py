@@ -427,3 +427,43 @@ def test_l_diversity_matches_python_and_fires(spark, sf_dir):
         assert r.n_rows_at_risk == sum(sizes[k] for k in viol)
         assert r.min_diversity == min(len(classes[k]) for k in ks)
     assert sum(r.n_violating_classes for r in rows) > 0
+
+
+# --- cuped_variance_reduction ---------------------------------------------------
+
+
+def test_cuped_matches_python_and_reduces_variance(spark, sf_dir):
+    """theta, variances and the reduction ratio match a driver-side
+    recompute from the same integer micros; at the optimal theta the
+    reduction equals rho^2, so it lies in [0, 1) and var_y_adj <=
+    var_y."""
+    r = QS["cuped_variance_reduction"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    import math
+
+    epochs = [int(e.ts.timestamp()) for e in ev]
+    mid = (min(epochs) + max(epochs)) // 2
+    per: dict[int, list[int]] = {}
+    for e in ev:
+        xy = per.setdefault(e.user_id, [0, 0])
+        xy[0 if int(e.ts.timestamp()) < mid else 1] += math.floor(
+            e.value * 1_000_000
+        )
+    n = len(per)
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    cov_num = float(n * sxy - sx * sy)
+    varx_num = float(n * sxx - sx * sx)
+    vary_num = float(n * syy - sy * sy)
+    theta = cov_num / varx_num
+    assert r.n_users == n
+    assert r.theta == pytest.approx(round(theta, 6))
+    assert r.var_y == pytest.approx(vary_num / n / n / 1e12, rel=1e-6)
+    assert 0.0 <= r.var_reduction < 1.0
+    assert r.var_y_adj <= r.var_y
+    rho2 = cov_num * cov_num / (varx_num * vary_num)
+    assert r.var_reduction == pytest.approx(rho2, rel=1e-4)
