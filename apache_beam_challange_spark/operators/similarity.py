@@ -621,6 +621,26 @@ def lsh_append_index(
     ).write.mode("append").partitionBy("table_idx", "bucket").parquet(path)
 
 
+def probe_index_candidates(
+    index: DataFrame, qb: DataFrame, query_vec_id: int
+) -> DataFrame:
+    """Distinct candidate ids from an at-rest bucket index probed by the
+    query's (__qtable, __qbucket) list — the partition-column equi-join
+    dynamic partition pruning keys on. ONE definition shared by the
+    cosine indexed route and the MIPS indexed route (plans/mips.py), the
+    same no-desync rationale as :func:`_bucket_candidate_ids`."""
+    return (
+        index.join(
+            F.broadcast(qb),
+            (F.col("table_idx") == F.col("__qtable"))
+            & (F.col("bucket") == F.col("__qbucket")),
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+
+
 def ann_lsh_multitable_topk_indexed(
     embeddings: DataFrame,
     index: DataFrame,
@@ -642,21 +662,12 @@ def ann_lsh_multitable_topk_indexed(
         num_planes,
         dim,
     ).select(
-        "table_idx",
+        F.col("table_idx").alias("__qtable"),
         # lsh_write_index stores "b"-prefixed buckets (string-typed
         # partition values); mirror the prefix on the query side.
         F.concat(F.lit("b"), F.col("bucket")).alias("__qbucket"),
     )
-    cand_ids = (
-        index.join(
-            F.broadcast(qb),
-            (index["table_idx"] == qb["table_idx"])
-            & (index["bucket"] == qb["__qbucket"]),
-        )
-        .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id")
-        .dropDuplicates(["vec_id"])
-    )
+    cand_ids = probe_index_candidates(index, qb, query_vec_id)
     qvec = _query_vec(embeddings, query_vec_id)
     vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")

@@ -1392,8 +1392,9 @@ def assign_global_row_ids(
             seen += len(pdf)
             yield out
 
+    keep_type = df.schema[keep].dataType.simpleString()
     numbered = ranged.mapInPandas(
-        number, f"{keep} long, pid int, local_seq long"
+        number, f"{keep} {keep_type}, pid int, local_seq long"
     )
     counts = ranged.groupBy("pid").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")

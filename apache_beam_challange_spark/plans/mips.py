@@ -45,6 +45,7 @@ from apache_beam_challange_spark.operators.similarity import (
     _bucket_candidate_ids,
     _multitable_buckets,
     _query_vec,
+    probe_index_candidates,
 )
 from apache_beam_challange_spark.plans.registry import query
 from apache_beam_challange_spark.sources.catalog import load_table
@@ -90,9 +91,16 @@ def mips_topk(embeddings: DataFrame, query_vec_id: int, k: int) -> DataFrame:
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     qvec = _query_vec(embeddings, query_vec_id)
+    return _dot_rerank(vecs.filter(F.col("vec_id") != query_vec_id), qvec, k)
+
+
+def _dot_rerank(base: DataFrame, qvec: DataFrame, k: int) -> DataFrame:
+    """Exact-dot TakeOrdered rerank over (vec_id, label, v) rows — ONE
+    definition of the rounding/tie-break discipline for all three MIPS
+    arms (exact, inline LSH, indexed), so a change can never
+    desynchronize the route-equality invariant the tests pin (review)."""
     return (
-        vecs.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(qvec))
+        base.crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
             "label",
@@ -204,9 +212,15 @@ def _augmented_frame(
 def mips_lsh_write_index(emb: DataFrame, path: str) -> None:
     """Build the at-rest augmented-bucket index PLUS the ``_meta``
     sidecar holding the build-time norm bound — the one scalar the
-    maintenance contract needs. The sidecar commits BEFORE the primary
-    path (the torn-artifact rule of `sources/catalog.py:is_materialized`:
-    readers require _SUCCESS in all parts, primary last)."""
+    maintenance contract needs. Crash ordering (the torn-artifact rule
+    of `sources/catalog.py:is_materialized`: readers require _SUCCESS
+    in ALL parts): on a REBUILD the existing primary's _SUCCESS is
+    invalidated FIRST — otherwise a crash between the new sidecar and
+    the new primary would leave old buckets + new bound both marked
+    complete, the silently-stale pairing the contract forbids (review)
+    — then the sidecar commits, then the primary commits last."""
+    import os
+
     from apache_beam_challange_spark.operators.similarity import (
         lsh_write_index,
     )
@@ -225,6 +239,14 @@ def mips_lsh_write_index(emb: DataFrame, path: str) -> None:
         .agg(F.max("n2"))
         .head()[0]
     )
+    if m2 is None:
+        raise ValueError(
+            "MIPS index build refused: no corpus rows (vec_id != 0) to "
+            "derive the norm bound from."
+        )
+    stale_marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(stale_marker):
+        os.remove(stale_marker)
     spark.createDataFrame([(float(m2),)], "m2 double").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path + "_meta")
@@ -296,17 +318,7 @@ def mips_augmented_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_ids = _bucket_candidate_ids(flat, query_vec_id=0)
     qvec = _query_vec(emb, 0)
-    return (
-        vecs.join(cand_ids, "vec_id")
-        .crossJoin(F.broadcast(qvec))
-        .select(
-            "vec_id",
-            "label",
-            F.round(dot(F.col("v"), F.col("__qvec")), 6).alias("dot_score"),
-        )
-        .orderBy(F.col("dot_score").desc(), F.col("vec_id"))
-        .limit(_TOPK)
-    )
+    return _dot_rerank(vecs.join(cand_ids, "vec_id"), qvec, _TOPK)
 
 
 @query("mips_augmented_lsh_topk_indexed_vec0", oracle=_MIPS_LSH_ORACLE)
@@ -351,28 +363,9 @@ def mips_augmented_lsh_topk_indexed_vec0(
         # the stored partition value is "b"-prefixed (string-typed)
         F.concat(F.lit("b"), F.col("bucket")).alias("__qbucket"),
     )
-    cand_ids = (
-        index.join(
-            F.broadcast(qb),
-            (index["table_idx"] == F.col("__qtable"))
-            & (index["bucket"] == F.col("__qbucket")),
-        )
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id")
-        .dropDuplicates(["vec_id"])
-    )
+    cand_ids = probe_index_candidates(index, qb, query_vec_id=0)
     vecs = emb.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     qvec = _query_vec(emb, 0)
-    return (
-        vecs.join(cand_ids, "vec_id")
-        .crossJoin(F.broadcast(qvec))
-        .select(
-            "vec_id",
-            "label",
-            F.round(dot(F.col("v"), F.col("__qvec")), 6).alias("dot_score"),
-        )
-        .orderBy(F.col("dot_score").desc(), F.col("vec_id"))
-        .limit(_TOPK)
-    )
+    return _dot_rerank(vecs.join(cand_ids, "vec_id"), qvec, _TOPK)

@@ -440,13 +440,17 @@ def test_cuped_matches_python_and_reduces_variance(spark, sf_dir):
     r = QS["cuped_variance_reduction"](spark, sf_dir).collect()[0]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
     import math
+    from datetime import timezone
 
-    epochs = [int(e.ts.timestamp()) for e in ev]
+    def epoch(ts):  # collected ntz values are naive UTC; pin the zone
+        return math.floor(ts.replace(tzinfo=timezone.utc).timestamp())
+
+    epochs = [epoch(e.ts) for e in ev]
     mid = (min(epochs) + max(epochs)) // 2
     per: dict[int, list[int]] = {}
     for e in ev:
         xy = per.setdefault(e.user_id, [0, 0])
-        xy[0 if int(e.ts.timestamp()) < mid else 1] += math.floor(
+        xy[0 if epoch(e.ts) < mid else 1] += math.floor(
             e.value * 1_000_000
         )
     n = len(per)
@@ -462,7 +466,7 @@ def test_cuped_matches_python_and_reduces_variance(spark, sf_dir):
     theta = cov_num / varx_num
     assert r.n_users == n
     assert r.theta == pytest.approx(round(theta, 6))
-    assert r.var_y == pytest.approx(vary_num / n / n / 1e12, rel=1e-6)
+    assert r.var_y == pytest.approx(round(vary_num / n / n / 1e12, 4))
     assert 0.0 <= r.var_reduction < 1.0
     assert r.var_y_adj <= r.var_y
     rho2 = cov_num * cov_num / (varx_num * vary_num)

@@ -183,3 +183,30 @@ def test_mips_index_torn_artifact_not_materialized(spark, tmp_path):
     mips_lsh_write_index(emb, p)  # rebuild restores it
     os.remove(p + "_meta/_SUCCESS")
     assert not is_materialized(p, parts=(p + "_meta",))
+
+
+def test_mips_index_rebuild_crash_leaves_unmaterialized(spark, tmp_path, monkeypatch):
+    """Rebuild crash window: the OLD primary's _SUCCESS is invalidated
+    BEFORE the new sidecar commits, so dying between the sidecar write
+    and the primary write leaves is_materialized False — never an old
+    index paired with a new norm bound."""
+    import pytest
+
+    import apache_beam_challange_spark.plans.mips as mips_mod
+    from apache_beam_challange_spark.sources.catalog import is_materialized
+
+    emb = _mk_emb(spark, [(0, [1.0] + [0.0] * 63), (1, [0.0, 2.0] + [0.0] * 62)])
+    p = str(tmp_path / "idx")
+    mips_mod.mips_lsh_write_index(emb, p)
+    assert is_materialized(p, parts=(p + "_meta",))
+
+    import apache_beam_challange_spark.operators.similarity as sim
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before primary commit")
+
+    monkeypatch.setattr(sim, "lsh_write_index", boom)
+    bigger = _mk_emb(spark, [(0, [1.0] + [0.0] * 63), (2, [2.0, 0.0] + [0.0] * 62)])
+    with pytest.raises(RuntimeError, match="injected crash"):
+        mips_mod.mips_lsh_write_index(bigger, p)
+    assert not is_materialized(p, parts=(p + "_meta",))
