@@ -861,10 +861,32 @@ def kll_register_table(ev: DataFrame) -> DataFrame:
         (hex4("s#", F.col("event_id")) % _KLL_SHARDS).alias("shard"),
     )
     shardn = vals.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    # LEFT join + raise-on-null: a shard exceeding K * max(power) rows
+    # would match no power and previously vanished SILENTLY from the
+    # sketch, biasing every quantile (ADVICE r7). Oversized shards now
+    # fail loudly in the data path itself (the error expression DEFINES
+    # `step`, so column pruning cannot drop the check), forcing the
+    # operator dial — raise _KLL_SHARDS — instead of a quiet wrong answer.
     steps = (
-        shardn.join(powers, F.col("n") <= _KLL_K * F.col("p"))
-        .groupBy("shard")
-        .agg(F.min("p").alias("step"))
+        shardn.join(powers, F.col("n") <= _KLL_K * F.col("p"), "left")
+        .groupBy("shard", "n")
+        .agg(F.min("p").alias("minp"))
+        .select(
+            "shard",
+            F.when(F.col("minp").isNotNull(), F.col("minp"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "KLL shard %s holds %s rows, beyond K*2^30 = "
+                        f"{_KLL_K * (1 << 30)} — raise _KLL_SHARDS so every "
+                        "shard matches a stride power",
+                        F.col("shard").cast("string"),
+                        F.col("n").cast("string"),
+                    )
+                )
+            )
+            .alias("step"),
+        )
     )
     coins = (
         steps.join(powers, F.col("p") < F.col("step"), "left")

@@ -1657,12 +1657,25 @@ totals AS (
     SELECT SUM(weight_micro) AS tot_w FROM weighted
 ),
 shares AS (
-    SELECT w.lang, w.n_docs, w.chars, w.weight_micro,
-           CAST(({_MIX_BUDGET} * w.weight_micro
-                 - MOD({_MIX_BUDGET} * w.weight_micro, t.tot_w))
-                / t.tot_w AS BIGINT) AS n_floor,
-           MOD({_MIX_BUDGET} * w.weight_micro, t.tot_w) AS rem
-    FROM weighted w CROSS JOIN totals t
+    -- n_floor must stay exact past 2^53, where a double division can
+    -- land at k-epsilon (Spark truncates to k-1) or k+epsilon (DuckDB's
+    -- rounding CAST gives k). Neither dialect shares an integer-division
+    -- operator (Spark: div, DuckDB: //), so both get the double ESTIMATE
+    -- plus a pure-bigint correction: the true quotient is <= the budget
+    -- (10^4), so the double estimate is within +-1 of the floor and one
+    -- CASE step pins it exactly.
+    SELECT lang, n_docs, chars, weight_micro,
+           q0 + CASE WHEN (q0 + 1) * tot_w <= num THEN 1
+                     WHEN q0 * tot_w > num THEN -1
+                     ELSE 0 END AS n_floor,
+           MOD(num, tot_w) AS rem
+    FROM (
+        SELECT w.lang, w.n_docs, w.chars, w.weight_micro, t.tot_w,
+               {_MIX_BUDGET} * w.weight_micro AS num,
+               CAST(FLOOR(CAST({_MIX_BUDGET} * w.weight_micro AS DOUBLE)
+                          / t.tot_w) AS BIGINT) AS q0
+        FROM weighted w CROSS JOIN totals t
+    )
 ),
 ranked AS (
     SELECT lang, n_docs, chars, weight_micro, n_floor,
@@ -1688,9 +1701,13 @@ def lang_mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exact end to end: per-language char mass is an exact bigint
     sum, the smoothed weight is FLOOR(sqrt(mass)*1e6) (one IEEE sqrt —
     bit-stable in both engines), and floor/remainder come from bigint
-    MOD — the division (num - MOD(num, tot))/tot is exactly divisible,
-    so the double division is exact. No float comparison anywhere;
-    ties in the remainder ranking break on lang.
+    integer arithmetic — the engine uses Spark's native ``div``, and the
+    oracle (which must also run verbatim on Spark SQL, where ``//`` does
+    not exist) corrects a double ESTIMATE with one bigint CASE step,
+    exact unconditionally because the quotient is bounded by the budget
+    (ADVICE r7: the old (num - MOD)/tot double round-trip was exact only
+    below 2^53). No float comparison anywhere; ties in the remainder
+    ranking break on lang.
 
     Scale shape: one map-side-combined groupBy on lang, a 1-row total
     broadcast back, and the apportionment window runs over the
@@ -1721,16 +1738,17 @@ def hamilton_apportion(weighted: DataFrame, budget: int) -> DataFrame:
     over generated weight tables (quota rule: every alloc within 1 of its
     real share; allocs sum EXACTLY to the budget)."""
     totals = weighted.agg(F.sum("weight_micro").alias("tot_w"))
-    num = F.lit(budget) * F.col("weight_micro")
+    # Native bigint integer division (truncation == floor for positive
+    # operands) — no double round-trip, exact for any int64 numerator
+    # (ADVICE r7: the old (num - num % tot)/tot cast was exact only while
+    # budget*weight_micro < 2^53).
     shares = weighted.crossJoin(F.broadcast(totals)).select(
         "lang",
         "n_docs",
         "chars",
         "weight_micro",
-        ((num - num % F.col("tot_w")) / F.col("tot_w"))
-        .cast("long")
-        .alias("n_floor"),
-        (num % F.col("tot_w")).alias("rem"),
+        F.expr(f"({budget} * weight_micro) div tot_w").alias("n_floor"),
+        F.expr(f"({budget} * weight_micro) % tot_w").alias("rem"),
     )
     w_all = Window.partitionBy()
     ranked = shares.select(

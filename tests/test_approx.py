@@ -146,3 +146,19 @@ def test_semdedup_linearity_knob_keeps_invariants(spark, sf_dir):
     assert sum(r["n_items"] for r in rows) == emb.count()
     for r in rows:
         assert r["n_pruned"] < r["n_items"]
+
+
+def test_kll_oversized_shard_fails_loudly(spark, sf_dir, monkeypatch):
+    """A shard whose row count exceeds K * max(power) must RAISE, not
+    silently vanish from the sketch (ADVICE r7: the old inner join
+    dropped such shards, biasing every quantile with no error). Shrink
+    the power spine so sf0.001's shards overflow it and assert the
+    data-path error fires with the operator dial named."""
+    import pytest
+
+    from apache_beam_challange_spark.plans import advanced
+
+    monkeypatch.setattr(advanced, "_KLL_POWERS", [(0, 1)])
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(Exception, match="raise _KLL_SHARDS"):
+        advanced.kll_register_table(ev).collect()

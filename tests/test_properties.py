@@ -551,6 +551,38 @@ def test_hamilton_apportionment_quota_rule(spark, rows, budget):
         assert quota - 1 < r.alloc < quota + 1
 
 
+def test_hamilton_apportionment_exact_past_double_precision(spark):
+    """ADVICE r7 regression pin: n_floor must be exact when
+    budget*weight_micro exceeds 2^53 (where the old double round-trip
+    could truncate k-epsilon to k-1). The weights are constructed so
+    budget*w1 = k*tot - 1 (~3.5e17, far past 2^53): the true floor is
+    k-1 while a naively rounded double quotient lands on k. Both the
+    engine route and the portable oracle's estimate+correction spelling
+    must match Python's exact integer arithmetic."""
+    from apache_beam_challange_spark.plans.curation import hamilton_apportion
+
+    budget = 10_000
+    tot = (1 << 45) + 1
+    # budget * w1 === -1 (mod tot)  ->  num1 is one below a multiple
+    w1 = ((tot - 1) * pow(budget, -1, tot)) % tot
+    w2 = tot - w1
+    assert 0 < w1 < tot and w2 > 0
+    weighted = spark.createDataFrame(
+        [("a", 1, w1, w1), ("b", 1, w2, w2)],
+        "lang string, n_docs long, chars long, weight_micro long",
+    )
+    out = {r.lang: r.alloc for r in hamilton_apportion(weighted, budget).collect()}
+    floors = {"a": (budget * w1) // tot, "b": (budget * w2) // tot}
+    rems = {"a": (budget * w1) % tot, "b": (budget * w2) % tot}
+    leftover = budget - sum(floors.values())
+    order = sorted(floors, key=lambda k: (-rems[k], k))
+    want = {
+        k: floors[k] + (1 if i < leftover else 0) for i, k in enumerate(order)
+    }
+    assert out == want
+    assert budget * max(w1, w2) > 2**53  # the regime the pin is about
+
+
 ids_and_vals = st.lists(
     st.tuples(st.integers(0, 10**6), st.integers(-5, 5)),
     min_size=1,

@@ -52,6 +52,7 @@ def run_equality_check() -> int:
     from pyspark.sql import functions as F
 
     from apache_beam_challange_spark.session import get_spark
+    from apache_beam_challange_spark.sources.catalog import load_table
     from apache_beam_challange_spark.streaming.stateful import (
         user_session_stats_tws,
     )
@@ -63,13 +64,12 @@ def run_equality_check() -> int:
         "RocksDBStateStoreProvider",
     )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.timestamp_micros(
-            (F.col("ts").cast("long") / 1000).cast("long")
-        ).alias("ts"),
-        "event_type",
-        "value",
+    # Reuse the catalog loader so the check feeds TWS the EXACT timestamps
+    # the engine serves (integer `ts div 1000` nano->micro conversion) —
+    # ADVICE r7: the old double true-division here could differ by +-1 us
+    # above 2^53.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
     )
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "src")
@@ -101,13 +101,17 @@ def run_equality_check() -> int:
                 "Re-run on a faster host or smaller SPARK_GRAFT_SF_DIR."
             )
             sys.exit(3)
-        # last update per user wins
-        got = {
-            r.user_id: (r.n_events, r.n_types, r.value_micros)
-            for r in spark.sql(
-                "SELECT * FROM tws_check"
-            ).collect()
-        }
+        # The memory sink holds one update-mode row per user per batch
+        # with NO ordering guarantee across batches (ADVICE r7: relying
+        # on insertion order could crown a stale batch-0 row and report a
+        # spurious mismatch). The winner is made explicit instead:
+        # n_events is monotone non-decreasing across a user's updates, so
+        # the final state is the row with max n_events per user.
+        got = {}
+        for r in spark.sql("SELECT * FROM tws_check").collect():
+            cur = got.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                got[r.user_id] = (r.n_events, r.n_types, r.value_micros)
     want = {
         r.user_id: (r.n_events, r.n_types, r.value_micros)
         for r in ev.groupBy("user_id")
