@@ -297,6 +297,27 @@ def main() -> None:
     round7 = _bench_series(qs, ROUND7, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
+    # Membership pin (VERDICT r7 #5): every series' query COUNT and an
+    # md5 of its sorted member list ride in both records, so a
+    # group-total swing across rounds is adjudicable from the record
+    # alone — same count+hash means same roster (host noise or real
+    # regression, read noise_ref), different hash means the roster moved.
+    series_names = {
+        "headline": HEADLINE,
+        "flagships": FLAGSHIPS,
+        "curation": CURATION,
+        "traindata": TRAINDATA,
+        "ablations": ABLATIONS,
+        "filtering": FILTERING,
+        "round7": ROUND7,
+    }
+    import hashlib
+
+    group_counts = {k: len(v) for k, v in series_names.items()}
+    group_members_md5 = {
+        k: hashlib.md5(",".join(sorted(v)).encode()).hexdigest()[:8]
+        for k, v in series_names.items()
+    }
     vs_r1 = {
         n: round(timings[n] / R1_BASELINE[n], 2)
         for n in timings
@@ -319,6 +340,8 @@ def main() -> None:
         "round7": round7,
         "round7_total": round(sum(round7.values()), 3),
         "spread": spread,
+        "group_counts": group_counts,
+        "group_members_md5": group_members_md5,
         "noise_ref": noise_ref,
         "vs_r1": vs_r1,
         "repeats": REPEATS,
@@ -352,6 +375,8 @@ def main() -> None:
                 "filtering_total": round(sum(filtering.values()), 3),
                 "round7_total": round(sum(round7.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
+                "group_counts": group_counts,
+                "group_members_md5": group_members_md5,
                 "noise_ref": noise_ref,
                 "detail": "BENCH_DETAIL.json",
                 "repeats": REPEATS,
