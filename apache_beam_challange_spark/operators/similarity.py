@@ -855,3 +855,116 @@ def nsw_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def nsw_topk_batch(
+    embeddings: DataFrame,
+    adjacency: DataFrame,
+    query_ids: list[int],
+    k: int = 20,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    seed_step: int = NSW_SEED_STEP,
+) -> DataFrame:
+    """Batched NSW beam search (VERDICT r7 #2): every query in
+    ``query_ids`` advances through the SAME per-round plan, keyed by
+    ``qid`` — the ``knn_join_vec10`` discipline applied to the graph
+    index. The per-query driver loop in :func:`nsw_topk` made QPS scale
+    with driver round-trips (rounds x collect PER query); here one
+    frontier DataFrame carries all searches, so driver-side work is
+    exactly ``rounds`` localCheckpoint actions plus the final job,
+    INDEPENDENT of query count (test-pinned by counting localCheckpoint
+    calls for different batch sizes in tests/test_vector.py). No
+    ``.collect()`` anywhere in the search.
+
+    Trajectory-equivalent to :func:`nsw_topk` per query: the frontier is
+    the top-``beam`` not-yet-expanded visited nodes (row_number window
+    per qid, cos desc / vec_id ties), reached nodes already visited are
+    dropped by an anti-join (the single-query route re-scores
+    identically and absorbs them in dropDuplicates — same fixpoint
+    because scoring is deterministic), and the single-query route's
+    early break on an empty frontier equals this route's no-op round.
+
+    Scale shape: per round ONE window over the visited set (bounded by
+    queries x (seeds + rounds*beam*M) rows — parameter-bounded, never
+    corpus-bounded), one src-pushed adjacency join, one id-join point
+    lookup into the vector table, one anti-join; localCheckpoint bounds
+    lineage across rounds exactly like connected_components_lss."""
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(list(query_ids))).select(
+            F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+        )
+    )
+    visited = (
+        vecs.filter(F.col("vec_id") % seed_step == 0)
+        .crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("vec"), F.col("qvec")).alias("cos"),
+            F.lit(False).alias("expanded"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    for _ in range(rounds):
+        frontier = (
+            visited.filter(~F.col("expanded"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= beam)
+            .select("qid", "vec_id")
+        )
+        reached = (
+            frontier.withColumnRenamed("vec_id", "src")
+            .join(adjacency.select("src", "dst"), "src")
+            .select("qid", F.col("dst").alias("vec_id"))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .distinct()
+            .join(visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
+        )
+        new_scored = (
+            reached.join(vecs.select("vec_id", "vec"), "vec_id")
+            .join(queries, "qid")
+            .select(
+                "qid",
+                "vec_id",
+                cosine(F.col("vec"), F.col("qvec")).alias("cos"),
+                F.lit(False).alias("expanded"),
+            )
+        )
+        visited = (
+            visited.join(
+                frontier.withColumn("_f", F.lit(True)), ["qid", "vec_id"], "left"
+            )
+            .select(
+                "qid",
+                "vec_id",
+                "cos",
+                (F.col("expanded") | F.coalesce(F.col("_f"), F.lit(False))).alias(
+                    "expanded"
+                ),
+            )
+            .unionByName(new_scored)
+            .localCheckpoint()
+        )
+    wk = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "vec_id",
+            "label",
+            F.round(F.col("cos"), 6).alias("cosine_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -1772,8 +1772,11 @@ v{r} AS MATERIALIZED (
 )""".strip()
 
 
-_NSW_ORACLE = f"""
-WITH vecs AS (
+#: Deterministic NSW graph rebuild (sin-hyperplane LSH buckets -> bucket
+#: pairs -> per-src top-16 by cosine), shared by the single-query and
+#: batch oracles so both replay searches over the IDENTICAL adjacency.
+_NSW_GRAPH_CTE = """
+vecs AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 comp AS (
@@ -1809,7 +1812,10 @@ adj AS MATERIALIZED (
         JOIN vecs va ON va.vec_id = p.src
         JOIN vecs vb ON vb.vec_id = p.dst
     ) t WHERE rk <= 16
-),
+)""".strip()
+
+_NSW_ORACLE = f"""
+WITH {_NSW_GRAPH_CTE},
 q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
 v0 AS MATERIALIZED (
     SELECT v.vec_id, list_cosine_similarity(v.v, q.qv) AS c
@@ -1856,3 +1862,91 @@ def nsw_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         nsw_write_index(emb, path)
     adj = spark.read.parquet(path)
     return nsw_topk(emb, adj, query_vec_id=0, k=20)
+
+
+def _nsw_batch_round_sql(r: int) -> str:
+    """One unrolled round of the BATCH beam search: per-qid top-16
+    unexpanded frontier (row_number, cos desc / vec_id ties), adjacency
+    expansion, score only (qid, vec_id) pairs not yet visited. The UNION
+    dedup mirrors the engine's anti-join: re-scored rows are bit-identical
+    (deterministic cosine), so set-union and never-rescore agree."""
+    prev_v = f"v{r - 1}"
+    exclude = " UNION ALL ".join(
+        f"SELECT qid, vec_id FROM f{i}" for i in range(1, r)
+    )
+    not_exists = (
+        f"""WHERE NOT EXISTS (
+            SELECT 1 FROM ({exclude}) u
+            WHERE u.qid = pv.qid AND u.vec_id = pv.vec_id)"""
+        if exclude
+        else ""
+    )
+    return f"""
+f{r} AS MATERIALIZED (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, vec_id) AS rk
+        FROM {prev_v} pv {not_exists}
+    ) WHERE rk <= 16
+),
+v{r} AS MATERIALIZED (
+    SELECT * FROM {prev_v}
+    UNION
+    SELECT n.qid, n.vec_id, list_cosine_similarity(v.v, q.qv) AS c
+    FROM (SELECT DISTINCT f.qid, a.dst AS vec_id
+          FROM adj a JOIN f{r} f ON a.src = f.vec_id) n
+    JOIN vecs v ON v.vec_id = n.vec_id
+    JOIN qset q ON q.qid = n.qid
+    WHERE n.vec_id <> n.qid
+)""".strip()
+
+
+_NSW_BATCH_ORACLE = f"""
+WITH {_NSW_GRAPH_CTE},
+qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),
+v0 AS MATERIALIZED (
+    SELECT q.qid, v.vec_id, list_cosine_similarity(v.v, q.qv) AS c
+    FROM vecs v CROSS JOIN qset q
+    WHERE v.vec_id <> q.qid AND v.vec_id % 50 = 0
+),
+{",".join(_nsw_batch_round_sql(r) for r in range(1, 9))}
+SELECT query_vec_id, vec_id, label, cosine_sim FROM (
+    SELECT t.qid AS query_vec_id, t.vec_id, ve.label,
+           ROUND(t.c, 6) AS cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY t.qid
+               ORDER BY ROUND(t.c, 6) DESC, t.vec_id) AS rk
+    FROM v8 t JOIN vecs ve ON ve.vec_id = t.vec_id
+) WHERE rk <= 5
+ORDER BY query_vec_id, cosine_sim DESC, vec_id
+""".strip()
+
+
+@query("nsw_knn_join_vec10", oracle=_NSW_BATCH_ORACLE)
+def nsw_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched graph-ANN serving (VERDICT r7 #2): top-5 NSW neighbors for
+    EVERY query in a 10-vector batch through one qid-keyed frontier plan —
+    the ``knn_join_vec10`` discipline applied to the at-rest neighbor
+    graph. The single-query route advanced ONE search per driver round
+    trip (8 rounds x collect PER query); this route's driver-side work is
+    8 localCheckpoints TOTAL regardless of batch size (pinned by
+    tests/test_vector.py counting localCheckpoint calls), so serving
+    throughput scales with executor capacity, not driver round-trips.
+    The oracle rebuilds the identical graph and replays all ten unrolled
+    trajectories partitioned by qid — the index AND the batching are
+    semantically invisible."""
+    from apache_beam_challange_spark.operators.similarity import (
+        nsw_topk_batch,
+        nsw_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "nsw_graph_t4_m16", "embeddings")
+    if not is_materialized(path):
+        nsw_write_index(emb, path)
+    adj = spark.read.parquet(path)
+    return nsw_topk_batch(emb, adj, query_ids=list(range(10)), k=5)

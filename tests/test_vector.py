@@ -401,3 +401,48 @@ def test_nsw_recall_floor_vs_exact(spark):
     n_vecs = emb.count()
     budget = (n_vecs // NSW_SEED_STEP) + NSW_ROUNDS * NSW_BEAM * NSW_M
     assert len(got) <= 20 and budget < 3000  # fixed serve budget
+
+
+def test_nsw_batch_driver_work_independent_of_query_count(spark):
+    """VERDICT r7 #2 pin: the batched NSW serve path's driver-side work
+    (localCheckpoint actions — its only driver round-trips; it has NO
+    collect) is the same for 2 queries as for 8, and the batch answers
+    equal the single-query route's answers query for query."""
+    from unittest import mock
+
+    from apache_beam_challange_spark.operators.similarity import (
+        NSW_ROUNDS,
+        nsw_build_graph,
+        nsw_topk,
+        nsw_topk_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    adj = nsw_build_graph(emb).localCheckpoint()
+
+    # patch the CONCRETE class (Spark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides the base)
+    DataFrame = type(emb)
+    orig = DataFrame.localCheckpoint
+    counts = {}
+    for qn in (2, 8):
+        with mock.patch.object(
+            DataFrame,
+            "localCheckpoint",
+            autospec=True,
+            side_effect=lambda self, *a, **kw: orig(self, *a, **kw),
+        ) as lc:
+            batch = nsw_topk_batch(emb, adj, list(range(qn)), k=20)
+            counts[qn] = lc.call_count
+        if qn == 2:
+            got = {
+                (r.query_vec_id, r.vec_id, r.cosine_sim)
+                for r in batch.collect()
+            }
+            want = set()
+            for qid in range(2):
+                for r in nsw_topk(emb, adj, qid, k=20).collect():
+                    want.add((qid, r.vec_id, r.cosine_sim))
+            assert got == want
+    # seeds checkpoint + one per round, regardless of batch size
+    assert counts[2] == counts[8] == NSW_ROUNDS + 1
