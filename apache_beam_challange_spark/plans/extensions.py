@@ -1002,8 +1002,9 @@ def ann_lsh_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 16 tables x 4 planes: global plane index p in 0..63, table = p // 4,
 # bucket = the table's 4 sign bits in plane order — identical layout to
-# operators.similarity.ann_lsh_multitable_topk(num_tables=16).
-_ANN_MULTI_CTE = """
+# operators.similarity.ann_lsh_multitable_topk(num_tables=16). The
+# bucket-table prefix is shared by the single-query and batch oracles.
+_ANN_MULTI_BUCK_CTE = """
 vecs AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -1023,7 +1024,10 @@ buck AS (
            STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
     FROM proj
     GROUP BY vec_id, p // 4
-),
+)""".strip()
+
+_ANN_MULTI_CTE = f"""
+{_ANN_MULTI_BUCK_CTE},
 qb AS (SELECT table_idx, bucket FROM buck WHERE vec_id = 0),
 cand AS (
     SELECT DISTINCT b.vec_id
@@ -1742,6 +1746,60 @@ def ann_lsh_multitable_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> Da
     index = spark.read.parquet(path)
     return ann_lsh_multitable_topk_indexed(
         emb, index, query_vec_id=0, k=20, num_tables=16, num_planes=4, dim=64
+    )
+
+
+_ANN_LSH_BATCH_ORACLE = f"""
+WITH {_ANN_MULTI_BUCK_CTE},
+qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),
+qb AS (SELECT vec_id AS qid, table_idx, bucket FROM buck WHERE vec_id < 10),
+cand AS (
+    SELECT DISTINCT qb.qid, b.vec_id
+    FROM buck b JOIN qb ON b.table_idx = qb.table_idx AND b.bucket = qb.bucket
+    WHERE b.vec_id <> qb.qid
+)
+SELECT query_vec_id, vec_id, label, cosine_sim FROM (
+    SELECT c.qid AS query_vec_id, v.vec_id, v.label,
+           ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY c.qid
+               ORDER BY ROUND(list_cosine_similarity(v.v, q.qv), 6) DESC,
+                        v.vec_id) AS rk
+    FROM cand c
+    JOIN vecs v ON v.vec_id = c.vec_id
+    JOIN qset q ON q.qid = c.qid
+) WHERE rk <= 5
+ORDER BY query_vec_id, cosine_sim DESC, vec_id
+""".strip()
+
+
+@query("knn_join_lsh_vec10", oracle=_ANN_LSH_BATCH_ORACLE)
+def knn_join_lsh_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join over the AT-REST multitable LSH index (VERDICT r7
+    #3): top-5 neighbors for EVERY query in a 10-vector batch — the
+    query set's bucket lists probe the index partition columns in ONE
+    broadcast equi-join (DPP opens the union of probed directories
+    once), then one windowed exact-cosine rerank ranks all queries. The
+    corpus is never rescanned per query: the plan contains a CONSTANT
+    number of embeddings scans regardless of batch size (pinned in
+    tests/test_vector.py). The oracle replays the same 16-table buckets
+    partitioned by qid."""
+    from apache_beam_challange_spark.operators.similarity import (
+        knn_join_lsh_indexed,
+        lsh_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "lsh_index_16x4_b", "embeddings")
+    if not is_materialized(path):
+        lsh_write_index(emb, path, num_tables=16, num_planes=4, dim=64)
+    index = spark.read.parquet(path)
+    return knn_join_lsh_indexed(
+        emb, index, query_ids=list(range(10)), k=5,
+        num_tables=16, num_planes=4, dim=64,
     )
 
 

@@ -117,8 +117,11 @@ def _dot_rerank(base: DataFrame, qvec: DataFrame, k: int) -> DataFrame:
 # mirror operators/similarity.py:_multitable_buckets with dim=65 —
 # sin(p * 65 + j) — so buckets, candidates, and the ranked rerank are
 # bit-identical across engines.
-_MIPS_LSH_ORACLE = f"""
-WITH vecs AS (
+# Stored-side bucket rebuild shared by the single-query and batch
+# oracles: vec 0 is the testbed's designated query row and hashes with
+# augmentation 0 AT REST; every other row hashes with sqrt(m2 - |v|^2).
+_MIPS_BUCK_CTE = f"""
+vecs AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 m2 AS (
@@ -152,7 +155,10 @@ buck AS (
                       ORDER BY p) AS bucket
     FROM proj
     GROUP BY vec_id, p // {_MIPS_PLANES}
-),
+)""".strip()
+
+_MIPS_LSH_ORACLE = f"""
+WITH {_MIPS_BUCK_CTE},
 qb AS (SELECT table_idx, bucket FROM buck WHERE vec_id = 0),
 cand AS (
     SELECT DISTINCT b.vec_id
@@ -369,3 +375,122 @@ def mips_augmented_lsh_topk_indexed_vec0(
     )
     qvec = _query_vec(emb, 0)
     return _dot_rerank(vecs.join(cand_ids, "vec_id"), qvec, _TOPK)
+
+
+_MIPS_BATCH_ORACLE = f"""
+WITH {_MIPS_BUCK_CTE},
+qaug AS (
+    SELECT vec_id AS qid, v || [0.0] AS av FROM vecs WHERE vec_id < 10
+),
+qcomp AS (
+    SELECT qid, unnest(av) AS x,
+           unnest(generate_series(1, {_MIPS_DIM})) AS j
+    FROM qaug
+),
+qproj AS (
+    SELECT qid, p.p,
+           SUM(x * (sin(p.p * {_MIPS_DIM} + j) * 43758.5453
+                    - FLOOR(sin(p.p * {_MIPS_DIM} + j) * 43758.5453)
+                    - 0.5)) AS s
+    FROM qcomp,
+         (SELECT unnest(generate_series(0, {_MIPS_TABLES * _MIPS_PLANES - 1}))
+              AS p) p
+    GROUP BY qid, p.p
+),
+qbuck AS (
+    SELECT qid, p // {_MIPS_PLANES} AS table_idx,
+           STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY p) AS bucket
+    FROM qproj
+    GROUP BY qid, p // {_MIPS_PLANES}
+),
+cand AS (
+    SELECT DISTINCT q.qid, b.vec_id
+    FROM buck b
+    JOIN qbuck q ON b.table_idx = q.table_idx AND b.bucket = q.bucket
+    WHERE b.vec_id <> q.qid
+),
+qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10)
+SELECT query_vec_id, vec_id, label, dot_score FROM (
+    SELECT c.qid AS query_vec_id, v.vec_id, v.label,
+           ROUND(list_dot_product(v.v, q.qv), 6) AS dot_score,
+           ROW_NUMBER() OVER (PARTITION BY c.qid
+               ORDER BY ROUND(list_dot_product(v.v, q.qv), 6) DESC,
+                        v.vec_id) AS rk
+    FROM cand c
+    JOIN vecs v ON v.vec_id = c.vec_id
+    JOIN qset q ON q.qid = c.qid
+) WHERE rk <= 5
+ORDER BY query_vec_id, dot_score DESC, vec_id
+""".strip()
+
+
+@query("mips_knn_join_vec10", oracle=_MIPS_BATCH_ORACLE)
+def mips_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MIPS k-NN join served from the AT-REST augmented-bucket
+    index (VERDICT r7 #3): top-5 by exact dot for EVERY query in a
+    10-vector batch. Each query's augmented component is 0 BY
+    CONSTRUCTION, so the whole query-set's bucket lists come from one
+    pruned pass over the 10 query rows — no stored norm needed to serve
+    — and probe the index partition columns in ONE broadcast equi-join
+    (DPP opens the union of probed directories once). One windowed
+    exact-dot rerank ranks all queries; the corpus scan count is
+    CONSTANT in batch size (pinned in tests/test_mips.py). Stored-side
+    quirk replayed by the oracle: vec 0 hashes at rest with augmentation
+    0 (it is the testbed's designated single-query row), so it can reach
+    candidacy for queries 1..9 only through those buckets."""
+    from apache_beam_challange_spark.operators.similarity import (
+        knn_join_lsh_indexed,
+        probe_index_candidates_batch,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "mips_lsh_index_16x4_b", "embeddings")
+    if not is_materialized(path, parts=(path + "_meta",)):
+        mips_lsh_write_index(emb, path)
+    index = spark.read.parquet(path)
+    q_aug = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id",
+        F.concat(
+            as_double(F.col("embedding")), F.array(F.lit(0.0))
+        ).alias("embedding"),
+    )
+    qb = _multitable_buckets(
+        q_aug, _MIPS_TABLES, _MIPS_PLANES, _MIPS_DIM
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("table_idx").alias("__qtable"),
+        # the stored partition value is "b"-prefixed (string-typed)
+        F.concat(F.lit("b"), F.col("bucket")).alias("__qbucket"),
+    )
+    cand = probe_index_candidates_batch(index, qb)
+    vecs = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    qvecs = F.broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"),
+            as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    wk = Window.partitionBy("query_vec_id").orderBy(
+        F.col("dot_score").desc(), F.col("vec_id")
+    )
+    return (
+        cand.join(vecs, "vec_id")
+        .join(qvecs, "qid")
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "vec_id",
+            "label",
+            F.round(dot(F.col("v"), F.col("qv")), 6).alias("dot_score"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
