@@ -719,13 +719,18 @@ def station_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical DBSCAN is arrival-order-dependent); everything else is
     NOISE (cluster -1). Density-based clustering at scale without any
     all-pairs step: the neighborhood join is the cell equi-join, and the
-    core clustering uses the large-star/small-star CC (O(log^2 n)
-    rounds) because a geometric graph's diameter GROWS with the layout —
-    the min-label propagation variant hit its 25-round bound loudly at
-    sf0.1 (1000-station grid chains), exactly the failure mode LSS
-    exists for."""
+    core clustering is TWO-PHASE (VERDICT r7 #4): each 4x4-grid-cell
+    SUPER-CELL's intra-cell subgraph contracts locally in one
+    applyInPandas union-find (population bounded by geometric density —
+    no rounds, no shuffles), then large-star/small-star runs only on the
+    contracted boundary graph, whose node count is super-cell-bounded —
+    cutting the LSS round count that dominated the r7 wall (PERF.md has
+    the before/after; a round-count test pins the reduction). History:
+    min-label propagation hit its 25-round diameter bound loudly at
+    sf0.1 (1000-station grid chains), the failure mode LSS exists for;
+    raw LSS then made this the slowest bench query at 6.8-7.2 s."""
     from apache_beam_challange_spark.operators.graph import (
-        connected_components_lss,
+        connected_components_two_phase,
     )
     from apache_beam_challange_spark.plans.traindata import (
         stations_within_radius_pairs,
@@ -752,9 +757,30 @@ def station_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(core.withColumnRenamed("node", "v"), "v", "left_semi")
         .select("u", "v")
     )
-    comp = connected_components_lss(
+    # super-cell key for the phase-1 local contraction: 4x4 blocks of the
+    # radius-sized grid cells (the same lat6/lon6 cell discipline as the
+    # edge join) — population per super-cell is bounded by station
+    # density over a fixed area, never by corpus size
+    cells = station_dim(spark, sf_dir).select(
+        F.col("id").alias("node"),
+        F.concat_ws(
+            ":",
+            F.floor(
+                F.round(F.col("latitude") * 1000000, 0).cast("long")
+                / 20000
+                / 4
+            ).cast("long"),
+            F.floor(
+                F.round(F.col("longitude") * 1000000, 0).cast("long")
+                / 30000
+                / 4
+            ).cast("long"),
+        ).alias("cell"),
+    )
+    comp = connected_components_two_phase(
         core.withColumnRenamed("node", "id"),
         core_edges,
+        cells,
         id_col="id",
         src_col="u",
         dst_col="v",

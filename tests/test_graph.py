@@ -386,3 +386,96 @@ def test_lpa_matches_python_reference_on_random_graph(spark):
             ).collect()
         }
         assert got == _python_lpa(pairs, rounds), rounds
+
+
+def test_two_phase_matches_lss_and_cuts_rounds(spark):
+    """VERDICT r7 #4 pin: two-phase CC (local per-cell union-find, then
+    LSS only on the contracted boundary graph) must (a) return the exact
+    components of raw LSS on random spatially-celled graphs, and (b) run
+    STRICTLY FEWER star rounds than raw LSS on a grid-shaped graph — the
+    round cost that made station_dbscan the slowest bench query."""
+    import random
+
+    import apache_beam_challange_spark.operators.graph as g
+
+    def with_cells(spark, n, edges, cell_of):
+        v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        e = spark.createDataFrame(edges, ["u", "v"])
+        c = spark.createDataFrame(
+            [(i, cell_of(i)) for i in range(n)], ["node", "cell"]
+        )
+        return v, e, c
+
+    # (a) equality on random graphs under an arbitrary cell partition
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 30
+        es = [
+            (a, b)
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+            )
+            if a != b
+        ] or [(0, 1)]
+        v, e, c = with_cells(spark, n, es, lambda i: f"c{i % 5}")
+        want = sorted(
+            tuple(r)
+            for r in g.connected_components_lss(
+                v, e, id_col="id", src_col="u", dst_col="v"
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in g.connected_components_two_phase(
+                v, e, c, id_col="id", src_col="u", dst_col="v"
+            ).collect()
+        )
+        assert got == want, (trial, es)
+
+    # (b) round reduction on a 2D grid graph (the station layout shape):
+    # cells of 4x4 blocks contract locally; the boundary graph is tiny
+    side = 12
+    n = side * side
+    es = []
+    for y in range(side):
+        for x in range(side):
+            i = y * side + x
+            if x + 1 < side:
+                es.append((i, i + 1))
+            if y + 1 < side:
+                es.append((i, i + side))
+    orig = g._star_round
+    counts = {}
+    for name, fn in (
+        (
+            "raw",
+            lambda v, e, c: g.connected_components_lss(
+                v, e, id_col="id", src_col="u", dst_col="v"
+            ),
+        ),
+        ("two_phase", g.connected_components_two_phase),
+    ):
+        calls = [0]
+
+        def counting(edges, large):
+            calls[0] += 1
+            return orig(edges, large)
+
+        g._star_round = counting
+        try:
+            v, e, c = with_cells(
+                spark,
+                n,
+                es,
+                lambda i: f"{(i // side) // 4}:{(i % side) // 4}",
+            )
+            rows = fn(
+                v, e, c
+            ) if name == "two_phase" else fn(v, e, c)
+            out = sorted(tuple(r) for r in rows.collect())
+            counts[name] = calls[0]
+        finally:
+            g._star_round = orig
+        # one fully connected grid -> every node labeled 0
+        assert out == [(i, 0) for i in range(n)]
+    assert counts["two_phase"] < counts["raw"], counts
