@@ -60,10 +60,12 @@ def _decode_real(data: bytes) -> dict:
         return decode_bmp(data)
     if data[:4] == b"RIFF":
         return decode_wav(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP and PCM-16 WAV decode natively; other "
-        "formats require PIL/libvips/ffmpeg, not available in this "
-        "environment"
+        "only uncompressed 24-bit BMP, 8-bit truecolor PNG, and PCM-16 WAV "
+        "decode natively; other formats (JPEG, video) require "
+        "PIL/libvips/ffmpeg, not available in this environment"
     )
 
 
@@ -458,7 +460,14 @@ def _bmp_phash16(data: bytes) -> dict:
     image mean. The comparison is the integer cross-multiplication
     cell_sum * n_pixels > total_sum * cell_count — no float means, so the
     hash is bit-identical to the oracle's closed-form recomputation."""
-    px = _bmp_pixel_array(data)
+    return _phash16_from_pixels(_bmp_pixel_array(data))
+
+
+def _phash16_from_pixels(px: "np.ndarray") -> dict:
+    """Shared average-hash core over a decoded [y][x][c] pixel array —
+    one definition for every codec (BMP, PNG), so the fingerprint is
+    codec-independent by construction (channel-sum grayscale does not
+    depend on channel order)."""
     h, w, _ = px.shape
     gray = px.sum(axis=2, dtype=np.int64)  # [y][x] channel-sum grayscale
     total = int(gray.sum())
@@ -488,3 +497,221 @@ def bmp_phash16(images: DataFrame) -> DataFrame:
             yield out[["doc_id", "width", "height", "phash16"]]
 
     return images.mapInPandas(extract, schema=PHASH_SCHEMA)
+
+
+# --- real PNG codec (stdlib zlib; 8-bit truecolor, filters 0-4, chunked IDAT)
+#
+# The compressed-format member of the codec family (VERDICT r7 #6): no
+# container dependency — DEFLATE comes from stdlib zlib, everything else
+# (signature, chunk framing + CRCs, scanline filters) is implemented here.
+# The encoder deliberately exercises the format's hazards: each scanline
+# uses filter y % 5 (so None/Sub/Up/Average/Paeth all appear in one image)
+# and the DEFLATE stream is split across multiple small IDAT chunks (a
+# decoder that decompresses only the first chunk fails outright).
+
+PNG_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, pix_sum bigint, "
+    "corner_br int"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: small on purpose: even the tiniest test image's DEFLATE stream spans
+#: MULTIPLE IDAT chunks, so single-chunk-only decoders always fail loudly
+_PNG_IDAT_CHUNK = 24
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(doc_id: int) -> bytes:
+    """Encode the doc's deterministic pixels (the SAME value formula as
+    the BMP codec, interpreted as RGB here) as a real, viewer-openable
+    PNG: 8-bit truecolor IHDR, per-row filter y % 5, DEFLATE via zlib,
+    IDAT split into 64-byte chunks, CRC-32 on every chunk."""
+    import zlib
+
+    px = _bmp_pixels(doc_id)  # [y][x][c]; c read as RGB for PNG
+    h, w, _ = px.shape
+    bpp = 3
+    raw = bytearray()
+    prev = [0] * (w * bpp)
+    for y in range(h):
+        row = [int(v) for v in px[y].reshape(-1)]
+        f = y % 5
+        filt = []
+        for i, v in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            filt.append((v - pred) % 256)
+        raw.append(f)
+        raw.extend(filt)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    comp = zlib.compress(bytes(raw), 6)
+    idats = b"".join(
+        _png_chunk(b"IDAT", comp[i : i + _PNG_IDAT_CHUNK])
+        for i in range(0, len(comp), _PNG_IDAT_CHUNK)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pixel_array(data: bytes) -> "np.ndarray":
+    """PNG bytes -> top-down [y][x][RGB] array, stdlib-only: validates the
+    signature and chunk CRCs, reads IHDR (8-bit truecolor, no interlace),
+    reassembles ALL IDAT chunks before one zlib.decompress, and
+    reconstructs every scanline filter (None/Sub/Up/Average/Paeth)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp_m, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp_m, filt_m, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG decodes here "
+                    f"(depth={depth} ctype={ctype} interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat.extend(payload)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), np.int64)
+    prev = [0] * stride
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = [0] * stride
+        for i, v in enumerate(line):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            elif f == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                raise ValueError(f"PNG filter {f} out of range")
+            row[i] = (v + pred) % 256
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, bpp).astype(np.uint8)
+
+
+def decode_png(data: bytes) -> dict:
+    """Decode a PNG produced by :func:`encode_png` (or any 8-bit truecolor
+    non-interlaced PNG) and emit the positional feature contract of the
+    BMP twin minus byte length (the DEFLATE size is not closed-form):
+    ``corner_br`` reads the bottom-right pixel's c=2 byte, which a decoder
+    only reaches after reconstructing EVERY preceding filter chain."""
+    px = _png_pixel_array(data)
+    h, w, _ = px.shape
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pix_sum": int(px.sum(dtype=np.int64)),
+        "corner_br": int(px[h - 1, w - 1, 2]),
+    }
+
+
+def attach_png_image(docs: DataFrame) -> DataFrame:
+    """Encode a real PNG payload per document (Arrow-batched; narrow)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "image_bytes": [encode_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        encode, schema="doc_id bigint, image_bytes binary"
+    )
+
+
+def decode_png_features(images: DataFrame) -> DataFrame:
+    """Decode real PNG bytes back to features via ``_decode_real`` — the
+    compressed-codec round-trip on the same mapInPandas plumbing."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_real(d) for d in pdf["image_bytes"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                ["doc_id", "width", "height", "channels", "pix_sum", "corner_br"]
+            ]
+
+    return images.mapInPandas(extract, schema=PNG_FEATURES_SCHEMA)
+
+
+def _png_phash16(data: bytes) -> dict:
+    """The pHash bridge for the PNG codec: decode, then the SAME 16-bit
+    average-hash as :func:`_bmp_phash16` (channel-sum grayscale is
+    invariant to BGR-vs-RGB ordering, so the same rendered content hashes
+    identically from either container — test-asserted, which is what
+    lets the dup-cluster machinery treat the fingerprint as
+    codec-independent)."""
+    px = _png_pixel_array(data)
+    return _phash16_from_pixels(px)

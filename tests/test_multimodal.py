@@ -236,3 +236,84 @@ def test_image_phash_dup_clusters_match_python_grouping(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_png_roundtrip_matches_bmp_pixels_and_filters_all_used():
+    """PNG encode->decode reproduces the shared deterministic pixel
+    array bit for bit, every scanline filter 0-4 appears across the doc
+    family (h up to 9 rows cycles y % 5), and the DEFLATE stream always
+    spans multiple IDAT chunks (single-chunk decoders must fail)."""
+    import zlib
+
+    import numpy as np
+
+    from apache_beam_challange_spark.operators.multimodal import (
+        _bmp_pixels,
+        _png_pixel_array,
+        encode_png,
+    )
+
+    filters_seen = set()
+    for d in range(30):
+        png = encode_png(d)
+        assert png.count(b"IDAT") >= 2, d
+        px = _png_pixel_array(png)
+        assert (px == _bmp_pixels(d)).all(), d
+        # recover the per-row filter bytes from the raw stream
+        i = png.index(b"IDAT")
+        comp = bytearray()
+        pos = 8
+        while pos < len(png):
+            (ln,) = __import__("struct").unpack_from(">I", png, pos)
+            typ = png[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                comp.extend(png[pos + 8 : pos + 8 + ln])
+            pos += 12 + ln
+        raw = zlib.decompress(bytes(comp))
+        h, w, _ = px.shape
+        stride = w * 3 + 1
+        filters_seen |= {raw[y * stride] for y in range(h)}
+    assert filters_seen == {0, 1, 2, 3, 4}
+
+
+def test_png_corruption_fails_loudly():
+    """A flipped payload byte breaks that chunk's CRC; a dropped IDAT
+    chunk breaks DEFLATE — both must raise, never return wrong pixels."""
+    import struct
+
+    import pytest
+
+    from apache_beam_challange_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = bytearray(encode_png(9))
+    i = bytes(png).index(b"IDAT")
+    png[i + 6] ^= 0xFF  # a payload byte inside the first IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+
+    png = bytearray(encode_png(9))
+    i = bytes(png).index(b"IDAT")
+    (ln,) = struct.unpack_from(">I", png, i - 4)
+    dropped = bytes(png[: i - 4]) + bytes(png[i + 8 + ln + 4 :])
+    with pytest.raises(Exception):
+        decode_png(dropped)
+
+
+def test_phash_is_codec_independent():
+    """The dup-cluster fingerprint bridges codecs: the same rendered
+    content produces the IDENTICAL phash16 from the BMP container and
+    the PNG container (channel-sum grayscale is order-invariant), so
+    image_phash_dup_clusters' machinery applies to either at-rest
+    format unchanged."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        _bmp_phash16,
+        _png_phash16,
+        encode_bmp,
+        encode_png,
+    )
+
+    for d in range(25):
+        assert _png_phash16(encode_png(d)) == _bmp_phash16(encode_bmp(d)), d
