@@ -1,0 +1,260 @@
+"""Declarative MERGE INTO surface (VERDICT r7 #8).
+
+The lakehouse upsert statement, executed by THIS engine: neither runtime
+in this container ships a native MERGE executor (vanilla Spark's
+`spark_catalog` parquet tables reject MERGE INTO — it needs a DSv2
+row-level-operations catalog like Delta/Iceberg — and DuckDB 1.0.0
+predates MERGE, which landed in 1.4), so the statement TEXT is compiled
+here to the relational plan a table format's copy-on-write MERGE runs
+anyway: ONE full-outer join of target and source on the ON condition,
+per-column CASE projection for the clause actions, and a keep-predicate
+filter. The result is the POST-MERGE target snapshot as a DataFrame —
+the engine is immutable-source, so "merge" publishes a new snapshot
+(exactly the versioned-pointer discipline of `sources/publish.py`).
+
+Grammar (the canonical subset, ANSI clause semantics):
+
+    MERGE INTO <view> [AS] <alias>
+    USING <view> [AS] <alias>
+    ON <condition>
+    { WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr [, ...]
+    | WHEN MATCHED [AND <cond>] THEN DELETE
+    | WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs) }...
+
+Semantics compiled faithfully:
+
+- clauses apply FIRST-MATCH-WINS in statement order within their group
+  (a matched row falling through every WHEN MATCHED condition stays
+  unchanged; a source-only row falling through every WHEN NOT MATCHED
+  condition is not inserted);
+- the ANSI cardinality rule is ENFORCED at runtime, not assumed: a
+  target row matched by more than one source row raises (the
+  nondeterministic-update case every real MERGE executor rejects) — the
+  guard is folded into the keep-predicate column itself so pruning
+  cannot drop it;
+- expressions (ON, clause conditions, assignments, insert values) are
+  passed to Spark SQL's own expression parser qualified by the
+  statement's aliases, so anything Spark SQL can evaluate is legal here.
+
+Scale shape: one shuffle (the full-outer equi-join on the ON keys —
+broadcastable when the delta is small, which is the CDC norm), then
+narrow projection and filter. No collect, no loops.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class _MatchedClause:
+    condition: str | None
+    delete: bool
+    assignments: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class _NotMatchedClause:
+    condition: str | None
+    columns: list[str] = field(default_factory=list)
+    values: list[str] = field(default_factory=list)
+
+
+@dataclass
+class _Merge:
+    target: str
+    t_alias: str
+    source: str
+    s_alias: str
+    on: str
+    matched: list[_MatchedClause] = field(default_factory=list)
+    not_matched: list[_NotMatchedClause] = field(default_factory=list)
+
+
+_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS)?\s+(?P<t>\w+)\s+"
+    r"USING\s+(?P<source>\w+)(?:\s+AS)?\s+(?P<s>\w+)\s+"
+    r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))"
+    r"\s*(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas not nested inside parentheses (SET / VALUES lists)."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def parse_merge(sql_text: str) -> _Merge:
+    """Parse the canonical MERGE grammar; raise loudly on anything else."""
+    head = _HEAD.match(sql_text)
+    if not head:
+        raise ValueError(
+            "unparseable MERGE statement (expected MERGE INTO <view> <alias> "
+            f"USING <view> <alias> ON <cond> WHEN ...): {sql_text[:120]!r}"
+        )
+    m = _Merge(
+        target=head.group("target"),
+        t_alias=head.group("t"),
+        source=head.group("source"),
+        s_alias=head.group("s"),
+        on=head.group("on").strip(),
+    )
+    rest = sql_text[head.end() :]
+    consumed = 0
+    for w in _WHEN.finditer(rest):
+        if rest[consumed : w.start()].strip():
+            raise ValueError(
+                f"unparseable text between MERGE clauses: "
+                f"{rest[consumed : w.start()]!r}"
+            )
+        consumed = w.end()
+        action = w.group("action").strip()
+        cond = w.group("cond").strip() if w.group("cond") else None
+        if w.group("not"):
+            im = re.match(
+                r"INSERT\s*\((?P<cols>.+?)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
+                raise ValueError(
+                    f"WHEN NOT MATCHED supports only INSERT (...) VALUES "
+                    f"(...): {action!r}"
+                )
+            cols = [c.strip() for c in _split_top_level(im.group("cols"))]
+            vals = _split_top_level(im.group("vals"))
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"INSERT column/value arity mismatch: {cols} vs {vals}"
+                )
+            m.not_matched.append(_NotMatchedClause(cond, cols, vals))
+        elif action.upper() == "DELETE":
+            m.matched.append(_MatchedClause(cond, delete=True))
+        else:
+            um = re.match(
+                r"UPDATE\s+SET\s+(?P<sets>.+)$", action, re.IGNORECASE | re.DOTALL
+            )
+            if not um:
+                raise ValueError(f"unparseable WHEN MATCHED action: {action!r}")
+            assigns = {}
+            for part in _split_top_level(um.group("sets")):
+                k, _, v = part.partition("=")
+                if not _ or not k.strip() or not v.strip():
+                    raise ValueError(f"unparseable SET assignment: {part!r}")
+                assigns[k.strip()] = v.strip()
+            m.matched.append(_MatchedClause(cond, delete=False, assignments=assigns))
+    if rest[consumed:].strip():
+        raise ValueError(f"trailing text after MERGE clauses: {rest[consumed:]!r}")
+    if not m.matched and not m.not_matched:
+        raise ValueError("MERGE with no WHEN clauses")
+    return m
+
+
+def merge_into(spark: SparkSession, sql_text: str) -> DataFrame:
+    """Compile and run a MERGE INTO statement over registered temp views;
+    returns the post-merge target snapshot (same schema as the target)."""
+    m = parse_merge(sql_text)
+    t_raw = spark.table(m.target)
+    tcols = t_raw.columns
+    target = (
+        t_raw.withColumn("__tid", F.monotonically_increasing_id())
+        .withColumn("__t_exists", F.lit(True))
+        .alias(m.t_alias)
+    )
+    source = (
+        spark.table(m.source).withColumn("__s_exists", F.lit(True)).alias(m.s_alias)
+    )
+    joined = target.join(source, F.expr(m.on), "full_outer")
+    t_exists = F.coalesce(F.col(f"{m.t_alias}.__t_exists"), F.lit(False))
+    s_exists = F.coalesce(F.col(f"{m.s_alias}.__s_exists"), F.lit(False))
+    matched = t_exists & s_exists
+
+    # ANSI cardinality rule: >1 source match for one target row is an
+    # ERROR, not an arbitrary pick. The guard defines the keep column, so
+    # the optimizer cannot prune it away.
+    n_match = F.sum(F.when(matched, 1).otherwise(0)).over(
+        Window.partitionBy(F.col(f"{m.t_alias}.__tid"))
+    )
+    cardinality_guard = F.when(
+        t_exists & (n_match > 1),
+        F.raise_error(
+            F.format_string(
+                "MERGE cardinality violation: a %s row matches %s %s rows",
+                F.lit(m.target),
+                n_match.cast("string"),
+                F.lit(m.source),
+            )
+        ).cast("boolean"),
+    )
+
+    def first_match_wins(clauses, value_of, fallthrough):
+        """CASE chain over clause conditions in statement order."""
+        expr = fallthrough
+        for clause in reversed(clauses):
+            cond = F.expr(clause.condition) if clause.condition else F.lit(True)
+            expr = F.when(cond, value_of(clause)).otherwise(expr)
+        return expr
+
+    out_cols = []
+    for c in tcols:
+        t_val = F.col(f"{m.t_alias}.{c}")
+        matched_val = first_match_wins(
+            m.matched,
+            lambda cl, c=c, t_val=t_val: (
+                t_val if cl.delete or c not in cl.assignments
+                else F.expr(cl.assignments[c])
+            ),
+            t_val,
+        )
+        ins_val = first_match_wins(
+            m.not_matched,
+            lambda cl, c=c: (
+                F.expr(cl.values[cl.columns.index(c)])
+                if c in cl.columns
+                else F.lit(None)
+            ),
+            F.lit(None),
+        )
+        out_cols.append(
+            F.when(matched, matched_val)
+            .when(t_exists, t_val)
+            .otherwise(ins_val)
+            .alias(c)
+        )
+
+    keep_matched = first_match_wins(
+        m.matched, lambda cl: F.lit(not cl.delete), F.lit(True)
+    )
+    keep_inserted = first_match_wins(
+        m.not_matched, lambda cl: F.lit(True), F.lit(False)
+    )
+    keep = F.coalesce(
+        cardinality_guard,
+        F.when(matched, keep_matched)
+        .when(t_exists, F.lit(True))
+        .otherwise(keep_inserted),
+    )
+    return joined.withColumn("__keep", keep).filter(F.col("__keep")).select(out_cols)

@@ -1,0 +1,142 @@
+"""MERGE INTO compiler (operators/merge_into.py): ANSI clause semantics
+over constructed fixtures — the unit surface behind the oracle-checked
+`merge_into_cdc_snapshot` registry entry."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_beam_challange_spark.operators.merge_into import merge_into, parse_merge
+
+
+def _views(spark, target_rows, source_rows):
+    spark.createDataFrame(
+        target_rows, "k long, v long, tag string"
+    ).createOrReplaceTempView("tgt")
+    spark.createDataFrame(
+        source_rows, "k long, nv long, op string"
+    ).createOrReplaceTempView("src")
+
+
+def _run(spark, sql):
+    return {
+        (r.k, r.v, r.tag) for r in merge_into(spark, sql).collect()
+    }
+
+
+def test_merge_upsert_delete_and_insert_guard(spark):
+    """The full contract in one statement: tombstone DELETE, UPDATE,
+    guarded INSERT, and untouched / fall-through rows."""
+    _views(
+        spark,
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        [(2, 99, "upd"), (3, 0, "del"), (4, 40, "ins"), (5, 50, "del")],
+    )
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED AND s.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv, tag = s.op
+        WHEN NOT MATCHED AND s.op <> 'del' THEN
+            INSERT (k, v, tag) VALUES (s.k, s.nv, s.op)
+        """,
+    )
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted, 5 insert-guarded out
+    assert out == {(1, 10, "a"), (2, 99, "upd"), (4, 40, "ins")}
+
+
+def test_merge_first_match_wins_clause_order(spark):
+    """Two applicable WHEN MATCHED clauses: the FIRST in statement order
+    applies — swapping them flips the outcome."""
+    _views(spark, [(1, 10, "a")], [(1, 99, "x")])
+    first_delete = """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED AND s.nv > 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+    """
+    first_update = """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED AND s.nv > 0 THEN UPDATE SET v = s.nv
+        WHEN MATCHED THEN DELETE
+    """
+    assert _run(spark, first_delete) == set()
+    assert _run(spark, first_update) == {(1, 99, "a")}
+
+
+def test_merge_fallthrough_keeps_row_and_skips_insert(spark):
+    """A matched row failing every clause condition stays UNCHANGED; a
+    source-only row failing every NOT MATCHED condition is NOT inserted."""
+    _views(spark, [(1, 10, "a")], [(1, 99, "noop"), (7, 70, "noop")])
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED AND s.op = 'del' THEN DELETE
+        WHEN NOT MATCHED AND s.op = 'ins' THEN
+            INSERT (k, v, tag) VALUES (s.k, s.nv, s.op)
+        """,
+    )
+    assert out == {(1, 10, "a")}
+
+
+def test_merge_partial_update_and_null_insert_columns(spark):
+    """SET touching one column leaves the others; INSERT listing a column
+    subset leaves the rest NULL."""
+    _views(spark, [(1, 10, "a")], [(1, 99, "u"), (2, 20, "i")])
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv + 1
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+        """,
+    )
+    assert out == {(1, 100, "a"), (2, 20, None)}
+
+
+def test_merge_cardinality_violation_raises(spark):
+    """ANSI rule enforced at runtime: one target row matching two source
+    rows is an ERROR, never an arbitrary pick."""
+    _views(spark, [(1, 10, "a")], [(1, 98, "x"), (1, 99, "y")])
+    with pytest.raises(Exception, match="cardinality violation"):
+        merge_into(
+            spark,
+            """
+            MERGE INTO tgt t USING src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.nv
+            """,
+        ).collect()
+
+
+def test_merge_parser_rejects_malformed_statements(spark):
+    for bad in (
+        "MERGE INTO tgt t ON t.k = s.k WHEN MATCHED THEN DELETE",  # no USING
+        """MERGE INTO tgt t USING src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v""",  # bad assignment
+        """MERGE INTO tgt t USING src s ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)""",  # arity
+        """MERGE INTO tgt t USING src s ON t.k = s.k
+           WHEN MATCHED THEN DELETE garbage here""",  # trailing text
+        "MERGE INTO tgt t USING src s ON t.k = s.k",  # no WHEN clauses
+    ):
+        with pytest.raises(ValueError):
+            parse_merge(bad)
+
+
+def test_merge_expressions_use_sparks_parser(spark):
+    """Conditions and values are arbitrary Spark SQL expressions over the
+    statement aliases (functions, arithmetic, CASE)."""
+    _views(spark, [(1, 10, "a"), (2, 20, "bb")], [(1, 5, "u"), (2, 5, "u")])
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k AND length(t.tag) = 1
+        WHEN MATCHED THEN UPDATE SET v = t.v * s.nv + length(t.tag)
+        WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES
+            (s.k * 100, CASE WHEN s.nv > 0 THEN s.nv ELSE 0 END, upper(s.op))
+        """,
+    )
+    # k=1 matches (tag len 1) -> 10*5+1; k=2 does NOT match the ON (tag
+    # 'bb'), so target row 2 is kept AND source row 2 inserts at k=200
+    assert out == {(1, 51, "a"), (2, 20, "bb"), (200, 5, "U")}
