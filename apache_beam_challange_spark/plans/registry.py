@@ -73,7 +73,11 @@ ORACLES: dict[str, str] = {}
 #: two-route equality members in tests/test_sql_facade.py, plus the
 #: roster-simple weekly_revenue_wow) — the once-green entries kept in
 #: the tier are the ones whose only cross-engine check is the DuckDB
-#: oracle.
+#: oracle. A SECOND wave rotates in the six queries round 8 itself
+#: builds (batched ANN/MIPS serving, PNG codec, SemDeDup-k32 watch,
+#: MERGE INTO), displacing six heavily-pytest-covered once-green
+#: members, so after this round's gate the never-driver-checked set is
+#: EMPTY.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
@@ -103,16 +107,23 @@ DRIVER_ORDER: list[str] = [
     "l_diversity_audit",
     "image_phash_dup_clusters",
     "cuped_variance_reduction",
+    # round-8 NEW queries (built this round, never driver-checked):
+    # batched ANN/MIPS serving (VERDICT r7 #2-#3), the PNG codec (#6),
+    # the SemDeDup k=32 recount-oracle watch (#7), and the MERGE INTO
+    # surface (#8) — rotated straight in so the never-driver-checked
+    # set is EMPTY after this round's gate
+    "nsw_knn_join_vec10",
+    "knn_join_lsh_vec10",
+    "mips_knn_join_vec10",
+    "multimodal_decode_png",
+    "semdedup_cluster_prune_k32",
+    "merge_into_cdc_snapshot",
     # once-green round-7 entries retained for a second verdict (their
     # only cross-engine check is the DuckDB oracle — the facade-portable
-    # members rotated out instead)
+    # members rotated out instead; six of the heaviest-pytest-covered
+    # members yielded their slots to the round-8 newcomers above)
     "bpe_train_merges",
-    "bpe_encode_token_counts",
-    "vocab_coverage_topk",
-    "chunk_overlap_dedup",
-    "robust_outlier_hours",
     "stream_stream_left_outer_join",
-    "variant_props_stats",
     "streaming_dedup_within_watermark",
     "near_dup_label_propagation",
     "stateful_gap_sessions",
@@ -128,7 +139,6 @@ DRIVER_ORDER: list[str] = [
     "matryoshka_topk_vec0",
     "station_dbscan_clusters",
     "cluster_canonical_docs",
-    "hll_intersection_users",
     "rolling_median_value",
     "stream_stream_full_outer_join",
     "attribution_delay_quantiles",

@@ -204,6 +204,20 @@ ROUND7 = [
     "cuped_variance_reduction",
 ]
 
+#: round-8 additions (VERDICT r7 #2-#8): batched ANN/MIPS serving from
+#: the at-rest indexes (query-set probes — the serving shape), the PNG
+#: codec round-trip, the SemDeDup k=32 production-shaped watch, and the
+#: MERGE INTO surface. The batch ANN members amortize their one-time
+#: index/graph builds across repeats like the other at-rest indexes.
+ROUND8 = [
+    "nsw_knn_join_vec10",
+    "knn_join_lsh_vec10",
+    "mips_knn_join_vec10",
+    "multimodal_decode_png",
+    "semdedup_cluster_prune_k32",
+    "merge_into_cdc_snapshot",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -295,6 +309,7 @@ def main() -> None:
     ablations = _bench_series(qs, ABLATIONS, spark, sf_dir, spread)
     filtering = _bench_series(qs, FILTERING, spark, sf_dir, spread)
     round7 = _bench_series(qs, ROUND7, spark, sf_dir, spread)
+    round8 = _bench_series(qs, ROUND8, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     # Membership pin (VERDICT r7 #5): every series' query COUNT and an
@@ -310,6 +325,7 @@ def main() -> None:
         "ablations": ABLATIONS,
         "filtering": FILTERING,
         "round7": ROUND7,
+        "round8": ROUND8,
     }
     import hashlib
 
@@ -339,6 +355,8 @@ def main() -> None:
         "filtering_total": round(sum(filtering.values()), 3),
         "round7": round7,
         "round7_total": round(sum(round7.values()), 3),
+        "round8": round8,
+        "round8_total": round(sum(round8.values()), 3),
         "spread": spread,
         "group_counts": group_counts,
         "group_members_md5": group_members_md5,
@@ -374,6 +392,7 @@ def main() -> None:
                 "ablations_total": round(sum(ablations.values()), 3),
                 "filtering_total": round(sum(filtering.values()), 3),
                 "round7_total": round(sum(round7.values()), 3),
+                "round8_total": round(sum(round8.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "group_counts": group_counts,
                 "group_members_md5": group_members_md5,

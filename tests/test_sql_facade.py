@@ -116,6 +116,11 @@ PORTABLE = [
     "snapshot_diff_audit",
     # privacy-family completion (COUNT DISTINCT over the quasi-id agg)
     "l_diversity_audit",
+    # round-8: the MERGE INTO surface's cutoff-free full-history oracle
+    # (plain ROW_NUMBER text) and the SemDeDup k=32 recount-oracle row
+    # (COUNT + boolean literals) both run verbatim on Spark SQL
+    "merge_into_cdc_snapshot",
+    "semdedup_cluster_prune_k32",
 ]
 
 

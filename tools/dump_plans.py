@@ -126,6 +126,18 @@ FLAGSHIPS = [
     "image_phash_dup_clusters",
     "mips_augmented_lsh_topk_indexed_vec0",
     "cuped_variance_reduction",
+    # round-8: batched ANN/MIPS serving (query-set probes, DPP), the PNG
+    # codec round-trip, the SemDeDup k=32 production-shape watch, and
+    # the MERGE INTO compiler's copy-on-write plan. nsw_knn_join_vec10's
+    # returned plan is the final rerank over the checkpoint-truncated
+    # frontier (the per-round shapes are the batched-join plans proper);
+    # the constant-scan-count property is asserted in tests/test_vector.py.
+    "nsw_knn_join_vec10",
+    "knn_join_lsh_vec10",
+    "mips_knn_join_vec10",
+    "multimodal_decode_png",
+    "semdedup_cluster_prune_k32",
+    "merge_into_cdc_snapshot",
 ]
 
 
