@@ -842,3 +842,82 @@ WHERE enc0.vec_id <> {query_vec_id}
 ORDER BY adc_dist ASC, enc0.vec_id
 LIMIT {k_results}"""
     )
+
+
+def ivfpq_knn_join_indexed(
+    embeddings: DataFrame,
+    index: DataFrame,
+    codebooks: DataFrame,
+    query_ids: list[int],
+    k_results: int = 5,
+    coarse_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Batch IVF+PQ k-NN join from the AT-REST codes index (round 8 —
+    completes the batch-serving family across every index type): the
+    whole query set ranks the broadcast coarse codebook in one window
+    (`probe_centroids_batch`), the (qid, centroid_id) probe pairs join
+    the index partition column (DPP opens the union of probed list
+    directories once), and each subspace's ADC lookup table is built for
+    ALL queries in one broadcast (qid, code_j, p_j) join — queries*m*k
+    tiny rows. One windowed rank serves every query; no corpus float
+    vector is read and no stage repeats per query."""
+    from pyspark.sql import Window
+
+    from apache_beam_challange_spark.functions.vector import as_double
+    from apache_beam_challange_spark.operators.similarity import (
+        centroid_table,
+        probe_centroids_batch,
+    )
+
+    sub = dim // m
+    qids = list(query_ids)
+    coarse_cents = centroid_table(embeddings, coarse_ids)
+    qvecs = embeddings.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"),
+        as_double(F.col("embedding")).alias("qvec"),
+    )
+    probes = probe_centroids_batch(coarse_cents, qvecs, n_probe)
+    out = index.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc_terms = []
+    for j in range(m):
+        sub_df = _pq_sub(embeddings, j, sub)
+        cents = codebooks.filter(F.col("subspace") == j).select(
+            "centroid_id", "cvec"
+        )
+        qsub = sub_df.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("__qsub"),
+        )
+        lut = (
+            cents.crossJoin(F.broadcast(qsub))
+            .withColumn("__d", _sq_l2(F.col("cvec"), F.col("__qsub")))
+            .select(
+                "qid",
+                F.col("centroid_id").alias(f"code_{j}"),
+                (F.col("__d") * F.col("__d")).alias(f"p_{j}"),
+            )
+        )
+        out = out.join(F.broadcast(lut), ["qid", f"code_{j}"])
+        adc_terms.append(F.col(f"p_{j}"))
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    wk = Window.partitionBy("query_vec_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    return (
+        out.select(
+            F.col("qid").alias("query_vec_id"),
+            "vec_id",
+            "label",
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k_results)
+        .drop("rk")
+    )

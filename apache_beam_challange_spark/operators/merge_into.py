@@ -19,7 +19,13 @@ Grammar (the canonical subset, ANSI clause semantics):
     ON <condition>
     { WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr [, ...]
     | WHEN MATCHED [AND <cond>] THEN DELETE
-    | WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs) }...
+    | WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
+    | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE }...
+
+(the last form is the SQL:2023 / lakehouse-dialect extension acting on
+TARGET rows with no source match — the clause full-sync reconciliation
+needs; its conditions see source columns as NULL, its only legal
+actions are UPDATE/DELETE)
 
 Semantics compiled faithfully:
 
@@ -73,6 +79,9 @@ class _Merge:
     on: str
     matched: list[_MatchedClause] = field(default_factory=list)
     not_matched: list[_NotMatchedClause] = field(default_factory=list)
+    #: SQL:2023 extension clauses — target rows with NO source match
+    #: (full-sync reconciliation: UPDATE or DELETE them declaratively)
+    not_matched_by_source: list[_MatchedClause] = field(default_factory=list)
 
 
 _HEAD = re.compile(
@@ -82,7 +91,8 @@ _HEAD = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))"
     r"\s*(?=WHEN\s|$)",
     re.IGNORECASE | re.DOTALL,
@@ -133,7 +143,35 @@ def parse_merge(sql_text: str) -> _Merge:
         consumed = w.end()
         action = w.group("action").strip()
         cond = w.group("cond").strip() if w.group("cond") else None
-        if w.group("not"):
+        by = (w.group("by") or "").upper()
+        if by and not w.group("not"):
+            raise ValueError(f"BY {by} is only valid after NOT MATCHED")
+        if w.group("not") and by == "SOURCE":
+            # SQL:2023 WHEN NOT MATCHED BY SOURCE: acts on TARGET rows,
+            # so its legal actions are UPDATE/DELETE, never INSERT
+            if action.upper() == "DELETE":
+                m.not_matched_by_source.append(_MatchedClause(cond, delete=True))
+            else:
+                um = re.match(
+                    r"UPDATE\s+SET\s+(?P<sets>.+)$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not um:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports only UPDATE "
+                        f"SET / DELETE: {action!r}"
+                    )
+                assigns = {}
+                for part in _split_top_level(um.group("sets")):
+                    k, _, v = part.partition("=")
+                    if not _ or not k.strip() or not v.strip():
+                        raise ValueError(f"unparseable SET assignment: {part!r}")
+                    assigns[k.strip()] = v.strip()
+                m.not_matched_by_source.append(
+                    _MatchedClause(cond, delete=False, assignments=assigns)
+                )
+        elif w.group("not"):
             im = re.match(
                 r"INSERT\s*\((?P<cols>.+?)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
                 action,
@@ -168,7 +206,7 @@ def parse_merge(sql_text: str) -> _Merge:
             m.matched.append(_MatchedClause(cond, delete=False, assignments=assigns))
     if rest[consumed:].strip():
         raise ValueError(f"trailing text after MERGE clauses: {rest[consumed:]!r}")
-    if not m.matched and not m.not_matched:
+    if not m.matched and not m.not_matched and not m.not_matched_by_source:
         raise ValueError("MERGE with no WHEN clauses")
     return m
 
@@ -238,9 +276,17 @@ def merge_into(spark: SparkSession, sql_text: str) -> DataFrame:
             ),
             F.lit(None),
         )
+        tonly_val = first_match_wins(
+            m.not_matched_by_source,
+            lambda cl, c=c, t_val=t_val: (
+                t_val if cl.delete or c not in cl.assignments
+                else F.expr(cl.assignments[c])
+            ),
+            t_val,
+        )
         out_cols.append(
             F.when(matched, matched_val)
-            .when(t_exists, t_val)
+            .when(t_exists, tonly_val)
             .otherwise(ins_val)
             .alias(c)
         )
@@ -251,10 +297,13 @@ def merge_into(spark: SparkSession, sql_text: str) -> DataFrame:
     keep_inserted = first_match_wins(
         m.not_matched, lambda cl: F.lit(True), F.lit(False)
     )
+    keep_tonly = first_match_wins(
+        m.not_matched_by_source, lambda cl: F.lit(not cl.delete), F.lit(True)
+    )
     keep = F.coalesce(
         cardinality_guard,
         F.when(matched, keep_matched)
-        .when(t_exists, F.lit(True))
+        .when(t_exists, keep_tonly)
         .otherwise(keep_inserted),
     )
     return joined.withColumn("__keep", keep).filter(F.col("__keep")).select(out_cols)

@@ -3,10 +3,11 @@ opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` — the canonical Spark shape for decode / feature-extract /
 resize / frame-sample stages whose kernels are Python libraries.
 
-One real codec ships natively: uncompressed 24-bit BMP, encoded and decoded
-with pure numpy (:func:`encode_bmp` / :func:`decode_bmp`) — actual file
-bytes with header, row padding, and bottom-up storage. Formats needing
-external codecs (JPEG/PNG/audio/video) remain a documented seam in
+Three real codecs ship natively: uncompressed 24-bit BMP (pure numpy —
+actual file bytes with header, row padding, bottom-up storage), PCM-16
+RIFF/WAVE, and 8-bit truecolor PNG (stdlib zlib DEFLATE, scanline
+filters 0-4, chunked IDAT, CRC-32 — the compressed-format member).
+Formats needing external codecs (JPEG/video) remain a documented seam in
 ``_decode_real``; a deterministic byte-level fake also stands in for fast
 tests. Everything Spark-side is real and tested either way: the binary
 column, the Arrow batch boundary, the output schema contract, and the
@@ -715,3 +716,18 @@ def _png_phash16(data: bytes) -> dict:
     codec-independent)."""
     px = _png_pixel_array(data)
     return _phash16_from_pixels(px)
+
+
+def png_phash16(images: DataFrame) -> DataFrame:
+    """PNG-container twin of :func:`bmp_phash16`: same fingerprint, same
+    mapInPandas shape, pixels reconstructed through the DEFLATE/filter
+    chain instead of the padded-row parser."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_png_phash16(d) for d in pdf["image_bytes"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "width", "height", "phash16"]]
+
+    return images.mapInPandas(extract, schema=PHASH_SCHEMA)

@@ -1048,3 +1048,25 @@ def knn_join_lsh_indexed(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def probe_centroids_batch(
+    cents: DataFrame, qvecs: DataFrame, n_probe: int
+) -> DataFrame:
+    """Batch twin of :func:`probe_centroids`: rank the broadcast codebook
+    against EVERY query vector (``qvecs``: (qid, qvec)) in one plan —
+    per-qid row_number window, centroid-id tie-break — returning
+    (qid, centroid_id) probe pairs. The codebook and the query set are
+    both dimension-sized, so the whole probe stage is broadcast-local."""
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("qid").orderBy(
+        F.col("__qsim").desc(), F.col("centroid_id")
+    )
+    return (
+        cents.crossJoin(F.broadcast(qvecs))
+        .withColumn("__qsim", cosine(F.col("cvec"), F.col("qvec")))
+        .withColumn("__rk", F.row_number().over(pw))
+        .filter(F.col("__rk") <= n_probe)
+        .select("qid", "centroid_id")
+    )

@@ -1320,6 +1320,88 @@ def knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_BATCH_LUTS = ",\n".join(
+    f"""
+qpb{j} AS (
+    SELECT q.vec_id AS qid, c.centroid_id AS code_{j},
+           list_distance(c.cvec, q.vec) * list_distance(c.cvec, q.vec) AS p_{j}
+    FROM s{j}_cents1 c,
+         (SELECT vec_id, vec FROM s{j}_vecs WHERE vec_id < 10) q
+)""".strip()
+    for j in range(4)
+)
+
+_IVFPQ_BATCH_ORACLE = f"""
+WITH {_IVF_CTE},
+{_PQ_CTES},
+qset2 AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),
+qprobes2 AS (
+    SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC,
+                            c.centroid_id) AS rk
+        FROM qset2 q CROSS JOIN cents c
+    ) WHERE rk <= 2
+),
+{_IVFPQ_BATCH_LUTS},
+ivf_cand AS (
+    SELECT p.qid, a.vec_id FROM assign a
+    JOIN qprobes2 p ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> p.qid
+)
+SELECT query_vec_id, vec_id, label, adc_dist FROM (
+    SELECT ic.qid AS query_vec_id, enc0.vec_id, enc0.label,
+           ROUND(qpb0.p_0 + qpb1.p_1 + qpb2.p_2 + qpb3.p_3, 6) AS adc_dist,
+           ROW_NUMBER() OVER (PARTITION BY ic.qid
+               ORDER BY ROUND(qpb0.p_0 + qpb1.p_1 + qpb2.p_2 + qpb3.p_3, 6) ASC,
+                        enc0.vec_id) AS rk
+    FROM ivf_cand ic
+    JOIN enc0 ON enc0.vec_id = ic.vec_id
+    JOIN qpb0 ON qpb0.qid = ic.qid AND qpb0.code_0 = enc0.code_0
+    JOIN enc1 ON enc1.vec_id = ic.vec_id
+    JOIN qpb1 ON qpb1.qid = ic.qid AND qpb1.code_1 = enc1.code_1
+    JOIN enc2 ON enc2.vec_id = ic.vec_id
+    JOIN qpb2 ON qpb2.qid = ic.qid AND qpb2.code_2 = enc2.code_2
+    JOIN enc3 ON enc3.vec_id = ic.vec_id
+    JOIN qpb3 ON qpb3.qid = ic.qid AND qpb3.code_3 = enc3.code_3
+) WHERE rk <= 5
+ORDER BY query_vec_id, adc_dist, vec_id
+""".strip()
+
+
+@query("ivfpq_knn_join_vec10", oracle=_IVFPQ_BATCH_ORACLE)
+def ivfpq_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF+PQ k-NN join from the AT-REST codes index (round 8):
+    top-5 by ADC for every query in a 10-vector batch — completing the
+    batch-serving family across every index type (IVF `knn_join_vec10`,
+    LSH `knn_join_lsh_vec10`, MIPS `mips_knn_join_vec10`, graph
+    `nsw_knn_join_vec10`, and now the compressed-codes route). The whole
+    query set probes the coarse codebook in one window, the probe pairs
+    DPP-prune the partitioned codes table once, and all ten ADC lookup
+    tables ride one broadcast join per subspace; no corpus float vector
+    is read. The oracle reuses the verified IVF + PQ CTE chains with the
+    LUT and ranking stages partitioned by qid."""
+    from apache_beam_challange_spark.operators.clustering import (
+        ivfpq_knn_join_indexed,
+        pq_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import (
+        is_materialized,
+        warehouse_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "ivfpq_index_8x4", "embeddings")
+    if not is_materialized(path, parts=(path + "_codebooks",)):
+        pq_write_index(emb, path)
+    index = spark.read.parquet(path)
+    codebooks = spark.read.parquet(path + "_codebooks")
+    return ivfpq_knn_join_indexed(
+        emb, index, codebooks, query_ids=list(range(10)), k_results=5
+    )
+
+
 @query(
     "embedding_dedup_clusters",
     oracle=f"""

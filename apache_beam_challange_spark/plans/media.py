@@ -321,6 +321,35 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_phash",
+    oracle=f"""
+WITH {_PHASH_CTE}
+SELECT d.doc_id, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+       CAST(b.phash16 AS BIGINT) AS phash16
+FROM dims d JOIN bits b ON b.doc_id = d.doc_id
+""".strip(),
+)
+def multimodal_png_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-independence of the image fingerprint, proven through the
+    ORACLE GATE (round 8): the SAME closed-form phash oracle as
+    ``multimodal_image_phash``, but the pixels travel through the PNG
+    container — zlib DEFLATE, scanline filters, chunked IDAT — instead
+    of the padded-row BMP parser. Channel-sum grayscale is invariant to
+    the containers' BGR-vs-RGB ordering, so both routes must land on
+    bit-identical hashes; any filter-reconstruction or chunk-reassembly
+    bug flips bits and hash-fails. This is what lets the dup-cluster
+    machinery (`image_phash_dup_clusters`) treat at-rest format as an
+    implementation detail."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_png_image,
+        png_phash16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_phash16(attach_png_image(docs))
+
+
+@query(
     "image_phash_dup_clusters",
     oracle=f"""
 WITH {_PHASH_CTE}

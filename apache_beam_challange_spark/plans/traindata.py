@@ -2634,6 +2634,90 @@ def merge_into_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_into(spark, _CDC_MERGE_SQL)
 
 
+#: SQL:2023 full-sync reconciliation: make the target EQUAL the desired
+#: state in one statement — refresh matches, insert newcomers, and the
+#: NOT MATCHED BY SOURCE clause declaratively deletes target rows whose
+#: key vanished from the desired state (users whose latest event became
+#: a tombstone after the stale snapshot was cut).
+_SYNC_MERGE_SQL = """
+MERGE INTO __merge_sync_target t
+USING __merge_sync_desired s
+ON t.user_id = s.user_id
+WHEN MATCHED THEN UPDATE SET last_ts = s.last_ts,
+    last_event_type = s.last_event_type, last_value = s.last_value
+WHEN NOT MATCHED THEN
+    INSERT (user_id, last_ts, last_event_type, last_value)
+    VALUES (s.user_id, s.last_ts, s.last_event_type, s.last_value)
+WHEN NOT MATCHED BY SOURCE THEN DELETE
+""".strip()
+
+
+@query(
+    "merge_full_sync_snapshot",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""".strip(),
+)
+def merge_full_sync_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync reconciliation through the SQL:2023 MERGE extension
+    (round 8): a STALE snapshot (cut at the timeline midpoint) is made
+    equal to the CURRENT desired state with one declarative statement —
+    ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` drops the rows whose user
+    has since been tombstoned, the clause plain upsert-MERGE cannot
+    express (``merge_into_cdc_snapshot`` needs the delta to carry
+    tombstone rows; full-sync needs neither tombstones nor a changelog —
+    just the desired state). The oracle is the cutoff-free full-history
+    fold, so the gate verifies all three clause paths fire correctly on
+    real data (the by-source DELETE path is additionally asserted
+    non-empty in tests/test_merge.py)."""
+    from apache_beam_challange_spark.operators.merge_into import merge_into
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.broadcast(
+        ev.agg(
+            F.timestamp_micros(
+                (
+                    (
+                        F.unix_micros(F.min("ts").cast("timestamp"))
+                        + F.unix_micros(F.max("ts").cast("timestamp"))
+                    )
+                    / 2
+                ).cast("long")
+            )
+            .cast("timestamp_ntz")
+            .alias("__cutoff")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snap_cols = [
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    ]
+    ev.crossJoin(cutoff).filter(F.col("ts") <= F.col("__cutoff")).withColumn(
+        "rn", F.row_number().over(w)
+    ).filter((F.col("rn") == 1) & (F.col("event_type") != "error")).select(
+        *snap_cols
+    ).createOrReplaceTempView("__merge_sync_target")
+    ev.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(*snap_cols).createOrReplaceTempView("__merge_sync_desired")
+    return merge_into(spark, _SYNC_MERGE_SQL)
+
+
 # --- rolling-hash content-defined chunking ----------------------------------
 
 #: Rabin-Karp parameters: base, modulus (2^31-1), window length, and the

@@ -140,3 +140,53 @@ def test_merge_expressions_use_sparks_parser(spark):
     # k=1 matches (tag len 1) -> 10*5+1; k=2 does NOT match the ON (tag
     # 'bb'), so target row 2 is kept AND source row 2 inserts at k=200
     assert out == {(1, 51, "a"), (2, 20, "bb"), (200, 5, "U")}
+
+
+def test_merge_not_matched_by_source_clauses(spark):
+    """SQL:2023 extension semantics: BY SOURCE clauses act on target-only
+    rows — conditional UPDATE (source columns are NULL there), DELETE,
+    first-match-wins, and fall-through keeps the row."""
+    _views(
+        spark,
+        [(1, 10, "keep"), (2, 20, "flagme"), (3, 30, "dropme"), (4, 40, "a")],
+        [(4, 99, "u")],
+    )
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED BY SOURCE AND t.tag = 'dropme' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.tag = 'flagme' THEN
+            UPDATE SET tag = 'stale', v = t.v + 1
+        """,
+    )
+    # 4 matched-updated (v only — SET doesn't touch tag); 3 by-source-
+    # deleted; 2 by-source-updated; 1 falls through every by-source
+    # condition and is kept unchanged
+    assert out == {(1, 10, "keep"), (2, 21, "stale"), (4, 99, "a")}
+
+
+def test_merge_by_source_rejects_insert_and_requires_not(spark):
+    with pytest.raises(ValueError):
+        parse_merge(
+            """MERGE INTO tgt t USING src s ON t.k = s.k
+               WHEN NOT MATCHED BY SOURCE THEN INSERT (k) VALUES (1)"""
+        )
+    with pytest.raises(ValueError, match="only valid after NOT MATCHED"):
+        parse_merge(
+            """MERGE INTO tgt t USING src s ON t.k = s.k
+               WHEN MATCHED BY SOURCE THEN DELETE"""
+        )
+
+
+def test_merge_full_sync_by_source_delete_fires_on_real_data(spark, sf_dir):
+    """The registry full-sync query's BY SOURCE DELETE path must actually
+    fire at sf0.01: at least one stale-snapshot user is tombstoned in the
+    desired state (otherwise the clause is dead code on this corpus)."""
+    import __spark_entry__ as em
+
+    em.all_queries()["merge_full_sync_snapshot"](spark, sf_dir)  # registers views
+    stale = {r.user_id for r in spark.table("__merge_sync_target").collect()}
+    desired = {r.user_id for r in spark.table("__merge_sync_desired").collect()}
+    assert stale - desired, "no user exercises the BY SOURCE DELETE path"

@@ -120,6 +120,7 @@ PORTABLE = [
     # (plain ROW_NUMBER text) and the SemDeDup k=32 recount-oracle row
     # (COUNT + boolean literals) both run verbatim on Spark SQL
     "merge_into_cdc_snapshot",
+    "merge_full_sync_snapshot",
     "semdedup_cluster_prune_k32",
 ]
 

@@ -488,3 +488,24 @@ def test_knn_join_lsh_corpus_scans_constant_in_batch_size(spark, tmp_path):
         ).collect():
             want.add((qid, r.vec_id, r.cosine_sim))
     assert got == want
+
+
+def test_ivfpq_knn_join_dpp_and_qid0_matches_single(spark, sf_dir):
+    """Round-8 batch IVFPQ pin: the batch serve plan DPP-prunes the codes
+    table, holds a constant embeddings scan count, and its qid-0 top-5
+    equals the head of the single-query indexed route's top-20."""
+    import __spark_entry__ as em
+
+    QS = em.all_queries()
+    batch = QS["ivfpq_knn_join_vec10"](spark, sf_dir)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert plan.count("embeddings.parquet") <= 8  # probes + 4 subspace LUT builds
+    got0 = [
+        (r.vec_id, r.adc_dist)
+        for r in batch.collect()
+        if r.query_vec_id == 0
+    ]
+    single = QS["ivfpq_topk_indexed_vec0"](spark, sf_dir).collect()
+    assert got0 == [(r.vec_id, r.adc_dist) for r in single[:5]]
