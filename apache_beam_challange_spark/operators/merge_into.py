@@ -33,18 +33,29 @@ Semantics compiled faithfully:
   (a matched row falling through every WHEN MATCHED condition stays
   unchanged; a source-only row falling through every WHEN NOT MATCHED
   condition is not inserted);
-- the ANSI cardinality rule is ENFORCED at runtime, not assumed: a
-  target row matched by more than one source row raises (the
-  nondeterministic-update case every real MERGE executor rejects) — the
+- the ANSI/lakehouse cardinality rule is ENFORCED at runtime, not
+  assumed, and faithfully: a target row raises only when MORE THAN ONE
+  matching source row has an APPLICABLE WHEN MATCHED clause — the
+  nondeterministic-update case Delta/SQL Server reject. Multi-matches
+  that no clause (or exactly one row's clause) touches are legal and
+  deterministic: the row survives once, unchanged or updated by its one
+  action row (review: the first cut raised on ANY multi-match). The
   guard is folded into the keep-predicate column itself so pruning
   cannot drop it;
 - expressions (ON, clause conditions, assignments, insert values) are
   passed to Spark SQL's own expression parser qualified by the
-  statement's aliases, so anything Spark SQL can evaluate is legal here.
+  statement's aliases, so anything Spark SQL can evaluate is legal here
+  (incl. CASE WHEN ... THEN inside conditions and SET lists — clause
+  boundaries key on the full WHEN [NOT] MATCHED pair; the one documented
+  parser limit is the literal text "WHEN MATCHED" inside a string
+  constant).
 
-Scale shape: one shuffle (the full-outer equi-join on the ON keys —
-broadcastable when the delta is small, which is the CDC norm), then
-narrow projection and filter. No collect, no loops.
+Scale shape: the full-outer equi-join shuffle on the ON keys
+(broadcastable when the delta is small, the CDC norm) plus ONE window
+over the joined relation for the cardinality guard / no-op dedup —
+keyed by target row id, with source-only rows carrying their own unique
+key so insert-heavy merges have no NULL-key skew partition (review).
+Then narrow projection and filter. No collect, no loops.
 """
 
 from __future__ import annotations
@@ -84,34 +95,47 @@ class _Merge:
     not_matched_by_source: list[_MatchedClause] = field(default_factory=list)
 
 
+#: Clause boundaries key on the full "WHEN [NOT] MATCHED" keyword pair,
+#: never a bare WHEN/THEN — so CASE WHEN ... THEN ... expressions inside
+#: conditions, SET assignments, and VALUES lists parse through (review).
+#: The action THEN is disambiguated from an expression THEN by requiring
+#: an action keyword after it. Remaining documented limit: the literal
+#: text "WHEN MATCHED" inside a string constant would still split.
+_CLAUSE_BOUNDARY = r"WHEN\s+(?:NOT\s+)?MATCHED\b"
 _HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS)?\s+(?P<t>\w+)\s+"
     r"USING\s+(?P<source>\w+)(?:\s+AS)?\s+(?P<s>\w+)\s+"
-    r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
+    r"ON\s+(?P<on>.+?)\s+(?=" + _CLAUSE_BOUNDARY + r")",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
-    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))"
-    r"\s*(?=WHEN\s|$)",
+    r"(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+(?=UPDATE\s|DELETE\b|INSERT\s*\()"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\(.+?\)\s*VALUES\s*\(.+\))"
+    r"\s*(?=" + _CLAUSE_BOUNDARY + r"|$)",
     re.IGNORECASE | re.DOTALL,
 )
 
 
 def _split_top_level(text: str) -> list[str]:
-    """Split on commas not nested inside parentheses (SET / VALUES lists)."""
-    parts, depth, cur = [], 0, []
+    """Split on commas not nested inside parentheses OR single-quoted
+    string literals (SET / VALUES lists) — 'a,b' stays one value
+    (review). Quotes escape SQL-style by doubling ('')."""
+    parts, depth, in_str, cur = [], 0, False, []
     for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
     if "".join(cur).strip():
         parts.append("".join(cur).strip())
     return parts
@@ -223,30 +247,15 @@ def merge_into(spark: SparkSession, sql_text: str) -> DataFrame:
         .alias(m.t_alias)
     )
     source = (
-        spark.table(m.source).withColumn("__s_exists", F.lit(True)).alias(m.s_alias)
+        spark.table(m.source)
+        .withColumn("__sid", F.monotonically_increasing_id())
+        .withColumn("__s_exists", F.lit(True))
+        .alias(m.s_alias)
     )
     joined = target.join(source, F.expr(m.on), "full_outer")
     t_exists = F.coalesce(F.col(f"{m.t_alias}.__t_exists"), F.lit(False))
     s_exists = F.coalesce(F.col(f"{m.s_alias}.__s_exists"), F.lit(False))
     matched = t_exists & s_exists
-
-    # ANSI cardinality rule: >1 source match for one target row is an
-    # ERROR, not an arbitrary pick. The guard defines the keep column, so
-    # the optimizer cannot prune it away.
-    n_match = F.sum(F.when(matched, 1).otherwise(0)).over(
-        Window.partitionBy(F.col(f"{m.t_alias}.__tid"))
-    )
-    cardinality_guard = F.when(
-        t_exists & (n_match > 1),
-        F.raise_error(
-            F.format_string(
-                "MERGE cardinality violation: a %s row matches %s %s rows",
-                F.lit(m.target),
-                n_match.cast("string"),
-                F.lit(m.source),
-            )
-        ).cast("boolean"),
-    )
 
     def first_match_wins(clauses, value_of, fallthrough):
         """CASE chain over clause conditions in statement order."""
@@ -255,6 +264,56 @@ def merge_into(spark: SparkSession, sql_text: str) -> DataFrame:
             cond = F.expr(clause.condition) if clause.condition else F.lit(True)
             expr = F.when(cond, value_of(clause)).otherwise(expr)
         return expr
+
+    # does ANY WHEN MATCHED clause apply to this joined row?
+    any_applies = F.lit(False)
+    for cl in m.matched:
+        any_applies = any_applies | (
+            F.expr(cl.condition) if cl.condition else F.lit(True)
+        )
+
+    # The per-target-row window behind the cardinality rule and no-op
+    # dedup. Source-only rows get their own UNIQUE key (struct head False
+    # + __sid), so inserts never funnel into one NULL-key partition —
+    # insert-heavy merges stay skew-free (review).
+    wkey = F.struct(
+        t_exists.alias("t"),
+        F.coalesce(
+            F.col(f"{m.t_alias}.__tid"), F.col(f"{m.s_alias}.__sid")
+        ).alias("i"),
+    )
+    w = Window.partitionBy(wkey)
+    # ANSI/lakehouse cardinality rule, faithfully: a target row is an
+    # ERROR only when MORE THAN ONE matching source row has an APPLICABLE
+    # WHEN MATCHED clause (that is when the update/delete would be
+    # nondeterministic — Delta/SQL Server semantics). Multiple matches
+    # where no clause (or exactly one row's clause) applies are legal and
+    # deterministic. The guard defines the keep column, so pruning cannot
+    # drop it.
+    n_applied = F.sum(F.when(matched & any_applies, 1).otherwise(0)).over(w)
+    # among a target row's join copies, rank applicable rows first so the
+    # action row (n_applied == 1) or one no-op representative (== 0)
+    # survives; the surviving no-op copies are value-identical, so the
+    # __sid order is for stability only
+    rn = F.row_number().over(
+        w.orderBy(
+            F.when(matched & any_applies, 0).otherwise(1),
+            F.col(f"{m.s_alias}.__sid").asc_nulls_last(),
+        )
+    )
+    cardinality_guard = F.when(
+        t_exists & (n_applied > 1),
+        F.raise_error(
+            F.format_string(
+                "MERGE cardinality violation: a %s row matches %s %s rows "
+                "with an applicable WHEN MATCHED clause — the update/delete "
+                "would be nondeterministic",
+                F.lit(m.target),
+                n_applied.cast("string"),
+                F.lit(m.source),
+            )
+        ).cast("boolean"),
+    )
 
     out_cols = []
     for c in tcols:
@@ -285,7 +344,7 @@ def merge_into(spark: SparkSession, sql_text: str) -> DataFrame:
             t_val,
         )
         out_cols.append(
-            F.when(matched, matched_val)
+            F.when(matched, F.when(any_applies, matched_val).otherwise(t_val))
             .when(t_exists, tonly_val)
             .otherwise(ins_val)
             .alias(c)
@@ -302,7 +361,10 @@ def merge_into(spark: SparkSession, sql_text: str) -> DataFrame:
     )
     keep = F.coalesce(
         cardinality_guard,
-        F.when(matched, keep_matched)
+        F.when(matched & any_applies, keep_matched)
+        # matched rows no clause touches: ONE unchanged copy survives
+        # (multi-match copies are value-identical by construction)
+        .when(matched, (n_applied == 0) & (rn == 1))
         .when(t_exists, keep_tonly)
         .otherwise(keep_inserted),
     )

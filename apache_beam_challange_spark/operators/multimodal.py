@@ -546,7 +546,8 @@ def encode_png(doc_id: int) -> bytes:
     """Encode the doc's deterministic pixels (the SAME value formula as
     the BMP codec, interpreted as RGB here) as a real, viewer-openable
     PNG: 8-bit truecolor IHDR, per-row filter y % 5, DEFLATE via zlib,
-    IDAT split into 64-byte chunks, CRC-32 on every chunk."""
+    IDAT split into ``_PNG_IDAT_CHUNK``-byte chunks (24 — small enough
+    that every test image spans several), CRC-32 on every chunk."""
     import zlib
 
     px = _bmp_pixels(doc_id)  # [y][x][c]; c read as RGB for PNG

@@ -872,8 +872,9 @@ def nsw_topk_batch(
     index. The per-query driver loop in :func:`nsw_topk` made QPS scale
     with driver round-trips (rounds x collect PER query); here one
     frontier DataFrame carries all searches, so driver-side work is
-    exactly ``rounds`` localCheckpoint actions plus the final job,
-    INDEPENDENT of query count (test-pinned by counting localCheckpoint
+    exactly ``rounds + 1`` localCheckpoint actions (the seed scoring
+    pass plus one per round) plus the final job, INDEPENDENT of query
+    count (test-pinned by counting localCheckpoint
     calls for different batch sizes in tests/test_vector.py). No
     ``.collect()`` anywhere in the search.
 
@@ -989,6 +990,42 @@ def probe_index_candidates_batch(index: DataFrame, qb: DataFrame) -> DataFrame:
     )
 
 
+def knn_join_rerank(
+    cand: DataFrame,
+    vecs: DataFrame,
+    qvecs: DataFrame,
+    score,
+    score_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared batch-serving rerank (review: this shape was forking into
+    per-module copies): distinct (qid, vec_id) candidates join the
+    vector table ("vec_id", "label", "__v") and the broadcast query
+    vectors ("qid", "__qv") ONCE; a per-qid row_number window ranks by
+    the rounded score (desc, vec_id ties) and keeps top-``k``. One
+    definition of the rounding/tie-break discipline for the LSH-cosine
+    and MIPS-dot batch routes, the same no-desync rationale as
+    :func:`probe_index_candidates`."""
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("query_vec_id").orderBy(
+        F.col(score_col).desc(), F.col("vec_id")
+    )
+    return (
+        cand.join(vecs, "vec_id")
+        .join(qvecs, "qid")
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "vec_id",
+            "label",
+            F.round(score(F.col("__v"), F.col("__qv")), 6).alias(score_col),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def knn_join_lsh_indexed(
     embeddings: DataFrame,
     index: DataFrame,
@@ -1007,8 +1044,6 @@ def knn_join_lsh_indexed(
     index family. The corpus is scanned a CONSTANT number of times
     regardless of query count (plan-pinned in tests/test_vector.py);
     per-query results equal :func:`ann_lsh_multitable_topk_indexed`."""
-    from pyspark.sql import Window
-
     qids = list(query_ids)
     qb = _multitable_buckets(
         embeddings.filter(F.col("vec_id").isin(qids)),
@@ -1024,30 +1059,15 @@ def knn_join_lsh_indexed(
     )
     cand = probe_index_candidates_batch(index, qb)
     vecs = embeddings.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+        "vec_id", "label", as_double(F.col("embedding")).alias("__v")
     )
     qvecs = F.broadcast(
         embeddings.filter(F.col("vec_id").isin(qids)).select(
             F.col("vec_id").alias("qid"),
-            as_double(F.col("embedding")).alias("qvec"),
+            as_double(F.col("embedding")).alias("__qv"),
         )
     )
-    wk = Window.partitionBy("query_vec_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("vec_id")
-    )
-    return (
-        cand.join(vecs, "vec_id")
-        .join(qvecs, "qid")
-        .select(
-            F.col("qid").alias("query_vec_id"),
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
-        )
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+    return knn_join_rerank(cand, vecs, qvecs, cosine, "cosine_sim", k)
 
 
 def probe_centroids_batch(

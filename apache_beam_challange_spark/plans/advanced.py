@@ -877,9 +877,12 @@ def kll_register_table(ev: DataFrame) -> DataFrame:
             .otherwise(
                 F.raise_error(
                     F.format_string(
-                        "KLL shard %s holds %s rows, beyond K*2^30 = "
-                        f"{_KLL_K * (1 << 30)} — raise _KLL_SHARDS so every "
-                        "shard matches a stride power",
+                        "KLL shard %s holds %s rows, beyond K*max(power) = "
+                        # derived from the ACTIVE spine, not hardcoded —
+                        # a changed/monkeypatched _KLL_POWERS reports its
+                        # own true bound (review)
+                        f"{_KLL_K * max(p for _, p in _KLL_POWERS)} — raise "
+                        "_KLL_SHARDS so every shard matches a stride power",
                         F.col("shard").cast("string"),
                         F.col("n").cast("string"),
                     )

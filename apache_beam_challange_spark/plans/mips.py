@@ -440,14 +440,13 @@ def mips_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 (it is the testbed's designated single-query row), so it can reach
     candidacy for queries 1..9 only through those buckets."""
     from apache_beam_challange_spark.operators.similarity import (
-        knn_join_lsh_indexed,
+        knn_join_rerank,
         probe_index_candidates_batch,
     )
     from apache_beam_challange_spark.sources.catalog import (
         is_materialized,
         warehouse_path,
     )
-    from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = warehouse_path(sf_dir, "mips_lsh_index_16x4_b", "embeddings")
@@ -470,27 +469,12 @@ def mips_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = probe_index_candidates_batch(index, qb)
     vecs = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        "vec_id", "label", as_double(F.col("embedding")).alias("__v")
     )
     qvecs = F.broadcast(
         emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("qid"),
-            as_double(F.col("embedding")).alias("qv"),
+            as_double(F.col("embedding")).alias("__qv"),
         )
     )
-    wk = Window.partitionBy("query_vec_id").orderBy(
-        F.col("dot_score").desc(), F.col("vec_id")
-    )
-    return (
-        cand.join(vecs, "vec_id")
-        .join(qvecs, "qid")
-        .select(
-            F.col("qid").alias("query_vec_id"),
-            "vec_id",
-            "label",
-            F.round(dot(F.col("v"), F.col("qv")), 6).alias("dot_score"),
-        )
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= 5)
-        .drop("rk")
-    )
+    return knn_join_rerank(cand, vecs, qvecs, dot, "dot_score", 5)

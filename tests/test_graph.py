@@ -469,10 +469,7 @@ def test_two_phase_matches_lss_and_cuts_rounds(spark):
                 es,
                 lambda i: f"{(i // side) // 4}:{(i % side) // 4}",
             )
-            rows = fn(
-                v, e, c
-            ) if name == "two_phase" else fn(v, e, c)
-            out = sorted(tuple(r) for r in rows.collect())
+            out = sorted(tuple(r) for r in fn(v, e, c).collect())
             counts[name] = calls[0]
         finally:
             g._star_round = orig

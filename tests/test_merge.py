@@ -190,3 +190,54 @@ def test_merge_full_sync_by_source_delete_fires_on_real_data(spark, sf_dir):
     stale = {r.user_id for r in spark.table("__merge_sync_target").collect()}
     desired = {r.user_id for r in spark.table("__merge_sync_desired").collect()}
     assert stale - desired, "no user exercises the BY SOURCE DELETE path"
+
+
+def test_merge_multimatch_without_applicable_clause_is_legal(spark):
+    """Review fix: ANSI raises only on NONDETERMINISTIC multi-matches.
+    (a) insert-only merge over a multi-matched target row succeeds and
+    keeps ONE unchanged copy; (b) two matches where exactly one satisfies
+    the clause condition applies that one deterministically; (c) two
+    matches both satisfying a clause still raise."""
+    _views(spark, [(1, 10, "a")], [(1, 7, "x"), (1, 8, "y"), (5, 50, "i")])
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.nv, s.op)
+        """,
+    )
+    assert out == {(1, 10, "a"), (5, 50, "i")}
+
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED AND s.op = 'y' THEN UPDATE SET v = s.nv
+        """,
+    )
+    assert out == {(1, 8, "a")}
+
+    with pytest.raises(Exception, match="cardinality violation"):
+        merge_into(
+            spark,
+            """
+            MERGE INTO tgt t USING src s ON t.k = s.k
+            WHEN MATCHED AND s.nv > 0 THEN UPDATE SET v = s.nv
+            """,
+        ).collect()
+
+
+def test_merge_case_when_in_conditions_and_set(spark):
+    """Review fix: CASE WHEN ... THEN expressions inside clause
+    conditions and SET lists parse (boundaries key on WHEN [NOT]
+    MATCHED), and quoted commas survive the SET splitter."""
+    _views(spark, [(1, 10, "a"), (2, 20, "b")], [(1, 5, "u"), (2, -5, "u")])
+    out = _run(
+        spark,
+        """
+        MERGE INTO tgt t USING src s ON t.k = s.k
+        WHEN MATCHED AND CASE WHEN s.nv > 0 THEN true ELSE false END THEN
+            UPDATE SET v = CASE WHEN s.nv > 3 THEN s.nv ELSE 0 END, tag = 'x,y'
+        """,
+    )
+    assert out == {(1, 5, "x,y"), (2, 20, "b")}
