@@ -754,7 +754,23 @@ def nsw_write_index(embeddings: DataFrame, path: str, **kw) -> None:
     :func:`ivf_write_index` / :func:`lsh_write_index`): the LSH passes and
     the per-node top-M selection happen ONCE here; serving reads only the
     frontier's adjacency rows (min/max row-group pruning on the sorted
-    src column), never recomputing the graph."""
+    src column), never recomputing the graph. A BUCKET SIDECAR
+    (``path + "_buckets"``) stores the per-node LSH rows so
+    :func:`nsw_append_index` can fold deltas in without re-hashing the
+    corpus. Commit order (torn-artifact rule — readers require _SUCCESS
+    in all parts): invalidate any existing primary marker, commit the
+    sidecar, commit the adjacency LAST."""
+    import os
+
+    nt = kw.get("num_tables", NSW_TABLES)
+    np_ = kw.get("num_planes", NSW_PLANES)
+    dim = kw.get("dim", 64)
+    stale_marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(stale_marker):
+        os.remove(stale_marker)
+    _multitable_buckets(embeddings, nt, np_, dim).write.mode(
+        "overwrite"
+    ).parquet(path + "_buckets")
     nsw_build_graph(embeddings, **kw).sortWithinPartitions("src").write.mode(
         "overwrite"
     ).parquet(path)
@@ -1090,3 +1106,111 @@ def probe_centroids_batch(
         .filter(F.col("__rk") <= n_probe)
         .select("qid", "centroid_id")
     )
+
+
+def nsw_append_graph(
+    adjacency: DataFrame,
+    old_buckets: DataFrame,
+    embeddings_all: DataFrame,
+    new_embeddings: DataFrame,
+    num_tables: int = NSW_TABLES,
+    num_planes: int = NSW_PLANES,
+    m: int = NSW_M,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental NSW graph maintenance with an EXACTNESS THEOREM
+    (round 8): append == rebuild, row for row. For an old node u, a
+    rebuild keeps top-M over ALL its candidates; every candidate u's old
+    top-M dropped was dominated by M better old candidates that are all
+    still present, so top-M(old-top-M(u) UNION new-touching-candidates(u))
+    equals top-M(all candidates(u)) — same cosines, same (cos desc, dst)
+    tie-break, identical rows (test-asserted against a from-scratch
+    rebuild, not assumed). Unlike the MIPS index, whose stored hashes
+    embed a corpus norm bound, an NSW edge score depends only on its two
+    endpoint vectors — appends never go stale and need no guard.
+
+    Incrementality: ONLY the delta is hashed (``new_embeddings`` ->
+    bucket rows); candidates come from delta buckets joined against the
+    stored bucket sidecar; only AFFECTED srcs re-rank; every untouched
+    adjacency row passes through verbatim. Cost is O(delta x bucket
+    collisions), independent of corpus size."""
+    from pyspark.sql import Window
+
+    new_buck = _multitable_buckets(new_embeddings, num_tables, num_planes, dim)
+    buck_all = old_buckets.unionByName(new_buck)
+    half = (
+        buck_all.alias("a")
+        .join(
+            new_buck.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    pairs = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    vecs = embeddings_all.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        pairs.join(vecs.withColumnRenamed("vec_id", "src").alias("va"), "src")
+        .join(
+            vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb")),
+            "dst",
+        )
+        .select("src", "dst", cosine(F.col("v"), F.col("vb")).alias("cos"))
+    )
+    affected = pairs.select("src").distinct()
+    merged = (
+        adjacency.join(affected, "src", "left_semi")
+        .unionByName(scored)
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    reranked = (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .select("src", "dst", "cos")
+    )
+    return adjacency.join(affected, "src", "left_anti").unionByName(reranked)
+
+
+def nsw_append_index(
+    new_embeddings: DataFrame,
+    embeddings_all: DataFrame,
+    path: str,
+    **kw,
+) -> None:
+    """At-rest NSW append: read the adjacency + bucket sidecar, fold the
+    delta in via :func:`nsw_append_graph`, and republish. Both outputs
+    are localCheckpoint-ed BEFORE any write (the computation reads the
+    paths it rewrites). Commit order mirrors mips_lsh_write_index's
+    torn-artifact rule (readers require _SUCCESS in all parts): the
+    primary's marker is invalidated FIRST, the bucket sidecar commits
+    (delta rows appended), the rewritten adjacency commits LAST — a
+    crash anywhere in between leaves is_materialized false and forces a
+    clean rebuild, never a silently-stale graph."""
+    import os
+
+    spark = new_embeddings.sparkSession
+    adjacency = spark.read.parquet(path).localCheckpoint()
+    old_buckets = spark.read.parquet(path + "_buckets")
+    nt = kw.get("num_tables", NSW_TABLES)
+    np_ = kw.get("num_planes", NSW_PLANES)
+    dim = kw.get("dim", 64)
+    new_buck = _multitable_buckets(
+        new_embeddings, nt, np_, dim
+    ).localCheckpoint()
+    appended = nsw_append_graph(
+        adjacency, old_buckets, embeddings_all, new_embeddings, **kw
+    ).localCheckpoint()
+    stale_marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(stale_marker):
+        os.remove(stale_marker)
+    new_buck.write.mode("append").parquet(path + "_buckets")
+    appended.sortWithinPartitions("src").write.mode("overwrite").parquet(path)

@@ -1997,8 +1997,10 @@ def nsw_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = warehouse_path(sf_dir, "nsw_graph_t4_m16", "embeddings")
-    if not is_materialized(path):
+    # layer name versioned (_b2): the index gained a bucket sidecar for
+    # incremental appends, so pre-sidecar artifacts must not be served
+    path = warehouse_path(sf_dir, "nsw_graph_t4_m16_b2", "embeddings")
+    if not is_materialized(path, parts=(path + "_buckets",)):
         nsw_write_index(emb, path)
     adj = spark.read.parquet(path)
     return nsw_topk(emb, adj, query_vec_id=0, k=20)
@@ -2085,8 +2087,10 @@ def nsw_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = warehouse_path(sf_dir, "nsw_graph_t4_m16", "embeddings")
-    if not is_materialized(path):
+    # layer name versioned (_b2): the index gained a bucket sidecar for
+    # incremental appends, so pre-sidecar artifacts must not be served
+    path = warehouse_path(sf_dir, "nsw_graph_t4_m16_b2", "embeddings")
+    if not is_materialized(path, parts=(path + "_buckets",)):
         nsw_write_index(emb, path)
     adj = spark.read.parquet(path)
     return nsw_topk_batch(emb, adj, query_ids=list(range(10)), k=5)

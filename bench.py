@@ -213,9 +213,12 @@ ROUND8 = [
     "nsw_knn_join_vec10",
     "knn_join_lsh_vec10",
     "mips_knn_join_vec10",
+    "ivfpq_knn_join_vec10",
     "multimodal_decode_png",
+    "multimodal_png_phash",
     "semdedup_cluster_prune_k32",
     "merge_into_cdc_snapshot",
+    "merge_full_sync_snapshot",
 ]
 
 CURATION = [

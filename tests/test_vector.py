@@ -509,3 +509,79 @@ def test_ivfpq_knn_join_dpp_and_qid0_matches_single(spark, sf_dir):
     ]
     single = QS["ivfpq_topk_indexed_vec0"](spark, sf_dir).collect()
     assert got0 == [(r.vec_id, r.adc_dist) for r in single[:5]]
+
+
+def test_nsw_append_equals_rebuild_and_serves_identically(spark):
+    """Round-8 NSW maintenance theorem, asserted not assumed: folding a
+    delta into the graph via nsw_append_graph produces EXACTLY the
+    adjacency a from-scratch rebuild over the union produces (same
+    edges, same cosines, same tie-breaks — the dropped-candidate
+    domination argument in the docstring), and serving from the appended
+    graph returns identical top-k."""
+    from pyspark.sql import functions as SF
+
+    from apache_beam_challange_spark.operators.similarity import (
+        _multitable_buckets,
+        nsw_append_graph,
+        nsw_build_graph,
+        nsw_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter(SF.col("vec_id") < 1500)
+    delta = emb.filter(SF.col("vec_id") >= 1500)
+    adj_base = nsw_build_graph(base).localCheckpoint()
+    buckets_base = _multitable_buckets(base, 4, 4, 64)
+    appended = nsw_append_graph(adj_base, buckets_base, emb, delta)
+    rebuilt = nsw_build_graph(emb)
+
+    def canon(df):
+        return sorted(
+            (r.src, r.dst, round(r.cos, 9)) for r in df.collect()
+        )
+
+    assert canon(appended) == canon(rebuilt)
+    got_a = [tuple(r) for r in nsw_topk(emb, appended.localCheckpoint(), 0, k=20).collect()]
+    got_r = [tuple(r) for r in nsw_topk(emb, rebuilt.localCheckpoint(), 0, k=20).collect()]
+    assert got_a == got_r
+
+
+def test_nsw_append_index_commit_discipline(spark, tmp_path):
+    """At-rest NSW append: the published artifact serves identically to a
+    rebuild, and a crash injected before the final adjacency commit
+    leaves the index NOT materialized (torn-artifact rule) — never a
+    silently-stale graph."""
+    from unittest import mock
+
+    import pytest
+    from pyspark.sql import functions as SF
+
+    import apache_beam_challange_spark.operators.similarity as sim
+    from apache_beam_challange_spark.sources.catalog import is_materialized
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(SF.col("vec_id") < 150)
+    delta = emb.filter(SF.col("vec_id") >= 150)
+    path = str(tmp_path / "nsw_idx")
+    sim.nsw_write_index(base, path)
+    assert is_materialized(path, parts=(path + "_buckets",))
+    sim.nsw_append_index(delta, emb, path)
+    assert is_materialized(path, parts=(path + "_buckets",))
+    served = spark.read.parquet(path)
+    rebuilt = sim.nsw_build_graph(emb)
+    assert sorted(
+        (r.src, r.dst, round(r.cos, 9)) for r in served.collect()
+    ) == sorted((r.src, r.dst, round(r.cos, 9)) for r in rebuilt.collect())
+
+    # crash window: kill the append between sidecar and adjacency commit
+    path2 = str(tmp_path / "nsw_idx2")
+    sim.nsw_write_index(base, path2)
+    cp = type(emb)  # the concrete Spark 4 DataFrame class
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash before adjacency commit")
+
+    with mock.patch.object(cp, "sortWithinPartitions", autospec=True, side_effect=boom):
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sim.nsw_append_index(delta, emb, path2)
+    assert not is_materialized(path2, parts=(path2 + "_buckets",))
