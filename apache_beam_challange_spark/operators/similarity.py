@@ -1214,3 +1214,43 @@ def nsw_append_index(
         os.remove(stale_marker)
     new_buck.write.mode("append").parquet(path + "_buckets")
     appended.sortWithinPartitions("src").write.mode("overwrite").parquet(path)
+
+
+def ann_lsh_multitable_topk_filtered(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    predicate,
+    k: int = 20,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """FILTERED vector search (round 8) — the production ANN query shape
+    'top-k neighbors WHERE <metadata predicate>', with the predicate
+    pushed into the CANDIDATE stage (pre-filter), not applied to a fixed
+    shortlist afterwards: post-filtering a top-k loses recall whenever
+    the predicate is selective (a k-list with f qualifying rows serves
+    only f results), while the pre-filter ranks only qualifying vectors
+    and always surfaces k survivors when they exist — the gap is
+    test-measured in tests/test_vector.py. ``predicate`` is any Column
+    over the vector table's metadata (vec_id, label); at rest the same
+    shape applies the predicate between the bucket probe and the rerank,
+    where it also prunes the point-lookup join."""
+    flat = _multitable_buckets(embeddings, num_tables, num_planes, dim)
+    qvec = _query_vec(embeddings, query_vec_id)
+    cand_ids = _bucket_candidate_ids(flat, query_vec_id)
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    return (
+        vecs.join(cand_ids, "vec_id")
+        .filter(predicate)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1831,6 +1831,48 @@ def ann_lsh_multitable_topk_indexed_vec0(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+@query(
+    "ann_lsh_filtered_topk_vec0",
+    oracle=f"""
+WITH {_ANN_MULTI_BUCK_CTE},
+qb AS (SELECT table_idx, bucket FROM buck WHERE vec_id = 0),
+qlab AS (SELECT label FROM vecs WHERE vec_id = 0),
+cand AS (
+    SELECT DISTINCT b.vec_id
+    FROM buck b JOIN qb ON b.table_idx = qb.table_idx AND b.bucket = qb.bucket
+    WHERE b.vec_id <> 0
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
+SELECT v.vec_id, v.label,
+       ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cosine_sim
+FROM vecs v
+JOIN cand ON v.vec_id = cand.vec_id
+CROSS JOIN q CROSS JOIN qlab
+WHERE v.label <> qlab.label
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 20
+""".strip(),
+)
+def ann_lsh_filtered_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (round 8): top-20 cosine neighbors of
+    vector 0 among vectors of a DIFFERENT label — the 'ANN WHERE
+    metadata predicate' shape every production vector store serves. The
+    predicate is PRE-FILTERED into the candidate stage (ranked only over
+    qualifying vectors), not applied to a fixed shortlist afterwards;
+    tests/test_vector.py measures the recall gap post-filtering leaves
+    on this exact query. The query's label is a documented 1-row scalar
+    lookup (the watermark-scalar discipline)."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk_filtered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlab = emb.filter(F.col("vec_id") == 0).select("label").head()[0]
+    return ann_lsh_multitable_topk_filtered(
+        emb, query_vec_id=0, predicate=F.col("label") != qlab, k=20
+    )
+
+
 _ANN_LSH_BATCH_ORACLE = f"""
 WITH {_ANN_MULTI_BUCK_CTE},
 qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),

@@ -585,3 +585,43 @@ def test_nsw_append_index_commit_discipline(spark, tmp_path):
         with pytest.raises(RuntimeError, match="injected crash"):
             sim.nsw_append_index(delta, emb, path2)
     assert not is_materialized(path2, parts=(path2 + "_buckets",))
+
+
+def test_filtered_ann_prefilter_beats_postfilter(spark):
+    """Round-8 filtered-ANN pin: (a) every returned row satisfies the
+    predicate; (b) the pre-filtered top-k returns MORE qualifying
+    results than post-filtering the unfiltered top-k (the recall the
+    pre-filter shape exists to recover) — and each one it returns ranks
+    within the qualifying ground truth."""
+    from pyspark.sql import functions as SF
+
+    from apache_beam_challange_spark.operators.similarity import (
+        ann_lsh_multitable_topk,
+        ann_lsh_multitable_topk_filtered,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qlab = emb.filter(SF.col("vec_id") == 0).select("label").head()[0]
+    pred = SF.col("label") != qlab
+    pre = ann_lsh_multitable_topk_filtered(emb, 0, pred, k=20).collect()
+    assert len(pre) == 20
+    assert all(r.label != qlab for r in pre)
+
+    post = [
+        r
+        for r in ann_lsh_multitable_topk(emb, 0, k=20).collect()
+        if r.label != qlab
+    ]
+    assert len(post) < len(pre), (len(post), len(pre))
+
+    # qualifying ground truth: exact cosine over the filtered corpus
+    # (the query row itself must survive the filter for _query_vec)
+    truth = {
+        r.vec_id
+        for r in cosine_topk(
+            emb.filter(pred | (SF.col("vec_id") == 0)), 0, k=20
+        ).collect()
+    }
+    recall = len({r.vec_id for r in pre} & truth) / 20
+    assert recall >= 0.80, recall
