@@ -73,11 +73,12 @@ ORACLES: dict[str, str] = {}
 #: two-route equality members in tests/test_sql_facade.py, plus the
 #: roster-simple weekly_revenue_wow) — the once-green entries kept in
 #: the tier are the ones whose only cross-engine check is the DuckDB
-#: oracle. A SECOND wave rotates in the TEN queries round 8 itself
+#: oracle. A SECOND wave rotates in the ELEVEN queries round 8 itself
 #: builds (batched NSW/LSH/MIPS/IVFPQ serving, the PNG codec pair, the
-#: SemDeDup-k32 watch, both MERGE INTO queries, and filtered ANN),
-#: displacing ten heavily-pytest-covered once-green members, so after
-#: this round's gate the never-driver-checked set is EMPTY.
+#: SemDeDup-k32 watch, the three MERGE routes incl. the streaming
+#: foreachBatch fold, and filtered ANN), displacing eleven
+#: heavily-pytest-covered once-green members, so after this round's
+#: gate the never-driver-checked set is EMPTY.
 DRIVER_ORDER: list[str] = [
     # reference-canonical core
     "q1_sql_top_pairs",
@@ -110,9 +111,10 @@ DRIVER_ORDER: list[str] = [
     # round-8 NEW queries (built this round, never driver-checked):
     # batched ANN/MIPS/IVFPQ serving (VERDICT r7 #2-#3), the PNG codec
     # pair (#6), the SemDeDup k=32 recount-oracle watch (#7), and the
-    # MERGE INTO surface incl. the SQL:2023 BY SOURCE full-sync (#8),
-    # plus filtered vector search — rotated straight in so the
-    # never-driver-checked set is EMPTY after this round's gate
+    # MERGE INTO surface incl. the SQL:2023 BY SOURCE full-sync and the
+    # streaming foreachBatch CDC fold (#8), plus filtered vector search
+    # — rotated straight in so the never-driver-checked set is EMPTY
+    # after this round's gate
     "nsw_knn_join_vec10",
     "knn_join_lsh_vec10",
     "mips_knn_join_vec10",
@@ -123,9 +125,10 @@ DRIVER_ORDER: list[str] = [
     "merge_into_cdc_snapshot",
     "merge_full_sync_snapshot",
     "ann_lsh_filtered_topk_vec0",
+    "streaming_cdc_merge_snapshot",
     # once-green round-7 entries retained for a second verdict (their
     # only cross-engine check is the DuckDB oracle — the facade-portable
-    # members rotated out instead; ten of the heaviest-pytest-covered
+    # members rotated out instead; eleven of the heaviest-pytest-covered
     # members yielded their slots to the round-8 newcomers above)
     "bpe_train_merges",
     "stream_stream_left_outer_join",
@@ -136,7 +139,6 @@ DRIVER_ORDER: list[str] = [
     "dsir_importance_weights",
     "duplicate_span_islands",
     "adamic_adar_link_prediction",
-    "containment_dup_pairs",
     "matryoshka_topk_vec0",
     "station_dbscan_clusters",
     "cluster_canonical_docs",

@@ -10,8 +10,10 @@ folds all data through the state store exactly once).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
 from apache_beam_challange_spark.streaming.stateful import running_user_counts
 from apache_beam_challange_spark.streaming.windows import (
     events_stream,
@@ -491,4 +493,136 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, f"{sf_dir}/events.parquet")
     return run_to_memory(
         click_purchase_interval_join(ev, how="leftSemi"), "append"
+    )
+
+
+#: ts-guarded upsert: updates apply only when the delta row is NEWER
+#: (ts, event_id tie-break) than the held state, making the fold
+#: ORDER-INDEPENDENT — any partition of the changelog into micro-batches
+#: converges to argmax-(ts,event_id) per user (batch-split invariance is
+#: test-pinned). Tombstones are held IN state (flagged by event_type) and
+#: dropped at serve time, so a late pre-tombstone event can never
+#: resurrect a deleted key.
+_STREAM_CDC_MERGE_SQL = """
+MERGE INTO __stream_cdc_state t
+USING __stream_cdc_delta s
+ON t.user_id = s.user_id
+WHEN MATCHED AND (s.last_ts > t.last_ts OR (s.last_ts = t.last_ts
+    AND s.last_event_id > t.last_event_id)) THEN UPDATE SET
+    last_ts = s.last_ts, last_event_id = s.last_event_id,
+    last_event_type = s.last_event_type, last_value = s.last_value
+WHEN NOT MATCHED THEN INSERT (user_id, last_ts, last_event_id,
+    last_event_type, last_value) VALUES (s.user_id, s.last_ts,
+    s.last_event_id, s.last_event_type, s.last_value)
+""".strip()
+
+
+@query(
+    "streaming_cdc_merge_snapshot",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""".strip(),
+)
+def streaming_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the lakehouse `foreachBatch` + MERGE pattern
+    (round 8, bridging the streaming surface and the MERGE compiler):
+    the event changelog streams in micro-batches (file stream,
+    maxFilesPerTrigger=1), each batch reduces to its per-user latest
+    change (tombstones INCLUDED) and folds into the held snapshot
+    through the declarative ts-guarded MERGE in
+    ``_STREAM_CDC_MERGE_SQL``; serve time filters tombstoned keys. The
+    guard makes the fold order-independent, so the final state equals
+    the batch full-history fold EXACTLY — which is this oracle, the same
+    text as ``merge_into_cdc_snapshot``'s: one semantics, three routes
+    (batch window, batch MERGE, streaming MERGE). State is re-published
+    per batch as a localCheckpoint-ed view — the memory-sink analogue of
+    a Delta/Iceberg MERGE target; a production swap changes the sink,
+    not the statement."""
+    return _stream_cdc_merge(spark, sf_dir, n_files=4)
+
+
+def _stream_cdc_merge(spark: SparkSession, sf_dir: str, n_files: int) -> DataFrame:
+    """The parameterized core: ``n_files`` controls the micro-batch split
+    (maxFilesPerTrigger=1 makes each file one batch). The ts-guarded
+    merge makes the result invariant to the split — test-pinned by
+    running 2-file and 7-file folds to identical rows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from apache_beam_challange_spark.operators.merge_into import merge_into
+    from apache_beam_challange_spark.sources.publish import (
+        publish,
+        read_published,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state_schema = (
+        "user_id bigint, last_ts timestamp_ntz, last_event_id bigint, "
+        "last_event_type string, last_value double"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        state_base = os.path.join(tmp, "state")
+        ev.repartition(n_files).write.parquet(src)
+
+        def apply_batch(batch_df, batch_id: int) -> None:
+            # foreachBatch runs in a CLONED session whose temp-view
+            # catalog is not the outer one — every view and the merge
+            # itself run on the BATCH session, and the state lives AT
+            # REST behind the versioned publish pointer (read v_N, merge,
+            # publish v_N+1) — exactly the table-format MERGE-target
+            # pattern, with no driver-side data traffic.
+            bs = batch_df.sparkSession
+            (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    "user_id",
+                    F.col("ts").alias("last_ts"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.col("value").alias("last_value"),
+                )
+                .createOrReplaceTempView("__stream_cdc_delta")
+            )
+            state = read_published(bs, state_base)
+            if state is None:
+                state = bs.createDataFrame([], state_schema)
+            state.createOrReplaceTempView("__stream_cdc_state")
+            publish(merge_into(bs, _STREAM_CDC_MERGE_SQL), state_base)
+
+        stream = events_stream(spark, src, max_files_per_trigger=1)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # materialize before the tmp state dir vanishes with the context
+        final = read_published(spark, state_base).localCheckpoint()
+    return (
+        final.filter(F.col("last_event_type") != "error")
+        .select("user_id", "last_ts", "last_event_type", "last_value")
     )

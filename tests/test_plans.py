@@ -605,3 +605,22 @@ def test_mips_indexed_prunes_and_reranks(plans):
     assert "dynamicpruning" in p.lower()
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_merge_compiles_to_joins_not_cartesian(plans):
+    """The MERGE compiler's plan must be the copy-on-write join shape:
+    an equi-join on the ON keys (hash/sort-merge), one window for the
+    cardinality guard, and no cartesian product anywhere."""
+    for name in ("merge_into_cdc_snapshot", "merge_full_sync_snapshot"):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), name
+
+
+def test_filtered_ann_is_band_join_plus_takeordered(plans):
+    """Filtered vector search keeps the multitable band-join shape — the
+    predicate rides the candidate stage, the rerank is a partial-top-k
+    merge, and nothing degenerates to an all-pairs scan."""
+    p = plans("ann_lsh_filtered_topk_vec0")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -1198,3 +1198,23 @@ def test_left_semi_interval_join_is_distinct_matched_clicks(spark, sf_dir):
     inner_clicks = {(r.user_id, r.click_id) for r in inner}
     assert set(semi_keys) == inner_clicks
     assert len(semi_keys) == len(set(semi_keys))
+
+
+def test_streaming_cdc_merge_batch_split_invariance(spark, sf_dir):
+    """Round-8 streaming CDC apply: the ts-guarded MERGE fold must
+    converge to the SAME snapshot no matter how the changelog splits
+    into micro-batches (2 files vs 7 files, each file one batch) — the
+    order-independence that makes foreachBatch-MERGE safe under
+    repartitioned/late-arriving feeds. Both must also equal the batch
+    route's answer."""
+    import __spark_entry__ as em
+    from apache_beam_challange_spark.plans.stream import _stream_cdc_merge
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    two = canon(_stream_cdc_merge(spark, sf_dir, n_files=2))
+    seven = canon(_stream_cdc_merge(spark, sf_dir, n_files=7))
+    assert two == seven
+    batch = canon(em.all_queries()["cdc_snapshot_with_deletes"](spark, sf_dir))
+    assert two == batch
