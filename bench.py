@@ -219,6 +219,10 @@ ROUND8 = [
     "semdedup_cluster_prune_k32",
     "merge_into_cdc_snapshot",
     "merge_full_sync_snapshot",
+    "ann_lsh_filtered_topk_vec0",
+    # foreachBatch + MERGE against the versioned at-rest target; the
+    # wall includes the per-repeat stream write + 4 micro-batches
+    "streaming_cdc_merge_snapshot",
 ]
 
 CURATION = [
