@@ -179,6 +179,7 @@ def load_all() -> None:
         "audit",
         "quantization",
         "mips",
+        "tpch",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 
