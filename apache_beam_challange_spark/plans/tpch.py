@@ -421,3 +421,472 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --- Q2: minimum-cost supplier (correlated min over a derived partsupp) ------
+
+_Q2_SQL = """
+WITH psc AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(CAST(FLOOR(l_extendedprice / l_quantity * 10000) AS BIGINT)) AS cost_u
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+    SELECT psc.l_partkey, psc.l_suppkey, psc.cost_u
+    FROM psc
+    JOIN supplier s ON s.s_suppkey = psc.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT ROUND(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_name,
+       CAST(e.cost_u AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS unit_cost
+FROM eligible e
+JOIN part p ON p.p_partkey = e.l_partkey
+JOIN supplier s ON s.s_suppkey = e.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+  AND e.cost_u = (
+      SELECT MIN(e2.cost_u) FROM eligible e2 WHERE e2.l_partkey = e.l_partkey
+  )
+ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""".strip()
+
+
+@query("tpch_q2_min_cost_supplier", oracle=_Q2_SQL)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (Minimum Cost Supplier): for every size-15 STANDARD
+    part, the EUROPE suppliers offering it at the lowest unit cost.
+    The generated schema has no ``partsupp``, so the part-supplier
+    relation and its ``ps_supplycost`` are DERIVED from the fact: cost
+    is the minimum observed unit price (``l_extendedprice /
+    l_quantity``, fixed to exact 1e-4 units via FLOOR so the
+    per-part MIN and the equality against it compare int64, never
+    doubles). The correlated-min shape survives intact: Spark computes
+    the per-part minimum once (window over the region-eligible cost
+    table) and filters equality — no per-row re-execution; the
+    supplier/nation/region side is broadcast; the only fact-sized
+    shuffle is the (partkey, suppkey) cost aggregate. Scale: the cost
+    table is |distinct part-supp| sized, grouped on its natural key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost_u = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000).cast("long")
+    psc = li.groupBy("l_partkey", "l_suppkey").agg(F.min(cost_u).alias("cost_u"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = psc.join(
+        F.broadcast(eur_supp), psc.l_suppkey == eur_supp.s_suppkey
+    )
+    w = Window.partitionBy("l_partkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eligible.withColumn("min_cost", F.min("cost_u").over(w))
+        .filter(F.col("cost_u") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_u").cast("double") / F.lit(10000.0)).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q8: national market share (conditional ratio per year) ------------------
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           SUM(CASE WHEN n2.n_name = 'NATION_3'
+                    THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS nation_cents,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS total_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+) shares
+ORDER BY o_year
+""".strip()
+
+
+@query("tpch_q8_market_share", oracle=_Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (National Market Share): NATION_3 suppliers' share of
+    STANDARD-part revenue sold to ASIA customers, per order year
+    (1998-1999). Eight-table star: part, supplier, both nation dims and
+    region all broadcast; orders carries the pushed two-year range;
+    the share is numerator/denominator accumulated in ONE conditional
+    aggregate over exact decimal-cents int64 and divided once — the
+    same single-pass-ratio discipline as Q14, so no second scan and a
+    bit-identical double on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1998-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("2000-01-01 00:00:00"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("nation_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- Q9: product-type profit by nation and year ------------------------------
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SUM(amount_u) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                       - p.p_retailprice * l.l_quantity * CAST(0.1 AS DOUBLE))
+                      * 10000 + 0.5) AS BIGINT) AS amount_u
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""".strip()
+
+
+@query("tpch_q9_product_profit", oracle=_Q9_SQL)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (Product Type Profit Measure): profit on ``gear`` parts
+    by supplier nation and order year. The original's
+    ``ps_supplycost * l_quantity`` cost term has no ``partsupp`` to
+    come from, so unit cost is proxied at 10%% of the part's retail
+    price — the per-row expression stays pure IEEE double arithmetic
+    written in the identical op order on both engines, fixed to exact
+    1e-4 units per row (amounts can be negative; FLOOR(x+0.5)
+    round-half-up is engine-identical there too) and summed as int64.
+    Plan: part (LIKE-filtered, 2000 rows) and nation broadcast;
+    supplier/orders join keys carry the fact shuffles; ~150-group
+    aggregate map-side combines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount_u = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.sum(amount_u).alias("amount_u_sum"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("amount_u_sum").cast("double") / F.lit(10000.0)).alias(
+                "sum_profit"
+            ),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --- Q11: important parts (group aggregate vs global-scalar threshold) -------
+
+_Q11_SQL = """
+WITH nation_value AS (
+    SELECT l.l_partkey,
+           SUM(CAST(FLOOR(l.l_extendedprice * 10000 + 0.5) AS BIGINT)) AS value_u
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey,
+       CAST(value_u AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS part_value
+FROM nation_value
+WHERE value_u * 1000 > (SELECT SUM(value_u) FROM nation_value)
+ORDER BY value_u DESC, l_partkey
+""".strip()
+
+
+@query("tpch_q11_important_parts", oracle=_Q11_SQL)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (Important Stock Identification): parts whose
+    NATION_7-supplied value exceeds 0.1%% of that nation's total
+    (``ps_supplycost * ps_availqty`` becomes the summed observed
+    line value, exact decimal-cents). The signature shape is the
+    group-aggregate-vs-global-scalar HAVING: Spark computes the
+    per-part aggregate once, derives the single-row total FROM THE
+    SAME aggregate (no second fact scan), broadcasts it as a scalar
+    cross join, and compares in integer space (``value_u * 1000 >
+    total_u`` — no double threshold seam). One fact shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nation_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    value_u = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long")
+    per_part = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value_u).alias("value_u"))
+    )
+    total = per_part.agg(F.sum("value_u").alias("total_u"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_u") * 1000 > F.col("total_u"))
+        .select(
+            "l_partkey",
+            (F.col("value_u").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# --- Q15: top supplier (aggregate equal to its own max) ----------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l.l_suppkey AS supplier_no,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS total_u
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_u AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_u = (SELECT MAX(total_u) FROM revenue)
+ORDER BY s.s_suppkey
+""".strip()
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (Top Supplier): the supplier(s) with the maximum
+    1999Q1 revenue — the original's REVENUE VIEW + scalar-max
+    subquery. The revenue view materializes once as a per-supplier
+    exact-cents aggregate (quarter filter pushed to the scan); the
+    max is derived from that same aggregate as a single-row broadcast
+    and the tie-safe equality compares int64 cents, not doubles.
+    Supplier dim joins after the filter, so the join input is at most
+    the max-achieving rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1999-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1999-04-01 00:00:00"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents).alias("total_u")
+    )
+    mx = revenue.agg(F.max("total_u").alias("max_u"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_u") == F.col("max_u"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_u").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q16: supplier counts by part attributes (NOT IN + count distinct) -------
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""".strip()
+
+
+@query("tpch_q16_supplier_part_counts", oracle=_Q16_SQL)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (Parts/Supplier Relationship): distinct supplier
+    counts per (brand, type, size) for an 8-size basket, excluding one
+    brand, one type, and complained-about suppliers (the ``s_comment
+    LIKE`` exclusion becomes the name-suffix filter, still expressed
+    as the NOT IN shape). ``partsupp`` is the DISTINCT
+    (l_partkey, l_suppkey) projection of the fact — Spark prunes the
+    scan to the two key columns before the distinct. The NOT IN is an
+    anti-join against a <=100-row broadcast (null-free key, so
+    LeftAnti is exact); part attributes broadcast onto the pair
+    relation; COUNT(DISTINCT) expands partial per-group sets
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- Q20: excess-share suppliers (nested aggregates + double semi-join) ------
+
+_Q20_SQL = """
+WITH shipped AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS supp_qty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+needed AS (
+    SELECT l_partkey,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS year_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_4'
+  AND s.s_suppkey IN (
+      SELECT sh.l_suppkey
+      FROM shipped sh
+      JOIN needed nd ON nd.l_partkey = sh.l_partkey
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND sh.supp_qty * 5 > nd.year_qty
+  )
+ORDER BY s.s_suppkey
+""".strip()
+
+
+@query("tpch_q20_excess_share_suppliers", oracle=_Q20_SQL)
+def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (Potential Part Promotion): NATION_4 suppliers who,
+    for some ``small``-named part, shipped more than 20%% of that
+    part's total 1999 volume. The original's
+    ``ps_availqty > 0.5 * sum(qty shipped)`` nests an aggregate inside
+    a semi-join inside a semi-join; here ``availqty`` is the derived
+    all-time (part, supplier) shipped quantity, and the shape is kept:
+    two fact aggregates (the part-supp totals and the per-part 1999
+    totals, each one shuffle on its natural key), an integer-space
+    excess-share comparison (``supp_qty * 5 > year_qty`` — quantities
+    are integral), the part-name filter broadcast in, and a final LEFT
+    SEMI into the nation-filtered supplier dim. No correlated
+    re-execution anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("supp_qty"))
+    needed = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1999-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("2000-01-01 00:00:00"))
+        )
+        .groupBy(F.col("l_partkey").alias("nd_partkey"))
+        .agg(F.sum(qty).alias("year_qty"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    excess = (
+        shipped.join(needed, shipped.l_partkey == F.col("nd_partkey"))
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("supp_qty") * 5 > F.col("year_qty"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
