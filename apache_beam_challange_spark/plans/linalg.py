@@ -1,0 +1,155 @@
+"""Distributed linear algebra over the embedding corpus — the PCA family
+(SURVEY.md §2.9 "beyond the reference": the preprocessing step every
+embedding-quantization / whitening pipeline runs before OPQ-style
+rotations; the reference has no analog).
+
+Architecture is the published distributed-PCA shape (same as Spark MLlib's
+``RowMatrix.computePrincipalComponents`` and the classic tall-skinny
+Gram trick): the DATA-SIZED work is one pass building the dim x dim Gram
+matrix ``G = sum x xT`` (a 4096-group map-side-combined aggregate — the
+shuffle is O(dim^2 * partitions), corpus-independent); everything after is
+O(dim^2) on a parameter-bounded 4096-row matrix, so the driver-side read
+is bounded by the SCHEMA (dim=64), never the data. The power iteration
+itself runs in exact fixed-point arithmetic so the DuckDB oracle replays
+it bit-identically:
+
+- Gram entries: per-row ``FLOOR(x_i * x_j * 1e9 + 0.5)`` (identical IEEE
+  double ops in both engines) summed as int64; per-n average via
+  ``FLOOR(CAST(gsum AS DOUBLE) / n)`` — gsum <= n * 1e9 stays under 2^53
+  up to ~9M vectors, documented bound.
+- Iterate ``s = G_avg v`` in pure int64 (|s_i| <= 1e9 * 1e6 * 64 ~ 6.4e16,
+  no overflow), L1-normalize via ``FLOOR(CAST(s AS DOUBLE) * 1e6 /
+  CAST(norm1 AS DOUBLE))`` — int64->double conversion and each single
+  multiply/divide are IEEE-identical across engines (values above 2^53
+  round, but round identically). L1 normalization (not L2) keeps the
+  whole trajectory in integer space — power iteration converges under any
+  norm, and it avoids the engine-ordered double sum an L2 norm would need.
+- Sign is pinned by the deterministic all-positive start vector
+  (v0 = 15625 = FLOOR(1e6 / 64) in every coordinate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.functions.vector import as_double
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+_DIM = 64
+_SG = 1_000_000_000  # Gram fixed-point scale (1e-9 resolution per product)
+_SV = 1_000_000      # eigenvector fixed-point scale (L1 mass = ~1e6)
+_V0 = _SV // _DIM    # 15625 — deterministic all-positive start
+_ITER = 8
+
+
+def _pca_oracle_sql(dim: int = _DIM, n_iter: int = _ITER) -> str:
+    """Unrolled power-iteration CTE chain (AS MATERIALIZED per the
+    engine's DuckDB discipline — lazy re-expansion of an iteration chain
+    is exponential)."""
+    steps = []
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        steps.append(
+            f"s{t} AS MATERIALIZED (\n"
+            f"    SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS s\n"
+            f"    FROM gavg g JOIN {prev} v ON v.i = g.j GROUP BY g.i\n"
+            f"),\n"
+            f"n{t} AS MATERIALIZED (SELECT CAST(SUM(ABS(s)) AS BIGINT) AS norm1 FROM s{t}),\n"
+            f"v{t} AS MATERIALIZED (\n"
+            f"    SELECT i, CAST(FLOOR(CAST(s AS DOUBLE) * 1000000.0\n"
+            f"                / CAST((SELECT norm1 FROM n{t}) AS DOUBLE)) AS BIGINT) AS v\n"
+            f"    FROM s{t}\n"
+            f")"
+        )
+        prev = f"v{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH comp AS MATERIALIZED (
+    SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+pos AS (SELECT unnest(generate_series(1, {dim})) AS p),
+gram AS MATERIALIZED (
+    SELECT i.p AS i, j.p AS j,
+           CAST(SUM(CAST(FLOOR(c.x[i.p] * c.x[j.p] * {_SG} + 0.5) AS BIGINT)) AS BIGINT) AS gsum
+    FROM comp c, pos i, pos j
+    GROUP BY i.p, j.p
+),
+gavg AS MATERIALIZED (
+    SELECT i, j,
+           CAST(FLOOR(CAST(gsum AS DOUBLE) / (SELECT n FROM cnt)) AS BIGINT) AS g
+    FROM gram
+),
+v0 AS (SELECT p AS i, CAST({_V0} AS BIGINT) AS v FROM pos),
+{chain}
+SELECT CAST(v.i AS BIGINT) AS dim,
+       CAST(v.v AS DOUBLE) / 1000000.0 AS loading,
+       CAST((SELECT norm1 FROM n{n_iter}) AS DOUBLE) / 1000000.0 / {_SG}.0 AS eigval_est
+FROM v{n_iter} v
+ORDER BY dim
+""".strip()
+
+
+@query("pca_power_iteration_top_component", oracle=_pca_oracle_sql())
+def pca_power_iteration_top_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal direction of the embedding corpus (un-centered PCA,
+    i.e. the dominant eigenvector of ``(1/n) X^T X`` — the spectral
+    summary whitening/OPQ pipelines start from). One distributed pass
+    builds the upper-triangle Gram in exact 1e-9 fixed point (the
+    symmetric half is mirrored — IEEE multiplication is commutative, so
+    the mirrored entries are bit-equal to computing the full square);
+    the 4096-entry matrix is a parameter-bounded driver read (dim^2,
+    corpus-independent — the documented MLlib ``RowMatrix`` architecture),
+    and 8 L1-normalized power-iteration rounds run in exact int64
+    fixed point, replayed identically by the oracle's unrolled CTE
+    chain. Returns (dim, loading, eigval_est) — 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("x")
+    )
+    n = emb.count()
+    comp = emb.select(F.posexplode("x").alias("i0", "xi"), "x")
+    tri = comp.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode("x").alias("j0", "xj"),
+        "xi",
+    ).filter(F.col("j0") + 1 >= F.col("i"))
+    half = (
+        tri.select(
+            "i",
+            (F.col("j0") + 1).alias("j"),
+            F.floor(F.col("xi") * F.col("xj") * _SG + F.lit(0.5))
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("term").alias("gsum"))
+    )
+    # dim^2/2 rows — bounded by the schema (64-dim), not the corpus.
+    rows = half.collect()
+    g = [[0] * (_DIM + 1) for _ in range(_DIM + 1)]
+    for r in rows:
+        gavg = math.floor(float(r["gsum"]) / n)
+        g[r["i"]][r["j"]] = gavg
+        g[r["j"]][r["i"]] = gavg
+    v = [_V0] * (_DIM + 1)
+    norm1 = 0
+    for _ in range(_ITER):
+        s = [
+            sum(g[i][j] * v[j] for j in range(1, _DIM + 1))
+            for i in range(_DIM + 1)
+        ]
+        norm1 = sum(abs(x) for x in s[1:])
+        v = [
+            math.floor(float(x) * 1000000.0 / float(norm1)) for x in s
+        ]
+    eig = float(norm1) / 1000000.0 / float(_SG)
+    out = [(i, float(v[i]) / 1000000.0, eig) for i in range(1, _DIM + 1)]
+    return spark.createDataFrame(
+        out, schema="dim long, loading double, eigval_est double"
+    ).orderBy("dim")

@@ -180,6 +180,7 @@ def load_all() -> None:
         "quantization",
         "mips",
         "tpch",
+        "linalg",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 
