@@ -1148,3 +1148,154 @@ def mergeable_topk_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy(
         F.col("est_hi").desc(), F.col("est_lo").desc(), "user_id"
     ).limit(10)
+
+
+# --- batch interval join via time-bucket binning -----------------------------
+
+_BIJ_SQL = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       MIN(p.ts) AS first_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.event_id, c.user_id, c.ts
+ORDER BY c.event_id
+""".strip()
+
+
+@query("batch_interval_join_binned", oracle=_BIJ_SQL)
+def batch_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval (range) join — purchases within one hour after each
+    click — executed as an EQUI-join via time-bucket binning, the scale
+    pattern for theta joins Spark would otherwise plan as a per-key
+    nested loop. Each click explodes to its TWO covering hour buckets
+    (an interval of length <= bucket width spans at most two); each
+    purchase has exactly ONE bucket, so no pair can match twice and no
+    post-join dedup is needed. The join key is (user_id, bucket) — a
+    plain shuffled hash join whose candidate set is bounded by per-user
+    per-hour activity, never the whole user history — and the exact
+    ``(c_ts, c_ts + 1h]`` predicate filters residually. The oracle
+    states the same semantics as the plain inequality join (the bucket
+    decomposition is engine-internal, so nothing about it needs to be
+    cross-engine portable). Batch twin of
+    ``stream_stream_interval_join`` (plans/stream.py) — same window
+    semantics, at-rest execution."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    bucket = F.floor(sec / 3600).cast("long")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.explode(
+            F.array(bucket, bucket + F.lit(1))
+        ).alias("bucket"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        bucket.alias("bucket"),
+    )
+    return (
+        c.join(p, (c.user_id == F.col("p_user")) & (c.bucket == p.bucket))
+        .filter(
+            (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("click_id", "user_id", "click_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.min("p_ts").alias("first_purchase_ts"),
+        )
+        .orderBy("click_id")
+    )
+
+
+# --- equi-depth (quantile) binning via bounded histogram ---------------------
+
+_EDB_SQL = """
+WITH hist AS MATERIALIZED (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cb,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(FLOOR(value * 100) AS BIGINT)
+),
+cum AS MATERIALIZED (
+    SELECT event_type, cb, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cb) AS BIGINT) AS c,
+           CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+    FROM hist
+),
+edges AS MATERIALIZED (
+    SELECT event_type,
+           MIN(CASE WHEN c * 4 >= tot THEN cb END) AS e1,
+           MIN(CASE WHEN c * 2 >= tot THEN cb END) AS e2,
+           MIN(CASE WHEN c * 4 >= tot * 3 THEN cb END) AS e3
+    FROM cum
+    GROUP BY event_type
+)
+SELECT ev.event_type,
+       CAST(1 + CASE WHEN CAST(FLOOR(ev.value * 100) AS BIGINT) > e.e1 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(FLOOR(ev.value * 100) AS BIGINT) > e.e2 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(FLOOR(ev.value * 100) AS BIGINT) > e.e3 THEN 1 ELSE 0 END
+         AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(ev.value), 2) AS min_value,
+       ROUND(MAX(ev.value), 2) AS max_value
+FROM events ev
+JOIN edges e ON e.event_type = ev.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+""".strip()
+
+
+@query("equi_depth_value_bins", oracle=_EDB_SQL)
+def equi_depth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile binning of ``events.value`` per event type —
+    the feature-bucketizer every training pipeline runs — via the
+    HISTOGRAM-quantile pattern, not a data-sized sort: values collapse
+    to exact cent buckets (``FLOOR(value*100)`` — the domain is bounded
+    by the VALUE RANGE, ~6e3 buckets here, never by row count), the
+    cumulative window runs over that bounded histogram, and the three
+    quartile edges per type (``smallest bucket with cum*4 >= k*total``
+    — pure integer comparison, no division seam) broadcast back onto
+    the raw rows as a 3-CASE bucketizer. The only data-sized operations
+    are two map-side-combined aggregates; the sort inside the window
+    touches histogram rows only. Edges sit ON bucket boundaries so the
+    assignment is exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cb = F.floor(F.col("value") * 100).cast("long")
+    hist = ev.groupBy("event_type", cb.alias("cb")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("cb")
+    wt = Window.partitionBy("event_type")
+    cum = hist.withColumn("c", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(wt)
+    )
+    edges = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("c") * 4 >= F.col("tot"), F.col("cb"))).alias("e1"),
+        F.min(F.when(F.col("c") * 2 >= F.col("tot"), F.col("cb"))).alias("e2"),
+        F.min(F.when(F.col("c") * 4 >= F.col("tot") * 3, F.col("cb"))).alias("e3"),
+    )
+    binned = ev.join(F.broadcast(edges), "event_type").withColumn(
+        "bin",
+        (
+            F.lit(1)
+            + (cb > F.col("e1")).cast("int")
+            + (cb > F.col("e2")).cast("int")
+            + (cb > F.col("e3")).cast("int")
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type", "bin")
+    )

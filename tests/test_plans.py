@@ -624,3 +624,65 @@ def test_filtered_ann_is_band_join_plus_takeordered(plans):
     p = plans("ann_lsh_filtered_topk_vec0")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_interval_join_is_equi_join_not_nlj(plans):
+    """The binned interval join must plan as an equi-join on
+    (user, bucket) — never a nested-loop/cartesian over the theta
+    predicate."""
+    p = plans("batch_interval_join_binned")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p
+
+
+def test_equi_depth_window_runs_on_histogram_not_rows(plans):
+    """The quantile-edge window must consume the aggregated histogram
+    (post-groupBy), and the raw-row side must join the edges broadcast —
+    no data-sized global sort of events."""
+    p = plans("equi_depth_value_bins")
+    assert "BroadcastHashJoin" in p  # edges broadcast back onto raw rows
+    # the window's sort is under the histogram aggregate, so an Exchange
+    # hashpartitioning on the histogram key precedes any Sort
+    assert "partial_count" in p
+
+
+def test_q4_exists_is_left_semi(plans):
+    """Q4's correlated EXISTS must decorrelate to one LEFT SEMI join."""
+    p = plans("tpch_q4_priority_check")
+    assert "LeftSemi" in p
+    assert p.count("LeftSemi") == 1
+
+
+def test_q19_part_dim_broadcasts_with_residual_disjunction(plans):
+    """Q19 must broadcast the part dim and keep the OR-of-conjuncts as a
+    residual filter — no shuffle join for a 2000-row dim."""
+    p = plans("tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q18_having_is_aggregate_then_semi_join(plans):
+    """Q18's IN-subquery must execute as aggregate + LeftSemi, not a
+    re-executed subquery."""
+    p = plans("tpch_q18_large_volume_customers")
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q11_total_is_scalar_broadcast_not_second_scan(plans):
+    """Q11's global total must derive from the SAME per-part aggregate
+    (broadcast single row), not a second lineitem scan."""
+    p = plans("tpch_q11_important_parts")
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l]
+    assert len(scans) <= 2  # one for the aggregate; reuse/exchange for total
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_q2_min_is_window_not_correlated_requery(plans):
+    """Q2's per-part minimum must be one window over the eligible cost
+    table — the correlated subquery may not re-aggregate per row."""
+    p = plans("tpch_q2_min_cost_supplier")
+    assert "Window" in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l]
+    assert len(scans) == 1
