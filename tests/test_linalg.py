@@ -1,0 +1,84 @@
+"""PCA power-iteration checks.
+
+The driver testdata embeddings are near-isotropic (random unit vectors:
+covariance spectrum is almost degenerate), so "the" dominant eigenvector
+is ill-conditioned there and 8 power rounds land on an arbitrary
+high-eigenvalue mixture — the cross-engine oracle still verifies the
+fixed-point trajectory EXACTLY on that data (tools/check_correctness).
+The numpy-parity claim therefore runs on a CONSTRUCTED corpus with a
+planted dominant direction (the repo's standing fixture discipline:
+prove spectral behavior on data that has the property, not on noise)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from apache_beam_challange_spark.plans.linalg import (
+    _DIM,
+    _ITER,
+    pca_power_iteration_top_component,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """200 unit vectors = strong planted direction + small noise: the
+    top eigenvalue dominates (gap >> (1 - 1/ITER)), so power iteration
+    must recover the planted axis."""
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=_DIM)
+    u /= np.linalg.norm(u)
+    x = 0.9 * u[None, :] + 0.1 * rng.normal(size=(200, _DIM))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in x],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(["p"] * 200),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d), x
+
+
+def test_pca_recovers_planted_direction(spark, planted_dir):
+    d, x = planted_dir
+    rows = pca_power_iteration_top_component(spark, d).collect()
+    assert len(rows) == _DIM
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    g = x.T @ x / len(x)
+    w, vecs = np.linalg.eigh(g)
+    top = vecs[:, -1]
+    cos = abs(float(top @ v) / (np.linalg.norm(top) * np.linalg.norm(v)))
+    assert cos > 0.999, cos
+    # the L1-Rayleigh eigenvalue estimate differs from the L2 lambda_1 by
+    # the ||.||_1 / ||.||_2 norm ratio of the eigenvector — bound it to
+    # the same order of magnitude
+    eig = rows[0]["eigval_est"]
+    lam1 = float(w[-1])
+    assert 0.25 * lam1 < eig < 4 * lam1, (eig, lam1)
+
+
+def test_pca_runs_on_driver_corpus(spark, sf_dir):
+    """On the real (near-isotropic) corpus the contract is shape +
+    determinism — 64 rows, unit-ish L1 mass, fixed iteration count."""
+    rows = pca_power_iteration_top_component(spark, sf_dir).collect()
+    assert len(rows) == _DIM
+    l1 = sum(abs(r["loading"]) for r in rows)
+    assert 0.99 <= l1 <= 1.01
+    assert _ITER == 8  # pinned: the oracle unrolls exactly this many
+
+
+def test_pca_driver_read_is_dim_bounded():
+    """The only collect() is the Gram half-triangle: dim*(dim+1)/2 rows,
+    independent of corpus size."""
+    assert _DIM * (_DIM + 1) // 2 == 2080
