@@ -1299,3 +1299,89 @@ def equi_depth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# --- Pareto / ABC classification via distributed prefix sum ------------------
+
+_ABC_SQL = """
+WITH rev AS MATERIALIZED (
+    SELECT l_partkey,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS rev_c
+    FROM lineitem GROUP BY l_partkey
+),
+cum AS MATERIALIZED (
+    SELECT l_partkey, rev_c,
+           CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
+    FROM rev
+)
+SELECT CASE WHEN cum * 5 <= total_c * 4 THEN 'A'
+            WHEN cum * 20 <= total_c * 19 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_c) AS DOUBLE) / 10000.0 AS class_revenue
+FROM cum
+GROUP BY 1
+ORDER BY 1
+""".strip()
+
+
+@query("pareto_abc_parts", oracle=_ABC_SQL)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts bucketed A/B/C by
+    cumulative revenue share (A carries the first 80%, B to 95%, C the
+    tail) — the classic 80/20 curation cut, and the repo's DISTRIBUTED
+    PREFIX-SUM primitive: the oracle's single ``SUM OVER (ORDER BY ...)``
+    is a one-partition funnel at scale, so the engine computes the exact
+    cumulative with the zipWithIndex discipline
+    (``global_row_ids_orders``): range-repartition the per-part revenue
+    aggregate on the (rev DESC, partkey) sort key, cumsum WITHIN each
+    ordered range (a pid-partitioned window, never a global one), derive
+    partition offsets from a config-bounded per-partition totals frame,
+    and broadcast them back. The result is invariant to where the
+    sampled range boundaries fall (disjoint ordered ranges: offset +
+    local prefix == global prefix). Class edges compare in exact int64
+    (``cum*5 <= total*4`` — headroom to ~1e17 revenue-cents, documented)
+    so no double-threshold seam exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = rev.repartitionByRange(
+        n_parts, F.col("rev_c").desc(), F.col("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("rev_c").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("lcum", F.sum("rev_c").over(wp))
+    ptots = ranged.groupBy("pid").agg(F.sum("rev_c").alias("ptot"))
+    # offsets: a window over at most shuffle.partitions rows (config-bounded)
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptots.withColumn(
+        "off", F.coalesce(F.sum("ptot").over(wo), F.lit(0))
+    ).select("pid", "off")
+    total = ptots.agg(F.sum("ptot").alias("total_c"))
+    cum = (
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("cum", F.col("off") + F.col("lcum"))
+        .crossJoin(F.broadcast(total))
+    )
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("total_c") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total_c") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev_c").cast("double") / F.lit(10000.0)).alias(
+                "class_revenue"
+            ),
+        )
+        .orderBy("abc_class")
+    )

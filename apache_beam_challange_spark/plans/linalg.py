@@ -153,3 +153,129 @@ def pca_power_iteration_top_component(
     return spark.createDataFrame(
         out, schema="dim long, loading double, eigval_est double"
     ).orderBy("dim")
+
+
+# --- k-center greedy diversity sample (farthest-point traversal) -------------
+
+_KC_K = 8
+_KC_SD = 1_000_000_000
+
+
+def _kcenter_oracle_sql(k: int = _KC_K, dim: int = _DIM) -> str:
+    """Unrolled greedy farthest-point chain: round r computes every
+    vector's fixed-point dot against the round-(r-1) pick, folds it into
+    the running max-dot-to-chosen state, and picks the argmin (max-dot
+    == min-distance for unit-normalized inputs; exact int64 everywhere,
+    ties broken by vec_id)."""
+    picks = ["CAST(0 AS BIGINT)"]  # seed center: vec_id 0
+    ctes = []
+    prev_state = None
+    for r in range(2, k + 1):
+        center = (
+            "(SELECT x FROM vecs WHERE vec_id = 0)"
+            if r == 2
+            else f"(SELECT x FROM vecs WHERE vec_id = (SELECT vec_id FROM p{r - 1}))"
+        )
+        ctes.append(
+            f"d{r} AS MATERIALIZED (\n"
+            f"    SELECT v.vec_id,\n"
+            f"           CAST(SUM(CAST(FLOOR(v.x[p.p] * c.x[p.p] * {_KC_SD} + 0.5) AS BIGINT)) AS BIGINT) AS md\n"
+            f"    FROM vecs v, pos p, {center} c\n"
+            f"    GROUP BY v.vec_id\n"
+            f")"
+        )
+        if prev_state is None:
+            state = f"d{r}"
+        else:
+            state = f"s{r}"
+            ctes.append(
+                f"s{r} AS MATERIALIZED (\n"
+                f"    SELECT a.vec_id, GREATEST(a.md, b.md) AS md\n"
+                f"    FROM {prev_state} a JOIN d{r} b ON a.vec_id = b.vec_id\n"
+                f")"
+            )
+        not_in = ", ".join(picks)
+        ctes.append(
+            f"p{r} AS MATERIALIZED (\n"
+            f"    SELECT vec_id, md FROM {state}\n"
+            f"    WHERE vec_id NOT IN ({not_in})\n"
+            f"    ORDER BY md ASC, vec_id LIMIT 1\n"
+            f")"
+        )
+        picks.append(f"(SELECT vec_id FROM p{r})")
+        prev_state = state
+    chain = ",\n".join(ctes)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS sel_round, vec_id,"
+        f" CAST(md AS DOUBLE) / {_KC_SD}.0 AS max_dot_at_pick FROM p{r}"
+        for r in range(2, k + 1)
+    )
+    return f"""
+WITH vecs AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+pos AS (SELECT unnest(generate_series(1, {dim})) AS p),
+{chain}
+SELECT CAST(1 AS BIGINT) AS sel_round, CAST(0 AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS max_dot_at_pick
+UNION ALL
+{sel}
+ORDER BY sel_round
+""".strip()
+
+
+@query("kcenter_diversity_sample", oracle=_kcenter_oracle_sql())
+def kcenter_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sampling over the
+    embedding corpus — the classic coreset selector training-data
+    curation uses to pick a maximally-spread exemplar subset (Gonzalez
+    1985 2-approximation; the selection objective SemDeDup prunes
+    toward, run in reverse). Unit-normalized inputs make max-dot ==
+    min-distance, so each of the k-1 bounded rounds is ONE corpus pass:
+    broadcast the newly chosen center, fixed-point dot (exact int64 —
+    selection argmins can never diverge between engines), fold into the
+    running max-dot state, take the 1-row argmin (parameter-bounded
+    driver read). Work is O(k * n * dim) with k a constant — the same
+    shape as the IVF coarse assign — and the state frame stays
+    (vec_id, max_dot) narrow. Returns the k picks with selection round
+    and coverage radius proxy."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("x")
+    )
+
+    def dot_u(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: F.floor(p * q * _KC_SD + F.lit(0.5))),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    chosen: list[tuple[int, int, float | None]] = [(1, 0, None)]
+    state = None
+    for r in range(2, _KC_K + 1):
+        last_id = chosen[-1][1]
+        center = emb.filter(F.col("vec_id") == last_id).select(
+            F.col("x").alias("cx")
+        )
+        d = emb.crossJoin(F.broadcast(center)).select(
+            "vec_id", "x", dot_u(F.col("x"), F.col("cx")).alias("md")
+        )
+        if state is None:
+            state = d
+        else:
+            state = (
+                state.select("vec_id", F.col("md").alias("md_prev"))
+                .join(d, "vec_id")
+                .select("vec_id", "x", F.greatest("md_prev", "md").alias("md"))
+            )
+        picked_ids = [c[1] for c in chosen]
+        row = (
+            state.filter(~F.col("vec_id").isin(picked_ids))
+            .orderBy(F.col("md").asc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, row["vec_id"], float(row["md"]) / _KC_SD))
+    return spark.createDataFrame(
+        chosen, schema="sel_round long, vec_id long, max_dot_at_pick double"
+    ).orderBy("sel_round")

@@ -82,3 +82,31 @@ def test_pca_driver_read_is_dim_bounded():
     """The only collect() is the Gram half-triangle: dim*(dim+1)/2 rows,
     independent of corpus size."""
     assert _DIM * (_DIM + 1) // 2 == 2080
+
+
+def test_kcenter_matches_numpy_greedy(spark, planted_dir):
+    """The engine's farthest-point picks must equal a numpy replay of
+    the same fixed-point greedy (seed 0, max-dot state, min-dot argmin,
+    vec_id tie-break)."""
+    from apache_beam_challange_spark.plans.linalg import (
+        _KC_K,
+        _KC_SD,
+        kcenter_diversity_sample,
+    )
+
+    d, x = planted_dir
+    rows = kcenter_diversity_sample(spark, d).collect()
+    assert [r["sel_round"] for r in rows] == list(range(1, _KC_K + 1))
+    xd = x.astype(np.float64)
+    dots_u = np.floor(
+        (xd[:, None, :] * xd[None, :, :]) * _KC_SD + 0.5
+    ).astype(np.int64).sum(axis=2)
+    chosen = [0]
+    state = None
+    for _ in range(_KC_K - 1):
+        d_new = dots_u[:, chosen[-1]]
+        state = d_new if state is None else np.maximum(state, d_new)
+        masked = state.copy()
+        masked[chosen] = np.iinfo(np.int64).max
+        chosen.append(int(np.argmin(masked)))  # argmin tie-breaks low idx
+    assert [r["vec_id"] for r in rows] == chosen

@@ -686,3 +686,20 @@ def test_q2_min_is_window_not_correlated_requery(plans):
     assert "Window" in p
     scans = [l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l]
     assert len(scans) == 1
+
+
+def test_pareto_prefix_sum_is_range_partitioned(plans):
+    """pareto_abc_parts must compute its cumulative via the distributed
+    prefix pattern: range repartition on the sort key, pid-partitioned
+    window for the data-sized cumsum, broadcast offsets back — never a
+    single-partition global window over the per-part aggregate."""
+    p = plans("pareto_abc_parts")
+    assert "Exchange rangepartitioning" in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+    # the data-sized cumsum window must be keyed on the partition id —
+    # an unkeyed window over the revenue aggregate would funnel through
+    # a SinglePartition exchange directly feeding a Window
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n\s*\+?-?\s*Window", p)
