@@ -1385,3 +1385,51 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --- within-basket co-occurrence mining --------------------------------------
+
+_BASKET_SQL = """
+WITH basket AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM basket a
+JOIN basket b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 15
+""".strip()
+
+
+@query("basket_part_pairs_topk", oracle=_BASKET_SQL)
+def basket_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 15 part pairs most often bought
+    in the SAME order — the classic co-occurrence / frequent-itemset
+    first pass. The quadratic step is bounded by BASKET size, not data:
+    after the distinct (order, part) projection, the self-join on
+    l_orderkey emits at most C(lines_per_order, 2) pairs per order
+    (<= C(13,2) = 78 here — per-group, corpus-independent), so total
+    work is linear in orders. Same-lineage self-join uses aliased
+    column sets (the repo's standing rule); the pair aggregate
+    map-side combines and the top-15 is a TakeOrderedAndProject."""
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a.ok == b.ok2) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(15)
+    )

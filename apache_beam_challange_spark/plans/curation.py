@@ -1772,3 +1772,127 @@ def hamilton_apportion(weighted: DataFrame, budget: int) -> DataFrame:
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc"),
     ).orderBy("lang")
+
+
+# --- point-in-time SCD2 enrichment (temporal dimension join) ----------------
+
+_PIT_SQL = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts, event_type,
+           SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS ver
+    FROM ordered
+),
+versions AS (
+    SELECT user_id, event_type, ver, MIN(ts) AS valid_from
+    FROM numbered
+    GROUP BY user_id, event_type, ver
+),
+dim AS (
+    SELECT user_id, event_type, ver, valid_from,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, ver
+           ) AS valid_to
+    FROM versions
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       v.event_type AS state_type, v.valid_from AS state_valid_from
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN dim v
+  ON v.user_id = p.user_id
+ AND v.valid_from <= p.ts - INTERVAL 1 HOUR
+ AND (v.valid_to > p.ts - INTERVAL 1 HOUR OR v.valid_to IS NULL)
+ORDER BY purchase_id
+""".strip()
+
+
+@query("pit_scd2_state_before_purchase", oracle=_PIT_SQL)
+def pit_scd2_state_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the lakehouse pattern
+    ``scd2_event_type_history`` exists to serve: enrich every purchase
+    with the SCD2 state version that was active ONE HOUR BEFORE it
+    (training-feature discipline: join features as-of a cutoff, never
+    leak the future). The oracle states the textbook interval
+    predicate (``valid_from <= t < valid_to``); the engine executes the
+    SCALE shape instead — the union + LOCF as-of trick: version-start
+    rows and probe rows interleave in one per-user stream, sorted once
+    (dim rows first on ties, ver-ordered, matching the half-open
+    interval semantics exactly — a zero-length version is immediately
+    overwritten by its successor in the same frame), and one
+    ``last(struct) IGNORE NULLS`` window carries the active version
+    onto each probe. ONE shuffle on user_id total, no interval join, no
+    per-probe re-scan; probes before the first version keep NULL state.
+    Same discipline as ``asof_join_last_event_per_order`` applied to a
+    versioned dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.when(
+            F.lag("event_type").over(order_w).isNull()
+            | (F.lag("event_type").over(order_w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+    )
+    numbered = ev.withColumn(
+        "ver",
+        F.sum(changed).over(
+            order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    versions = numbered.groupBy("user_id", "event_type", "ver").agg(
+        F.min("ts").alias("valid_from")
+    )
+    dim_rows = versions.select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(1).alias("is_dim"),
+        "ver",
+        F.struct(
+            F.col("event_type").alias("state_type"),
+            F.col("valid_from").alias("state_valid_from"),
+        ).alias("state"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(0).alias("is_dim"),
+        F.lit(None).cast("bigint").alias("ver"),
+        F.lit(None)
+        .cast("struct<state_type:string,state_valid_from:timestamp_ntz>")
+        .alias("state"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    merged = dim_rows.unionByName(probes)
+    locf_w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.col("is_dim").desc(), "ver")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "active", F.last("state", ignorenulls=True).over(locf_w)
+        )
+        .filter(F.col("is_dim") == 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.col("active.state_type").alias("state_type"),
+            F.col("active.state_valid_from").alias("state_valid_from"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -46,10 +46,12 @@ _V0 = _SV // _DIM    # 15625 — deterministic all-positive start
 _ITER = 8
 
 
-def _pca_oracle_sql(dim: int = _DIM, n_iter: int = _ITER) -> str:
-    """Unrolled power-iteration CTE chain (AS MATERIALIZED per the
-    engine's DuckDB discipline — lazy re-expansion of an iteration chain
-    is exponential)."""
+def _pca_chain(dim: int = _DIM, n_iter: int = _ITER) -> str:
+    """The shared WITH-body: corpus, Gram, average, and the unrolled
+    power-iteration chain (AS MATERIALIZED per the engine's DuckDB
+    discipline — lazy re-expansion of an iteration chain is
+    exponential). Ends with ``v{n_iter}`` (the fixed-point component)
+    and ``n{n_iter}`` (its pre-normalization L1 mass)."""
     steps = []
     prev = "v0"
     for t in range(1, n_iter + 1):
@@ -67,9 +69,8 @@ def _pca_oracle_sql(dim: int = _DIM, n_iter: int = _ITER) -> str:
         )
         prev = f"v{t}"
     chain = ",\n".join(steps)
-    return f"""
-WITH comp AS MATERIALIZED (
-    SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    return f"""comp AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
 ),
 cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
 pos AS (SELECT unnest(generate_series(1, {dim})) AS p),
@@ -85,7 +86,12 @@ gavg AS MATERIALIZED (
     FROM gram
 ),
 v0 AS (SELECT p AS i, CAST({_V0} AS BIGINT) AS v FROM pos),
-{chain}
+{chain}"""
+
+
+def _pca_oracle_sql(dim: int = _DIM, n_iter: int = _ITER) -> str:
+    return f"""
+WITH {_pca_chain(dim, n_iter)}
 SELECT CAST(v.i AS BIGINT) AS dim,
        CAST(v.v AS DOUBLE) / 1000000.0 AS loading,
        CAST((SELECT norm1 FROM n{n_iter}) AS DOUBLE) / 1000000.0 / {_SG}.0 AS eigval_est
@@ -109,6 +115,18 @@ def pca_power_iteration_top_component(
     and 8 L1-normalized power-iteration rounds run in exact int64
     fixed point, replayed identically by the oracle's unrolled CTE
     chain. Returns (dim, loading, eigval_est) — 64 rows."""
+    v, norm1 = _power_component(spark, sf_dir)
+    eig = float(norm1) / 1000000.0 / float(_SG)
+    out = [(i, float(v[i]) / 1000000.0, eig) for i in range(1, _DIM + 1)]
+    return spark.createDataFrame(
+        out, schema="dim long, loading double, eigval_est double"
+    ).orderBy("dim")
+
+
+def _power_component(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
+    """Distributed Gram + driver-side fixed-point iteration (shared by
+    the component and projection queries). Returns the 1-indexed
+    1e6-scaled component and the final pre-normalization L1 mass."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         as_double(F.col("embedding")).alias("x")
     )
@@ -148,11 +166,65 @@ def pca_power_iteration_top_component(
         v = [
             math.floor(float(x) * 1000000.0 / float(norm1)) for x in s
         ]
-    eig = float(norm1) / 1000000.0 / float(_SG)
-    out = [(i, float(v[i]) / 1000000.0, eig) for i in range(1, _DIM + 1)]
-    return spark.createDataFrame(
-        out, schema="dim long, loading double, eigval_est double"
-    ).orderBy("dim")
+    return v, norm1
+
+
+_PROJ_TOPK = 8
+
+
+def _pca_proj_oracle_sql(dim: int = _DIM, n_iter: int = _ITER) -> str:
+    return f"""
+WITH {_pca_chain(dim, n_iter)},
+proj AS MATERIALIZED (
+    SELECT c.vec_id,
+           CAST(SUM(CAST(FLOOR(c.x[v.i] * v.v + 0.5) AS BIGINT)) AS BIGINT) AS pu
+    FROM comp c, v{n_iter} v
+    GROUP BY c.vec_id
+),
+hi AS (SELECT vec_id, pu FROM proj ORDER BY pu DESC, vec_id LIMIT {_PROJ_TOPK}),
+lo AS (SELECT vec_id, pu FROM proj ORDER BY pu ASC, vec_id LIMIT {_PROJ_TOPK})
+SELECT 'top' AS tail, vec_id, CAST(pu AS DOUBLE) / 1000000.0 AS projection FROM hi
+UNION ALL
+SELECT 'bottom' AS tail, vec_id, CAST(pu AS DOUBLE) / 1000000.0 AS projection FROM lo
+ORDER BY tail, vec_id
+""".strip()
+
+
+@query("pca_projection_extremes", oracle=_pca_proj_oracle_sql())
+def pca_projection_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE the principal component: project every embedding onto the
+    power-iteration axis and return the two extreme tails (the vectors
+    a curation pass would inspect first — the most/least aligned with
+    the corpus' dominant direction). The component arrives as a 64-int
+    broadcast literal (driver-computed, dim-bounded); the projection is
+    one narrow corpus pass (per-component ``FLOOR(x_i * v_i + 0.5)``
+    exact int64 — 1e-6-scaled v keeps the fold order-free), and each
+    tail is a TakeOrderedAndProject, so the whole serve is scan +
+    fold + two partial top-k merges — zero joins, zero data-sized
+    shuffles."""
+    v, _ = _power_component(spark, sf_dir)
+    vec = F.array(*[F.lit(v[i]) for i in range(1, _DIM + 1)])
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("x")
+    )
+    proj = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("x"), vec, lambda xi, vi: F.floor(xi * vi + F.lit(0.5))),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("pu"),
+    )
+    hi = proj.orderBy(F.col("pu").desc(), "vec_id").limit(_PROJ_TOPK)
+    lo = proj.orderBy(F.col("pu").asc(), "vec_id").limit(_PROJ_TOPK)
+    out = hi.select(F.lit("top").alias("tail"), "vec_id", "pu").unionByName(
+        lo.select(F.lit("bottom").alias("tail"), "vec_id", "pu")
+    )
+    return out.select(
+        "tail",
+        "vec_id",
+        (F.col("pu").cast("double") / F.lit(1000000.0)).alias("projection"),
+    ).orderBy("tail", "vec_id")
 
 
 # --- k-center greedy diversity sample (farthest-point traversal) -------------
