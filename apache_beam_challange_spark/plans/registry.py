@@ -126,25 +126,29 @@ DRIVER_ORDER: list[str] = [
     "merge_full_sync_snapshot",
     "ann_lsh_filtered_topk_vec0",
     "streaming_cdc_merge_snapshot",
-    # once-green round-7 entries retained for a second verdict (their
-    # only cross-engine check is the DuckDB oracle — the facade-portable
-    # members rotated out instead; eleven of the heaviest-pytest-covered
-    # members yielded their slots to the round-8 newcomers above)
-    "bpe_train_merges",
-    "stream_stream_left_outer_join",
-    "streaming_dedup_within_watermark",
-    "near_dup_label_propagation",
-    "stateful_gap_sessions",
-    "gopher_quality_flags",
-    "dsir_importance_weights",
-    "duplicate_span_islands",
-    "adamic_adar_link_prediction",
-    "matryoshka_topk_vec0",
-    "station_dbscan_clusters",
-    "cluster_canonical_docs",
-    "rolling_median_value",
-    "stream_stream_full_outer_join",
-    "attribution_delay_quantiles",
+    # round-8 SECOND-WAVE queries (built later in round 8, never
+    # driver-checked): 15 of the 22 new entries take the tail slots the
+    # once-green round-7 retainees held — a FIRST verdict for a new
+    # query outranks a SECOND verdict for a once-green one under the
+    # standing policy (the displaced 15 keep their local gate; the
+    # seven second-wave queries that didn't fit — tpch_q7/q9/q12/q14/
+    # q16, equi_depth_value_bins, basket_part_pairs_topk — are the
+    # round-9 rotation pool)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q8_market_share",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_share_suppliers",
+    "pca_power_iteration_top_component",
+    "pca_projection_extremes",
+    "kcenter_diversity_sample",
+    "pareto_abc_parts",
+    "pit_scd2_state_before_purchase",
+    "batch_interval_join_binned",
 ]
 
 

@@ -225,6 +225,37 @@ ROUND8 = [
     "streaming_cdc_merge_snapshot",
 ]
 
+#: round-8 second wave (same-session widening): the TPC-H completion,
+#: the PCA pair, k-center, the binned interval join, the equi-depth
+#: bucketizer, Pareto/ABC prefix sum, the point-in-time SCD2 join and
+#: basket pair mining — a NEW series so every prior series' roster
+#: stays comparable (membership pins unchanged there). pca_* shares
+#: one Gram pass per repeat; kcenter is 7 bounded broadcast rounds.
+ROUND8B = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_share_suppliers",
+    "pca_power_iteration_top_component",
+    "pca_projection_extremes",
+    "kcenter_diversity_sample",
+    "pareto_abc_parts",
+    "pit_scd2_state_before_purchase",
+    "batch_interval_join_binned",
+    "equi_depth_value_bins",
+    "basket_part_pairs_topk",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -317,6 +348,7 @@ def main() -> None:
     filtering = _bench_series(qs, FILTERING, spark, sf_dir, spread)
     round7 = _bench_series(qs, ROUND7, spark, sf_dir, spread)
     round8 = _bench_series(qs, ROUND8, spark, sf_dir, spread)
+    round8b = _bench_series(qs, ROUND8B, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     # Membership pin (VERDICT r7 #5): every series' query COUNT and an
@@ -333,6 +365,7 @@ def main() -> None:
         "filtering": FILTERING,
         "round7": ROUND7,
         "round8": ROUND8,
+        "round8b": ROUND8B,
     }
     import hashlib
 
@@ -364,6 +397,8 @@ def main() -> None:
         "round7_total": round(sum(round7.values()), 3),
         "round8": round8,
         "round8_total": round(sum(round8.values()), 3),
+        "round8b": round8b,
+        "round8b_total": round(sum(round8b.values()), 3),
         "spread": spread,
         "group_counts": group_counts,
         "group_members_md5": group_members_md5,
@@ -400,6 +435,7 @@ def main() -> None:
                 "filtering_total": round(sum(filtering.values()), 3),
                 "round7_total": round(sum(round7.values()), 3),
                 "round8_total": round(sum(round8.values()), 3),
+                "round8b_total": round(sum(round8b.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "group_counts": group_counts,
                 "group_members_md5": group_members_md5,
