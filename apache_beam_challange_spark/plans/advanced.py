@@ -1217,19 +1217,19 @@ def batch_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- equi-depth (quantile) binning via bounded histogram ---------------------
 
 _EDB_SQL = """
-WITH hist AS MATERIALIZED (
+WITH hist AS (
     SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cb,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type, CAST(FLOOR(value * 100) AS BIGINT)
 ),
-cum AS MATERIALIZED (
+cum AS (
     SELECT event_type, cb, n,
            CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cb) AS BIGINT) AS c,
            CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
     FROM hist
 ),
-edges AS MATERIALIZED (
+edges AS (
     SELECT event_type,
            MIN(CASE WHEN c * 4 >= tot THEN cb END) AS e1,
            MIN(CASE WHEN c * 2 >= tot THEN cb END) AS e2,
@@ -1304,12 +1304,12 @@ def equi_depth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Pareto / ABC classification via distributed prefix sum ------------------
 
 _ABC_SQL = """
-WITH rev AS MATERIALIZED (
+WITH rev AS (
     SELECT l_partkey,
            SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS rev_c
     FROM lineitem GROUP BY l_partkey
 ),
-cum AS MATERIALIZED (
+cum AS (
     SELECT l_partkey, rev_c,
            CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
            CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
@@ -1390,7 +1390,7 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- within-basket co-occurrence mining --------------------------------------
 
 _BASKET_SQL = """
-WITH basket AS MATERIALIZED (
+WITH basket AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 )
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -1416,3 +1416,56 @@ def assign_global_row_ids(
         keep,
         (F.col("offset") + F.col("local_seq") + 1).alias("global_id"),
     )
+
+
+# --- native session_window (Spark's built-in gap sessionizer) ----------------
+
+_SESSW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS sess_id
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+""".strip()
+
+
+@query("session_window_native", oracle=_SESSW_SQL)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` aggregation (a §2.4 "free in
+    Spark" row): dynamic-gap session grouping executed natively inside
+    the aggregate (``UpdatingSessionsIterator`` merges as it scans — no
+    LAG/island windows in the plan at all), the same operator the
+    streaming engine uses for stateful session merging. The oracle is
+    the gaps-and-islands rewrite `batch_sessionize_events` pins (same
+    10-minute gap; ``session_window.end`` is last event + gap by
+    definition, mirrored in the oracle's MAX(ts) + INTERVAL), so the
+    native operator and the manual rewrite are proven equivalent
+    through the cross-engine gate. One user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

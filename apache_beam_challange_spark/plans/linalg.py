@@ -351,3 +351,70 @@ def kcenter_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, schema="sel_round long, vec_id long, max_dot_at_pick double"
     ).orderBy("sel_round")
+
+
+# --- distributed least squares via exact normal equations --------------------
+
+_LINREG_SQL = """
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sh,
+           CAST(SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                    * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS shh,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                    * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS shy
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(shy AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
+       / 10000.0 AS slope_per_hour,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n AS DOUBLE) * CAST(shy AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
+          * CAST(sh AS DOUBLE))
+       / CAST(n AS DOUBLE) / 10000.0 AS intercept
+FROM m
+ORDER BY event_type
+""".strip()
+
+
+@query("linreg_value_on_hour_by_type", oracle=_LINREG_SQL)
+def linreg_value_on_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ordinary least squares — ``value ~ hour-of-day`` per
+    event type — via EXACT normal equations: the only data-sized work is
+    one map-side-combined aggregate of five integer moments (hour is a
+    small int, value fixed to 1e-4 units, every sum exact int64), and
+    the closed-form slope/intercept are a fixed sequence of double ops
+    on those exact moments, written in the identical order in both
+    engines (moments cast to double FIRST so neither engine overflows
+    int64 on the cross terms at scale — n*shy stays exact-int only to
+    ~1e18). This is the moments-sketch pattern CUPED already uses,
+    extended to a supervised fit: the regression every monitoring
+    pipeline runs, with no MLlib dependency and full oracle
+    verifiability."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts").cast("long")
+    yu = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h).alias("sh"),
+        F.sum(h * h).alias("shh"),
+        F.sum(yu).alias("sy"),
+        F.sum(h * yu).alias("shy"),
+    )
+    nd = F.col("n").cast("double")
+    shd = F.col("sh").cast("double")
+    shhd = F.col("shh").cast("double")
+    syd = F.col("sy").cast("double")
+    shyd = F.col("shy").cast("double")
+    slope_u = (nd * shyd - shd * syd) / (nd * shhd - shd * shd)
+    return m.select(
+        "event_type",
+        "n",
+        (slope_u / F.lit(10000.0)).alias("slope_per_hour"),
+        ((syd - slope_u * shd) / nd / F.lit(10000.0)).alias("intercept"),
+    ).orderBy("event_type")

@@ -110,3 +110,33 @@ def test_kcenter_matches_numpy_greedy(spark, planted_dir):
         masked[chosen] = np.iinfo(np.int64).max
         chosen.append(int(np.argmin(masked)))  # argmin tie-breaks low idx
     assert [r["vec_id"] for r in rows] == chosen
+
+
+def test_linreg_matches_numpy_ols(spark, sf_dir):
+    """The closed-form normal-equation fit must agree with a numpy OLS
+    on the identically quantized data (value in 1e-4 units, hour as
+    int) — same moments, so agreement is to double rounding, not a
+    statistical tolerance."""
+    from apache_beam_challange_spark.plans.linalg import (
+        linreg_value_on_hour_by_type,
+    )
+
+    tbl = pq.read_table(
+        sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pandas()
+    tbl["h"] = tbl["ts"].dt.hour.astype(np.int64)
+    tbl["yu"] = np.floor(tbl["value"] * 10000 + 0.5).astype(np.int64)
+    rows = linreg_value_on_hour_by_type(spark, sf_dir).collect()
+    assert len(rows) == tbl["event_type"].nunique()
+    for r in rows:
+        g = tbl[tbl["event_type"] == r["event_type"]]
+        n = np.float64(len(g))
+        sh = np.float64(g["h"].sum())
+        shh = np.float64((g["h"] * g["h"]).sum())
+        sy = np.float64(g["yu"].sum())
+        shy = np.float64((g["h"] * g["yu"]).sum())
+        slope_u = (n * shy - sh * sy) / (n * shh - sh * sh)
+        assert np.isclose(r["slope_per_hour"], slope_u / 10000.0, rtol=1e-12)
+        assert np.isclose(
+            r["intercept"], (sy - slope_u * sh) / n / 10000.0, rtol=1e-12
+        )

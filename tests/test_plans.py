@@ -703,3 +703,26 @@ def test_pareto_prefix_sum_is_range_partitioned(plans):
     import re
 
     assert not re.search(r"Exchange SinglePartition[^\n]*\n\s*\+?-?\s*Window", p)
+
+
+def test_session_window_is_native_merging_sessions(plans):
+    """session_window_native must run Spark's built-in session operator
+    (MergingSessions after one user-keyed exchange) — no LAG/island
+    Window rewrite anywhere in the plan."""
+    p = plans("session_window_native")
+    assert "MergingSessions" in p
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+
+
+def test_linreg_is_single_shuffle_exact_moments(plans):
+    """The OLS fit must be one map-side-combined moment aggregate: five
+    partial_sums/counts before a single hash exchange, closed form as a
+    Project on top — no second scan, no join, no window."""
+    p = plans("linreg_value_on_hour_by_type")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in p and "partial_count" in p
+    assert "Join" not in p and "Window" not in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1 and "props" not in scans[0]

@@ -58,6 +58,28 @@ PORTABLE = [
     "streaming_stateful_user_counts",
     "salted_group_count_events",
     "range_join_value_bands",
+    # round-8 second wave: the TPC-H completion + the interval/PIT pair
+    # and the de-MATERIALIZED histogram/prefix/basket oracles are plain
+    # ANSI — every one runs unmodified on Spark SQL
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_share_suppliers",
+    "pit_scd2_state_before_purchase",
+    "batch_interval_join_binned",
+    "pareto_abc_parts",
+    "equi_depth_value_bins",
+    "basket_part_pairs_topk",
     "asof_join_last_event_per_order",
     "cube_orders",
     "grouped_map_best_doc",
