@@ -947,3 +947,133 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_reduction"),
     )
+
+
+# --- population-stability-index drift audit -----------------------------------
+
+#: Geometric value bins: bin = bit-length of the exact cent value — pure
+#: integer log2 in BOTH engines (Spark length(bin(x)), DuckDB the same
+#: spelling), so binning can never straddle a float boundary. 24 bins
+#: covers cents up to 2^24 (~$167k); events.value tops out at bin 16-17.
+#: Laplace-0.5 smoothing keeps empty bins finite: p = (n + 0.5)/(N + 12.0),
+#: 12.0 = 24 bins x 0.5 — pinned as literals in BOTH engine spellings.
+_PSI_BINS = 24
+
+_PSI_TERM = (
+    "(({nc} + 0.5) / ({tc} + 12.0) - ({nb} + 0.5) / ({tb} + 12.0))"
+    " * ln((({nc} + 0.5) / ({tc} + 12.0)) / (({nb} + 0.5) / ({tb} + 12.0)))"
+)
+
+_PSI_CHAIN = " + ".join(f"tb{k}" for k in range(1, _PSI_BINS + 1))
+
+_PSI_SQL = f"""
+WITH hist AS (
+    SELECT event_type,
+           LENGTH(BIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))) AS bin_id,
+           CAST(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+    FROM events
+    GROUP BY event_type, LENGTH(BIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)))
+),
+spine AS (
+    SELECT t.event_type, s.bin_id
+    FROM (SELECT DISTINCT event_type FROM events) t,
+         (SELECT unnest(generate_series(1, {_PSI_BINS})) AS bin_id) s
+),
+filled AS (
+    SELECT sp.event_type, sp.bin_id,
+           COALESCE(h.nb, 0) AS nb, COALESCE(h.nc, 0) AS nc
+    FROM spine sp LEFT JOIN hist h
+      ON h.event_type = sp.event_type AND h.bin_id = sp.bin_id
+),
+tot AS (
+    SELECT event_type,
+           CAST(SUM(nb) AS BIGINT) AS tb, CAST(SUM(nc) AS BIGINT) AS tc
+    FROM filled GROUP BY event_type
+),
+terms AS (
+    SELECT f.event_type, f.bin_id, t.tb, t.tc,
+           {_PSI_TERM.format(nc="CAST(f.nc AS DOUBLE)", tc="CAST(t.tc AS DOUBLE)",
+                             nb="CAST(f.nb AS DOUBLE)", tb="CAST(t.tb AS DOUBLE)")} AS term
+    FROM filled f JOIN tot t ON t.event_type = f.event_type
+),
+pivoted AS (
+    SELECT event_type, MAX(tb) AS n_base, MAX(tc) AS n_curr,
+           {", ".join(f"MAX(CASE WHEN bin_id = {k} THEN term END) AS tb{k}" for k in range(1, _PSI_BINS + 1))}
+    FROM terms GROUP BY event_type
+)
+SELECT event_type, n_base, n_curr, {_PSI_CHAIN} AS psi
+FROM pivoted
+ORDER BY event_type
+""".strip()
+
+
+@query("psi_weekend_drift_by_type", oracle=_PSI_SQL)
+def psi_weekend_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE production drift monitor — between
+    the weekday (baseline) and weekend (current) value distributions,
+    per event type. Engine-exact by construction at every step: the
+    bins are the BIT LENGTH of the exact cent value (integer log2 — a
+    float can never straddle a bin edge), the per-(type, bin) counts
+    are one map-side-combined conditional aggregate over the single
+    events scan, the 24-bin spine is pinned so absent bins contribute
+    their smoothed term in both engines, and the final
+    sum-of-24-doubles — the one order-sensitive float reduction — is
+    forced LEFT-TO-RIGHT on both sides (Spark: fold over the
+    bin-sorted collected array; DuckDB: an explicit left-associative
+    24-column addition chain), so not even summation order is left to
+    the engines. Everything after the first aggregate touches
+    <= types x 24 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    wknd = F.weekday(F.col("ts")) >= 5
+    hist = (
+        ev.select(
+            "event_type",
+            F.length(F.bin(cents)).cast("long").alias("bin_id"),
+            F.when(wknd, 1).otherwise(0).alias("is_c"),
+        )
+        .groupBy("event_type", "bin_id")
+        .agg(
+            F.sum(F.lit(1) - F.col("is_c")).alias("nb"),
+            F.sum("is_c").alias("nc"),
+        )
+    )
+    spine = (
+        hist.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1, _PSI_BINS + 1).select(
+                F.col("id").alias("bin_id")
+            )
+        )
+    )
+    filled = spine.join(hist, ["event_type", "bin_id"], "left").select(
+        "event_type",
+        "bin_id",
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    packed = filled.groupBy("event_type").agg(
+        F.sum("nb").alias("n_base"),
+        F.sum("nc").alias("n_curr"),
+        F.sort_array(F.collect_list(F.struct("bin_id", "nb", "nc"))).alias(
+            "bins"
+        ),
+    )
+    tb = F.col("n_base").cast("double")
+    tc = F.col("n_curr").cast("double")
+
+    def term(x):
+        pb = (x["nb"].cast("double") + F.lit(0.5)) / (tb + F.lit(12.0))
+        pc = (x["nc"].cast("double") + F.lit(0.5)) / (tc + F.lit(12.0))
+        return (pc - pb) * F.log(pc / pb)
+
+    return packed.select(
+        "event_type",
+        "n_base",
+        "n_curr",
+        F.aggregate(
+            "bins", F.lit(0.0), lambda acc, x: acc + term(x)
+        ).alias("psi"),
+    ).orderBy("event_type")

@@ -3041,3 +3041,136 @@ def near_dup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "community")
         .orderBy("doc_id")
     )
+
+
+# --- group-aware k-fold split + mix audit -------------------------------------
+
+from apache_beam_challange_spark.plans.advanced import _hex4_sql  # noqa: E402
+
+_KFOLD_K = 5
+_KFOLD_HEX = _hex4_sql("'fold#' || CAST(user_id AS VARCHAR)")
+
+_KFOLD_SQL = f"""
+WITH assigned AS (
+    SELECT user_id, event_type, {_KFOLD_HEX} % {_KFOLD_K} AS fold
+    FROM events
+),
+per_fold_type AS (
+    SELECT fold, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY fold, event_type
+),
+per_fold AS (
+    SELECT fold, CAST(SUM(n) AS BIGINT) AS n_events
+    FROM per_fold_type GROUP BY fold
+),
+global_type AS (
+    SELECT event_type, CAST(SUM(n) AS BIGINT) AS ng,
+           CAST(SUM(SUM(n)) OVER () AS BIGINT) AS total
+    FROM per_fold_type GROUP BY event_type
+),
+users AS (
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT DISTINCT user_id, {_KFOLD_HEX} % {_KFOLD_K} AS fold
+          FROM events)
+    GROUP BY fold
+),
+dev AS (
+    SELECT t.fold,
+           MAX(ABS(CAST(t.n AS DOUBLE) / CAST(f.n_events AS DOUBLE)
+                   - CAST(g.ng AS DOUBLE) / CAST(g.total AS DOUBLE))) AS max_mix_dev
+    FROM per_fold_type t
+    JOIN per_fold f ON f.fold = t.fold
+    JOIN global_type g ON g.event_type = t.event_type
+    GROUP BY t.fold
+)
+SELECT f.fold, u.n_users, f.n_events,
+       CAST(f.n_events AS DOUBLE)
+       / CAST((SELECT SUM(n_events) FROM per_fold) AS DOUBLE) AS events_share,
+       d.max_mix_dev
+FROM per_fold f
+JOIN users u ON u.fold = f.fold
+JOIN dev d ON d.fold = f.fold
+ORDER BY f.fold
+""".strip()
+
+
+@query("group_kfold_split_audit", oracle=_KFOLD_SQL)
+def group_kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (scikit-learn GroupKFold semantics,
+    derandomized): every event lands in the fold of its USER's seeded
+    md5 hash, so a user's history can never straddle train and eval —
+    the leakage rule LLM eval-set construction lives by — and the same
+    fold function reproduces the split in any engine, any run. The
+    audit reports, per fold: distinct users, event count, the fold's
+    share of all events, and the worst event-type mix deviation from
+    the global mix (the balance check that tells you whether hash
+    splitting skewed a class). One data-sized aggregate on
+    (fold, type); everything downstream is <= k x types rows; the
+    fold function is the engine's established 4-hex-digit md5
+    convention (``countmin_user_estimates`` discipline). Exact int64
+    counts; the two share divisions are single double ops written
+    identically in both engines; MAX over doubles is order-free."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def fold_of(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold#"), col.cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _KFOLD_K
+        )
+
+    pft = (
+        ev.select(fold_of(F.col("user_id")).alias("fold"), "event_type")
+        .groupBy("fold", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_fold = pft.groupBy("fold").agg(F.sum("n").alias("n_events"))
+    # the global total as a window over the K-row fold aggregate —
+    # SinglePartition but bounded by k, never data-sized (the SUM()
+    # OVER () the oracle writes on its 5-row global_type CTE)
+    per_fold = per_fold.withColumn(
+        "total", F.sum("n_events").over(Window.partitionBy())
+    )
+    gt = pft.groupBy("event_type").agg(F.sum("n").alias("ng"))
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .select(fold_of(F.col("user_id")).alias("fold"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    dev = (
+        pft.join(per_fold, "fold")
+        .join(F.broadcast(gt), "event_type")
+        .groupBy("fold")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n").cast("double")
+                    / F.col("n_events").cast("double")
+                    - F.col("ng").cast("double")
+                    / F.col("total").cast("double")
+                )
+            ).alias("max_mix_dev")
+        )
+    )
+    return (
+        per_fold.join(users, "fold")
+        .join(dev, "fold")
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            (
+                F.col("n_events").cast("double")
+                / F.col("total").cast("double")
+            ).alias("events_share"),
+            "max_mix_dev",
+        )
+        .orderBy("fold")
+    )

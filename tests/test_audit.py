@@ -471,3 +471,36 @@ def test_cuped_matches_python_and_reduces_variance(spark, sf_dir):
     assert r.var_y_adj <= r.var_y
     rho2 = cov_num * cov_num / (varx_num * vary_num)
     assert r.var_reduction == pytest.approx(rho2, rel=1e-4)
+
+
+def test_psi_matches_numpy_replay(spark, sf_dir):
+    """PSI must equal a numpy replay of the identical pipeline: bit-length
+    cent bins, 24-bin spine, 0.5/12.0 smoothing, left-to-right bin-order
+    summation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.audit import (
+        _PSI_BINS,
+        psi_weekend_drift_by_type,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pandas()
+    cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    bins = np.frompyfunc(int.bit_length, 1, 1)(cents).astype(np.int64)
+    wknd = t["ts"].dt.weekday.to_numpy() >= 5
+    rows = psi_weekend_drift_by_type(spark, sf_dir).collect()
+    for r in rows:
+        m = (t["event_type"] == r["event_type"]).to_numpy()
+        nb = np.bincount(bins[m & ~wknd], minlength=_PSI_BINS + 1)
+        nc = np.bincount(bins[m & wknd], minlength=_PSI_BINS + 1)
+        tb, tc = float(nb.sum()), float(nc.sum())
+        assert (r["n_base"], r["n_curr"]) == (int(tb), int(tc))
+        psi = 0.0
+        for b in range(1, _PSI_BINS + 1):
+            pb = (float(nb[b]) + 0.5) / (tb + 12.0)
+            pc = (float(nc[b]) + 0.5) / (tc + 12.0)
+            psi += (pc - pb) * np.log(pc / pb)
+        assert np.isclose(r["psi"], psi, rtol=1e-12)

@@ -771,3 +771,38 @@ def test_join_view_refresh_raises_on_emptied_view(spark, tmp_path):
     assert delete_published_keys(spark, path, "o_custkey", [1]) == 1
     with _pytest.raises(RuntimeError, match="empty"):
         refresh_enriched_orders(orders, cust, path)
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """The histogram-sweep skyline must equal the O(n^2) dominance scan
+    run in numpy on the same exact-cent data."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.advanced import (
+        skyline_parts_price_size,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    ).to_pandas()
+    price = np.floor(t["p_retailprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    size = t["p_size"].to_numpy().astype(np.int64)
+    dominated = np.zeros(len(t), dtype=bool)
+    for i in range(len(t)):
+        dominated[i] = bool(
+            np.any(
+                (price <= price[i])
+                & (size >= size[i])
+                & ((price < price[i]) | (size > size[i]))
+            )
+        )
+    expect = sorted(
+        zip(t["p_partkey"][~dominated], price[~dominated], size[~dominated])
+    )
+    got = [
+        (r["p_partkey"], r["price_c"], r["p_size"])
+        for r in skyline_parts_price_size(spark, sf_dir).collect()
+    ]
+    assert got == [(int(a), int(b), int(c)) for a, b, c in expect]

@@ -726,3 +726,45 @@ def test_linreg_is_single_shuffle_exact_moments(plans):
     assert "Join" not in p and "Window" not in p
     scans = [l for l in p.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1 and "props" not in scans[0]
+
+
+def test_skyline_window_runs_on_histogram_not_rows(plans):
+    """skyline_parts_price_size must sweep the DOMAIN-bounded cent
+    histogram (Window directly over the price aggregate) and probe the
+    skyline cents back via broadcast — never the textbook all-pairs the
+    oracle states."""
+    p = plans("skyline_parts_price_size")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the window's input must be the cent histogram, i.e. an aggregate
+    # sits between the scan and the window
+    win = p.index("Window")
+    assert "HashAggregate" in p[win:]
+
+
+def test_psi_is_one_pass_conditional_aggregate(plans):
+    """The PSI hist must come from ONE map-side-combined conditional
+    aggregate over a pruned events scan; no window anywhere (the fold
+    is an array expression); spine/total work is row-bounded."""
+    p = plans("psi_weekend_drift_by_type")
+    assert "partial_sum" in p
+    assert "Window" not in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2  # hist scan + the 5-row distinct-type spine seed
+    assert all("props" not in l for l in scans)
+
+
+def test_kfold_total_window_is_fold_bounded(plans):
+    """group_kfold_split_audit's only SinglePartition window runs over
+    the K-row fold aggregate (post-HashAggregate), and the global-mix
+    join broadcasts the tiny type side."""
+    p = plans("group_kfold_split_audit")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    import re
+
+    # no SinglePartition exchange directly over a file scan
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n\s*\+?-?\s*(Project[^\n]*\n\s*\+?-?\s*)?FileScan",
+        p,
+    )

@@ -80,6 +80,10 @@ PORTABLE = [
     "pareto_abc_parts",
     "equi_depth_value_bins",
     "basket_part_pairs_topk",
+    # third wave: the skyline oracle is the textbook ANSI NOT-EXISTS
+    # dominance query — running it through spark.sql proves the
+    # histogram-sweep rewrite against Spark's OWN decorrelation too
+    "skyline_parts_price_size",
     "asof_join_last_event_per_order",
     "cube_orders",
     "grouped_map_best_doc",

@@ -1254,3 +1254,22 @@ def test_cdc_chunks_match_python_rolling_hash(spark, sf_dir):
     )
     assert got.n_unique_chunks == len(seen)
     assert got.dedup_ratio == round(uniq / tot, 6)
+
+
+def test_group_kfold_partitions_users_and_mass(spark, sf_dir):
+    """The fold function partitions USERS (group-aware by construction:
+    fold is a pure function of user_id), every event lands in exactly
+    one fold, and the reported shares sum to 1."""
+    from apache_beam_challange_spark.plans.traindata import (
+        _KFOLD_K,
+        group_kfold_split_audit,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    rows = group_kfold_split_audit(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _KFOLD_K
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+    assert abs(sum(r["events_share"] for r in rows) - 1.0) < 1e-9
+    assert all(0.0 <= r["max_mix_dev"] <= 1.0 for r in rows)
