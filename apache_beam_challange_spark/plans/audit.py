@@ -1077,3 +1077,121 @@ def psi_weekend_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bins", F.lit(0.0), lambda acc, x: acc + term(x)
         ).alias("psi"),
     ).orderBy("event_type")
+
+
+# --- Kaplan-Meier time-to-conversion survival ---------------------------------
+
+_KM_HOUR_US = 3600000000  # one hour in exact integer microseconds
+
+_KM_SQL = f"""
+WITH RECURSIVE mic AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+u AS (
+    SELECT user_id, MIN(us) AS t0, MAX(us) AS tl,
+           MIN(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+    FROM mic GROUP BY user_id
+),
+d AS (
+    SELECT (COALESCE(tp, tl) - t0) // {_KM_HOUR_US} AS dur,
+           (tp IS NOT NULL) AS died
+    FROM u
+),
+hist AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+    FROM d GROUP BY dur
+),
+risk AS (
+    SELECT dur, deaths,
+           CAST(SUM(n_all) OVER (
+               ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS at_risk
+    FROM hist
+),
+steps AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY dur) AS rn, dur, deaths, at_risk
+    FROM risk WHERE deaths > 0
+),
+km AS (
+    SELECT rn, dur, deaths, at_risk,
+           1.0 * (1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)) AS surv
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.dur, s.deaths, s.at_risk,
+           km.surv * (1.0 - CAST(s.deaths AS DOUBLE) / CAST(s.at_risk AS DOUBLE))
+    FROM km JOIN steps s ON s.rn = km.rn + 1
+)
+SELECT dur AS dur_h, at_risk, deaths, surv FROM km ORDER BY dur_h
+""".strip()
+
+
+@query("km_time_to_purchase", oracle=_KM_SQL)
+def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase (hours from
+    a user's first event), right-censoring non-purchasers at their last
+    observed event — the retention/conversion estimator, computed
+    engine-exactly. Durations are exact integer hours (microsecond
+    subtraction + integer division — no float time math); the at-risk
+    counts are an integer suffix sum over the duration histogram
+    (DOMAIN-bounded by the observation window in hours, never by
+    users); and the survival product — the one order-sensitive float
+    chain — is forced into the SAME left-to-right multiply sequence in
+    both engines: the oracle walks the steps with a RECURSIVE CTE
+    (surv_k = surv_{{k-1}} * (1 - d_k/n_k)), the engine left-folds the
+    step array (``F.aggregate`` over the sorted collected steps,
+    seeded 1.0), so both execute the identical IEEE op sequence. One
+    user-keyed shuffle is the only data-sized work; every later stage
+    is bounded by distinct death-hours."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    d = u.select(
+        F.expr(f"(coalesce(tp, tl) - t0) div {_KM_HOUR_US}").alias("dur"),
+        F.col("tp").isNotNull().alias("died"),
+    )
+    hist = d.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).alias("deaths"),
+    )
+    # suffix sum over the window-bounded histogram (<= observation hours
+    # rows — the equi-depth bounded-window discipline)
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn("at_risk", F.sum("n_all").over(w)).filter(
+        F.col("deaths") > 0
+    )
+    packed = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "deaths", "at_risk"))
+        ).alias("arr")
+    )
+    surv = F.aggregate(
+        "arr",
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0))
+                * (
+                    F.lit(1.0)
+                    - x["deaths"].cast("double")
+                    / x["at_risk"].cast("double")
+                )
+            ),
+        ),
+    )
+    zipped = packed.select(
+        F.posexplode(F.arrays_zip(F.col("arr"), surv.alias("surv_arr")))
+    )
+    return zipped.select(
+        F.col("col.arr.dur").alias("dur_h"),
+        F.col("col.arr.at_risk").alias("at_risk"),
+        F.col("col.arr.deaths").alias("deaths"),
+        F.col("col.surv_arr").alias("surv"),
+    ).orderBy("dur_h")

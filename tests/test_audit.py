@@ -504,3 +504,53 @@ def test_psi_matches_numpy_replay(spark, sf_dir):
             pc = (float(nc[b]) + 0.5) / (tc + 12.0)
             psi += (pc - pb) * np.log(pc / pb)
         assert np.isclose(r["psi"], psi, rtol=1e-12)
+
+
+def test_km_matches_numpy_replay(spark, sf_dir):
+    """The KM curve must equal a numpy replay: exact integer-hour
+    durations, suffix-sum at-risk, sequential survival product."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.audit import (
+        _KM_HOUR_US,
+        km_time_to_purchase,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["ts", "user_id", "event_type"]
+    ).to_pandas()
+    us = t["ts"].astype("datetime64[us]").astype("int64")  # exact micros
+    g = pd.DataFrame(
+        {"user_id": t["user_id"], "us": us, "p": t["event_type"] == "purchase"}
+    )
+    per = g.groupby("user_id").agg(
+        t0=("us", "min"),
+        tl=("us", "max"),
+    )
+    tp = g[g["p"]].groupby("user_id")["us"].min()
+    per["tp"] = tp
+    end = per["tp"].fillna(per["tl"]).astype("int64")
+    dur = (end - per["t0"]) // _KM_HOUR_US
+    died = per["tp"].notna()
+    rows = km_time_to_purchase(spark, sf_dir).collect()
+    surv = 1.0
+    expect = []
+    for d in sorted(dur[died].unique()):
+        at_risk = int((dur >= d).sum())
+        deaths = int((dur[died] == d).sum())
+        surv = surv * (1.0 - float(deaths) / float(at_risk))
+        expect.append((int(d), at_risk, deaths, surv))
+    got = [(r["dur_h"], r["at_risk"], r["deaths"], r["surv"]) for r in rows]
+    assert [(a, b, c) for a, b, c, _ in expect] == [
+        (a, b, c) for a, b, c, _ in got
+    ]
+    assert np.allclose(
+        [s for *_, s in got], [s for *_, s in expect], rtol=1e-12
+    )
+    # survival is a proper non-increasing curve in [0, 1] (exactly 0.0
+    # when the final step's at-risk set all convert, as at sf0.001)
+    vals = [s for *_, s in got]
+    assert all(0.0 <= s <= 1.0 for s in vals)
+    assert all(a >= b for a, b in zip(vals, vals[1:]))

@@ -768,3 +768,15 @@ def test_kfold_total_window_is_fold_bounded(plans):
         r"Exchange SinglePartition[^\n]*\n\s*\+?-?\s*(Project[^\n]*\n\s*\+?-?\s*)?FileScan",
         p,
     )
+
+
+def test_km_window_runs_on_duration_histogram(plans):
+    """km_time_to_purchase's suffix-sum window must sit on the duration
+    histogram (aggregate between scan and Window), with the user rollup
+    as the only data-sized shuffle and no cartesian anywhere."""
+    p = plans("km_time_to_purchase")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    win = p.index("Window")
+    assert "HashAggregate" in p[win:]
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1 and all("props" not in l for l in scans)
