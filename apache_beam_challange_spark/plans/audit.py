@@ -1195,3 +1195,167 @@ def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col.arr.deaths").alias("deaths"),
         F.col("col.surv_arr").alias("surv"),
     ).orderBy("dur_h")
+
+
+# --- Poisson bootstrap confidence intervals -----------------------------------
+
+_BOOT_B = 16
+_BOOT_SEED = "boot#"
+#: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!), pinned
+#: as the IDENTICAL double literals in both engines so the weight CASE
+#: chain can never disagree.
+_BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_BOOT_DENOM = 16 ** 15
+
+_BOOT_HEX15 = " + ".join(
+    _HEXD.format(
+        m="md5('boot#' || CAST(event_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR))",
+        p=p,
+    )
+    + f" * {16 ** (15 - p)}"
+    for p in range(1, 16)
+)
+
+_BOOT_W = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    + f" ELSE {len(_BOOT_CDF)} END"
+)
+
+_BOOT_SQL = f"""
+WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS rep),
+weighted AS (
+    SELECT e.event_type, r.rep,
+           CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT) AS vu,
+           ({_BOOT_HEX15}) / CAST({_BOOT_DENOM} AS DOUBLE) AS u
+    FROM (SELECT event_type, event_id, value FROM events) e, reps r
+),
+sums AS (
+    SELECT event_type, rep,
+           CAST(SUM(w * vu) AS BIGINT) AS wnum,
+           CAST(SUM(w) AS BIGINT) AS wden,
+           CAST(SUM(vu) AS BIGINT) AS rawsum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (SELECT event_type, rep, vu, {_BOOT_W} AS w FROM weighted)
+    GROUP BY event_type, rep
+),
+means AS (
+    SELECT event_type, rep, rawsum, n_rows,
+           CAST(wnum AS DOUBLE) / CAST(NULLIF(wden, 0) AS DOUBLE) / 10000.0 AS m,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(wnum AS DOUBLE) / CAST(NULLIF(wden, 0) AS DOUBLE), rep
+           ) AS rn
+    FROM sums
+)
+SELECT event_type,
+       MAX(CASE WHEN rep = 0 THEN n_rows END) AS n,
+       MAX(CASE WHEN rep = 0 THEN CAST(rawsum AS DOUBLE) / CAST(n_rows AS DOUBLE) / 10000.0 END) AS mean_value,
+       MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+       MAX(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS ci_hi
+FROM means
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+@query("bootstrap_ci_value_by_type", oracle=_BOOT_SQL)
+def bootstrap_ci_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean event value per
+    type — the resampling scheme built FOR distributed engines (Chamandy
+    et al. 2012, "Estimating uncertainty for massive data streams":
+    multinomial resampling is unshardable, but Poisson(1) per-row
+    weights need no coordination at all). Derandomized end to end: each
+    (row, replicate) weight is the Poisson(1) inverse CDF applied to
+    the engine's seeded-md5 uniform (15 hex digits / 16^15 — both
+    engines round the same 60-bit integer to the same double), with
+    the CDF thresholds pinned as identical literals, so every one of
+    the B={_BOOT_B} replicate worlds is bit-reproducible in either
+    engine. All replicate sums are exact int64 (weights <= 6, values
+    in 1e-4 units); the only float ops are one division per replicate
+    mean and the final /1e4. The CI is the 2nd/15th order statistic
+    of the 16 replicate means (~87.5% central coverage — B is
+    registry-sized for oracle replay; production would raise B, the
+    plan is B-linear). ONE data-sized aggregate on (type, replicate)
+    with map-side combine; everything after is B x types rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    reps = spark.range(0, _BOOT_B).select(F.col("id").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_BOOT_SEED),
+                        F.col("event_id").cast("string"),
+                        F.lit("#"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(_BOOT_DENOM))
+    )
+    w = F.lit(len(_BOOT_CDF))
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    sums = (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("u", u)
+        .withColumn("w", w.cast("long"))
+        .groupBy("event_type", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("vu")).alias("wnum"),
+            F.sum("w").alias("wden"),
+            F.sum("vu").alias("rawsum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    m = (
+        F.col("wnum").cast("double")
+        / F.nullif(F.col("wden"), F.lit(0)).cast("double")
+        / F.lit(10000.0)
+    )
+    packed = (
+        sums.withColumn("m", m)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rep") == 0, F.col("n_rows"))).alias("n"),
+            F.max(
+                F.when(
+                    F.col("rep") == 0,
+                    F.col("rawsum").cast("double")
+                    / F.col("n_rows").cast("double")
+                    / F.lit(10000.0),
+                )
+            ).alias("mean_value"),
+            F.sort_array(F.collect_list(F.struct("m", "rep"))).alias(
+                "ms"
+            ),
+        )
+    )
+    return packed.select(
+        "event_type",
+        "n",
+        "mean_value",
+        F.element_at("ms", 2)["m"].alias("ci_lo"),
+        F.element_at("ms", _BOOT_B - 1)["m"].alias("ci_hi"),
+    ).orderBy("event_type")

@@ -554,3 +554,52 @@ def test_km_matches_numpy_replay(spark, sf_dir):
     vals = [s for *_, s in got]
     assert all(0.0 <= s <= 1.0 for s in vals)
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_bootstrap_ci_matches_hashlib_replay(spark, sf_dir):
+    """Every replicate world must be bit-reproducible outside Spark AND
+    DuckDB: recompute the md5 uniforms + Poisson weights in pure
+    Python and verify n, mean, and both CI order statistics."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.audit import (
+        _BOOT_B,
+        _BOOT_CDF,
+        _BOOT_DENOM,
+        bootstrap_ci_value_by_type,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    ).to_pandas()
+    vu = np.floor(t["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    rows = bootstrap_ci_value_by_type(spark, sf_dir).collect()
+    for r in rows:
+        m = (t["event_type"] == r["event_type"]).to_numpy()
+        ids = t["event_id"].to_numpy()[m]
+        v = vu[m]
+        assert r["n"] == int(m.sum())
+        assert np.isclose(
+            r["mean_value"], v.sum() / len(v) / 10000.0, rtol=1e-12
+        )
+        means = []
+        for rep in range(_BOOT_B):
+            wn = wd = 0
+            for eid, val in zip(ids, v):
+                h = hashlib.md5(f"boot#{eid}#{rep}".encode()).hexdigest()
+                u = float(int(h[:15], 16)) / float(_BOOT_DENOM)
+                w = next(
+                    (k for k, c in enumerate(_BOOT_CDF) if u < c),
+                    len(_BOOT_CDF),
+                )
+                wn += w * int(val)
+                wd += w
+            means.append((wn / wd / 10000.0, rep))
+        means.sort()
+        assert np.isclose(r["ci_lo"], means[1][0], rtol=1e-12)
+        assert np.isclose(r["ci_hi"], means[_BOOT_B - 2][0], rtol=1e-12)
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]

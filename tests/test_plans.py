@@ -780,3 +780,15 @@ def test_km_window_runs_on_duration_histogram(plans):
     assert "HashAggregate" in p[win:]
     scans = [l for l in p.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1 and all("props" not in l for l in scans)
+
+
+def test_bootstrap_replicates_are_one_aggregate(plans):
+    """The Poisson bootstrap must be: scan x broadcast 16-row replicate
+    spine -> ONE map-side-combined (type, rep) aggregate; no cartesian
+    of data-sized sides, no window."""
+    p = plans("bootstrap_ci_value_by_type")
+    assert "partial_sum" in p
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the bounded replicate spine
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1 and all("props" not in l for l in scans)
