@@ -1273,3 +1273,44 @@ def test_group_kfold_partitions_users_and_mass(spark, sf_dir):
     assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
     assert abs(sum(r["events_share"] for r in rows) - 1.0) < 1e-9
     assert all(0.0 <= r["max_mix_dev"] <= 1.0 for r in rows)
+
+
+def test_kcore_matches_true_fixed_point(spark, sf_dir):
+    """The pinned 12-round peel must equal the TRUE k-core (peel to
+    convergence, however many rounds) computed by a pure-Python replay
+    — proving the round budget reaches the fixed point, not an
+    arbitrary prefix of the peel."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.traindata import (
+        _KCORE_K,
+        _KCORE_W,
+        kcore_part_graph,
+    )
+
+    li = pq.read_table(
+        sf_dir + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    basket = li.drop_duplicates()
+    m = basket.merge(basket, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    w = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    edges = set(w[w >= _KCORE_W].index)
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        nxt = {(u, v) for u, v in edges if u in keep and v in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    expect_deg: dict[int, int] = {}
+    for u, v in edges:
+        expect_deg[u] = expect_deg.get(u, 0) + 1
+        expect_deg[v] = expect_deg.get(v, 0) + 1
+    rows = kcore_part_graph(spark, sf_dir).collect()
+    assert {r["l_partkey"]: r["core_degree"] for r in rows} == expect_deg
+    assert all(r["core_degree"] >= _KCORE_K for r in rows)
