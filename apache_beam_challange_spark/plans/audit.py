@@ -1359,3 +1359,157 @@ def bootstrap_ci_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2)["m"].alias("ci_lo"),
         F.element_at("ms", _BOOT_B - 1)["m"].alias("ci_hi"),
     ).orderBy("event_type")
+
+
+# --- data-quality expectation suite -------------------------------------------
+
+_DQ_TYPES = "('click', 'error', 'purchase', 'signup', 'view')"
+_DQ_VALUE_MAX_C = 40000  # 400.00 in exact cents
+
+_DQ_SQL = f"""
+WITH checks AS (
+    SELECT 'events_type_accepted' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN event_type IN {_DQ_TYPES} THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'events_value_in_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) < 0
+                           OR CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                              > {_DQ_VALUE_MAX_C}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) < 0
+                           OR CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) > 10
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_in_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_ri_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+)
+SELECT check_name, n_total, n_violations,
+       (n_violations = 0) AS passed
+FROM checks
+ORDER BY check_name
+""".strip()
+
+
+@query("data_quality_expectations", oracle=_DQ_SQL)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite — the Deequ /
+    Great-Expectations check class (Schelter et al., VLDB 2018) run as
+    ONE relational plan: accepted-values and range constraints as
+    conditional aggregates (ranges compared in exact cents so a float
+    boundary can never flip a verdict), NOT-NULL and uniqueness as
+    count deltas, and referential integrity orders->customer as a
+    broadcast ANTI join. Each check scans only its own pruned columns;
+    all counts exact int64; `passed` derives from the violation count
+    in both engines. The suite intentionally includes a FAILING check
+    on the driver corpus (one event value above the 400.00 range cap)
+    so the report shape covers both verdicts."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def check(name, df, viol_col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(viol_col).alias("n_violations"),
+        )
+
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    types = ["click", "error", "purchase", "signup", "view"]
+    checks = [
+        check(
+            "events_type_accepted",
+            ev,
+            F.when(F.col("event_type").isin(types), 0).otherwise(1),
+        ),
+        check(
+            "events_value_in_range",
+            ev,
+            F.when(
+                (vc < 0) | (vc > _DQ_VALUE_MAX_C), 1
+            ).otherwise(0),
+        ),
+        check(
+            "lineitem_discount_in_range",
+            li,
+            F.when((dc < 0) | (dc > 10), 1).otherwise(0),
+        ),
+        check(
+            "lineitem_quantity_in_range",
+            li,
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0),
+        ),
+        check(
+            "orders_custkey_not_null",
+            orders,
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0),
+        ),
+    ]
+    n_orders = orders.agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    ri = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.lit("orders_custkey_ri_customer").alias("check_name"),
+            "n_total",
+            "n_violations",
+        )
+    )
+    uniq = orders.agg(
+        F.lit("orders_orderkey_unique").alias("check_name"),
+        F.count(F.lit(1)).alias("n_total"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))
+        ).alias("n_violations"),
+    )
+    out = checks[0]
+    for c in checks[1:] + [ri, uniq]:
+        out = out.unionByName(c)
+    return out.select(
+        "check_name",
+        "n_total",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")

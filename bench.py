@@ -256,6 +256,21 @@ ROUND8B = [
     "basket_part_pairs_topk",
 ]
 
+#: round-8 third wave: native session_window, OLS, skyline, PSI,
+#: group-k-fold, Kaplan-Meier, Poisson bootstrap, k-core — the
+#: round-9 rotation pool's new-operator block, pinned as its own series.
+ROUND8C = [
+    "session_window_native",
+    "linreg_value_on_hour_by_type",
+    "skyline_parts_price_size",
+    "psi_weekend_drift_by_type",
+    "group_kfold_split_audit",
+    "km_time_to_purchase",
+    "bootstrap_ci_value_by_type",
+    "kcore_part_graph",
+    "data_quality_expectations",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -349,6 +364,7 @@ def main() -> None:
     round7 = _bench_series(qs, ROUND7, spark, sf_dir, spread)
     round8 = _bench_series(qs, ROUND8, spark, sf_dir, spread)
     round8b = _bench_series(qs, ROUND8B, spark, sf_dir, spread)
+    round8c = _bench_series(qs, ROUND8C, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     # Membership pin (VERDICT r7 #5): every series' query COUNT and an
@@ -366,6 +382,7 @@ def main() -> None:
         "round7": ROUND7,
         "round8": ROUND8,
         "round8b": ROUND8B,
+        "round8c": ROUND8C,
     }
     import hashlib
 
@@ -399,6 +416,8 @@ def main() -> None:
         "round8_total": round(sum(round8.values()), 3),
         "round8b": round8b,
         "round8b_total": round(sum(round8b.values()), 3),
+        "round8c": round8c,
+        "round8c_total": round(sum(round8c.values()), 3),
         "spread": spread,
         "group_counts": group_counts,
         "group_members_md5": group_members_md5,
@@ -436,6 +455,7 @@ def main() -> None:
                 "round7_total": round(sum(round7.values()), 3),
                 "round8_total": round(sum(round8.values()), 3),
                 "round8b_total": round(sum(round8b.values()), 3),
+                "round8c_total": round(sum(round8c.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "group_counts": group_counts,
                 "group_members_md5": group_members_md5,

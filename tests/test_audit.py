@@ -603,3 +603,27 @@ def test_bootstrap_ci_matches_hashlib_replay(spark, sf_dir):
         assert np.isclose(r["ci_lo"], means[1][0], rtol=1e-12)
         assert np.isclose(r["ci_hi"], means[_BOOT_B - 2][0], rtol=1e-12)
         assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+
+
+def test_dq_expectations_accounting(spark, sf_dir):
+    """Every check's totals must match the raw tables, the generator's
+    hard invariants (unique keys, non-null FKs, clean RI) must PASS,
+    and `passed` must derive from the violation count."""
+    rows = QS["data_quality_expectations"](spark, sf_dir).collect()
+    by = {r["check_name"]: r for r in rows}
+    assert len(rows) == 7
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert by["orders_orderkey_unique"]["n_total"] == n_orders
+    assert by["events_type_accepted"]["n_total"] == n_events
+    for name in (
+        "orders_orderkey_unique",
+        "orders_custkey_not_null",
+        "orders_custkey_ri_customer",
+        "events_type_accepted",
+        "lineitem_quantity_in_range",
+    ):
+        assert by[name]["n_violations"] == 0 and by[name]["passed"]
+    for r in rows:
+        assert r["passed"] == (r["n_violations"] == 0)
+        assert 0 <= r["n_violations"] <= r["n_total"]

@@ -792,3 +792,12 @@ def test_bootstrap_replicates_are_one_aggregate(plans):
     assert "BroadcastNestedLoopJoin" in p  # the bounded replicate spine
     scans = [l for l in p.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1 and all("props" not in l for l in scans)
+
+
+def test_dq_ri_check_is_broadcast_anti_join(plans):
+    """The referential-integrity check must be a broadcast LeftAnti hash
+    join (orders anti customer-keys), never sort-merge; all other
+    checks are pure conditional aggregates."""
+    p = plans("data_quality_expectations")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
