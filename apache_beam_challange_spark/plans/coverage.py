@@ -1469,3 +1469,49 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- full ANSI window-function surface in one pass ----------------------------
+
+_WFP_SQL = """
+SELECT user_id, event_id,
+       LAG(event_type) OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rn
+""".strip()
+
+
+@query("window_feature_pack", oracle=_WFP_SQL)
+def window_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ANSI analytic-function surface — LAG, LEAD,
+    ROW_NUMBER, PERCENT_RANK, CUME_DIST, NTILE — evaluated in ONE
+    user-partitioned window pass (a §2.4 breadth row: the per-user
+    feature columns every sequence model's preprocessing emits). The
+    ordering key (ts, event_id) is unique per user, so every ranking
+    function is tie-free deterministic; PERCENT_RANK and CUME_DIST are
+    single divisions of exact integer ranks (ANSI-specified formulas,
+    identical in both engines). One user-keyed shuffle, all six
+    functions share the same Window frame so Spark evaluates them in
+    a single WindowExec. The oracle text is pure ANSI and runs
+    unmodified through the spark.sql facade."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("user_id", "rn")
+    )

@@ -801,3 +801,15 @@ def test_dq_ri_check_is_broadcast_anti_join(plans):
     p = plans("data_quality_expectations")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_window_pack_is_single_shuffle(plans):
+    """All six analytic functions must ride ONE user-keyed exchange —
+    Spark may split offset (LAG/LEAD) and running (rank-family) frames
+    into separate Window operators but must not re-shuffle between
+    them."""
+    p = plans("window_feature_pack")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1 and all("props" not in l for l in scans)

@@ -84,6 +84,8 @@ PORTABLE = [
     # dominance query — running it through spark.sql proves the
     # histogram-sweep rewrite against Spark's OWN decorrelation too
     "skyline_parts_price_size",
+    # full ANSI analytic surface — one WINDOW clause, pure ANSI text
+    "window_feature_pack",
     "asof_join_last_event_per_order",
     "cube_orders",
     "grouped_map_best_doc",
