@@ -1357,8 +1357,10 @@ def global_row_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's spelling, correct at any SF in DuckDB and fine at test SFs
     in Spark) funnels every row through one task; this shape's widest
     single-task input is one partition range. The counts branch and the
-    numbering branch share the range shuffle via exchange reuse rather
-    than a full-size checkpoint."""
+    numbering branch read ONE materialized range shuffle
+    (``localCheckpoint`` in the helper) — exchange reuse is an
+    optimizer courtesy, not a correctness contract (see the helper's
+    docstring for the composed-plan counterexample round 8 found)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return assign_global_row_ids(
         o, order_cols=["o_totalprice", "o_orderkey"], keep="o_orderkey"
@@ -1372,7 +1374,20 @@ def assign_global_row_ids(
     property test): range-shuffle on ``order_cols``, narrow Arrow local
     sequences, config-bounded offsets, broadcast join back. Returns
     (``keep``, global_id) with 1-based ids in ``order_cols`` order —
-    invariant to where the sampled range boundaries fall."""
+    invariant to where the sampled range boundaries fall.
+
+    The numbering branch and the counts branch MUST see the same range
+    boundaries, so the ranged frame is explicitly materialized
+    (``localCheckpoint``) before fan-out. Relying on Catalyst exchange
+    reuse instead is NOT a contract: the bare-orders plan does get a
+    ReusedExchange, but composing this helper over a projected input
+    (found by ``quantile_normalize_values`` in round 8) compiles the
+    two branches into two independently-sampled range exchanges whose
+    boundaries disagree — duplicate and skipped ids. Spark's own
+    ``RDD.zipWithIndex`` has the identical recompute hazard on an
+    uncached RDD; the checkpoint is the documented fix, and its cost
+    (one narrow write of keep+keys) replaces the second exchange
+    execution the non-reused plan was paying anyway."""
     import numpy as np
 
     spark = df.sparkSession
@@ -1381,6 +1396,7 @@ def assign_global_row_ids(
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
 
     def number(batches):

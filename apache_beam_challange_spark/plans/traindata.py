@@ -3279,3 +3279,205 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").alias("l_partkey"), "core_degree")
         .orderBy("l_partkey")
     )
+
+
+# --- global quantile normalization --------------------------------------------
+
+_QN_SQL = """
+WITH vals AS (
+    SELECT event_id, event_type,
+           CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vu
+    FROM events
+),
+g AS (
+    SELECT event_id, vu,
+           CAST(ROW_NUMBER() OVER (ORDER BY vu, event_id) AS BIGINT) AS gid,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_all
+    FROM vals
+),
+t AS (
+    SELECT event_id, event_type, vu,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY vu, event_id
+           ) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_t
+    FROM vals
+),
+mapped AS (
+    SELECT t.event_id, t.event_type, t.vu,
+           CAST(FLOOR(
+               CASE WHEN t.n_t = 1 THEN 0.5
+                    ELSE CAST(t.rn - 1 AS DOUBLE) / CAST(t.n_t - 1 AS DOUBLE)
+               END * CAST((SELECT MAX(n_all) FROM g) - 1 AS DOUBLE) + 0.5
+           ) AS BIGINT) + 1 AS target_gid
+    FROM t
+)
+SELECT m.event_id, m.event_type, m.vu, g.vu AS norm_vu
+FROM mapped m JOIN g ON g.gid = m.target_gid
+ORDER BY m.event_id
+""".strip()
+
+
+@query("quantile_normalize_values", oracle=_QN_SQL)
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (the microarray-era Bolstad et al. 2003
+    transform, now the feature-alignment step for mixed-source training
+    signals): replace each value with the GLOBAL value found at its
+    within-group percentile, so every event type ends up with the same
+    marginal distribution. Exact at every step: values in 1e-4 units,
+    within-type ranks from a type-partitioned window (scale-safe),
+    the global rank table from the distributed range-partitioned
+    numbering primitive (``assign_global_row_ids`` — NO data-sized
+    global window in the engine plan, the zipWithIndex discipline),
+    and the percentile -> position mapping is FLOOR on a double
+    product of exact ints, written identically in both engines. The
+    rank-position join is a plain equi-join on gid. Output is
+    data-sized (one row per event) like the other normalization
+    transforms the registry serves."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    from apache_beam_challange_spark.plans.coverage import (
+        assign_global_row_ids,
+    )
+
+    gids = assign_global_row_ids(ev, ["vu", "event_id"], "event_id").select(
+        F.col("event_id").alias("g_event_id"),
+        F.col("global_id").alias("gid"),
+    )
+    g = gids.join(
+        ev.select(F.col("event_id").alias("g_event_id"), "vu"), "g_event_id"
+    ).select("gid", F.col("vu").alias("g_vu"))
+    n_all = ev.agg(F.count(F.lit(1)).alias("n_all"))
+    wt = Window.partitionBy("event_type").orderBy("vu", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        "vu",
+        F.row_number().over(wt).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_t"),
+    )
+    pct = F.when(F.col("n_t") == 1, F.lit(0.5)).otherwise(
+        (F.col("rn") - 1).cast("double") / (F.col("n_t") - 1).cast("double")
+    )
+    mapped = t.crossJoin(F.broadcast(n_all)).select(
+        "event_id",
+        "event_type",
+        "vu",
+        (
+            F.floor(
+                pct * (F.col("n_all") - 1).cast("double") + F.lit(0.5)
+            ).cast("long")
+            + 1
+        ).alias("target_gid"),
+    )
+    return (
+        mapped.join(g, mapped["target_gid"] == g["gid"])
+        .select(
+            "event_id", "event_type", "vu", F.col("g_vu").alias("norm_vu")
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- rendezvous-hash shard rebalancing audit ----------------------------------
+
+_HRW_N = 8  # current shard count; the audit adds one (N -> N+1)
+
+
+def _hrw_rank_sql(limit: int) -> str:
+    return f"""
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY h DESC, s
+           ) AS rnk
+    FROM hashes WHERE s < {limit}
+"""
+
+
+_HRW_SQL = f"""
+WITH shards AS (SELECT unnest(generate_series(0, {_HRW_N})) AS s),
+hashes AS (
+    SELECT d.doc_id, sh.s,
+           {_hex4_sql("CAST(d.doc_id AS VARCHAR) || '@' || CAST(sh.s AS VARCHAR)")} AS h
+    FROM (SELECT doc_id FROM documents) d, shards sh
+),
+old AS (
+    SELECT doc_id, s AS shard_old FROM ({_hrw_rank_sql(_HRW_N)}) WHERE rnk = 1
+),
+new AS (
+    SELECT doc_id, s AS shard_new FROM ({_hrw_rank_sql(_HRW_N + 1)}) WHERE rnk = 1
+)
+SELECT o.shard_old,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n.shard_new <> o.shard_old THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM old o JOIN new n ON n.doc_id = o.doc_id
+GROUP BY o.shard_old
+ORDER BY o.shard_old
+""".strip()
+
+
+@query("hrw_shard_rebalance_audit", oracle=_HRW_SQL)
+def hrw_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment and the
+    scale-out rebalancing audit (Thaler & Ravishankar 1998 — the
+    consistent-placement rule behind cache rings and shard maps):
+    every document goes to the shard with the highest seeded hash of
+    (doc, shard); adding a shard (N=8 -> 9) must move ONLY the docs the
+    new shard now wins — roughly 1/(N+1) of the corpus, and never a
+    doc between two OLD shards (the minimal-disruption property,
+    asserted by test). Hashes are the engine's md5 hex4 convention so
+    both engines rank identically (ties broken by shard id); the
+    9-candidate explode is a broadcast spine, the argmax a per-doc
+    window over <= 9 rows, and the audit one aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(0, _HRW_N + 1).select(F.col("id").alias("s"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("@"),
+                    F.col("s").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = docs.crossJoin(F.broadcast(shards)).select(
+        "doc_id", "s", h.alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("h"), "s")
+
+    def winner(limit, name):
+        return (
+            hashes.filter(F.col("s") < limit)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("doc_id", F.col("s").alias(name))
+        )
+
+    old = winner(_HRW_N, "shard_old")
+    new = winner(_HRW_N + 1, "shard_new")
+    return (
+        old.join(new, "doc_id")
+        .groupBy("shard_old")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_new") != F.col("shard_old"), 1).otherwise(
+                    0
+                )
+            ).alias("n_moved"),
+        )
+        .orderBy("shard_old")
+    )

@@ -269,6 +269,9 @@ ROUND8C = [
     "bootstrap_ci_value_by_type",
     "kcore_part_graph",
     "data_quality_expectations",
+    "window_feature_pack",
+    "quantile_normalize_values",
+    "hrw_shard_rebalance_audit",
 ]
 
 CURATION = [

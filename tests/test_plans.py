@@ -550,11 +550,16 @@ def test_global_row_ids_no_data_sized_global_window(plans):
     """global_row_ids_orders must number rows via range-shuffle +
     narrow MapInPandas + config-bounded offsets — the only Window sits
     above the per-partition-count aggregate (<= shuffle.partitions
-    rows), never above the orders scan, and the range repartition is
-    the single data-sized exchange consumed by both branches."""
+    rows), never above the orders scan. Since the round-8 correctness
+    fix, the range shuffle runs EXACTLY ONCE inside the helper's
+    localCheckpoint (boundary consistency is a materialization
+    guarantee, not an exchange-reuse hope), so the serve plan must
+    read the checkpointed RDD in both branches and contain NO range
+    exchange of its own."""
     p = plans("global_row_ids_orders")
     assert "MapInPandas" in p
-    assert "Exchange rangepartitioning" in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Scan ExistingRDD") == 2  # both branches, one shuffle
     assert "BroadcastHashJoin" in p  # offsets join back as a broadcast
     # the Window's input is the aggregated counts: partial_count proves
     # the agg runs below it (a Window straight over the scan would not)

@@ -1314,3 +1314,76 @@ def test_kcore_matches_true_fixed_point(spark, sf_dir):
     rows = kcore_part_graph(spark, sf_dir).collect()
     assert {r["l_partkey"]: r["core_degree"] for r in rows} == expect_deg
     assert all(r["core_degree"] >= _KCORE_K for r in rows)
+
+
+def test_quantile_normalize_matches_pandas_replay(spark, sf_dir):
+    """Exact replay: global sorted table, within-type mid-ranks, the
+    floor position map — plus the invariants (range-bounded, rank
+    order preserved within type)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.traindata import (
+        quantile_normalize_values,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["event_id", "event_type", "value"]
+    ).to_pandas()
+    t["vu"] = np.floor(t["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    g = t.sort_values(["vu", "event_id"]).reset_index(drop=True)
+    n_all = len(g)
+    rows = quantile_normalize_values(spark, sf_dir).collect()
+    assert len(rows) == n_all
+    got = {r["event_id"]: (r["event_type"], r["vu"], r["norm_vu"]) for r in rows}
+    for et, grp in t.groupby("event_type"):
+        s = grp.sort_values(["vu", "event_id"]).reset_index(drop=True)
+        n_t = len(s)
+        for rn0, row in enumerate(s.itertuples()):
+            pct = 0.5 if n_t == 1 else rn0 / (n_t - 1)
+            pos = int(np.floor(pct * (n_all - 1) + 0.5))
+            expect = int(g["vu"].iloc[pos])
+            assert got[row.event_id] == (et, int(row.vu), expect)
+    # invariants
+    lo, hi = int(g["vu"].iloc[0]), int(g["vu"].iloc[-1])
+    assert all(lo <= nv <= hi for _, _, nv in got.values())
+
+
+def test_hrw_moves_only_to_the_new_shard(spark, sf_dir):
+    """Minimal-disruption property + hashlib replay: adding shard 8
+    moves docs ONLY onto shard 8, at roughly 1/9 of the corpus."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.traindata import (
+        _HRW_N,
+        hrw_shard_rebalance_audit,
+    )
+
+    doc_ids = pq.read_table(
+        sf_dir + "/documents.parquet", columns=["doc_id"]
+    ).to_pandas()["doc_id"]
+
+    def hex4(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    def winner(doc, n):
+        return max(range(n), key=lambda s: (hex4(f"{doc}@{s}"), -s))
+
+    expect: dict[int, list[int]] = {}
+    moved_to = set()
+    for d in doc_ids:
+        o, nw = winner(d, _HRW_N), winner(d, _HRW_N + 1)
+        ent = expect.setdefault(o, [0, 0])
+        ent[0] += 1
+        if nw != o:
+            ent[1] += 1
+            moved_to.add(nw)
+    assert moved_to <= {_HRW_N}  # minimal disruption: only the NEW shard gains
+    rows = hrw_shard_rebalance_audit(spark, sf_dir).collect()
+    assert {
+        r["shard_old"]: [r["n_docs"], r["n_moved"]] for r in rows
+    } == expect
+    frac = sum(v[1] for v in expect.values()) / len(doc_ids)
+    assert 0.03 <= frac <= 0.25  # ~1/9 expected
