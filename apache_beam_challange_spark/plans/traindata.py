@@ -3180,10 +3180,11 @@ def group_kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 3       # keep nodes with degree >= 3
 _KCORE_W = 2       # edge = part pair co-purchased in >= 2 orders
-_KCORE_ROUNDS = 12  # pinned peel rounds; fixed point reached at every
-#                    test SF (1 / 10 / 2 rounds at sf0.001/0.01/0.1) and
-#                    extra rounds on a fixed point are exact no-ops —
-#                    tests assert the 12-round result IS a fixed point
+_KCORE_ROUNDS = 12  # ORACLE unroll depth; >= the true convergence depth
+#                    at every oracle-checked SF (1 / 10 rounds at
+#                    sf0.001 / sf0.01) and extra rounds on a fixed point
+#                    are exact no-ops; the ENGINE peels to convergence
+#                    via the shared k_core operator
 
 
 def _kcore_sql() -> str:
@@ -3222,22 +3223,23 @@ def _kcore_sql() -> str:
 
 @query("kcore_part_graph", oracle=_kcore_sql())
 def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (Seidman 1983) of the co-purchase graph —
-    the densest-substructure primitive that completes the graph family
-    (CC, label propagation, PageRank, triangles, Adamic-Adar): peel
-    every part whose degree drops below k=3 until fixed point,
-    report the surviving 3-core members with their within-core degree.
-    Edges are part pairs co-purchased in >= 2 orders (the
-    basket self-join bounded by basket size, then thresholded — the
-    graph is SUB-linear in corpus size because repeat co-occurrence
-    gets rarer as the catalog grows; measured 3573 edges at sf0.1 vs
-    3445 at sf0.01). The peel runs 12 pinned rounds
-    (degree aggregate + two semi-joins per round, each round
-    localCheckpoint-ed on the shrinking bounded edge set so plans stay
-    flat — the LSS discipline); the pinned count is a FIXED POINT at
-    every test SF, replayed exactly by the oracle's unrolled
-    MATERIALIZED CTE chain. At 100 TB the only data-sized work is the
-    basket aggregate; every peel round touches candidate edges only."""
+    """3-core of the co-purchase graph — the SECOND instantiation of the
+    shared ``operators/graph.py:k_core`` peel (``near_dup_k_core``
+    already runs it at k=2 on the sparse LSH candidate graph): here the
+    graph is the thresholded basket co-occurrence graph (part pairs
+    co-purchased in >= 2 orders — the basket-bounded self-join, then
+    thresholded; SUB-linear in corpus size because repeat co-occurrence
+    gets rarer as the catalog grows: 3445 edges at sf0.01 vs 3573 at
+    sf0.1), whose peel cascade is 10 rounds deep at sf0.01 — a
+    qualitatively different trajectory from the near-dup graph's 1-2
+    rounds, which is what this entry adds to the watch. The operator
+    peels to TRUE fixpoint (driver reads one scalar per round, raises
+    loudly at the bound); the oracle unrolls _KCORE_ROUNDS=12
+    MATERIALIZED CTE rounds, >= the convergence depth at every
+    oracle-checked SF, and extra rounds on a fixpoint are exact no-ops
+    — the to-convergence Python replay test pins that equivalence."""
+    from apache_beam_challange_spark.operators.graph import k_core
+
     li = load_table(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     a = basket.alias("a")
@@ -3255,28 +3257,10 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _KCORE_W)
         .select("u", "v")
-        .localCheckpoint()
     )
-    for _ in range(_KCORE_ROUNDS):
-        nodes = (
-            edges.select(F.col("u").alias("n"))
-            .unionAll(edges.select(F.col("v").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select("n")
-        )
-        edges = (
-            edges.join(nodes, edges["u"] == nodes["n"], "left_semi")
-            .join(nodes, edges["v"] == nodes["n"], "left_semi")
-            .localCheckpoint()
-        )
     return (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(F.col("n").alias("l_partkey"), "core_degree")
+        k_core(edges, k=_KCORE_K, max_iter=25)
+        .select(F.col("node").alias("l_partkey"), "core_degree")
         .orderBy("l_partkey")
     )
 
