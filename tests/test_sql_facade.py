@@ -86,6 +86,10 @@ PORTABLE = [
     "skyline_parts_price_size",
     # full ANSI analytic surface — one WINDOW clause, pure ANSI text
     "window_feature_pack",
+    # quantile normalization: the windowed-rank + scalar-subquery text
+    # parses and runs on Spark SQL as-is (the single-partition windows
+    # it implies are exactly what the engine route replaces)
+    "quantile_normalize_values",
     "asof_join_last_event_per_order",
     "cube_orders",
     "grouped_map_best_doc",
