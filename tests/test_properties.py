@@ -643,3 +643,28 @@ def test_mips_topk_matches_numpy_on_generated_vectors(spark, vec_rows):
         key=lambda t: (-t[0], t[1]),
     )[:5]
     assert got == [i for _, i in scored]
+
+
+def test_global_row_ids_survive_composed_projection(spark, sf_dir):
+    """Regression for the round-8 exchange-reuse bug: numbering a
+    PROJECTED input (computed column + extra column, the
+    quantile-normalization shape) must still yield a permutation of
+    1..N — before the localCheckpoint fix this plan compiled the
+    counts and numbering branches into two independently-sampled range
+    exchanges and produced duplicate/skipped ids."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_challange_spark.plans.coverage import assign_global_row_ids
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("vu"),
+    )
+    ids = [
+        r.global_id
+        for r in assign_global_row_ids(
+            ev, ["vu", "event_id"], "event_id"
+        ).collect()
+    ]
+    assert sorted(ids) == list(range(1, len(ids) + 1))
