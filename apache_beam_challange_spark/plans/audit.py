@@ -1513,3 +1513,90 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+# --- Markov next-event backtest -----------------------------------------------
+
+_MBT_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type AS to_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type
+    FROM events
+),
+trans AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+pred AS (
+    SELECT from_type, to_type AS predicted
+    FROM (
+        SELECT from_type, to_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY from_type ORDER BY n DESC, to_type
+               ) AS rnk
+        FROM trans
+    ) WHERE rnk = 1
+)
+SELECT s.from_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN s.to_type = p.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN s.to_type = p.predicted THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy,
+       MAX(p.predicted) AS predicted
+FROM seq s JOIN pred p ON p.from_type = s.from_type
+WHERE s.from_type IS NOT NULL
+GROUP BY s.from_type
+ORDER BY s.from_type
+""".strip()
+
+
+@query("markov_backtest_accuracy", oracle=_MBT_SQL)
+def markov_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov behavioral model that
+    `event_transition_matrix` fits: score the top-1 next-event
+    prediction (argmax transition per from-state, ties broken by type
+    name) against every observed transition, per from-state — the
+    in-engine model-evaluation loop (fit -> predict -> score) that
+    turns the transition matrix from a descriptive artifact into a
+    measured predictor. In-sample by construction and documented as
+    such (the honest baseline every backtest starts from; the
+    group-k-fold split is the held-out companion). One user-keyed
+    window shuffle is the only data-sized work; the model and its
+    argmax are 25-row objects broadcast back onto the transition
+    stream; counts exact int64, accuracy one double division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_pred = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), "to_type"
+    )
+    pred = (
+        trans.withColumn("rnk", F.row_number().over(w_pred))
+        .filter(F.col("rnk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    hit = F.when(F.col("to_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        seq.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(hit).alias("n_hits"),
+            (
+                F.sum(hit).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accuracy"),
+            F.max("predicted").alias("predicted"),
+        )
+        .orderBy("from_type")
+    )

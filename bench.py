@@ -272,6 +272,7 @@ ROUND8C = [
     "window_feature_pack",
     "quantile_normalize_values",
     "hrw_shard_rebalance_audit",
+    "markov_backtest_accuracy",
 ]
 
 CURATION = [

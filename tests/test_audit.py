@@ -627,3 +627,28 @@ def test_dq_expectations_accounting(spark, sf_dir):
     for r in rows:
         assert r["passed"] == (r["n_violations"] == 0)
         assert 0 <= r["n_violations"] <= r["n_total"]
+
+
+def test_markov_backtest_consistent_with_matrix(spark, sf_dir):
+    """In-sample top-1 accuracy per from-state must equal the MAX
+    transition probability in `event_transition_matrix` (that IS what
+    predicting the argmax scores on the training stream), and the
+    predicted label must be the matrix's argmax row."""
+    mat = QS["event_transition_matrix"](spark, sf_dir).collect()
+    best = {}
+    for r in mat:
+        cur = best.get(r["from_type"])
+        key = (r["n_transitions"], r["to_type"])
+        # argmax by count, tie-break by type name ASC (so invert name order)
+        if cur is None or r["n_transitions"] > cur[0][0] or (
+            r["n_transitions"] == cur[0][0] and r["to_type"] < cur[0][1]
+        ):
+            best[r["from_type"]] = (key, r)
+    rows = QS["markov_backtest_accuracy"](spark, sf_dir).collect()
+    assert {r["from_type"] for r in rows} == set(best)
+    for r in rows:
+        _, b = best[r["from_type"]]
+        assert r["predicted"] == b["to_type"]
+        assert abs(r["accuracy"] - b["prob"]) < 2e-6  # prob rounded to 6
+        assert r["n_hits"] == b["n_transitions"]
+        assert 0.0 < r["accuracy"] <= 1.0

@@ -818,3 +818,11 @@ def test_window_pack_is_single_shuffle(plans):
     assert "Window" in p
     scans = [l for l in p.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1 and all("props" not in l for l in scans)
+
+
+def test_markov_backtest_broadcasts_the_model(plans):
+    """The 25-row argmax model must broadcast back onto the transition
+    stream — the scoring join can never shuffle the data-sized side."""
+    p = plans("markov_backtest_accuracy")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -90,6 +90,8 @@ PORTABLE = [
     # parses and runs on Spark SQL as-is (the single-partition windows
     # it implies are exactly what the engine route replaces)
     "quantile_normalize_values",
+    # Markov backtest: LAG + ROW_NUMBER + broadcastable join, plain ANSI
+    "markov_backtest_accuracy",
     "asof_join_last_event_per_order",
     "cube_orders",
     "grouped_map_best_doc",
