@@ -1494,3 +1494,113 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_c", "p_size")
         .orderBy("price_c", "p_partkey")
     )
+
+
+# --- EWMA forecast backtest ----------------------------------------------------
+
+_EWMA_ALPHA = "0.3"  # smoothing constant, pinned as the literal text both
+_EWMA_BETA = "0.7"  # engines parse (1 - alpha)
+
+_EWMA_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+numbered AS (
+    SELECT event_type, d, yc,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY d
+           ) AS BIGINT) AS rn
+    FROM daily
+),
+walk AS (
+    SELECT event_type, rn, CAST(yc AS DOUBLE) AS level,
+           CAST(0 AS DOUBLE) AS abs_err_sum
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.event_type, n.rn,
+           {_EWMA_ALPHA} * CAST(n.yc AS DOUBLE) + {_EWMA_BETA} * w.level,
+           w.abs_err_sum + ABS(CAST(n.yc AS DOUBLE) - w.level)
+    FROM walk w JOIN numbered n
+      ON n.event_type = w.event_type AND n.rn = w.rn + 1
+)
+SELECT event_type,
+       CAST(MAX(rn) AS BIGINT) AS n_days,
+       MAX(CASE WHEN rn_is_last THEN level END) AS final_level,
+       MAX(CASE WHEN rn_is_last THEN abs_err_sum END)
+       / CAST(MAX(rn) - 1 AS DOUBLE) AS mae
+FROM (
+    SELECT event_type, rn, level, abs_err_sum,
+           rn = MAX(rn) OVER (PARTITION BY event_type) AS rn_is_last
+    FROM walk
+)
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+@query("ewma_forecast_backtest", oracle=_EWMA_SQL)
+def ewma_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (EWMA, alpha=0.3) over the daily revenue
+    series per event type, backtested one-step-ahead: forecast_t =
+    level_{t-1}, score = mean absolute error — the monitoring
+    forecaster every ops pipeline runs, computed engine-exactly. Daily
+    totals are exact int64 cents from ONE map-side-combined aggregate;
+    the level recurrence — the order-sensitive float chain — executes
+    as the IDENTICAL IEEE sequence in both engines (engine: per-type
+    sorted-array left-fold with a struct accumulator; oracle: a
+    RECURSIVE CTE walking every type's series in lockstep), the KM/PSI
+    forced-order discipline applied to a genuinely sequential model.
+    Everything after the first aggregate touches <= types x days
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("yc")
+        )
+    )
+    packed = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "yc"))).alias("arr")
+    )
+    alpha = float(_EWMA_ALPHA)
+    beta = float(_EWMA_BETA)
+    acc0 = F.struct(
+        F.lit(0.0).alias("level"),
+        F.lit(0.0).alias("abs_err_sum"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, x):
+        y = x["yc"].cast("double")
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                y.alias("level"),
+                F.lit(0.0).alias("abs_err_sum"),
+                F.lit(1).cast("long").alias("n"),
+            ),
+        ).otherwise(
+            F.struct(
+                (F.lit(alpha) * y + F.lit(beta) * acc["level"]).alias("level"),
+                (acc["abs_err_sum"] + F.abs(y - acc["level"])).alias(
+                    "abs_err_sum"
+                ),
+                (acc["n"] + 1).alias("n"),
+            )
+        )
+
+    fin = F.aggregate("arr", acc0, step)
+    return packed.select(
+        "event_type",
+        fin["n"].alias("n_days"),
+        fin["level"].alias("final_level"),
+        (fin["abs_err_sum"] / (fin["n"] - 1).cast("double")).alias("mae"),
+    ).orderBy("event_type")

@@ -273,6 +273,7 @@ ROUND8C = [
     "quantile_normalize_values",
     "hrw_shard_rebalance_audit",
     "markov_backtest_accuracy",
+    "ewma_forecast_backtest",
 ]
 
 CURATION = [

@@ -806,3 +806,36 @@ def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
         for r in skyline_parts_price_size(spark, sf_dir).collect()
     ]
     assert got == [(int(a), int(b), int(c)) for a, b, c in expect]
+
+
+def test_ewma_matches_numpy_replay(spark, sf_dir):
+    """Replay the exact recurrence (exact-cent daily totals, alpha=0.3
+    level chain, one-step-ahead MAE) in Python."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.advanced import (
+        ewma_forecast_backtest,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pandas()
+    t["d"] = (t["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    t["yc"] = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    rows = ewma_forecast_backtest(spark, sf_dir).collect()
+    for r in rows:
+        g = (
+            t[t["event_type"] == r["event_type"]]
+            .groupby("d")["yc"]
+            .sum()
+            .sort_index()
+        )
+        level, err = float(g.iloc[0]), 0.0
+        for y in g.iloc[1:]:
+            err += abs(float(y) - level)
+            level = 0.3 * float(y) + 0.7 * level
+        assert r["n_days"] == len(g)
+        assert np.isclose(r["final_level"], level, rtol=1e-12)
+        assert np.isclose(r["mae"], err / (len(g) - 1), rtol=1e-12)

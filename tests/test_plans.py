@@ -826,3 +826,14 @@ def test_markov_backtest_broadcasts_the_model(plans):
     p = plans("markov_backtest_accuracy")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_ewma_is_aggregate_then_bounded_fold(plans):
+    """The EWMA series work must be one map-side-combined daily
+    aggregate; the recurrence is an array fold on <= types x days rows
+    — no join, no window over the scan."""
+    p = plans("ewma_forecast_backtest")
+    assert "partial_sum" in p
+    assert "Join" not in p and "Window" not in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1 and all("props" not in l for l in scans)
