@@ -1600,3 +1600,135 @@ def markov_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+# --- exact two-sample Kolmogorov-Smirnov test ----------------------------------
+
+_KS_SQL = """
+WITH hist AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cent,
+           CAST(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 0 ELSE 1 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM events
+    GROUP BY event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+),
+cum AS (
+    SELECT event_type, cent,
+           CAST(SUM(na) OVER w AS BIGINT) AS ca,
+           CAST(SUM(nb) OVER w AS BIGINT) AS cb,
+           CAST(SUM(na) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+           CAST(SUM(nb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+    FROM hist
+    WINDOW w AS (PARTITION BY event_type ORDER BY cent
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gaps AS (
+    SELECT event_type, cent, ta, tb,
+           ABS(CAST(ca AS DECIMAL(38, 0)) * CAST(tb AS DECIMAL(38, 0))
+               - CAST(cb AS DECIMAL(38, 0)) * CAST(ta AS DECIMAL(38, 0)))
+               AS gap
+    FROM cum
+),
+mx AS (
+    SELECT event_type, MAX(gap) AS max_gap
+    FROM gaps GROUP BY event_type
+)
+SELECT g.event_type,
+       MAX(g.ta) AS n_base, MAX(g.tb) AS n_curr,
+       CAST(MAX(g.gap) AS DOUBLE)
+       / (CAST(MAX(g.ta) AS DOUBLE) * CAST(MAX(g.tb) AS DOUBLE)) AS ks_stat,
+       MIN(g.cent) AS argmax_cent
+FROM gaps g JOIN mx m
+  ON m.event_type = g.event_type AND g.gap = m.max_gap
+GROUP BY g.event_type
+ORDER BY g.event_type
+""".strip()
+
+
+@query("ks_test_weekend_value", oracle=_KS_SQL)
+def ks_test_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic — weekday vs
+    weekend value distribution per event type, the nonparametric
+    companion to the PSI drift audit (PSI summarizes binned divergence;
+    KS finds the single worst ECDF gap and WHERE it occurs). Exactness
+    at any scale: the ECDF difference is compared as the
+    cross-multiplied integer |ca*tb - cb*ta| in DECIMAL(38,0) — no
+    float enters until the final division — so the argmax cent and the
+    max gap are exact even where two gaps differ by one part in 1e18
+    (the seam a double ECDF would blur); the candidate cut points are
+    the merged support (cents present in either sample — the gap is
+    constant between support points, so nothing is missed); the
+    cumulative runs over the DOMAIN-bounded cent histogram
+    (equi-depth discipline). One conditional aggregate is the only
+    data-sized work."""
+    ev = load_table(spark, sf_dir, "events")
+    wknd = F.weekday(F.col("ts")) >= 5
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cent"),
+            F.when(wknd, 1).otherwise(0).alias("is_b"),
+        )
+        .groupBy("event_type", "cent")
+        .agg(
+            F.sum(F.lit(1) - F.col("is_b")).alias("na"),
+            F.sum("is_b").alias("nb"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cent")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    cum = hist.select(
+        "event_type",
+        "cent",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(wt).alias("ta"),
+        F.sum("nb").over(wt).alias("tb"),
+    )
+    # materialize the DOMAIN-bounded gap table (<= types x distinct
+    # cents rows) so the max-gap branch reads it instead of re-running
+    # the events scan — one data-sized pass total
+    gaps = cum.select(
+        "event_type",
+        "cent",
+        "ta",
+        "tb",
+        F.abs(
+            F.col("ca").cast(dec) * F.col("tb").cast(dec)
+            - F.col("cb").cast(dec) * F.col("ta").cast(dec)
+        ).alias("gap"),
+    ).localCheckpoint()
+    mx = (
+        gaps.groupBy("event_type")
+        .agg(F.max("gap").alias("max_gap"))
+        .select(F.col("event_type").alias("mx_type"), "max_gap")
+    )
+    return (
+        gaps.join(
+            F.broadcast(mx),
+            (F.col("event_type") == F.col("mx_type"))
+            & (F.col("gap") == F.col("max_gap")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("ta").alias("n_base"),
+            F.max("tb").alias("n_curr"),
+            (
+                F.max("gap").cast("double")
+                / (
+                    F.max("ta").cast("double")
+                    * F.max("tb").cast("double")
+                )
+            ).alias("ks_stat"),
+            F.min("cent").alias("argmax_cent"),
+        )
+        .orderBy("event_type")
+    )

@@ -274,6 +274,7 @@ ROUND8C = [
     "hrw_shard_rebalance_audit",
     "markov_backtest_accuracy",
     "ewma_forecast_backtest",
+    "ks_test_weekend_value",
 ]
 
 CURATION = [

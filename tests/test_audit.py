@@ -652,3 +652,34 @@ def test_markov_backtest_consistent_with_matrix(spark, sf_dir):
         assert abs(r["accuracy"] - b["prob"]) < 2e-6  # prob rounded to 6
         assert r["n_hits"] == b["n_transitions"]
         assert 0.0 < r["accuracy"] <= 1.0
+
+
+def test_ks_matches_scipy_style_replay(spark, sf_dir):
+    """Replay the exact two-sample KS in numpy over the merged cent
+    support and check statistic + argmax location."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.audit import ks_test_weekend_value
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pandas()
+    cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    wknd = t["ts"].dt.weekday.to_numpy() >= 5
+    rows = ks_test_weekend_value(spark, sf_dir).collect()
+    for r in rows:
+        m = (t["event_type"] == r["event_type"]).to_numpy()
+        a = np.sort(cents[m & ~wknd])
+        b = np.sort(cents[m & wknd])
+        assert (r["n_base"], r["n_curr"]) == (len(a), len(b))
+        support = np.unique(cents[m])
+        ca = np.searchsorted(a, support, side="right").astype(object)
+        cb = np.searchsorted(b, support, side="right").astype(object)
+        gap = np.abs(ca * len(b) - cb * len(a))  # exact python ints
+        best = int(np.max(gap))
+        assert np.isclose(
+            r["ks_stat"], best / (len(a) * len(b)), rtol=1e-12
+        )
+        assert r["argmax_cent"] == int(support[np.argmax(gap)])
+        assert 0.0 <= r["ks_stat"] <= 1.0

@@ -837,3 +837,17 @@ def test_ewma_is_aggregate_then_bounded_fold(plans):
     assert "Join" not in p and "Window" not in p
     scans = [l for l in p.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1 and all("props" not in l for l in scans)
+
+
+def test_ks_cumulative_runs_on_cent_histogram(plans):
+    """The KS cumulative window must sit on the domain-bounded cent
+    histogram (aggregate between scan and Window) and the max-gap join
+    must broadcast the per-type maxima."""
+    p = plans("ks_test_weekend_value")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # the gap table is checkpointed (domain-bounded), so the serve plan
+    # reads the materialized RDD on both sides and the events scan ran
+    # exactly once, inside the checkpoint job
+    assert "FileScan parquet" not in p
+    assert p.count("Scan ExistingRDD") == 2
