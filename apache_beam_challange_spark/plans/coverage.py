@@ -1531,3 +1531,77 @@ def window_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "rn")
     )
+
+
+# --- GROUPING SETS with grouping_id -------------------------------------------
+
+_GSETS_SQL = """
+SELECT n_name,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mth,
+       CAST(GROUPING(n_name) AS BIGINT) * 2
+       + CAST(GROUPING(CAST(EXTRACT(month FROM o_orderdate) AS BIGINT))
+              AS BIGINT) AS gid,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY GROUPING SETS (
+    (n_name, CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)),
+    (n_name),
+    (CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)),
+    ()
+)
+ORDER BY gid, n_name, mth
+""".strip()
+
+
+@query("grouping_sets_revenue", oracle=_GSETS_SQL)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with the GROUPING() bitmask — the general
+    form that `cube_orders` (CUBE) and `rollup_nation_revenue` (ROLLUP)
+    are sugar over, completing the multi-aggregation trio: nation x
+    order-month revenue at four granularities in ONE pass (Spark's
+    native Expand operator replicates each input row once per set
+    before a single aggregate — no union of four scans). Dims
+    broadcast; revenue exact int64 cents; the gid bitmask
+    disambiguates real NULLs from subtotal rows in both engines. The
+    oracle text is shared ANSI and runs through the spark.sql facade
+    unmodified."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.month("o_orderdate").cast("long").alias("mth"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+    )
+    return (
+        base.groupingSets(
+            [["n_name", "mth"], ["n_name"], ["mth"], []],
+            "n_name",
+            "mth",
+        )
+        .agg(
+            (
+                F.grouping("n_name").cast("long") * 2
+                + F.grouping("mth").cast("long")
+            ).alias("gid"),
+            F.sum("price_c").alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("gid", "n_name", "mth")
+    )

@@ -275,6 +275,7 @@ ROUND8C = [
     "markov_backtest_accuracy",
     "ewma_forecast_backtest",
     "ks_test_weekend_value",
+    "grouping_sets_revenue",
 ]
 
 CURATION = [

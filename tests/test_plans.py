@@ -851,3 +851,15 @@ def test_ks_cumulative_runs_on_cent_histogram(plans):
     # exactly once, inside the checkpoint job
     assert "FileScan parquet" not in p
     assert p.count("Scan ExistingRDD") == 2
+
+
+def test_grouping_sets_is_one_expand_pass(plans):
+    """All four granularities must come from ONE Expand + aggregate over
+    a single joined scan — never a union of per-set scans; dims
+    broadcast."""
+    p = plans("grouping_sets_revenue")
+    assert "Expand" in p
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p and "Union" not in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l and "orders" in l]
+    assert len(scans) == 1

@@ -92,6 +92,8 @@ PORTABLE = [
     "quantile_normalize_values",
     # Markov backtest: LAG + ROW_NUMBER + broadcastable join, plain ANSI
     "markov_backtest_accuracy",
+    # GROUPING SETS + GROUPING() bitmask — shared ANSI
+    "grouping_sets_revenue",
     "asof_join_last_event_per_order",
     "cube_orders",
     "grouped_map_best_doc",
