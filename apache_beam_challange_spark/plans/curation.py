@@ -1896,3 +1896,116 @@ def pit_scd2_state_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("purchase_id")
     )
+
+
+# --- Gini / Lorenz inequality audit -------------------------------------------
+
+_GINI_SQL = """
+WITH rev AS (
+    SELECT c.c_custkey, n.n_name,
+           CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                  AS BIGINT)), 0) AS BIGINT) AS rev_c
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, n.n_name
+),
+nat AS (
+    SELECT n_name AS scope, c_custkey, rev_c,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY n_name ORDER BY rev_c, c_custkey
+           ) AS BIGINT) AS rnk
+    FROM rev
+),
+gl AS (
+    SELECT 'ALL' AS scope, c_custkey, rev_c,
+           CAST(ROW_NUMBER() OVER (ORDER BY rev_c, c_custkey) AS BIGINT) AS rnk
+    FROM rev
+),
+scoped AS (SELECT * FROM nat UNION ALL SELECT * FROM gl)
+SELECT scope,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_c) AS BIGINT) AS total_c,
+       CAST(2 * SUM(CAST(rnk AS DECIMAL(38, 0)) * CAST(rev_c AS DECIMAL(38, 0)))
+            - CAST(COUNT(*) + 1 AS DECIMAL(38, 0)) * SUM(CAST(rev_c AS DECIMAL(38, 0)))
+            AS DOUBLE)
+       / CAST(CAST(COUNT(*) AS DECIMAL(38, 0))
+              * SUM(CAST(rev_c AS DECIMAL(38, 0))) AS DOUBLE) AS gini
+FROM scoped
+GROUP BY scope
+ORDER BY scope
+""".strip()
+
+
+@query("gini_revenue_inequality", oracle=_GINI_SQL)
+def gini_revenue_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — per nation AND globally —
+    via the exact rank formula G = (2*sum(i*x_(i)) - (n+1)*sum(x)) /
+    (n*sum(x)): the inequality audit behind data-mix decisions (how
+    concentrated is a source / customer base), computed with zero
+    float ambiguity — revenues are int64 cents, the rank-weighted sum
+    runs in DECIMAL(38,0), and exactly ONE double division happens at
+    the end. Per-nation ranks come from nation-partitioned windows
+    (scale-safe); the GLOBAL ranks come from the distributed numbering
+    primitive (``assign_global_row_ids``) — the second composed
+    consumer of the primitive since its round-8 exchange-reuse fix,
+    exercising exactly the composition shape that used to corrupt.
+    Zero-order customers count with rev 0 (LEFT join + coalesce), as
+    the textbook population Gini requires."""
+    from apache_beam_challange_spark.plans.coverage import (
+        assign_global_row_ids,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    rev = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "n_name")
+        .agg(F.coalesce(F.sum("price_c"), F.lit(0)).cast("long").alias("rev_c"))
+        .localCheckpoint()
+    )
+    dec = "decimal(38,0)"
+
+    def gini_agg(df):
+        s0 = F.sum(F.col("rev_c").cast(dec))
+        s1 = F.sum(F.col("rnk").cast(dec) * F.col("rev_c").cast(dec))
+        n = F.count(F.lit(1))
+        return df.groupBy("scope").agg(
+            n.alias("n_customers"),
+            F.sum("rev_c").alias("total_c"),
+            (
+                (
+                    F.lit(2).cast(dec) * s1
+                    - (n + 1).cast(dec) * s0
+                ).cast("double")
+                / (n.cast(dec) * s0).cast("double")
+            ).alias("gini"),
+        )
+
+    w_nat = Window.partitionBy("n_name").orderBy("rev_c", "c_custkey")
+    nat = rev.select(
+        F.col("n_name").alias("scope"),
+        "rev_c",
+        F.row_number().over(w_nat).cast("long").alias("rnk"),
+    )
+    gids = assign_global_row_ids(
+        rev, ["rev_c", "c_custkey"], "c_custkey"
+    ).select(F.col("c_custkey").alias("g_key"), F.col("global_id").alias("rnk"))
+    glob = rev.join(gids, rev["c_custkey"] == F.col("g_key")).select(
+        F.lit("ALL").alias("scope"), "rev_c", "rnk"
+    )
+    return (
+        gini_agg(nat.unionByName(glob))
+        .orderBy("scope")
+    )

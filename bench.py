@@ -276,6 +276,7 @@ ROUND8C = [
     "ewma_forecast_backtest",
     "ks_test_weekend_value",
     "grouping_sets_revenue",
+    "gini_revenue_inequality",
 ]
 
 CURATION = [
