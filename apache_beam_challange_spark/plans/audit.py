@@ -1732,3 +1732,124 @@ def ks_test_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- chi-squared independence test --------------------------------------------
+
+_CHI2_SQL = """
+WITH RECURSIVE cells AS (
+    SELECT event_type,
+           CAST(ISODOW(ts) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events
+    GROUP BY event_type, CAST(ISODOW(ts) AS BIGINT)
+),
+dims AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+           CAST(SUM(obs) AS BIGINT) AS n
+    FROM cells
+),
+tot AS (
+    SELECT event_type, dow, obs,
+           CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+           CAST(SUM(obs) OVER (PARTITION BY dow) AS BIGINT) AS ct
+    FROM cells
+),
+walk AS (
+    SELECT event_type, dow, obs, rt, ct,
+           ROW_NUMBER() OVER (ORDER BY event_type, dow) AS rn
+    FROM tot
+),
+folded AS (
+    SELECT w.rn,
+           0.0 + (CAST(w.obs AS DOUBLE)
+                  - CAST(w.rt AS DOUBLE) * CAST(w.ct AS DOUBLE)
+                    / CAST(d.n AS DOUBLE))
+               * (CAST(w.obs AS DOUBLE)
+                  - CAST(w.rt AS DOUBLE) * CAST(w.ct AS DOUBLE)
+                    / CAST(d.n AS DOUBLE))
+               / (CAST(w.rt AS DOUBLE) * CAST(w.ct AS DOUBLE)
+                  / CAST(d.n AS DOUBLE)) AS chi2
+    FROM walk w, dims d WHERE w.rn = 1
+    UNION ALL
+    SELECT w.rn,
+           f.chi2 + (CAST(w.obs AS DOUBLE)
+                     - CAST(w.rt AS DOUBLE) * CAST(w.ct AS DOUBLE)
+                       / CAST((SELECT n FROM dims) AS DOUBLE))
+               * (CAST(w.obs AS DOUBLE)
+                  - CAST(w.rt AS DOUBLE) * CAST(w.ct AS DOUBLE)
+                    / CAST((SELECT n FROM dims) AS DOUBLE))
+               / (CAST(w.rt AS DOUBLE) * CAST(w.ct AS DOUBLE)
+                  / CAST((SELECT n FROM dims) AS DOUBLE))
+    FROM folded f JOIN walk w ON w.rn = f.rn + 1
+)
+SELECT d.n AS n_events, d.r AS n_types, d.c AS n_days,
+       (d.r - 1) * (d.c - 1) AS dof,
+       (SELECT chi2 FROM folded ORDER BY rn DESC LIMIT 1) AS chi2
+FROM dims d
+""".strip()
+
+
+@query("chi2_type_dow_independence", oracle=_CHI2_SQL)
+def chi2_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between event type and
+    day-of-week — the contingency-table classic completing the
+    statistics family (PSI summarizes drift, KS localizes it, chi2
+    tests the categorical factorization, bootstrap/CUPED quantify
+    uncertainty). Observed counts are exact int64 from ONE map-side
+    combined aggregate; expected counts and per-cell terms are double
+    expressions written identically in both engines; and the
+    cells-count reduction (types x 7 terms) — the one order-sensitive
+    float sum — runs as the same (type, dow)-ordered left-to-right
+    chain on both sides, seeded 0.0 (engine: sorted-array fold;
+    oracle: RECURSIVE CTE walk). Everything after the first aggregate
+    touches <= types x 7 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (F.weekday(F.col("ts")) + 1).cast("long").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    tot = cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(wr).alias("rt"),
+        F.sum("obs").over(wc).alias("ct"),
+    )
+    packed = tot.groupBy().agg(
+        F.sum("obs").alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct("dow").alias("n_days"),
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "dow", "obs", "rt", "ct"))
+        ).alias("arr"),
+    )
+
+    def step(n):
+        def inner(acc, x):
+            e = (
+                x["rt"].cast("double")
+                * x["ct"].cast("double")
+                / n.cast("double")
+            )
+            d = x["obs"].cast("double") - e
+            return acc + d * d / e
+
+        return inner
+
+    return packed.select(
+        "n_events",
+        "n_types",
+        "n_days",
+        ((F.col("n_types") - 1) * (F.col("n_days") - 1)).alias("dof"),
+        F.aggregate("arr", F.lit(0.0), step(F.col("n_events"))).alias(
+            "chi2"
+        ),
+    )

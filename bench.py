@@ -277,6 +277,7 @@ ROUND8C = [
     "ks_test_weekend_value",
     "grouping_sets_revenue",
     "gini_revenue_inequality",
+    "chi2_type_dow_independence",
 ]
 
 CURATION = [

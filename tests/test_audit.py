@@ -683,3 +683,34 @@ def test_ks_matches_scipy_style_replay(spark, sf_dir):
         )
         assert r["argmax_cent"] == int(support[np.argmax(gap)])
         assert 0.0 <= r["ks_stat"] <= 1.0
+
+
+def test_chi2_matches_scipy_formula_replay(spark, sf_dir):
+    """Replay Pearson chi2 in numpy (exact counts, same term order) and
+    check the statistic, dof, and dims."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.audit import (
+        chi2_type_dow_independence,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    t["dow"] = t["ts"].dt.weekday + 1
+    ct = pd.crosstab(t["event_type"], t["dow"])
+    n = ct.values.sum()
+    chi2 = 0.0
+    for et in sorted(ct.index):
+        for d in sorted(ct.columns):
+            obs = float(ct.loc[et, d])
+            e = float(ct.loc[et].sum()) * float(ct[d].sum()) / float(n)
+            if e > 0:
+                chi2 += (obs - e) * (obs - e) / e
+    [r] = chi2_type_dow_independence(spark, sf_dir).collect()
+    assert r["n_events"] == int(n)
+    assert r["dof"] == (len(ct.index) - 1) * (len(ct.columns) - 1)
+    assert np.isclose(r["chi2"], chi2, rtol=1e-9)
+    assert r["chi2"] >= 0.0
