@@ -2009,3 +2009,133 @@ def gini_revenue_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         gini_agg(nat.unionByName(glob))
         .orderBy("scope")
     )
+
+# --- Fellegi-Sunter probabilistic record linkage -------------------------------
+
+import math as _math
+
+#: (m, u) per comparison field: P(agree | match), P(agree | non-match).
+#: Pinned model constants; the log-odds below are PRE-COMPUTED Python
+#: doubles embedded as identical literals in both engines — no libm
+#: call happens at query time, so the scores are bit-identical.
+_FS_MU = {
+    "brand": (0.9, 0.04),
+    "type": (0.85, 0.02),
+    "size": (0.8, 0.09),
+    "name": (0.95, 0.01),
+}
+_FS_W = {
+    f: (_math.log(m / u), _math.log((1.0 - m) / (1.0 - u)))
+    for f, (m, u) in _FS_MU.items()
+}
+_FS_THRESHOLD = 4.0
+
+_FS_CASES_SQL = " + ".join(
+    f"(CASE WHEN {cond} THEN CAST({_FS_W[f][0]!r} AS DOUBLE)"
+    f" ELSE CAST({_FS_W[f][1]!r} AS DOUBLE) END)"
+    for f, cond in (
+        ("brand", "a.p_brand = b.p_brand"),
+        ("type", "a.p_type = b.p_type"),
+        ("size", "ABS(a.p_size - b.p_size) <= 2"),
+        ("name", "levenshtein(a.p_name, b.p_name) <= 3"),
+    )
+)
+
+_FS_SQL = f"""
+WITH blocked AS (
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           list_extract(string_split(p_name, ' '), -1) AS block
+    FROM part
+    QUALIFY COUNT(*) OVER (PARTITION BY block) <= {_FUZZY_BLOCK_CAP}
+),
+scored AS (
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST((CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END)
+                + (CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END)
+                + (CASE WHEN ABS(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0 END)
+                + (CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           {_FS_CASES_SQL} AS fs_score
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+)
+SELECT part_a, part_b, n_agree, fs_score,
+       fs_score >= CAST({_FS_THRESHOLD!r} AS DOUBLE) AS is_match
+FROM scored
+ORDER BY fs_score DESC, part_a, part_b
+LIMIT 20
+""".strip()
+
+
+@query("fellegi_sunter_part_links", oracle=_FS_SQL)
+def fellegi_sunter_part_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969): score every
+    blocked candidate part pair with per-field agreement log-odds
+    (brand/type exact, size within 2, name within Levenshtein 3) under
+    pinned (m, u) model constants, flag matches above the decision
+    threshold, return the top-20 scored links. The log-odds are
+    PRE-COMPUTED Python doubles embedded as identical literals in both
+    engines — the 4-term score is a fixed left-associative chain, so
+    the scores are bit-identical with zero runtime libm. Candidates
+    come from the established blocking discipline (last name token,
+    ``_FUZZY_BLOCK_CAP``-bounded blocks dropped BEFORE the self-join,
+    QUALIFY-mirrored in the oracle) — the linkage stays linear-ish in
+    corpus size, never all-pairs; the serve end is a
+    TakeOrderedAndProject."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    blocked = part.withColumn(
+        "block", F.element_at(F.split(F.col("p_name"), " "), -1)
+    )
+    sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = blocked.join(
+        F.broadcast(
+            sizes.filter(F.col("_bn") <= _FUZZY_BLOCK_CAP).select("block")
+        ),
+        "block",
+    )
+    a = bounded.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("ba"),
+        F.col("p_type").alias("ta"),
+        F.col("p_size").alias("sa"),
+        "block",
+    )
+    b = bounded.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+        "block",
+    )
+    conds = [
+        (F.col("ba") == F.col("bb"), "brand"),
+        (F.col("ta") == F.col("tb"), "type"),
+        (F.abs(F.col("sa") - F.col("sb")) <= 2, "size"),
+        (F.levenshtein(F.col("na"), F.col("nb")) <= 3, "name"),
+    ]
+    score = None
+    agree = None
+    for cond, f in conds:
+        term = F.when(cond, F.lit(_FS_W[f][0])).otherwise(
+            F.lit(_FS_W[f][1])
+        )
+        flag = F.when(cond, 1).otherwise(0)
+        score = term if score is None else score + term
+        agree = flag if agree is None else agree + flag
+    return (
+        a.join(b, "block")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            F.col("ka").alias("part_a"),
+            F.col("kb").alias("part_b"),
+            agree.cast("long").alias("n_agree"),
+            score.alias("fs_score"),
+            (score >= F.lit(_FS_THRESHOLD)).alias("is_match"),
+        )
+        .orderBy(F.desc("fs_score"), "part_a", "part_b")
+        .limit(20)
+    )

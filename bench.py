@@ -278,6 +278,7 @@ ROUND8C = [
     "grouping_sets_revenue",
     "gini_revenue_inequality",
     "chi2_type_dow_independence",
+    "fellegi_sunter_part_links",
 ]
 
 CURATION = [

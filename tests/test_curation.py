@@ -86,3 +86,47 @@ def test_gini_matches_numpy_replay(spark, sf_dir):
         assert r["total_c"] == int(sub["rev"].sum())
         assert np.isclose(r["gini"], gini(sub), rtol=1e-12)
         assert 0.0 <= r["gini"] < 1.0
+
+
+def test_fellegi_sunter_scores_are_exact_log_odds(spark, sf_dir):
+    """Every returned score must equal the sum of the pinned per-field
+    log-odds for its agreement pattern (recomputed in Python), matches
+    flagged by the threshold, candidates block-bounded."""
+    from apache_beam_challange_spark.plans.curation import (
+        _FS_THRESHOLD,
+        _FS_W,
+        fellegi_sunter_part_links,
+    )
+
+    rows = fellegi_sunter_part_links(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    part = {
+        r["p_partkey"]: r
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+    }
+    for r in rows:
+        a, b = part[r["part_a"]], part[r["part_b"]]
+        ag = {
+            "brand": a["p_brand"] == b["p_brand"],
+            "type": a["p_type"] == b["p_type"],
+            "size": abs(a["p_size"] - b["p_size"]) <= 2,
+        }
+        # name agreement: recompute Levenshtein in pure Python
+        na, nb = a["p_name"], b["p_name"]
+        prev = list(range(len(nb) + 1))
+        for i, ca in enumerate(na, 1):
+            cur = [i]
+            for j, cb in enumerate(nb, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        ag["name"] = prev[-1] <= 3
+        score = 0.0
+        for f in ("brand", "type", "size", "name"):
+            score = score + (_FS_W[f][0] if ag[f] else _FS_W[f][1])
+        assert r["fs_score"] == score  # bit-identical: literal sums only
+        assert r["n_agree"] == sum(ag.values())
+        assert r["is_match"] == (r["fs_score"] >= _FS_THRESHOLD)
+        # same-block guarantee
+        assert na.rsplit(" ", 1)[-1] == nb.rsplit(" ", 1)[-1]
