@@ -2139,3 +2139,118 @@ def fellegi_sunter_part_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fs_score"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --- vocabulary JS-divergence drift -------------------------------------------
+
+_VJS_K = 16
+_VJS_SRC = "src0"
+
+_VJS_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS token,
+           (source = '{_VJS_SRC}') AS is_b
+    FROM documents
+),
+counts AS (
+    SELECT token,
+           CAST(SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM tok GROUP BY token
+),
+topk AS (
+    SELECT token, na, nb
+    FROM counts
+    ORDER BY na + nb DESC, token
+    LIMIT {_VJS_K}
+),
+tot AS (
+    SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+    FROM counts
+),
+spine AS (
+    SELECT token, na, nb FROM topk
+    UNION ALL
+    SELECT '<OOV>' AS token,
+           (SELECT ta FROM tot) - CAST(SUM(na) AS BIGINT),
+           (SELECT tb FROM tot) - CAST(SUM(nb) AS BIGINT)
+    FROM topk
+)
+SELECT s.token, s.na AS n_base, s.nb AS n_curr,
+       0.5 * (CASE WHEN s.na = 0 THEN 0.0
+                   ELSE (CAST(s.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                        * ln((CAST(s.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                             / (0.5 * (CAST(s.na AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                                       + CAST(s.nb AS DOUBLE) / CAST(t.tb AS DOUBLE))))
+              END)
+       + 0.5 * (CASE WHEN s.nb = 0 THEN 0.0
+                     ELSE (CAST(s.nb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                          * ln((CAST(s.nb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                               / (0.5 * (CAST(s.na AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                                         + CAST(s.nb AS DOUBLE) / CAST(t.tb AS DOUBLE))))
+                END) AS js_term
+FROM spine s, tot t
+ORDER BY s.token
+""".strip()
+
+
+@query("vocab_js_drift_src0", oracle=_VJS_SQL)
+def vocab_js_drift_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between one source and the rest of the corpus —
+    per-token Jensen-Shannon divergence terms over the global top-16
+    tokens plus a pooled <OOV> bucket (non-trivial at every test SF) (the spine is COMPLETE: the two
+    distributions sum to 1 including the tail, so nothing escapes the
+    comparison). Each row is independently exact: counts are int64
+    from one token aggregate, and a row's JS term is a fixed chain of
+    double ops on that row's counts alone — there is NO cross-row
+    float reduction anywhere, sidestepping summation order entirely
+    (the scalar JS is the downstream 33-row fold). The zero-count
+    sides use the defined 0*ln(0) = 0 limit via identical CASE guards.
+    Top-K selection tie-breaks on the token string, so the spine is
+    deterministic in both engines. One data-sized explode+aggregate;
+    everything after is K+1 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+        (F.col("source") == _VJS_SRC).alias("is_b"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).alias("na"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("nb"),
+    ).localCheckpoint()
+    topk = counts.orderBy(
+        (F.col("na") + F.col("nb")).desc(), "token"
+    ).limit(_VJS_K)
+    tot = counts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    oov = (
+        topk.agg(
+            F.sum("na").alias("ka"), F.sum("nb").alias("kb")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("<OOV>").alias("token"),
+            (F.col("ta") - F.col("ka")).alias("na"),
+            (F.col("tb") - F.col("kb")).alias("nb"),
+        )
+    )
+    spine = topk.select("token", "na", "nb").unionByName(oov)
+    pa = F.col("na").cast("double") / F.col("ta").cast("double")
+    pb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    m = F.lit(0.5) * (pa + pb)
+    term = F.lit(0.5) * F.when(F.col("na") == 0, F.lit(0.0)).otherwise(
+        pa * F.log(pa / m)
+    ) + F.lit(0.5) * F.when(F.col("nb") == 0, F.lit(0.0)).otherwise(
+        pb * F.log(pb / m)
+    )
+    return (
+        spine.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.col("na").alias("n_base"),
+            F.col("nb").alias("n_curr"),
+            term.alias("js_term"),
+        )
+        .orderBy("token")
+    )

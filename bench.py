@@ -279,6 +279,7 @@ ROUND8C = [
     "gini_revenue_inequality",
     "chi2_type_dow_independence",
     "fellegi_sunter_part_links",
+    "vocab_js_drift_src0",
 ]
 
 CURATION = [

@@ -130,3 +130,52 @@ def test_fellegi_sunter_scores_are_exact_log_odds(spark, sf_dir):
         assert r["is_match"] == (r["fs_score"] >= _FS_THRESHOLD)
         # same-block guarantee
         assert na.rsplit(" ", 1)[-1] == nb.rsplit(" ", 1)[-1]
+
+
+def test_vocab_js_terms_match_numpy(spark, sf_dir):
+    """Replay every JS term in numpy from raw token counts; the folded
+    total must be a valid JS divergence (0 <= JS <= ln 2) and the spine
+    must conserve both distributions' mass."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.curation import (
+        _VJS_K,
+        _VJS_SRC,
+        vocab_js_drift_src0,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/documents.parquet", columns=["text", "source"]
+    ).to_pandas()
+    ca: collections.Counter = collections.Counter()
+    cb: collections.Counter = collections.Counter()
+    for txt, src in zip(t["text"], t["source"]):
+        (cb if src == _VJS_SRC else ca).update(txt.split(" "))
+    ta = sum(ca.values())
+    tb = sum(cb.values())
+    allc = ca + cb
+    top = sorted(allc, key=lambda k: (-allc[k], k))[:_VJS_K]
+    rows = vocab_js_drift_src0(spark, sf_dir).collect()
+    assert len(rows) == min(_VJS_K, len(allc)) + 1
+    assert sum(r["n_base"] for r in rows) == ta
+    assert sum(r["n_curr"] for r in rows) == tb
+    total = 0.0
+    for r in rows:
+        if r["token"] == "<OOV>":
+            na = ta - sum(ca[k] for k in top)
+            nb = tb - sum(cb[k] for k in top)
+        else:
+            assert r["token"] in top
+            na, nb = ca[r["token"]], cb[r["token"]]
+        assert (r["n_base"], r["n_curr"]) == (na, nb)
+        pa, pb = na / ta, nb / tb
+        m = 0.5 * (pa + pb)
+        term = 0.5 * (pa * np.log(pa / m) if na else 0.0) + 0.5 * (
+            pb * np.log(pb / m) if nb else 0.0
+        )
+        assert np.isclose(r["js_term"], term, rtol=1e-12, atol=1e-300)
+        total += r["js_term"]
+    assert -1e-12 <= total <= np.log(2.0) + 1e-12
