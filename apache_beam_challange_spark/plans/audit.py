@@ -1853,3 +1853,72 @@ def chi2_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+# --- minimum-detectable-effect power analysis -----------------------------------
+
+#: Two-sided alpha=0.05 and power=0.80 normal quantiles, pinned as the
+#: identical double literals both engines parse (z_{0.975}, z_{0.80}).
+_MDE_Z_ALPHA = 1.959963984540054
+_MDE_Z_BETA = 0.8416212335729143
+
+_MDE_SQL = f"""
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0 AS mean_value,
+       (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100000000.0 AS variance,
+       (CAST({_MDE_Z_ALPHA!r} AS DOUBLE) + CAST({_MDE_Z_BETA!r} AS DOUBLE))
+       * sqrt(2.0 * ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / 100000000.0)
+              / (CAST(n AS DOUBLE) / 2.0)) AS mde_abs
+FROM m
+ORDER BY event_type
+""".strip()
+
+
+@query("mde_power_analysis", oracle=_MDE_SQL)
+def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for a 50/50 A/B split on mean event
+    value, per event type (alpha=0.05 two-sided, power=0.80) — the
+    experiment-planning number CUPED's variance reduction feeds into,
+    closing the experimentation family loop (plan -> run -> de-noise ->
+    decide). MDE = (z_a + z_b) * sqrt(2*var / (n/2)) with the normal
+    quantiles pinned as identical double literals, the population
+    moments exact int64 (the CUPED/OLS moments-sketch discipline), and
+    sqrt — IEEE-754 correctly rounded, unlike the transcendentals — the
+    only non-arithmetic op, so both engines produce bit-identical
+    numbers with zero libm exposure. One map-side-combined aggregate;
+    post-agg work is types-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    vu = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vu).alias("s1"),
+        F.sum(vu * vu).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean_u = F.col("s1").cast("double") / nd
+    var_u = F.col("s2").cast("double") / nd - mean_u * mean_u
+    var_v = var_u / F.lit(100000000.0)
+    return m.select(
+        "event_type",
+        "n",
+        (mean_u / F.lit(10000.0)).alias("mean_value"),
+        var_v.alias("variance"),
+        (
+            (F.lit(_MDE_Z_ALPHA) + F.lit(_MDE_Z_BETA))
+            * F.sqrt(F.lit(2.0) * var_v / (nd / F.lit(2.0)))
+        ).alias("mde_abs"),
+    ).orderBy("event_type")

@@ -280,6 +280,7 @@ ROUND8C = [
     "chi2_type_dow_independence",
     "fellegi_sunter_part_links",
     "vocab_js_drift_src0",
+    "mde_power_analysis",
 ]
 
 CURATION = [

