@@ -138,6 +138,21 @@ FLAGSHIPS = [
     "multimodal_decode_png",
     "semdedup_cluster_prune_k32",
     "merge_into_cdc_snapshot",
+    # round-8 second/third wave: representative new plan shapes — the
+    # native session operator, the skyline histogram sweep, the KS
+    # checkpointed gap table, the bootstrap replicate aggregate, the
+    # GROUPING SETS Expand, and the co-purchase k-core's edge builder
+    # (peel rounds are checkpoint-truncated by design)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q18_large_volume_customers",
+    "pareto_abc_parts",
+    "session_window_native",
+    "skyline_parts_price_size",
+    "ks_test_weekend_value",
+    "bootstrap_ci_value_by_type",
+    "grouping_sets_revenue",
+    "psi_weekend_drift_by_type",
+    "linreg_value_on_hour_by_type",
 ]
 
 
