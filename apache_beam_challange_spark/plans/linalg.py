@@ -418,3 +418,123 @@ def linreg_value_on_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (slope_u / F.lit(10000.0)).alias("slope_per_hour"),
         ((syd - slope_u * shd) / nd / F.lit(10000.0)).alias("intercept"),
     ).orderBy("event_type")
+
+
+# --- Chow structural-break test -------------------------------------------------
+
+_CHOW_BREAK_DAY = 15  # split: days 0-14 vs 15+ (mid-window structural break)
+
+_CHOW_RSS = (
+    "(CAST({s2y} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)"
+    " / CAST({n} AS DOUBLE))"
+    " - (CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE)"
+    "    / CAST({n} AS DOUBLE))"
+    " * (CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE)"
+    "    / CAST({n} AS DOUBLE))"
+    " / (CAST({s2x} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE)"
+    "    / CAST({n} AS DOUBLE))"
+)
+
+
+def _chow_m(seg: str) -> dict[str, str]:
+    return {
+        "n": f"n{seg}", "sx": f"sx{seg}", "sy": f"sy{seg}",
+        "s2x": f"s2x{seg}", "s2y": f"s2y{seg}", "sxy": f"sxy{seg}",
+    }
+
+
+_CHOW_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sx,
+           CAST(SUM(yc) AS BIGINT) AS sy,
+           CAST(SUM(d * d) AS BIGINT) AS s2x,
+           CAST(SUM(yc * yc) AS BIGINT) AS s2y,
+           CAST(SUM(d * yc) AS BIGINT) AS sxy,
+           CAST(SUM(CASE WHEN d < {_CHOW_BREAK_DAY} THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN d < {_CHOW_BREAK_DAY} THEN d ELSE 0 END) AS BIGINT) AS sx1,
+           CAST(SUM(CASE WHEN d < {_CHOW_BREAK_DAY} THEN yc ELSE 0 END) AS BIGINT) AS sy1,
+           CAST(SUM(CASE WHEN d < {_CHOW_BREAK_DAY} THEN d * d ELSE 0 END) AS BIGINT) AS s2x1,
+           CAST(SUM(CASE WHEN d < {_CHOW_BREAK_DAY} THEN yc * yc ELSE 0 END) AS BIGINT) AS s2y1,
+           CAST(SUM(CASE WHEN d < {_CHOW_BREAK_DAY} THEN d * yc ELSE 0 END) AS BIGINT) AS sxy1,
+           CAST(SUM(CASE WHEN d >= {_CHOW_BREAK_DAY} THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN d >= {_CHOW_BREAK_DAY} THEN d ELSE 0 END) AS BIGINT) AS sx2,
+           CAST(SUM(CASE WHEN d >= {_CHOW_BREAK_DAY} THEN yc ELSE 0 END) AS BIGINT) AS sy2,
+           CAST(SUM(CASE WHEN d >= {_CHOW_BREAK_DAY} THEN d * d ELSE 0 END) AS BIGINT) AS s2x2,
+           CAST(SUM(CASE WHEN d >= {_CHOW_BREAK_DAY} THEN yc * yc ELSE 0 END) AS BIGINT) AS s2y2,
+           CAST(SUM(CASE WHEN d >= {_CHOW_BREAK_DAY} THEN d * yc ELSE 0 END) AS BIGINT) AS sxy2
+    FROM daily
+    GROUP BY event_type
+)
+SELECT event_type, n, n1, n2,
+       ((({_CHOW_RSS.format(**_chow_m(''))})
+         - (({_CHOW_RSS.format(**_chow_m('1'))})
+            + ({_CHOW_RSS.format(**_chow_m('2'))}))) / 2.0)
+       / ((({_CHOW_RSS.format(**_chow_m('1'))})
+           + ({_CHOW_RSS.format(**_chow_m('2'))}))
+          / CAST(n - 4 AS DOUBLE)) AS chow_f
+FROM m
+ORDER BY event_type
+""".strip()
+
+
+@query("chow_break_daily_revenue", oracle=_CHOW_SQL)
+def chow_break_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test (1960) for a structural break in the daily-revenue
+    trend at mid-window, per event type: fit value ~ day on the full
+    series and on each segment, F = ((RSS_p - RSS_1 - RSS_2)/k) /
+    ((RSS_1 + RSS_2)/(n - 2k)) with k=2 — the econometric
+    regime-change detector joining the CUSUM changepoint family with a
+    parametric test. ALL nine per-segment moments come from ONE
+    map-side-combined conditional aggregate (the OLS/CUPED moments
+    discipline — segment membership is just a CASE inside the sums);
+    every RSS is the identical centered-moment double expression in
+    both engines; no second scan, no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    yc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", d.alias("d")
+    ).agg(F.sum(yc).alias("yc"))
+    dd, yy = F.col("d"), F.col("yc")
+    in1 = dd < _CHOW_BREAK_DAY
+    segs = {"": F.lit(True), "1": in1, "2": ~in1}
+    aggs = []
+    for tag, cond in segs.items():
+        z = F.lit(0)
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(z)).alias(f"n{tag}"),
+            F.sum(F.when(cond, dd).otherwise(z)).alias(f"sx{tag}"),
+            F.sum(F.when(cond, yy).otherwise(z)).alias(f"sy{tag}"),
+            F.sum(F.when(cond, dd * dd).otherwise(z)).alias(f"s2x{tag}"),
+            F.sum(F.when(cond, yy * yy).otherwise(z)).alias(f"s2y{tag}"),
+            F.sum(F.when(cond, dd * yy).otherwise(z)).alias(f"sxy{tag}"),
+        ]
+    m = daily.groupBy("event_type").agg(*aggs)
+
+    def rss(tag):
+        n = F.col(f"n{tag}").cast("double")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        s2x = F.col(f"s2x{tag}").cast("double")
+        s2y = F.col(f"s2y{tag}").cast("double")
+        sxy = F.col(f"sxy{tag}").cast("double")
+        sxy_c = sxy - sx * sy / n
+        return (s2y - sy * sy / n) - sxy_c * sxy_c / (s2x - sx * sx / n)
+
+    f_stat = ((rss("") - (rss("1") + rss("2"))) / F.lit(2.0)) / (
+        (rss("1") + rss("2")) / (F.col("n") - 4).cast("double")
+    )
+    return m.select(
+        "event_type", "n", "n1", "n2", f_stat.alias("chow_f")
+    ).orderBy("event_type")

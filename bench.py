@@ -281,6 +281,7 @@ ROUND8C = [
     "fellegi_sunter_part_links",
     "vocab_js_drift_src0",
     "mde_power_analysis",
+    "chow_break_daily_revenue",
 ]
 
 CURATION = [

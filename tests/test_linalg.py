@@ -140,3 +140,47 @@ def test_linreg_matches_numpy_ols(spark, sf_dir):
         assert np.isclose(
             r["intercept"], (sy - slope_u * sh) / n / 10000.0, rtol=1e-12
         )
+
+
+def test_chow_matches_numpy_ols_rss(spark, sf_dir):
+    """Replay the Chow F from three numpy OLS fits on the identical
+    exact-cent daily series; F must be finite and non-negative."""
+    import pandas as pd
+
+    from apache_beam_challange_spark.plans.linalg import (
+        _CHOW_BREAK_DAY,
+        chow_break_daily_revenue,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pandas()
+    t["d"] = (t["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    t["yc"] = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+
+    def rss(g):
+        n = np.float64(len(g))
+        x = g["d"].to_numpy(dtype=np.float64)
+        y = g["yc"].to_numpy(dtype=np.float64)
+        sx, sy = x.sum(), y.sum()
+        sxy_c = (x * y).sum() - sx * sy / n
+        return ((y * y).sum() - sy * sy / n) - sxy_c * sxy_c / (
+            (x * x).sum() - sx * sx / n
+        )
+
+    rows = chow_break_daily_revenue(spark, sf_dir).collect()
+    for r in rows:
+        g = (
+            t[t["event_type"] == r["event_type"]]
+            .groupby("d")["yc"]
+            .sum()
+            .reset_index()
+        )
+        g1 = g[g["d"] < _CHOW_BREAK_DAY]
+        g2 = g[g["d"] >= _CHOW_BREAK_DAY]
+        assert (r["n"], r["n1"], r["n2"]) == (len(g), len(g1), len(g2))
+        f = ((rss(g) - (rss(g1) + rss(g2))) / 2.0) / (
+            (rss(g1) + rss(g2)) / np.float64(len(g) - 4)
+        )
+        assert np.isclose(r["chow_f"], f, rtol=1e-9)
+        assert np.isfinite(r["chow_f"]) and r["chow_f"] >= 0.0
