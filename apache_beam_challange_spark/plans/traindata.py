@@ -3221,6 +3221,30 @@ def _kcore_sql() -> str:
     return ",\n".join(parts) + "\n" + final
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded co-purchase edge list (u < v, co-bought in >=
+    ``_KCORE_W`` orders) — shared by the k-core peel and the
+    negative-sampling triplet generator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _KCORE_W)
+        .select("u", "v")
+    )
+
+
 @query("kcore_part_graph", oracle=_kcore_sql())
 def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph — the SECOND instantiation of the
@@ -3240,26 +3264,8 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the to-convergence Python replay test pins that equivalence."""
     from apache_beam_challange_spark.operators.graph import k_core
 
-    li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.alias("a")
-    b = basket.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _KCORE_W)
-        .select("u", "v")
-    )
     return (
-        k_core(edges, k=_KCORE_K, max_iter=25)
+        k_core(_copurchase_edges(spark, sf_dir), k=_KCORE_K, max_iter=25)
         .select(F.col("node").alias("l_partkey"), "core_degree")
         .orderBy("l_partkey")
     )
@@ -3464,4 +3470,215 @@ def hrw_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_moved"),
         )
         .orderBy("shard_old")
+    )
+
+
+# --- winsorized mean via bounded histogram -------------------------------------
+
+_WINS_SQL = """
+WITH hist AS (
+    SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cent,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+),
+cum AS (
+    SELECT event_type, cent, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cent
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS c,
+           CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+    FROM hist
+),
+edges AS (
+    SELECT event_type, tot,
+           MIN(CASE WHEN c * 20 >= tot THEN cent END) AS lo_cent,
+           MIN(CASE WHEN c * 20 >= 19 * tot THEN cent END) AS hi_cent
+    FROM cum GROUP BY event_type, tot
+)
+SELECT h.event_type, e.tot AS n, e.lo_cent, e.hi_cent,
+       CAST(SUM(h.n * CASE WHEN h.cent < e.lo_cent THEN e.lo_cent
+                           WHEN h.cent > e.hi_cent THEN e.hi_cent
+                           ELSE h.cent END) AS DOUBLE)
+       / CAST(e.tot AS DOUBLE) / 100.0 AS winsorized_mean
+FROM hist h JOIN edges e ON e.event_type = h.event_type
+GROUP BY h.event_type, e.tot, e.lo_cent, e.hi_cent
+ORDER BY h.event_type
+""".strip()
+
+
+@query("winsorized_mean_value", oracle=_WINS_SQL)
+def winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clip at the exact P5/P95) of event value per
+    type — the outlier-robust location estimate metric pipelines
+    report next to the median, computed WITHOUT touching rows twice:
+    the cent histogram (DOMAIN-bounded, the equi-depth discipline)
+    yields the exact integer-comparison percentile edges
+    (min cent with 20*cum >= tot / >= 19*tot — no interpolation seam),
+    and the clipped sum is taken over the SAME histogram
+    (n_bin x clipped cent, exact int64), so the one data-sized
+    operation is the histogram aggregate. Single double division at
+    the end."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cent"),
+        )
+        .groupBy("event_type", "cent")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cent")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cent",
+        "n",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    edges = cum.groupBy("event_type", "tot").agg(
+        F.min(
+            F.when(F.col("c") * 20 >= F.col("tot"), F.col("cent"))
+        ).alias("lo_cent"),
+        F.min(
+            F.when(F.col("c") * 20 >= 19 * F.col("tot"), F.col("cent"))
+        ).alias("hi_cent"),
+    )
+    clipped = (
+        F.when(F.col("cent") < F.col("lo_cent"), F.col("lo_cent"))
+        .when(F.col("cent") > F.col("hi_cent"), F.col("hi_cent"))
+        .otherwise(F.col("cent"))
+    )
+    return (
+        hist.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type", "tot", "lo_cent", "hi_cent")
+        .agg(F.sum(F.col("n") * clipped).alias("s"))
+        .select(
+            "event_type",
+            F.col("tot").alias("n"),
+            "lo_cent",
+            "hi_cent",
+            (
+                F.col("s").cast("double")
+                / F.col("tot").cast("double")
+                / F.lit(100.0)
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- negative sampling for contrastive training --------------------------------
+
+_NEG_K = 2  # negatives per positive pair
+
+_NEG_PAIRS_SQL = f"""
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_KCORE_W}
+"""
+
+_NEG_HASH = (
+    "({h1} * 65536 + {h2}) % (SELECT COUNT(*) FROM part)"
+)
+
+_NEG_SQL = f"""
+WITH pos AS MATERIALIZED ({_NEG_PAIRS_SQL}),
+cand AS (
+    SELECT p.u, p.v, j.j,
+           {_NEG_HASH.format(
+               h1=_hex4_sql("'neg#' || CAST(p.u AS VARCHAR) || '#' || CAST(p.v AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)"),
+               h2=_hex4_sql("'ngb#' || CAST(p.u AS VARCHAR) || '#' || CAST(p.v AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)"),
+           )} AS negative
+    FROM pos p, (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS j) j
+)
+SELECT c.u AS anchor, c.v AS positive, c.j AS neg_rank,
+       CAST(c.negative AS BIGINT) AS negative,
+       (c.negative = c.u OR c.negative = c.v
+        OR EXISTS (SELECT 1 FROM pos q
+                   WHERE q.u = LEAST(c.u, c.negative)
+                     AND q.v = GREATEST(c.u, c.negative))) AS is_false_negative
+FROM cand c
+ORDER BY anchor, positive, neg_rank
+""".strip()
+
+
+@query("negative_sampling_triplets", oracle=_NEG_SQL)
+def negative_sampling_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet generation (word2vec-style negative
+    sampling, Mikolov et al. 2013): every thresholded co-purchase pair
+    becomes (anchor, positive) and draws k=2 DERANDOMIZED negatives —
+    the seeded md5 of (pair, rank) mapped by modulo onto the contiguous
+    part-key space — so the training set is bit-reproducible across
+    engines, runs, and retries (the property shuffled RNG sampling
+    can't give a distributed pipeline). Collisions with the anchor's
+    TRUE neighborhood are not resampled (relational plans don't loop):
+    they are FLAGGED via one left join against the normalized positive
+    set and dropped downstream — the expected flagged fraction is
+    degree/|parts|, measured tiny. One aggregate builds the pairs, one
+    broadcast spine explodes k candidates, one join flags; the serve
+    output is the data-sized triplet table every embedding trainer
+    consumes."""
+    pos = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    n_parts = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    spine = spark.range(0, _NEG_K).select(F.col("id").alias("j"))
+
+    def hex4(prefix):
+        base = F.concat(
+            F.lit(prefix),
+            F.col("u").cast("string"),
+            F.lit("#"),
+            F.col("v").cast("string"),
+            F.lit("#"),
+            F.col("j").cast("string"),
+        )
+        return F.conv(F.substring(F.md5(base), 1, 4), 16, 10).cast("long")
+
+    cand = (
+        pos.crossJoin(F.broadcast(spine))
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "u",
+            "v",
+            "j",
+            ((hex4("neg#") * 65536 + hex4("ngb#")) % F.col("n_parts")).alias(
+                "negative"
+            ),
+        )
+    )
+    flags = pos.select(
+        F.col("u").alias("fu"), F.col("v").alias("fv"), F.lit(True).alias("hit")
+    )
+    lo = F.least(F.col("u"), F.col("negative"))
+    hi = F.greatest(F.col("u"), F.col("negative"))
+    return (
+        cand.join(
+            flags,
+            (lo == F.col("fu")) & (hi == F.col("fv")),
+            "left",
+        )
+        .select(
+            F.col("u").alias("anchor"),
+            F.col("v").alias("positive"),
+            F.col("j").alias("neg_rank"),
+            "negative",
+            (
+                (F.col("negative") == F.col("u"))
+                | (F.col("negative") == F.col("v"))
+                | F.coalesce(F.col("hit"), F.lit(False))
+            ).alias("is_false_negative"),
+        )
+        .orderBy("anchor", "positive", "neg_rank")
     )

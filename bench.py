@@ -282,6 +282,8 @@ ROUND8C = [
     "vocab_js_drift_src0",
     "mde_power_analysis",
     "chow_break_daily_revenue",
+    "winsorized_mean_value",
+    "negative_sampling_triplets",
 ]
 
 CURATION = [

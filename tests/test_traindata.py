@@ -1387,3 +1387,61 @@ def test_hrw_moves_only_to_the_new_shard(spark, sf_dir):
     } == expect
     frac = sum(v[1] for v in expect.values()) / len(doc_ids)
     assert 0.03 <= frac <= 0.25  # ~1/9 expected
+
+
+def test_negative_sampling_matches_hashlib_replay(spark, sf_dir):
+    """Replay the derandomized negatives + collision flags in pure
+    Python; flagged fraction must be tiny relative to the candidate
+    count (degree/|parts| expectation)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.traindata import (
+        _KCORE_W,
+        _NEG_K,
+        negative_sampling_triplets,
+    )
+
+    li = pq.read_table(
+        sf_dir + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    basket = li.drop_duplicates()
+    m = basket.merge(basket, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    w = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    pos = set(w[w >= _KCORE_W].index)
+    n_parts = len(
+        pq.read_table(sf_dir + "/part.parquet", columns=["p_partkey"])
+    )
+
+    def hex4(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    expect = {}
+    for u, v in pos:
+        for j in range(_NEG_K):
+            neg = (
+                hex4(f"neg#{u}#{v}#{j}") * 65536 + hex4(f"ngb#{u}#{v}#{j}")
+            ) % n_parts
+            fn = (
+                neg == u
+                or neg == v
+                or (min(u, neg), max(u, neg)) in pos
+            )
+            expect[(u, v, j)] = (neg, fn)
+    rows = negative_sampling_triplets(spark, sf_dir).collect()
+    got = {
+        (r["anchor"], r["positive"], r["neg_rank"]): (
+            r["negative"],
+            r["is_false_negative"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    # flagged fraction tracks graph density: P(collision) ~ degree/n_parts
+    # (sf0.001's dense 200-part graph runs ~14%; sf0.01's is ~0.4%)
+    flagged = sum(1 for _, fn in got.values() if fn)
+    mean_degree = 2.0 * len(pos) / len({u for u, _ in pos} | {v for _, v in pos})
+    assert flagged / len(got) <= 3.0 * (mean_degree + 2.0) / n_parts + 0.01
