@@ -3682,3 +3682,95 @@ def negative_sampling_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive", "neg_rank")
     )
+
+
+# --- leakage-safe out-of-fold target encoding -----------------------------------
+
+_TENC_SQL = f"""
+WITH assigned AS (
+    SELECT event_type, {_KFOLD_HEX} % {_KFOLD_K} AS fold,
+           CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vu
+    FROM events
+),
+per_fold AS (
+    SELECT event_type, fold,
+           CAST(COUNT(*) AS BIGINT) AS n_f,
+           CAST(SUM(vu) AS BIGINT) AS s_f
+    FROM assigned GROUP BY event_type, fold
+),
+per_type AS (
+    SELECT event_type,
+           CAST(SUM(n_f) AS BIGINT) AS n_t,
+           CAST(SUM(s_f) AS BIGINT) AS s_t
+    FROM per_fold GROUP BY event_type
+)
+SELECT f.event_type, f.fold, f.n_f,
+       CAST(t.s_t - f.s_f AS DOUBLE)
+       / CAST(t.n_t - f.n_f AS DOUBLE) / 10000.0 AS oof_encoding,
+       CAST(t.s_t AS DOUBLE) / CAST(t.n_t AS DOUBLE) / 10000.0 AS full_mean
+FROM per_fold f JOIN per_type t ON t.event_type = f.event_type
+ORDER BY f.event_type, f.fold
+""".strip()
+
+
+@query("target_encoding_oof", oracle=_TENC_SQL)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe categorical target encoding (the CatBoost/kaggle
+    k-fold discipline): the encoding a row receives is the mean target
+    of its CATEGORY computed over the OTHER folds only —
+    (S_type - S_fold) / (n_type - n_fold) — so no row's own target
+    leaks into its feature. Folds are the engine's group-aware
+    seeded-md5 assignment (``group_kfold_split_audit``'s fold
+    function, so encode-time folds match split-time folds by
+    construction); sums are exact int64 in one (type, fold) aggregate
+    (the complement trick needs no second scan — the out-of-fold sum
+    is total minus own); exactly one double division per encoding.
+    The full-population mean rides along to expose the leakage gap a
+    naive encoder would have."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def fold_of(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold#"), col.cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _KFOLD_K
+        )
+
+    per_fold = (
+        ev.select(
+            "event_type",
+            fold_of(F.col("user_id")).alias("fold"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+        .groupBy("event_type", "fold")
+        .agg(F.count(F.lit(1)).alias("n_f"), F.sum("vu").alias("s_f"))
+    )
+    per_type = per_fold.groupBy("event_type").agg(
+        F.sum("n_f").alias("n_t"), F.sum("s_f").alias("s_t")
+    )
+    return (
+        per_fold.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            "n_f",
+            (
+                (F.col("s_t") - F.col("s_f")).cast("double")
+                / (F.col("n_t") - F.col("n_f")).cast("double")
+                / F.lit(10000.0)
+            ).alias("oof_encoding"),
+            (
+                F.col("s_t").cast("double")
+                / F.col("n_t").cast("double")
+                / F.lit(10000.0)
+            ).alias("full_mean"),
+        )
+        .orderBy("event_type", "fold")
+    )

@@ -284,6 +284,7 @@ ROUND8C = [
     "chow_break_daily_revenue",
     "winsorized_mean_value",
     "negative_sampling_triplets",
+    "target_encoding_oof",
 ]
 
 CURATION = [

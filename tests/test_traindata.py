@@ -1445,3 +1445,45 @@ def test_negative_sampling_matches_hashlib_replay(spark, sf_dir):
     flagged = sum(1 for _, fn in got.values() if fn)
     mean_degree = 2.0 * len(pos) / len({u for u, _ in pos} | {v for _, v in pos})
     assert flagged / len(got) <= 3.0 * (mean_degree + 2.0) / n_parts + 0.01
+
+
+def test_target_encoding_excludes_own_fold(spark, sf_dir):
+    """Replay the out-of-fold encodings in pandas (same md5 folds) and
+    verify the leakage-safety identity: every encoding equals the
+    complement mean and differs from the full mean whenever the fold
+    deviates from its complement."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.traindata import (
+        _KFOLD_K,
+        target_encoding_oof,
+    )
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    ).to_pandas()
+    t["vu"] = np.floor(t["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    t["fold"] = [
+        int(hashlib.md5(f"fold#{u}".encode()).hexdigest()[:4], 16) % _KFOLD_K
+        for u in t["user_id"]
+    ]
+    rows = target_encoding_oof(spark, sf_dir).collect()
+    for r in rows:
+        g = t[t["event_type"] == r["event_type"]]
+        inf = g[g["fold"] == r["fold"]]
+        oof = g[g["fold"] != r["fold"]]
+        assert r["n_f"] == len(inf)
+        assert np.isclose(
+            r["oof_encoding"],
+            int(oof["vu"].sum()) / len(oof) / 10000.0,
+            rtol=1e-12,
+        )
+        assert np.isclose(
+            r["full_mean"],
+            int(g["vu"].sum()) / len(g) / 10000.0,
+            rtol=1e-12,
+        )
