@@ -2254,3 +2254,159 @@ def vocab_js_drift_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# --- multi-touch attribution (exact linear credit) ------------------------------
+
+_MTA_WINDOW_H = 24
+_MTA_MICRO = 1000000
+
+_MTA_SQL = f"""
+WITH purchases AS (
+    SELECT user_id, event_id AS p_id, epoch_us(ts) AS pt
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id, event_id AS t_id, event_type AS channel, epoch_us(ts) AS tt
+    FROM events WHERE event_type <> 'purchase'
+),
+matched AS (
+    SELECT p.p_id, t.channel, t.t_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.p_id ORDER BY t.tt DESC, t.t_id
+           ) AS rnk,
+           COUNT(*) OVER (PARTITION BY p.p_id) AS n
+    FROM purchases p JOIN touches t
+      ON t.user_id = p.user_id
+     AND t.tt < p.pt AND t.tt >= p.pt - {_MTA_WINDOW_H} * 3600000000
+),
+credits AS (
+    SELECT channel,
+           CAST({_MTA_MICRO} AS BIGINT) // n
+           + CASE WHEN rnk <= CAST({_MTA_MICRO} AS BIGINT) % n
+                  THEN 1 ELSE 0 END AS credit
+    FROM matched
+),
+direct AS (
+    SELECT '(direct)' AS channel, CAST({_MTA_MICRO} AS BIGINT) AS credit
+    FROM purchases p
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = p.p_id)
+),
+unioned AS (
+    SELECT channel, credit FROM credits
+    UNION ALL SELECT channel, credit FROM direct
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_credited,
+       CAST(SUM(credit) AS BIGINT) AS credit_millionths,
+       CAST(SUM(credit) AS DOUBLE)
+       / CAST((SELECT COUNT(*) * {_MTA_MICRO} FROM purchases) AS DOUBLE)
+           AS credit_share
+FROM unioned
+GROUP BY channel
+ORDER BY channel
+""".strip()
+
+
+@query("multitouch_attribution", oracle=_MTA_SQL)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with EXACT credit conservation:
+    every purchase splits exactly 1,000,000 micro-credits equally
+    (largest-remainder, recency-then-id tie-break — the Hamilton
+    apportionment discipline from ``lang_mixing_allocation``) across
+    its touchpoints in the preceding 24 h; untouched purchases credit
+    '(direct)'. Total credit across channels is purchases x 1e6 BY
+    CONSTRUCTION — integer accounting a float split cannot promise.
+    The oracle states the textbook interval-predicate join; the engine
+    runs the hour-bucket BINNED equi-join (each touch joins its 25
+    covering purchase-hour buckets + exact residual predicate — the
+    ``batch_interval_join_binned`` scale pattern, no NLJ), then one
+    per-purchase window over the matched touches and one channel
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour_us = 3600000000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), us.alias("pt")
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        us.alias("tt"),
+    )
+    # bin purchases to their covering hour buckets (window/1h + 1 buckets)
+    p_binned = purchases.select(
+        "user_id",
+        "p_id",
+        "pt",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    (F.col("pt") - _MTA_WINDOW_H * hour_us) / hour_us
+                ).cast("long"),
+                F.floor(F.col("pt") / hour_us).cast("long"),
+            )
+        ).alias("hb"),
+    )
+    t_binned = touches.withColumn(
+        "hb", F.floor(F.col("tt") / hour_us).cast("long")
+    )
+    matched = (
+        t_binned.join(p_binned, ["user_id", "hb"])
+        .filter(
+            (F.col("tt") < F.col("pt"))
+            & (F.col("tt") >= F.col("pt") - _MTA_WINDOW_H * hour_us)
+        )
+        .select("p_id", "channel", "t_id", "tt")
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("tt"), "t_id")
+    wn = Window.partitionBy("p_id")
+    credits = matched.select(
+        "channel",
+        "p_id",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "channel",
+        "p_id",
+        (
+            F.expr(f"CAST({_MTA_MICRO} AS BIGINT) div n")
+            + F.when(
+                F.col("rnk") <= F.expr(f"CAST({_MTA_MICRO} AS BIGINT) % n"),
+                1,
+            ).otherwise(0)
+        ).alias("credit"),
+    )
+    direct = (
+        purchases.join(
+            matched.select("p_id").distinct(), "p_id", "left_anti"
+        )
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.lit(_MTA_MICRO).cast("long").alias("credit"),
+        )
+    )
+    n_purch = purchases.agg(
+        (F.count(F.lit(1)) * _MTA_MICRO).alias("total_micro")
+    )
+    return (
+        credits.select("channel", "credit")
+        .unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited"),
+            F.sum("credit").alias("credit_millionths"),
+        )
+        .crossJoin(F.broadcast(n_purch))
+        .select(
+            "channel",
+            "n_credited",
+            "credit_millionths",
+            (
+                F.col("credit_millionths").cast("double")
+                / F.col("total_micro").cast("double")
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
+    )

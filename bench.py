@@ -285,6 +285,7 @@ ROUND8C = [
     "winsorized_mean_value",
     "negative_sampling_triplets",
     "target_encoding_oof",
+    "multitouch_attribution",
 ]
 
 CURATION = [

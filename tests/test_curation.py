@@ -179,3 +179,28 @@ def test_vocab_js_terms_match_numpy(spark, sf_dir):
         assert np.isclose(r["js_term"], term, rtol=1e-12, atol=1e-300)
         total += r["js_term"]
     assert -1e-12 <= total <= np.log(2.0) + 1e-12
+
+
+def test_multitouch_credit_is_exactly_conserved(spark, sf_dir):
+    """Total credit across channels must equal purchases x 1e6 EXACTLY
+    (the integer-apportionment guarantee), shares must sum to 1, and
+    the binned join must be equi-shaped (no NLJ/cartesian)."""
+    from apache_beam_challange_spark.plans.curation import (
+        _MTA_MICRO,
+        multitouch_attribution,
+    )
+
+    df = multitouch_attribution(spark, sf_dir)
+    rows = df.collect()
+    n_purch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert sum(r["credit_millionths"] for r in rows) == n_purch * _MTA_MICRO
+    assert abs(sum(r["credit_share"] for r in rows) - 1.0) < 1e-9
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the touch-purchase match must be an equi join on (user, hour
+    # bucket); the only NLJ allowed is the 1-row total-scalar attach
+    assert "CartesianProduct" not in p
+    assert "hb" in p and ("BroadcastHashJoin" in p or "SortMergeJoin" in p)
