@@ -1604,3 +1604,106 @@ def ewma_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin["level"].alias("final_level"),
         (fin["abs_err_sum"] / (fin["n"] - 1).cast("double")).alias("mae"),
     ).orderBy("event_type")
+
+
+# --- association rules (support / confidence / lift) ----------------------------
+
+_AR_MIN_PAIR = 3  # minimum co-occurrence support (absolute)
+_AR_TOP = 15
+
+_AR_SQL = f"""
+WITH basket AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket),
+items AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i
+    FROM basket GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_AR_MIN_PAIR}
+)
+SELECT p.pa AS part_a, p.pb AS part_b, p.n_ab,
+       CAST(p.n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+       CAST(p.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS conf_a_to_b,
+       CAST(p.n_ab AS DOUBLE) / CAST(ib.n_i AS DOUBLE) AS conf_b_to_a,
+       CAST(p.n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
+       / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+FROM pairs p
+JOIN items ia ON ia.l_partkey = p.pa
+JOIN items ib ON ib.l_partkey = p.pb
+CROSS JOIN nb
+ORDER BY CAST(p.n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
+         / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) DESC,
+         p.pa, p.pb
+LIMIT {_AR_TOP}
+""".strip()
+
+
+@query("association_rules_topk", oracle=_AR_SQL)
+def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining metrics (Agrawal et al. 1993 — the
+    Apriori support/confidence/lift trio) over the basket graph: pair
+    support from the basket-bounded self-join (>= 3 co-occurrences),
+    item supports from one aggregate, baskets count as a broadcast
+    scalar; confidence in both directions and lift as single-division
+    ratios of exact int64 counts (identical op order both engines);
+    serve = top-15 by lift via TakeOrderedAndProject with (lift,
+    part_a, part_b) deterministic ordering. The statistical layer
+    `basket_part_pairs_topk` (raw counts) feeds every market-basket /
+    co-occurrence recommender; item supports broadcast into the pair
+    stream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    nb = basket.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    items = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _AR_MIN_PAIR)
+    )
+    ia = items.select(F.col("l_partkey").alias("pa"), F.col("n_i").alias("nia"))
+    ib = items.select(F.col("l_partkey").alias("pb"), F.col("n_i").alias("nib"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("nia").cast("double") * F.col("nib").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            (
+                F.col("n_ab").cast("double") / F.col("nia").cast("double")
+            ).alias("conf_a_to_b"),
+            (
+                F.col("n_ab").cast("double") / F.col("nib").cast("double")
+            ).alias("conf_b_to_a"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_AR_TOP)
+    )

@@ -286,6 +286,7 @@ ROUND8C = [
     "negative_sampling_triplets",
     "target_encoding_oof",
     "multitouch_attribution",
+    "association_rules_topk",
 ]
 
 CURATION = [

@@ -839,3 +839,42 @@ def test_ewma_matches_numpy_replay(spark, sf_dir):
         assert r["n_days"] == len(g)
         assert np.isclose(r["final_level"], level, rtol=1e-12)
         assert np.isclose(r["mae"], err / (len(g) - 1), rtol=1e-12)
+
+
+def test_association_rules_match_pandas_replay(spark, sf_dir):
+    """Replay support/confidence/lift from raw baskets; the returned
+    rules must be the true lift top-k under the deterministic ordering
+    and every ratio must reproduce exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.advanced import (
+        _AR_MIN_PAIR,
+        _AR_TOP,
+        association_rules_topk,
+    )
+
+    li = pq.read_table(
+        sf_dir + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    basket = li.drop_duplicates()
+    nb = basket["l_orderkey"].nunique()
+    item = basket.groupby("l_partkey").size()
+    m = basket.merge(basket, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    pair = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    pair = pair[pair >= _AR_MIN_PAIR]
+    scored = []
+    for (a, b), n_ab in pair.items():
+        lift = float(n_ab) * float(nb) / (float(item[a]) * float(item[b]))
+        scored.append((-lift, a, b, int(n_ab)))
+    scored.sort()
+    rows = association_rules_topk(spark, sf_dir).collect()
+    assert len(rows) == min(_AR_TOP, len(scored))
+    for r, (neg_lift, a, b, n_ab) in zip(rows, scored):
+        assert (r["part_a"], r["part_b"], r["n_ab"]) == (a, b, n_ab)
+        assert np.isclose(r["lift"], -neg_lift, rtol=1e-12)
+        assert np.isclose(r["support"], n_ab / nb, rtol=1e-12)
+        assert np.isclose(r["conf_a_to_b"], n_ab / item[a], rtol=1e-12)
+        assert np.isclose(r["conf_b_to_a"], n_ab / item[b], rtol=1e-12)
+        assert r["lift"] >= 1.0 or r["support"] > 0  # sanity
