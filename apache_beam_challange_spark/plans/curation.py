@@ -2410,3 +2410,123 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+
+_LTV_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(CAST(MIN(ts) AS DATE) - DATE '2024-01-01' AS BIGINT) // 7
+               AS cohort_week
+    FROM events GROUP BY user_id
+),
+cohort_sizes AS (
+    SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+    FROM firsts GROUP BY cohort_week
+),
+purchases AS (
+    SELECT e.user_id, f.cohort_week,
+           CAST(CAST(e.ts AS DATE) - DATE '2024-01-01' AS BIGINT) // 7
+               - f.cohort_week AS age_week,
+           CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+),
+cells AS (
+    SELECT cohort_week, age_week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_c
+    FROM purchases GROUP BY cohort_week, age_week
+)
+SELECT c.cohort_week, c.age_week, s.cohort_users, c.n_buyers, c.revenue_c,
+       CAST(SUM(c.revenue_c) OVER (
+           PARTITION BY c.cohort_week ORDER BY c.age_week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_revenue_c,
+       CAST(SUM(c.revenue_c) OVER (
+           PARTITION BY c.cohort_week ORDER BY c.age_week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) / 100.0 AS ltv_per_user
+FROM cells c JOIN cohort_sizes s ON s.cohort_week = c.cohort_week
+ORDER BY c.cohort_week, c.age_week
+""".strip()
+
+
+@query("cohort_ltv_curve", oracle=_LTV_SQL)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — cumulative purchase revenue per
+    signup-week cohort by age-week, normalized to LTV per cohort user —
+    the growth metric every subscription/commerce dashboard plots,
+    computed exactly: cohort assignment from each user's first event
+    (one user rollup), revenue in int64 cents, the cumulative an
+    INTEGER window over <= 5 rows per cohort (exact regardless of
+    order), and the single double division only at the per-user
+    normalization. Two data-sized operations total (user rollup +
+    cohort join back onto purchases); the curve table itself is
+    weeks x weeks rows."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        ).cast("long")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.floor(
+            F.datediff(
+                F.min("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            week.alias("w"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("age_week"),
+            "cents",
+        )
+    )
+    cells = purchases.groupBy("cohort_week", "age_week").agg(
+        F.count_distinct("user_id").alias("n_buyers"),
+        F.sum("cents").alias("revenue_c"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            "n_buyers",
+            "revenue_c",
+            F.sum("revenue_c").over(w_cum).alias("cum_revenue_c"),
+            (
+                F.sum("revenue_c").over(w_cum).cast("double")
+                / F.col("cohort_users").cast("double")
+                / F.lit(100.0)
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

@@ -287,6 +287,7 @@ ROUND8C = [
     "target_encoding_oof",
     "multitouch_attribution",
     "association_rules_topk",
+    "cohort_ltv_curve",
 ]
 
 CURATION = [

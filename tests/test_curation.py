@@ -204,3 +204,39 @@ def test_multitouch_credit_is_exactly_conserved(spark, sf_dir):
     # bucket); the only NLJ allowed is the 1-row total-scalar attach
     assert "CartesianProduct" not in p
     assert "hb" in p and ("BroadcastHashJoin" in p or "SortMergeJoin" in p)
+
+
+def test_ltv_curve_conserves_revenue_and_is_monotone(spark, sf_dir):
+    """Total curve revenue must equal all purchase cents; cumulative is
+    non-decreasing within each cohort; LTV = cum / cohort size."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.curation import cohort_ltv_curve
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    ).to_pandas()
+    total_cents = int(
+        np.floor(
+            t.loc[t["event_type"] == "purchase", "value"].to_numpy() * 100 + 0.5
+        )
+        .astype(np.int64)
+        .sum()
+    )
+    rows = cohort_ltv_curve(spark, sf_dir).collect()
+    assert sum(r["revenue_c"] for r in rows) == total_cents
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    n_users = t["user_id"].nunique()
+    assert sum({r["cohort_week"]: r["cohort_users"] for r in rows}.values()) <= n_users
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_week"])
+        cum = 0
+        for r in rs:
+            cum += r["revenue_c"]
+            assert r["cum_revenue_c"] == cum
+            assert np.isclose(
+                r["ltv_per_user"], cum / r["cohort_users"] / 100.0, rtol=1e-12
+            )
