@@ -3774,3 +3774,102 @@ def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "fold")
     )
+
+
+# --- RFM segmentation via distributed rank quartiles -----------------------------
+
+_RFM_ANCHOR = "2001-09-01"  # analysis date: just past the last order
+
+
+def _rfm_quartile(rank: str, n: str) -> str:
+    # 1-based quartile from a 1-based rank: (4 * (rank - 1)) // n + 1
+    return f"CAST((4 * ({rank} - 1)) // {n} + 1 AS BIGINT)"
+
+
+_RFM_SQL = f"""
+WITH rfm AS (
+    SELECT o_custkey,
+           CAST(DATE '{_RFM_ANCHOR}' - CAST(MAX(o_orderdate) AS DATE) AS BIGINT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, monetary_c,
+           ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS r_rank,
+           ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS f_rank,
+           ROW_NUMBER() OVER (ORDER BY monetary_c, o_custkey) AS m_rank,
+           COUNT(*) OVER () AS n
+    FROM rfm
+)
+SELECT {_rfm_quartile('r_rank', 'n')} AS r_q,
+       {_rfm_quartile('f_rank', 'n')} AS f_q,
+       {_rfm_quartile('m_rank', 'n')} AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_c) AS BIGINT) AS segment_revenue_c
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY r_q, f_q, m_q
+""".strip()
+
+
+@query("rfm_segment_counts", oracle=_RFM_SQL)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the CRM recency/frequency/monetary classic):
+    every customer gets a 1-4 quartile score on each dimension from
+    EXACT global ranks, and the report aggregates the 4x4x4 segment
+    grid. The three global rankings come from the distributed
+    numbering primitive (``assign_global_row_ids`` — its THIRD
+    composed consumer since the round-8 materialization fix; no
+    data-sized single-partition window anywhere in the engine plan,
+    while the oracle states the plain ROW_NUMBER spelling), quartile =
+    (4*(rank-1)) div n + 1 in pure integers, ties broken by customer
+    key so both engines rank identically. One customer rollup + three
+    range shuffles + three broadcast joins; the output is the bounded
+    64-cell grid."""
+    from apache_beam_challange_spark.plans.coverage import (
+        assign_global_row_ids,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("monetary_c"),
+    ).localCheckpoint()
+    n = rfm.count()  # scalar: number of customers (dimension-sized)
+
+    def qcol(order_col, name):
+        ids = assign_global_row_ids(
+            rfm, [order_col, "o_custkey"], "o_custkey"
+        )
+        return ids.select(
+            F.col("o_custkey").alias(f"k_{name}"),
+            F.expr(f"CAST((4 * (global_id - 1)) div {n} + 1 AS BIGINT)").alias(
+                name
+            ),
+        )
+
+    r = qcol("recency_days", "r_q")
+    f_ = qcol("frequency", "f_q")
+    m = qcol("monetary_c", "m_q")
+    return (
+        rfm.join(r, rfm["o_custkey"] == r["k_r_q"])
+        .join(f_, rfm["o_custkey"] == f_["k_f_q"])
+        .join(m, rfm["o_custkey"] == m["k_m_q"])
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_c").alias("segment_revenue_c"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

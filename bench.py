@@ -288,6 +288,7 @@ ROUND8C = [
     "multitouch_attribution",
     "association_rules_topk",
     "cohort_ltv_curve",
+    "rfm_segment_counts",
 ]
 
 CURATION = [

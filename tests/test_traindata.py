@@ -1487,3 +1487,33 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir):
             int(g["vu"].sum()) / len(g) / 10000.0,
             rtol=1e-12,
         )
+
+
+def test_rfm_quartiles_are_balanced_and_conserving(spark, sf_dir):
+    """Quartile populations must be n/4 +- 1 per dimension, segment
+    counts must sum to the customer population, and revenue must be
+    conserved across segments."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.traindata import rfm_segment_counts
+
+    orders = pq.read_table(
+        sf_dir + "/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    n_cust = orders["o_custkey"].nunique()
+    total_c = int(
+        np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5)
+        .astype(np.int64)
+        .sum()
+    )
+    rows = rfm_segment_counts(spark, sf_dir).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["segment_revenue_c"] for r in rows) == total_c
+    for dim in ("r_q", "f_q", "m_q"):
+        per_q: dict[int, int] = {}
+        for r in rows:
+            per_q[r[dim]] = per_q.get(r[dim], 0) + r["n_customers"]
+        assert set(per_q) <= {1, 2, 3, 4}
+        for q, cnt in per_q.items():
+            assert abs(cnt - n_cust / 4) <= 1
