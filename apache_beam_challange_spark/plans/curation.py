@@ -2530,3 +2530,118 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+# --- WAU growth accounting -------------------------------------------------------
+
+_GA_SQL = """
+WITH weeks AS (
+    SELECT DISTINCT user_id,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) // 7 AS w
+    FROM events
+),
+flags AS (
+    SELECT user_id, w,
+           MIN(w) OVER (PARTITION BY user_id) AS first_w,
+           LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w
+    FROM weeks
+),
+states AS (
+    SELECT w,
+           CASE WHEN w = first_w THEN 'new'
+                WHEN prev_w = w - 1 THEN 'retained'
+                ELSE 'resurrected' END AS state
+    FROM flags
+),
+active AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS wau FROM weeks GROUP BY w
+),
+churn AS (
+    SELECT a.w + 1 AS w, CAST(COUNT(*) AS BIGINT) AS churned
+    FROM weeks a
+    WHERE NOT EXISTS (SELECT 1 FROM weeks b
+                      WHERE b.user_id = a.user_id AND b.w = a.w + 1)
+    GROUP BY a.w + 1
+)
+SELECT s.w AS week, MAX(a.wau) AS wau,
+       CAST(SUM(CASE WHEN s.state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN s.state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+       CAST(SUM(CASE WHEN s.state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+       CAST(COALESCE(MAX(c.churned), 0) AS BIGINT) AS churned
+FROM states s
+JOIN active a ON a.w = s.w
+LEFT JOIN churn c ON c.w = s.w
+GROUP BY s.w
+ORDER BY s.w
+""".strip()
+
+
+@query("growth_accounting_wau", oracle=_GA_SQL)
+def growth_accounting_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active-user growth accounting — the new / retained /
+    resurrected / churned decomposition (the Social-Capital growth
+    framework) whose identity WAU_t = new + retained + resurrected and
+    churn_t = active_{t-1} setminus active_t every growth report is
+    built on. Distinct (user, week) activity once; classification from
+    a per-user window (first week -> new, previous week adjacent ->
+    retained, else resurrected); churn via a LEFT ANTI self-join
+    shifted one week. All exact int64 counts; the per-user windows
+    partition on user (scale-safe); the decomposition identity is
+    test-pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    wf = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("w")
+    states = weeks.select(
+        "w",
+        F.when(F.col("w") == F.min("w").over(wf), "new")
+        .when(F.lag("w").over(wo) == F.col("w") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    active = weeks.groupBy("w").agg(F.count(F.lit(1)).alias("wau"))
+    nxt = weeks.select("user_id", (F.col("w") + 1).alias("w"))
+    churn = (
+        nxt.join(weeks, ["user_id", "w"], "left_anti")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        states.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(
+                F.when(F.col("state") == "retained", 1).otherwise(0)
+            ).alias("retained"),
+            F.sum(
+                F.when(F.col("state") == "resurrected", 1).otherwise(0)
+            ).alias("resurrected"),
+        )
+        .join(F.broadcast(active), "w")
+        .join(F.broadcast(churn), "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            "wau",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+        )
+        .orderBy("week")
+    )

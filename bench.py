@@ -289,6 +289,7 @@ ROUND8C = [
     "association_rules_topk",
     "cohort_ltv_curve",
     "rfm_segment_counts",
+    "growth_accounting_wau",
 ]
 
 CURATION = [

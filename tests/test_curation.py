@@ -240,3 +240,24 @@ def test_ltv_curve_conserves_revenue_and_is_monotone(spark, sf_dir):
             assert np.isclose(
                 r["ltv_per_user"], cum / r["cohort_users"] / 100.0, rtol=1e-12
             )
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """The decomposition identities must hold exactly: WAU = new +
+    retained + resurrected, and churned_w = WAU_{w-1} - retained_w
+    (every previously-active user either retains or churns)."""
+    from apache_beam_challange_spark.plans.curation import (
+        growth_accounting_wau,
+    )
+
+    rows = sorted(
+        growth_accounting_wau(spark, sf_dir).collect(),
+        key=lambda r: r["week"],
+    )
+    assert rows and rows[0]["new_users"] == rows[0]["wau"]
+    prev = None
+    for r in rows:
+        assert r["wau"] == r["new_users"] + r["retained"] + r["resurrected"]
+        if prev is not None and r["week"] == prev["week"] + 1:
+            assert r["churned"] == prev["wau"] - r["retained"]
+        prev = r
