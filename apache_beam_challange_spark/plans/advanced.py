@@ -1707,3 +1707,119 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(_AR_TOP)
     )
+
+
+# --- clamped running ledger balance ----------------------------------------------
+
+_LEDGER_SIGNUP_C = 5000  # signup grant, cents
+_LEDGER_EVENT_C = 100  # per-activity grant, cents
+
+_LEDGER_SQL = f"""
+WITH RECURSIVE ev AS (
+    SELECT user_id, event_id, event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS rn
+    FROM events
+),
+walk AS (
+    SELECT user_id, rn,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(0 AS BIGINT)
+                WHEN event_type = 'signup'
+                THEN CAST({_LEDGER_SIGNUP_C} AS BIGINT)
+                ELSE CAST({_LEDGER_EVENT_C} AS BIGINT) END AS balance,
+           CAST(0 AS BIGINT) AS spent,
+           CASE WHEN event_type = 'purchase' THEN cents
+                ELSE CAST(0 AS BIGINT) END AS blocked
+    FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.rn,
+           CASE WHEN e.event_type = 'purchase'
+                THEN w.balance - LEAST(w.balance, e.cents)
+                WHEN e.event_type = 'signup'
+                THEN w.balance + {_LEDGER_SIGNUP_C}
+                ELSE w.balance + {_LEDGER_EVENT_C} END,
+           w.spent + CASE WHEN e.event_type = 'purchase'
+                          THEN LEAST(w.balance, e.cents)
+                          ELSE CAST(0 AS BIGINT) END,
+           w.blocked + CASE WHEN e.event_type = 'purchase'
+                            THEN e.cents - LEAST(w.balance, e.cents)
+                            ELSE CAST(0 AS BIGINT) END
+    FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT w.user_id, w.balance AS final_balance_c, w.spent AS spent_c,
+       w.blocked AS blocked_c
+FROM walk w
+JOIN (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id) last
+  ON last.user_id = w.user_id AND last.mx = w.rn
+ORDER BY w.user_id
+""".strip()
+
+
+@query("clamped_ledger_balances", oracle=_LEDGER_SQL)
+def clamped_ledger_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running ledger — a prepaid-credit balance per user
+    (signup grants 50.00, activity grants 1.00, purchases spend up to
+    the available balance, never below zero) — the NON-ASSOCIATIVE
+    scan class (max(0, b + delta)) that no prefix-sum or window
+    rewrite can express: rate limiters, inventory floors and wallet
+    ledgers all reduce to it. The engine folds each user's
+    time-ordered event array with a struct accumulator
+    (balance, spent, blocked — all exact int64); the per-user array is
+    bounded by that user's activity (the sessionize/CEP state-bound
+    argument); the oracle replays the identical recurrence as a
+    depth-recursive CTE over per-user row numbers. Every engine runs
+    the same integer op sequence, so even this stateful ledger is
+    exactly cross-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    packed = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts",
+                "event_id",
+                F.col("event_type").alias("et"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("arr"))
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("balance"),
+        F.lit(0).cast("long").alias("spent"),
+        F.lit(0).cast("long").alias("blocked"),
+    )
+
+    def step(acc, x):
+        is_p = x["et"] == "purchase"
+        grant = F.when(
+            x["et"] == "signup", F.lit(_LEDGER_SIGNUP_C)
+        ).otherwise(F.lit(_LEDGER_EVENT_C))
+        pay = F.least(acc["balance"], x["cents"])
+        return F.when(
+            is_p,
+            F.struct(
+                (acc["balance"] - pay).alias("balance"),
+                (acc["spent"] + pay).alias("spent"),
+                (acc["blocked"] + x["cents"] - pay).alias("blocked"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["balance"] + grant).alias("balance"),
+                acc["spent"].alias("spent"),
+                acc["blocked"].alias("blocked"),
+            )
+        )
+
+    fin = F.aggregate("arr", acc0, step)
+    return packed.select(
+        "user_id",
+        fin["balance"].alias("final_balance_c"),
+        fin["spent"].alias("spent_c"),
+        fin["blocked"].alias("blocked_c"),
+    ).orderBy("user_id")

@@ -131,7 +131,7 @@ DRIVER_ORDER: list[str] = [
     # once-green round-7 retainees held — a FIRST verdict for a new
     # query outranks a SECOND verdict for a once-green one under the
     # standing policy (the displaced 15 keep their local gate; the
-    # THIRTY-SEVEN new queries that didn't fit — tpch_q7/q9/q12/q14/q16,
+    # THIRTY-EIGHT new queries that didn't fit — tpch_q7/q9/q12/q14/q16,
     # equi_depth_value_bins, basket_part_pairs_topk, plus the
     # third-wave session_window_native, linreg_value_on_hour_by_type,
     # skyline_parts_price_size, psi_weekend_drift_by_type,
@@ -146,8 +146,9 @@ DRIVER_ORDER: list[str] = [
     # mde_power_analysis, chow_break_daily_revenue,
     # winsorized_mean_value, negative_sampling_triplets,
     # target_encoding_oof, multitouch_attribution,
-    # association_rules_topk, cohort_ltv_curve, rfm_segment_counts
-    # and growth_accounting_wau — are the round-9 rotation pool)
+    # association_rules_topk, cohort_ltv_curve, rfm_segment_counts,
+    # growth_accounting_wau and clamped_ledger_balances — are the
+    # round-9 rotation pool)
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_check",
     "tpch_q8_market_share",

@@ -290,6 +290,7 @@ ROUND8C = [
     "cohort_ltv_curve",
     "rfm_segment_counts",
     "growth_accounting_wau",
+    "clamped_ledger_balances",
 ]
 
 CURATION = [

@@ -878,3 +878,48 @@ def test_association_rules_match_pandas_replay(spark, sf_dir):
         assert np.isclose(r["conf_a_to_b"], n_ab / item[a], rtol=1e-12)
         assert np.isclose(r["conf_b_to_a"], n_ab / item[b], rtol=1e-12)
         assert r["lift"] >= 1.0 or r["support"] > 0  # sanity
+
+
+def test_clamped_ledger_matches_python_replay(spark, sf_dir):
+    """Replay the non-associative clamped scan in pure Python for every
+    user; conservation: spent + blocked == total purchase cents."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_challange_spark.plans.advanced import (
+        _LEDGER_EVENT_C,
+        _LEDGER_SIGNUP_C,
+        clamped_ledger_balances,
+    )
+
+    t = (
+        pq.read_table(
+            sf_dir + "/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type", "value"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    t["cents"] = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    expect = {}
+    for uid, g in t.groupby("user_id"):
+        bal = spent = blocked = 0
+        for et, c in zip(g["event_type"], g["cents"]):
+            if et == "purchase":
+                pay = min(bal, int(c))
+                bal -= pay
+                spent += pay
+                blocked += int(c) - pay
+            elif et == "signup":
+                bal += _LEDGER_SIGNUP_C
+            else:
+                bal += _LEDGER_EVENT_C
+        expect[uid] = (bal, spent, blocked)
+    rows = clamped_ledger_balances(spark, sf_dir).collect()
+    got = {
+        r["user_id"]: (r["final_balance_c"], r["spent_c"], r["blocked_c"])
+        for r in rows
+    }
+    assert got == expect
+    tot_purch = int(t.loc[t["event_type"] == "purchase", "cents"].sum())
+    assert sum(s + b for _, s, b in got.values()) == tot_purch
