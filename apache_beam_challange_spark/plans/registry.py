@@ -86,84 +86,70 @@ DRIVER_ORDER: list[str] = [
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # round-8 rotation pool (first driver verdict this round), placed
-    # right after the canonical core so a shrinking window cannot skip
-    # them
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q21_waiting_suppliers",
-    "nsw_topk_vec0",
-    "kll_value_quantiles",
-    "range_frame_user_day_totals",
-    "semdedup_cluster_prune",
-    "mergeable_topk_user_counts",
-    "mips_topk_vec0",
-    "mips_augmented_lsh_topk_vec0",
-    "mips_augmented_lsh_topk_indexed_vec0",
-    "benford_price_audit",
-    "global_row_ids_orders",
-    "stream_stream_left_semi_join",
-    "lang_mixing_allocation",
-    "snapshot_diff_audit",
-    "l_diversity_audit",
-    "image_phash_dup_clusters",
-    "cuped_variance_reduction",
-    # round-8 NEW queries (built this round, never driver-checked):
-    # batched ANN/MIPS/IVFPQ serving (VERDICT r7 #2-#3), the PNG codec
-    # pair (#6), the SemDeDup k=32 recount-oracle watch (#7), and the
-    # MERGE INTO surface incl. the SQL:2023 BY SOURCE full-sync and the
-    # streaming foreachBatch CDC fold (#8), plus filtered vector search
-    # — rotated straight in so the never-driver-checked set is EMPTY
-    # after this round's gate
-    "nsw_knn_join_vec10",
-    "knn_join_lsh_vec10",
-    "mips_knn_join_vec10",
-    "ivfpq_knn_join_vec10",
-    "multimodal_decode_png",
-    "multimodal_png_phash",
+    # Round-9 rotation (VERDICT r8 "Next round" #1): the COMPLETE
+    # 38-query round-9 pool — every query round 8 built after its tier
+    # froze (TPC-H q7/q9/q12/q14/q16, equi-depth bins, basket mining,
+    # and the 31-query third analytics wave), all locally green at
+    # sf0.01 but never driver-checked — rotates IN right after the
+    # canonical core so a shrinking window cannot skip it. Rotating
+    # OUT: 38 of the 45 round-8 entries that earned their first driver
+    # verdict in CORRECTNESS_r08 (all 45 stay in the local oracle gate
+    # + pytest every round). After this round's gate the
+    # never-driver-checked set is EMPTY again.
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_part_counts",
+    "equi_depth_value_bins",
+    "basket_part_pairs_topk",
+    "session_window_native",
+    "linreg_value_on_hour_by_type",
+    "skyline_parts_price_size",
+    "psi_weekend_drift_by_type",
+    "group_kfold_split_audit",
+    "km_time_to_purchase",
+    "bootstrap_ci_value_by_type",
+    "kcore_part_graph",
+    "data_quality_expectations",
+    "window_feature_pack",
+    "quantile_normalize_values",
+    "hrw_shard_rebalance_audit",
+    "markov_backtest_accuracy",
+    "ewma_forecast_backtest",
+    "ks_test_weekend_value",
+    "grouping_sets_revenue",
+    "gini_revenue_inequality",
+    "chi2_type_dow_independence",
+    "fellegi_sunter_part_links",
+    "vocab_js_drift_src0",
+    "mde_power_analysis",
+    "chow_break_daily_revenue",
+    "winsorized_mean_value",
+    "negative_sampling_triplets",
+    "target_encoding_oof",
+    "multitouch_attribution",
+    "association_rules_topk",
+    "cohort_ltv_curve",
+    "rfm_segment_counts",
+    "growth_accounting_wau",
+    "clamped_ledger_balances",
+    # Seven once-green (r8) retainees holding the tail slots — chosen
+    # because a SECOND verdict is worth the most for them: the
+    # recount-oracle SemDeDup watch, the streaming foreachBatch fold,
+    # two batched-serving representatives (graph-ANN and PQ+rerank),
+    # the codec-independence pHash pair's PNG member, the most complex
+    # TPC-H adaptation (triple-correlated q21), and the numbering
+    # primitive that carried the round-8 exchange-reuse fix (its second
+    # verdict re-validates the localCheckpoint contract under a fresh
+    # driver run).
     "semdedup_cluster_prune_k32",
-    "merge_into_cdc_snapshot",
-    "merge_full_sync_snapshot",
-    "ann_lsh_filtered_topk_vec0",
     "streaming_cdc_merge_snapshot",
-    # round-8 SECOND-WAVE queries (built later in round 8, never
-    # driver-checked): 15 of the 22 new entries take the tail slots the
-    # once-green round-7 retainees held — a FIRST verdict for a new
-    # query outranks a SECOND verdict for a once-green one under the
-    # standing policy (the displaced 15 keep their local gate; the
-    # THIRTY-EIGHT new queries that didn't fit — tpch_q7/q9/q12/q14/q16,
-    # equi_depth_value_bins, basket_part_pairs_topk, plus the
-    # third-wave session_window_native, linreg_value_on_hour_by_type,
-    # skyline_parts_price_size, psi_weekend_drift_by_type,
-    # group_kfold_split_audit, km_time_to_purchase,
-    # bootstrap_ci_value_by_type, kcore_part_graph,
-    # data_quality_expectations, window_feature_pack,
-    # quantile_normalize_values, hrw_shard_rebalance_audit,
-    # markov_backtest_accuracy, ewma_forecast_backtest,
-    # ks_test_weekend_value, grouping_sets_revenue,
-    # gini_revenue_inequality, chi2_type_dow_independence,
-    # fellegi_sunter_part_links, vocab_js_drift_src0,
-    # mde_power_analysis, chow_break_daily_revenue,
-    # winsorized_mean_value, negative_sampling_triplets,
-    # target_encoding_oof, multitouch_attribution,
-    # association_rules_topk, cohort_ltv_curve, rfm_segment_counts,
-    # growth_accounting_wau and clamped_ledger_balances — are the
-    # round-9 rotation pool)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q8_market_share",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_share_suppliers",
-    "pca_power_iteration_top_component",
-    "pca_projection_extremes",
-    "kcenter_diversity_sample",
-    "pareto_abc_parts",
-    "pit_scd2_state_before_purchase",
-    "batch_interval_join_binned",
+    "nsw_knn_join_vec10",
+    "ivfpq_knn_join_vec10",
+    "multimodal_png_phash",
+    "tpch_q21_waiting_suppliers",
+    "global_row_ids_orders",
 ]
 
 
