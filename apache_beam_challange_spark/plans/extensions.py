@@ -761,12 +761,14 @@ def dedup_connected_components_lss_q(spark: SparkSession, sf_dir: str) -> DataFr
     return connected_components_lss(docs, cand)
 
 
-@query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin
+@query("simhash_signatures_xxhash64_perf")  # rows-only: xxhash64 has no DuckDB twin
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (bit-vote aggregation over token
-    hashes). Verified by determinism tests (tests/test_dedup.py), not by
-    oracle — xxhash64 is Spark-specific. ``simhash_md5_signatures`` is the
-    oracle-verified twin algorithm."""
+    """LABELED PERF TWIN (VERDICT r8 #4): 64-bit SimHash per document with
+    Spark's JVM-side ``xxhash64`` as the bit source — faster than the md5
+    route but not reproducible in DuckDB, so this is the registry's only
+    rows-only entry, kept as an explicitly named ablation. The CONTRACT is
+    ``simhash_md5_signatures`` (full 64-bit signatures hash-verified);
+    determinism of this twin is pinned in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs)
 
@@ -801,9 +803,11 @@ sig AS (
     oracle=f"WITH {_SIMHASH_MD5_CTE}\nSELECT doc_id, simhash FROM sig",
 )
 def simhash_md5_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash with an md5 bit source: the full 64-bit signature of every
-    document is hash-verified against DuckDB computing the same bit votes
-    from the same hex digits."""
+    """THE SimHash contract (primary since round 9, VERDICT r8 #4): the
+    full 64-bit signature of every document is hash-verified against DuckDB
+    computing the same bit votes from the same hex digits. The xxhash64
+    fast path lives next door as the labeled perf twin
+    (``simhash_signatures_xxhash64_perf``, rows-only by design)."""
     from apache_beam_challange_spark.operators.dedup import simhash64_md5
 
     docs = load_table(spark, sf_dir, "documents")

@@ -22,13 +22,14 @@ def test_queries_and_oracles_aligned():
 
 
 def test_extended_tier_shape():
-    """Extended tier: locally gated; simhash_signatures is its only
-    rows-only entry (xxhash64 has no DuckDB twin)."""
+    """Extended tier: locally gated; the explicitly-labeled xxhash64 perf
+    twin is the only rows-only entry (xxhash64 has no DuckDB twin; the
+    SimHash contract is the fully-verified simhash_md5_signatures)."""
     all_qs = entrymod.all_queries()
     all_oracles = entrymod.all_oracle_sql()
     assert set(entrymod.queries()) <= set(all_qs)
     rows_only = set(all_qs) - set(all_oracles)
-    assert rows_only == {"simhash_signatures"}
+    assert rows_only == {"simhash_signatures_xxhash64_perf"}
 
 
 def test_registry_callables_run(spark, sf_dir):
