@@ -1333,8 +1333,10 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail) — the classic 80/20 curation cut, and the repo's DISTRIBUTED
     PREFIX-SUM primitive: the oracle's single ``SUM OVER (ORDER BY ...)``
     is a one-partition funnel at scale, so the engine computes the exact
-    cumulative with the zipWithIndex discipline
-    (``global_row_ids_orders``): range-repartition the per-part revenue
+    cumulative with the zipWithIndex discipline via the shared
+    :func:`~apache_beam_challange_spark.plans.coverage.distributed_prefix_sum`
+    primitive (extracted round 9; localCheckpoint-materialized like
+    ``global_row_ids_orders``): range-repartition the per-part revenue
     aggregate on the (rev DESC, partkey) sort key, cumsum WITHIN each
     ordered range (a pid-partitioned window, never a global one), derive
     partition offsets from a config-bounded per-partition totals frame,
@@ -1343,36 +1345,21 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     local prefix == global prefix). Class edges compare in exact int64
     (``cum*5 <= total*4`` — headroom to ~1e17 revenue-cents, documented)
     so no double-threshold seam exists."""
+    from apache_beam_challange_spark.plans.coverage import (
+        distributed_prefix_sum,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
     ).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = rev.repartitionByRange(
-        n_parts, F.col("rev_c").desc(), F.col("l_partkey")
-    ).withColumn("pid", F.spark_partition_id())
-    wp = (
-        Window.partitionBy("pid")
-        .orderBy(F.col("rev_c").desc(), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged.withColumn("lcum", F.sum("rev_c").over(wp))
-    ptots = ranged.groupBy("pid").agg(F.sum("rev_c").alias("ptot"))
-    # offsets: a window over at most shuffle.partitions rows (config-bounded)
-    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ptots.withColumn(
-        "off", F.coalesce(F.sum("ptot").over(wo), F.lit(0))
-    ).select("pid", "off")
-    total = ptots.agg(F.sum("ptot").alias("total_c"))
-    cum = (
-        local.join(F.broadcast(offs), "pid")
-        .withColumn("cum", F.col("off") + F.col("lcum"))
-        .crossJoin(F.broadcast(total))
+    cum = distributed_prefix_sum(
+        rev, [F.col("rev_c").desc(), F.col("l_partkey")], "rev_c"
     )
     cls = (
-        F.when(F.col("cum") * 5 <= F.col("total_c") * 4, "A")
-        .when(F.col("cum") * 20 <= F.col("total_c") * 19, "B")
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
         .otherwise("C")
     )
     return (

@@ -1434,6 +1434,59 @@ def assign_global_row_ids(
     )
 
 
+def distributed_prefix_sum(
+    df: DataFrame, order_exprs: list, value_col: str
+) -> DataFrame:
+    """The distributed PREFIX-SUM primitive (the generalization of
+    :func:`assign_global_row_ids` from counting to summing), extracted in
+    round 9 so ``pareto_abc_parts`` and any future consumer share ONE
+    materialization discipline instead of re-inlining the pattern.
+
+    ``order_exprs`` must define a TOTAL order (callers append a unique
+    tie-break key, as with the numbering primitive); ``value_col`` is the
+    long column to accumulate. Returns the input columns plus ``cum``
+    (the inclusive prefix sum of ``value_col`` in ``order_exprs`` order)
+    and ``total`` (the grand total, attached from the config-bounded
+    per-partition totals frame — free, no extra data pass).
+
+    Same exchange-reuse hazard and same fix as the numbering primitive:
+    the local-cumsum branch and the per-partition-totals branch MUST see
+    the same sampled range boundaries, so the ranged frame is explicitly
+    materialized (``localCheckpoint``) before fan-out — Catalyst reusing
+    the exchange is a courtesy, never a contract (round-8 lesson, found
+    by composing over a projected input). The only global window runs
+    over <= shuffle.partitions offset rows."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("lcum", F.sum(value_col).over(wp))
+    ptots = ranged.groupBy("pid").agg(F.sum(value_col).alias("ptot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptots.select(
+        "pid",
+        F.coalesce(F.sum("ptot").over(wo), F.lit(0)).cast("long").alias("off"),
+        F.sum("ptot").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("total"),
+    )
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("cum", (F.col("off") + F.col("lcum")).cast("long"))
+        .drop("pid", "lcum", "off")
+    )
+
+
 # --- native session_window (Spark's built-in gap sessionizer) ----------------
 
 _SESSW_SQL = """

@@ -668,3 +668,96 @@ def test_global_row_ids_survive_composed_projection(spark, sf_dir):
         ).collect()
     ]
     assert sorted(ids) == list(range(1, len(ids) + 1))
+
+
+# --- VERDICT r8 #5: the exchange-reuse lesson as a COMPOSITION contract ------
+#
+# The round-8 bug (duplicate/skipped global ids when the numbering
+# primitive was composed over a projected input) was found by accident
+# of composition; these tests make the contract composition-proof: for
+# EVERY upstream shape — projection with a computed column, filter,
+# broadcast join, union — both range-shuffle primitives
+# (assign_global_row_ids and its prefix-sum generalization
+# distributed_prefix_sum) must (a) agree exactly with the driver-side
+# Python fold and (b) compile to a plan whose two branches read the ONE
+# materialized range exchange: zero `Exchange rangepartitioning`, two
+# `Scan ExistingRDD`.
+
+import pytest
+
+
+def _shaped(spark, shape):
+    """A (DataFrame, expected_rows) pair for one upstream shape; rows are
+    (k, v) with k unique. Values/keys chosen so every shape keeps a
+    non-trivial, duplicate-valued, negative-and-positive distribution."""
+    base = [(i, (i * 37) % 11 - 5) for i in range(97)]
+    df = spark.createDataFrame(base, "k long, raw long")
+    if shape == "projection":
+        out = df.select("k", (F.col("raw") * 3 + 1).alias("v"))
+        rows = [(k, r * 3 + 1) for k, r in base]
+    elif shape == "filter":
+        out = df.filter(F.col("raw") % 2 == 0).select(
+            "k", F.col("raw").alias("v")
+        )
+        rows = [(k, r) for k, r in base if r % 2 == 0]
+    elif shape == "join":
+        dim = spark.createDataFrame(
+            [(m, m * 100) for m in range(11)], "m long, boost long"
+        )
+        out = (
+            df.join(F.broadcast(dim), df.raw + 5 == dim.m)
+            .select("k", (F.col("raw") + F.col("boost")).alias("v"))
+        )
+        rows = [(k, r + (r + 5) * 100) for k, r in base]
+    elif shape == "union":
+        out = (
+            df.filter(F.col("raw") < 0)
+            .union(df.filter(F.col("raw") >= 0))
+            .select("k", F.col("raw").alias("v"))
+        )
+        rows = base
+    else:  # pragma: no cover
+        raise AssertionError(shape)
+    return out, rows
+
+
+def _serve_plan(df) -> str:
+    # AQE's toString repeats the tree under "== Initial Plan ==";
+    # count nodes in the final section only.
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+
+
+@pytest.mark.parametrize("shape", ["projection", "filter", "join", "union"])
+def test_numbering_composes_exact_and_single_range_exchange(spark, shape):
+    from apache_beam_challange_spark.plans.coverage import assign_global_row_ids
+
+    df, rows = _shaped(spark, shape)
+    out = assign_global_row_ids(df, ["v", "k"], "k")
+    got = {r.k: r.global_id for r in out.collect()}
+    want = {
+        k: i + 1 for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+    p = _serve_plan(out)
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Scan ExistingRDD") == 2
+
+
+@pytest.mark.parametrize("shape", ["projection", "filter", "join", "union"])
+def test_prefix_sum_composes_exact_and_single_range_exchange(spark, shape):
+    from apache_beam_challange_spark.plans.coverage import distributed_prefix_sum
+
+    df, rows = _shaped(spark, shape)
+    out = distributed_prefix_sum(df, [F.col("v").desc(), F.col("k")], "v")
+    got = {r.k: (r.cum, r.total) for r in out.collect()}
+    total = sum(v for _, v in rows)
+    want, acc = {}, 0
+    for k, v in sorted(rows, key=lambda t: (-t[1], t[0])):
+        acc += v
+        want[k] = (acc, total)
+    assert got == want
+    p = _serve_plan(out)
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Scan ExistingRDD") == 2
