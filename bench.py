@@ -67,6 +67,77 @@ R1_BASELINE = {
     "streaming_tumbling_counts": 1.408,
 }
 
+#: Per-group noise-class pins for the round8b/round8c series (VERDICT r8
+#: #6 — the headline set has R1_BASELINE; these series' first full-round
+#: record is BENCH_r08/BENCH_DETAIL @ noise_ref 0.357, pinned here as
+#: their reference walls). Each member is classed once, from the PIN,
+#: not from the current run: "noise" if the pinned wall sits under
+#: 3x the pinned noise_ref (~1.07 s — the band where BENCH_r08's q1 blip
+#: showed host state dominates structure), else "signal". Future rounds
+#: auto-adjudicate: a swing on a noise-class member reads against
+#: noise_ref; only signal-class ratios (emitted as vs_r8, max as
+#: vs_r8_signal_max) carry regression meaning on their own.
+R8_PINS_NOISE_REF = 0.357
+R8_PINS = {
+    "tpch_q2_min_cost_supplier": 1.288,
+    "tpch_q4_priority_check": 0.613,
+    "tpch_q7_volume_shipping": 0.983,
+    "tpch_q8_market_share": 1.141,
+    "tpch_q9_product_profit": 0.966,
+    "tpch_q11_important_parts": 0.701,
+    "tpch_q12_shipmode_priority": 0.604,
+    "tpch_q13_customer_distribution": 0.479,
+    "tpch_q14_promo_revenue": 0.434,
+    "tpch_q15_top_supplier": 0.483,
+    "tpch_q16_supplier_part_counts": 1.282,
+    "tpch_q18_large_volume_customers": 0.874,
+    "tpch_q19_disjunctive_revenue": 0.654,
+    "tpch_q20_excess_share_suppliers": 1.221,
+    "pca_power_iteration_top_component": 1.167,
+    "pca_projection_extremes": 0.731,
+    "kcenter_diversity_sample": 3.52,
+    "pareto_abc_parts": 0.811,
+    "pit_scd2_state_before_purchase": 1.001,
+    "batch_interval_join_binned": 0.479,
+    "equi_depth_value_bins": 0.75,
+    "basket_part_pairs_topk": 1.682,
+    "session_window_native": 0.467,
+    "linreg_value_on_hour_by_type": 0.336,
+    "skyline_parts_price_size": 0.362,
+    "psi_weekend_drift_by_type": 0.534,
+    "group_kfold_split_audit": 0.75,
+    "km_time_to_purchase": 0.465,
+    "bootstrap_ci_value_by_type": 2.778,
+    "kcore_part_graph": 2.003,
+    "data_quality_expectations": 0.786,
+    "window_feature_pack": 0.9,
+    "quantile_normalize_values": 1.897,
+    "hrw_shard_rebalance_audit": 0.488,
+    "markov_backtest_accuracy": 0.761,
+    "ewma_forecast_backtest": 0.378,
+    "ks_test_weekend_value": 0.818,
+    "grouping_sets_revenue": 0.668,
+    "gini_revenue_inequality": 1.486,
+    "chi2_type_dow_independence": 0.405,
+    "fellegi_sunter_part_links": 0.345,
+    "vocab_js_drift_src0": 0.409,
+    "mde_power_analysis": 0.264,
+    "chow_break_daily_revenue": 0.619,
+    "winsorized_mean_value": 0.743,
+    "negative_sampling_triplets": 2.097,
+    "target_encoding_oof": 0.541,
+    "multitouch_attribution": 1.49,
+    "association_rules_topk": 2.03,
+    "cohort_ltv_curve": 0.626,
+    "rfm_segment_counts": 2.438,
+    "growth_accounting_wau": 0.631,
+    "clamped_ledger_balances": 0.727,
+}
+R8_NOISE_CLASS = {
+    n: ("noise" if w < 3 * R8_PINS_NOISE_REF else "signal")
+    for n, w in R8_PINS.items()
+}
+
 HEADLINE = [
     "q1_sql_top_pairs",
     "q2_top_pairs_ops",
@@ -418,6 +489,18 @@ def main() -> None:
         for n in timings
         if n in R1_BASELINE
     } if sf == 0.1 else {}
+    # round8b/8c auto-adjudication (VERDICT r8 #6): per-query ratios vs
+    # the pinned r8 walls, split by the PINNED noise class — only
+    # signal-class maxima carry regression meaning on their own.
+    r8bc_walls = {**round8b, **round8c}
+    vs_r8 = {
+        n: round(w / R8_PINS[n], 2)
+        for n, w in r8bc_walls.items()
+        if n in R8_PINS
+    } if sf == 0.1 else {}
+    vs_r8_signal = {
+        n: r for n, r in vs_r8.items() if R8_NOISE_CLASS[n] == "signal"
+    }
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -445,6 +528,8 @@ def main() -> None:
         "group_members_md5": group_members_md5,
         "noise_ref": noise_ref,
         "vs_r1": vs_r1,
+        "vs_r8": vs_r8,
+        "r8_noise_class": R8_NOISE_CLASS,
         "repeats": REPEATS,
         "aggregation": "median",
         "sf": sf,
@@ -479,6 +564,9 @@ def main() -> None:
                 "round8b_total": round(sum(round8b.values()), 3),
                 "round8c_total": round(sum(round8c.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
+                "vs_r8_signal_max": (
+                    max(vs_r8_signal.values()) if vs_r8_signal else None
+                ),
                 "group_counts": group_counts,
                 "group_members_md5": group_members_md5,
                 "noise_ref": noise_ref,
