@@ -134,6 +134,11 @@ DRIVER_ORDER: list[str] = [
     "rfm_segment_counts",
     "growth_accounting_wau",
     "clamped_ledger_balances",
+    # (Round-10 rotation pool — queries built in round 9 AFTER this
+    # tier froze, locally green but never driver-checked:
+    # asof_payload_last_click_before_purchase, mann_whitney_auc_purchase,
+    # spearman_value_hour_by_type, lift_gain_deciles_value,
+    # token_hapax_stats_by_source, acf_daily_revenue.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,
@@ -186,6 +191,7 @@ def load_all() -> None:
         "mips",
         "tpch",
         "linalg",
+        "wave4",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

@@ -1,0 +1,547 @@
+"""Round-9 wave: evaluation-metric and feature-attachment operators a
+training-data pipeline runs downstream of the curation/dedup stages —
+exact rank statistics (Mann-Whitney U / ROC AUC, Spearman rho, lift &
+gain deciles), corpus lexical health (hapax / type-token ratio), exact
+autocorrelation, and the payload-attaching as-of join.
+
+Every query keeps the repo's oracle discipline: integer or fixed-point
+arithmetic end-to-end, with at most single IEEE-exact double operations
+(one division, one sqrt) at the very end, so the DuckDB twin hashes
+identically. Rank statistics come from VALUE-RANGE-BOUNDED histograms
+(the ``equi_depth_value_bins`` argument: the cent-bucket domain is fixed
+by the value range, never by row count), so no data-sized global window
+exists anywhere in this module; the one global ranking
+(``lift_gain_deciles_value``) composes the distributed numbering
+primitive — its FOURTH consumer.
+
+Reference parity: none of these exist in the reference (a 4-pipeline
+Beam take-home, reference repo `main.py`/notebooks); they extend the
+SURVEY.md §2.9 training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+
+# --- as-of join with payload (union-and-carry, zero joins) -------------------
+
+_ASOF_SQL = """
+WITH clicks AS (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, ts ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type = 'click'
+),
+c AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.ts,
+       c.ts AS asof_ts, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""".strip()
+
+
+@query("asof_payload_last_click_before_purchase", oracle=_ASOF_SQL)
+def asof_payload_last_click_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join WITH payload attachment: every purchase gains the
+    timestamp and value of that user's most recent click at-or-before
+    the purchase (time-to-convert / last-touch features). The SCALE
+    formulation next to the relational baseline
+    (``asof_join_last_event_per_order``, which multiplies rows through a
+    range-predicate join before re-aggregating): union-and-carry —
+    union both sides, ONE hash shuffle on user_id, a per-user running
+    ``last(payload, ignorenulls)`` — zero join operators, linear in
+    |purchases|+|clicks|, and the matched row's whole payload comes
+    along (the baseline can only MAX one column). Equal-(user, ts)
+    click ties resolve to the max event_id on both engines (the carry's
+    sort order here; the ROW_NUMBER dedup CTE in the oracle — DuckDB's
+    ASOF JOIN needs unique right keys for determinism)."""
+    from apache_beam_challange_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["value"],
+        right_tiebreak="event_id",
+        direction="backward",
+        allow_exact=True,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "asof_ts",
+        F.col("value").alias("click_value"),
+    )
+
+
+# --- exact Mann-Whitney U / ROC AUC ------------------------------------------
+
+_MW_SQL = """
+WITH hist AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+    FROM events
+    GROUP BY 1
+),
+cum AS (
+    SELECT vb, n_pos, n_neg,
+           CAST(COALESCE(SUM(n_neg) OVER (
+               ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cumneg
+    FROM hist
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * cumneg + n_neg)) AS BIGINT) AS u2,
+       CAST(SUM(n_pos * (2 * cumneg + n_neg)) AS DOUBLE) / 2.0 AS u_stat,
+       CAST(SUM(n_pos * (2 * cumneg + n_neg)) AS DOUBLE)
+           / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))
+           AS auc
+FROM cum
+""".strip()
+
+
+@query("mann_whitney_auc_purchase", oracle=_MW_SQL)
+def mann_whitney_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U statistic == exact ROC AUC of ``value`` as a
+    score for "is a purchase" — THE ranking-model eval metric, computed
+    with the tie-correct midrank convention and zero floats until the
+    final division: rows collapse to the cent-bucket histogram (bounded
+    by the VALUE RANGE, ~49k buckets, never by row count), the
+    cumulative-negatives window runs over that bounded histogram, and
+    ``u2 = 2U = sum n_pos_b * (2*cumneg_below + n_neg_b)`` stays in
+    int64 (bound n_pos*n_neg*2 ~ n^2/2 — fine past sf1000). AUC =
+    u2 / (2 * n_pos * n_neg), one IEEE-exact double expression written
+    identically in both engines. The only data-sized work is one
+    map-side-combined aggregate; the single-partition window argument is
+    the ``equi_depth_value_bins`` one (domain-bounded input)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_pos = (F.col("event_type") == "purchase").cast("long")
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 100).cast("long").alias("vb")
+    ).agg(
+        F.sum(is_pos).alias("n_pos"),
+        F.sum(F.lit(1) - is_pos).alias("n_neg"),
+    )
+    w = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cumneg", F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("cumneg") + F.col("n_neg"))
+        ).cast("long").alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (F.col("u2").cast("double") / F.lit(2.0)).alias("u_stat"),
+        (
+            F.col("u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+# --- exact Spearman rank correlation (tie-corrected midranks) -----------------
+
+_SPEARMAN_SQL = """
+WITH base AS (
+    SELECT event_type AS t,
+           CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(hour(ts) AS BIGINT) AS hb
+    FROM events
+),
+joint AS (SELECT t, vb, hb, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+vh AS (SELECT t, vb, CAST(SUM(c) AS BIGINT) AS n FROM joint GROUP BY 1, 2),
+vr AS (
+    SELECT t, vb,
+           2 * CAST(COALESCE(SUM(n) OVER (
+               PARTITION BY t ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) + n + 1 AS rx2
+    FROM vh
+),
+hh AS (SELECT t, hb, CAST(SUM(c) AS BIGINT) AS n FROM joint GROUP BY 1, 2),
+hr AS (
+    SELECT t, hb,
+           2 * CAST(COALESCE(SUM(n) OVER (
+               PARTITION BY t ORDER BY hb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) + n + 1 AS ry2
+    FROM hh
+),
+s AS (
+    SELECT j.t,
+           CAST(SUM(c) AS DOUBLE) AS n,
+           CAST(SUM(c * rx2) AS DOUBLE) AS sx,
+           CAST(SUM(c * ry2) AS DOUBLE) AS sy,
+           CAST(SUM(c * rx2 * rx2) AS DOUBLE) AS sxx,
+           CAST(SUM(c * ry2 * ry2) AS DOUBLE) AS syy,
+           CAST(SUM(c * rx2 * ry2) AS DOUBLE) AS sxy
+    FROM joint j
+    JOIN vr ON j.t = vr.t AND j.vb = vr.vb
+    JOIN hr ON j.t = hr.t AND j.hb = hr.hb
+    GROUP BY j.t
+)
+SELECT t AS event_type, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy)
+           / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS rho
+FROM s
+ORDER BY event_type
+""".strip()
+
+
+@query("spearman_value_hour_by_type", oracle=_SPEARMAN_SQL)
+def spearman_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (value vs hour-of-day, per event
+    type) with the tie-correct midrank convention — drift/monotonicity
+    detection on a feature pair without assuming linearity. Midranks
+    come from per-type histograms, never per-row windows: doubled
+    midranks ``2r = 2*cum_below + n_b + 1`` are INTEGERS (no .5 seam);
+    the doubled-rank moment sums are exact integers in both engines
+    (DECIMAL(38,0) on the Spark side, HUGEINT naturally in DuckDB), and
+    rho is one identical double expression over their casts (sums
+    < 2^53 at test scales convert exactly; above that both engines
+    round-to-nearest the same decimal integer). Histograms are bounded
+    by DOMAIN (cents range x 24 hours), so they broadcast back to the
+    bucket-collapsed joint frame — no data-sized join or window; the
+    data-sized work is the one map-side-combined (type, vb, hb)
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        F.hour("ts").cast("long").alias("hb"),
+    )
+    joint = base.groupBy("t", "vb", "hb").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    def midranks(frame: DataFrame, key: str, out: str) -> DataFrame:
+        h = frame.groupBy("t", key).agg(F.sum("c").cast("long").alias("n"))
+        w = (
+            Window.partitionBy("t")
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            "t",
+            key,
+            (
+                F.lit(2) * F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+                + F.col("n")
+                + F.lit(1)
+            ).alias(out),
+        )
+
+    vr = midranks(joint, "vb", "rx2")
+    hr = midranks(joint, "hb", "ry2")
+    dec = "decimal(38,0)"
+    s = (
+        joint.join(F.broadcast(vr), ["t", "vb"])
+        .join(F.broadcast(hr), ["t", "hb"])
+        .groupBy("t")
+        .agg(
+            F.sum("c").cast("double").alias("n"),
+            F.sum((F.col("c") * F.col("rx2")).cast(dec)).cast("double").alias("sx"),
+            F.sum((F.col("c") * F.col("ry2")).cast(dec)).cast("double").alias("sy"),
+            F.sum((F.col("c") * F.col("rx2") * F.col("rx2")).cast(dec))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("c") * F.col("ry2") * F.col("ry2")).cast(dec))
+            .cast("double")
+            .alias("syy"),
+            F.sum((F.col("c") * F.col("rx2") * F.col("ry2")).cast(dec))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    return s.select(
+        F.col("t").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("rho"),
+    ).orderBy("event_type")
+
+
+# --- lift & gain deciles (4th composed consumer of the numbering primitive) ---
+
+_LIFT_SQL = """
+WITH ranked AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+           ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
+           COUNT(*) OVER () AS n_total
+    FROM events
+),
+dec AS (
+    SELECT ((rn - 1) * 10) // n_total AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM ranked
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_rows) AS BIGINT) AS tot_rows,
+           CAST(SUM(n_pos) AS BIGINT) AS tot_pos
+    FROM dec
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_pos,
+       CAST(CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+           / CAST(tot_pos AS DOUBLE) AS gain,
+       CAST(n_pos * tot_rows AS DOUBLE) / CAST(n_rows * tot_pos AS DOUBLE) AS lift
+FROM dec, tot
+ORDER BY decile
+""".strip()
+
+
+@query("lift_gain_deciles_value", oracle=_LIFT_SQL)
+def lift_gain_deciles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift & cumulative-gain table: rank all events by ``value``
+    descending, cut into 10 equal-population deciles, report per-decile
+    positive (purchase) counts, cumulative gain and lift — the campaign-
+    targeting eval every propensity pipeline produces. The oracle's
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` is a one-partition funnel at
+    scale, so the engine ranks with the distributed numbering primitive
+    (``assign_global_row_ids`` — its FOURTH composed consumer, after
+    quantile normalization, Gini, and RFM), descending expressed as the
+    exact negation of the positive-valued score. Decile math is pure
+    integers (``(rank-1)*10 div n`` — floor==truncate on non-negatives,
+    the repo's standing div rule); gain/lift are single divisions of
+    exact integer products. The 10-row decile frame does the rest."""
+    from apache_beam_challange_spark.plans.coverage import (
+        assign_global_row_ids,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        F.col("value"),
+    )
+    gids = assign_global_row_ids(
+        ev.select("event_id", (-F.col("value")).alias("nv")),
+        ["nv", "event_id"],
+        "event_id",
+    )
+    n_total = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ranked = (
+        gids.join(ev.select("event_id", "pos"), "event_id")
+        .crossJoin(F.broadcast(n_total))
+    )
+    dec = ranked.groupBy(
+        F.expr("(global_id - 1) * 10 DIV n_total").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    tot = dec.agg(
+        F.sum("n_rows").cast("long").alias("tot_rows"),
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.withColumn("cum_pos", F.sum("n_pos").over(wc).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"))
+            .alias("gain"),
+            (
+                (F.col("n_pos") * F.col("tot_rows")).cast("double")
+                / (F.col("n_rows") * F.col("tot_pos")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --- corpus lexical health: hapax legomena / type-token ratio ------------------
+
+_HAPAX_SQL = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok WHERE token <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+FROM tf
+GROUP BY source
+ORDER BY source
+""".strip()
+
+
+@query("token_hapax_stats_by_source", oracle=_HAPAX_SQL)
+def token_hapax_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-health panel per source: token count, vocabulary
+    size (types), hapax legomena (frequency-1 types — the classic
+    boilerplate/diversity signal: synthetic or templated corpora have
+    collapsed hapax ratios), type-token ratio. Two map-side-combined
+    aggregates (token-frequency then per-source roll-up); pure integer
+    counts with two final divisions. Complements the BPE/vocab-coverage
+    family (tokenizer.py) with the pre-tokenizer diagnostic every
+    data-mix report carries."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("type_token_ratio"),
+            (F.col("n_hapax").cast("double") / F.col("n_types").cast("double"))
+            .alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- exact autocorrelation of the daily revenue series -------------------------
+
+_ACF_SQL = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS di,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+    FROM events
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+    FROM daily
+),
+dev AS (
+    SELECT di, CAST(n * x - s AS BIGINT) AS d FROM daily, tot
+),
+den AS (
+    SELECT SUM(CAST(d AS HUGEINT) * d) AS den FROM dev
+),
+lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+num AS (
+    SELECT l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(CAST(a.d AS HUGEINT) * b.d) AS num
+    FROM lags l
+    JOIN dev a ON TRUE
+    JOIN dev b ON b.di = a.di + l.lag
+    GROUP BY l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+FROM num, den
+ORDER BY lag
+""".strip()
+
+
+@query("acf_daily_revenue", oracle=_ACF_SQL)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample autocorrelation (lags 1-7) of the daily revenue
+    series — the seasonality diagnostic next to the EWMA/Markov
+    backtests. The float seam of the textbook formula (a float mean
+    inside every term) is removed by scaling with n: with S = sum(x),
+    ``acf_k = sum (n*x_t - S)(n*x_{t+k} - S) / sum (n*x_t - S)^2`` is
+    EXACT in integers (deviations in int64; their products summed as
+    DECIMAL(38,0) on Spark / HUGEINT in DuckDB), then ONE double
+    division. Data-sized work: a single day-bucketed map-side aggregate;
+    everything after runs on the ~30-row daily frame (lag self-join and
+    windows are calendar-bounded, corpus-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("di")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "di", (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("d")
+    )
+    dec = "decimal(38,0)"
+    den = dev.agg(
+        F.sum((F.col("d").cast(dec) * F.col("d"))).alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select(F.col("di").alias("adi"), F.col("d").alias("ad"))
+    b = dev.select(F.col("di").alias("bdi"), F.col("d").alias("bd"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bdi") == F.col("adi") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ad").cast(dec) * F.col("bd")).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -364,6 +364,18 @@ ROUND8C = [
     "clamped_ledger_balances",
 ]
 
+#: round-9 wave (built this round; pins land once BENCH_r09 records the
+#: first full-round walls): the payload as-of join, the exact rank
+#: statistics, lexical health, exact ACF.
+ROUND9 = [
+    "asof_payload_last_click_before_purchase",
+    "mann_whitney_auc_purchase",
+    "spearman_value_hour_by_type",
+    "lift_gain_deciles_value",
+    "token_hapax_stats_by_source",
+    "acf_daily_revenue",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -458,6 +470,7 @@ def main() -> None:
     round8 = _bench_series(qs, ROUND8, spark, sf_dir, spread)
     round8b = _bench_series(qs, ROUND8B, spark, sf_dir, spread)
     round8c = _bench_series(qs, ROUND8C, spark, sf_dir, spread)
+    round9 = _bench_series(qs, ROUND9, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     # Membership pin (VERDICT r7 #5): every series' query COUNT and an
@@ -476,6 +489,7 @@ def main() -> None:
         "round8": ROUND8,
         "round8b": ROUND8B,
         "round8c": ROUND8C,
+        "round9": ROUND9,
     }
     import hashlib
 
@@ -523,6 +537,8 @@ def main() -> None:
         "round8b_total": round(sum(round8b.values()), 3),
         "round8c": round8c,
         "round8c_total": round(sum(round8c.values()), 3),
+        "round9": round9,
+        "round9_total": round(sum(round9.values()), 3),
         "spread": spread,
         "group_counts": group_counts,
         "group_members_md5": group_members_md5,
@@ -563,6 +579,7 @@ def main() -> None:
                 "round8_total": round(sum(round8.values()), 3),
                 "round8b_total": round(sum(round8b.values()), 3),
                 "round8c_total": round(sum(round8c.values()), 3),
+                "round9_total": round(sum(round9.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "vs_r8_signal_max": (
                     max(vs_r8_signal.values()) if vs_r8_signal else None

@@ -1,0 +1,189 @@
+"""Round-9 wave: the as-of operator's semantics matrix and the plan
+shapes of the new rank-statistic queries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_beam_challange_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "a"),
+            (1, _ts(12), "b"),
+            (2, _ts(9), "c"),
+            (3, _ts(8), "d"),  # user with no right rows at all
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(9), 90.0, 100),
+            (1, _ts(10), 101.0, 101),  # exactly at left 10:00
+            (1, _ts(10), 102.0, 102),  # tie on ts: higher event_id wins
+            (1, _ts(11), 110.0, 103),
+            (2, _ts(11), 200.0, 104),  # after user 2's only left row
+        ],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    return left, right
+
+
+def _collect(out):
+    return {
+        (r.user_id, r.ts): (r.asof_ts, r.value)
+        for r in out.collect()
+    }
+
+
+def test_asof_backward_inclusive(sides):
+    left, right = sides
+    got = _collect(
+        asof_join(
+            left, right, ["user_id"], "ts", "ts", ["value"], "event_id",
+            direction="backward", allow_exact=True,
+        )
+    )
+    assert got[(1, _ts(10))] == (_ts(10), 102.0)  # exact match, max tiebreak
+    assert got[(1, _ts(12))] == (_ts(11), 110.0)
+    assert got[(2, _ts(9))] == (None, None)  # right row is in the future
+    assert got[(3, _ts(8))] == (None, None)  # keyless
+
+
+def test_asof_backward_strict(sides):
+    left, right = sides
+    got = _collect(
+        asof_join(
+            left, right, ["user_id"], "ts", "ts", ["value"], "event_id",
+            direction="backward", allow_exact=False,
+        )
+    )
+    # the 10:00 rights are no longer visible at the 10:00 left row
+    assert got[(1, _ts(10))] == (_ts(9), 90.0)
+    assert got[(1, _ts(12))] == (_ts(11), 110.0)
+
+
+def test_asof_forward_inclusive(sides):
+    left, right = sides
+    got = _collect(
+        asof_join(
+            left, right, ["user_id"], "ts", "ts", ["value"], "event_id",
+            direction="forward", allow_exact=True,
+        )
+    )
+    assert got[(1, _ts(10))] == (_ts(10), 102.0)
+    assert got[(1, _ts(12))] == (None, None)  # nothing at-or-after 12:00
+    assert got[(2, _ts(9))] == (_ts(11), 200.0)
+
+
+def test_asof_forward_strict(sides):
+    left, right = sides
+    got = _collect(
+        asof_join(
+            left, right, ["user_id"], "ts", "ts", ["value"], "event_id",
+            direction="forward", allow_exact=False,
+        )
+    )
+    assert got[(1, _ts(10))] == (_ts(11), 110.0)
+
+
+def test_asof_rejects_bad_direction(sides):
+    left, right = sides
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, ["user_id"], "ts", "ts", ["value"], "event_id",
+            direction="sideways",
+        )
+
+
+def test_asof_plan_has_no_join_one_exchange(sides):
+    """The union-and-carry contract: ZERO join operators, exactly one
+    hash exchange (on the keys) feeding the running-frame window."""
+    left, right = sides
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["value"], "event_id",
+    )
+    p = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in p, join_op
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
+
+
+def test_asof_query_plan_shape(plans):
+    """The registry query built on the operator keeps the shape against
+    real parquet inputs: no join operators, one hash exchange, and both
+    event_type filters pushed to the scans."""
+    p = plans("asof_payload_last_click_before_purchase")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin"):
+        assert join_op not in p, join_op
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters" in p and "purchase" in p
+
+
+def test_mann_whitney_window_is_domain_bounded(plans):
+    """The cumulative-negatives window must sit above the cent-bucket
+    aggregate (partial_sum proves map-side combine below it), never
+    above the raw scan."""
+    p = plans("mann_whitney_auc_purchase")
+    assert "partial_sum" in p
+    assert "Window" in p
+    # exactly one data-sized aggregate pass: one scan of events
+    assert sum("FileScan parquet" in l for l in p.splitlines()) == 1
+
+
+def test_lift_deciles_numbering_discipline(plans):
+    """The decile ranking composes the numbering primitive: zero range
+    exchanges in the serve plan (boundary consistency is the
+    localCheckpoint's job), broadcast joins for the scalar frames."""
+    p = plans("lift_gain_deciles_value")
+    assert "Exchange rangepartitioning" not in p
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_spearman_rank_maps_broadcast(plans):
+    """Both midrank maps join back as broadcasts (domain-bounded), and
+    the joint aggregate map-side combines."""
+    p = plans("spearman_value_hour_by_type")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_acf_matches_statsmodels_free_reference(spark):
+    """ACF on a hand-computable series: x = [1,2,3,4] (cents), lags 1-2.
+    devs (n=4, S=10): [-6,-2,2,6]; den=80; num1=12+(-4)+12=20? ->
+    computed by hand: (-6)(-2)+(-2)(2)+(2)(6) = 12-4+12 = 20; num2 =
+    (-6)(2)+(-2)(6) = -24. acf1 = 0.25, acf2 = -0.3."""
+    import apache_beam_challange_spark.plans.wave4 as w4
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + i, 0), 0.01 * (i + 1)) for i in range(4)],
+        "ts timestamp, value double",
+    ).withColumn("event_type", F.lit("view")).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    ).withColumn("user_id", F.lit(1)).withColumn("props", F.lit(""))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.lag: (r.n_pairs, round(r.acf, 9))
+            for r in w4.acf_daily_revenue(spark, d).collect()
+        }
+    assert out[1] == (3, 0.25)
+    assert out[2] == (2, -0.3)

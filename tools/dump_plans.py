@@ -153,6 +153,15 @@ FLAGSHIPS = [
     "grouping_sets_revenue",
     "psi_weekend_drift_by_type",
     "linreg_value_on_hour_by_type",
+    # round-9 wave: the zero-join union-and-carry as-of, the
+    # domain-bounded rank statistics, the numbering primitive's fourth
+    # consumer, and the exact-integer ACF
+    "asof_payload_last_click_before_purchase",
+    "mann_whitney_auc_purchase",
+    "spearman_value_hour_by_type",
+    "lift_gain_deciles_value",
+    "token_hapax_stats_by_source",
+    "acf_daily_revenue",
 ]
 
 
