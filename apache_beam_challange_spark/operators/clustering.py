@@ -54,15 +54,29 @@ def kmeans_centroids(
     k: int = 4,
     n_iter: int = 2,
     scale: int = 10_000,
+    init_cents: DataFrame | None = None,
 ) -> DataFrame:
     """Train the codebook: ``n_iter`` Lloyd rounds, returning
     ``(centroid_id, cvec)`` — the coarse quantizer an IVF index consumes
-    (:func:`operators.similarity.ivf_topk_with_centroids`)."""
+    (:func:`operators.similarity.ivf_topk_with_centroids`).
+
+    ``init_cents`` (a ``(centroid_id, cvec)`` frame) resumes training
+    from STORED centroids instead of the deterministic first-k seed —
+    the incremental re-training contract: because every update is a
+    deterministic fixed-point function of (input, centroids), resuming
+    from the exact stored round-m state and running n more rounds is
+    BIT-IDENTICAL to training m+n rounds from the seed. The oracle for
+    ``ivf_retrain_topk_vec0`` states exactly that (a from-scratch
+    3-round CTE chain against the engine's stored-2+1 route)."""
     vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
-    cents = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    cents = (
+        init_cents.select("centroid_id", "cvec")
+        if init_cents is not None
+        else vecs.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+        )
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
     for _ in range(n_iter):

@@ -904,6 +904,74 @@ def ivf_topk_trained_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_with_centroids(emb, cents, query_vec_id=0, k=20, n_probe=2)
 
 
+@query(
+    "ivf_retrain_topk_vec0",
+    oracle="WITH "
+    + kmeans_cents_ctes(k=4, n_iter=3)
+    + """,
+cents AS (SELECT centroid_id, cvec FROM cents3),
+assign AS (
+    SELECT vec_id, label, vec, centroid_id FROM (
+        SELECT v.vec_id, v.label, v.vec, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC,
+                            c.centroid_id
+               ) AS rk
+        FROM vecs v CROSS JOIN cents c
+    ) WHERE rk = 1
+),
+q AS (SELECT vec AS qv FROM vecs WHERE vec_id = 0),
+probes AS (
+    SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC,
+                            c.centroid_id
+               ) AS rk
+        FROM cents c, q
+    ) WHERE rk <= 2
+)
+SELECT a.vec_id, a.label,
+       ROUND(list_cosine_similarity(a.vec, q.qv), 6) AS cosine_sim
+FROM assign a
+JOIN probes p ON a.centroid_id = p.centroid_id
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 20""",
+)
+def ivf_retrain_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF RE-TRAINING (VERDICT r8 #8's remaining serving
+    niche): the 2-round codebook is published AT REST (versioned-pointer
+    discipline, sources/publish.py), read back, and continued for ONE
+    more Lloyd round from the STORED state before serving. The oracle is
+    a from-scratch THREE-round CTE chain — hash equality proves the
+    retraining contract exactly: resume-from-stored(m rounds)+n ==
+    train(m+n), i.e. periodic re-training is trajectory continuation,
+    never a silently different model. (Parquet doubles round-trip
+    exactly; every Lloyd update is a deterministic fixed-point function
+    of (corpus, centroids) — operators/clustering.py.) Drift/balance
+    behavior is pinned separately in tests/test_quantization.py."""
+    from apache_beam_challange_spark.operators.similarity import (
+        ivf_topk_with_centroids,
+    )
+    from apache_beam_challange_spark.sources.catalog import warehouse_path
+    from apache_beam_challange_spark.sources.publish import (
+        publish,
+        read_published,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = warehouse_path(sf_dir, "ivf_cents_k4i2_store", "embeddings")
+    stored = read_published(spark, base)
+    if stored is None:
+        publish(kmeans_centroids(emb, k=4, n_iter=2), base)
+        stored = read_published(spark, base)
+    retrained = kmeans_centroids(emb, k=4, n_iter=1, init_cents=stored)
+    return ivf_topk_with_centroids(emb, retrained, query_vec_id=0, k=20, n_probe=2)
+
+
 @query("pq_topk_vec0", oracle=pq_oracle_sql())
 def pq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-20: 4 subspace Lloyd codebooks compress

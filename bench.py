@@ -374,6 +374,7 @@ ROUND9 = [
     "lift_gain_deciles_value",
     "token_hapax_stats_by_source",
     "acf_daily_revenue",
+    "ivf_retrain_topk_vec0",
 ]
 
 CURATION = [

@@ -162,6 +162,7 @@ FLAGSHIPS = [
     "lift_gain_deciles_value",
     "token_hapax_stats_by_source",
     "acf_daily_revenue",
+    "ivf_retrain_topk_vec0",
 ]
 
 
