@@ -545,3 +545,175 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+# --- exact Kendall tau-b (concordance over the domain-bounded 2-D grid) -------
+
+_KENDALL_SQL = """
+WITH base AS (
+    SELECT event_type AS t,
+           CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(hour(ts) AS BIGINT) AS hb
+    FROM events
+),
+joint AS (SELECT t, vb, hb, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+vd AS (SELECT DISTINCT t, vb FROM joint),
+hd AS (SELECT DISTINCT t, hb FROM joint),
+grid AS (
+    SELECT vd.t, vd.vb, hd.hb, COALESCE(j.c, 0) AS c0
+    FROM vd JOIN hd ON vd.t = hd.t
+    LEFT JOIN joint j ON j.t = vd.t AND j.vb = vd.vb AND j.hb = hd.hb
+),
+f AS (
+    SELECT t, vb, hb, c0,
+           CAST(COALESCE(SUM(c0) OVER (
+               PARTITION BY t, hb ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS below
+    FROM grid
+),
+nn AS (
+    SELECT t, c0,
+           CAST(COALESCE(SUM(below) OVER (
+               PARTITION BY t, vb ORDER BY hb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS n_lt_lt,
+           CAST(COALESCE(SUM(below) OVER (
+               PARTITION BY t, vb ORDER BY hb
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ), 0) AS BIGINT) AS n_lt_gt
+    FROM f
+),
+cd AS (
+    SELECT t,
+           CAST(SUM(c0 * n_lt_lt) AS BIGINT) AS conc,
+           CAST(SUM(c0 * n_lt_gt) AS BIGINT) AS disc
+    FROM nn WHERE c0 > 0 GROUP BY t
+),
+vt AS (SELECT t, CAST(SUM(n * (n - 1)) AS BIGINT) AS n1x2
+       FROM (SELECT t, vb, CAST(SUM(c) AS BIGINT) AS n FROM joint GROUP BY 1, 2)
+       GROUP BY t),
+ht AS (SELECT t, CAST(SUM(n * (n - 1)) AS BIGINT) AS n2x2
+       FROM (SELECT t, hb, CAST(SUM(c) AS BIGINT) AS n FROM joint GROUP BY 1, 2)
+       GROUP BY t),
+tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM joint GROUP BY t)
+SELECT cd.t AS event_type, tot.n, cd.conc, cd.disc,
+       (CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
+           / (SQRT((CAST(tot.n * (tot.n - 1) AS DOUBLE) - CAST(vt.n1x2 AS DOUBLE)) / 2.0)
+              * SQRT((CAST(tot.n * (tot.n - 1) AS DOUBLE) - CAST(ht.n2x2 AS DOUBLE)) / 2.0))
+           AS tau_b
+FROM cd
+JOIN vt ON cd.t = vt.t
+JOIN ht ON cd.t = ht.t
+JOIN tot ON cd.t = tot.t
+ORDER BY event_type
+""".strip()
+
+
+@query("kendall_tau_value_hour_by_type", oracle=_KENDALL_SQL)
+def kendall_tau_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b (value vs hour-of-day, per event type) — the
+    concordance-based rank correlation next to Spearman, exact including
+    its tie corrections and with NO pairwise enumeration anywhere: the
+    O(n^2) pair space collapses onto the DOMAIN-bounded 2-D grid
+    (distinct cent buckets x distinct hours). Concordant pairs are
+    counted from the grid's 2-D prefix sums — ``below(v,h)`` (rows with
+    v'<v at hour h) via a per-hour window over buckets, then
+    ``N_lt_lt``/``N_lt_gt`` via per-bucket windows over hours — so
+    ``C = sum c * N_lt_lt`` and ``D = sum c * N_lt_gt`` are exact int64
+    (each pair counted once from its greater cell; C,D <= n(n-1)/2,
+    int64-safe to ~4e9 rows per type). tau_b's denominator uses the
+    doubled tie terms n(n-1), sum t(t-1) so every input to the final
+    double expression is an exact integer; the expression (two casts,
+    one subtraction, two sqrt, one division) is written identically in
+    both engines. Data-sized work: ONE map-side-combined (type, vb, hb)
+    aggregate — everything else runs on the bounded grid."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        F.hour("ts").cast("long").alias("hb"),
+    )
+    # six downstream branches (grid, prefix frames, both tie terms, the
+    # total) all read the bucket-collapsed joint — materialize it ONCE so
+    # the events scan runs once (the plan test pins the single-scan
+    # property; without this Catalyst recompiles the scan per branch)
+    joint = base.groupBy("t", "vb", "hb").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()
+    vd = joint.select("t", "vb").distinct()
+    hd = joint.select("t", "hb").distinct()
+    grid = vd.join(F.broadcast(hd), "t").join(joint, ["t", "vb", "hb"], "left")
+    g = grid.withColumn("c0", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
+    w_below = (
+        Window.partitionBy("t", "hb")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = g.withColumn(
+        "below", F.coalesce(F.sum("c0").over(w_below), F.lit(0)).cast("long")
+    )
+    w_lt = (
+        Window.partitionBy("t", "vb")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_gt = (
+        Window.partitionBy("t", "vb")
+        .orderBy("hb")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nn = f.select(
+        "t",
+        "c0",
+        F.coalesce(F.sum("below").over(w_lt), F.lit(0)).cast("long").alias("n_lt_lt"),
+        F.coalesce(F.sum("below").over(w_gt), F.lit(0)).cast("long").alias("n_lt_gt"),
+    )
+    cd = (
+        nn.filter(F.col("c0") > 0)
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("c0") * F.col("n_lt_lt")).cast("long").alias("conc"),
+            F.sum(F.col("c0") * F.col("n_lt_gt")).cast("long").alias("disc"),
+        )
+    )
+    vt = (
+        joint.groupBy("t", "vb").agg(F.sum("c").cast("long").alias("n"))
+        .groupBy("t")
+        .agg(F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("n1x2"))
+    )
+    ht = (
+        joint.groupBy("t", "hb").agg(F.sum("c").cast("long").alias("n"))
+        .groupBy("t")
+        .agg(F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("n2x2"))
+    )
+    tot = joint.groupBy("t").agg(F.sum("c").cast("long").alias("n"))
+    out = (
+        cd.join(vt, "t").join(ht, "t").join(tot, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "n",
+            "conc",
+            "disc",
+            (
+                (F.col("conc").cast("double") - F.col("disc").cast("double"))
+                / (
+                    F.sqrt(
+                        (
+                            (F.col("n") * (F.col("n") - 1)).cast("double")
+                            - F.col("n1x2").cast("double")
+                        )
+                        / F.lit(2.0)
+                    )
+                    * F.sqrt(
+                        (
+                            (F.col("n") * (F.col("n") - 1)).cast("double")
+                            - F.col("n2x2").cast("double")
+                        )
+                        / F.lit(2.0)
+                    )
+                )
+            ).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )
+    return out

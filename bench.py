@@ -375,6 +375,7 @@ ROUND9 = [
     "token_hapax_stats_by_source",
     "acf_daily_revenue",
     "ivf_retrain_topk_vec0",
+    "kendall_tau_value_hour_by_type",
 ]
 
 CURATION = [

@@ -187,3 +187,68 @@ def test_acf_matches_statsmodels_free_reference(spark):
         }
     assert out[1] == (3, 0.25)
     assert out[2] == (2, -0.3)
+
+
+def test_kendall_tau_matches_quadratic_counting(spark):
+    """The grid formulation equals brute-force O(n^2) pair counting
+    (concordant / discordant / tie-corrected tau-b), on a small corpus
+    with heavy ties in both variables."""
+    import itertools
+    import math as m
+
+    import apache_beam_challange_spark.plans.wave4 as w4
+
+    rows = []
+    for i in range(60):
+        # values on a coarse grid (ties), hours in a small cycle (ties)
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 1, 1, (i * 7) % 24, 0),
+                1,
+                "view",
+                round(0.05 * ((i * 13) % 9), 2),
+                "",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = w4.kendall_tau_value_hour_by_type(spark, d).collect()[0]
+
+    pts = [(int(v * 100 // 1), h.hour) for _, h, _, _, v, _ in
+           [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows]]
+    conc = disc = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+        s = (x1 - x2) * (y1 - y2)
+        conc += s > 0
+        disc += s < 0
+    n = len(pts)
+    from collections import Counter
+
+    n1x2 = sum(t * (t - 1) for t in Counter(x for x, _ in pts).values())
+    n2x2 = sum(t * (t - 1) for t in Counter(y for _, y in pts).values())
+    tau = (conc - disc) / (
+        m.sqrt((n * (n - 1) - n1x2) / 2.0) * m.sqrt((n * (n - 1) - n2x2) / 2.0)
+    )
+    assert (got.conc, got.disc, got.n) == (conc, disc, n)
+    assert abs(got.tau_b - tau) < 1e-12
+
+
+def test_kendall_grid_windows_are_domain_bounded(plans):
+    """The concordance windows run over the bounded grid (above the
+    joint aggregate — partial_count proves map-side combine below),
+    and the hour histogram joins back as a broadcast."""
+    p = plans("kendall_tau_value_hour_by_type")
+    assert "Window" in p
+    # the bucket-collapsed joint is checkpointed, so the serve plan reads
+    # the materialized RDD in every branch and never re-scans events
+    assert "FileScan parquet" not in p
+    assert "Scan ExistingRDD" in p
