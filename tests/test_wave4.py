@@ -252,3 +252,65 @@ def test_kendall_grid_windows_are_domain_bounded(plans):
     # the materialized RDD in every branch and never re-scans events
     assert "FileScan parquet" not in p
     assert "Scan ExistingRDD" in p
+
+
+from hypothesis import given, settings, strategies as st
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # key
+        st.integers(0, 50),     # time (coarse -> plenty of exact-ts ties)
+        st.integers(0, 1000),   # payload / tiebreak id
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[2],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_events, asof_events, st.sampled_from(["backward", "forward"]),
+       st.booleans())
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction,
+                                             allow_exact):
+    """The operator equals pandas.merge_asof on generated data across the
+    full (direction x allow_exact) matrix. pandas resolves equal-ts right
+    rows by taking the LAST in sort order, so the right side is
+    pre-sorted by (ts, id) — matching the operator's max-tiebreak
+    contract exactly."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t), i)
+         for k, t, i in lrows],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t), float(i), i)
+         for k, t, i in rrows],
+        "k long, ts timestamp, pay double, rid long",
+    )
+    got = {
+        r.lid: r.pay
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["pay"], "rid",
+            direction=direction, allow_exact=allow_exact,
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=t), i)
+         for k, t, i in lrows], columns=["k", "ts", "lid"],
+    ).sort_values(["ts", "lid"]).reset_index(drop=True)
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=t), float(i), i)
+         for k, t, i in rrows], columns=["k", "ts", "pay", "rid"],
+    ).sort_values(["ts", "rid"]).reset_index(drop=True)
+    merged = pd.merge_asof(
+        lp, rp.drop(columns=["rid"]), on="ts", by="k",
+        direction=direction, allow_exact_matches=allow_exact,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.pay) else float(r.pay))
+        for r in merged.itertuples()
+    }
+    assert got == want
