@@ -71,7 +71,9 @@ def asof_join(
         # inclusive: right sorts BEFORE left at equal ts (payload visible);
         # strict: right sorts AFTER left (payload not yet visible)
         F.lit(0 if allow_exact else 2).alias("__side"),
-        F.col(right_tiebreak).cast("long").alias("__tb"),
+        # keep the tiebreak's own (orderable) type — casting would
+        # silently null out string/timestamp tiebreaks
+        F.col(right_tiebreak).alias("__tb"),
         pay.alias("__pay"),
     )
     left_cols = [c for c in left.columns]
@@ -79,7 +81,7 @@ def asof_join(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("__tb"),
         F.lit(None).cast(right_u.schema["__pay"].dataType).alias("__pay"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )

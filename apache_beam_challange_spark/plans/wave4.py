@@ -1,8 +1,8 @@
 """Round-9 wave: evaluation-metric and feature-attachment operators a
 training-data pipeline runs downstream of the curation/dedup stages —
-exact rank statistics (Mann-Whitney U / ROC AUC, Spearman rho, lift &
-gain deciles), corpus lexical health (hapax / type-token ratio), exact
-autocorrelation, and the payload-attaching as-of join.
+exact rank statistics (Mann-Whitney U / ROC AUC, Spearman rho, Kendall
+tau-b, lift & gain deciles), corpus lexical health (hapax / type-token
+ratio), exact autocorrelation, and the payload-attaching as-of join.
 
 Every query keeps the repo's oracle discipline: integer or fixed-point
 arithmetic end-to-end, with at most single IEEE-exact double operations
