@@ -717,3 +717,270 @@ def kendall_tau_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("event_type")
     )
     return out
+
+
+_ASOF_FWD_SQL = """
+WITH purch AS (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, ts ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type = 'purchase'
+),
+p AS (SELECT user_id, ts, value FROM purch WHERE rn = 1),
+c AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id, c.ts,
+       p.ts AS asof_ts, p.value AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+""".strip()
+
+
+@query("asof_forward_next_purchase_after_click", oracle=_ASOF_FWD_SQL)
+def asof_forward_next_purchase_after_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FORWARD direction of the as-of operator under its own oracle
+    verdict (DuckDB ``ASOF LEFT JOIN`` with ``<=``): every click gains
+    the timestamp and value of that user's NEXT purchase at-or-after it
+    — the label-attachment step of conversion modelling (click ->
+    did-it-convert + order value), where the no-future-leak rule runs
+    the other way: the label may only look FORWARD. Same union-and-carry
+    plan as the backward twin (one user shuffle, zero joins), with the
+    running frame ordered descending."""
+    from apache_beam_challange_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["value"],
+        right_tiebreak="event_id",
+        direction="forward",
+        allow_exact=True,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "asof_ts",
+        F.col("value").alias("purchase_value"),
+    )
+
+
+# --- Bradley-Terry pairwise preference aggregation (fixed-point MM) -----------
+
+_BT_SLATE = 16
+_BT_SV = 1_000_000          # score fixed-point scale
+_BT_ST = 1_000_000          # MM-term fixed-point scale
+_BT_ITERS = 4
+
+
+def _bt_oracle_sql(n_iter: int = _BT_ITERS) -> str:
+    """Unrolled MATERIALIZED CTE chain replaying the fixed-point MM
+    trajectory bit-identically (the kmeans/PCA oracle discipline)."""
+    sv, st, k = _BT_SV, _BT_ST, _BT_SLATE
+    head = f"""
+slate AS MATERIALIZED (
+    SELECT pk FROM (
+        SELECT l_partkey AS pk,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey) AS rk
+        FROM lineitem GROUP BY l_partkey
+    ) WHERE rk <= {k}
+),
+bq AS MATERIALIZED (
+    SELECT l_orderkey AS ok, l_partkey AS pk,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem JOIN slate ON l_partkey = slate.pk
+    GROUP BY 1, 2
+),
+wins AS MATERIALIZED (
+    SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS w
+    FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk <> b.pk AND a.q > b.q
+    GROUP BY 1, 2
+),
+prs AS MATERIALIZED (
+    SELECT sa.pk AS pa, sb.pk AS pb,
+           2 * COALESCE(wab.w, 0) + 1 AS w2,
+           2 * (COALESCE(wab.w, 0) + COALESCE(wba.w, 0)) + 2 AS n2
+    FROM slate sa JOIN slate sb ON sa.pk <> sb.pk
+    LEFT JOIN wins wab ON wab.pa = sa.pk AND wab.pb = sb.pk
+    LEFT JOIN wins wba ON wba.pa = sb.pk AND wba.pb = sa.pk
+),
+wtot AS MATERIALIZED (
+    SELECT pa, CAST(SUM(w2) AS BIGINT) AS w2tot,
+           CAST(COUNT(*) AS BIGINT) AS n_opp
+    FROM prs GROUP BY pa
+),
+s0 AS MATERIALIZED (SELECT pk, CAST({sv} AS BIGINT) AS s FROM slate)
+""".strip()
+    steps = []
+    prev = "s0"
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+d{i} AS MATERIALIZED (
+    SELECT p.pa, CAST(SUM((p.n2 * {sv} * {st}) // (sa.s + sb.s)) AS BIGINT) AS d
+    FROM prs p
+    JOIN {prev} sa ON sa.pk = p.pa
+    JOIN {prev} sb ON sb.pk = p.pb
+    GROUP BY p.pa
+),
+u{i} AS MATERIALIZED (
+    SELECT d{i}.pa AS pk,
+           CAST((w.w2tot * {st} * {sv}) // d{i}.d AS BIGINT) AS sp
+    FROM d{i} JOIN wtot w ON w.pa = d{i}.pa
+),
+s{i} AS MATERIALIZED (
+    SELECT pk,
+           CAST(FLOOR(CAST(sp AS DOUBLE) * CAST(nsl * {sv} AS DOUBLE)
+                      / CAST(stot AS DOUBLE)) AS BIGINT) AS s
+    FROM u{i}, (SELECT CAST(SUM(sp) AS BIGINT) AS stot,
+                       CAST(COUNT(*) AS BIGINT) AS nsl FROM u{i})
+)""".strip())
+        prev = f"s{i}"
+    tail = f"""
+SELECT s.pk AS p_partkey,
+       CAST((w.w2tot - w.n_opp) / 2 AS BIGINT) AS wins,
+       CAST(s.s AS DOUBLE) / {float(sv)} AS bt_score
+FROM {prev} s JOIN wtot w ON w.pa = s.pk
+ORDER BY bt_score DESC, p_partkey
+""".strip()
+    return "WITH " + head + ",\n" + ",\n".join(steps) + "\n" + tail
+
+
+@query("bradley_terry_part_prefs", oracle=_bt_oracle_sql())
+def bradley_terry_part_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation — the pairwise-comparison
+    model RLHF reward aggregation and ranking-eval leaderboards rest on —
+    fit with 4 minorization-maximization rounds in EXACT fixed point.
+
+    Comparisons come from co-purchase baskets over a bounded top-16 part
+    slate (within an order, the part with the larger total quantity
+    "wins"); add-half smoothing (integers kept exact by doubling:
+    w2 = 2w+1) makes the comparison graph complete so the MM update is
+    everywhere defined. Each round is pure int64 — the MM term is
+    ``(n2 * SV * ST) div (s_a + s_b)`` (floor==truncate on positives,
+    the standing div rule; numerator bound ~3e18 at sf1, documented like
+    the PCA Gram bound) — except the per-round mean normalization, a
+    single int64->double multiply/divide/floor written identically in
+    both engines (IEEE-identical, the PCA discipline). The DuckDB twin
+    replays the whole trajectory through unrolled MATERIALIZED CTEs.
+
+    Scale shape: the one data-sized pass is the slate-filtered basket
+    aggregate (pushdown via broadcast semi-join on the 16-part slate);
+    the quadratic stage is SLATE-bounded (16x15 ordered pairs), and the
+    4 MM rounds run on 240-row frames checkpointed per round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sv, st, k = _BT_SV, _BT_ST, _BT_SLATE
+    slate = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(k)
+        .select(F.col("l_partkey").alias("pk"))
+    )
+    bq = (
+        li.join(F.broadcast(slate), li.l_partkey == slate.pk)
+        .groupBy(F.col("l_orderkey").alias("ok"), "pk")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("q")
+        )
+    )
+    a = bq.select(F.col("ok").alias("oka"), F.col("pk").alias("pa"), F.col("q").alias("qa"))
+    b = bq.select(F.col("ok").alias("okb"), F.col("pk").alias("pb"), F.col("q").alias("qb"))
+    wins = (
+        a.join(b, (F.col("oka") == F.col("okb")) & (F.col("pa") != F.col("pb"))
+               & (F.col("qa") > F.col("qb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    sa = slate.select(F.col("pk").alias("pa"))
+    sb = slate.select(F.col("pk").alias("pb"))
+    wab = wins.select("pa", "pb", F.col("w").alias("w_ab"))
+    wba = wins.select(
+        F.col("pb").alias("pa"), F.col("pa").alias("pb"), F.col("w").alias("w_ba")
+    )
+    prs = (
+        sa.crossJoin(sb)
+        .filter(F.col("pa") != F.col("pb"))
+        .join(wab, ["pa", "pb"], "left")
+        .join(wba, ["pa", "pb"], "left")
+        .select(
+            "pa",
+            "pb",
+            (F.lit(2) * F.coalesce(F.col("w_ab"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("w2"),
+            (
+                F.lit(2)
+                * (
+                    F.coalesce(F.col("w_ab"), F.lit(0))
+                    + F.coalesce(F.col("w_ba"), F.lit(0))
+                )
+                + 2
+            )
+            .cast("long")
+            .alias("n2"),
+        )
+        .localCheckpoint()
+    )
+    wtot = prs.groupBy("pa").agg(
+        F.sum("w2").cast("long").alias("w2tot"),
+        F.count(F.lit(1)).cast("long").alias("n_opp"),
+    )
+    scores = slate.select("pk", F.lit(sv).cast("long").alias("s"))
+    for _ in range(_BT_ITERS):
+        s_a = scores.select(F.col("pk").alias("pa"), F.col("s").alias("s_pa"))
+        s_b = scores.select(F.col("pk").alias("pb"), F.col("s").alias("s_pb"))
+        d = (
+            prs.join(F.broadcast(s_a), "pa")
+            .join(F.broadcast(s_b), "pb")
+            .groupBy("pa")
+            .agg(
+                F.sum(
+                    F.expr(f"(n2 * {sv} * {st}) div (s_pa + s_pb)")
+                )
+                .cast("long")
+                .alias("d")
+            )
+        )
+        u = d.join(wtot, "pa").select(
+            F.col("pa").alias("pk"),
+            F.expr(f"(w2tot * {st} * {sv}) div d").cast("long").alias("sp"),
+        )
+        stot = u.agg(
+            F.sum("sp").cast("long").alias("stot"),
+            F.count(F.lit(1)).cast("long").alias("nsl"),
+        )
+        scores = (
+            u.crossJoin(F.broadcast(stot))
+            .select(
+                "pk",
+                F.floor(
+                    F.col("sp").cast("double")
+                    * (F.col("nsl") * F.lit(sv)).cast("double")
+                    / F.col("stot").cast("double")
+                )
+                .cast("long")
+                .alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        scores.join(wtot, scores.pk == wtot.pa)
+        .select(
+            F.col("pk").alias("p_partkey"),
+            ((F.col("w2tot") - F.col("n_opp")) / F.lit(2)).cast("long").alias("wins"),
+            (F.col("s").cast("double") / F.lit(float(sv))).alias("bt_score"),
+        )
+        .orderBy(F.col("bt_score").desc(), "p_partkey")
+    )

@@ -314,3 +314,44 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction,
         for r in merged.itertuples()
     }
     assert got == want
+
+
+def test_bradley_terry_dominant_item_wins(spark):
+    """On a constructed basket corpus where part 1 always out-quantities
+    part 2, which always out-quantities part 3, the BT scores must
+    reproduce the total order — and the normalization invariant holds
+    (scores sum to slate_size * SV up to one floor per item)."""
+    import os
+    import tempfile
+
+    import apache_beam_challange_spark.plans.wave4 as w4
+
+    rows = []
+    for ok in range(30):
+        rows.append((ok, 1, 9.0))
+        rows.append((ok, 2, 5.0))
+        rows.append((ok, 3, 1.0))
+    li = spark.createDataFrame(
+        [(ok, pk, q, 100.0, 0.0, dt.datetime(2024, 1, 1), "N", "O")
+         for ok, pk, q in rows],
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linestatus string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = w4.bradley_terry_part_prefs(spark, d).collect()
+    scores = {r.p_partkey: r.bt_score for r in out}
+    assert scores[1] > scores[2] > scores[3]
+    assert {r.p_partkey: r.wins for r in out} == {1: 60, 2: 30, 3: 0}
+    total = sum(scores.values())
+    k = len(scores)
+    assert abs(total - k) <= k * 1e-6 + 1e-9  # sum(s) == k*SV up to floors
+
+
+def test_bradley_terry_serve_plan_is_checkpoint_bounded(plans):
+    """After 4 checkpointed MM rounds the serve plan reads materialized
+    RDDs only — no lineitem rescan rides the final join."""
+    p = plans("bradley_terry_part_prefs")
+    assert "FileScan parquet" not in p
+    assert "Scan ExistingRDD" in p

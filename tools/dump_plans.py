@@ -164,6 +164,8 @@ FLAGSHIPS = [
     "acf_daily_revenue",
     "ivf_retrain_topk_vec0",
     "kendall_tau_value_hour_by_type",
+    "asof_forward_next_purchase_after_click",
+    "bradley_terry_part_prefs",
 ]
 
 
