@@ -984,3 +984,124 @@ def bradley_terry_part_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bt_score").desc(), "p_partkey")
     )
+
+
+# --- Holt linear-trend forecast backtest ---------------------------------------
+
+_HOLT_A = "0.3"   # level smoothing — pinned literal text both engines parse
+_HOLT_1A = "0.7"
+_HOLT_B = "0.2"   # trend smoothing
+_HOLT_1B = "0.8"
+
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+numbered AS (
+    SELECT event_type, d, yc,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY d
+           ) AS BIGINT) AS rn
+    FROM daily
+),
+walk AS (
+    SELECT event_type, rn, CAST(yc AS DOUBLE) AS level,
+           CAST(0 AS DOUBLE) AS trend, CAST(0 AS DOUBLE) AS abs_err_sum
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.event_type, n.rn,
+           {_HOLT_A} * CAST(n.yc AS DOUBLE) + {_HOLT_1A} * (w.level + w.trend),
+           {_HOLT_B} * (({_HOLT_A} * CAST(n.yc AS DOUBLE)
+                         + {_HOLT_1A} * (w.level + w.trend)) - w.level)
+               + {_HOLT_1B} * w.trend,
+           w.abs_err_sum + ABS(CAST(n.yc AS DOUBLE) - (w.level + w.trend))
+    FROM walk w JOIN numbered n
+      ON n.event_type = w.event_type AND n.rn = w.rn + 1
+)
+SELECT event_type,
+       CAST(MAX(rn) AS BIGINT) AS n_days,
+       MAX(CASE WHEN rn_is_last THEN level END) AS final_level,
+       MAX(CASE WHEN rn_is_last THEN trend END) AS final_trend,
+       MAX(CASE WHEN rn_is_last THEN abs_err_sum END)
+       / CAST(MAX(rn) - 1 AS DOUBLE) AS mae
+FROM (
+    SELECT event_type, rn, level, trend, abs_err_sum,
+           rn = MAX(rn) OVER (PARTITION BY event_type) AS rn_is_last
+    FROM walk
+)
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+@query("holt_forecast_backtest", oracle=_HOLT_SQL)
+def holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (alpha=0.3, beta=0.2)
+    over the daily revenue series per event type, backtested
+    one-step-ahead (forecast_t = level_{t-1} + trend_{t-1}, MAE) —
+    completes the forecasting family next to the level-only EWMA and the
+    Markov backtest. The TWO-state recurrence (level and trend update
+    each step, the trend reading the step's own new level) runs as the
+    IDENTICAL IEEE sequence in both engines: the engine's struct
+    accumulator reuses the level expression subtree exactly where the
+    oracle's RECURSIVE walk repeats the same text; init l_1 = y_1,
+    b_1 = 0, errors accumulate from t=2. Only data-sized work: the one
+    map-side-combined daily aggregate (types x days rows after)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("yc")
+    )
+    packed = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "yc"))).alias("arr")
+    )
+    a = float(_HOLT_A)
+    ia = float(_HOLT_1A)
+    b = float(_HOLT_B)
+    ib = float(_HOLT_1B)
+    acc0 = F.struct(
+        F.lit(0.0).alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.lit(0.0).alias("abs_err_sum"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, x):
+        y = x["yc"].cast("double")
+        lp = F.lit(a) * y + F.lit(ia) * (acc["level"] + acc["trend"])
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                y.alias("level"),
+                F.lit(0.0).alias("trend"),
+                F.lit(0.0).alias("abs_err_sum"),
+                F.lit(1).cast("long").alias("n"),
+            ),
+        ).otherwise(
+            F.struct(
+                lp.alias("level"),
+                (F.lit(b) * (lp - acc["level"]) + F.lit(ib) * acc["trend"])
+                .alias("trend"),
+                (
+                    acc["abs_err_sum"]
+                    + F.abs(y - (acc["level"] + acc["trend"]))
+                ).alias("abs_err_sum"),
+                (acc["n"] + 1).alias("n"),
+            )
+        )
+
+    fin = F.aggregate("arr", acc0, step)
+    return packed.select(
+        "event_type",
+        fin["n"].alias("n_days"),
+        fin["level"].alias("final_level"),
+        fin["trend"].alias("final_trend"),
+        (fin["abs_err_sum"] / (fin["n"] - 1).cast("double")).alias("mae"),
+    ).orderBy("event_type")

@@ -378,6 +378,7 @@ ROUND9 = [
     "kendall_tau_value_hour_by_type",
     "asof_forward_next_purchase_after_click",
     "bradley_terry_part_prefs",
+    "holt_forecast_backtest",
 ]
 
 CURATION = [

@@ -355,3 +355,36 @@ def test_bradley_terry_serve_plan_is_checkpoint_bounded(plans):
     p = plans("bradley_terry_part_prefs")
     assert "FileScan parquet" not in p
     assert "Scan ExistingRDD" in p
+
+
+def test_holt_matches_python_replay(spark):
+    """Holt level/trend/MAE on a constructed daily series equals the
+    plain-Python recurrence (same literal constants, same op order)."""
+    import os
+    import tempfile
+
+    import apache_beam_challange_spark.plans.wave4 as w4
+
+    cents = [100, 130, 90, 200, 180, 220, 170]
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + i, 12), 7, "view", c / 100.0, "")
+            for i, c in enumerate(cents)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        row = w4.holt_forecast_backtest(spark, d).collect()[0]
+
+    lvl, trd, err = float(cents[0]), 0.0, 0.0
+    for y in cents[1:]:
+        err += abs(y - (lvl + trd))
+        lp = 0.3 * y + 0.7 * (lvl + trd)
+        trd = 0.2 * (lp - lvl) + 0.8 * trd
+        lvl = lp
+    assert row.n_days == len(cents)
+    assert row.final_level == lvl
+    assert row.final_trend == trd
+    assert row.mae == err / (len(cents) - 1)
