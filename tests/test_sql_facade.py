@@ -1,11 +1,11 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-104 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+118 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
 
-The dialect-blocked remainder (172 oracles) is inventoried in COVERAGE.md:
+The dialect-blocked remainder (163 oracles) is inventoried in COVERAGE.md:
 they use DuckDB-only surface (unnest/string_split lateral explosion,
 list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
 recursive CTE trajectories, md5-hex arithmetic) with no unmodified
@@ -164,6 +164,29 @@ PORTABLE = [
     # date_diff string unit)
     "mann_whitney_auc_purchase",
     "spearman_value_hour_by_type",
+    # round-9 widening sweep: every blocked oracle re-probed against
+    # Spark 4.1 — these fourteen now parse, execute AND return identical
+    # rows. The headline unlock is WITH RECURSIVE (the EWMA/Holt walk
+    # oracles run verbatim — Spark 4's recursive CTE support); the rest
+    # are session_window / windowed-aggregate texts that were blocked by
+    # since-resolved dialect gaps. The four streaming-sink twins that
+    # also execute stay out (their DataFrame routes drive a stream per
+    # comparison); stream_stream_left_semi_join's batch route compares
+    # cleanly and is in.
+    "session_window_native",
+    "linreg_value_on_hour_by_type",
+    "data_quality_expectations",
+    "ewma_forecast_backtest",
+    "gini_revenue_inequality",
+    "mde_power_analysis",
+    "chow_break_daily_revenue",
+    "winsorized_mean_value",
+    "clamped_ledger_balances",
+    "enriched_orders_view_revenue",
+    "holt_forecast_backtest",
+    "kendall_tau_value_hour_by_type",
+    "stream_stream_left_semi_join",
+    "weekly_revenue_wow",
 ]
 
 
