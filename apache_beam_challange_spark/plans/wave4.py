@@ -1105,3 +1105,159 @@ def holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin["trend"].alias("final_trend"),
         (fin["abs_err_sum"] / (fin["n"] - 1).cast("double")).alias("mae"),
     ).orderBy("event_type")
+
+
+# --- Mann-Kendall trend test + Sen's slope (robust trend on the daily series) --
+
+_MK_SQL = """
+WITH daily AS (
+    SELECT event_type AS t,
+           date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.t,
+           CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+           CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+           a.d AS di, b.d AS dj
+    FROM daily a JOIN daily b ON a.t = b.t AND b.d > a.d
+),
+s AS (
+    SELECT t, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY t
+),
+nn AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY t),
+ties AS (
+    SELECT t, CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tie18
+    FROM (SELECT t, y, CAST(COUNT(*) AS BIGINT) AS tc FROM daily GROUP BY t, y)
+    GROUP BY t
+),
+sen AS (
+    SELECT t, slope AS sen_slope FROM (
+        SELECT t, slope,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t ORDER BY slope, di, dj
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY t) AS np
+        FROM pairs
+    ) WHERE rk = (np + 1) // 2
+)
+SELECT s.t AS event_type, nn.n, s.s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS BIGINT) AS var18,
+       CASE WHEN s.s_stat > 0 THEN
+                CAST(s.s_stat - 1 AS DOUBLE)
+                / SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS DOUBLE) / 18.0)
+            WHEN s.s_stat < 0 THEN
+                CAST(s.s_stat + 1 AS DOUBLE)
+                / SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_score,
+       sen.sen_slope
+FROM s
+JOIN nn ON s.t = nn.t
+JOIN ties ON s.t = ties.t
+JOIN sen ON s.t = sen.t
+ORDER BY event_type
+""".strip()
+
+
+@query("mann_kendall_sen_trend_daily", oracle=_MK_SQL)
+def mann_kendall_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope estimator on the daily
+    revenue series per event type — the nonparametric robust-trend pair
+    the monitoring literature couples (no normality assumption, outlier-
+    insensitive), completing the time-series family next to ACF, EWMA,
+    Holt and the Chow break test. Exactness: S (sum of pair signs) and
+    the tie-corrected 18*Var(S) are pure int64; the z-score is one
+    identical double expression (continuity-corrected). Sen's slope is
+    the LOWER MEDIAN of pairwise slopes — each slope one division of
+    exact integers (IEEE-identical in both engines), selected by
+    deterministic (slope, d_i, d_j) rank, so no float comparison seam
+    exists. Scale: the quadratic pair stage is CALENDAR-bounded (~30
+    days -> ~435 pairs per type, corpus-independent); the one data-sized
+    pass is the daily map-side aggregate, checkpointed once for its
+    three consumers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("date"),
+            ).cast("long").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("t").alias("ta"), F.col("d").alias("di"), F.col("y").alias("ya"))
+    b = daily.select(F.col("t").alias("tb"), F.col("d").alias("dj"), F.col("y").alias("yb"))
+    pairs = a.join(
+        b, (F.col("ta") == F.col("tb")) & (F.col("dj") > F.col("di"))
+    ).select(
+        F.col("ta").alias("t"),
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("sgn"),
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double")
+        ).alias("slope"),
+        "di",
+        "dj",
+    )
+    s = pairs.groupBy("t").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nn = daily.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("t", "y").agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)),
+                F.lit(0),
+            ).cast("long").alias("tie18")
+        )
+    )
+    wr = Window.partitionBy("t").orderBy("slope", "di", "dj")
+    wt = Window.partitionBy("t")
+    sen = (
+        pairs.withColumn("rk", F.row_number().over(wr))
+        .withColumn("np", F.count(F.lit(1)).over(wt))
+        .filter(F.col("rk") == F.expr("(np + 1) div 2"))
+        .select("t", F.col("slope").alias("sen_slope"))
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie18")
+    ).cast("long")
+    zden = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return (
+        s.join(nn, "t").join(ties, "t").join(sen, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "n",
+            "s_stat",
+            var18.alias("var18"),
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double") / zden,
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1).cast("double") / zden,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z_score"),
+            "sen_slope",
+        )
+        .orderBy("event_type")
+    )

@@ -379,6 +379,7 @@ ROUND9 = [
     "asof_forward_next_purchase_after_click",
     "bradley_terry_part_prefs",
     "holt_forecast_backtest",
+    "mann_kendall_sen_trend_daily",
 ]
 
 CURATION = [

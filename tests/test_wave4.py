@@ -388,3 +388,49 @@ def test_holt_matches_python_replay(spark):
     assert row.final_level == lvl
     assert row.final_trend == trd
     assert row.mae == err / (len(cents) - 1)
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    """MK S / var / z and Sen's slope on a constructed series equal the
+    textbook Python computation (with a deliberate tie)."""
+    import math as m
+    import os
+    import tempfile
+
+    import apache_beam_challange_spark.plans.wave4 as w4
+
+    cents = [100, 130, 130, 90, 200, 180]
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + i, 12), 7, "view", c / 100.0, "")
+            for i, c in enumerate(cents)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        row = w4.mann_kendall_sen_trend_daily(spark, d).collect()[0]
+
+    n = len(cents)
+    s = sum(
+        (cents[j] > cents[i]) - (cents[j] < cents[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in Counter(cents).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    z = (s - 1) / m.sqrt(var18 / 18.0) if s > 0 else (
+        (s + 1) / m.sqrt(var18 / 18.0) if s < 0 else 0.0
+    )
+    slopes = sorted(
+        ((cents[j] - cents[i]) / (j - i), i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    sen = slopes[(len(slopes) + 1) // 2 - 1][0]
+    assert (row.n, row.s_stat, row.var18) == (n, s, var18)
+    assert row.z_score == z
+    assert row.sen_slope == sen

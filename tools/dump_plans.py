@@ -167,6 +167,7 @@ FLAGSHIPS = [
     "asof_forward_next_purchase_after_click",
     "bradley_terry_part_prefs",
     "holt_forecast_backtest",
+    "mann_kendall_sen_trend_daily",
 ]
 
 
