@@ -1261,3 +1261,111 @@ def mann_kendall_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- seasonal decomposition (trend / day-of-week seasonal / remainder) --------
+
+_DECOMP_SQL = """
+WITH daily AS (
+    SELECT event_type AS t,
+           date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events
+    GROUP BY 1, 2
+),
+win AS (
+    SELECT t, d, y,
+           CAST(SUM(y) OVER (
+               PARTITION BY t ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ) AS BIGINT) AS sum7,
+           CAST(COUNT(*) OVER (
+               PARTITION BY t ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ) AS BIGINT) AS cnt7
+    FROM daily
+),
+sidx AS (
+    SELECT t, d % 7 AS dow,
+           CAST(SUM(7 * y - sum7) AS BIGINT) AS num,
+           CAST(COUNT(*) AS BIGINT) AS den
+    FROM win WHERE cnt7 = 7
+    GROUP BY t, d % 7
+)
+SELECT w.t AS event_type, w.d, w.y,
+       CASE WHEN w.cnt7 = 7 THEN CAST(w.sum7 AS DOUBLE) / 7.0 END AS trend,
+       CAST(s.num AS DOUBLE) / CAST(7 * s.den AS DOUBLE) AS seasonal,
+       CASE WHEN w.cnt7 = 7 THEN
+            CAST(w.y AS DOUBLE) - CAST(w.sum7 AS DOUBLE) / 7.0
+                - CAST(s.num AS DOUBLE) / CAST(7 * s.den AS DOUBLE)
+       END AS remainder
+FROM win w
+JOIN sidx s ON s.t = w.t AND s.dow = w.d % 7
+ORDER BY event_type, d
+""".strip()
+
+
+@query("seasonal_decompose_daily", oracle=_DECOMP_SQL)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily revenue series per
+    event type (the moving-average method STL refines): trend = centered
+    7-day moving average (full windows only), day-of-week seasonal index,
+    remainder — the monitoring decomposition every ops dashboard draws.
+    The float-seam kill: the detrended value is kept as the EXACT
+    INTEGER ``7*y - sum7`` (never y - sum7/7.0), so the per-dow seasonal
+    mean is one double division of exact int64 sums — no cross-row float
+    accumulation anywhere; trend and remainder are short identical
+    expression chains over exact-integer inputs. Everything after the
+    one map-side daily aggregate is calendar-bounded (~30 rows/type);
+    the dow index joins back by key."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w7 = Window.partitionBy("t").orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "t",
+        "d",
+        "y",
+        F.sum("y").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+    ).localCheckpoint()
+    sidx = (
+        win.filter(F.col("cnt7") == 7)
+        .groupBy(F.col("t").alias("st"), (F.col("d") % 7).alias("dow"))
+        .agg(
+            F.sum(F.lit(7) * F.col("y") - F.col("sum7"))
+            .cast("long")
+            .alias("num"),
+            F.count(F.lit(1)).cast("long").alias("den"),
+        )
+    )
+    seasonal = F.col("num").cast("double") / (F.lit(7) * F.col("den")).cast("double")
+    trend = F.when(
+        F.col("cnt7") == 7, F.col("sum7").cast("double") / F.lit(7.0)
+    )
+    return (
+        win.join(
+            F.broadcast(sidx),
+            (F.col("t") == F.col("st")) & (F.col("dow") == F.col("d") % 7),
+        )
+        .select(
+            F.col("t").alias("event_type"),
+            "d",
+            "y",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            F.when(
+                F.col("cnt7") == 7,
+                F.col("y").cast("double")
+                - F.col("sum7").cast("double") / F.lit(7.0)
+                - seasonal,
+            ).alias("remainder"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -380,6 +380,7 @@ ROUND9 = [
     "bradley_terry_part_prefs",
     "holt_forecast_backtest",
     "mann_kendall_sen_trend_daily",
+    "seasonal_decompose_daily",
 ]
 
 CURATION = [

@@ -434,3 +434,38 @@ def test_mann_kendall_matches_python_replay(spark):
     assert (row.n, row.s_stat, row.var18) == (n, s, var18)
     assert row.z_score == z
     assert row.sen_slope == sen
+
+
+def test_seasonal_decompose_identity_and_replay(spark):
+    """On a constructed 3-week series: trend equals the hand-computed
+    centered MA, y == trend + seasonal + remainder EXACTLY on every
+    full-window day (the identity is the decomposition's contract), and
+    edge days report null trend/remainder."""
+    import os
+    import tempfile
+
+    import apache_beam_challange_spark.plans.wave4 as w4
+
+    cents = [(100 + 10 * (i % 7) + i) for i in range(21)]
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + i, 12), 7, "view", c / 100.0, "")
+            for i, c in enumerate(cents)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        rows = {r.d: r for r in w4.seasonal_decompose_daily(spark, d).collect()}
+
+    assert len(rows) == 21
+    for edge in (0, 1, 2, 18, 19, 20):
+        assert rows[edge].trend is None and rows[edge].remainder is None
+    for d_ in range(3, 18):
+        want_trend = sum(cents[d_ - 3 : d_ + 4]) / 7.0
+        assert rows[d_].trend == want_trend
+        assert (
+            rows[d_].y - rows[d_].trend - rows[d_].seasonal
+            == rows[d_].remainder
+        )
