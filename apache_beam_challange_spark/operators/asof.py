@@ -56,7 +56,12 @@ def asof_join(
     direction="backward": match the greatest right ts <= left ts
     (< when ``allow_exact=False``). direction="forward": the smallest
     right ts >= left ts. ``right_tiebreak`` breaks equal-(keys, ts)
-    right rows: the row with the greatest tiebreak value wins.
+    right rows: the row with the greatest tiebreak value wins — ONE rule
+    for both directions (NOTE: pandas ``merge_asof`` differs here: its
+    tie pick is direction-dependent — last of the sorted ties going
+    backward, first going forward; callers porting from pandas should
+    dedup the right side per their preferred rule, which DuckDB's
+    ASOF JOIN requires anyway).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")

@@ -254,7 +254,7 @@ def test_kendall_grid_windows_are_domain_bounded(plans):
     assert "Scan ExistingRDD" in p
 
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 asof_events = st.lists(
     st.tuples(
@@ -271,13 +271,27 @@ asof_events = st.lists(
 @settings(max_examples=15, deadline=None)
 @given(asof_events, asof_events, st.sampled_from(["backward", "forward"]),
        st.booleans())
+@example(  # the falsifying example that exposed pandas' forward tie rule
+    lrows=[(1, 0, 0)], rrows=[(1, 1, 0), (1, 1, 1)],
+    direction="forward", allow_exact=False,
+)
+@example(  # same shape, backward inclusive: ties AT the left timestamp
+    lrows=[(1, 1, 0)], rrows=[(1, 1, 0), (1, 1, 1)],
+    direction="backward", allow_exact=True,
+)
 def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction,
                                              allow_exact):
     """The operator equals pandas.merge_asof on generated data across the
-    full (direction x allow_exact) matrix. pandas resolves equal-ts right
-    rows by taking the LAST in sort order, so the right side is
-    pre-sorted by (ts, id) — matching the operator's max-tiebreak
-    contract exactly."""
+    full (direction x allow_exact) matrix. pandas' tie rule at EQUAL
+    right timestamps is direction-dependent (backward takes the last of
+    the sorted ties, forward the first — found by this test's falsifying
+    example), while the operator's contract is one rule (greatest
+    tiebreak wins, both directions — pinned by the unit matrix and the
+    DuckDB oracles' dedup CTEs). So the right side handed to pandas is
+    pre-deduped per the operator's contract: one row per (k, ts), max
+    rid — which is also what DuckDB's ASOF JOIN requires of its build
+    side. The as-of semantics proper (which timestamp matches, strict vs
+    inclusive, missing matches) stay fully generated."""
     import pandas as pd
 
     left = spark.createDataFrame(
@@ -301,10 +315,17 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction,
         [(k, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=t), i)
          for k, t, i in lrows], columns=["k", "ts", "lid"],
     ).sort_values(["ts", "lid"]).reset_index(drop=True)
-    rp = pd.DataFrame(
-        [(k, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=t), float(i), i)
-         for k, t, i in rrows], columns=["k", "ts", "pay", "rid"],
-    ).sort_values(["ts", "rid"]).reset_index(drop=True)
+    rp = (
+        pd.DataFrame(
+            [(k, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=t), float(i), i)
+             for k, t, i in rrows], columns=["k", "ts", "pay", "rid"],
+        )
+        .sort_values(["k", "ts", "rid"])
+        .groupby(["k", "ts"], as_index=False)
+        .last()  # operator tie contract: max tiebreak wins at equal ts
+        .sort_values(["ts", "rid"])
+        .reset_index(drop=True)
+    )
     merged = pd.merge_asof(
         lp, rp.drop(columns=["rid"]), on="ts", by="k",
         direction=direction, allow_exact_matches=allow_exact,
