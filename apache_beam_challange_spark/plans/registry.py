@@ -142,7 +142,7 @@ DRIVER_ORDER: list[str] = [
     # ivf_retrain_topk_vec0, kendall_tau_value_hour_by_type,
     # asof_forward_next_purchase_after_click, bradley_terry_part_prefs,
     # holt_forecast_backtest, mann_kendall_sen_trend_daily,
-    # seasonal_decompose_daily.)
+    # seasonal_decompose_daily, did_estimate_by_type.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

@@ -1369,3 +1369,97 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --- difference-in-differences (2x2 causal panel) ------------------------------
+
+_DID_SQL = """
+WITH cells AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 AND date_trunc('day', ts) >= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_tp,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 AND date_trunc('day', ts) >= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 AND date_trunc('day', ts) < TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_tb,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 AND date_trunc('day', ts) < TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tb,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND date_trunc('day', ts) >= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_cp,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND date_trunc('day', ts) >= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND date_trunc('day', ts) < TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_cb,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND date_trunc('day', ts) < TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cb
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, n_tp, n_tb, n_cp, n_cb,
+       CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 100.0 AS mean_treat_post,
+       CAST(s_tb AS DOUBLE) / CAST(n_tb AS DOUBLE) / 100.0 AS mean_treat_pre,
+       CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 100.0 AS mean_ctrl_post,
+       CAST(s_cb AS DOUBLE) / CAST(n_cb AS DOUBLE) / 100.0 AS mean_ctrl_pre,
+       (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 100.0
+        - CAST(s_tb AS DOUBLE) / CAST(n_tb AS DOUBLE) / 100.0)
+       - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 100.0
+          - CAST(s_cb AS DOUBLE) / CAST(n_cb AS DOUBLE) / 100.0) AS did_estimate
+FROM cells
+ORDER BY event_type
+""".strip()
+
+
+@query("did_estimate_by_type", oracle=_DID_SQL)
+def did_estimate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the panel causal-inference workhorse
+    next to CUPED (which handles the randomized case; DiD handles the
+    observational one): treated = odd user_ids, post = second half of
+    the observation month, outcome = event value. The classic 2x2:
+    did = (treated_post - treated_pre) - (control_post - control_pre).
+    All FOUR cell sums and counts come from ONE map-side-combined
+    conditional aggregate over one scan (exact int64 cents); each mean
+    is a two-step division of exact integers and the estimate one
+    left-associated chain, written identically in both engines — the
+    CUPED moments-sketch exactness discipline on a 2x2 design."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    treated = F.col("user_id") % 2 == 1
+    post = F.date_trunc("day", F.col("ts")) >= F.lit("2024-01-16 00:00:00").cast(
+        "timestamp"
+    )
+
+    def cell(cond, name_s, name_n):
+        return [
+            F.sum(F.when(cond, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name_s),
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name_n),
+        ]
+
+    cells = ev.groupBy("event_type").agg(
+        *cell(treated & post, "s_tp", "n_tp"),
+        *cell(treated & ~post, "s_tb", "n_tb"),
+        *cell(~treated & post, "s_cp", "n_cp"),
+        *cell(~treated & ~post, "s_cb", "n_cb"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double") / F.lit(100.0)
+
+    return cells.select(
+        "event_type",
+        "n_tp",
+        "n_tb",
+        "n_cp",
+        "n_cb",
+        mean("s_tp", "n_tp").alias("mean_treat_post"),
+        mean("s_tb", "n_tb").alias("mean_treat_pre"),
+        mean("s_cp", "n_cp").alias("mean_ctrl_post"),
+        mean("s_cb", "n_cb").alias("mean_ctrl_pre"),
+        (
+            (mean("s_tp", "n_tp") - mean("s_tb", "n_tb"))
+            - (mean("s_cp", "n_cp") - mean("s_cb", "n_cb"))
+        ).alias("did_estimate"),
+    ).orderBy("event_type")

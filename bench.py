@@ -381,6 +381,7 @@ ROUND9 = [
     "holt_forecast_backtest",
     "mann_kendall_sen_trend_daily",
     "seasonal_decompose_daily",
+    "did_estimate_by_type",
 ]
 
 CURATION = [

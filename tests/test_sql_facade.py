@@ -1,11 +1,11 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-118 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+119 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
 
-The dialect-blocked remainder (163 oracles) is inventoried in COVERAGE.md:
+The dialect-blocked remainder (165 oracles) is inventoried in COVERAGE.md:
 they use DuckDB-only surface (unnest/string_split lateral explosion,
 list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
 recursive CTE trajectories, md5-hex arithmetic) with no unmodified
@@ -187,6 +187,8 @@ PORTABLE = [
     "kendall_tau_value_hour_by_type",
     "stream_stream_left_semi_join",
     "weekly_revenue_wow",
+    # DiD: one conditional aggregate, pure shared ANSI
+    "did_estimate_by_type",
 ]
 
 

@@ -490,3 +490,37 @@ def test_seasonal_decompose_identity_and_replay(spark):
             rows[d_].y - rows[d_].trend - rows[d_].seasonal
             == rows[d_].remainder
         )
+
+
+def test_did_matches_hand_computed_2x2(spark):
+    """DiD on a constructed panel with a known +2.00 treatment effect on
+    top of a +1.00 shared time trend: the estimate must be exactly 2.0
+    and the four cell means exact."""
+    import os
+    import tempfile
+
+    import apache_beam_challange_spark.plans.wave4 as w4
+
+    rows = []
+    eid = 0
+    for user, base in ((1, 10.0), (2, 7.0)):  # user 1 treated (odd)
+        for day, bump in ((5, 0.0), (20, 1.0)):  # shared +1.00 post trend
+            effect = 2.0 if (user == 1 and day == 20) else 0.0
+            for _ in range(4):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 12), user, "view",
+                     base + bump + effect, "")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        r = w4.did_estimate_by_type(spark, d).collect()[0]
+    assert (r.n_tp, r.n_tb, r.n_cp, r.n_cb) == (4, 4, 4, 4)
+    assert (r.mean_treat_post, r.mean_treat_pre) == (13.0, 10.0)
+    assert (r.mean_ctrl_post, r.mean_ctrl_pre) == (8.0, 7.0)
+    assert r.did_estimate == 2.0

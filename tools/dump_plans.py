@@ -169,6 +169,7 @@ FLAGSHIPS = [
     "holt_forecast_backtest",
     "mann_kendall_sen_trend_daily",
     "seasonal_decompose_daily",
+    "did_estimate_by_type",
 ]
 
 
