@@ -196,6 +196,7 @@ def load_all() -> None:
         "tpch",
         "linalg",
         "wave4",
+        "wave5",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

@@ -1,0 +1,171 @@
+"""Round-9 continuation wave: python replays (library-free) for the
+experiment-analysis operators, plus plan-shape scale assertions."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import apache_beam_challange_spark.plans.wave5 as w5
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_events(spark, rows, d):
+    spark.createDataFrame(rows, _SCHEMA).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+
+def _ev(i, ts, user, typ, value):
+    return (i, ts, user, typ, value, "")
+
+
+def test_anova_matches_hand_formula(spark):
+    """Three groups with known means; F recomputed from the textbook
+    sums-of-squares on exact cent values."""
+    rows, i = [], 0
+    data = {"view": [1.0, 2.0, 3.0], "click": [2.0, 4.0], "purchase": [6.0, 7.0, 8.0, 9.0]}
+    for typ, vals in data.items():
+        for v in vals:
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.anova_f_value_by_type(spark, d).collect()[0]
+
+    cents = {t: [round(v * 100) for v in vs] for t, vs in data.items()}
+    allv = [c for vs in cents.values() for c in vs]
+    n, k = len(allv), len(cents)
+    grand = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in cents.values())
+    ssw = sum(
+        (c - sum(vs) / len(vs)) ** 2 for vs in cents.values() for c in vs
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (got.n, got.n_groups) == (n, k)
+    assert abs(got.f_stat - f_ref) < 1e-5
+    assert abs(got.eta_sq - ssb / (ssb + ssw)) < 1e-5
+
+
+def test_kruskal_wallis_matches_hand_formula_with_ties(spark):
+    """H and the tie correction recomputed via textbook midranks on a
+    corpus with heavy ties across and within groups."""
+    rows, pts, i = [], [], 0
+    for g, typ in enumerate(["view", "click", "purchase"]):
+        for j in range(12):
+            v = round(0.05 * ((j * 5 + g) % 7), 2)
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+            pts.append((typ, round(v * 100)))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.kruskal_wallis_value_by_type(spark, d).collect()[0]
+
+    n = len(pts)
+    svals = sorted(c for _, c in pts)
+    # midrank per distinct value
+    mid, start = {}, 1
+    from collections import Counter
+
+    cnt = Counter(svals)
+    for v in sorted(cnt):
+        t = cnt[v]
+        mid[v] = start + (t - 1) / 2.0
+        start += t
+    groups = {}
+    for t, c in pts:
+        groups.setdefault(t, []).append(mid[c])
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(r) ** 2 / len(r) for r in groups.values()
+    ) - 3 * (n + 1)
+    tie_c = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    assert got.n == n and got.k == 3
+    assert abs(got.h_stat - h) < 1e-5
+    assert abs(got.tie_c - tie_c) < 1e-8
+    assert abs(got.h_corrected - h / tie_c) < 1e-5
+
+
+def _survival_fixture():
+    """Five users: first event at hour 0; purchase (death) or censor
+    times chosen so durations and cohort parity are hand-checkable."""
+    base = dt.datetime(2024, 1, 1, 0)
+    rows, i = [], 0
+    # (user, death_hour or None, censor_hour)
+    spec = [(1, 2, None), (2, 2, None), (3, 5, None), (4, None, 6), (5, 5, None), (6, None, 3)]
+    for user, death, censor in spec:
+        rows.append(_ev(i, base, user, "view", 1.0)); i += 1
+        if death is not None:
+            rows.append(
+                _ev(i, base + dt.timedelta(hours=death), user, "purchase", 1.0)
+            ); i += 1
+        else:
+            rows.append(
+                _ev(i, base + dt.timedelta(hours=censor), user, "view", 1.0)
+            ); i += 1
+    return rows, spec
+
+
+def test_nelson_aalen_matches_hand_replay(spark):
+    rows, spec = _survival_fixture()
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.dur_h: r for r in
+               w5.nelson_aalen_hazard_to_purchase(spark, d).collect()}
+    # durations: deaths at 2 (users 1,2), 5 (users 3,5); censors at 6, 3
+    # at_risk(2) = 6, at_risk(5) = 3 (user 6 censored at 3 -> dur 3)
+    assert set(out) == {2, 5}
+    assert (out[2].at_risk, out[2].deaths) == (6, 2)
+    assert (out[5].at_risk, out[5].deaths) == (3, 2)
+    h2 = math.floor(2 * 1e9 / 6) / 1e9
+    h5 = h2 + math.floor(2 * 1e9 / 3) / 1e9
+    assert abs(out[2].cum_hazard - h2) < 1e-12
+    assert abs(out[5].cum_hazard - h5) < 1e-12
+
+
+def test_logrank_matches_hand_replay(spark):
+    rows, spec = _survival_fixture()
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.logrank_purchase_by_parity(spark, d).collect()[0]
+    # replay: dur/died per user, grp = user_id % 2
+    durs = [(2, True, 1), (2, True, 0), (5, True, 1), (6, False, 0),
+            (5, True, 1), (3, False, 0)]
+    times = sorted({t for t, died, _ in durs if died})
+    o1 = e1 = v1 = 0.0
+    for t in times:
+        at = [(tt, dd, g) for tt, dd, g in durs if tt >= t]
+        n = len(at)
+        n1 = sum(1 for *_, g in at if g == 1)
+        dthis = [(tt, dd, g) for tt, dd, g in durs if tt == t and dd]
+        dcount = len(dthis)
+        o1 += sum(1 for *_, g in dthis if g == 1)
+        e1 += math.floor(dcount * n1 / n * 1e6 + 0.5) / 1e6
+        if n > 1:
+            v1 += math.floor(
+                dcount * (n1 / n) * (1 - n1 / n) * ((n - dcount) / (n - 1))
+                * 1e6 + 0.5
+            ) / 1e6
+    assert got.o1 == o1
+    assert abs(got.e1 - e1) < 1e-9
+    assert abs(got.v1 - v1) < 1e-9
+    assert abs(got.chi2 - (o1 - e1) ** 2 / v1) < 1e-6
+
+
+def test_wave5_single_aggregate_plans(plans):
+    """The ANOVA/KW statistics must stay one data-sized aggregate: no
+    join on the events-sized side, no data-sized window (windows only
+    over DOMAIN-bounded histograms), and partial aggregation pushed
+    map-side."""
+    for name in ("anova_f_value_by_type", "kruskal_wallis_value_by_type"):
+        p = plans(name)
+        assert "SortMergeJoin" not in p, name
+        assert "partial" in p.lower(), name
