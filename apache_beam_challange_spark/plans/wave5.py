@@ -479,3 +479,395 @@ def logrank_purchase_by_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v1D, 6).alias("v1"),
         F.round((o1D - e1D) * (o1D - e1D) / v1D, 6).alias("chi2"),
     )
+
+
+# --- Herfindahl-Hirschman concentration (supplier revenue per nation) ---------
+
+_HHI_SQL = """
+WITH rev AS (
+    SELECT s.s_suppkey, n.n_name,
+           CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                        * 100 + 0.5) AS BIGINT)), 0)
+                AS DECIMAL(38,0)) AS r
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+scoped AS (
+    SELECT n_name AS scope, r FROM rev
+    UNION ALL
+    SELECT 'ALL' AS scope, r FROM rev
+)
+SELECT scope,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(r * r) AS DOUBLE)
+             / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)), 9) AS hhi,
+       CASE WHEN COUNT(*) > 1 THEN
+           ROUND((CAST(SUM(r * r) AS DOUBLE)
+                  / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+                  - 1.0 / CAST(COUNT(*) AS DOUBLE))
+                 / (1.0 - 1.0 / CAST(COUNT(*) AS DOUBLE)), 9)
+       ELSE 1.0 END AS hhi_norm
+FROM scoped
+GROUP BY scope
+ORDER BY scope
+""".strip()
+
+
+@query("hhi_nation_revenue_concentration", oracle=_HHI_SQL)
+def hhi_nation_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation (plus the ALL roll-up) — the market-concentration audit next
+    to the Gini/Theil inequality pair. Supplier revenue is exact cents;
+    HHI = sum(r_i^2)/S^2 needs only the two exact DECIMAL(38,0) sums, so
+    there is NO per-share float at all — one identical double division
+    per output row, plus the 1/n normalization. Dims broadcast; the only
+    data-sized work is the suppkey aggregate over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    li_rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("lr"))
+    rev = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(li_rev, sup.s_suppkey == li_rev.l_suppkey, "left")
+        .select(
+            F.col("n_name"),
+            F.coalesce("lr", F.lit(0)).cast("decimal(38,0)").alias("r"),
+        )
+    )
+    scoped = rev.select(F.col("n_name").alias("scope"), "r").unionAll(
+        rev.select(F.lit("ALL").alias("scope"), "r")
+    )
+    agg = scoped.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("rr"),
+        F.sum("r").cast("decimal(38,0)").alias("s"),
+    )
+    hhi = F.col("rr").cast("double") / (
+        F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    inv_n = F.lit(1.0) / F.col("n_suppliers").cast("double")
+    return agg.select(
+        "scope",
+        "n_suppliers",
+        F.round(hhi, 9).alias("hhi"),
+        F.when(
+            F.col("n_suppliers") > 1,
+            F.round((hhi - inv_n) / (F.lit(1.0) - inv_n), 9),
+        ).otherwise(F.lit(1.0)).alias("hhi_norm"),
+    ).orderBy("scope")
+
+
+# --- Theil inequality indices (customer revenue) ------------------------------
+
+_THEIL_SQL = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS r
+    FROM orders GROUP BY 1
+),
+pos AS (SELECT r FROM rev WHERE r > 0),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+    FROM pos
+),
+terms AS (
+    SELECT CAST(FLOOR((CAST(r AS DOUBLE) / mu) * LN(CAST(r AS DOUBLE) / mu)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS t_fp,
+           CAST(FLOOR(LN(mu / CAST(r AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS l_fp
+    FROM pos, (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM tot)
+)
+SELECT tot.n, CAST(tot.s AS BIGINT) AS total_cents,
+       ROUND(CAST(SUM(t_fp) AS DOUBLE) / 1000000000.0
+             / CAST(tot.n AS DOUBLE), 6) AS theil_t,
+       ROUND(CAST(SUM(l_fp) AS DOUBLE) / 1000000000.0
+             / CAST(tot.n AS DOUBLE), 6) AS theil_l
+FROM terms, tot
+GROUP BY tot.n, tot.s
+""".strip()
+
+
+@query("theil_index_revenue", oracle=_THEIL_SQL)
+def theil_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Theil L (mean-log-deviation) inequality indices over
+    positive customer revenues — the decomposable-entropy companions to
+    ``gini_revenue_inequality`` (Gini can't be split between/within
+    groups; Theil can). Revenues are exact cents; the mean enters each
+    per-customer term as one shared double; each ``(x/mu) ln(x/mu)`` /
+    ``ln(mu/x)`` term converts to 1e-9 fixed point BEFORE the data-sized
+    sum (the curation.py ln discipline — associativity cannot leak), and
+    the final normalization is one identical double expression. One
+    custkey aggregate + one broadcast scalar join."""
+    od = load_table(spark, sf_dir, "orders")
+    rev = od.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("r")
+    )
+    pos = rev.filter(F.col("r") > 0).select("r")
+    tot = pos.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+    )
+    mu = (F.col("s").cast("double") / F.col("n").cast("double")).alias("mu")
+    terms = pos.crossJoin(F.broadcast(tot.select(mu))).select(
+        F.floor(
+            (F.col("r").cast("double") / F.col("mu"))
+            * F.log(F.col("r").cast("double") / F.col("mu"))
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("t_fp"),
+        F.floor(
+            F.log(F.col("mu") / F.col("r").cast("double"))
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("l_fp"),
+    )
+    sums = terms.agg(
+        F.sum("t_fp").cast("long").alias("ts"),
+        F.sum("l_fp").cast("long").alias("ls"),
+    )
+    out = sums.crossJoin(F.broadcast(tot))
+    nD = F.col("n").cast("double")
+    return out.select(
+        "n",
+        F.col("s").cast("long").alias("total_cents"),
+        F.round(
+            F.col("ts").cast("double") / F.lit(1_000_000_000.0) / nD, 6
+        ).alias("theil_t"),
+        F.round(
+            F.col("ls").cast("double") / F.lit(1_000_000_000.0) / nD, 6
+        ).alias("theil_l"),
+    )
+
+
+# --- lagged cross-correlation (daily clicks vs purchases) ----------------------
+
+_CCF_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p
+    FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+spine AS (
+    SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+    FROM bounds
+),
+filled AS (
+    SELECT spine.d, COALESCE(c, 0) AS c, COALESCE(p, 0) AS p
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+),
+lags AS (SELECT UNNEST(generate_series(-7, 7)) AS lag),
+pairs AS (
+    SELECT l.lag, a.c, b.p
+    FROM lags l
+    JOIN filled a ON TRUE
+    JOIN filled b ON b.d = a.d + CAST(l.lag AS INTEGER)
+)
+SELECT lag,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c * p) AS DOUBLE)
+              - CAST(SUM(c) AS DOUBLE) * CAST(SUM(p) AS DOUBLE))
+             / (SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)
+                     - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                * SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(p * p) AS DOUBLE)
+                       - CAST(SUM(p) AS DOUBLE) * CAST(SUM(p) AS DOUBLE))),
+             6) AS r
+FROM pairs
+GROUP BY lag
+ORDER BY lag
+""".strip()
+
+
+@query("ccf_clicks_purchases_daily", oracle=_CCF_SQL)
+def ccf_clicks_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily click and purchase series at
+    lags -7..+7 — "do clicks lead purchases?", the bivariate companion
+    to ``acf_daily_revenue``. The event stream collapses to ONE
+    DOMAIN-bounded daily frame (zero-filled over the min..max date spine
+    so absent days count as 0, identically in both engines); the 15-row
+    lag spine cross-joins that bounded frame and every Pearson moment is
+    an exact BIGINT (counts and their products), leaving one identical
+    double expression per lag. Data-sized work: the single daily
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("p"),
+    )
+    spine = (
+        daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+        )
+        .select(F.col("d").cast("date").alias("d"))
+    )
+    filled = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            F.coalesce("p", F.lit(0)).cast("long").alias("p"),
+        )
+        .localCheckpoint()  # one shuffle feeds both sides of the lag join
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    b = filled.select(F.col("d").alias("bd"), F.col("p").alias("bp"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(filled)
+        .join(
+            b,
+            F.expr("bd = date_add(d, lag)"),
+        )
+        .select("lag", "c", F.col("bp").alias("p"))
+    )
+    cnt = F.count(F.lit(1)).cast("long")
+    agg = pairs.groupBy("lag").agg(
+        cnt.alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum(F.col("c") * F.col("p")).cast("long").alias("scp"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("spp"),
+    )
+    nD = F.col("n_days").cast("double")
+    num = nD * F.col("scp").cast("double") - F.col("sc").cast("double") * F.col(
+        "sp"
+    ).cast("double")
+    denx = F.sqrt(
+        nD * F.col("scc").cast("double")
+        - F.col("sc").cast("double") * F.col("sc").cast("double")
+    )
+    deny = F.sqrt(
+        nD * F.col("spp").cast("double")
+        - F.col("sp").cast("double") * F.col("sp").cast("double")
+    )
+    return agg.select(
+        "lag", "n_days", F.round(num / (denx * deny), 6).alias("r")
+    ).orderBy("lag")
+
+
+# --- leave-one-group-out influence on a regression slope -----------------------
+
+_LOO_SQL = """
+WITH base AS (
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) AS x,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+),
+g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+    FROM base GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(sy) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(sxy) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(sxx) AS DECIMAL(38,0)) AS sxx
+    FROM g
+)
+SELECT g.event_type,
+       g.n AS n_excluded,
+       ROUND((CAST(t.n AS DOUBLE) * CAST(t.sxy AS DOUBLE)
+              - CAST(t.sx AS DOUBLE) * CAST(t.sy AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) * CAST(t.sxx AS DOUBLE)
+                - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE)), 9)
+           AS slope_full,
+       ROUND((CAST(t.n - g.n AS DOUBLE) * CAST(t.sxy - g.sxy AS DOUBLE)
+              - CAST(t.sx - g.sx AS DOUBLE) * CAST(t.sy - g.sy AS DOUBLE))
+             / (CAST(t.n - g.n AS DOUBLE) * CAST(t.sxx - g.sxx AS DOUBLE)
+                - CAST(t.sx - g.sx AS DOUBLE) * CAST(t.sx - g.sx AS DOUBLE)),
+             9) AS slope_wo,
+       ROUND((CAST(t.n - g.n AS DOUBLE) * CAST(t.sxy - g.sxy AS DOUBLE)
+              - CAST(t.sx - g.sx AS DOUBLE) * CAST(t.sy - g.sy AS DOUBLE))
+             / (CAST(t.n - g.n AS DOUBLE) * CAST(t.sxx - g.sxx AS DOUBLE)
+                - CAST(t.sx - g.sx AS DOUBLE) * CAST(t.sx - g.sx AS DOUBLE))
+             - (CAST(t.n AS DOUBLE) * CAST(t.sxy AS DOUBLE)
+                - CAST(t.sx AS DOUBLE) * CAST(t.sy AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * CAST(t.sxx AS DOUBLE)
+                  - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE)), 9)
+           AS delta_slope
+FROM g, t
+ORDER BY event_type
+""".strip()
+
+
+@query("loo_group_influence_on_slope", oracle=_LOO_SQL)
+def loo_group_influence_on_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data attribution via leave-one-group-out: how much does each
+    event type's data move the global OLS slope of value-on-hour? The
+    trick that makes this a SINGLE pass instead of k refits: OLS needs
+    only sufficient statistics (n, Sx, Sy, Sxy, Sxx), so the
+    without-group slope is computable from global-minus-group EXACT
+    integer sums — delete-a-group influence for free, the same algebra
+    a 100 TB data-valuation sweep needs (per-shard influence without
+    k full passes). One map-side-combined aggregate, k-bounded
+    broadcast of the global row, identical double expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("decimal(38,0)").alias("tsx"),
+        F.sum("sy").cast("decimal(38,0)").alias("tsy"),
+        F.sum("sxy").cast("decimal(38,0)").alias("tsxy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("tsxx"),
+    )
+
+    def slope(n, sx, sy, sxy, sxx):
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    j = g.crossJoin(F.broadcast(t))
+    full = slope(
+        F.col("tn").cast("double"),
+        F.col("tsx").cast("double"),
+        F.col("tsy").cast("double"),
+        F.col("tsxy").cast("double"),
+        F.col("tsxx").cast("double"),
+    )
+    wo = slope(
+        (F.col("tn") - F.col("n")).cast("double"),
+        (F.col("tsx") - F.col("sx")).cast("double"),
+        (F.col("tsy") - F.col("sy")).cast("double"),
+        (F.col("tsxy") - F.col("sxy")).cast("double"),
+        (F.col("tsxx") - F.col("sxx")).cast("double"),
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_excluded"),
+        F.round(full, 9).alias("slope_full"),
+        F.round(wo, 9).alias("slope_wo"),
+        F.round(wo - full, 9).alias("delta_slope"),
+    ).orderBy("event_type")

@@ -169,3 +169,112 @@ def test_wave5_single_aggregate_plans(plans):
         p = plans(name)
         assert "SortMergeJoin" not in p, name
         assert "partial" in p.lower(), name
+
+
+def test_hhi_matches_hand_computed_market(spark):
+    """Two nations: one monopoly (HHI=1), one 3-supplier market with
+    known shares. Built directly from lineitem/supplier/nation parquet."""
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 1, 0.0), (3, "s3", 1, 0.0), (4, "s4", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nat = spark.createDataFrame(
+        [(0, "MONO", 0), (1, "TRIO", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    # revenues: s1=10.00; s2=5.00, s3=3.00, s4=2.00 (shares .5/.3/.2)
+    li_rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (2, 1, 2, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (3, 1, 3, 1, 1.0, 3.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (4, 1, 4, 1, 1.0, 2.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        sup.write.parquet(os.path.join(d, "supplier.parquet"))
+        nat.write.parquet(os.path.join(d, "nation.parquet"))
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {r.scope: r for r in
+               w5.hhi_nation_revenue_concentration(spark, d).collect()}
+    assert out["MONO"].n_suppliers == 1
+    assert out["MONO"].hhi == 1.0 and out["MONO"].hhi_norm == 1.0
+    trio = out["TRIO"]
+    hhi = 0.5**2 + 0.3**2 + 0.2**2
+    assert abs(trio.hhi - hhi) < 1e-9
+    assert abs(trio.hhi_norm - (hhi - 1 / 3) / (1 - 1 / 3)) < 1e-9
+    assert out["ALL"].n_suppliers == 4
+
+
+def test_theil_matches_hand_replay(spark):
+    """Theil T and L replayed in python with math.log on the same
+    fixed-point convention."""
+    rows = [
+        (i + 1, i + 1, "O", p, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i, p in enumerate([1.0, 2.0, 3.0, 10.0])
+    ]
+    od = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        od.write.parquet(os.path.join(d, "orders.parquet"))
+        got = w5.theil_index_revenue(spark, d).collect()[0]
+    cents = [100, 200, 300, 1000]
+    n, mu = len(cents), sum(cents) / len(cents)
+    t_ref = sum(
+        math.floor((x / mu) * math.log(x / mu) * 1e9 + 0.5) for x in cents
+    ) / 1e9 / n
+    l_ref = sum(
+        math.floor(math.log(mu / x) * 1e9 + 0.5) for x in cents
+    ) / 1e9 / n
+    assert got.n == n and got.total_cents == sum(cents)
+    assert abs(got.theil_t - round(t_ref, 6)) < 1e-9
+    assert abs(got.theil_l - round(l_ref, 6)) < 1e-9
+
+
+def test_ccf_detects_known_lead(spark):
+    """Purchases are exactly clicks shifted one day later -> r = 1.0 at
+    lag +1 (clicks lead purchases by one day) on the overlapping days."""
+    base = dt.date(2024, 1, 1)
+    clicks = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    rows, i = [], 0
+    for dd, c in enumerate(clicks):
+        day = dt.datetime(2024, 1, 1 + dd, 12)
+        for _ in range(c):
+            rows.append(_ev(i, day, 1, "click", 1.0)); i += 1
+        if dd >= 1:
+            for _ in range(clicks[dd - 1]):
+                rows.append(_ev(i, day, 1, "purchase", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.lag: r for r in
+               w5.ccf_clicks_purchases_daily(spark, d).collect()}
+    assert len(out) == 15
+    assert out[1].r == 1.0
+    assert out[0].r < 1.0
+
+
+def test_loo_influence_matches_two_group_algebra(spark):
+    """With two groups, slope_wo(A) must equal the slope fit on B alone."""
+    rows = []
+    i = 0
+    # group A (view): y = 100x; group B (click): y = 300x + noise-free offset
+    for x in range(4):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1, x), 1, "view", 1.0 * x)); i += 1
+    for x in range(4):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1, x), 1, "click", 3.0 * x)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.event_type: r for r in
+               w5.loo_group_influence_on_slope(spark, d).collect()}
+    assert abs(out["view"].slope_wo - 300.0) < 1e-9   # B alone: 300 cents/hour
+    assert abs(out["click"].slope_wo - 100.0) < 1e-9  # A alone
+    assert abs(out["view"].delta_slope
+               - (out["view"].slope_wo - out["view"].slope_full)) < 1e-9
