@@ -871,3 +871,425 @@ def loo_group_influence_on_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wo, 9).alias("slope_wo"),
         F.round(wo - full, 9).alias("delta_slope"),
     ).orderBy("event_type")
+
+
+# --- stratified ATE (weekend treatment, hour-of-day strata) -------------------
+
+_ATE_SQL = """
+WITH base AS (
+    SELECT CAST(hour(ts) AS BIGINT) AS h,
+           CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+),
+strata AS (
+    SELECT h,
+           CAST(SUM(w) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN w = 1 THEN y ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+           CAST(SUM(1 - w) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN w = 0 THEN y ELSE 0 END) AS DECIMAL(38,0)) AS s0
+    FROM base GROUP BY h
+),
+used AS (
+    SELECT n1, n0, s1, s0,
+           CAST(FLOOR(CAST(n1 + n0 AS DOUBLE)
+                      * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                      * 1000000.0 + 0.5) AS DECIMAL(38,0)) AS t_fp
+    FROM strata WHERE n1 > 0 AND n0 > 0
+),
+tot AS (
+    SELECT CAST(SUM(n1) AS BIGINT) AS tn1, CAST(SUM(n0) AS BIGINT) AS tn0,
+           CAST(SUM(s1) AS DECIMAL(38,0)) AS ts1,
+           CAST(SUM(s0) AS DECIMAL(38,0)) AS ts0,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(t_fp) AS DECIMAL(38,0)) AS t_sum
+    FROM used
+)
+SELECT tn1 AS n_treated, tn0 AS n_control, n_strata AS n_strata_used,
+       ROUND(CAST(ts1 AS DOUBLE) / CAST(tn1 AS DOUBLE)
+             - CAST(ts0 AS DOUBLE) / CAST(tn0 AS DOUBLE), 6)
+           AS naive_diff_cents,
+       ROUND(CAST(t_sum AS DOUBLE) / 1000000.0
+             / CAST(tn1 + tn0 AS DOUBLE), 6) AS stratified_ate_cents
+FROM tot
+""".strip()
+
+
+@query("stratified_ate_weekend_value", oracle=_ATE_SQL)
+def stratified_ate_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect of "weekend" on event value,
+    with hour-of-day strata — the closed-form causal adjustment (exact
+    IPW with a saturated binned propensity collapses to exactly this
+    stratification estimator, so no model fit is needed): per-stratum
+    exact integer sums, the <=24 per-stratum difference terms
+    fixed-pointed before the cross-stratum sum, the naive difference
+    reported next to the adjusted one. One map-side-combined aggregate
+    is the only data-sized work. Weekend = ISO day-of-week in {6,7},
+    written as ``isodow >= 6`` in DuckDB and ``weekday >= 5`` in Spark
+    (same predicate)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("long").alias("h"),
+        F.when(F.weekday("ts") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("w"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    strata = base.groupBy("h").agg(
+        F.sum("w").cast("long").alias("n1"),
+        F.sum(F.when(F.col("w") == 1, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)").alias("s1"),
+        F.sum(F.lit(1) - F.col("w")).cast("long").alias("n0"),
+        F.sum(F.when(F.col("w") == 0, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)").alias("s0"),
+    ).filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    t_fp = F.floor(
+        (F.col("n1") + F.col("n0")).cast("double")
+        * (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double")
+        )
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    tot = strata.agg(
+        F.sum("n1").cast("long").alias("tn1"),
+        F.sum("n0").cast("long").alias("tn0"),
+        F.sum("s1").cast("decimal(38,0)").alias("ts1"),
+        F.sum("s0").cast("decimal(38,0)").alias("ts0"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(t_fp).cast("decimal(38,0)").alias("t_sum"),
+    )
+    return tot.select(
+        F.col("tn1").alias("n_treated"),
+        F.col("tn0").alias("n_control"),
+        F.col("n_strata").alias("n_strata_used"),
+        F.round(
+            F.col("ts1").cast("double") / F.col("tn1").cast("double")
+            - F.col("ts0").cast("double") / F.col("tn0").cast("double"),
+            6,
+        ).alias("naive_diff_cents"),
+        F.round(
+            F.col("t_sum").cast("double") / F.lit(_FP)
+            / (F.col("tn1") + F.col("tn0")).cast("double"),
+            6,
+        ).alias("stratified_ate_cents"),
+    )
+
+
+# --- expected calibration error (held-out, 20 value bins) ----------------------
+
+_N_CAL_BINS = 20
+
+_ECE_SQL = f"""
+WITH base AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           event_id % 2 AS fold,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+mx AS (SELECT MAX(vb) AS maxvb FROM base),
+binned AS (
+    SELECT CASE WHEN vb * {_N_CAL_BINS} // (maxvb + 1) > {_N_CAL_BINS - 1}
+                THEN {_N_CAL_BINS - 1}
+                ELSE vb * {_N_CAL_BINS} // (maxvb + 1) END AS bin,
+           fold, pos
+    FROM base, mx
+),
+cells AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+           CAST(SUM(CASE WHEN fold = 0 THEN pos ELSE 0 END) AS BIGINT) AS p_tr,
+           CAST(SUM(CASE WHEN fold = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ev,
+           CAST(SUM(CASE WHEN fold = 1 THEN pos ELSE 0 END) AS BIGINT) AS p_ev
+    FROM binned GROUP BY bin
+),
+used AS (SELECT * FROM cells WHERE n_tr > 0 AND n_ev > 0)
+SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+       CAST(SUM(n_ev) AS BIGINT) AS n_eval,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       ROUND(CAST(SUM(CAST(FLOOR(CAST(n_ev AS DOUBLE)
+                    * ABS(CAST(p_ev AS DOUBLE) / CAST(n_ev AS DOUBLE)
+                          - CAST(p_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / CAST(SUM(n_ev) AS DOUBLE), 6) AS ece
+FROM used
+""".strip()
+
+
+@query("ece_calibration_value_deciles", oracle=_ECE_SQL)
+def ece_calibration_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the "value predicts purchase"
+    score, measured leakage-safe: per-bin purchase rates FIT on the even
+    ``event_id`` fold are the model's confidence, the odd fold is the
+    held-out eval set, and ECE is the eval-weighted mean |accuracy -
+    confidence| over the {_N_CAL_BINS} value-range bins (integer bin
+    math — ``vb*K div (max+1)`` — so both engines bin identically; bins
+    missing either fold are excluded and reported via n_bins_used).
+    Per-bin terms fixed-pointed before the sum. One aggregate + one
+    broadcast scalar (the max bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        (F.col("event_id") % 2).alias("fold"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    mx = base.agg(F.max("vb").alias("maxvb"))
+    raw_bin = F.expr(f"vb * {_N_CAL_BINS} div (maxvb + 1)")
+    binned = base.crossJoin(F.broadcast(mx)).select(
+        F.when(raw_bin > _N_CAL_BINS - 1, F.lit(_N_CAL_BINS - 1))
+        .otherwise(raw_bin)
+        .alias("bin"),
+        "fold",
+        "pos",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("fold") == 0, 1).otherwise(0)).cast("long").alias("n_tr"),
+        F.sum(F.when(F.col("fold") == 0, F.col("pos")).otherwise(0))
+        .cast("long").alias("p_tr"),
+        F.sum(F.when(F.col("fold") == 1, 1).otherwise(0)).cast("long").alias("n_ev"),
+        F.sum(F.when(F.col("fold") == 1, F.col("pos")).otherwise(0))
+        .cast("long").alias("p_ev"),
+    ).filter((F.col("n_tr") > 0) & (F.col("n_ev") > 0))
+    term_fp = F.floor(
+        F.col("n_ev").cast("double")
+        * F.abs(
+            F.col("p_ev").cast("double") / F.col("n_ev").cast("double")
+            - F.col("p_tr").cast("double") / F.col("n_tr").cast("double")
+        )
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("long")
+    return cells.agg(
+        F.sum("n_tr").cast("long").alias("n_train"),
+        F.sum("n_ev").cast("long").alias("n_eval"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum(term_fp).cast("double")
+            / F.lit(_FP)
+            / F.sum("n_ev").cast("double"),
+            6,
+        ).alias("ece"),
+    )
+
+
+# --- average precision (purchase ranked by value) ------------------------------
+
+_AP_SQL = """
+WITH hist AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos_b
+    FROM events GROUP BY 1
+),
+cum AS (
+    SELECT vb, n_b, pos_b,
+           CAST(SUM(n_b) OVER (
+               ORDER BY vb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_n,
+           CAST(SUM(pos_b) OVER (
+               ORDER BY vb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tp
+    FROM hist
+)
+SELECT CAST(SUM(pos_b) AS BIGINT) AS n_pos,
+       CAST(SUM(n_b) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(FLOOR(CAST(pos_b AS DOUBLE)
+                                 * CAST(cum_tp AS DOUBLE)
+                                 / CAST(cum_n AS DOUBLE)
+                                 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / CAST(SUM(pos_b) AS DOUBLE), 6) AS ap,
+       ROUND(CAST(SUM(pos_b) AS DOUBLE) / CAST(SUM(n_b) AS DOUBLE), 6)
+           AS prevalence
+FROM cum
+""".strip()
+
+
+@query("average_precision_purchase_by_value", oracle=_AP_SQL)
+def average_precision_purchase_by_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    convention) of ``value`` ranking purchases — the PR-side companion
+    to the exact ROC AUC (``mann_whitney_auc_purchase``), and the metric
+    that matters when positives are rare. Tie convention, documented and
+    identical in both engines: every positive in a tied-score group
+    takes the precision at the END of its group (the pessimistic step —
+    deterministic under ties, no within-group order to invent). Ranks
+    come from the cent-bucket histogram (VALUE-DOMAIN bounded windows);
+    per-group terms are <= pos_b so the 1e-9 fixed-point sum stays in
+    int64 far past sf100. One data-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 100).cast("long").alias("vb")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long").alias("pos_b"),
+    )
+    w = Window.orderBy(F.desc("vb")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_b",
+        "pos_b",
+        F.sum("n_b").over(w).cast("long").alias("cum_n"),
+        F.sum("pos_b").over(w).cast("long").alias("cum_tp"),
+    )
+    term_fp = F.floor(
+        F.col("pos_b").cast("double")
+        * F.col("cum_tp").cast("double")
+        / F.col("cum_n").cast("double")
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return cum.agg(
+        F.sum("pos_b").cast("long").alias("n_pos"),
+        F.sum("n_b").cast("long").alias("n"),
+        F.round(
+            F.sum(term_fp).cast("double")
+            / F.lit(1_000_000_000.0)
+            / F.sum("pos_b").cast("double"),
+            6,
+        ).alias("ap"),
+        F.round(
+            F.sum("pos_b").cast("double") / F.sum("n_b").cast("double"), 6
+        ).alias("prevalence"),
+    )
+
+
+# --- isotonic regression (PAVA via the minimax identity) -----------------------
+
+_ISO_SQL = f"""
+WITH base AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+mx AS (SELECT MAX(vb) AS maxvb FROM base),
+cells AS (
+    SELECT CASE WHEN vb * {_N_CAL_BINS} // (maxvb + 1) > {_N_CAL_BINS - 1}
+                THEN {_N_CAL_BINS - 1}
+                ELSE vb * {_N_CAL_BINS} // (maxvb + 1) END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(pos) AS BIGINT) AS pos_b
+    FROM base, mx GROUP BY 1
+),
+seq AS (
+    SELECT bin, n_b, pos_b,
+           CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS rn,
+           CAST(SUM(n_b) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cn,
+           CAST(SUM(pos_b) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cp
+    FROM cells
+),
+pairs AS (
+    SELECT i.rn AS i, j.rn AS j,
+           CAST(j.cp - (i.cp - i.pos_b) AS DOUBLE)
+               / CAST(j.cn - (i.cn - i.n_b) AS DOUBLE) AS avg_ij
+    FROM seq i JOIN seq j ON i.rn <= j.rn
+),
+inner_min AS (
+    SELECT k.rn AS rn, p.i AS i, MIN(p.avg_ij) AS mn
+    FROM seq k JOIN pairs p ON p.i <= k.rn AND p.j >= k.rn
+    GROUP BY k.rn, p.i
+),
+iso AS (SELECT rn, MAX(mn) AS iso_rate FROM inner_min GROUP BY rn)
+SELECT s.bin, s.n_b AS n, s.pos_b AS pos,
+       CAST(s.pos_b AS DOUBLE) / CAST(s.n_b AS DOUBLE) AS raw_rate,
+       iso.iso_rate
+FROM seq s JOIN iso ON s.rn = iso.rn
+ORDER BY s.bin
+""".strip()
+
+
+@query("isotonic_purchase_rate_by_value_bin", oracle=_ISO_SQL)
+def isotonic_purchase_rate_by_value_bin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic regression (the PAVA calibration fit) of purchase rate
+    on value bin, computed via the exact minimax identity
+    ``iso_k = max_(i<=k) min_(j>=k) mean(y_i..y_j)`` instead of the
+    sequential pool-adjacent-violators sweep — the identity turns an
+    inherently serial algorithm into three BOUNDED relational stages
+    (bins x bins interval averages, a grouped min, a grouped max) that
+    any engine can run: O(K^3) work for K={_N_CAL_BINS} bins, a
+    constant, while the data-sized work stays one histogram aggregate.
+    Interval means are single IEEE divisions of exact integer prefix
+    sums, so the minimax over them is engine-stable without rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    mx = base.agg(F.max("vb").alias("maxvb"))
+    raw_bin = F.expr(f"vb * {_N_CAL_BINS} div (maxvb + 1)")
+    cells = (
+        base.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(raw_bin > _N_CAL_BINS - 1, F.lit(_N_CAL_BINS - 1))
+            .otherwise(raw_bin)
+            .alias("bin"),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("pos").cast("long").alias("pos_b"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = cells.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        F.row_number().over(Window.orderBy("bin")).cast("long").alias("rn"),
+        F.sum("n_b").over(w).cast("long").alias("cn"),
+        F.sum("pos_b").over(w).cast("long").alias("cp"),
+    ).localCheckpoint()  # K rows fan into three self-join consumers
+    i = seq.select(
+        F.col("rn").alias("i"),
+        (F.col("cp") - F.col("pos_b")).alias("cp0"),
+        (F.col("cn") - F.col("n_b")).alias("cn0"),
+    )
+    j = seq.select(
+        F.col("rn").alias("j"),
+        F.col("cp").alias("cpj"),
+        F.col("cn").alias("cnj"),
+    )
+    pairs = (
+        i.join(j, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("cpj") - F.col("cp0")).cast("double")
+                / (F.col("cnj") - F.col("cn0")).cast("double")
+            ).alias("avg_ij"),
+        )
+    )
+    k = seq.select(F.col("rn"))
+    inner_min = (
+        k.join(pairs, (F.col("i") <= F.col("rn")) & (F.col("j") >= F.col("rn")))
+        .groupBy("rn", "i")
+        .agg(F.min("avg_ij").alias("mn"))
+    )
+    iso = inner_min.groupBy("rn").agg(F.max("mn").alias("iso_rate"))
+    return (
+        seq.join(iso, "rn")
+        .select(
+            "bin",
+            F.col("n_b").alias("n"),
+            F.col("pos_b").alias("pos"),
+            (
+                F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+            ).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )

@@ -278,3 +278,113 @@ def test_loo_influence_matches_two_group_algebra(spark):
     assert abs(out["click"].slope_wo - 100.0) < 1e-9  # A alone
     assert abs(out["view"].delta_slope
                - (out["view"].slope_wo - out["view"].slope_full)) < 1e-9
+
+
+def test_stratified_ate_adjusts_confounded_hour(spark):
+    """Construct confounding: hour 0 has high base value and is mostly
+    weekend; hour 1 low value, mostly weekday. True per-stratum effect
+    is +100 cents everywhere; the naive diff is inflated."""
+    rows, i = [], 0
+    # 2024-01-06 is a Saturday, 2024-01-08 a Monday
+    sat, mon = dt.datetime(2024, 1, 6, 0), dt.datetime(2024, 1, 8, 0)
+    # hour 0: base 10.00; weekend adds 1.00; 3 weekend, 1 weekday rows
+    for _ in range(3):
+        rows.append(_ev(i, sat, 1, "view", 11.0)); i += 1
+    rows.append(_ev(i, mon, 1, "view", 10.0)); i += 1
+    # hour 1: base 1.00; weekend adds 1.00; 1 weekend, 3 weekday rows
+    rows.append(_ev(i, sat + dt.timedelta(hours=1), 1, "view", 2.0)); i += 1
+    for _ in range(3):
+        rows.append(_ev(i, mon + dt.timedelta(hours=1), 1, "view", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.stratified_ate_weekend_value(spark, d).collect()[0]
+    assert (got.n_treated, got.n_control) == (4, 4)
+    assert got.n_strata_used == 2
+    assert abs(got.stratified_ate_cents - 100.0) < 1e-6
+    # naive: treated mean = (3*1100+200)/4 = 875; control = (1000+3*100)/4 = 325
+    assert abs(got.naive_diff_cents - 550.0) < 1e-6
+
+
+def test_ece_zero_when_folds_identical(spark):
+    """If the two folds have identical per-bin rates, ECE must be 0."""
+    rows, i = [], 0
+    for rep in range(2):
+        for v, typ in [(1.0, "purchase"), (1.0, "view"),
+                       (400.0, "purchase"), (400.0, "purchase")]:
+            # consecutive ids -> one copy per fold, so folds are identical
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+            i += 1
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.ece_calibration_value_deciles(spark, d).collect()[0]
+    assert got.n_train == 8 and got.n_eval == 8
+    assert got.ece == 0.0
+
+
+def test_average_precision_matches_bruteforce(spark):
+    """AP with the documented group-end tie convention, replayed by
+    brute force over the sorted rows."""
+    vals = [(5.0, True), (5.0, False), (4.0, True), (3.0, False),
+            (3.0, True), (2.0, False), (1.0, True), (1.0, False)]
+    rows = [
+        _ev(i, dt.datetime(2024, 1, 1, i % 24), 1,
+            "purchase" if pos else "view", v)
+        for i, (v, pos) in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.average_precision_purchase_by_value(spark, d).collect()[0]
+    # group by score desc: (5: n=2 tp=1), (4: 1/1), (3: 2/1), (2:1/0), (1:2/1)
+    groups = {}
+    for v, pos in vals:
+        g = groups.setdefault(v, [0, 0])
+        g[0] += 1
+        g[1] += pos
+    cn = ct = 0
+    ap = 0.0
+    for v in sorted(groups, reverse=True):
+        n_b, p_b = groups[v]
+        cn += n_b
+        ct += p_b
+        ap += math.floor(p_b * ct / cn * 1e9 + 0.5) / 1e9
+    ap /= sum(p for _, p in groups.values())
+    assert got.n_pos == 4 and got.n == 8
+    assert abs(got.ap - round(ap, 6)) < 1e-9
+
+
+def test_isotonic_matches_pava_sweep(spark):
+    """The minimax identity must equal the classical sequential
+    pool-adjacent-violators algorithm (weighted), and be monotone."""
+    # craft bins with violations: rates by bin approx [.8, .2, .4, .9, .1]
+    spec = [(5.0, 5, 4), (30.0, 5, 1), (55.0, 5, 2), (80.0, 5, 4), (99.0, 5, 1)]
+    rows, i = [], 0
+    for v, n, pos in spec:
+        for j in range(n):
+            typ = "purchase" if j < pos else "view"
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = w5.isotonic_purchase_rate_by_value_bin(spark, d).collect()
+    got = [(r.n, r.pos, r.raw_rate, r.iso_rate) for r in out]
+    # classical weighted PAVA on the same ordered blocks
+    blocks = [[n, pos] for _, n, pos in spec]
+    stack = []
+    for n, p in blocks:
+        stack.append([n, p])
+        while len(stack) > 1 and (
+            stack[-2][1] / stack[-2][0] >= stack[-1][1] / stack[-1][0]
+        ):
+            n2, p2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+    expected = []
+    for n, p in stack:
+        expected.extend([p / n] * (n // 5))
+    iso = [r[3] for r in got]
+    assert len(iso) == 5
+    for a, b in zip(iso, expected):
+        assert abs(a - b) < 1e-12
+    assert all(iso[i] <= iso[i + 1] + 1e-12 for i in range(len(iso) - 1))
