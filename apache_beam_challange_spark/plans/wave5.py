@@ -1293,3 +1293,459 @@ def isotonic_purchase_rate_by_value_bin(
         )
         .orderBy("bin")
     )
+
+
+# --- Zipf rank-frequency fit (token power law) ---------------------------------
+
+_ZIPF_TOP = 1000
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+    WHERE token <> '' GROUP BY token
+),
+ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS rnk, c
+    FROM counts
+),
+fp AS (
+    SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS DECIMAL(38,0)) AS x_fp,
+           CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS DECIMAL(38,0)) AS y_fp
+    FROM ranked WHERE rnk <= {_ZIPF_TOP}
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x_fp) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(y_fp) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(x_fp * y_fp) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(x_fp * x_fp) AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(y_fp * y_fp) AS DECIMAL(38,0)) AS syy
+    FROM fp
+)
+SELECT n AS n_ranks,
+       ROUND((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
+              - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+             / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
+                - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
+             6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) / 1e9
+              - (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
+                   - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+                * (CAST(sx AS DOUBLE) / 1e9))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND(POW(CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9), 2)
+             / ((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+                * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e18)
+                   - (CAST(sy AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))),
+             6) AS r2
+FROM s
+""".strip()
+
+
+@query("zipf_fit_tokens", oracle=_ZIPF_SQL)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus token rank-frequency curve —
+    log-log OLS of frequency on rank for the top {_ZIPF_TOP} ranks; the
+    standard corpus-health diagnostic (natural text slopes near -1;
+    boilerplate-heavy or synthetic corpora bend away). Token counts are
+    exact; the single-partition ranking window is VOCABULARY-bounded
+    (the ``vocab_coverage_topk`` argument), both ``ln`` terms convert to
+    1e-9 fixed point per rank BEFORE the regression sums (products stay
+    exact in DECIMAL(38,0)), and slope/intercept/r2 are identical double
+    expressions. Data-sized work: one token-count aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "token"))
+        .cast("long")
+        .alias("rnk"),
+        "c",
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    ln_fp = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    fp = ranked.select(
+        ln_fp(F.col("rnk")).alias("x_fp"), ln_fp(F.col("c")).alias("y_fp")
+    )
+    s = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_fp").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_fp").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x_fp") * F.col("y_fp")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y_fp") * F.col("y_fp")).cast("decimal(38,0)").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e9)
+    sy = F.col("sy").cast("double") / F.lit(1e9)
+    sxy = F.col("sxy").cast("double") / F.lit(1e18)
+    sxx = F.col("sxx").cast("double") / F.lit(1e18)
+    syy = F.col("syy").cast("double") / F.lit(1e18)
+    num = nD * sxy - sx * sy
+    denx = nD * sxx - sx * sx
+    deny = nD * syy - sy * sy
+    slope = num / denx
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nD, 6).alias("intercept"),
+        F.round(F.pow(num, F.lit(2.0)) / (denx * deny), 6).alias("r2"),
+    )
+
+
+# --- Benjamini-Hochberg FDR over per-hour purchase-rate tests ------------------
+
+#: Abramowitz & Stegun 7.1.26 erf constants — pinned as the same decimal
+#: literal text both engines parse, so the polynomial is the identical
+#: IEEE sequence everywhere.
+_AS_P = "0.3275911"
+_AS_A = ("0.254829592", "-0.284496736", "1.421413741",
+         "-1.453152027", "1.061405429")
+_SQRT1_2 = "0.7071067811865476"
+
+_BH_Q = "0.05"
+
+
+def _phi_2sided_sql(z: str) -> str:
+    """2*(1 - Phi(|z|)) via A&S 7.1.26, as engine-neutral SQL text."""
+    x = f"(ABS({z}) * {_SQRT1_2})"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = (
+        f"((((({_AS_A[4]} * {t} + {_AS_A[3]}) * {t} + {_AS_A[2]}) * {t}"
+        f" + {_AS_A[1]}) * {t} + {_AS_A[0]}) * {t})"
+    )
+    erf = f"(1.0 - {poly} * EXP(-({x} * {x})))"
+    return f"(1.0 - {erf})"
+
+
+_FDR_SQL = f"""
+WITH hours AS (
+    SELECT CAST(hour(ts) AS BIGINT) AS h,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS tn, CAST(SUM(n_pos) AS DOUBLE) AS tp
+    FROM hours
+),
+z AS (
+    SELECT h, n, n_pos,
+           ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) - tp / tn)
+                 / SQRT((tp / tn) * (1.0 - tp / tn) / CAST(n AS DOUBLE)),
+                 6) AS z
+    FROM hours, tot
+),
+p AS (
+    SELECT h, n, n_pos, z,
+           ROUND({_phi_2sided_sql("z")}, 6) AS p_raw
+    FROM z
+),
+ranked AS (
+    SELECT h, n, n_pos, z, p_raw,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_raw, h) AS BIGINT) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM p
+)
+SELECT h AS hour, n, n_pos, z, p_raw,
+       ROUND(LEAST(1.0, MIN(p_raw * CAST(m AS DOUBLE) / CAST(i AS DOUBLE))
+           OVER (ORDER BY i DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           AS p_bh,
+       LEAST(1.0, MIN(p_raw * CAST(m AS DOUBLE) / CAST(i AS DOUBLE))
+           OVER (ORDER BY i DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           <= {_BH_Q} AS rejected
+FROM ranked
+ORDER BY hour
+""".strip()
+
+
+@query("fdr_bh_hourly_purchase_rate", oracle=_FDR_SQL)
+def fdr_bh_hourly_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 24 simultaneous two-sided
+    z-tests ("does hour h's purchase rate differ from the global
+    rate?") — the multiple-testing layer every metrics platform needs
+    before flagging per-segment anomalies. The normal tail uses the
+    Abramowitz-Stegun 7.1.26 erf polynomial with PINNED literal
+    constants (identical IEEE sequence in both engines; z and p are
+    rounded at 1e-6 before the BH pass so the adjustment ranks over
+    identical keys, tie-broken by hour). The BH step-up is the
+    textbook suffix-min of ``p*m/i`` — a window over 24 rows. One
+    data-sized aggregate; everything else is hour-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long").alias("n_pos"),
+    )
+    tot = hours.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.sum("n_pos").cast("double").alias("tp"),
+    )
+    rate = F.col("tp") / F.col("tn")
+    z = hours.crossJoin(F.broadcast(tot)).select(
+        "h",
+        "n",
+        "n_pos",
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n").cast("double") - rate)
+            / F.sqrt(rate * (F.lit(1.0) - rate) / F.col("n").cast("double")),
+            6,
+        ).alias("z"),
+    )
+    p = z.withColumn("p_raw", F.round(F.expr(_phi_2sided_sql("z")), 6))
+    wrank = Window.orderBy("p_raw", "h")
+    ranked = p.select(
+        "h",
+        "n",
+        "n_pos",
+        "z",
+        "p_raw",
+        F.row_number().over(wrank).cast("long").alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("m"),
+    )
+    wsuf = Window.orderBy(F.desc("i")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = F.least(
+        F.lit(1.0),
+        F.min(
+            F.col("p_raw") * F.col("m").cast("double") / F.col("i").cast("double")
+        ).over(wsuf),
+    )
+    return ranked.select(
+        F.col("h").alias("hour"),
+        "n",
+        "n_pos",
+        "z",
+        "p_raw",
+        F.round(adj, 6).alias("p_bh"),
+        (adj <= F.lit(float(_BH_Q))).alias("rejected"),
+    ).orderBy("hour")
+
+
+# --- Holt-Winters additive seasonal forecast backtest --------------------------
+
+_HW_A = "0.3"   # level — pinned literal text both engines parse
+_HW_1A = "0.7"
+_HW_B = "0.2"   # trend
+_HW_1B = "0.8"
+_HW_G = "0.1"   # seasonal
+_HW_1G = "0.9"
+_HW_M = 7       # weekly season on the daily series
+
+
+def _hw_sql() -> str:
+    """Build the recursive oracle: a 7-slot seasonal state carried as
+    seven explicit columns, updated by CASE on day-of-week."""
+    sd = " ".join(
+        f"WHEN n.d % 7 = {i} THEN w.s{i}" for i in range(_HW_M)
+    )
+    sd_expr = f"(CASE {sd} END)"
+    y = "CAST(n.yc AS DOUBLE)"
+    lp = f"({_HW_A} * ({y} - {sd_expr}) + {_HW_1A} * (w.level + w.trend))"
+    s_cols_base = ", ".join(
+        f"COALESCE(i.s{i}, 0.0) AS s{i}" for i in range(_HW_M)
+    )
+    s_cols_step = ", ".join(
+        f"CASE WHEN n.d % 7 = {i} THEN {_HW_G} * ({y} - {lp})"
+        f" + {_HW_1G} * w.s{i} ELSE w.s{i} END" for i in range(_HW_M)
+    )
+    init_slots = ", ".join(
+        f"MAX(CASE WHEN dow = {i} THEN sy END) AS s{i}" for i in range(_HW_M)
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+numbered AS (
+    SELECT event_type, d, yc,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY d
+           ) AS BIGINT) AS rn
+    FROM daily
+),
+l0 AS (
+    SELECT event_type,
+           CAST(SUM(yc) AS DOUBLE) / 7.0 AS level0
+    FROM numbered WHERE rn <= 7 GROUP BY event_type
+),
+slot_src AS (
+    SELECT n.event_type, n.d % 7 AS dow,
+           CAST(MAX_BY(n.yc, n.rn) AS DOUBLE) - ANY_VALUE(l.level0) AS sy
+    FROM numbered n JOIN l0 l ON l.event_type = n.event_type
+    WHERE n.rn <= 7
+    GROUP BY n.event_type, n.d % 7
+),
+init AS (
+    SELECT event_type, {init_slots}
+    FROM slot_src GROUP BY event_type
+),
+walk AS (
+    SELECT l.event_type, CAST(7 AS BIGINT) AS rn, l.level0 AS level,
+           CAST(0 AS DOUBLE) AS trend, {s_cols_base},
+           CAST(0 AS DOUBLE) AS es
+    FROM l0 l JOIN init i ON i.event_type = l.event_type
+    UNION ALL
+    SELECT n.event_type, n.rn,
+           {lp},
+           {_HW_B} * ({lp} - w.level) + {_HW_1B} * w.trend,
+           {s_cols_step},
+           w.es + ABS({y} - (w.level + w.trend + {sd_expr}))
+    FROM walk w JOIN numbered n
+      ON n.event_type = w.event_type AND n.rn = w.rn + 1
+)
+SELECT event_type,
+       CAST(MAX(rn) AS BIGINT) AS n_days,
+       MAX(CASE WHEN is_last THEN level END) AS final_level,
+       MAX(CASE WHEN is_last THEN trend END) AS final_trend,
+       MAX(CASE WHEN is_last THEN es END)
+       / CAST(MAX(rn) - 7 AS DOUBLE) AS mae
+FROM (
+    SELECT event_type, rn, level, trend, es,
+           rn = MAX(rn) OVER (PARTITION BY event_type) AS is_last
+    FROM walk
+)
+WHERE rn >= 8 OR is_last
+GROUP BY event_type
+HAVING MAX(rn) >= 8
+ORDER BY event_type
+""".strip()
+
+
+_HW_SQL = _hw_sql()
+
+
+@query("holt_winters_forecast_backtest", oracle=_HW_SQL)
+def holt_winters_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (alpha=0.3, beta=0.2,
+    gamma=0.1, weekly season m=7) over the daily revenue series per
+    event type, backtested one-step-ahead from day 8 — the seasonal
+    member of the forecasting family (EWMA level-only -> Holt trend ->
+    this). State is (level, trend, 7 seasonal slots keyed by day-of-week
+    d%7); init is RELATIONAL, not recursive: level = mean of the first
+    seven days, slot = last-seen y - level among them (absent slots 0),
+    trend = 0 — so both engines seed from the same non-iterative CTE.
+    The three-way recurrence then runs as the IDENTICAL IEEE sequence:
+    the oracle's RECURSIVE walk carries seven explicit columns updated
+    by CASE, the engine left-folds a struct whose seasonal array is
+    rebuilt with the same one-slot transform; the level expression
+    subtree is textually shared where the oracle repeats it. Data-sized
+    work: the one daily aggregate; the walk is DAYS x TYPES bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("yc")
+    )
+    wn = Window.partitionBy("event_type").orderBy("d")
+    numbered = daily.withColumn("rn", F.row_number().over(wn).cast("long"))
+    first7 = numbered.filter(F.col("rn") <= 7)
+    l0 = first7.groupBy("event_type").agg(
+        (F.sum("yc").cast("double") / F.lit(7.0)).alias("level0"),
+        F.count(F.lit(1)).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    slot_src = (
+        first7.groupBy("event_type", (F.col("d") % 7).alias("dow"))
+        .agg(F.max_by("yc", "rn").cast("double").alias("ylast"))
+    )
+    init = (
+        slot_src.join(l0, "event_type")
+        .groupBy("event_type", "level0")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("dow"), (F.col("ylast") - F.col("level0")).alias("sy"))
+                )
+            ).alias("slots")
+        )
+        .select(
+            "event_type",
+            "level0",
+            F.array(
+                *[
+                    F.coalesce(
+                        F.element_at(F.col("slots"), F.lit(i)), F.lit(0.0)
+                    )
+                    for i in range(_HW_M)
+                ]
+            ).alias("seas0"),
+        )
+    )
+    rest = (
+        numbered.filter(F.col("rn") >= 8)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("d", "yc"))).alias("arr"))
+    )
+    joined = init.join(rest, "event_type")
+    a, ia = float(_HW_A), float(_HW_1A)
+    b, ib = float(_HW_B), float(_HW_1B)
+    g, ig = float(_HW_G), float(_HW_1G)
+    acc0 = F.struct(
+        F.col("level0").alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.col("seas0").alias("seas"),
+        F.lit(0.0).alias("es"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, x):
+        y = x["yc"].cast("double")
+        dow = (x["d"] % 7).cast("int")
+        sd = F.element_at(acc["seas"], dow + F.lit(1))
+        lp = F.lit(a) * (y - sd) + F.lit(ia) * (acc["level"] + acc["trend"])
+        new_seas = F.transform(
+            acc["seas"],
+            lambda v, idx: F.when(
+                idx == dow, F.lit(g) * (y - lp) + F.lit(ig) * v
+            ).otherwise(v),
+        )
+        return F.struct(
+            lp.alias("level"),
+            (F.lit(b) * (lp - acc["level"]) + F.lit(ib) * acc["trend"]).alias(
+                "trend"
+            ),
+            new_seas.alias("seas"),
+            (
+                acc["es"] + F.abs(y - (acc["level"] + acc["trend"] + sd))
+            ).alias("es"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    fin = F.aggregate("arr", acc0, step)
+    return joined.select(
+        "event_type",
+        (fin["n"] + F.lit(7)).cast("long").alias("n_days"),
+        fin["level"].alias("final_level"),
+        fin["trend"].alias("final_trend"),
+        (fin["es"] / fin["n"].cast("double")).alias("mae"),
+    ).orderBy("event_type")

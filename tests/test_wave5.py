@@ -388,3 +388,82 @@ def test_isotonic_matches_pava_sweep(spark):
     for a, b in zip(iso, expected):
         assert abs(a - b) < 1e-12
     assert all(iso[i] <= iso[i + 1] + 1e-12 for i in range(len(iso) - 1))
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    """A corpus built so count(rank) = round(1000 * rank^-1) fits slope
+    ~ -1 with r2 ~ 1 on the fitted ranks."""
+    rows = []
+    doc_id = 0
+    for rnk in range(1, 41):
+        c = max(1, round(1000 * rnk ** -1.0))
+        text = " ".join([f"tok{rnk:03d}"] * c)
+        rows.append((doc_id, text, "en", "src", len(text)))
+        doc_id += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = w5.zipf_fit_tokens(spark, d).collect()[0]
+    assert got.n_ranks == 40
+    assert abs(got.slope + 1.0) < 0.02
+    assert got.r2 > 0.999
+
+
+def test_fdr_bh_matches_textbook_stepup(spark):
+    """BH adjustment replayed in python over the query's own raw
+    p-values (procedure check, independent of the erf approximation)."""
+    import pathlib
+
+    out = w5.fdr_bh_hourly_purchase_rate(spark, "/root/testdata/sf0.001").collect()
+    ps = sorted((r.p_raw, r.hour) for r in out)
+    m = len(ps)
+    adj = {}
+    running = 1.0
+    for i in range(m, 0, -1):
+        p, h = ps[i - 1]
+        running = min(running, p * m / i)
+        adj[h] = min(1.0, running)
+    for r in out:
+        # SQL ROUND is half-up; python's round() is banker's — emulate
+        half_up = math.floor(adj[r.hour] * 1e6 + 0.5) / 1e6
+        assert abs(r.p_bh - half_up) < 1e-9
+        assert r.rejected == (adj[r.hour] <= 0.05)
+
+
+def test_holt_winters_matches_python_replay(spark):
+    """Full recurrence replayed in python (same init convention) on a
+    synthetic two-season series with trend."""
+    rows, i = [], 0
+    ys = []
+    for d in range(21):
+        season = [0, 50, -30, 20, -10, 40, -70][d % 7]
+        y = 1000 + 10 * d + season
+        ys.append((d, y))
+        rows.append(
+            _ev(i, dt.datetime(2024, 1, 1 + d, 12), 1, "view", y / 100.0)
+        )
+        i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.holt_winters_forecast_backtest(spark, d).collect()[0]
+
+    a, b, g = 0.3, 0.2, 0.1
+    first7 = ys[:7]
+    level = sum(y for _, y in first7) / 7.0
+    seas = [0.0] * 7
+    for dd, y in first7:
+        seas[dd % 7] = y - level
+    trend, es = 0.0, 0.0
+    for dd, y in ys[7:]:
+        sd = seas[dd % 7]
+        es += abs(y - (level + trend + sd))
+        lp = a * (y - sd) + (1 - a) * (level + trend)
+        seas[dd % 7] = g * (y - lp) + (1 - g) * sd
+        trend = b * (lp - level) + (1 - b) * trend
+        level = lp
+    assert got.n_days == 21
+    assert abs(got.final_level - level) < 1e-9
+    assert abs(got.final_trend - trend) < 1e-9
+    assert abs(got.mae - es / 14) < 1e-9
