@@ -142,7 +142,15 @@ DRIVER_ORDER: list[str] = [
     # ivf_retrain_topk_vec0, kendall_tau_value_hour_by_type,
     # asof_forward_next_purchase_after_click, bradley_terry_part_prefs,
     # holt_forecast_backtest, mann_kendall_sen_trend_daily,
-    # seasonal_decompose_daily, did_estimate_by_type.)
+    # seasonal_decompose_daily, did_estimate_by_type, plus the
+    # wave5 experiment-analysis block: anova_f_value_by_type,
+    # kruskal_wallis_value_by_type, nelson_aalen_hazard_to_purchase,
+    # logrank_purchase_by_parity, hhi_nation_revenue_concentration,
+    # theil_index_revenue, ccf_clicks_purchases_daily,
+    # loo_group_influence_on_slope, stratified_ate_weekend_value,
+    # ece_calibration_value_deciles, average_precision_purchase_by_value,
+    # isotonic_purchase_rate_by_value_bin, zipf_fit_tokens,
+    # fdr_bh_hourly_purchase_rate, holt_winters_forecast_backtest.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

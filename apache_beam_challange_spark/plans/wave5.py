@@ -1749,3 +1749,481 @@ def holt_winters_forecast_backtest(
         fin["trend"].alias("final_trend"),
         (fin["es"] / fin["n"].cast("double")).alias("mae"),
     ).orderBy("event_type")
+
+
+# --- Kaplan-Meier with Greenwood confidence bands ------------------------------
+
+_Z95 = "1.959963984540054"  # Phi^-1(0.975), pinned literal both engines parse
+
+_KMCI_SQL = f"""
+WITH RECURSIVE mic AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+u AS (
+    SELECT user_id, MIN(us) AS t0, MAX(us) AS tl,
+           MIN(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+    FROM mic GROUP BY user_id
+),
+d AS (
+    SELECT (COALESCE(tp, tl) - t0) // {_NA_HOUR_US} AS dur,
+           (tp IS NOT NULL) AS died
+    FROM u
+),
+hist AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+    FROM d GROUP BY dur
+),
+risk AS (
+    SELECT dur, deaths,
+           CAST(SUM(n_all) OVER (
+               ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS at_risk
+    FROM hist
+),
+steps AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY dur) AS rn, dur, deaths, at_risk,
+           CAST(SUM(CASE WHEN at_risk > deaths
+                         THEN (deaths * 1000000000)
+                              // (at_risk * (at_risk - deaths))
+                         ELSE 0 END) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS gw_fp
+    FROM risk WHERE deaths > 0
+),
+km AS (
+    SELECT rn, dur, deaths, at_risk, gw_fp,
+           1.0 * (1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)) AS surv
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.dur, s.deaths, s.at_risk, s.gw_fp,
+           km.surv * (1.0 - CAST(s.deaths AS DOUBLE) / CAST(s.at_risk AS DOUBLE))
+    FROM km JOIN steps s ON s.rn = km.rn + 1
+)
+SELECT dur AS dur_h, at_risk, deaths, surv,
+       surv * SQRT(CAST(gw_fp AS DOUBLE) / 1000000000.0) AS se,
+       GREATEST(0.0, surv - {_Z95}
+                * (surv * SQRT(CAST(gw_fp AS DOUBLE) / 1000000000.0))) AS lo95,
+       LEAST(1.0, surv + {_Z95}
+                * (surv * SQRT(CAST(gw_fp AS DOUBLE) / 1000000000.0))) AS hi95
+FROM km ORDER BY dur_h
+""".strip()
+
+
+@query("km_greenwood_ci", oracle=_KMCI_SQL)
+def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival with Greenwood standard errors and pinned
+    95% bands — the uncertainty layer on top of ``km_time_to_purchase``
+    (same durations, censoring, and forced-order survival product).
+    Greenwood's sum ``sum d/(n(n-d))`` is an EXACT integer prefix sum
+    (``(d*1e9) div (n*(n-d))`` — the Nelson-Aalen discipline; the
+    all-die last step contributes 0 by the standard convention), so the
+    only ordered float chain remains the KM product itself, replayed as
+    the identical IEEE sequence via the recursive CTE / left-fold pair.
+    z = {_Z95} pinned as shared literal text."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    d = u.select(
+        F.expr(f"(coalesce(tp, tl) - t0) div {_NA_HOUR_US}").alias("dur"),
+        F.col("tp").isNotNull().alias("died"),
+    )
+    hist = d.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("deaths"),
+    )
+    w_risk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn(
+        "at_risk", F.sum("n_all").over(w_risk).cast("long")
+    ).filter(F.col("deaths") > 0)
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gw_step = F.when(
+        F.col("at_risk") > F.col("deaths"),
+        F.expr("(deaths * 1000000000) div (at_risk * (at_risk - deaths))"),
+    ).otherwise(F.lit(0))
+    steps = risk.withColumn(
+        "gw_fp", F.sum(gw_step).over(w_cum).cast("long")
+    )
+    packed = steps.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "deaths", "at_risk", "gw_fp"))
+        ).alias("arr")
+    )
+    surv = F.aggregate(
+        "arr",
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0))
+                * (
+                    F.lit(1.0)
+                    - x["deaths"].cast("double")
+                    / x["at_risk"].cast("double")
+                )
+            ),
+        ),
+    )
+    zipped = packed.select(
+        F.posexplode(F.arrays_zip(F.col("arr"), surv.alias("surv_arr")))
+    )
+    sv = F.col("col.surv_arr")
+    se = sv * F.sqrt(
+        F.col("col.arr.gw_fp").cast("double") / F.lit(1_000_000_000.0)
+    )
+    z = F.lit(float(_Z95))
+    return zipped.select(
+        F.col("col.arr.dur").alias("dur_h"),
+        F.col("col.arr.at_risk").alias("at_risk"),
+        F.col("col.arr.deaths").alias("deaths"),
+        sv.alias("surv"),
+        se.alias("se"),
+        F.greatest(F.lit(0.0), sv - z * se).alias("lo95"),
+        F.least(F.lit(1.0), sv + z * se).alias("hi95"),
+    ).orderBy("dur_h")
+
+
+# --- weighted quantiles (revenue-mass quartiles per type) ----------------------
+
+_WQ_SQL = """
+WITH hist AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, vb, c,
+           CAST(SUM(vb * c) OVER (
+               PARTITION BY event_type ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cw,
+           CAST(SUM(vb * c) OVER (PARTITION BY event_type) AS BIGINT) AS tw,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM hist
+)
+SELECT event_type, MAX(n) AS n, MAX(tw) AS total_cents,
+       MIN(CASE WHEN 4 * cw >= tw THEN vb END) AS wq25,
+       MIN(CASE WHEN 2 * cw >= tw THEN vb END) AS wmedian,
+       MIN(CASE WHEN 4 * cw >= 3 * tw THEN vb END) AS wq75
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+@query("weighted_quantiles_value_by_type", oracle=_WQ_SQL)
+def weighted_quantiles_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-weighted quartiles per event type — "the value below
+    which a quarter / half / three quarters of the MONEY sits" (each
+    row weighted by its own cent value), the mass-weighted twin of the
+    count-based ``value_quantiles_by_type``. ZERO floats anywhere: the
+    cent-bucket histogram is exact, the weight prefix sums are BIGINT,
+    and the quartile picks are integer threshold comparisons
+    (``4*cum >= k*total``). Windows run over the VALUE-DOMAIN-bounded
+    per-type histogram; one data-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("vb")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vb",
+        F.sum(F.col("vb") * F.col("c")).over(wcum).cast("long").alias("cw"),
+        F.sum(F.col("vb") * F.col("c")).over(wall).cast("long").alias("tw"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("vb")))  # noqa: E731
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("tw").alias("total_cents"),
+            pick(F.lit(4) * F.col("cw") >= F.col("tw")).alias("wq25"),
+            pick(F.lit(2) * F.col("cw") >= F.col("tw")).alias("wmedian"),
+            pick(F.lit(4) * F.col("cw") >= F.lit(3) * F.col("tw")).alias("wq75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Cochran-Mantel-Haenszel (weekend x purchase, hour strata) -----------------
+
+_CMH_SQL = """
+WITH base AS (
+    SELECT CAST(hour(ts) AS BIGINT) AS h,
+           CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+strata AS (
+    SELECT h,
+           CAST(SUM(w * pos) AS BIGINT) AS a,
+           CAST(SUM(w * (1 - pos)) AS BIGINT) AS b,
+           CAST(SUM((1 - w) * pos) AS BIGINT) AS c,
+           CAST(SUM((1 - w) * (1 - pos)) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY h
+),
+used AS (SELECT * FROM strata WHERE n > 1 AND a + b > 0 AND c + d > 0),
+terms AS (
+    SELECT a,
+           CAST(FLOOR(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS e_fp,
+           CAST(FLOOR(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n - 1 AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS v_fp,
+           CAST(FLOOR(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+               AS ad_fp,
+           CAST(FLOOR(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+               AS bc_fp
+    FROM used
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
+       ROUND(CAST(SUM(e_fp) AS DOUBLE) / 1000000.0, 6) AS e_sum,
+       ROUND(CAST(SUM(v_fp) AS DOUBLE) / 1000000.0, 6) AS v_sum,
+       ROUND((CAST(SUM(a) AS DOUBLE) - CAST(SUM(e_fp) AS DOUBLE) / 1000000.0)
+             * (CAST(SUM(a) AS DOUBLE) - CAST(SUM(e_fp) AS DOUBLE) / 1000000.0)
+             / (CAST(SUM(v_fp) AS DOUBLE) / 1000000.0), 6) AS chi2,
+       ROUND(CAST(SUM(ad_fp) AS DOUBLE) / CAST(SUM(bc_fp) AS DOUBLE), 6)
+           AS or_mh
+FROM terms
+""".strip()
+
+
+@query("cmh_weekend_purchase_by_hour", oracle=_CMH_SQL)
+def cmh_weekend_purchase_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of the weekend-purchase association
+    CONTROLLING for hour-of-day — the hypothesis-test companion to
+    ``stratified_ate_weekend_value`` (same strata, binary outcome, 2x2xK
+    design), plus the Mantel-Haenszel pooled odds ratio. Each stratum's
+    hypergeometric E and V and the MH ``ad/n`` / ``bc/n`` terms are
+    fixed-pointed before the cross-stratum sums (continuity correction
+    deliberately omitted — documented, identical in both engines); one
+    conditional aggregate is the only data-sized work."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("long").alias("h"),
+        F.when(F.weekday("ts") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("w"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    strata = base.groupBy("h").agg(
+        F.sum(F.col("w") * F.col("pos")).cast("long").alias("a"),
+        F.sum(F.col("w") * (F.lit(1) - F.col("pos"))).cast("long").alias("b"),
+        F.sum((F.lit(1) - F.col("w")) * F.col("pos")).cast("long").alias("c"),
+        F.sum((F.lit(1) - F.col("w")) * (F.lit(1) - F.col("pos")))
+        .cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(
+        (F.col("n") > 1)
+        & (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+    )
+    aD = F.col("a").cast("double")
+    bD = F.col("b").cast("double")
+    cD = F.col("c").cast("double")
+    dD = F.col("d").cast("double")
+    nD = F.col("n").cast("double")
+    fp6 = lambda x: F.floor(x * F.lit(_FP) + F.lit(0.5)).cast("long")  # noqa: E731
+    fp9 = lambda x: F.floor(  # noqa: E731
+        x * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    terms = strata.select(
+        "a",
+        fp6((aD + bD) * (aD + cD) / nD).alias("e_fp"),
+        fp6(
+            (aD + bD) * (cD + dD) * (aD + cD) * (bD + dD)
+            / (nD * nD * (nD - F.lit(1.0)))
+        ).alias("v_fp"),
+        fp9(aD * dD / nD).alias("ad_fp"),
+        fp9(bD * cD / nD).alias("bc_fp"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum("e_fp").cast("long").alias("es"),
+        F.sum("v_fp").cast("long").alias("vs"),
+        F.sum("ad_fp").cast("long").alias("ads"),
+        F.sum("bc_fp").cast("long").alias("bcs"),
+    )
+    e = F.col("es").cast("double") / F.lit(_FP)
+    v = F.col("vs").cast("double") / F.lit(_FP)
+    sa = F.col("sum_a").cast("double")
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        F.round(e, 6).alias("e_sum"),
+        F.round(v, 6).alias("v_sum"),
+        F.round((sa - e) * (sa - e) / v, 6).alias("chi2"),
+        F.round(
+            F.col("ads").cast("double") / F.col("bcs").cast("double"), 6
+        ).alias("or_mh"),
+    )
+
+
+# --- linear-interpolation resample (the LOCF twin) ------------------------------
+
+_LERP_SQL = """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+grid AS (
+    SELECT t.event_type, s.hour
+    FROM (SELECT DISTINCT event_type FROM events) t, spine s
+),
+picked AS (
+    SELECT event_type, hour, yc FROM (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+),
+joined AS (
+    SELECT g.event_type, g.hour, p.yc,
+           epoch_us(g.hour) // 3600000000 AS eh
+    FROM grid g LEFT JOIN picked p
+      ON p.event_type = g.event_type AND p.hour = g.hour
+),
+ctx AS (
+    SELECT event_type, hour, yc, eh,
+           LAST_VALUE(yc IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY eh
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS y0,
+           LAST_VALUE(CASE WHEN yc IS NOT NULL THEN eh END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY eh
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS t0,
+           FIRST_VALUE(yc IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY eh
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS y1,
+           FIRST_VALUE(CASE WHEN yc IS NOT NULL THEN eh END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY eh
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS t1
+    FROM joined
+)
+SELECT event_type, hour,
+       CASE WHEN yc IS NOT NULL THEN CAST(yc AS DOUBLE)
+            WHEN y0 IS NOT NULL AND y1 IS NOT NULL THEN
+                CAST(y0 AS DOUBLE) + CAST(y1 - y0 AS DOUBLE)
+                * CAST(eh - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)
+            END AS y_cents,
+       CASE WHEN yc IS NOT NULL THEN 'obs'
+            WHEN y0 IS NOT NULL AND y1 IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS method
+FROM ctx
+ORDER BY event_type, hour
+""".strip()
+
+
+@query("resample_linear_hourly", oracle=_LERP_SQL)
+def resample_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with LINEAR interpolation across gaps — the
+    slope-aware twin of ``resample_locf_hourly`` (same spine, same
+    deterministic per-hour pick: last raw reading by (ts, event_id)).
+    Interior gaps interpolate between the exact integer cent endpoints
+    with one identical double expression (endpoints and epoch-hours are
+    exact BIGINTs, so the lerp is a single division of exact integers);
+    hours before the first / after the last observation stay NULL and
+    are labeled ``edge`` honestly. Windows run over the per-type DENSE
+    spine (calendar-bounded), not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    w_pick = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    picked = (
+        ev.select(
+            "event_type",
+            hour.alias("hour"),
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
+        )
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "hour", "yc")
+    )
+    joined = grid.join(picked, ["event_type", "hour"], "left").withColumn(
+        "eh", F.expr("unix_micros(cast(hour as timestamp)) div 3600000000")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("eh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("eh")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_eh = F.when(F.col("yc").isNotNull(), F.col("eh"))
+    ctx = joined.select(
+        "event_type",
+        "hour",
+        "yc",
+        "eh",
+        F.last("yc", ignorenulls=True).over(wb).alias("y0"),
+        F.last(marked_eh, ignorenulls=True).over(wb).alias("t0"),
+        F.first("yc", ignorenulls=True).over(wf).alias("y1"),
+        F.first(marked_eh, ignorenulls=True).over(wf).alias("t1"),
+    )
+    lerp = (
+        F.col("y0").cast("double")
+        + (F.col("y1") - F.col("y0")).cast("double")
+        * (F.col("eh") - F.col("t0")).cast("double")
+        / (F.col("t1") - F.col("t0")).cast("double")
+    )
+    both = F.col("y0").isNotNull() & F.col("y1").isNotNull()
+    return ctx.select(
+        "event_type",
+        "hour",
+        F.when(F.col("yc").isNotNull(), F.col("yc").cast("double"))
+        .when(both, lerp)
+        .alias("y_cents"),
+        F.when(F.col("yc").isNotNull(), F.lit("obs"))
+        .when(both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("method"),
+    ).orderBy("event_type", "hour")

@@ -467,3 +467,82 @@ def test_holt_winters_matches_python_replay(spark):
     assert abs(got.final_level - level) < 1e-9
     assert abs(got.final_trend - trend) < 1e-9
     assert abs(got.mae - es / 14) < 1e-9
+
+
+def test_km_greenwood_matches_hand_replay(spark):
+    rows, spec = _survival_fixture()
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.dur_h: r for r in w5.km_greenwood_ci(spark, d).collect()}
+    # steps: t=2 (d=2, n=6), t=5 (d=2, n=3)
+    s2 = 1.0 * (1 - 2 / 6)
+    s5 = s2 * (1 - 2 / 3)
+    g2 = math.floor(2 * 1e9 / (6 * 4)) / 1e9
+    g5 = g2 + math.floor(2 * 1e9 / (3 * 1)) / 1e9
+    z = 1.959963984540054
+    assert abs(out[2].surv - s2) < 1e-12
+    assert abs(out[5].surv - s5) < 1e-12
+    assert abs(out[2].se - s2 * math.sqrt(g2)) < 1e-12
+    assert abs(out[5].se - s5 * math.sqrt(g5)) < 1e-12
+    assert abs(out[2].lo95 - max(0.0, s2 - z * s2 * math.sqrt(g2))) < 1e-12
+    assert abs(out[5].hi95 - min(1.0, s5 + z * s5 * math.sqrt(g5))) < 1e-12
+
+
+def test_weighted_quantiles_exact_mass_split(spark):
+    """Mass ledger: 10.00 x3 (3000c), 20.00 x2 (4000c), 30.00 x1 (3000c)
+    -> total 10000c; cum mass 3000/7000/10000 puts q25 at 1000, the
+    median at 2000, q75 at 3000 — while the COUNT median would be 2000
+    too but the count q75 would still be 2000 (4th of 6 rows)."""
+    rows = []
+    for i, v in enumerate([10.0, 10.0, 10.0, 20.0, 20.0, 30.0]):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, "view", v))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.weighted_quantiles_value_by_type(spark, d).collect()[0]
+    assert got.n == 6 and got.total_cents == 10000
+    assert got.wq25 == 1000    # 4*3000 >= 10000
+    assert got.wmedian == 2000  # 2*7000 >= 10000
+    assert got.wq75 == 3000    # 4*7000 < 30000 -> needs the 30.00 row
+
+
+def test_cmh_no_association_when_rates_equal(spark):
+    """Equal purchase rates for weekend and weekday inside every stratum
+    -> sum_a == e_sum and OR_MH == 1."""
+    rows, i = [], 0
+    sat, mon = dt.datetime(2024, 1, 6, 0), dt.datetime(2024, 1, 8, 0)
+    for h in (0, 1):
+        for base_ts in (sat, mon):
+            ts = base_ts + dt.timedelta(hours=h)
+            rows.append(_ev(i, ts, 1, "purchase", 1.0)); i += 1
+            for _ in range(3):
+                rows.append(_ev(i, ts, 1, "view", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.cmh_weekend_purchase_by_hour(spark, d).collect()[0]
+    assert got.n_strata == 2
+    assert abs(got.sum_a - got.e_sum) < 1e-6
+    assert abs(got.or_mh - 1.0) < 1e-6
+    assert got.chi2 < 1e-6
+
+
+def test_resample_linear_interpolates_interior_gaps(spark):
+    """Hours 0 and 3 observed (100 and 400 cents); hours 1-2 must lerp
+    to 200/300; an hour before the first observation is 'edge'."""
+    rows = [
+        _ev(0, dt.datetime(2024, 1, 1, 1), 1, "view", 1.0),
+        _ev(1, dt.datetime(2024, 1, 1, 4), 1, "view", 4.0),
+        # second type pins the spine start an hour earlier
+        _ev(2, dt.datetime(2024, 1, 1, 0), 1, "click", 9.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {
+            (r.event_type, r.hour.hour): (r.y_cents, r.method)
+            for r in w5.resample_linear_hourly(spark, d).collect()
+        }
+    assert out[("view", 1)] == (100.0, "obs")
+    assert out[("view", 2)] == (200.0, "interp")
+    assert out[("view", 3)] == (300.0, "interp")
+    assert out[("view", 4)] == (400.0, "obs")
+    assert out[("view", 0)] == (None, "edge")
+    assert out[("click", 4)] == (None, "edge")
