@@ -150,7 +150,11 @@ DRIVER_ORDER: list[str] = [
     # loo_group_influence_on_slope, stratified_ate_weekend_value,
     # ece_calibration_value_deciles, average_precision_purchase_by_value,
     # isotonic_purchase_rate_by_value_bin, zipf_fit_tokens,
-    # fdr_bh_hourly_purchase_rate, holt_winters_forecast_backtest.)
+    # fdr_bh_hourly_purchase_rate, holt_winters_forecast_backtest,
+    # km_greenwood_ci, weighted_quantiles_value_by_type,
+    # cmh_weekend_purchase_by_hour, resample_linear_hourly,
+    # wilson_ci_purchase_by_parity, dispersion_index_hourly_counts,
+    # granger_lite_clicks_purchases, weekly_periodogram_power.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

@@ -2227,3 +2227,417 @@ def resample_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("edge"))
         .alias("method"),
     ).orderBy("event_type", "hour")
+
+
+# --- Wilson confidence intervals (purchase rate per assignment cohort) ---------
+
+_WILSON_SQL = f"""
+WITH g AS (
+    SELECT user_id % 2 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos
+    FROM events GROUP BY 1
+)
+SELECT grp, n, pos,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+         + {_Z95} * {_Z95} / (2.0 * CAST(n AS DOUBLE)))
+        - {_Z95} * SQRT((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + {_Z95} * {_Z95}
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1.0 + {_Z95} * {_Z95} / CAST(n AS DOUBLE)) AS lo95,
+       ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+         + {_Z95} * {_Z95} / (2.0 * CAST(n AS DOUBLE)))
+        + {_Z95} * SQRT((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + {_Z95} * {_Z95}
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1.0 + {_Z95} * {_Z95} / CAST(n AS DOUBLE)) AS hi95
+FROM g ORDER BY grp
+""".strip()
+
+
+@query("wilson_ci_purchase_by_parity", oracle=_WILSON_SQL)
+def wilson_ci_purchase_by_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for the purchase rate of the two user-id
+    parity cohorts — the CI every experiment readout should print
+    instead of the Wald interval (Wilson never leaves [0,1] and behaves
+    at small n / extreme rates). Counts are exact; the interval is one
+    identical double expression per cohort with the pinned z={_Z95}.
+    One conditional aggregate; two output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long").alias("pos"),
+    )
+    z = F.lit(float(_Z95))
+    nD = F.col("n").cast("double")
+    p = F.col("pos").cast("double") / nD
+    center = p + z * z / (F.lit(2.0) * nD)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nD + z * z / (F.lit(4.0) * nD * nD)
+    )
+    denom = F.lit(1.0) + z * z / nD
+    return g.select(
+        "grp",
+        "n",
+        "pos",
+        p.alias("rate"),
+        ((center - half) / denom).alias("lo95"),
+        ((center + half) / denom).alias("hi95"),
+    ).orderBy("grp")
+
+
+# --- index of dispersion (Poisson overdispersion check on hourly counts) -------
+
+_DISP_SQL = """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+grid AS (
+    SELECT t.event_type, s.hour
+    FROM (SELECT DISTINCT event_type FROM events) t, spine s
+),
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+filled AS (
+    SELECT g.event_type, COALESCE(h.y, 0) AS y
+    FROM grid g LEFT JOIN hourly h
+      ON h.event_type = g.event_type AND h.hour = g.hour
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM filled GROUP BY 1
+)
+SELECT event_type, n AS n_hours,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_per_hour,
+       ROUND(((CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))
+             / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS dispersion,
+       ROUND(((CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))
+             / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * CAST(n - 1 AS DOUBLE), 6) AS chi2
+FROM s ORDER BY event_type
+""".strip()
+
+
+@query("dispersion_index_hourly_counts", oracle=_DISP_SQL)
+def dispersion_index_hourly_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of the per-type
+    hourly arrival counts over the ZERO-FILLED hour spine — the Poisson
+    sanity check every event pipeline needs (D~1 Poissonian, D>>1
+    bursty/overdispersed, D<<1 rate-limited), with the (n-1)*D chi-square
+    statistic. Counts and their squares are exact BIGINTs on the
+    calendar-bounded grid; mean/variance/D are identical double
+    expressions. One data-sized aggregate + a broadcast spine join."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    filled = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    s = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nD
+    var = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nD
+    ) / (F.col("n") - F.lit(1)).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("dispersion"),
+        F.round(var / mean * (F.col("n") - F.lit(1)).cast("double"), 6)
+        .alias("chi2"),
+    ).orderBy("event_type")
+
+
+# --- Granger-lite: do lagged clicks explain purchases? -------------------------
+
+_GRANGER_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p
+    FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+spine AS (
+    SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+    FROM bounds
+),
+filled AS (
+    SELECT spine.d, COALESCE(c, 0) AS c, COALESCE(p, 0) AS p
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+),
+lagged AS (
+    SELECT a.p AS y, b.p AS x1, b.c AS x2
+    FROM filled a JOIN filled b ON b.d = a.d - 1
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1) AS BIGINT) AS s1,
+           CAST(SUM(x2) AS BIGINT) AS s2,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+           CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+           CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+           CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+           CAST(SUM(x1 * x2) AS BIGINT) AS s12
+    FROM lagged
+),
+c AS (
+    SELECT CAST(n AS DOUBLE) AS n,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE) AS cyy,
+           CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS c11,
+           CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS c22,
+           CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE) AS c1y,
+           CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE) AS c2y,
+           CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS c12
+    FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(cyy - c1y * c1y / c11, 6) AS rss_restricted,
+       ROUND(cyy - (c1y * c1y * c22 - 2.0 * c1y * c2y * c12
+                    + c2y * c2y * c11)
+                   / (c11 * c22 - c12 * c12), 6) AS rss_full,
+       ROUND(((cyy - c1y * c1y / c11)
+              - (cyy - (c1y * c1y * c22 - 2.0 * c1y * c2y * c12
+                        + c2y * c2y * c11)
+                       / (c11 * c22 - c12 * c12)))
+             / ((cyy - (c1y * c1y * c22 - 2.0 * c1y * c2y * c12
+                        + c2y * c2y * c11)
+                       / (c11 * c22 - c12 * c12)) / (n - 3.0)), 6) AS f_stat
+FROM c
+""".strip()
+
+
+@query("granger_lite_clicks_purchases", oracle=_GRANGER_SQL)
+def granger_lite_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style incremental-predictability F test at lag 1: does
+    yesterday's CLICK count explain today's PURCHASE count beyond
+    yesterday's purchases? (The causal-direction companion to
+    ``ccf_clicks_purchases_daily``.) Restricted (AR(1)) vs full
+    (AR(1)+lagged clicks) RSS both come in closed form from ONE exact
+    integer moment aggregate over the zero-filled lag-joined daily frame
+    — the 2x2 normal equations solved by determinant, no iterative fit
+    — and F = (RSS_r - RSS_f) / (RSS_f / (n-3)). Calendar-bounded
+    everywhere after the single daily aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("p"),
+    )
+    spine = (
+        daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+        )
+        .select(F.col("d").cast("date").alias("d"))
+    )
+    filled = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            F.coalesce("p", F.lit(0)).cast("long").alias("p"),
+        )
+        .localCheckpoint()  # one shuffle feeds both sides of the lag join
+    )
+    b = filled.select(
+        F.col("d").alias("bd"), F.col("p").alias("x1"), F.col("c").alias("x2")
+    )
+    lagged = filled.join(
+        b, F.expr("bd = date_add(d, -1)")
+    ).select(F.col("p").alias("y"), "x1", "x2")
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+    )
+    nD = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cyy = d("syy") - d("sy") * d("sy") / nD
+    c11 = d("s11") - d("s1") * d("s1") / nD
+    c22 = d("s22") - d("s2") * d("s2") / nD
+    c1y = d("s1y") - d("s1") * d("sy") / nD
+    c2y = d("s2y") - d("s2") * d("sy") / nD
+    c12 = d("s12") - d("s1") * d("s2") / nD
+    rss_r = cyy - c1y * c1y / c11
+    rss_f = cyy - (
+        c1y * c1y * c22 - F.lit(2.0) * c1y * c2y * c12 + c2y * c2y * c11
+    ) / (c11 * c22 - c12 * c12)
+    return m.select(
+        "n",
+        F.round(rss_r, 6).alias("rss_restricted"),
+        F.round(rss_f, 6).alias("rss_full"),
+        F.round(
+            (rss_r - rss_f) / (rss_f / (nD - F.lit(3.0))), 6
+        ).alias("f_stat"),
+    )
+
+
+# --- weekly periodogram power (pinned DFT constants) ----------------------------
+
+#: cos/sin(2*pi*k/7) for k=0..6, pinned as shared literal text — the DFT
+#: at the weekly frequency needs ONLY these seven values, so there is no
+#: libm cos/sin dependency anywhere.
+_COS7 = ("1.0", "0.6234898018587336", "-0.22252093395631434",
+         "-0.900968867902419", "-0.9009688679024191",
+         "-0.2225209339563146", "0.6234898018587334")
+_SIN7 = ("0.0", "0.7818314824680298", "0.9749279121818236",
+         "0.43388373911755823", "-0.433883739117558",
+         "-0.9749279121818236", "-0.7818314824680299")
+
+
+def _trig_case(vals: tuple, col: str) -> str:
+    whens = " ".join(f"WHEN {col} % 7 = {k} THEN {v}" for k, v in enumerate(vals))
+    return f"(CASE {whens} END)"
+
+
+_PERIODOGRAM_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+    FROM events GROUP BY 1, 2
+),
+mu AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(yc) AS BIGINT) AS sy,
+           CAST(SUM(yc * yc) AS BIGINT) AS syy
+    FROM daily GROUP BY 1
+),
+terms AS (
+    SELECT d.event_type,
+           CAST(FLOOR((CAST(d.yc AS DOUBLE)
+                       - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                      * {_trig_case(_COS7, "d.d")} * 1000000.0 + 0.5)
+                AS BIGINT) AS a_fp,
+           CAST(FLOOR((CAST(d.yc AS DOUBLE)
+                       - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                      * {_trig_case(_SIN7, "d.d")} * 1000000.0 + 0.5)
+                AS BIGINT) AS b_fp
+    FROM daily d JOIN mu m ON m.event_type = d.event_type
+)
+SELECT t.event_type, m.n AS n_days,
+       ROUND((CAST(SUM(t.a_fp) AS DOUBLE) / 1000000.0
+              * CAST(SUM(t.a_fp) AS DOUBLE) / 1000000.0
+              + CAST(SUM(t.b_fp) AS DOUBLE) / 1000000.0
+                * CAST(SUM(t.b_fp) AS DOUBLE) / 1000000.0)
+             * 2.0 / CAST(m.n AS DOUBLE)
+             / (CAST(m.syy AS DOUBLE)
+                - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)
+                  / CAST(m.n AS DOUBLE)), 6) AS weekly_power_share
+FROM terms t JOIN mu m ON m.event_type = t.event_type
+GROUP BY t.event_type, m.n, m.sy, m.syy
+ORDER BY t.event_type
+""".strip()
+
+
+@query("weekly_periodogram_power", oracle=_PERIODOGRAM_SQL)
+def weekly_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power share at the weekly frequency per event type —
+    "how much of the daily revenue variance is a 7-day cycle?", the
+    spectral companion to ``seasonal_decompose_daily``. The DFT at
+    period 7 needs only cos/sin(2*pi*k/7) for k=0..6, so the seven
+    values are PINNED literal constants (no libm trig anywhere); each
+    mean-centered term is fixed-pointed (1e-6) before the data-sized
+    sums, and the Schuster normalization 2*(a^2+b^2)/(n*Syy) is one
+    identical double expression. Data-sized work: the daily aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("yc")
+    ).localCheckpoint()  # one shuffle feeds the moment agg AND the term scan
+    mu = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syy"),
+    )
+    cos_case = F.expr(_trig_case(_COS7, "d"))
+    sin_case = F.expr(_trig_case(_SIN7, "d"))
+    centered = F.col("yc").cast("double") - F.col("sy").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    terms = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        F.floor(centered * cos_case * F.lit(_FP) + F.lit(0.5))
+        .cast("long").alias("a_fp"),
+        F.floor(centered * sin_case * F.lit(_FP) + F.lit(0.5))
+        .cast("long").alias("b_fp"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("a_fp").cast("long").alias("sa"),
+        F.sum("b_fp").cast("long").alias("sb"),
+    )
+    out = agg.join(F.broadcast(mu), "event_type")
+    a = F.col("sa").cast("double") / F.lit(_FP)
+    bb = F.col("sb").cast("double") / F.lit(_FP)
+    nD = F.col("n").cast("double")
+    syy_c = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nD
+    )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round((a * a + bb * bb) * F.lit(2.0) / nD / syy_c, 6)
+        .alias("weekly_power_share"),
+    ).orderBy("event_type")

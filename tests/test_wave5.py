@@ -546,3 +546,75 @@ def test_resample_linear_interpolates_interior_gaps(spark):
     assert out[("view", 4)] == (400.0, "obs")
     assert out[("view", 0)] == (None, "edge")
     assert out[("click", 4)] == (None, "edge")
+
+
+def test_wilson_ci_matches_formula(spark):
+    rows = []
+    # cohort 0 (even users): 1/4 purchase; cohort 1: 3/4
+    for i, (u, typ) in enumerate([(2, "purchase"), (2, "view"), (2, "view"),
+                                  (2, "view"), (3, "purchase"), (3, "purchase"),
+                                  (3, "purchase"), (3, "view")]):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), u, typ, 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.grp: r for r in
+               w5.wilson_ci_purchase_by_parity(spark, d).collect()}
+    z = 1.959963984540054
+    for grp, pos in ((0, 1), (1, 3)):
+        n, p = 4, pos / 4
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        assert abs(out[grp].lo95 - (center - half) / denom) < 1e-12
+        assert abs(out[grp].hi95 - (center + half) / denom) < 1e-12
+        assert 0.0 <= out[grp].lo95 <= out[grp].rate <= out[grp].hi95 <= 1.0
+
+
+def test_dispersion_index_zero_for_constant_rate(spark):
+    """Exactly one event per hour -> variance 0 -> dispersion 0."""
+    rows = [_ev(i, dt.datetime(2024, 1, 1, 0) + dt.timedelta(hours=i), 1,
+                "view", 1.0) for i in range(24)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.dispersion_index_hourly_counts(spark, d).collect()[0]
+    assert got.n_hours == 24
+    assert got.mean_per_hour == 1.0
+    assert got.dispersion == 0.0 and got.chi2 == 0.0
+
+
+def test_granger_detects_planted_lead(spark):
+    """purchases(t) = clicks(t-1) exactly (and lagged purchases are
+    noise w.r.t. that) -> full model is near-perfect, F is large."""
+    clicks = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]
+    rows, i = [], 0
+    for dd, c in enumerate(clicks):
+        day = dt.datetime(2024, 1, 1 + dd, 12)
+        for _ in range(c):
+            rows.append(_ev(i, day, 1, "click", 1.0)); i += 1
+        if dd >= 1:
+            for _ in range(clicks[dd - 1]):
+                rows.append(_ev(i, day, 1, "purchase", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.granger_lite_clicks_purchases(spark, d).collect()[0]
+    assert got.rss_full < 1e-6          # x2 = lagged clicks predicts exactly
+    assert got.rss_restricted > 1.0     # lagged purchases alone do not
+    assert got.f_stat > 1000
+
+
+def test_weekly_periodogram_saturates_on_pure_cycle(spark):
+    """Daily revenue = pure 7-day sinusoid (pinned cos values) -> the
+    weekly bin holds ~all the variance."""
+    cos7 = [1.0, 0.6234898018587336, -0.22252093395631434,
+            -0.900968867902419, -0.9009688679024191,
+            -0.2225209339563146, 0.6234898018587334]
+    rows = []
+    for d in range(28):
+        y = 100.0 + 50.0 * cos7[d % 7]
+        rows.append(_ev(d, dt.datetime(2024, 1, 1 + d % 28, 12)
+                        if d < 28 else None, 1, "view", y))
+    with tempfile.TemporaryDirectory() as dd:
+        _write_events(spark, rows, dd)
+        got = w5.weekly_periodogram_power(spark, dd).collect()[0]
+    assert got.n_days == 28
+    assert abs(got.weekly_power_share - 1.0) < 0.01
