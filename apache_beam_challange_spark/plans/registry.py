@@ -154,7 +154,9 @@ DRIVER_ORDER: list[str] = [
     # km_greenwood_ci, weighted_quantiles_value_by_type,
     # cmh_weekend_purchase_by_hour, resample_linear_hourly,
     # wilson_ci_purchase_by_parity, dispersion_index_hourly_counts,
-    # granger_lite_clicks_purchases, weekly_periodogram_power.)
+    # granger_lite_clicks_purchases, weekly_periodogram_power,
+    # sprt_purchase_rate_monitor, cohens_d_weekend_value,
+    # energy_distance_weekend_value.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

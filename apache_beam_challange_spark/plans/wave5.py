@@ -2641,3 +2641,350 @@ def weekly_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((a * a + bb * bb) * F.lit(2.0) / nD / syy_c, 6)
         .alias("weekly_power_share"),
     ).orderBy("event_type")
+
+
+# --- Wald SPRT monitor (sequential A/B stopping over the event stream) ---------
+
+#: SPRT design: H0 purchase-rate p0=0.15 vs H1 p1=0.20, alpha=beta=0.05.
+#: The per-event log-likelihood-ratio increments and the Wald thresholds
+#: ln((1-b)/a)=ln 19 are PINNED 1e-12 fixed-point INTEGERS (computed once,
+#: embedded in both engines), so the whole monitor is exact integer
+#: arithmetic — no float accumulates anywhere.
+_SPRT_L1_FP = 287682072452      # round(ln(0.20/0.15) * 1e12)
+_SPRT_L0_FP = -60624621816      # round(ln(0.80/0.85) * 1e12)
+_SPRT_A_FP = 2944438979166      # round(ln(19) * 1e12)   accept H1 at >= A
+_SPRT_B_FP = -2944438979166     # -A                     accept H0 at <= B
+#: two exact counters packed into one prefix-summed long:
+#: value = pos * 2^34 + 1  ->  cum = cum_pos * 2^34 + row_index
+#: (exact while rows < 2^34 and cum_pos*2^34 < 2^63 — fine past sf100)
+_SPRT_PACK = 1 << 34
+
+_SPRT_SQL = f"""
+WITH ordered AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+           ROW_NUMBER() OVER (ORDER BY ts, event_id) AS i
+    FROM events
+),
+walk AS (
+    SELECT i,
+           CAST(SUM(pos) OVER (
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_pos
+    FROM ordered
+),
+llr AS (
+    SELECT i, cum_pos,
+           cum_pos * {_SPRT_L1_FP} + (i - cum_pos) * ({_SPRT_L0_FP}) AS llr_fp
+    FROM walk
+),
+crossing AS (
+    SELECT i, cum_pos, llr_fp,
+           CASE WHEN llr_fp >= {_SPRT_A_FP} THEN 'accept_h1'
+                WHEN llr_fp <= {_SPRT_B_FP} THEN 'accept_h0' END AS verdict
+    FROM llr
+),
+first_cross AS (
+    SELECT i, cum_pos, llr_fp, verdict FROM crossing
+    WHERE verdict IS NOT NULL ORDER BY i LIMIT 1
+),
+fin AS (
+    SELECT CAST(MAX(i) AS BIGINT) AS n_total,
+           CAST(MAX(CASE WHEN i_last THEN llr_fp END) AS BIGINT) AS llr_final
+    FROM (SELECT i, llr_fp, i = MAX(i) OVER () AS i_last FROM llr)
+)
+SELECT fin.n_total,
+       COALESCE(fc.verdict, 'continue') AS decision,
+       CAST(fc.i AS BIGINT) AS decided_at,
+       CAST(fc.llr_fp AS DOUBLE) / 1000000000000.0 AS llr_at_decision,
+       CAST(fin.llr_final AS DOUBLE) / 1000000000000.0 AS llr_final
+FROM fin LEFT JOIN first_cross fc ON TRUE
+""".strip()
+
+
+@query("sprt_purchase_rate_monitor", oracle=_SPRT_SQL)
+def sprt_purchase_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the event stream in
+    arrival order — the always-valid "stop the experiment early" monitor
+    (H0 p=0.15 vs H1 p=0.20, alpha=beta=0.05): when does the purchase
+    rate's cumulative log-likelihood ratio first cross a Wald boundary,
+    and what was the verdict? Everything is EXACT INTEGER arithmetic:
+    the LLR increments and the ln(19) thresholds are pinned 1e-12
+    fixed-point constants, and the running (row_index, cum_positives)
+    pair rides ONE distributed prefix sum with both counters packed into
+    a single long (pos * 2^34 + 1 — exact past sf100), i.e. the
+    numbering primitive's range-partitioned scan, NOT a single-partition
+    window; the boundary crossing is a TakeOrdered(1). The oracle walks
+    the same pinned integers with a plain window."""
+    from apache_beam_challange_spark.plans.coverage import (
+        distributed_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    packed = ev.select(
+        F.col("ts"),
+        F.col("event_id"),
+        (
+            (F.col("event_type") == "purchase").cast("long")
+            * F.lit(_SPRT_PACK)
+            + F.lit(1)
+        ).alias("v"),
+    )
+    cum = distributed_prefix_sum(
+        packed, [F.col("ts"), F.col("event_id")], "v"
+    )
+    cum_pos = F.expr(f"cum div {_SPRT_PACK}")
+    row_i = F.col("cum") % F.lit(_SPRT_PACK)
+    llr = cum.select(
+        cum_pos.alias("cum_pos"),
+        row_i.alias("i"),
+        (
+            cum_pos * F.lit(_SPRT_L1_FP)
+            + (row_i - cum_pos) * F.lit(_SPRT_L0_FP)
+        ).alias("llr_fp"),
+    )
+    verdict = F.when(
+        F.col("llr_fp") >= F.lit(_SPRT_A_FP), F.lit("accept_h1")
+    ).when(F.col("llr_fp") <= F.lit(_SPRT_B_FP), F.lit("accept_h0"))
+    first_cross = (
+        llr.withColumn("verdict", verdict)
+        .filter(F.col("verdict").isNotNull())
+        .orderBy("i")
+        .limit(1)
+        .select("i", "llr_fp", "verdict")
+    )
+    fin = llr.agg(
+        F.max("i").cast("long").alias("n_total"),
+        F.max_by("llr_fp", "i").cast("long").alias("llr_final_fp"),
+    )
+    # LEFT join keeps the summary row even if no boundary was crossed
+    out = fin.join(F.broadcast(first_cross), F.lit(True), "left")
+    return out.select(
+        "n_total",
+        F.coalesce(F.col("verdict"), F.lit("continue")).alias("decision"),
+        F.col("i").cast("long").alias("decided_at"),
+        (F.col("llr_fp").cast("double") / F.lit(1e12)).alias(
+            "llr_at_decision"
+        ),
+        (F.col("llr_final_fp").cast("double") / F.lit(1e12)).alias(
+            "llr_final"
+        ),
+    )
+
+
+# --- Cohen's d (weekend effect size on value) ----------------------------------
+
+_COHEND_SQL = """
+WITH base AS (
+    SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+),
+g AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS DECIMAL(38,0)) AS s,
+           CAST(SUM(y * y) AS DECIMAL(38,0)) AS q
+    FROM base GROUP BY w
+),
+wide AS (
+    SELECT MAX(CASE WHEN w = 1 THEN n END) AS n1,
+           MAX(CASE WHEN w = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+           MAX(CASE WHEN w = 1 THEN CAST(q AS DOUBLE) END) AS q1,
+           MAX(CASE WHEN w = 0 THEN n END) AS n0,
+           MAX(CASE WHEN w = 0 THEN CAST(s AS DOUBLE) END) AS s0,
+           MAX(CASE WHEN w = 0 THEN CAST(q AS DOUBLE) END) AS q0
+    FROM g
+)
+SELECT n1 AS n_treated, n0 AS n_control,
+       ROUND(s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE), 6)
+           AS diff_cents,
+       ROUND((s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE))
+             / SQRT(((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                     + (q0 - s0 * s0 / CAST(n0 AS DOUBLE)))
+                    / CAST(n1 + n0 - 2 AS DOUBLE)), 6) AS cohens_d,
+       ROUND((s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE))
+             / SQRT(((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                     + (q0 - s0 * s0 / CAST(n0 AS DOUBLE)))
+                    / CAST(n1 + n0 - 2 AS DOUBLE))
+             * (1.0 - 3.0 / (4.0 * CAST(n1 + n0 AS DOUBLE) - 9.0)), 6)
+           AS hedges_g
+FROM wide
+""".strip()
+
+
+@query("cohens_d_weekend_value", oracle=_COHEND_SQL)
+def cohens_d_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and the
+    small-sample Hedges' g correction for the weekend effect on value —
+    the effect-size row every test in this wave should be read next to
+    (the ANOVA/CMH/ATE family reports significance; this reports
+    MAGNITUDE). Exact integer group moments; d and g are identical
+    double expressions. One conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.weekday("ts") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("w"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    g = base.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("q"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("w") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("w") == 1, F.col("s").cast("double"))).alias("s1"),
+        F.max(F.when(F.col("w") == 1, F.col("q").cast("double"))).alias("q1"),
+        F.max(F.when(F.col("w") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("w") == 0, F.col("s").cast("double"))).alias("s0"),
+        F.max(F.when(F.col("w") == 0, F.col("q").cast("double"))).alias("q0"),
+    )
+    n1D = F.col("n1").cast("double")
+    n0D = F.col("n0").cast("double")
+    diff = F.col("s1") / n1D - F.col("s0") / n0D
+    pooled = F.sqrt(
+        (
+            (F.col("q1") - F.col("s1") * F.col("s1") / n1D)
+            + (F.col("q0") - F.col("s0") * F.col("s0") / n0D)
+        )
+        / (F.col("n1") + F.col("n0") - F.lit(2)).cast("double")
+    )
+    d = diff / pooled
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("n1") + F.col("n0")).cast("double") - F.lit(9.0)
+    )
+    return wide.select(
+        F.col("n1").alias("n_treated"),
+        F.col("n0").alias("n_control"),
+        F.round(diff, 6).alias("diff_cents"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"),
+    )
+
+
+# --- energy distance (two-sample, exact from the cent histogram) ---------------
+
+_ENERGY_SQL = """
+WITH base AS (
+    SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+           CAST(FLOOR(value * 100) AS BIGINT) AS vb
+    FROM events
+),
+hist AS (
+    SELECT vb,
+           CAST(SUM(w) AS BIGINT) AS m_b,
+           CAST(SUM(1 - w) AS BIGINT) AS n_b
+    FROM base GROUP BY vb
+),
+cum AS (
+    SELECT vb, m_b, n_b,
+           CAST(COALESCE(SUM(m_b) OVER (
+               ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS DECIMAL(38,0)) AS cm,
+           CAST(COALESCE(SUM(vb * m_b) OVER (
+               ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS DECIMAL(38,0)) AS sm,
+           CAST(COALESCE(SUM(n_b) OVER (
+               ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS DECIMAL(38,0)) AS cn,
+           CAST(COALESCE(SUM(vb * n_b) OVER (
+               ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS DECIMAL(38,0)) AS sn
+    FROM hist
+),
+tot AS (
+    SELECT CAST(SUM(m_b) AS DECIMAL(38,0)) AS m,
+           CAST(SUM(n_b) AS DECIMAL(38,0)) AS n
+    FROM hist
+),
+sums AS (
+    SELECT
+        CAST(SUM(CAST(n_b AS DECIMAL(38,0))
+                 * (CAST(vb AS DECIMAL(38,0)) * cm - sm)) AS DECIMAL(38,0))
+            AS dxy_below,
+        CAST(SUM(CAST(m_b AS DECIMAL(38,0))
+                 * (CAST(vb AS DECIMAL(38,0)) * cn - sn)) AS DECIMAL(38,0))
+            AS dyx_below,
+        CAST(SUM(CAST(m_b AS DECIMAL(38,0))
+                 * (CAST(vb AS DECIMAL(38,0)) * cm - sm)) AS DECIMAL(38,0))
+            AS dxx_below,
+        CAST(SUM(CAST(n_b AS DECIMAL(38,0))
+                 * (CAST(vb AS DECIMAL(38,0)) * cn - sn)) AS DECIMAL(38,0))
+            AS dyy_below
+    FROM cum
+)
+SELECT CAST(t.m AS BIGINT) AS n_weekend, CAST(t.n AS BIGINT) AS n_weekday,
+       ROUND(2.0 * (CAST(s.dxy_below AS DOUBLE) + CAST(s.dyx_below AS DOUBLE))
+                 / (CAST(t.m AS DOUBLE) * CAST(t.n AS DOUBLE))
+             - 2.0 * CAST(s.dxx_below AS DOUBLE)
+                 / (CAST(t.m AS DOUBLE) * CAST(t.m AS DOUBLE))
+             - 2.0 * CAST(s.dyy_below AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)), 6)
+           AS energy_distance_cents
+FROM sums s, tot t
+""".strip()
+
+
+@query("energy_distance_weekend_value", oracle=_ENERGY_SQL)
+def energy_distance_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the weekend and weekday value
+    distributions — the modern two-sample statistic (sensitive to ANY
+    distributional difference, not just location like Cohen's d or
+    dominance like KS), computed EXACTLY: every pairwise-|difference|
+    expectation collapses to cent-histogram prefix sums
+    (sum_i sum_j n_i m_j |v_i - v_j| = sum_j m_j (v_j C_below - S_below)
+    doubled), all in DECIMAL(38,0), with three identical double
+    divisions at the end. E = 2E|X-Y| - E|X-X'| - E|Y-Y'|; windows run
+    over the VALUE-DOMAIN-bounded histogram; one data-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.weekday("ts") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("w"),
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+    )
+    hist = base.groupBy("vb").agg(
+        F.sum("w").cast("long").alias("m_b"),
+        F.sum(F.lit(1) - F.col("w")).cast("long").alias("n_b"),
+    )
+    wprev = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = hist.select(
+        "vb",
+        "m_b",
+        "n_b",
+        F.coalesce(F.sum("m_b").over(wprev), F.lit(0))
+        .cast("decimal(38,0)").alias("cm"),
+        F.coalesce(F.sum(F.col("vb") * F.col("m_b")).over(wprev), F.lit(0))
+        .cast("decimal(38,0)").alias("sm"),
+        F.coalesce(F.sum("n_b").over(wprev), F.lit(0))
+        .cast("decimal(38,0)").alias("cn"),
+        F.coalesce(F.sum(F.col("vb") * F.col("n_b")).over(wprev), F.lit(0))
+        .cast("decimal(38,0)").alias("sn"),
+    )
+    vbD = dec(F.col("vb"))
+    sums = cum.agg(
+        F.sum(dec(F.col("n_b")) * (vbD * F.col("cm") - F.col("sm")))
+        .cast("decimal(38,0)").alias("dxy_below"),
+        F.sum(dec(F.col("m_b")) * (vbD * F.col("cn") - F.col("sn")))
+        .cast("decimal(38,0)").alias("dyx_below"),
+        F.sum(dec(F.col("m_b")) * (vbD * F.col("cm") - F.col("sm")))
+        .cast("decimal(38,0)").alias("dxx_below"),
+        F.sum(dec(F.col("n_b")) * (vbD * F.col("cn") - F.col("sn")))
+        .cast("decimal(38,0)").alias("dyy_below"),
+    )
+    tot = hist.agg(
+        F.sum("m_b").cast("decimal(38,0)").alias("m"),
+        F.sum("n_b").cast("decimal(38,0)").alias("n"),
+    )
+    out = sums.crossJoin(F.broadcast(tot))
+    mD = F.col("m").cast("double")
+    nD = F.col("n").cast("double")
+    energy = (
+        F.lit(2.0)
+        * (F.col("dxy_below").cast("double") + F.col("dyx_below").cast("double"))
+        / (mD * nD)
+        - F.lit(2.0) * F.col("dxx_below").cast("double") / (mD * mD)
+        - F.lit(2.0) * F.col("dyy_below").cast("double") / (nD * nD)
+    )
+    return out.select(
+        F.col("m").cast("long").alias("n_weekend"),
+        F.col("n").cast("long").alias("n_weekday"),
+        F.round(energy, 6).alias("energy_distance_cents"),
+    )

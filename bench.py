@@ -384,6 +384,40 @@ ROUND9 = [
     "did_estimate_by_type",
 ]
 
+#: round-9 wave5 (experiment-analysis block, built this round; pins land
+#: once BENCH_r09/r10 records the first full-round walls): hypothesis
+#: tests, survival, concentration/inequality, calibration, ranking
+#: metrics, forecasting, multiple-testing — every member one
+#: map-side-combined aggregate plus domain-/calendar-bounded tails.
+WAVE5 = [
+    "anova_f_value_by_type",
+    "kruskal_wallis_value_by_type",
+    "nelson_aalen_hazard_to_purchase",
+    "logrank_purchase_by_parity",
+    "hhi_nation_revenue_concentration",
+    "theil_index_revenue",
+    "ccf_clicks_purchases_daily",
+    "loo_group_influence_on_slope",
+    "stratified_ate_weekend_value",
+    "ece_calibration_value_deciles",
+    "average_precision_purchase_by_value",
+    "isotonic_purchase_rate_by_value_bin",
+    "zipf_fit_tokens",
+    "fdr_bh_hourly_purchase_rate",
+    "holt_winters_forecast_backtest",
+    "km_greenwood_ci",
+    "weighted_quantiles_value_by_type",
+    "cmh_weekend_purchase_by_hour",
+    "resample_linear_hourly",
+    "wilson_ci_purchase_by_parity",
+    "dispersion_index_hourly_counts",
+    "granger_lite_clicks_purchases",
+    "weekly_periodogram_power",
+    "sprt_purchase_rate_monitor",
+    "cohens_d_weekend_value",
+    "energy_distance_weekend_value",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -479,6 +513,7 @@ def main() -> None:
     round8b = _bench_series(qs, ROUND8B, spark, sf_dir, spread)
     round8c = _bench_series(qs, ROUND8C, spark, sf_dir, spread)
     round9 = _bench_series(qs, ROUND9, spark, sf_dir, spread)
+    wave5 = _bench_series(qs, WAVE5, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     # Membership pin (VERDICT r7 #5): every series' query COUNT and an
@@ -498,6 +533,7 @@ def main() -> None:
         "round8b": ROUND8B,
         "round8c": ROUND8C,
         "round9": ROUND9,
+        "wave5": WAVE5,
     }
     import hashlib
 
@@ -547,6 +583,8 @@ def main() -> None:
         "round8c_total": round(sum(round8c.values()), 3),
         "round9": round9,
         "round9_total": round(sum(round9.values()), 3),
+        "wave5": wave5,
+        "wave5_total": round(sum(wave5.values()), 3),
         "spread": spread,
         "group_counts": group_counts,
         "group_members_md5": group_members_md5,
@@ -588,6 +626,7 @@ def main() -> None:
                 "round8b_total": round(sum(round8b.values()), 3),
                 "round8c_total": round(sum(round8c.values()), 3),
                 "round9_total": round(sum(round9.values()), 3),
+                "wave5_total": round(sum(wave5.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "vs_r8_signal_max": (
                     max(vs_r8_signal.values()) if vs_r8_signal else None

@@ -1,11 +1,11 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-127 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+128 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
 
-The dialect-blocked remainder (180 oracles) is inventoried in COVERAGE.md:
+The dialect-blocked remainder (182 oracles) is inventoried in COVERAGE.md:
 they use DuckDB-only surface (unnest/string_split lateral explosion,
 list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
 recursive CTE trajectories, md5-hex arithmetic) with no unmodified
@@ -201,6 +201,7 @@ PORTABLE = [
     "average_precision_purchase_by_value",
     "fdr_bh_hourly_purchase_rate",
     "wilson_ci_purchase_by_parity",
+    "sprt_purchase_rate_monitor",
 ]
 
 

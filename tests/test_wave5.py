@@ -618,3 +618,196 @@ def test_weekly_periodogram_saturates_on_pure_cycle(spark):
         got = w5.weekly_periodogram_power(spark, dd).collect()[0]
     assert got.n_days == 28
     assert abs(got.weekly_power_share - 1.0) < 0.01
+
+
+# --- hypothesis properties (wave5 math vs brute-force replays) -----------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_W5_SETTINGS = dict(max_examples=6, deadline=None)
+
+_bin_hists = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(1, 4)),  # (pos_extra, n>=1)
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(**_W5_SETTINGS)
+@given(_bin_hists)
+def test_isotonic_minimax_equals_pava_property(spark, hist):
+    """For random per-bin (pos, n) histograms the minimax identity must
+    equal the classical weighted PAVA sweep on every bin."""
+    # spread bins across the full value range so binning is stable:
+    # bin k gets value (k+0.5)/len * 490 (inside distinct 20-bins only
+    # if len<=20; we keep <=8 so bins are distinct and ordered)
+    K = len(hist)
+    rows, i = [], 0
+    blocks = []
+    for k, (pe, n) in enumerate(hist):
+        pos = min(pe, n)
+        blocks.append([n, pos])
+        v = round((k + 0.5) / K * 490.0, 2)
+        for j in range(n):
+            typ = "purchase" if j < pos else "view"
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = w5.isotonic_purchase_rate_by_value_bin(spark, d).collect()
+    # brute PAVA over the same ordered blocks (queries bin by value/20
+    # of max; our spread guarantees one block per non-empty bin, ordered)
+    stack = []
+    for n, p in blocks:
+        stack.append([n, p])
+        while len(stack) > 1 and (
+            stack[-2][1] / stack[-2][0] >= stack[-1][1] / stack[-1][0]
+        ):
+            n2, p2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+    expected = []
+    for n, p in stack:
+        expected.extend([p / n] * n)
+    got = []
+    for r in sorted(out, key=lambda r: r.bin):
+        got.extend([r.iso_rate] * r.n)
+    assert len(got) == len(expected)
+    for a, b in zip(got, expected):
+        assert abs(a - b) < 1e-9
+
+
+_weights = st.lists(st.integers(1, 400), min_size=1, max_size=30)
+
+
+@settings(**_W5_SETTINGS)
+@given(_weights)
+def test_weighted_quantiles_match_bruteforce_property(spark, cents):
+    rows = [
+        _ev(i, dt.datetime(2024, 1, 1, i % 24), 1, "view", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.weighted_quantiles_value_by_type(spark, d).collect()[0]
+    # mirror the query's FLOOR(value*100) bucket convention, including
+    # the c -> c/100.0 -> *100 float round-trip (201 -> 200.99... -> 200)
+    svals = sorted(math.floor(c / 100.0 * 100) for c in cents)
+    total = sum(svals)
+
+    def brute(kn, kd):  # min v with kd*cum >= kn*total
+        cum = 0
+        for v in svals:
+            cum += v
+            if kd * cum >= kn * total:
+                return v
+        return svals[-1]
+
+    assert got.total_cents == total
+    assert got.wq25 == brute(1, 4)
+    assert got.wmedian == brute(1, 2)
+    assert got.wq75 == brute(3, 4)
+
+
+_scored = st.lists(
+    st.tuples(st.integers(1, 6), st.booleans()), min_size=2, max_size=25
+).filter(lambda xs: any(p for _, p in xs))
+
+
+@settings(**_W5_SETTINGS)
+@given(_scored)
+def test_average_precision_matches_bruteforce_property(spark, pts):
+    rows = [
+        _ev(i, dt.datetime(2024, 1, 1, i % 24), 1,
+            "purchase" if pos else "view", float(v))
+        for i, (v, pos) in enumerate(pts)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.average_precision_purchase_by_value(spark, d).collect()[0]
+    groups = {}
+    for v, pos in pts:
+        g = groups.setdefault(v * 100, [0, 0])
+        g[0] += 1
+        g[1] += int(pos)
+    cn = ct = 0
+    ap = 0.0
+    for v in sorted(groups, reverse=True):
+        n_b, p_b = groups[v]
+        cn += n_b
+        ct += p_b
+        ap += math.floor(p_b * ct / cn * 1e9 + 0.5) / 1e9
+    n_pos = sum(p for _, p in groups.values())
+    ap /= n_pos
+    assert got.n_pos == n_pos
+    assert abs(got.ap - math.floor(ap * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def _sprt_replay(flags):
+    L1, L0, A = 287682072452, -60624621816, 2944438979166
+    llr = 0
+    for i, pos in enumerate(flags, start=1):
+        llr += L1 if pos else L0
+        if llr >= A:
+            return "accept_h1", i, llr
+        if llr <= -A:
+            return "accept_h0", i, llr
+    return "continue", None, llr
+
+
+def test_sprt_matches_integer_replay_both_verdicts(spark):
+    for flags in ([True] * 15, [False] * 60, [i % 5 == 0 for i in range(200)]):
+        rows = [
+            _ev(i, dt.datetime(2024, 1, 1, 0) + dt.timedelta(minutes=i), 1,
+                "purchase" if pos else "view", 1.0)
+            for i, pos in enumerate(flags)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            got = w5.sprt_purchase_rate_monitor(spark, d).collect()[0]
+        verdict, at, llr = _sprt_replay(flags)
+        assert got.decision == verdict, flags[:5]
+        assert got.decided_at == at
+        if at is not None:
+            assert abs(got.llr_at_decision - llr / 1e12) < 1e-9
+
+
+def test_cohens_d_matches_formula(spark):
+    sat, mon = dt.datetime(2024, 1, 6, 0), dt.datetime(2024, 1, 8, 0)
+    wk = [5.0, 7.0, 6.0]
+    wd = [1.0, 3.0, 2.0, 2.0]
+    rows = [_ev(i, sat, 1, "view", v) for i, v in enumerate(wk)]
+    rows += [_ev(10 + i, mon, 1, "view", v) for i, v in enumerate(wd)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.cohens_d_weekend_value(spark, d).collect()[0]
+    a = [v * 100 for v in wk]
+    b = [v * 100 for v in wd]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    ssa = sum((x - ma) ** 2 for x in a)
+    ssb = sum((x - mb) ** 2 for x in b)
+    pooled = math.sqrt((ssa + ssb) / (len(a) + len(b) - 2))
+    d_ref = (ma - mb) / pooled
+    g_ref = d_ref * (1 - 3 / (4 * (len(a) + len(b)) - 9))
+    assert (got.n_treated, got.n_control) == (3, 4)
+    assert abs(got.diff_cents - (ma - mb)) < 1e-6
+    assert abs(got.cohens_d - d_ref) < 1e-5
+    assert abs(got.hedges_g - g_ref) < 1e-5
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    sat, mon = dt.datetime(2024, 1, 6, 0), dt.datetime(2024, 1, 8, 0)
+    xs = [100, 300, 300, 700]   # weekend cents
+    ys = [200, 200, 500]        # weekday cents
+    rows = [_ev(i, sat, 1, "view", v / 100.0) for i, v in enumerate(xs)]
+    rows += [_ev(10 + i, mon, 1, "view", v / 100.0) for i, v in enumerate(ys)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.energy_distance_weekend_value(spark, d).collect()[0]
+    m, n = len(xs), len(ys)
+    exy = sum(abs(x - y) for x in xs for y in ys) / (m * n)
+    exx = sum(abs(a - b) for a in xs for b in xs) / (m * m)
+    eyy = sum(abs(a - b) for a in ys for b in ys) / (n * n)
+    ref = 2 * exy - exx - eyy
+    assert (got.n_weekend, got.n_weekday) == (m, n)
+    assert abs(got.energy_distance_cents - ref) < 1e-6
