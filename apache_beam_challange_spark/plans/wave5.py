@@ -2988,3 +2988,220 @@ def energy_distance_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("long").alias("n_weekday"),
         F.round(energy, 6).alias("energy_distance_cents"),
     )
+
+
+# --- Heaps' law fit (vocabulary growth) ----------------------------------------
+
+_HEAPS_K = 20  # doc-id-domain checkpoints
+
+_HEAPS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+firsts AS (
+    SELECT token, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM toks WHERE token <> '' GROUP BY token
+),
+fh AS (
+    SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS new_tokens
+    FROM firsts GROUP BY first_doc
+),
+bounds AS (
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS lo, CAST(MAX(doc_id) AS BIGINT) AS hi
+    FROM documents
+),
+cps AS (
+    SELECT k, lo + ((hi - lo + 1) * k) // {_HEAPS_K} AS cut
+    FROM bounds, (SELECT UNNEST(generate_series(1, {_HEAPS_K})) AS k)
+),
+pts AS (
+    SELECT c.k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
+            WHERE d.doc_id < c.cut) AS n_docs,
+           (SELECT CAST(COALESCE(SUM(new_tokens), 0) AS BIGINT) FROM fh
+            WHERE fh.first_doc < c.cut) AS vocab
+    FROM cps c
+),
+fp AS (
+    SELECT CAST(FLOOR(LN(CAST(n_docs AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS DECIMAL(38,0)) AS x_fp,
+           CAST(FLOOR(LN(CAST(vocab AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS DECIMAL(38,0)) AS y_fp
+    FROM pts WHERE n_docs > 0 AND vocab > 0
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x_fp) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(y_fp) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(x_fp * y_fp) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(x_fp * x_fp) AS DECIMAL(38,0)) AS sxx
+    FROM fp
+)
+SELECT n AS n_checkpoints,
+       ROUND((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
+              - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+             / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
+                - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
+             6) AS beta,
+       ROUND((CAST(sy AS DOUBLE) / 1e9
+              - (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
+                   - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+                * (CAST(sx AS DOUBLE) / 1e9))
+             / CAST(n AS DOUBLE), 6) AS ln_k
+FROM s
+""".strip()
+
+
+@query("heaps_law_fit_tokens", oracle=_HEAPS_SQL)
+def heaps_law_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit — vocabulary growth V(n) ~ K*n^beta over the
+    document stream, the corpus-health companion to ``zipf_fit_tokens``
+    (natural text: beta ~ 0.4-0.6; template/synthetic corpora saturate).
+    The trick that makes vocabulary-growth EXACT without replaying
+    prefixes: a token enters the vocabulary at its MINIMUM doc_id, so
+    V(cut) = |tokens with first_doc < cut| — one token aggregate, then
+    {_HEAPS_K} doc-id-domain checkpoints evaluated by a broadcast join
+    against the first-doc histogram (no prefix re-scan, no data-sized
+    window). Log-log OLS with the wave's 1e-9 fixed-point ln
+    discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    firsts = toks.groupBy("token").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    fh = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    ).localCheckpoint()  # small frame feeds 20 checkpoint aggregates
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    cps = (
+        spark.range(1, _HEAPS_K + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.expr(f"lo + ((hi - lo + 1) * k) div {_HEAPS_K}").alias("cut"),
+        )
+    )
+    dcount = docs.select("doc_id").crossJoin(F.broadcast(cps)).filter(
+        F.col("doc_id") < F.col("cut")
+    ).groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    vocab = fh.crossJoin(F.broadcast(cps)).filter(
+        F.col("first_doc") < F.col("cut")
+    ).groupBy("k").agg(F.sum("new_tokens").cast("long").alias("vocab"))
+    pts = dcount.join(vocab, "k").filter(
+        (F.col("n_docs") > 0) & (F.col("vocab") > 0)
+    )
+    ln_fp = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    fp = pts.select(
+        ln_fp(F.col("n_docs")).alias("x_fp"), ln_fp(F.col("vocab")).alias("y_fp")
+    )
+    s = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_fp").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_fp").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x_fp") * F.col("y_fp")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).cast("decimal(38,0)").alias("sxx"),
+    )
+    nD = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e9)
+    sy = F.col("sy").cast("double") / F.lit(1e9)
+    sxy = F.col("sxy").cast("double") / F.lit(1e18)
+    sxx = F.col("sxx").cast("double") / F.lit(1e18)
+    slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_checkpoints"),
+        F.round(slope, 6).alias("beta"),
+        F.round((sy - slope * sx) / nD, 6).alias("ln_k"),
+    )
+
+
+# --- token burstiness (Church-Gale dispersion of top terms) --------------------
+
+_BURST_TOP = 20
+
+_BURST_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+td AS (
+    SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE token <> '' GROUP BY token, doc_id
+),
+stats AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c) AS BIGINT) AS tf,
+           CAST(SUM(c * c) AS BIGINT) AS tf2
+    FROM td GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ranked AS (
+    SELECT token, df, tf, tf2,
+           ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rnk
+    FROM stats
+)
+SELECT token, df, tf,
+       ROUND((CAST(tf2 AS DOUBLE) / CAST(n.n_docs AS DOUBLE)
+              - (CAST(tf AS DOUBLE) / CAST(n.n_docs AS DOUBLE))
+                * (CAST(tf AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))
+             / (CAST(tf AS DOUBLE) / CAST(n.n_docs AS DOUBLE)), 6)
+           AS burstiness,
+       ROUND(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS mean_tf_when_present
+FROM ranked, n
+WHERE rnk <= {_BURST_TOP}
+ORDER BY tf DESC, token
+""".strip()
+
+
+@query("token_burstiness_top_terms", oracle=_BURST_SQL)
+def token_burstiness_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness of the top {_BURST_TOP} corpus terms:
+    the variance-to-mean ratio of per-document term counts (zeros
+    included via the exact moment identity — absent docs contribute 0 to
+    both moments, so only the (token, doc) aggregate is needed) next to
+    E[tf | present]. Function words sit near Poisson (D~1); topical/
+    boilerplate terms are bursty (D>>1) — the term-level twin of
+    ``dispersion_index_hourly_counts`` and a repetition-quality signal
+    for corpus curation. Exact BIGINT moments; the ranking window is
+    VOCABULARY-bounded; one (token, doc) aggregate is the data-sized
+    work."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    td = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = td.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2"),
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ranked = stats.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.desc("tf"), "token")).alias("rnk"),
+    ).filter(F.col("rnk") <= _BURST_TOP)
+    out = ranked.crossJoin(F.broadcast(ndocs))
+    nD = F.col("n_docs").cast("double")
+    mean = F.col("tf").cast("double") / nD
+    return out.select(
+        "token",
+        "df",
+        "tf",
+        F.round(
+            (F.col("tf2").cast("double") / nD - mean * mean) / mean, 6
+        ).alias("burstiness"),
+        F.round(
+            F.col("tf").cast("double") / F.col("df").cast("double"), 6
+        ).alias("mean_tf_when_present"),
+    ).orderBy(F.desc("tf"), "token")

@@ -416,6 +416,8 @@ WAVE5 = [
     "sprt_purchase_rate_monitor",
     "cohens_d_weekend_value",
     "energy_distance_weekend_value",
+    "heaps_law_fit_tokens",
+    "token_burstiness_top_terms",
 ]
 
 CURATION = [

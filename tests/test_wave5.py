@@ -811,3 +811,52 @@ def test_energy_distance_matches_bruteforce(spark):
     ref = 2 * exy - exx - eyy
     assert (got.n_weekend, got.n_weekday) == (m, n)
     assert abs(got.energy_distance_cents - ref) < 1e-6
+
+
+def _write_docs(spark, rows, d):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_heaps_law_linear_vocab_growth(spark):
+    """Every doc introduces exactly 2 brand-new tokens -> V(n) = 2n,
+    so beta ~ 1 and ln_k ~ ln(2)."""
+    rows = [
+        (i, f"a{i:04d} b{i:04d}", "en", "s", 10) for i in range(100)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        got = w5.heaps_law_fit_tokens(spark, d).collect()[0]
+    assert got.n_checkpoints >= 15
+    assert abs(got.beta - 1.0) < 0.01
+    assert abs(got.ln_k - math.log(2)) < 0.02
+
+
+def test_heaps_law_saturated_vocab_is_flat(spark):
+    """A single repeated token -> vocabulary stays 1 -> beta ~ 0."""
+    rows = [(i, "same same", "en", "s", 9) for i in range(50)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        got = w5.heaps_law_fit_tokens(spark, d).collect()[0]
+    assert abs(got.beta) < 1e-9
+
+
+def test_token_burstiness_separates_uniform_from_bursty(spark):
+    """'flat' appears once in every doc (D -> 0, sub-Poisson);
+    'burst' appears 10 times in a single doc (D >> 1)."""
+    rows = []
+    for i in range(10):
+        text = "flat" + (" burst" * 10 if i == 0 else "")
+        rows.append((i, text, "en", "s", len(text)))
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = {r.token: r for r in
+               w5.token_burstiness_top_terms(spark, d).collect()}
+    flat, burst = out["flat"], out["burst"]
+    assert (flat.df, flat.tf) == (10, 10)
+    assert flat.burstiness == 0.0  # constant 1 per doc: zero variance
+    assert (burst.df, burst.tf) == (1, 10)
+    # moments: E[c]=1, E[c^2]=10 -> D = (10-1)/1 = 9
+    assert abs(burst.burstiness - 9.0) < 1e-9
+    assert burst.mean_tf_when_present == 10.0
