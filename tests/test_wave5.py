@@ -860,3 +860,38 @@ def test_token_burstiness_separates_uniform_from_bursty(spark):
     # moments: E[c]=1, E[c^2]=10 -> D = (10-1)/1 = 9
     assert abs(burst.burstiness - 9.0) < 1e-9
     assert burst.mean_tf_when_present == 10.0
+
+
+def test_sprt_prefix_sum_is_range_partitioned(plans):
+    """The SPRT's data-sized stage must be the RANGE-partitioned
+    distributed prefix sum — no single-partition window over events."""
+    p = plans("sprt_purchase_rate_monitor")
+    final = p.split("== Initial Plan ==")[0]
+    # the ranged frame is materialized by the primitive's localCheckpoint
+    # (the range exchange happens before the checkpoint), so the visible
+    # data-sized window must be the per-partition local cumsum —
+    # partitioned by pid — and the boundary pick a TakeOrdered(1)
+    assert "windowspecdefinition(pid" in final
+    assert "TakeOrderedAndProject(limit=1" in final
+
+
+def test_wave5_histogram_stats_have_no_smj(plans):
+    """The histogram-backed statistics keep joins broadcast-shaped and
+    aggregation partial (map-side combined)."""
+    for name in (
+        "energy_distance_weekend_value",
+        "weighted_quantiles_value_by_type",
+        "average_precision_purchase_by_value",
+        "cmh_weekend_purchase_by_hour",
+    ):
+        p = plans(name).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in p, name
+        assert "partial" in p.lower(), name
+
+
+def test_heaps_checkpoints_are_broadcast(plans):
+    """The 20-checkpoint evaluation must reach the doc scan as a
+    broadcast nested-loop (20-row spine), never a shuffle join."""
+    p = plans("heaps_law_fit_tokens").split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p

@@ -170,6 +170,20 @@ FLAGSHIPS = [
     "mann_kendall_sen_trend_daily",
     "seasonal_decompose_daily",
     "did_estimate_by_type",
+    # round-9 wave5: representative plan shapes — the one-aggregate
+    # hypothesis tests, the survival histogram pair, the packed-counter
+    # SPRT prefix sum, the checkpoint-join Heaps fit, and the
+    # K^3-bounded isotonic minimax
+    "anova_f_value_by_type",
+    "kruskal_wallis_value_by_type",
+    "nelson_aalen_hazard_to_purchase",
+    "logrank_purchase_by_parity",
+    "isotonic_purchase_rate_by_value_bin",
+    "sprt_purchase_rate_monitor",
+    "heaps_law_fit_tokens",
+    "energy_distance_weekend_value",
+    "weighted_quantiles_value_by_type",
+    "granger_lite_clicks_purchases",
 ]
 
 
