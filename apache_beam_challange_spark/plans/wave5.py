@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from apache_beam_challange_spark.functions.vector import as_double
 from apache_beam_challange_spark.plans.registry import query
 from apache_beam_challange_spark.sources.catalog import load_table
 
@@ -3205,3 +3206,167 @@ def token_burstiness_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf").cast("double") / F.col("df").cast("double"), 6
         ).alias("mean_tf_when_present"),
     ).orderBy(F.desc("tf"), "token")
+
+
+# --- linear CKA between embedding halves (representation redundancy) -----------
+
+_CKA_DIM = 64
+_CKA_SPLIT = 32   # dims 1..32 = block X, 33..64 = block Y
+_CKA_SG = 1_000_000_000   # per-product / per-coordinate fixed point
+_CKA_SF = 1_000_000_000_000  # per-entry squared-covariance fixed point
+
+_CKA_SQL = f"""
+WITH comp AS MATERIALIZED (
+    SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+pos AS (SELECT unnest(generate_series(1, {_CKA_DIM})) AS p),
+gram AS MATERIALIZED (
+    SELECT i.p AS i, j.p AS j,
+           CAST(SUM(CAST(FLOOR(c.x[i.p] * c.x[j.p] * {_CKA_SG} + 0.5)
+                         AS BIGINT)) AS BIGINT) AS s_fp
+    FROM comp c, pos i, pos j
+    GROUP BY i.p, j.p
+),
+mean_fp AS MATERIALIZED (
+    SELECT i.p AS i,
+           CAST(SUM(CAST(FLOOR(c.x[i.p] * {_CKA_SG} + 0.5) AS BIGINT))
+                AS BIGINT) AS m_fp
+    FROM comp c, pos i GROUP BY i.p
+),
+cov AS (
+    SELECT g.i, g.j,
+           (CAST(g.s_fp AS DOUBLE) / {_CKA_SG}.0
+            - (CAST(mi.m_fp AS DOUBLE) / {_CKA_SG}.0)
+              * (CAST(mj.m_fp AS DOUBLE) / {_CKA_SG}.0)
+              / CAST(cnt.n AS DOUBLE))
+           / CAST(cnt.n AS DOUBLE) AS c
+    FROM gram g
+    JOIN mean_fp mi ON mi.i = g.i
+    JOIN mean_fp mj ON mj.i = g.j
+    CROSS JOIN cnt
+),
+blocks AS (
+    SELECT
+        CAST(SUM(CASE WHEN i <= {_CKA_SPLIT} AND j <= {_CKA_SPLIT}
+            THEN CAST(FLOOR(c * c * {_CKA_SF} + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS xx_fp,
+        CAST(SUM(CASE WHEN i > {_CKA_SPLIT} AND j > {_CKA_SPLIT}
+            THEN CAST(FLOOR(c * c * {_CKA_SF} + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS yy_fp,
+        CAST(SUM(CASE WHEN i <= {_CKA_SPLIT} AND j > {_CKA_SPLIT}
+            THEN CAST(FLOOR(c * c * {_CKA_SF} + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS xy_fp
+    FROM cov
+)
+SELECT cnt.n AS n_vectors,
+       ROUND(CAST(xx_fp AS DOUBLE) / {_CKA_SF}.0, 6) AS frob_xx,
+       ROUND(CAST(yy_fp AS DOUBLE) / {_CKA_SF}.0, 6) AS frob_yy,
+       ROUND(CAST(xy_fp AS DOUBLE) / {_CKA_SF}.0, 6) AS frob_xy,
+       ROUND(CAST(xy_fp AS DOUBLE)
+             / SQRT(CAST(xx_fp AS DOUBLE) * CAST(yy_fp AS DOUBLE)), 6)
+           AS cka
+FROM blocks, cnt
+""".strip()
+
+
+@query("cka_embedding_halves", oracle=_CKA_SQL)
+def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment) between the first and
+    second 32 dimensions of the embedding corpus — the representation-
+    redundancy diagnostic (CKA ~ 1: the halves encode the same geometry,
+    so Matryoshka-style truncation is nearly free; CKA ~ 0: the tail
+    dims carry independent structure). Uses the feature-space identity
+    ``CKA = ||Cov_xy||_F^2-style ratio`` so the DATA-SIZED work is the
+    SAME one-pass dim^2 Gram aggregate as the PCA family (linalg.py —
+    O(dim^2) shuffle, corpus-independent) plus a 64-long mean vector;
+    everything after is arithmetic on the 4096-entry bounded frame:
+    centered covariances as identical double expressions, per-entry
+    squared terms re-fixed-pointed (1e-12) before the three block sums,
+    one sqrt at the end. No collect anywhere — the bounded tail stays
+    relational."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("x")
+    )
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    comp = emb.select(F.posexplode("x").alias("i0", "xi"), "x")
+    tri = comp.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode("x").alias("j0", "xj"),
+        "xi",
+    ).filter(F.col("j0") + 1 >= F.col("i"))
+    half = (
+        tri.select(
+            "i",
+            (F.col("j0") + 1).alias("j"),
+            F.floor(F.col("xi") * F.col("xj") * F.lit(_CKA_SG) + F.lit(0.5))
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("term").cast("long").alias("s_fp"))
+    )
+    full = half.unionAll(
+        half.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s_fp"
+        )
+    )
+    means = (
+        comp.select(
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("xi") * F.lit(_CKA_SG) + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("i")
+        .agg(F.sum("t").cast("long").alias("m_fp"))
+    )
+    mi = means.select(F.col("i").alias("mi_i"), F.col("m_fp").alias("mi"))
+    mj = means.select(F.col("i").alias("mj_i"), F.col("m_fp").alias("mj"))
+    nD = F.col("n").cast("double")
+    cov = (
+        full.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_i"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("s_fp").cast("double") / F.lit(float(_CKA_SG))
+                    - (F.col("mi").cast("double") / F.lit(float(_CKA_SG)))
+                    * (F.col("mj").cast("double") / F.lit(float(_CKA_SG)))
+                    / nD
+                )
+                / nD
+            ).alias("c"),
+        )
+    )
+    t_fp = F.floor(
+        F.col("c") * F.col("c") * F.lit(float(_CKA_SF)) + F.lit(0.5)
+    ).cast("long")
+    in_x = F.col("i") <= _CKA_SPLIT
+    in_y = F.col("j") > _CKA_SPLIT
+    blocks = cov.agg(
+        F.sum(F.when(in_x & (F.col("j") <= _CKA_SPLIT), t_fp).otherwise(0))
+        .cast("long").alias("xx_fp"),
+        F.sum(F.when((F.col("i") > _CKA_SPLIT) & in_y, t_fp).otherwise(0))
+        .cast("long").alias("yy_fp"),
+        F.sum(F.when(in_x & in_y, t_fp).otherwise(0))
+        .cast("long").alias("xy_fp"),
+    )
+    out = blocks.crossJoin(F.broadcast(n_df))
+    sf = F.lit(float(_CKA_SF))
+    return out.select(
+        F.col("n").alias("n_vectors"),
+        F.round(F.col("xx_fp").cast("double") / sf, 6).alias("frob_xx"),
+        F.round(F.col("yy_fp").cast("double") / sf, 6).alias("frob_yy"),
+        F.round(F.col("xy_fp").cast("double") / sf, 6).alias("frob_xy"),
+        F.round(
+            F.col("xy_fp").cast("double")
+            / F.sqrt(
+                F.col("xx_fp").cast("double") * F.col("yy_fp").cast("double")
+            ),
+            6,
+        ).alias("cka"),
+    )

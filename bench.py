@@ -418,6 +418,7 @@ WAVE5 = [
     "energy_distance_weekend_value",
     "heaps_law_fit_tokens",
     "token_burstiness_top_terms",
+    "cka_embedding_halves",
 ]
 
 CURATION = [

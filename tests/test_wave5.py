@@ -895,3 +895,48 @@ def test_heaps_checkpoints_are_broadcast(plans):
     p = plans("heaps_law_fit_tokens").split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def _write_embeddings(spark, vecs, d):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+
+def test_cka_identical_halves_saturate(spark):
+    """Second half == first half exactly -> all three Frobenius blocks
+    coincide -> CKA == 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 32) * 0.3
+    vecs = np.hstack([base, base])
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, vecs, d)
+        got = w5.cka_embedding_halves(spark, d).collect()[0]
+    assert got.n_vectors == 40
+    assert abs(got.cka - 1.0) < 1e-4
+    assert abs(got.frob_xx - got.frob_yy) < 1e-4
+
+
+def test_cka_matches_numpy_reference(spark):
+    """CKA on independent random halves matches the numpy feature-space
+    formula ||Cxy||^2 / (||Cxx|| ||Cyy||) to fixed-point tolerance."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 64) * 0.4
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, vecs, d)
+        got = w5.cka_embedding_halves(spark, d).collect()[0]
+    # float32 round-trip (parquet stores float), then the query's math
+    v32 = vecs.astype("float32").astype("float64")
+    n = v32.shape[0]
+    c = (v32 - v32.mean(axis=0)).T @ (v32 - v32.mean(axis=0)) / n / n
+    xx = (c[:32, :32] ** 2).sum()
+    yy = (c[32:, 32:] ** 2).sum()
+    xy = (c[:32, 32:] ** 2).sum()
+    ref = xy / math.sqrt(xx * yy)
+    assert abs(got.cka - ref) < 5e-3
+    assert 0.0 <= got.cka <= 1.0
