@@ -3370,3 +3370,196 @@ def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cka"),
     )
+
+
+# --- effective rank + anisotropy of the embedding corpus -----------------------
+
+_ERANK_SQL = f"""
+WITH comp AS MATERIALIZED (
+    SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+pos AS (SELECT unnest(generate_series(1, {_CKA_DIM})) AS p),
+gram AS MATERIALIZED (
+    SELECT i.p AS i, j.p AS j,
+           CAST(SUM(CAST(FLOOR(c.x[i.p] * c.x[j.p] * {_CKA_SG} + 0.5)
+                         AS BIGINT)) AS BIGINT) AS s_fp
+    FROM comp c, pos i, pos j
+    GROUP BY i.p, j.p
+),
+mean_fp AS MATERIALIZED (
+    SELECT i.p AS i,
+           CAST(SUM(CAST(FLOOR(c.x[i.p] * {_CKA_SG} + 0.5) AS BIGINT))
+                AS BIGINT) AS m_fp
+    FROM comp c, pos i GROUP BY i.p
+),
+cov AS (
+    SELECT g.i, g.j,
+           (CAST(g.s_fp AS DOUBLE) / {_CKA_SG}.0
+            - (CAST(mi.m_fp AS DOUBLE) / {_CKA_SG}.0)
+              * (CAST(mj.m_fp AS DOUBLE) / {_CKA_SG}.0)
+              / CAST(cnt.n AS DOUBLE))
+           / CAST(cnt.n AS DOUBLE) AS c
+    FROM gram g
+    JOIN mean_fp mi ON mi.i = g.i
+    JOIN mean_fp mj ON mj.i = g.j
+    CROSS JOIN cnt
+),
+sums AS (
+    SELECT
+        CAST(SUM(CASE WHEN i = j
+            THEN CAST(FLOOR(c * {_CKA_SF} + 0.5) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS tr_fp,
+        CAST(SUM(CAST(FLOOR(c * c * {_CKA_SF} + 0.5) AS BIGINT)) AS BIGINT)
+            AS frob_fp
+    FROM cov
+),
+extra AS (
+    SELECT
+        CAST(SUM(CASE WHEN g.i = g.j
+            THEN CAST(FLOOR((CAST(m.m_fp AS DOUBLE) / {_CKA_SG}.0
+                             / CAST(cnt.n AS DOUBLE))
+                            * (CAST(m.m_fp AS DOUBLE) / {_CKA_SG}.0
+                               / CAST(cnt.n AS DOUBLE))
+                            * {_CKA_SF} + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS mean_sq_fp,
+        CAST(SUM(CASE WHEN g.i = g.j
+            THEN CAST(FLOOR(CAST(g.s_fp AS DOUBLE) / {_CKA_SG}.0
+                            / CAST(cnt.n AS DOUBLE) * {_CKA_SF} + 0.5)
+                      AS BIGINT) ELSE 0 END) AS BIGINT) AS e_norm_sq_fp
+    FROM gram g
+    JOIN mean_fp m ON m.i = g.i
+    CROSS JOIN cnt
+)
+SELECT cnt.n AS n_vectors,
+       ROUND(CAST(tr_fp AS DOUBLE) / {_CKA_SF}.0, 6) AS trace_cov,
+       ROUND(CAST(frob_fp AS DOUBLE) / {_CKA_SF}.0, 6) AS frob_sq_cov,
+       ROUND((CAST(tr_fp AS DOUBLE) / {_CKA_SF}.0)
+             * (CAST(tr_fp AS DOUBLE) / {_CKA_SF}.0)
+             / (CAST(frob_fp AS DOUBLE) / {_CKA_SF}.0), 6)
+           AS effective_rank,
+       ROUND((CAST(mean_sq_fp AS DOUBLE) / {_CKA_SF}.0)
+             / (CAST(e_norm_sq_fp AS DOUBLE) / {_CKA_SF}.0), 6)
+           AS anisotropy
+FROM sums, extra, cnt
+""".strip()
+
+
+@query("effective_rank_embeddings", oracle=_ERANK_SQL)
+def effective_rank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective rank (participation ratio) and anisotropy of the
+    embedding corpus — the two spectrum diagnostics every embedding
+    pipeline should watch (collapsed representations -> effective rank
+    << dim; the "narrow cone" pathology -> anisotropy near 1), computed
+    WITHOUT any eigendecomposition: PR = tr(C)^2 / ||C||_F^2 needs only
+    the covariance trace and Frobenius norm, and the anisotropy proxy
+    E[cos(x,y)] ~ ||mean||^2 / E||x||^2 needs only the mean vector and
+    the Gram diagonal — all from the SAME one-pass dim^2 Gram aggregate
+    as the PCA/CKA family. Bounded tail stays relational (per-entry
+    1e-12 fixed point before the 4096-entry sums); one sqrt-free row
+    out."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("x")
+    )
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    comp = emb.select(F.posexplode("x").alias("i0", "xi"), "x")
+    tri = comp.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode("x").alias("j0", "xj"),
+        "xi",
+    ).filter(F.col("j0") + 1 >= F.col("i"))
+    half = (
+        tri.select(
+            "i",
+            (F.col("j0") + 1).alias("j"),
+            F.floor(F.col("xi") * F.col("xj") * F.lit(_CKA_SG) + F.lit(0.5))
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("term").cast("long").alias("s_fp"))
+    )
+    full = half.unionAll(
+        half.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s_fp"
+        )
+    )
+    means = (
+        comp.select(
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("xi") * F.lit(_CKA_SG) + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("i")
+        .agg(F.sum("t").cast("long").alias("m_fp"))
+    )
+    mi = means.select(F.col("i").alias("mi_i"), F.col("m_fp").alias("mi"))
+    mj = means.select(F.col("i").alias("mj_i"), F.col("m_fp").alias("mj"))
+    nD = F.col("n").cast("double")
+    sg = F.lit(float(_CKA_SG))
+    sf = F.lit(float(_CKA_SF))
+    cov = (
+        full.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_i"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            "s_fp",
+            "mi",
+            "n",
+            (
+                (
+                    F.col("s_fp").cast("double") / sg
+                    - (F.col("mi").cast("double") / sg)
+                    * (F.col("mj").cast("double") / sg)
+                    / nD
+                )
+                / nD
+            ).alias("c"),
+        )
+    )
+    diag = F.col("i") == F.col("j")
+    sums = cov.agg(
+        F.sum(
+            F.when(diag, F.floor(F.col("c") * sf + F.lit(0.5)).cast("long"))
+            .otherwise(0)
+        ).cast("long").alias("tr_fp"),
+        F.sum(
+            F.floor(F.col("c") * F.col("c") * sf + F.lit(0.5)).cast("long")
+        ).cast("long").alias("frob_fp"),
+        F.sum(
+            F.when(
+                diag,
+                F.floor(
+                    (F.col("mi").cast("double") / sg / nD)
+                    * (F.col("mi").cast("double") / sg / nD)
+                    * sf
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(0)
+        ).cast("long").alias("mean_sq_fp"),
+        F.sum(
+            F.when(
+                diag,
+                F.floor(
+                    F.col("s_fp").cast("double") / sg / nD * sf + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(0)
+        ).cast("long").alias("e_norm_sq_fp"),
+    )
+    out = sums.crossJoin(F.broadcast(n_df))
+    tr = F.col("tr_fp").cast("double") / sf
+    fr = F.col("frob_fp").cast("double") / sf
+    return out.select(
+        F.col("n").alias("n_vectors"),
+        F.round(tr, 6).alias("trace_cov"),
+        F.round(fr, 6).alias("frob_sq_cov"),
+        F.round(tr * tr / fr, 6).alias("effective_rank"),
+        F.round(
+            (F.col("mean_sq_fp").cast("double") / sf)
+            / (F.col("e_norm_sq_fp").cast("double") / sf),
+            6,
+        ).alias("anisotropy"),
+    )

@@ -419,6 +419,7 @@ WAVE5 = [
     "heaps_law_fit_tokens",
     "token_burstiness_top_terms",
     "cka_embedding_halves",
+    "effective_rank_embeddings",
 ]
 
 CURATION = [

@@ -940,3 +940,44 @@ def test_cka_matches_numpy_reference(spark):
     ref = xy / math.sqrt(xx * yy)
     assert abs(got.cka - ref) < 5e-3
     assert 0.0 <= got.cka <= 1.0
+
+
+def test_effective_rank_extremes(spark):
+    """Isotropic data -> effective rank near dim; rank-1 data (all
+    vectors on one line, mean removed) -> effective rank near 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    iso = rng.randn(200, 64) * 0.2
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, iso, d)
+        got_iso = w5.effective_rank_embeddings(spark, d).collect()[0]
+    assert got_iso.effective_rank > 40  # isotropic: PR ~ n_dim-ish
+    assert got_iso.anisotropy < 0.1
+
+    direction = rng.randn(64)
+    direction /= np.linalg.norm(direction)
+    coef = rng.randn(200, 1) * 0.5
+    line = coef @ direction[None, :]
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, line, d)
+        got_line = w5.effective_rank_embeddings(spark, d).collect()[0]
+    assert got_line.effective_rank < 1.5
+
+
+def test_effective_rank_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(80, 64) * np.linspace(1.0, 0.05, 64)[None, :] * 0.5
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, vecs, d)
+        got = w5.effective_rank_embeddings(spark, d).collect()[0]
+    v32 = vecs.astype("float32").astype("float64")
+    n = v32.shape[0]
+    c = (v32 - v32.mean(axis=0)).T @ (v32 - v32.mean(axis=0)) / n / n
+    pr = np.trace(c) ** 2 / (c**2).sum()
+    mean_sq = (v32.mean(axis=0) ** 2).sum()
+    e_norm_sq = (v32**2).sum() / n
+    assert abs(got.effective_rank - pr) < 0.05
+    assert abs(got.anisotropy - mean_sq / e_norm_sq) < 1e-3
