@@ -3563,3 +3563,158 @@ def effective_rank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("anisotropy"),
     )
+
+
+# --- restricted mean survival time (area under KM to one week) -----------------
+
+_RMST_TAU_H = 168  # one week, exact integer hours
+
+_RMST_SQL = f"""
+WITH RECURSIVE mic AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+u AS (
+    SELECT user_id, MIN(us) AS t0, MAX(us) AS tl,
+           MIN(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+    FROM mic GROUP BY user_id
+),
+d AS (
+    SELECT (COALESCE(tp, tl) - t0) // {_NA_HOUR_US} AS dur,
+           (tp IS NOT NULL) AS died
+    FROM u
+),
+hist AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+    FROM d GROUP BY dur
+),
+risk AS (
+    SELECT dur, deaths,
+           CAST(SUM(n_all) OVER (
+               ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS at_risk
+    FROM hist
+),
+steps AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY dur) AS rn, dur, deaths, at_risk
+    FROM risk WHERE deaths > 0
+),
+km AS (
+    SELECT rn, dur,
+           1.0 * (1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)) AS surv
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.dur,
+           km.surv * (1.0 - CAST(s.deaths AS DOUBLE) / CAST(s.at_risk AS DOUBLE))
+    FROM km JOIN steps s ON s.rn = km.rn + 1
+),
+segs AS (
+    SELECT rn, dur, surv,
+           LEAD(dur, 1, {_RMST_TAU_H}) OVER (ORDER BY rn) AS next_dur
+    FROM km
+),
+pieces AS (
+    SELECT CAST(FLOOR(CAST(LEAST(next_dur, {_RMST_TAU_H})
+                           - LEAST(dur, {_RMST_TAU_H}) AS DOUBLE)
+                      * surv * 1000000000.0 + 0.5) AS BIGINT) AS area_fp
+    FROM segs
+),
+head AS (
+    SELECT CAST(LEAST(MIN(dur), {_RMST_TAU_H}) AS BIGINT) AS first_dur,
+           CAST(COUNT(*) AS BIGINT) AS n_steps
+    FROM km
+)
+SELECT CAST({_RMST_TAU_H} AS BIGINT) AS tau_h,
+       head.n_steps,
+       ROUND(CAST(head.first_dur AS DOUBLE)
+             + CAST(SUM(area_fp) AS DOUBLE) / 1000000000.0, 6) AS rmst_h
+FROM pieces, head
+GROUP BY head.first_dur, head.n_steps
+""".strip()
+
+
+@query("rmst_to_purchase", oracle=_RMST_SQL)
+def rmst_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to first purchase, truncated at one
+    week — "expected purchase-free hours in the first {_RMST_TAU_H}" —
+    the scalar summary clinicians (and growth teams) quote when median
+    survival is undefined; completes the survival family (KM curve,
+    Greenwood bands, Nelson-Aalen, log-rank). The step-function integral
+    is computed from the SAME forced-order KM chain: segment widths are
+    exact integer hours, each ``width * S_i`` piece is fixed-pointed
+    (1e-9) before the cross-step sum, and the pre-first-death strip
+    enters as the exact integer ``min(t_1, tau)`` (survival 1 there)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    d = u.select(
+        F.expr(f"(coalesce(tp, tl) - t0) div {_NA_HOUR_US}").alias("dur"),
+        F.col("tp").isNotNull().alias("died"),
+    )
+    hist = d.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("deaths"),
+    )
+    w_risk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn(
+        "at_risk", F.sum("n_all").over(w_risk).cast("long")
+    ).filter(F.col("deaths") > 0)
+    packed = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "deaths", "at_risk"))
+        ).alias("arr")
+    )
+    surv = F.aggregate(
+        "arr",
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0))
+                * (
+                    F.lit(1.0)
+                    - x["deaths"].cast("double")
+                    / x["at_risk"].cast("double")
+                )
+            ),
+        ),
+    )
+    km = packed.select(
+        F.posexplode(F.arrays_zip(F.col("arr"), surv.alias("surv_arr")))
+    ).select(
+        (F.col("pos") + 1).alias("rn"),
+        F.col("col.arr.dur").alias("dur"),
+        F.col("col.surv_arr").alias("surv"),
+    )
+    tau = F.lit(_RMST_TAU_H)
+    segs = km.withColumn(
+        "next_dur",
+        F.lead("dur", 1, _RMST_TAU_H).over(Window.orderBy("rn")),
+    )
+    area_fp = F.floor(
+        (F.least(F.col("next_dur"), tau) - F.least(F.col("dur"), tau))
+        .cast("double")
+        * F.col("surv")
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = segs.agg(
+        F.sum(area_fp).cast("long").alias("area_sum"),
+        F.least(F.min("dur"), tau.cast("long")).cast("long").alias("first_dur"),
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+    )
+    return agg.select(
+        F.lit(_RMST_TAU_H).cast("long").alias("tau_h"),
+        "n_steps",
+        F.round(
+            F.col("first_dur").cast("double")
+            + F.col("area_sum").cast("double") / F.lit(1_000_000_000.0),
+            6,
+        ).alias("rmst_h"),
+    )

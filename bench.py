@@ -420,6 +420,7 @@ WAVE5 = [
     "token_burstiness_top_terms",
     "cka_embedding_halves",
     "effective_rank_embeddings",
+    "rmst_to_purchase",
 ]
 
 CURATION = [

@@ -981,3 +981,20 @@ def test_effective_rank_matches_numpy(spark):
     e_norm_sq = (v32**2).sum() / n
     assert abs(got.effective_rank - pr) < 0.05
     assert abs(got.anisotropy - mean_sq / e_norm_sq) < 1e-3
+
+
+def test_rmst_matches_hand_integration(spark):
+    """On the shared fixture: steps at t=2 (S->2/3) and t=5 (S->2/9);
+    RMST(168) = 2*1 + 3*(2/3) + 163*(2/9) with the query's fixed-point
+    per-piece convention."""
+    rows, spec = _survival_fixture()
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.rmst_to_purchase(spark, d).collect()[0]
+    s1 = 1 - 2 / 6
+    s2 = s1 * (1 - 2 / 3)
+    a1 = math.floor((5 - 2) * s1 * 1e9 + 0.5) / 1e9
+    a2 = math.floor((168 - 5) * s2 * 1e9 + 0.5) / 1e9
+    ref = 2 + a1 + a2
+    assert got.tau_h == 168 and got.n_steps == 2
+    assert abs(got.rmst_h - round(ref, 6)) < 1e-9
