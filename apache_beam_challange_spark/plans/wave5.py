@@ -3718,3 +3718,111 @@ def rmst_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmst_h"),
     )
+
+
+# --- mixture SPRT: always-valid p-value over the event stream ------------------
+
+#: mSPRT design (normal-approximation Bernoulli): H0 p0 = 0.15, mixing
+#: prior tau = 0.1. With per-observation variance q0 = p0*(1-p0), the
+#: normal-mixture likelihood ratio has the closed form
+#:   ln Lambda_i = 0.5*ln(q0/(q0 + i*tau^2))
+#:                 + (S - i*p0)^2 * tau^2 / (2*q0*(q0 + i*tau^2))
+#: — evaluated per position from the SAME packed
+#: (i, S) prefix sum as the Wald SPRT; the always-valid p-value is
+#: 1/max_i Lambda_i (Howard/Ramdas-style). All literals pinned.
+_MSPRT_P0 = "0.15"
+_MSPRT_Q0 = "0.1275"   # p0*(1-p0), pinned so both engines parse one literal
+_MSPRT_T2 = "0.01"     # tau^2
+
+_MSPRT_SQL = f"""
+WITH ordered AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+           ROW_NUMBER() OVER (ORDER BY ts, event_id) AS i
+    FROM events
+),
+walk AS (
+    SELECT i,
+           CAST(SUM(pos) OVER (
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS s
+    FROM ordered
+),
+lam AS (
+    SELECT i, s,
+           0.5 * LN({_MSPRT_Q0}
+                    / ({_MSPRT_Q0} + CAST(i AS DOUBLE) * {_MSPRT_T2}))
+           + (CAST(s AS DOUBLE) - CAST(i AS DOUBLE) * {_MSPRT_P0})
+             * (CAST(s AS DOUBLE) - CAST(i AS DOUBLE) * {_MSPRT_P0})
+             * {_MSPRT_T2}
+             / (2.0 * {_MSPRT_Q0}
+                * ({_MSPRT_Q0} + CAST(i AS DOUBLE) * {_MSPRT_T2})) AS ln_lam
+    FROM walk
+)
+SELECT CAST(MAX(i) AS BIGINT) AS n_total,
+       ROUND(MAX(ln_lam), 6) AS max_ln_lambda,
+       CAST(MIN(CASE WHEN ln_lam = (SELECT MAX(ln_lam) FROM lam)
+                     THEN i END) AS BIGINT) AS argmax_i,
+       ROUND(LEAST(1.0, EXP(-MAX(ln_lam))), 6) AS p_always_valid
+FROM lam
+""".strip()
+
+
+@query("msprt_always_valid_pvalue", oracle=_MSPRT_SQL)
+def msprt_always_valid_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture SPRT always-valid p-value for "purchase rate != 0.15"
+    over the event stream — the anytime-inference companion to the Wald
+    SPRT (peek at every observation, the guarantee still holds:
+    p_av = 1/max_i Lambda_i). ln Lambda_i is a closed form of the packed
+    (position, cum_positives) pair, which rides the SAME distributed
+    prefix sum (range-partitioned, no single-partition window); the
+    maximum is one MAX aggregate over per-row identical double
+    expressions (every engine computes the same ln Lambda values, so
+    MAX and the min-position argmax are deterministic), and the single
+    EXP runs once on the aggregated maximum. Pinned literals:
+    p0={_MSPRT_P0}, tau^2={_MSPRT_T2}."""
+    from apache_beam_challange_spark.plans.coverage import (
+        distributed_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    packed = ev.select(
+        F.col("ts"),
+        F.col("event_id"),
+        (
+            (F.col("event_type") == "purchase").cast("long")
+            * F.lit(_SPRT_PACK)
+            + F.lit(1)
+        ).alias("v"),
+    )
+    cum = distributed_prefix_sum(packed, [F.col("ts"), F.col("event_id")], "v")
+    iD = (F.col("cum") % F.lit(_SPRT_PACK)).cast("double")
+    sD = F.expr(f"cum div {_SPRT_PACK}").cast("double")
+    q0 = F.lit(float(_MSPRT_Q0))
+    t2 = F.lit(float(_MSPRT_T2))
+    p0 = F.lit(float(_MSPRT_P0))
+    ln_lam = (
+        F.lit(0.5) * F.log(q0 / (q0 + iD * t2))
+        + (sD - iD * p0) * (sD - iD * p0) * t2
+        / (F.lit(2.0) * q0 * (q0 + iD * t2))
+    )
+    lam = cum.select(
+        (F.col("cum") % F.lit(_SPRT_PACK)).alias("i"), ln_lam.alias("ln_lam")
+    )
+    # argmax with min-i tie-break: join back on the max (bounded row)
+    mx = lam.agg(F.max("ln_lam").alias("mx"))
+    arg = (
+        lam.join(F.broadcast(mx), lam.ln_lam == mx.mx)
+        .agg(F.min("i").cast("long").alias("argmax_i"))
+    )
+    fin = lam.agg(
+        F.max("i").cast("long").alias("n_total"),
+        F.max("ln_lam").alias("mxl"),
+    ).crossJoin(F.broadcast(arg))
+    return fin.select(
+        "n_total",
+        F.round(F.col("mxl"), 6).alias("max_ln_lambda"),
+        "argmax_i",
+        F.round(
+            F.least(F.lit(1.0), F.exp(-F.col("mxl"))), 6
+        ).alias("p_always_valid"),
+    )

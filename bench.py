@@ -421,6 +421,7 @@ WAVE5 = [
     "cka_embedding_halves",
     "effective_rank_embeddings",
     "rmst_to_purchase",
+    "msprt_always_valid_pvalue",
 ]
 
 CURATION = [

@@ -998,3 +998,32 @@ def test_rmst_matches_hand_integration(spark):
     ref = 2 + a1 + a2
     assert got.tau_h == 168 and got.n_steps == 2
     assert abs(got.rmst_h - round(ref, 6)) < 1e-9
+
+
+def test_msprt_matches_python_replay(spark):
+    """ln Lambda trajectory and the always-valid p replayed in python
+    on a stream with an elevated rate (p ~ 0.5 >> p0 = 0.15)."""
+    flags = [i % 2 == 0 for i in range(60)]
+    rows = [
+        _ev(i, dt.datetime(2024, 1, 1, 0) + dt.timedelta(minutes=i), 1,
+            "purchase" if pos else "view", 1.0)
+        for i, pos in enumerate(flags)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.msprt_always_valid_pvalue(spark, d).collect()[0]
+    p0, q0, t2 = 0.15, 0.1275, 0.01
+    s = 0
+    best, arg = -1e18, None
+    for i, pos in enumerate(flags, start=1):
+        s += pos
+        ln_lam = 0.5 * math.log(q0 / (q0 + i * t2)) + (
+            (s - i * p0) ** 2 * t2 / (2 * q0 * (q0 + i * t2))
+        )
+        if ln_lam > best:
+            best, arg = ln_lam, i
+    assert got.n_total == 60
+    assert abs(got.max_ln_lambda - round(best, 6)) < 1e-9
+    assert got.argmax_i == arg
+    assert abs(got.p_always_valid - round(min(1.0, math.exp(-best)), 6)) < 2e-6
+    assert got.p_always_valid < 0.05  # the elevated rate is detected
