@@ -258,6 +258,58 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NA_HOUR_US = 3600000000
 
+def _survival_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival scaffold (Nelson-Aalen / log-rank base, Greenwood,
+    RMST): per-user exact integer durations to first purchase (censored
+    at last event), the duration histogram, and integer at-risk suffix
+    sums — one user-keyed shuffle, then DOMAIN-bounded frames. Returns
+    rows (dur, n_all, deaths, at_risk) for ALL durations (callers filter
+    deaths > 0 where the estimator needs death-steps only)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    d = u.select(
+        F.expr(f"(coalesce(tp, tl) - t0) div {_NA_HOUR_US}").alias("dur"),
+        F.col("tp").isNotNull().alias("died"),
+    )
+    hist = d.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("deaths"),
+    )
+    w_risk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.withColumn("at_risk", F.sum("n_all").over(w_risk).cast("long"))
+
+
+def _km_surv_chain():
+    """The forced-order KM survival left-fold over a sorted step array
+    named ``arr`` (structs carrying at least ``deaths`` and ``at_risk``)
+    — the engine twin of the oracle's RECURSIVE product walk. One
+    definition; Greenwood/RMST/steps consumers all fold the identical
+    IEEE sequence."""
+    return F.aggregate(
+        "arr",
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0))
+                * (
+                    F.lit(1.0)
+                    - x["deaths"].cast("double")
+                    / x["at_risk"].cast("double")
+                )
+            ),
+        ),
+    )
+
+
+
 _NA_SQL = f"""
 WITH mic AS (
     SELECT user_id, event_type, epoch_us(ts) AS us FROM events
@@ -307,27 +359,7 @@ def nelson_aalen_hazard_to_purchase(
     row. One user-keyed shuffle is the only data-sized work. Durations
     and censoring exactly as in KM (audit.py) so the two curves are
     directly comparable."""
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    u = ev.groupBy("user_id").agg(
-        F.min(us).alias("t0"),
-        F.max(us).alias("tl"),
-        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
-    )
-    d = u.select(
-        F.expr(f"(coalesce(tp, tl) - t0) div {_NA_HOUR_US}").alias("dur"),
-        F.col("tp").isNotNull().alias("died"),
-    )
-    hist = d.groupBy("dur").agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("deaths"),
-    )
-    w_risk = Window.orderBy(F.desc("dur")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = hist.withColumn(
-        "at_risk", F.sum("n_all").over(w_risk).cast("long")
-    ).filter(F.col("deaths") > 0)
+    risk = _survival_risk_table(spark, sf_dir).filter(F.col("deaths") > 0)
     w_cum = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1822,27 +1854,7 @@ def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     only ordered float chain remains the KM product itself, replayed as
     the identical IEEE sequence via the recursive CTE / left-fold pair.
     z = {_Z95} pinned as shared literal text."""
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    u = ev.groupBy("user_id").agg(
-        F.min(us).alias("t0"),
-        F.max(us).alias("tl"),
-        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
-    )
-    d = u.select(
-        F.expr(f"(coalesce(tp, tl) - t0) div {_NA_HOUR_US}").alias("dur"),
-        F.col("tp").isNotNull().alias("died"),
-    )
-    hist = d.groupBy("dur").agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("deaths"),
-    )
-    w_risk = Window.orderBy(F.desc("dur")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = hist.withColumn(
-        "at_risk", F.sum("n_all").over(w_risk).cast("long")
-    ).filter(F.col("deaths") > 0)
+    risk = _survival_risk_table(spark, sf_dir).filter(F.col("deaths") > 0)
     w_cum = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1858,21 +1870,7 @@ def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("dur", "deaths", "at_risk", "gw_fp"))
         ).alias("arr")
     )
-    surv = F.aggregate(
-        "arr",
-        F.array().cast("array<double>"),
-        lambda acc, x: F.concat(
-            acc,
-            F.array(
-                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0))
-                * (
-                    F.lit(1.0)
-                    - x["deaths"].cast("double")
-                    / x["at_risk"].cast("double")
-                )
-            ),
-        ),
-    )
+    surv = _km_surv_chain()
     zipped = packed.select(
         F.posexplode(F.arrays_zip(F.col("arr"), surv.alias("surv_arr")))
     )
@@ -3215,6 +3213,77 @@ _CKA_SPLIT = 32   # dims 1..32 = block X, 33..64 = block Y
 _CKA_SG = 1_000_000_000   # per-product / per-coordinate fixed point
 _CKA_SF = 1_000_000_000_000  # per-entry squared-covariance fixed point
 
+def _centered_cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared dim^2 Gram scaffold for the representation diagnostics
+    (CKA, effective rank): one-pass fixed-point Gram (upper triangle
+    mirrored — IEEE multiplication is commutative), fixed-point mean
+    vector, and the centered covariance ``c`` as one identical double
+    expression. Returns the 4096-row bounded frame with columns
+    (i, j, s_fp, mi, n, c)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("x")
+    )
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    comp = emb.select(F.posexplode("x").alias("i0", "xi"), "x")
+    tri = comp.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode("x").alias("j0", "xj"),
+        "xi",
+    ).filter(F.col("j0") + 1 >= F.col("i"))
+    half = (
+        tri.select(
+            "i",
+            (F.col("j0") + 1).alias("j"),
+            F.floor(F.col("xi") * F.col("xj") * F.lit(_CKA_SG) + F.lit(0.5))
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("term").cast("long").alias("s_fp"))
+    )
+    full = half.unionAll(
+        half.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s_fp"
+        )
+    )
+    means = (
+        comp.select(
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("xi") * F.lit(_CKA_SG) + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("i")
+        .agg(F.sum("t").cast("long").alias("m_fp"))
+    )
+    mi = means.select(F.col("i").alias("mi_i"), F.col("m_fp").alias("mi"))
+    mj = means.select(F.col("i").alias("mj_i"), F.col("m_fp").alias("mj"))
+    nD = F.col("n").cast("double")
+    sg = F.lit(float(_CKA_SG))
+    return (
+        full.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_i"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            "s_fp",
+            "mi",
+            "n",
+            (
+                (
+                    F.col("s_fp").cast("double") / sg
+                    - (F.col("mi").cast("double") / sg)
+                    * (F.col("mj").cast("double") / sg)
+                    / nD
+                )
+                / nD
+            ).alias("c"),
+        )
+    )
+
+
+
 _CKA_SQL = f"""
 WITH comp AS MATERIALIZED (
     SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
@@ -3285,63 +3354,8 @@ def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared terms re-fixed-pointed (1e-12) before the three block sums,
     one sqrt at the end. No collect anywhere — the bounded tail stays
     relational."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        as_double(F.col("embedding")).alias("x")
-    )
-    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    comp = emb.select(F.posexplode("x").alias("i0", "xi"), "x")
-    tri = comp.select(
-        (F.col("i0") + 1).alias("i"),
-        F.posexplode("x").alias("j0", "xj"),
-        "xi",
-    ).filter(F.col("j0") + 1 >= F.col("i"))
-    half = (
-        tri.select(
-            "i",
-            (F.col("j0") + 1).alias("j"),
-            F.floor(F.col("xi") * F.col("xj") * F.lit(_CKA_SG) + F.lit(0.5))
-            .cast("long")
-            .alias("term"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("term").cast("long").alias("s_fp"))
-    )
-    full = half.unionAll(
-        half.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "s_fp"
-        )
-    )
-    means = (
-        comp.select(
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("xi") * F.lit(_CKA_SG) + F.lit(0.5))
-            .cast("long")
-            .alias("t"),
-        )
-        .groupBy("i")
-        .agg(F.sum("t").cast("long").alias("m_fp"))
-    )
-    mi = means.select(F.col("i").alias("mi_i"), F.col("m_fp").alias("mi"))
-    mj = means.select(F.col("i").alias("mj_i"), F.col("m_fp").alias("mj"))
-    nD = F.col("n").cast("double")
-    cov = (
-        full.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
-        .join(F.broadcast(mj), F.col("j") == F.col("mj_i"))
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "i",
-            "j",
-            (
-                (
-                    F.col("s_fp").cast("double") / F.lit(float(_CKA_SG))
-                    - (F.col("mi").cast("double") / F.lit(float(_CKA_SG)))
-                    * (F.col("mj").cast("double") / F.lit(float(_CKA_SG)))
-                    / nD
-                )
-                / nD
-            ).alias("c"),
-        )
-    )
+    cov = _centered_cov_frame(spark, sf_dir)
+    n_df = cov.select("n").limit(1)
     t_fp = F.floor(
         F.col("c") * F.col("c") * F.lit(float(_CKA_SF)) + F.lit(0.5)
     ).cast("long")
@@ -3458,68 +3472,11 @@ def effective_rank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the PCA/CKA family. Bounded tail stays relational (per-entry
     1e-12 fixed point before the 4096-entry sums); one sqrt-free row
     out."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        as_double(F.col("embedding")).alias("x")
-    )
-    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    comp = emb.select(F.posexplode("x").alias("i0", "xi"), "x")
-    tri = comp.select(
-        (F.col("i0") + 1).alias("i"),
-        F.posexplode("x").alias("j0", "xj"),
-        "xi",
-    ).filter(F.col("j0") + 1 >= F.col("i"))
-    half = (
-        tri.select(
-            "i",
-            (F.col("j0") + 1).alias("j"),
-            F.floor(F.col("xi") * F.col("xj") * F.lit(_CKA_SG) + F.lit(0.5))
-            .cast("long")
-            .alias("term"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("term").cast("long").alias("s_fp"))
-    )
-    full = half.unionAll(
-        half.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "s_fp"
-        )
-    )
-    means = (
-        comp.select(
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("xi") * F.lit(_CKA_SG) + F.lit(0.5))
-            .cast("long")
-            .alias("t"),
-        )
-        .groupBy("i")
-        .agg(F.sum("t").cast("long").alias("m_fp"))
-    )
-    mi = means.select(F.col("i").alias("mi_i"), F.col("m_fp").alias("mi"))
-    mj = means.select(F.col("i").alias("mj_i"), F.col("m_fp").alias("mj"))
-    nD = F.col("n").cast("double")
+    cov = _centered_cov_frame(spark, sf_dir)
+    n_df = cov.select("n").limit(1)
     sg = F.lit(float(_CKA_SG))
     sf = F.lit(float(_CKA_SF))
-    cov = (
-        full.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
-        .join(F.broadcast(mj), F.col("j") == F.col("mj_i"))
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "i",
-            "j",
-            "s_fp",
-            "mi",
-            "n",
-            (
-                (
-                    F.col("s_fp").cast("double") / sg
-                    - (F.col("mi").cast("double") / sg)
-                    * (F.col("mj").cast("double") / sg)
-                    / nD
-                )
-                / nD
-            ).alias("c"),
-        )
-    )
+    nD = F.col("n").cast("double")
     diag = F.col("i") == F.col("j")
     sums = cov.agg(
         F.sum(
@@ -3644,47 +3601,13 @@ def rmst_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer hours, each ``width * S_i`` piece is fixed-pointed
     (1e-9) before the cross-step sum, and the pre-first-death strip
     enters as the exact integer ``min(t_1, tau)`` (survival 1 there)."""
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    u = ev.groupBy("user_id").agg(
-        F.min(us).alias("t0"),
-        F.max(us).alias("tl"),
-        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
-    )
-    d = u.select(
-        F.expr(f"(coalesce(tp, tl) - t0) div {_NA_HOUR_US}").alias("dur"),
-        F.col("tp").isNotNull().alias("died"),
-    )
-    hist = d.groupBy("dur").agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("deaths"),
-    )
-    w_risk = Window.orderBy(F.desc("dur")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = hist.withColumn(
-        "at_risk", F.sum("n_all").over(w_risk).cast("long")
-    ).filter(F.col("deaths") > 0)
+    risk = _survival_risk_table(spark, sf_dir).filter(F.col("deaths") > 0)
     packed = risk.agg(
         F.sort_array(
             F.collect_list(F.struct("dur", "deaths", "at_risk"))
         ).alias("arr")
     )
-    surv = F.aggregate(
-        "arr",
-        F.array().cast("array<double>"),
-        lambda acc, x: F.concat(
-            acc,
-            F.array(
-                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0))
-                * (
-                    F.lit(1.0)
-                    - x["deaths"].cast("double")
-                    / x["at_risk"].cast("double")
-                )
-            ),
-        ),
-    )
+    surv = _km_surv_chain()
     km = packed.select(
         F.posexplode(F.arrays_zip(F.col("arr"), surv.alias("surv_arr")))
     ).select(
