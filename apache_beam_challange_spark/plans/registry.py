@@ -159,7 +159,8 @@ DRIVER_ORDER: list[str] = [
     # energy_distance_weekend_value, heaps_law_fit_tokens,
     # token_burstiness_top_terms, cka_embedding_halves,
     # effective_rank_embeddings, rmst_to_purchase,
-    # msprt_always_valid_pvalue.)
+    # msprt_always_valid_pvalue, qte_weekend_value,
+    # trimmed_mean_value_by_type.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

@@ -3749,3 +3749,192 @@ def msprt_always_valid_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.exp(-F.col("mxl"))), 6
         ).alias("p_always_valid"),
     )
+
+
+# --- quantile treatment effects (weekend, type-1 cent quantiles) ---------------
+
+_QTE_SQL = """
+WITH base AS (
+    SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+           CAST(FLOOR(value * 100) AS BIGINT) AS vb
+    FROM events
+),
+hist AS (
+    SELECT w, vb, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY w, vb
+),
+cum AS (
+    SELECT w, vb,
+           CAST(SUM(c) OVER (
+               PARTITION BY w ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY w) AS BIGINT) AS n
+    FROM hist
+),
+q AS (
+    SELECT w, MAX(n) AS n,
+           MIN(CASE WHEN 4 * cc >= n THEN vb END) AS q25,
+           MIN(CASE WHEN 2 * cc >= n THEN vb END) AS q50,
+           MIN(CASE WHEN 4 * cc >= 3 * n THEN vb END) AS q75
+    FROM cum GROUP BY w
+)
+SELECT t.n AS n_treated, c.n AS n_control,
+       t.q25 AS q25_treated, c.q25 AS q25_control,
+       CAST(t.q25 - c.q25 AS BIGINT) AS qte25,
+       t.q50 AS q50_treated, c.q50 AS q50_control,
+       CAST(t.q50 - c.q50 AS BIGINT) AS qte50,
+       t.q75 AS q75_treated, c.q75 AS q75_control,
+       CAST(t.q75 - c.q75 AS BIGINT) AS qte75
+FROM (SELECT * FROM q WHERE w = 1) t, (SELECT * FROM q WHERE w = 0) c
+""".strip()
+
+
+@query("qte_weekend_value", oracle=_QTE_SQL)
+def qte_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects of "weekend" on value at the three
+    quartiles — where in the distribution does the effect live? (A mean
+    shift the ATE reports can hide a pure tail effect; QTE separates
+    them.) Per-arm type-1 (lower) quantiles via EXACT integer threshold
+    picks over the per-arm cent histograms (``k*cum >= q*n`` — zero
+    floats anywhere, the ``weighted_quantiles`` discipline), differenced
+    per quartile. One conditional aggregate + domain-bounded windows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.weekday("ts") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("w"),
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+    )
+    hist = base.groupBy("w", "vb").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("w")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("w")
+    cum = hist.select(
+        "w",
+        "vb",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("vb")))  # noqa: E731
+    q = cum.groupBy("w").agg(
+        F.max("n").alias("n"),
+        pick(F.lit(4) * F.col("cc") >= F.col("n")).alias("q25"),
+        pick(F.lit(2) * F.col("cc") >= F.col("n")).alias("q50"),
+        pick(F.lit(4) * F.col("cc") >= F.lit(3) * F.col("n")).alias("q75"),
+    )
+    t = q.filter(F.col("w") == 1).select(
+        F.col("n").alias("n_treated"),
+        F.col("q25").alias("q25_treated"),
+        F.col("q50").alias("q50_treated"),
+        F.col("q75").alias("q75_treated"),
+    )
+    c = q.filter(F.col("w") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("q25").alias("q25_control"),
+        F.col("q50").alias("q50_control"),
+        F.col("q75").alias("q75_control"),
+    )
+    out = t.crossJoin(F.broadcast(c))
+    return out.select(
+        "n_treated",
+        "n_control",
+        "q25_treated",
+        "q25_control",
+        (F.col("q25_treated") - F.col("q25_control")).cast("long").alias("qte25"),
+        "q50_treated",
+        "q50_control",
+        (F.col("q50_treated") - F.col("q50_control")).cast("long").alias("qte50"),
+        "q75_treated",
+        "q75_control",
+        (F.col("q75_treated") - F.col("q75_control")).cast("long").alias("qte75"),
+    )
+
+
+# --- symmetric trimmed mean (exact histogram walk) ------------------------------
+
+_TRIM_PCT_NUM = 1   # trim 1/10 from each tail
+_TRIM_PCT_DEN = 10
+
+_TRIM_SQL = f"""
+WITH hist AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, vb, c,
+           CAST(SUM(c) OVER (
+               PARTITION BY event_type ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM hist
+),
+kept AS (
+    SELECT event_type, vb, n,
+           -- rows of this bucket inside [lo+1, n-lo] by global position:
+           -- bucket occupies positions (cc-c+1 .. cc)
+           GREATEST(0, LEAST(cc, n - (n * {_TRIM_PCT_NUM}) // {_TRIM_PCT_DEN})
+                       - GREATEST(cc - c,
+                                  (n * {_TRIM_PCT_NUM}) // {_TRIM_PCT_DEN}))
+               AS kc
+    FROM cum
+)
+SELECT event_type,
+       MAX(n) AS n,
+       CAST(SUM(kc) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(vb * kc) AS DOUBLE) / CAST(SUM(kc) AS DOUBLE), 6)
+           AS trimmed_mean_cents
+FROM kept
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+@query("trimmed_mean_value_by_type", oracle=_TRIM_SQL)
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric 10% trimmed mean per event type — the robust-location
+    companion to the winsorized mean (trim DROPS the tails instead of
+    clamping them). The exact-integer trick: a cent bucket occupies
+    global positions (cum-c+1 .. cum), so the kept count per bucket is
+    one interval intersection with [lo+1, n-lo] — no per-row ranking,
+    no data-sized window; trimmed sum and count stay exact BIGINTs with
+    one final division. One aggregate + domain-bounded windows."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("vb")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vb",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    lo = F.expr(f"(n * {_TRIM_PCT_NUM}) div {_TRIM_PCT_DEN}")
+    kc = F.greatest(
+        F.lit(0),
+        F.least(F.col("cc"), F.col("n") - lo)
+        - F.greatest(F.col("cc") - F.col("c"), lo),
+    )
+    kept = cum.select("event_type", "vb", "n", kc.alias("kc"))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("kc").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("vb") * F.col("kc")).cast("double")
+                / F.sum("kc").cast("double"),
+                6,
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("event_type")
+    )

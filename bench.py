@@ -422,6 +422,8 @@ WAVE5 = [
     "effective_rank_embeddings",
     "rmst_to_purchase",
     "msprt_always_valid_pvalue",
+    "qte_weekend_value",
+    "trimmed_mean_value_by_type",
 ]
 
 CURATION = [

@@ -1027,3 +1027,35 @@ def test_msprt_matches_python_replay(spark):
     assert got.argmax_i == arg
     assert abs(got.p_always_valid - round(min(1.0, math.exp(-best)), 6)) < 2e-6
     assert got.p_always_valid < 0.05  # the elevated rate is detected
+
+
+def test_qte_separates_tail_effect(spark):
+    """Treatment shifts ONLY the upper tail: q25/q50 equal across arms,
+    q75 differs — exactly what QTE should report and ATE would blur."""
+    sat, mon = dt.datetime(2024, 1, 6, 0), dt.datetime(2024, 1, 8, 0)
+    ctrl = [1.0, 2.0, 3.0, 4.0]
+    # type-1 q75 with n=4 picks the 3rd order statistic, so move IT
+    treat = [1.0, 2.0, 8.0, 9.0]
+    rows = [_ev(i, mon, 1, "view", v) for i, v in enumerate(ctrl)]
+    rows += [_ev(10 + i, sat, 1, "view", v) for i, v in enumerate(treat)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.qte_weekend_value(spark, d).collect()[0]
+    assert (got.n_treated, got.n_control) == (4, 4)
+    assert got.qte25 == 0 and got.qte50 == 0
+    assert got.qte75 == 500  # 900 - 400 cents
+
+
+def test_trimmed_mean_drops_exact_tail_counts(spark):
+    """n=10, 10% trim -> drop exactly the min and max rows; replay the
+    kept-interval arithmetic by hand."""
+    vals = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 4.0, 5.0, 100.0]
+    rows = [_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, "view", v)
+            for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.trimmed_mean_value_by_type(spark, d).collect()[0]
+    cents = sorted(round(v * 100) for v in vals)
+    kept = cents[1:-1]  # lo = 10*1//10 = 1 from each side
+    assert got.n == 10 and got.n_kept == 8
+    assert abs(got.trimmed_mean_cents - sum(kept) / len(kept)) < 1e-6
