@@ -160,7 +160,8 @@ DRIVER_ORDER: list[str] = [
     # token_burstiness_top_terms, cka_embedding_halves,
     # effective_rank_embeddings, rmst_to_purchase,
     # msprt_always_valid_pvalue, qte_weekend_value,
-    # trimmed_mean_value_by_type.)
+    # trimmed_mean_value_by_type, fwl_weekend_effect_hour_fe,
+    # theil_decomposition_by_nation.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

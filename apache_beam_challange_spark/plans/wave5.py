@@ -3938,3 +3938,244 @@ def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- FWL partialled effect (hour fixed effects) ---------------------------------
+
+_FWL_SQL = """
+WITH base AS (
+    SELECT CAST(hour(ts) AS BIGINT) AS h,
+           CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+),
+strata AS (
+    SELECT h,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(w) AS BIGINT) AS n1,
+           CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(w * y) AS DECIMAL(38,0)) AS s1y
+    FROM base GROUP BY h
+),
+terms AS (
+    SELECT
+        CAST(FLOOR((CAST(s1y AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS cov_fp,
+        CAST(FLOOR(CAST(n1 AS DOUBLE)
+                   * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS var_fp,
+        n1, n
+    FROM strata
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(n1) AS BIGINT) AS n_treated,
+       ROUND(CAST(SUM(var_fp) AS DOUBLE) / 1000000.0, 6) AS var_w_resid,
+       ROUND(CAST(SUM(cov_fp) AS DOUBLE) / CAST(SUM(var_fp) AS DOUBLE), 6)
+           AS fwl_effect_cents
+FROM terms
+""".strip()
+
+
+@query("fwl_weekend_effect_hour_fe", oracle=_FWL_SQL)
+def fwl_weekend_effect_hour_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-adjusted weekend effect with hour-of-day FIXED EFFECTS
+    via Frisch-Waugh-Lovell partialling — the variance-weighted
+    regression estimate next to the equal-n-weighted
+    ``stratified_ate_weekend_value`` (the two differ exactly when effect
+    and treatment share vary across strata; reading them together is the
+    standard heterogeneity check). FWL collapses to closed form on
+    per-stratum exact sums: cov(resid_y, resid_w) = sum_h (S1y_h -
+    n1_h*ybar_h) and var(resid_w) = sum_h n1_h(1 - n1_h/n_h), each term
+    fixed-pointed before the cross-stratum sum. One conditional
+    aggregate; 24-bounded tail."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("long").alias("h"),
+        F.when(F.weekday("ts") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("w"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    strata = base.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("n1"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("w") * F.col("y")).cast("decimal(38,0)").alias("s1y"),
+    )
+    nD = F.col("n").cast("double")
+    n1D = F.col("n1").cast("double")
+    cov_fp = F.floor(
+        (F.col("s1y").cast("double") - n1D * F.col("sy").cast("double") / nD)
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("long")
+    var_fp = F.floor(
+        n1D * (F.lit(1.0) - n1D / nD) * F.lit(_FP) + F.lit(0.5)
+    ).cast("long")
+    agg = strata.select(
+        "n", "n1", cov_fp.alias("cov_fp"), var_fp.alias("var_fp")
+    ).agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("n1").cast("long").alias("n_treated"),
+        F.sum("cov_fp").cast("long").alias("covs"),
+        F.sum("var_fp").cast("long").alias("vars"),
+    )
+    return agg.select(
+        F.col("n_all").alias("n"),
+        "n_treated",
+        F.round(F.col("vars").cast("double") / F.lit(_FP), 6).alias(
+            "var_w_resid"
+        ),
+        F.round(
+            F.col("covs").cast("double") / F.col("vars").cast("double"), 6
+        ).alias("fwl_effect_cents"),
+    )
+
+
+# --- Theil between/within decomposition by nation --------------------------------
+
+_THEIL_DECOMP_SQL = """
+WITH rev AS (
+    SELECT c.c_custkey, n.n_name,
+           CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                  AS BIGINT)), 0) AS BIGINT) AS r
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, n.n_name
+),
+pos AS (SELECT n_name, r FROM rev WHERE r > 0),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+    FROM pos
+),
+grp AS (
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg
+    FROM pos GROUP BY n_name
+),
+within_terms AS (
+    SELECT p.n_name,
+           CAST(FLOOR((CAST(p.r AS DOUBLE)
+                       / (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)))
+                      * LN(CAST(p.r AS DOUBLE)
+                           / (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS t_fp
+    FROM pos p JOIN grp g ON g.n_name = p.n_name
+),
+tw AS (
+    SELECT w.n_name, CAST(SUM(t_fp) AS BIGINT) AS t_sum
+    FROM within_terms w GROUP BY w.n_name
+),
+parts AS (
+    SELECT
+        -- within: sum over groups of (s_g/S) * T_g
+        CAST(SUM(CAST(FLOOR((CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+                            * (CAST(tw.t_sum AS DOUBLE) / 1000000000.0
+                               / CAST(g.ng AS DOUBLE))
+                            * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+            AS within_fp,
+        -- between: sum over groups of (s_g/S) * ln( (s_g/S) / (n_g/N) )
+        CAST(SUM(CAST(FLOOR((CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+                            * LN((CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+                                 / (CAST(g.ng AS DOUBLE)
+                                    / CAST(t.n AS DOUBLE)))
+                            * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+            AS between_fp
+    FROM grp g JOIN tw ON tw.n_name = g.n_name CROSS JOIN tot t
+)
+SELECT t.n, ROUND(CAST(between_fp AS DOUBLE) / 1000000000.0, 6) AS theil_between,
+       ROUND(CAST(within_fp AS DOUBLE) / 1000000000.0, 6) AS theil_within,
+       ROUND(CAST(between_fp AS DOUBLE) / 1000000000.0
+             + CAST(within_fp AS DOUBLE) / 1000000000.0, 6) AS theil_total
+FROM parts, tot t
+""".strip()
+
+
+@query("theil_decomposition_by_nation", oracle=_THEIL_DECOMP_SQL)
+def theil_decomposition_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T decomposition of customer-revenue inequality into BETWEEN-
+    nation and WITHIN-nation components — the property Gini lacks and the
+    reason ``theil_index_revenue`` exists: T = sum_g (s_g/S) ln((s_g/S)/
+    (n_g/N)) + sum_g (s_g/S) T_g, additively exact. Per-customer within
+    terms and per-group between terms each fixed-pointed (1e-9) before
+    their sums (the wave's ln discipline); the decomposition identity is
+    test-pinned against the direct global Theil up to fixed-point
+    granularity. Data-sized work: the custkey aggregate + one pass of
+    within terms; groups are nation-bounded."""
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(
+            od.groupBy("o_custkey").agg(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                ).alias("lr")
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            "n_name", F.coalesce("lr", F.lit(0)).cast("long").alias("r")
+        )
+    )
+    pos = rev.filter(F.col("r") > 0).localCheckpoint()  # feeds tot+grp+terms
+    tot = pos.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+    )
+    grp = pos.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col("r").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sg"),
+    )
+    mu_g = F.col("sg").cast("double") / F.col("ng").cast("double")
+    within_terms = (
+        pos.join(F.broadcast(grp), "n_name")
+        .select(
+            "n_name",
+            F.floor(
+                (F.col("r").cast("double") / mu_g)
+                * F.log(F.col("r").cast("double") / mu_g)
+                * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("t_fp"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("t_fp").cast("long").alias("t_sum"))
+    )
+    share = F.col("sg").cast("double") / F.col("s").cast("double")
+    joined = grp.join(within_terms, "n_name").crossJoin(F.broadcast(tot))
+    within_fp = F.floor(
+        share
+        * (
+            F.col("t_sum").cast("double")
+            / F.lit(1_000_000_000.0)
+            / F.col("ng").cast("double")
+        )
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    between_fp = F.floor(
+        share
+        * F.log(
+            share / (F.col("ng").cast("double") / F.col("n").cast("double"))
+        )
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    parts = joined.agg(
+        F.sum(within_fp).cast("long").alias("w_fp"),
+        F.sum(between_fp).cast("long").alias("b_fp"),
+        F.max("n").cast("long").alias("n"),
+    )
+    b = F.col("b_fp").cast("double") / F.lit(1_000_000_000.0)
+    w = F.col("w_fp").cast("double") / F.lit(1_000_000_000.0)
+    return parts.select(
+        "n",
+        F.round(b, 6).alias("theil_between"),
+        F.round(w, 6).alias("theil_within"),
+        F.round(b + w, 6).alias("theil_total"),
+    )

@@ -424,6 +424,8 @@ WAVE5 = [
     "msprt_always_valid_pvalue",
     "qte_weekend_value",
     "trimmed_mean_value_by_type",
+    "fwl_weekend_effect_hour_fe",
+    "theil_decomposition_by_nation",
 ]
 
 CURATION = [

@@ -1059,3 +1059,63 @@ def test_trimmed_mean_drops_exact_tail_counts(spark):
     kept = cents[1:-1]  # lo = 10*1//10 = 1 from each side
     assert got.n == 10 and got.n_kept == 8
     assert abs(got.trimmed_mean_cents - sum(kept) / len(kept)) < 1e-6
+
+
+def test_fwl_matches_two_stage_regression(spark):
+    """FWL closed form == explicit residual-on-residual OLS replayed in
+    python on a confounded fixture (same data as the stratified-ATE
+    test, where the true within-stratum effect is +100 cents)."""
+    rows, i = [], 0
+    sat, mon = dt.datetime(2024, 1, 6, 0), dt.datetime(2024, 1, 8, 0)
+    pts = []
+    for _ in range(3):
+        rows.append(_ev(i, sat, 1, "view", 11.0)); pts.append((0, 1, 1100)); i += 1
+    rows.append(_ev(i, mon, 1, "view", 10.0)); pts.append((0, 0, 1000)); i += 1
+    rows.append(_ev(i, sat + dt.timedelta(hours=1), 1, "view", 2.0)); pts.append((1, 1, 200)); i += 1
+    for _ in range(3):
+        rows.append(_ev(i, mon + dt.timedelta(hours=1), 1, "view", 1.0)); pts.append((1, 0, 100)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.fwl_weekend_effect_hour_fe(spark, d).collect()[0]
+    # python two-stage: demean y and w within each stratum, then OLS
+    from collections import defaultdict
+    by_h = defaultdict(list)
+    for h, w, y in pts:
+        by_h[h].append((w, y))
+    num = den = 0.0
+    for h, rows_h in by_h.items():
+        wbar = sum(w for w, _ in rows_h) / len(rows_h)
+        ybar = sum(y for _, y in rows_h) / len(rows_h)
+        for w, y in rows_h:
+            num += (w - wbar) * (y - ybar)
+            den += (w - wbar) ** 2
+    assert abs(got.fwl_effect_cents - num / den) < 1e-4
+    # constant within-stratum effect: FWL == the true +100
+    assert abs(got.fwl_effect_cents - 100.0) < 1e-4
+
+
+def test_theil_decomposition_identity(spark):
+    """between + within must equal the direct global Theil-T on the same
+    customers (fixed-point granularity)."""
+    sf_dir = "/root/testdata/sf0.001"
+    dec = w5.theil_decomposition_by_nation(spark, sf_dir).collect()[0]
+    assert dec.theil_between >= -1e-9
+    assert dec.theil_within >= 0
+    # direct replay of global Theil-T over the same positive revenues
+    import duckdb
+    con = duckdb.connect()
+    for t in ("customer", "nation", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    rows = con.execute("""
+        SELECT CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT) AS r
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """).fetchall()
+    rs = [r[0] for r in rows if r[0] > 0]
+    n, mu = len(rs), sum(rs) / len(rs)
+    t_direct = sum((x / mu) * math.log(x / mu) for x in rs) / n
+    assert abs((dec.theil_between + dec.theil_within) - t_direct) < 1e-4
