@@ -4179,3 +4179,236 @@ def theil_decomposition_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(w, 6).alias("theil_within"),
         F.round(b + w, 6).alias("theil_total"),
     )
+
+
+# --- mutual information between event type and hour -----------------------------
+
+_MI_SQL = """
+WITH joint AS (
+    SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint),
+rowm AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM joint GROUP BY t),
+colm AS (SELECT h, CAST(SUM(c) AS BIGINT) AS ch FROM joint GROUP BY h),
+mi_terms AS (
+    SELECT CAST(FLOOR((CAST(j.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                      * LN(CAST(j.c AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                           / (CAST(r.ct AS DOUBLE) * CAST(co.ch AS DOUBLE)))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS t_fp
+    FROM joint j
+    JOIN rowm r ON r.t = j.t
+    JOIN colm co ON co.h = j.h
+    CROSS JOIN tot
+),
+hr AS (
+    SELECT CAST(SUM(CAST(FLOOR(-(CAST(ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                               * LN(CAST(ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS h_row_fp
+    FROM rowm, tot GROUP BY tot.n
+),
+hc AS (
+    SELECT CAST(SUM(CAST(FLOOR(-(CAST(ch AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                               * LN(CAST(ch AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS h_col_fp
+    FROM colm, tot GROUP BY tot.n
+)
+SELECT tot.n,
+       ROUND(CAST(SUM(t_fp) AS DOUBLE) / 1000000000.0, 6) AS mi_nats,
+       ROUND(CAST(hr.h_row_fp AS DOUBLE) / 1000000000.0, 6) AS h_type,
+       ROUND(CAST(hc.h_col_fp AS DOUBLE) / 1000000000.0, 6) AS h_hour,
+       ROUND(CAST(SUM(t_fp) AS DOUBLE)
+             / LEAST(CAST(hr.h_row_fp AS DOUBLE),
+                     CAST(hc.h_col_fp AS DOUBLE)), 6) AS nmi
+FROM mi_terms, hr, hc, tot
+GROUP BY tot.n, hr.h_row_fp, hc.h_col_fp
+""".strip()
+
+
+@query("mi_type_hour_dependence", oracle=_MI_SQL)
+def mi_type_hour_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day (nats),
+    with both marginal entropies and the min-entropy-normalized NMI —
+    the information-theoretic dependence measure next to the chi-square
+    test (chi2 scales with n; MI is the effect size feature-selection
+    pipelines actually rank by). Every plogp term is fixed-pointed
+    (1e-9) before its sum over the TYPES x 24 bounded contingency; one
+    map-side-combined joint aggregate is the only data-sized work."""
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("t"), F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint()
+    tot = joint.agg(F.sum("c").cast("long").alias("n"))
+    rowm = joint.groupBy("t").agg(F.sum("c").cast("long").alias("ct"))
+    colm = joint.groupBy("h").agg(F.sum("c").cast("long").alias("ch"))
+    nD = F.col("n").cast("double")
+    fp9 = lambda x: F.floor(  # noqa: E731
+        x * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    mi_terms = (
+        joint.join(F.broadcast(rowm), "t")
+        .join(F.broadcast(colm), "h")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            fp9(
+                (F.col("c").cast("double") / nD)
+                * F.log(
+                    F.col("c").cast("double") * nD
+                    / (F.col("ct").cast("double") * F.col("ch").cast("double"))
+                )
+            ).alias("t_fp")
+        )
+    )
+    ent = lambda cnt_col: fp9(  # noqa: E731
+        -(cnt_col.cast("double") / nD) * F.log(cnt_col.cast("double") / nD)
+    )
+    hr = rowm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(ent(F.col("ct"))).cast("long").alias("h_row_fp")
+    )
+    hc = colm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(ent(F.col("ch"))).cast("long").alias("h_col_fp")
+    )
+    mi = mi_terms.agg(F.sum("t_fp").cast("long").alias("mi_fp"))
+    out = (
+        mi.crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(tot))
+    )
+    g = F.lit(1_000_000_000.0)
+    return out.select(
+        "n",
+        F.round(F.col("mi_fp").cast("double") / g, 6).alias("mi_nats"),
+        F.round(F.col("h_row_fp").cast("double") / g, 6).alias("h_type"),
+        F.round(F.col("h_col_fp").cast("double") / g, 6).alias("h_hour"),
+        F.round(
+            F.col("mi_fp").cast("double")
+            / F.least(
+                F.col("h_row_fp").cast("double"),
+                F.col("h_col_fp").cast("double"),
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+# --- Kendall's W: do event types agree on the hourly revenue ranking? -----------
+
+_KW_W_SQL = """
+WITH cell AS (
+    SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT t, h
+    FROM (SELECT DISTINCT t FROM cell), (SELECT unnest(generate_series(0, 23)) AS h)
+),
+filled AS (
+    SELECT spine.t, spine.h, COALESCE(rev, 0) AS rev
+    FROM spine LEFT JOIN cell ON cell.t = spine.t AND cell.h = spine.h
+),
+ranked AS (
+    SELECT t, h,
+           2 * CAST(COUNT(*) OVER (
+               PARTITION BY t ORDER BY rev, h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT) + 1 + 1 AS r2
+    FROM filled
+),
+sums AS (
+    SELECT h, CAST(SUM(r2) AS BIGINT) AS rsum2,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM ranked GROUP BY h
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(k) AS k,
+           CAST(SUM(CAST(rsum2 AS DECIMAL(38,0)) * CAST(rsum2 AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS ss2,
+           CAST(SUM(CAST(rsum2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+    FROM sums
+)
+SELECT n AS n_hours, k AS n_judges,
+       ROUND((3.0 * (CAST(ss2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       / CAST(n AS DOUBLE)))
+             / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE))), 6) AS kendall_w
+FROM stats
+""".strip()
+
+
+@query("kendall_w_hourly_revenue_ranking", oracle=_KW_W_SQL)
+def kendall_w_hourly_revenue_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's W coefficient of concordance: do the event types (the
+    "judges") agree on how the 24 hours rank by revenue? W=1 — all types
+    peak and dip together (one daily rhythm); W~0 — uncorrelated
+    rhythms. Each type ranks the ZERO-FILLED 24-hour spine (doubled
+    ranks stay integer; revenue ties broken by hour identically in both
+    engines — with exact cent revenues ties are rare but the order must
+    still be total), and W = 12 S / (k^2(n^3-n)) computed from doubled
+    rank sums (12*S(R) = 3*S(2R)). Exact DECIMAL sums; hour/type-bounded
+    frames after one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("t"), F.hour("ts").cast("long").alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "rev"
+        )
+    )
+    types = cell.select("t").distinct()
+    hours = F.broadcast(
+        cell.sparkSession.range(0, 24).select(F.col("id").alias("h"))
+    )
+    spine = types.crossJoin(hours)
+    filled = spine.join(cell, ["t", "h"], "left").select(
+        "t", "h", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    wrank = (
+        Window.partitionBy("t")
+        .orderBy("rev", "h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = filled.select(
+        "t",
+        "h",
+        (
+            F.lit(2) * F.coalesce(F.count(F.lit(1)).over(wrank), F.lit(0))
+            + F.lit(2)
+        ).cast("long").alias("r2"),
+    )
+    sums = ranked.groupBy("h").agg(
+        F.sum("r2").cast("long").alias("rsum2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+        F.sum(dec("rsum2") * dec("rsum2")).cast("decimal(38,0)").alias("ss2"),
+        F.sum(dec("rsum2")).cast("decimal(38,0)").alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    return stats.select(
+        F.col("n").alias("n_hours"),
+        F.col("k").alias("n_judges"),
+        F.round(
+            (
+                F.lit(3.0)
+                * (
+                    F.col("ss2").cast("double")
+                    - F.col("s2").cast("double") * F.col("s2").cast("double")
+                    / nD
+                )
+            )
+            / (kD * kD * (nD * nD * nD - nD)),
+            6,
+        ).alias("kendall_w"),
+    )

@@ -426,6 +426,8 @@ WAVE5 = [
     "trimmed_mean_value_by_type",
     "fwl_weekend_effect_hour_fe",
     "theil_decomposition_by_nation",
+    "mi_type_hour_dependence",
+    "kendall_w_hourly_revenue_ranking",
 ]
 
 CURATION = [

@@ -1119,3 +1119,48 @@ def test_theil_decomposition_identity(spark):
     n, mu = len(rs), sum(rs) / len(rs)
     t_direct = sum((x / mu) * math.log(x / mu) for x in rs) / n
     assert abs((dec.theil_between + dec.theil_within) - t_direct) < 1e-4
+
+
+def test_mi_independence_and_identity_extremes(spark):
+    """Independent type x hour -> MI ~ 0; type determined by hour -> MI
+    == marginal entropy (NMI == 1)."""
+    rows, i = [], 0
+    # independent: every (type, hour) cell equally filled
+    for typ in ("view", "click"):
+        for h in range(4):
+            for _ in range(5):
+                rows.append(_ev(i, dt.datetime(2024, 1, 1, h), 1, typ, 1.0))
+                i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        ind = w5.mi_type_hour_dependence(spark, d).collect()[0]
+    assert abs(ind.mi_nats) < 1e-6 and abs(ind.nmi) < 1e-6
+
+    rows, i = [], 0
+    # deterministic: view only at hour 0, click only at hour 1
+    for typ, h in (("view", 0), ("click", 1)):
+        for _ in range(10):
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, h), 1, typ, 1.0))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        det = w5.mi_type_hour_dependence(spark, d).collect()[0]
+    assert abs(det.mi_nats - math.log(2)) < 1e-6
+    assert abs(det.nmi - 1.0) < 1e-6
+
+
+def test_kendall_w_perfect_agreement(spark):
+    """Two types with identical hourly revenue RANKINGS -> W == 1 (the
+    zero-filled hours rank below the active ones for both judges)."""
+    rows, i = [], 0
+    for typ in ("view", "click"):
+        for h in range(24):
+            # strictly increasing revenue by hour, same order both types
+            v = (h + 1) * 1.0
+            rows.append(_ev(i, dt.datetime(2024, 1, 1, h), 1, typ, v))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.kendall_w_hourly_revenue_ranking(spark, d).collect()[0]
+    assert (got.n_hours, got.n_judges) == (24, 2)
+    assert abs(got.kendall_w - 1.0) < 1e-9
