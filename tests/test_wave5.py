@@ -1164,3 +1164,48 @@ def test_kendall_w_perfect_agreement(spark):
         got = w5.kendall_w_hourly_revenue_ranking(spark, d).collect()[0]
     assert (got.n_hours, got.n_judges) == (24, 2)
     assert abs(got.kendall_w - 1.0) < 1e-9
+
+
+@settings(**_W5_SETTINGS)
+@given(st.lists(st.integers(1, 300), min_size=3, max_size=40))
+def test_trimmed_mean_matches_bruteforce_property(spark, cents):
+    rows = [
+        _ev(i, dt.datetime(2024, 1, 1, i % 24), 1, "view", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.trimmed_mean_value_by_type(spark, d).collect()[0]
+    svals = sorted(math.floor(c / 100.0 * 100) for c in cents)
+    lo = len(svals) // 10
+    kept = svals[lo:len(svals) - lo]
+    assert got.n_kept == len(kept)
+    assert abs(got.trimmed_mean_cents
+               - round(sum(kept) / len(kept), 6)) < 1e-9
+
+
+@settings(**_W5_SETTINGS)
+@given(
+    st.lists(st.integers(1, 200), min_size=2, max_size=25),
+    st.lists(st.integers(1, 200), min_size=2, max_size=25),
+)
+def test_qte_matches_type1_quantiles_property(spark, treat, ctrl):
+    sat, mon = dt.datetime(2024, 1, 6, 0), dt.datetime(2024, 1, 8, 0)
+    rows = [_ev(i, sat, 1, "view", c / 100.0) for i, c in enumerate(treat)]
+    rows += [_ev(1000 + i, mon, 1, "view", c / 100.0)
+             for i, c in enumerate(ctrl)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.qte_weekend_value(spark, d).collect()[0]
+
+    def q(vals, num, den):  # min v with den*rank >= num*n (type-1)
+        s = sorted(math.floor(c / 100.0 * 100) for c in vals)
+        n = len(s)
+        for k, v in enumerate(s, start=1):
+            if den * k >= num * n:
+                return v
+        return s[-1]
+
+    assert got.qte25 == q(treat, 1, 4) - q(ctrl, 1, 4)
+    assert got.qte50 == q(treat, 1, 2) - q(ctrl, 1, 2)
+    assert got.qte75 == q(treat, 3, 4) - q(ctrl, 3, 4)
