@@ -4412,3 +4412,232 @@ def kendall_w_hourly_revenue_ranking(
             6,
         ).alias("kendall_w"),
     )
+
+
+# --- ABC x XYZ inventory classification (parts) ---------------------------------
+
+#: XYZ thresholds on the weekly-demand coefficient of variation, pinned.
+_XYZ_LO = "0.5"
+_XYZ_HI = "1.0"
+
+_ABCXYZ_SQL = f"""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS r
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT l_partkey, r,
+           CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_r,
+           CAST(SUM(r) OVER () AS BIGINT) AS tot_r
+    FROM rev
+),
+abc AS (
+    SELECT l_partkey,
+           CASE WHEN 10 * cum_r <= 8 * tot_r THEN 'A'
+                WHEN 100 * cum_r <= 95 * tot_r THEN 'B'
+                ELSE 'C' END AS abc
+    FROM ranked
+),
+weekly AS (
+    SELECT l_partkey,
+           CAST(CAST(l_shipdate AS DATE) - DATE '2024-01-01' AS BIGINT) // 7
+               AS wk,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+),
+cv AS (
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS nw,
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(q * q) AS BIGINT) AS sqq
+    FROM weekly GROUP BY 1
+),
+xyz AS (
+    SELECT l_partkey,
+           CASE WHEN nw < 2 THEN 'Z'
+                WHEN SQRT(GREATEST(0.0,
+                        (CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                           / CAST(nw AS DOUBLE)) / CAST(nw - 1 AS DOUBLE)))
+                     / (CAST(sq AS DOUBLE) / CAST(nw AS DOUBLE))
+                     <= {_XYZ_LO} THEN 'X'
+                WHEN SQRT(GREATEST(0.0,
+                        (CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                           / CAST(nw AS DOUBLE)) / CAST(nw - 1 AS DOUBLE)))
+                     / (CAST(sq AS DOUBLE) / CAST(nw AS DOUBLE))
+                     <= {_XYZ_HI} THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM cv
+)
+SELECT abc.abc, xyz.xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz ON xyz.l_partkey = abc.l_partkey
+GROUP BY abc.abc, xyz.xyz
+ORDER BY abc.abc, xyz.xyz
+""".strip()
+
+
+@query("abc_xyz_parts", oracle=_ABCXYZ_SQL)
+def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC x XYZ inventory classification — the planning grid every
+    supply chain runs: ABC = revenue concentration classes (80/95%
+    cumulative-share cuts, integer threshold compares over the exact
+    cent prefix sums — the ``pareto_abc_parts`` machinery), XYZ = demand
+    VARIABILITY classes (weekly-demand coefficient of variation against
+    pinned {_XYZ_LO}/{_XYZ_HI} cuts; single-week parts are Z by
+    convention). The part-count grid (<=9 rows) is the output. The
+    revenue ranking runs the part-bounded window; weekly demand is one
+    map-side-combined aggregate with exact integer moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("r"))
+    wcum = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "l_partkey",
+        F.sum("r").over(wcum).cast("long").alias("cum_r"),
+        F.sum("r").over(wall).cast("long").alias("tot_r"),
+    )
+    abc = ranked.select(
+        "l_partkey",
+        F.when(F.lit(10) * F.col("cum_r") <= F.lit(8) * F.col("tot_r"), "A")
+        .when(F.lit(100) * F.col("cum_r") <= F.lit(95) * F.col("tot_r"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "cast(cast(l_shipdate as date) - date'2024-01-01' as bigint) div 7"
+        ).alias("wk"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+        .cast("long").alias("q")
+    )
+    cv = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    nwD = F.col("nw").cast("double")
+    mean = F.col("sq").cast("double") / nwD
+    sd = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double") * F.col("sq").cast("double") / nwD
+            )
+            / (F.col("nw") - F.lit(1)).cast("double"),
+        )
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when(F.col("nw") < 2, "Z")
+        .when(sd / mean <= float(_XYZ_LO), "X")
+        .when(sd / mean <= float(_XYZ_HI), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("abc", "xyz")
+    )
+
+
+# --- order-to-ship latency quantiles --------------------------------------------
+
+_O2S_SQL = """
+WITH lat AS (
+    SELECT o.o_orderpriority AS pri,
+           CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                AS BIGINT) AS days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+hist AS (
+    SELECT pri, days, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY 1, 2
+),
+cum AS (
+    SELECT pri, days,
+           CAST(SUM(c) OVER (
+               PARTITION BY pri ORDER BY days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY pri) AS BIGINT) AS n
+    FROM hist
+)
+SELECT pri AS priority, MAX(n) AS n_lines,
+       MIN(CASE WHEN 2 * cc >= n THEN days END) AS p50_days,
+       MIN(CASE WHEN 10 * cc >= 9 * n THEN days END) AS p90_days,
+       MIN(CASE WHEN 100 * cc >= 99 * n THEN days END) AS p99_days,
+       MAX(days) AS max_days
+FROM cum
+GROUP BY pri
+ORDER BY pri
+""".strip()
+
+
+@query("order_to_ship_latency_quantiles", oracle=_O2S_SQL)
+def order_to_ship_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency SLO table per order priority — p50/p90/p99
+    /max days from order date to each line's ship date, the fulfillment
+    health readout. Latencies are exact integer day differences; the
+    quantiles are type-1 integer threshold picks over the per-priority
+    DAY-DOMAIN histogram (the ``weighted_quantiles`` discipline — no
+    sort of raw rows, no percentile float path). Data-sized work: one
+    orderkey equi-join (both sides bucketable) + one aggregate."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = od.join(li, od.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days"),
+    )
+    hist = lat.groupBy("pri", "days").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("pri")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("pri")
+    cum = hist.select(
+        "pri",
+        "days",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("days")))  # noqa: E731
+    return (
+        cum.groupBy("pri")
+        .agg(
+            F.max("n").alias("n_lines"),
+            pick(F.lit(2) * F.col("cc") >= F.col("n")).alias("p50_days"),
+            pick(F.lit(10) * F.col("cc") >= F.lit(9) * F.col("n")).alias(
+                "p90_days"
+            ),
+            pick(F.lit(100) * F.col("cc") >= F.lit(99) * F.col("n")).alias(
+                "p99_days"
+            ),
+            F.max("days").alias("max_days"),
+        )
+        .withColumnRenamed("pri", "priority")
+        .orderBy("priority")
+    )

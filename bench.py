@@ -428,6 +428,8 @@ WAVE5 = [
     "theil_decomposition_by_nation",
     "mi_type_hour_dependence",
     "kendall_w_hourly_revenue_ranking",
+    "abc_xyz_parts",
+    "order_to_ship_latency_quantiles",
 ]
 
 CURATION = [

@@ -1209,3 +1209,67 @@ def test_qte_matches_type1_quantiles_property(spark, treat, ctrl):
     assert got.qte25 == q(treat, 1, 4) - q(ctrl, 1, 4)
     assert got.qte50 == q(treat, 1, 2) - q(ctrl, 1, 2)
     assert got.qte75 == q(treat, 3, 4) - q(ctrl, 3, 4)
+
+
+def test_abc_xyz_hand_classified(spark):
+    """Three parts: one steady cash cow (A/X), one erratic mid seller
+    (B or C with high CV), one single-week part (Z by convention)."""
+    rows = []
+    lid = 0
+
+    def line(pk, price, qty, day):
+        nonlocal lid
+        lid += 1
+        rows.append((lid, pk, 1, 1, float(qty), float(price), 0.0, 0.0,
+                     "N", "O", dt.datetime(2024, 1, 1) + dt.timedelta(days=day)))
+
+    # part 1: 80.00 total, 10/wk for 4 weeks -> CV 0, A/X
+    for wkd in (0, 7, 14, 21):
+        line(1, 20.0, 10, wkd)
+    # part 2: 15.00 total, weekly qty 1 vs 19 -> CV ~ 1.27 -> Z
+    line(2, 7.5, 1, 0)
+    line(2, 7.5, 19, 7)
+    # part 3: 5.00 in one single week -> Z (nw < 2)
+    line(3, 5.0, 5, 0)
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {(r.abc, r.xyz): r.n_parts
+               for r in w5.abc_xyz_parts(spark, d).collect()}
+    # shares: p1 80%, cum 80% -> A; p2 cum 95% -> B; p3 -> C
+    assert out == {("A", "X"): 1, ("B", "Z"): 1, ("C", "Z"): 1}
+
+
+def test_order_to_ship_latency_quantile_picks(spark):
+    od = spark.createDataFrame(
+        [(1, 1, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = [
+        (1, 1, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         dt.datetime(2024, 1, 1) + dt.timedelta(days=d))
+        for i, d in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100], start=1)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        od.write.parquet(os.path.join(d, "orders.parquet"))
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = w5.order_to_ship_latency_quantiles(spark, d).collect()[0]
+    assert got.n_lines == 10
+    assert got.p50_days == 5    # 2*5 >= 10
+    assert got.p90_days == 9    # 10*9 >= 90
+    assert got.p99_days == 100  # 100*cc >= 990 needs the last row
+    assert got.max_days == 100
