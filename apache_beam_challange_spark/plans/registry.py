@@ -163,7 +163,8 @@ DRIVER_ORDER: list[str] = [
     # trimmed_mean_value_by_type, fwl_weekend_effect_hour_fe,
     # theil_decomposition_by_nation, mi_type_hour_dependence,
     # kendall_w_hourly_revenue_ranking, abc_xyz_parts,
-    # order_to_ship_latency_quantiles.)
+    # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
+    # price_elasticity_by_brand.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

@@ -4641,3 +4641,183 @@ def order_to_ship_latency_quantiles(
         .withColumnRenamed("pri", "priority")
         .orderBy("priority")
     )
+
+
+# --- return rate by brand with Wilson intervals ---------------------------------
+
+_RET_SQL = f"""
+WITH base AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ret) AS BIGINT) AS r
+    FROM base GROUP BY brand
+)
+SELECT brand, n, r,
+       CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+         + {_Z95} * {_Z95} / (2.0 * CAST(n AS DOUBLE)))
+        - {_Z95} * SQRT((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + {_Z95} * {_Z95}
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1.0 + {_Z95} * {_Z95} / CAST(n AS DOUBLE)) AS lo95,
+       ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+         + {_Z95} * {_Z95} / (2.0 * CAST(n AS DOUBLE)))
+        + {_Z95} * SQRT((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + {_Z95} * {_Z95}
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1.0 + {_Z95} * {_Z95} / CAST(n AS DOUBLE)) AS hi95
+FROM g ORDER BY brand
+""".strip()
+
+
+@query("return_rate_by_brand_wilson", oracle=_RET_SQL)
+def return_rate_by_brand_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand line-item return rate with Wilson 95% intervals — the
+    supplier-quality scorecard (which brands get returned, with honest
+    small-n uncertainty instead of bare rates). Exact counts from one
+    broadcast-dim join + aggregate; the interval is the pinned-z
+    identical double expression per brand (the
+    ``wilson_ci_purchase_by_parity`` formula over a business
+    dimension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .cast("long").alias("r"),
+        )
+    )
+    z = F.lit(float(_Z95))
+    nD = F.col("n").cast("double")
+    p = F.col("r").cast("double") / nD
+    center = p + z * z / (F.lit(2.0) * nD)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nD + z * z / (F.lit(4.0) * nD * nD)
+    )
+    denom = F.lit(1.0) + z * z / nD
+    return g.select(
+        "brand",
+        "n",
+        "r",
+        p.alias("rate"),
+        ((center - half) / denom).alias("lo95"),
+        ((center + half) / denom).alias("hi95"),
+    ).orderBy("brand")
+
+
+# --- log-log price elasticity by brand ------------------------------------------
+
+_ELAST_SQL = """
+WITH weekly AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_shipdate AS DATE) - DATE '2024-01-01' AS BIGINT) // 7
+               AS wk,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice / l.l_quantity * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS price_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT brand,
+           CAST(FLOOR(LN(CAST(price_sum AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS DECIMAL(38,0)) AS x_fp,
+           CAST(FLOOR(LN(CAST(q AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS DECIMAL(38,0)) AS y_fp
+    FROM weekly WHERE q > 0
+),
+s AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x_fp) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(y_fp) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(x_fp * y_fp) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(x_fp * x_fp) AS DECIMAL(38,0)) AS sxx
+    FROM fp GROUP BY brand
+)
+SELECT brand, n AS n_weeks,
+       ROUND((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
+              - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+             / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
+                - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
+             6) AS elasticity
+FROM s
+WHERE n >= 8
+ORDER BY brand
+""".strip()
+
+
+@query("price_elasticity_by_brand", oracle=_ELAST_SQL)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of weekly demand per brand — the
+    econometrics staple (slope of ln(quantity) on ln(avg unit price)
+    across weeks; -1 is unit-elastic). Weekly average unit prices come
+    from exact integer cent sums over line counts; both logs are
+    fixed-pointed (1e-9) before the per-brand regression sums (products
+    exact in DECIMAL(38,0), the ``zipf``/``heaps`` OLS discipline);
+    brands with under 8 priced weeks are excluded honestly. Data-sized
+    work: one broadcast-dim join + weekly aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "cast(cast(l_shipdate as date) - date'2024-01-01' as bigint)"
+                " div 7"
+            ).alias("wk"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("price_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+            .cast("long").alias("q"),
+        )
+        .filter(F.col("q") > 0)
+    )
+    ln_fp = lambda col: F.floor(  # noqa: E731
+        F.log(col) * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    fp = weekly.select(
+        "brand",
+        ln_fp(
+            F.col("price_sum").cast("double") / F.col("n_lines").cast("double")
+        ).alias("x_fp"),
+        ln_fp(F.col("q").cast("double")).alias("y_fp"),
+    )
+    s = fp.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_fp").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_fp").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x_fp") * F.col("y_fp")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).cast("decimal(38,0)").alias("sxx"),
+    ).filter(F.col("n") >= 8)
+    nD = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e9)
+    sy = F.col("sy").cast("double") / F.lit(1e9)
+    sxy = F.col("sxy").cast("double") / F.lit(1e18)
+    sxx = F.col("sxx").cast("double") / F.lit(1e18)
+    return s.select(
+        "brand",
+        F.col("n").alias("n_weeks"),
+        F.round((nD * sxy - sx * sy) / (nD * sxx - sx * sx), 6).alias(
+            "elasticity"
+        ),
+    ).orderBy("brand")

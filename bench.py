@@ -430,6 +430,8 @@ WAVE5 = [
     "kendall_w_hourly_revenue_ranking",
     "abc_xyz_parts",
     "order_to_ship_latency_quantiles",
+    "return_rate_by_brand_wilson",
+    "price_elasticity_by_brand",
 ]
 
 CURATION = [

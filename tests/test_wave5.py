@@ -1273,3 +1273,70 @@ def test_order_to_ship_latency_quantile_picks(spark):
     assert got.p90_days == 9    # 10*9 >= 90
     assert got.p99_days == 100  # 100*cc >= 990 needs the last row
     assert got.max_days == 100
+
+
+def test_return_rate_wilson_containment(spark):
+    """Brand with 1/4 returns: rate and the pinned-z Wilson bounds
+    match the shared formula; bounds bracket the rate inside [0,1]."""
+    pt = spark.createDataFrame(
+        [(1, "widget", "Brand#1", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    rows = [
+        (i, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R" if i == 1 else "N", "O",
+         dt.datetime(2024, 1, 1))
+        for i in range(1, 5)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pt.write.parquet(os.path.join(d, "part.parquet"))
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = w5.return_rate_by_brand_wilson(spark, d).collect()[0]
+    z = 1.959963984540054
+    n, p = 4, 0.25
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    assert (got.n, got.r) == (4, 1)
+    assert abs(got.lo95 - (center - half) / denom) < 1e-12
+    assert abs(got.hi95 - (center + half) / denom) < 1e-12
+    assert 0.0 <= got.lo95 <= got.rate <= got.hi95 <= 1.0
+
+
+def test_price_elasticity_recovers_planted_slope(spark):
+    """Weekly demand constructed as q = round(1000 * price^-2) ->
+    elasticity ~ -2."""
+    pt = spark.createDataFrame(
+        [(1, "widget", "Brand#1", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    rows, lid = [], 0
+    for wk in range(12):
+        price = 1.0 + 0.25 * wk       # dollars per unit
+        q = max(1, round(1000 * price ** -2.0))
+        lid += 1
+        rows.append(
+            (lid, 1, 1, 1, float(q), price * q, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1) + dt.timedelta(days=7 * wk))
+        )
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pt.write.parquet(os.path.join(d, "part.parquet"))
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = w5.price_elasticity_by_brand(spark, d).collect()[0]
+    assert got.n_weeks == 12
+    assert abs(got.elasticity + 2.0) < 0.05
