@@ -4821,3 +4821,112 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "elasticity"
         ),
     ).orderBy("brand")
+
+
+# --- exact median absolute deviation per type -----------------------------------
+
+_MAD_SQL = """
+WITH hist AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, vb, c,
+           CAST(SUM(c) OVER (
+               PARTITION BY event_type ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM hist
+),
+med AS (
+    SELECT event_type, MAX(n) AS n,
+           MIN(CASE WHEN 2 * cc >= n THEN vb END) AS med
+    FROM cum GROUP BY event_type
+),
+dev AS (
+    SELECT h.event_type, ABS(h.vb - m.med) AS db,
+           CAST(SUM(h.c) AS BIGINT) AS c
+    FROM hist h JOIN med m ON m.event_type = h.event_type
+    GROUP BY h.event_type, ABS(h.vb - m.med)
+),
+dcum AS (
+    SELECT event_type, db, c,
+           CAST(SUM(c) OVER (
+               PARTITION BY event_type ORDER BY db
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM dev
+)
+SELECT d.event_type, m.n, m.med AS median_cents,
+       MIN(CASE WHEN 2 * d.cc >= d.n THEN d.db END) AS mad_cents
+FROM dcum d JOIN med m ON m.event_type = d.event_type
+GROUP BY d.event_type, m.n, m.med
+ORDER BY d.event_type
+""".strip()
+
+
+@query("mad_value_by_type", oracle=_MAD_SQL)
+def mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median absolute deviation per event type — the robust scale
+    estimate (breakdown point 50%, vs 0% for the standard deviation)
+    behind every robust z-score, computed with ZERO floats: type-1
+    median from the cent histogram, then the deviation histogram folds
+    |vb - med| WITHOUT touching rows again (buckets equidistant from
+    the median merge exactly), then a second type-1 threshold pick.
+    Two DOMAIN-bounded window passes over histograms; one data-sized
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("vb")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint()
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vb",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.lit(2) * F.col("cc") >= F.col("n"), F.col("vb"))
+        ).alias("med"),
+    )
+    dev = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("vb") - F.col("med")).alias("db"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    dcum = dev.select(
+        "event_type",
+        "db",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("db")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    mad = dcum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.lit(2) * F.col("cc") >= F.col("n"), F.col("db"))
+        ).alias("mad_cents")
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("med").alias("median_cents"),
+            "mad_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -432,6 +432,7 @@ WAVE5 = [
     "order_to_ship_latency_quantiles",
     "return_rate_by_brand_wilson",
     "price_elasticity_by_brand",
+    "mad_value_by_type",
 ]
 
 CURATION = [

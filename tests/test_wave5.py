@@ -1340,3 +1340,16 @@ def test_price_elasticity_recovers_planted_slope(spark):
         got = w5.price_elasticity_by_brand(spark, d).collect()[0]
     assert got.n_weeks == 12
     assert abs(got.elasticity + 2.0) < 0.05
+
+
+def test_mad_matches_hand_computed(spark):
+    """vals [1,2,3,4,100]: median 3.00, deviations [200,100,0,100,9700]
+    -> MAD = 100 cents (robust against the 100.00 outlier)."""
+    rows = [_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, "view", v)
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.mad_value_by_type(spark, d).collect()[0]
+    assert got.n == 5
+    assert got.median_cents == 300
+    assert got.mad_cents == 100
