@@ -164,7 +164,8 @@ DRIVER_ORDER: list[str] = [
     # theil_decomposition_by_nation, mi_type_hour_dependence,
     # kendall_w_hourly_revenue_ranking, abc_xyz_parts,
     # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
-    # price_elasticity_by_brand, mad_value_by_type.)
+    # price_elasticity_by_brand, mad_value_by_type,
+    # tukey_fence_outliers_by_type, seasonal_naive_backtest.)
     # Seven once-green (r8) retainees holding the tail slots — chosen
     # because a SECOND verdict is worth the most for them: the
     # recount-oracle SemDeDup watch, the streaming foreachBatch fold,

@@ -4930,3 +4930,170 @@ def mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Tukey-fence outlier audit (fully integer) ----------------------------------
+
+_TUKEY_SQL = """
+WITH hist AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, vb, c,
+           CAST(SUM(c) OVER (
+               PARTITION BY event_type ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM hist
+),
+q AS (
+    SELECT event_type, MAX(n) AS n,
+           MIN(CASE WHEN 4 * cc >= n THEN vb END) AS q1,
+           MIN(CASE WHEN 4 * cc >= 3 * n THEN vb END) AS q3
+    FROM cum GROUP BY event_type
+)
+SELECT h.event_type, q.n, q.q1, q.q3, CAST(q.q3 - q.q1 AS BIGINT) AS iqr,
+       CAST(SUM(CASE WHEN 2 * h.vb < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN h.c ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 2 * h.vb > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN h.c ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM hist h JOIN q ON q.event_type = h.event_type
+GROUP BY h.event_type, q.n, q.q1, q.q3
+ORDER BY h.event_type
+""".strip()
+
+
+@query("tukey_fence_outliers_by_type", oracle=_TUKEY_SQL)
+def tukey_fence_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type — the boxplot rule
+    (outside q1 - 1.5*IQR / q3 + 1.5*IQR) kept FULLY INTEGER by
+    doubling: ``2*vb < 2*q1 - 3*IQR`` is the exact half-cent-free
+    spelling of the 1.5x fence, so the counts cannot disagree between
+    engines even at fence-boundary values. Type-1 quartiles from the
+    cent histogram (the ``qte`` discipline); outlier counts re-fold the
+    histogram, never raw rows. Complements ``mad_value_by_type`` and
+    the z-score-based ``hourly_anomaly_zscores``."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("vb")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint()
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vb",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.lit(4) * F.col("cc") >= F.col("n"), F.col("vb"))).alias("q1"),
+        F.min(
+            F.when(F.lit(4) * F.col("cc") >= F.lit(3) * F.col("n"), F.col("vb"))
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    joined = hist.join(F.broadcast(q), "event_type")
+    return (
+        joined.groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("vb")
+                    < F.lit(2) * F.col("q1") - F.lit(3) * iqr,
+                    F.col("c"),
+                ).otherwise(0)
+            ).cast("long").alias("n_low_outliers"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("vb")
+                    > F.lit(2) * F.col("q3") + F.lit(3) * iqr,
+                    F.col("c"),
+                ).otherwise(0)
+            ).cast("long").alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "q1",
+            "q3",
+            (F.col("q3") - F.col("q1")).cast("long").alias("iqr"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- seasonal-naive forecast baseline -------------------------------------------
+
+_SNAIVE_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type, ABS(a.yc - b.yc) AS ae
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.d = a.d - 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+       ROUND(CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mae_snaive
+FROM pairs
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+@query("seasonal_naive_backtest", oracle=_SNAIVE_SQL)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline (predict today = same weekday
+    last week) on the daily revenue series — the canonical yardstick
+    every forecasting-family member must beat (read next to the
+    EWMA / Holt / Holt-Winters MAEs: a model losing to snaive is
+    worthless, the MASE denominator convention). Absolute errors are
+    EXACT integers (cent daily sums, integer lag-7 self-join on the
+    calendar-bounded daily frame); MAE is one division per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "yc"
+        )
+    ).localCheckpoint()  # one shuffle feeds both sides of the lag join
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("yc").alias("by"),
+    )
+    pairs = daily.join(
+        b, (F.col("bt") == F.col("event_type")) & (F.col("bd") == F.col("d") - 7)
+    ).select(
+        "event_type", F.abs(F.col("yc") - F.col("by")).cast("long").alias("ae")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+            F.round(
+                F.sum("ae").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mae_snaive"),
+        )
+        .orderBy("event_type")
+    )

@@ -433,6 +433,8 @@ WAVE5 = [
     "return_rate_by_brand_wilson",
     "price_elasticity_by_brand",
     "mad_value_by_type",
+    "tukey_fence_outliers_by_type",
+    "seasonal_naive_backtest",
 ]
 
 CURATION = [

@@ -1353,3 +1353,32 @@ def test_mad_matches_hand_computed(spark):
     assert got.n == 5
     assert got.median_cents == 300
     assert got.mad_cents == 100
+
+
+def test_tukey_fences_hand_fixture(spark):
+    """vals [1..8, 100]: q1(type-1, n=9: 4cc>=9 -> 3rd)=3.00,
+    q3 (4cc>=27 -> 7th)=7.00, IQR=400; high fence 700+600=1300 ->
+    only 100.00 is an outlier; low fence 300-600<0 -> none."""
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    rows = [_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, "view", v)
+            for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.tukey_fence_outliers_by_type(spark, d).collect()[0]
+    assert (got.q1, got.q3, got.iqr) == (300, 700, 400)
+    assert got.n_low_outliers == 0
+    assert got.n_high_outliers == 1
+
+
+def test_seasonal_naive_exact_mae(spark):
+    """Daily revenue 100*(d+1) cents for 14 days: every lag-7 error is
+    exactly 700 cents, 7 forecasts."""
+    rows = [
+        _ev(d, dt.datetime(2024, 1, 1 + d, 12), 1, "view", (d + 1) * 1.0)
+        for d in range(14)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w5.seasonal_naive_backtest(spark, d).collect()[0]
+    assert got.n_forecasts == 7
+    assert got.mae_snaive == 700.0
