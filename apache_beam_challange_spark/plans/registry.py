@@ -86,102 +86,76 @@ DRIVER_ORDER: list[str] = [
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # Round-9 rotation (VERDICT r8 "Next round" #1): the COMPLETE
-    # 38-query round-9 pool — every query round 8 built after its tier
-    # froze (TPC-H q7/q9/q12/q14/q16, equi-depth bins, basket mining,
-    # and the 31-query third analytics wave), all locally green at
-    # sf0.01 but never driver-checked — rotates IN right after the
-    # canonical core so a shrinking window cannot skip it. Rotating
-    # OUT: 38 of the 45 round-8 entries that earned their first driver
-    # verdict in CORRECTNESS_r08 (all 45 stay in the local oracle gate
-    # + pytest every round). After this round's gate the
-    # never-driver-checked set is EMPTY again.
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_part_counts",
-    "equi_depth_value_bins",
-    "basket_part_pairs_topk",
-    "session_window_native",
-    "linreg_value_on_hour_by_type",
-    "skyline_parts_price_size",
-    "psi_weekend_drift_by_type",
-    "group_kfold_split_audit",
-    "km_time_to_purchase",
-    "bootstrap_ci_value_by_type",
-    "kcore_part_graph",
-    "data_quality_expectations",
-    "window_feature_pack",
-    "quantile_normalize_values",
-    "hrw_shard_rebalance_audit",
-    "markov_backtest_accuracy",
-    "ewma_forecast_backtest",
-    "ks_test_weekend_value",
-    "grouping_sets_revenue",
-    "gini_revenue_inequality",
-    "chi2_type_dow_independence",
-    "fellegi_sunter_part_links",
-    "vocab_js_drift_src0",
-    "mde_power_analysis",
-    "chow_break_daily_revenue",
-    "winsorized_mean_value",
-    "negative_sampling_triplets",
-    "target_encoding_oof",
-    "multitouch_attribution",
-    "association_rules_topk",
-    "cohort_ltv_curve",
-    "rfm_segment_counts",
-    "growth_accounting_wau",
-    "clamped_ledger_balances",
-    # (Round-10 rotation pool — queries built in round 9 AFTER this
-    # tier froze, locally green but never driver-checked:
-    # asof_payload_last_click_before_purchase, mann_whitney_auc_purchase,
-    # spearman_value_hour_by_type, lift_gain_deciles_value,
-    # token_hapax_stats_by_source, acf_daily_revenue,
-    # ivf_retrain_topk_vec0, kendall_tau_value_hour_by_type,
-    # asof_forward_next_purchase_after_click, bradley_terry_part_prefs,
-    # holt_forecast_backtest, mann_kendall_sen_trend_daily,
-    # seasonal_decompose_daily, did_estimate_by_type, plus the
-    # wave5 experiment-analysis block: anova_f_value_by_type,
-    # kruskal_wallis_value_by_type, nelson_aalen_hazard_to_purchase,
-    # logrank_purchase_by_parity, hhi_nation_revenue_concentration,
-    # theil_index_revenue, ccf_clicks_purchases_daily,
-    # loo_group_influence_on_slope, stratified_ate_weekend_value,
-    # ece_calibration_value_deciles, average_precision_purchase_by_value,
-    # isotonic_purchase_rate_by_value_bin, zipf_fit_tokens,
-    # fdr_bh_hourly_purchase_rate, holt_winters_forecast_backtest,
-    # km_greenwood_ci, weighted_quantiles_value_by_type,
-    # cmh_weekend_purchase_by_hour, resample_linear_hourly,
-    # wilson_ci_purchase_by_parity, dispersion_index_hourly_counts,
-    # granger_lite_clicks_purchases, weekly_periodogram_power,
-    # sprt_purchase_rate_monitor, cohens_d_weekend_value,
-    # energy_distance_weekend_value, heaps_law_fit_tokens,
-    # token_burstiness_top_terms, cka_embedding_halves,
-    # effective_rank_embeddings, rmst_to_purchase,
-    # msprt_always_valid_pvalue, qte_weekend_value,
+    # Round-10 rotation (VERDICT r9 "What's missing" #1): the
+    # never-driver-checked pool is 60 queries (the 14 first-session
+    # round-9 additions + the 45-query wave5 experiment-analysis block
+    # + the labeled rows-only xxhash64 SimHash perf twin) — MORE than
+    # the 45 free slots (50 minus the 5-query canonical core), so it
+    # rotates in over TWO rounds. This round: the 14 round-9 additions
+    # (incl. both as-of joins and the incremental-IVF honest-floor
+    # query) + the first 31 wave5 queries, registry-comment order —
+    # note anova/kruskal carry this round's exact-DECIMAL fix for the
+    # FLOOR->LONG clamp (ADVICE r9 high), so their first verdict lands
+    # on the corrected code. Rotating OUT: the 38 round-9-rotation
+    # members that earned their first driver verdict in
+    # CORRECTNESS_r09 (50/50 green, zero err) plus the 7 second-verdict
+    # retainees (every one stays in the local oracle gate + pytest).
+    "asof_payload_last_click_before_purchase",
+    "mann_whitney_auc_purchase",
+    "spearman_value_hour_by_type",
+    "lift_gain_deciles_value",
+    "token_hapax_stats_by_source",
+    "acf_daily_revenue",
+    "ivf_retrain_topk_vec0",
+    "kendall_tau_value_hour_by_type",
+    "asof_forward_next_purchase_after_click",
+    "bradley_terry_part_prefs",
+    "holt_forecast_backtest",
+    "mann_kendall_sen_trend_daily",
+    "seasonal_decompose_daily",
+    "did_estimate_by_type",
+    "anova_f_value_by_type",
+    "kruskal_wallis_value_by_type",
+    "nelson_aalen_hazard_to_purchase",
+    "logrank_purchase_by_parity",
+    "hhi_nation_revenue_concentration",
+    "theil_index_revenue",
+    "ccf_clicks_purchases_daily",
+    "loo_group_influence_on_slope",
+    "stratified_ate_weekend_value",
+    "ece_calibration_value_deciles",
+    "average_precision_purchase_by_value",
+    "isotonic_purchase_rate_by_value_bin",
+    "zipf_fit_tokens",
+    "fdr_bh_hourly_purchase_rate",
+    "holt_winters_forecast_backtest",
+    "km_greenwood_ci",
+    "weighted_quantiles_value_by_type",
+    "cmh_weekend_purchase_by_hour",
+    "resample_linear_hourly",
+    "wilson_ci_purchase_by_parity",
+    "dispersion_index_hourly_counts",
+    "granger_lite_clicks_purchases",
+    "weekly_periodogram_power",
+    "sprt_purchase_rate_monitor",
+    "cohens_d_weekend_value",
+    "energy_distance_weekend_value",
+    "heaps_law_fit_tokens",
+    "token_burstiness_top_terms",
+    "cka_embedding_halves",
+    "effective_rank_embeddings",
+    "rmst_to_purchase",
+    # (Round-11 rotation pool — the 15-query remainder of the
+    # never-driver-checked set, rotates in next round: the final 14
+    # wave5 queries msprt_always_valid_pvalue, qte_weekend_value,
     # trimmed_mean_value_by_type, fwl_weekend_effect_hour_fe,
     # theil_decomposition_by_nation, mi_type_hour_dependence,
     # kendall_w_hourly_revenue_ranking, abc_xyz_parts,
     # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
     # price_elasticity_by_brand, mad_value_by_type,
-    # tukey_fence_outliers_by_type, seasonal_naive_backtest.)
-    # Seven once-green (r8) retainees holding the tail slots — chosen
-    # because a SECOND verdict is worth the most for them: the
-    # recount-oracle SemDeDup watch, the streaming foreachBatch fold,
-    # two batched-serving representatives (graph-ANN and PQ+rerank),
-    # the codec-independence pHash pair's PNG member, the most complex
-    # TPC-H adaptation (triple-correlated q21), and the numbering
-    # primitive that carried the round-8 exchange-reuse fix (its second
-    # verdict re-validates the localCheckpoint contract under a fresh
-    # driver run).
-    "semdedup_cluster_prune_k32",
-    "streaming_cdc_merge_snapshot",
-    "nsw_knn_join_vec10",
-    "ivfpq_knn_join_vec10",
-    "multimodal_png_phash",
-    "tpch_q21_waiting_suppliers",
-    "global_row_ids_orders",
+    # tukey_fence_outliers_by_type, seasonal_naive_backtest — plus
+    # simhash_signatures_xxhash64_perf (rows-only labeled perf twin),
+    # plus whatever round 10 builds after this tier freezes.)
 ]
 
 

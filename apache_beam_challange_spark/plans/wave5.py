@@ -39,6 +39,56 @@ from apache_beam_challange_spark.sources.catalog import load_table
 _FP = 1_000_000.0
 
 
+def _exact_sq_over_n_fp(df: DataFrame, a: str, n: str) -> DataFrame:
+    """Append ``term_fp`` = floor(a^2 * 1e6 / n), computed EXACTLY in
+    integer arithmetic via quotient/remainder decomposition: with
+    ``q1 = a div n`` and ``r1 = a - q1*n`` (so ``0 <= r1 < n``),
+
+        a^2*1e6/n = q1*(a*1e6) + q1*r1*1e6 + r1^2*1e6/n
+
+    where the first two terms are integers, so the floor lands
+    entirely on the last ``div``, whose result is < n*1e6 — LONG-safe
+    by construction (Spark's IntegralDivide always returns LONG and
+    silently clamps at Long.MAX, so every ``div`` here must be
+    range-bounded, not just the final value). This replaces the old
+    FLOOR(double)->LONG route, which clamped at 9.22e18 while the
+    DuckDB oracle's FLOOR stayed DOUBLE — the engines diverged past
+    ~35k rows for Kruskal-Wallis (ADVICE r9, high). DECIMAL overflow
+    here is LOUD (ANSI error, never a clamp); the binding bounds are
+    (1) q1 = a/n fits LONG — mean doubled-rank ~2N for KW, mean cents
+    for ANOVA, safe past 1e18 rows — and (2) the DECIMAL(38,0)/
+    HUGEINT term width ~1e38, i.e. ~1.3e11 events for Kruskal-Wallis
+    (term ~ N^3*1e6/25) and ~1e22 for ANOVA (term ~
+    avg_cents^2*n_g*1e6) — both far past the 100 TB posture. The
+    oracle twin uses HUGEINT ``//`` / ``%`` (truncating, == floor for
+    the non-negative operands here) with the same decomposition."""
+    d38 = "decimal(38,0)"
+    return (
+        df.withColumn("_q1", F.expr(f"{a} div {n}"))
+        .withColumn(
+            "_cfp",
+            F.col(a).cast(d38) * F.lit(1_000_000).cast("decimal(7,0)"),
+        )
+        .withColumn(
+            "_r1",
+            F.col(a).cast(d38) - F.col("_q1").cast(d38) * F.col(n).cast(d38),
+        )
+        .withColumn(
+            "term_fp",
+            (
+                F.col("_q1").cast(d38) * F.col("_cfp")
+                + F.col("_q1").cast(d38)
+                * F.col("_r1")
+                * F.lit(1_000_000).cast("decimal(7,0)")
+                + F.expr(f"(_r1 * _r1 * CAST(1000000 AS DECIMAL(7,0))) div {n}").cast(
+                    d38
+                )
+            ).cast(d38),
+        )
+        .drop("_q1", "_cfp", "_r1")
+    )
+
+
 # --- one-way ANOVA (value by event type) --------------------------------------
 
 _ANOVA_SQL = """
@@ -50,15 +100,22 @@ WITH g AS (
                     * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS q
     FROM events GROUP BY 1
 ),
+gx AS (
+    SELECT n, s, q,
+           CAST(s AS HUGEINT) // n AS q1,
+           CAST(s AS HUGEINT) % n AS r1,
+           CAST(s AS HUGEINT) * 1000000 AS cfp
+    FROM g
+),
 t AS (
     SELECT CAST(SUM(n) AS BIGINT) AS n_all,
            CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(s) AS DECIMAL(38,0)) AS s_all,
            CAST(SUM(q) AS DECIMAL(38,0)) AS q_all,
-           CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                                / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+           CAST(SUM(CAST(q1 * cfp + q1 * r1 * 1000000
+                         + (r1 * r1 * 1000000) // n
                          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a_fp
-    FROM g
+    FROM gx
 )
 SELECT n_all AS n, k AS n_groups,
        ROUND(((CAST(a_fp AS DOUBLE) / 1000000.0
@@ -96,17 +153,12 @@ def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("decimal(38,0)").alias("s"),
         F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("q"),
     )
-    term_fp = F.floor(
-        F.col("s").cast("double") * F.col("s").cast("double")
-        / F.col("n").cast("double") * F.lit(_FP)
-        + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    t = g.agg(
+    t = _exact_sq_over_n_fp(g, "s", "n").agg(
         F.sum("n").cast("long").alias("n_all"),
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("s").cast("decimal(38,0)").alias("s_all"),
         F.sum("q").cast("decimal(38,0)").alias("q_all"),
-        F.sum(term_fp).cast("decimal(38,0)").alias("a_fp"),
+        F.sum("term_fp").cast("decimal(38,0)").alias("a_fp"),
     )
     a = F.col("a_fp").cast("double") / F.lit(_FP)
     grand = (
@@ -159,13 +211,20 @@ ties AS (
                    - CAST(nb AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie_t
     FROM buckets
 ),
+grpx AS (
+    SELECT n_g,
+           CAST(r2sum AS HUGEINT) // n_g AS q1,
+           CAST(r2sum AS HUGEINT) % n_g AS r1,
+           CAST(r2sum AS HUGEINT) * 1000000 AS cfp
+    FROM grp
+),
 agg AS (
     SELECT CAST(SUM(n_g) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS k,
-           CAST(SUM(CAST(FLOOR(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
-                                / CAST(n_g AS DOUBLE) * 1000000.0 + 0.5)
+           CAST(SUM(CAST(q1 * cfp + q1 * r1 * 1000000
+                         + (r1 * r1 * 1000000) // n_g
                          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS h_fp
-    FROM grp
+    FROM grpx
 )
 SELECT n, k,
        ROUND(3.0 * (CAST(h_fp AS DOUBLE) / 1000000.0)
@@ -228,15 +287,10 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("tie_t")
     )
-    term_fp = F.floor(
-        F.col("r2sum").cast("double") * F.col("r2sum").cast("double")
-        / F.col("n_g").cast("double") * F.lit(_FP)
-        + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    agg = grp.agg(
+    agg = _exact_sq_over_n_fp(grp, "r2sum", "n_g").agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(term_fp).cast("decimal(38,0)").alias("h_fp"),
+        F.sum("term_fp").cast("decimal(38,0)").alias("h_fp"),
     )
     nD = F.col("n").cast("double")
     h = (

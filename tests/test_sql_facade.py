@@ -1,11 +1,11 @@
 """SQL-facade cross-validation: the oracle SQL strings are ANSI enough that
-128 of them run UNMODIFIED on Spark SQL over the registered views. For each,
+126 of them run UNMODIFIED on Spark SQL over the registered views. For each,
 the SQL route and the DataFrame/operator route must produce identical rows
 — two routes to one result, verified entirely inside the engine
 (independent of the DuckDB gate). This generalizes the reference's
 Q1(SQL)/Q2(operators) duality to the whole registry.
 
-The dialect-blocked remainder (182 oracles) is inventoried in COVERAGE.md:
+The dialect-blocked remainder (203 oracles) is inventoried in COVERAGE.md:
 they use DuckDB-only surface (unnest/string_split lateral explosion,
 list_cosine_similarity, quantile_cont, EPOCH, json_extract_string,
 recursive CTE trajectories, md5-hex arithmetic) with no unmodified
@@ -192,9 +192,9 @@ PORTABLE = [
     # wave5 experiment-analysis block: conditional aggregates, bounded
     # windows, fixed-point terms — pure shared ANSI (the rest of wave5
     # is dialect-blocked: isodow / `//` / string_split / generate_series
-    # / epoch_us)
-    "anova_f_value_by_type",
-    "kruskal_wallis_value_by_type",
+    # / epoch_us; anova/kruskal left this list in round 10 when their
+    # oracles moved to exact HUGEINT arithmetic for the FLOOR->LONG
+    # clamp fix — ADVICE r9 high)
     "hhi_nation_revenue_concentration",
     "theil_index_revenue",
     "loo_group_influence_on_slope",

@@ -160,6 +160,45 @@ def test_logrank_matches_hand_replay(spark):
     assert abs(got.chi2 - (o1 - e1) ** 2 / v1) < 1e-6
 
 
+def test_exact_sq_over_n_fp_no_long_clamp(spark):
+    """Regression for the ADVICE r9 high finding: FLOOR(double) in Spark
+    returns LONG and silently clamps at Long.MAX (9.22e18), so the old
+    Kruskal-Wallis/ANOVA cross-group term diverged from the DuckDB
+    oracle past ~35k rows. The replacement quotient/remainder
+    decomposition must reproduce Python's exact integer
+    ``a*a*10**6 // n`` at magnitudes far beyond the clamp, in BOTH
+    engines."""
+    import duckdb
+
+    cases = [
+        (999999999999999, 7),            # term ~1.4e35 — old code clamped at 9.2e18
+        (2 * 10**21, 10**11),            # KW shape at N~1e11 (term ~4e37)
+        (12345678901234567, 97),
+        (5, 3),                          # tiny: floor semantics
+        (0, 11),                         # zero numerator
+    ]
+    df = spark.createDataFrame(
+        [(str(a), n) for a, n in cases], "a_s string, n long"
+    ).select(F.col("a_s").cast("decimal(38,0)").alias("a"), "n")
+    got = {
+        (int(r.a), r.n): int(r.term_fp)
+        for r in w5._exact_sq_over_n_fp(df, "a", "n").collect()
+    }
+    con = duckdb.connect()
+    for a, n in cases:
+        want = a * a * 10**6 // n
+        assert got[(a, n)] == want, (a, n)
+        dd = con.sql(
+            f"""
+            WITH x AS (SELECT CAST('{a}' AS HUGEINT) AS a, {n} AS n),
+            y AS (SELECT n, a // n AS q1, a % n AS r1, a * 1000000 AS cfp FROM x)
+            SELECT CAST(q1 * cfp + q1 * r1 * 1000000
+                        + (r1 * r1 * 1000000) // n AS DECIMAL(38,0)) FROM y
+            """
+        ).fetchone()[0]
+        assert int(dd) == want, (a, n)
+
+
 def test_wave5_single_aggregate_plans(plans):
     """The ANOVA/KW statistics must stay one data-sized aggregate: no
     join on the events-sized side, no data-sized window (windows only

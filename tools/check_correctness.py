@@ -122,6 +122,14 @@ def main() -> int:
         if problems:
             failures.append((name, problems[0]))
 
+    # A name that matched no registered query must fail LOUDLY: the old
+    # tally printed `len(only)` as the total, so a typo'd name was shown
+    # as passing without ever running (VERDICT r9 "What's wrong").
+    unmatched = sorted(set(only) - set(qs)) if only else []
+    for name in unmatched:
+        print(f"  {name}: FAIL — no such registered query")
+        failures.append((name, "no such registered query"))
+
     print()
     total = len(only) if only else len(qs)
     print(f"{total - len(failures)}/{total} queries pass")

@@ -184,6 +184,20 @@ FLAGSHIPS = [
     "energy_distance_weekend_value",
     "weighted_quantiles_value_by_type",
     "granger_lite_clicks_purchases",
+    # post-gate-313 wave5 tail (VERDICT r9 #4: these had no plan
+    # section): the robust-scale histogram refolds, the business
+    # scorecards' broadcast-dim joins, the packed-counter mSPRT, and
+    # the Theil decomposition's two-level aggregate
+    "trimmed_mean_value_by_type",
+    "mad_value_by_type",
+    "tukey_fence_outliers_by_type",
+    "abc_xyz_parts",
+    "order_to_ship_latency_quantiles",
+    "return_rate_by_brand_wilson",
+    "price_elasticity_by_brand",
+    "seasonal_naive_backtest",
+    "msprt_always_valid_pvalue",
+    "theil_decomposition_by_nation",
 ]
 
 
