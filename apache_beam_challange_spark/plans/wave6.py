@@ -516,3 +516,321 @@ def neyman_allocation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
         ).cast("long").alias("alloc"),
     )
+
+
+# --- t-closeness privacy audit (total variation distance) ----------------------
+
+#: t-closeness threshold t = 0.3 = 3/10: the violation decision is the
+#: EXACT integer comparison 10 * sum|c_l*G - g_l*C| > 2 * 3 * C * G
+#: (TVD = sum|c_l/C - g_l/G| / 2), so engines cannot disagree at the
+#: boundary.
+_TCLOSE_NUM = 3
+_TCLOSE_DEN = 10
+
+
+_TCLOSE_SQL = f"""
+WITH cls AS (
+    SELECT source,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE) / 50) AS BIGINT) AS chars_bucket,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS c_l
+    FROM documents GROUP BY 1, 2, 3
+),
+langs AS (
+    SELECT lang, CAST(SUM(c_l) AS BIGINT) AS g_l FROM cls GROUP BY 1
+),
+gtot AS (SELECT CAST(SUM(g_l) AS BIGINT) AS g_all FROM langs),
+csize AS (
+    SELECT source, chars_bucket, CAST(SUM(c_l) AS BIGINT) AS c_all
+    FROM cls GROUP BY 1, 2
+),
+terms AS (
+    SELECT s.source, s.chars_bucket, s.c_all, t.g_all,
+           CAST(SUM(ABS(CAST(COALESCE(c.c_l, 0) AS DECIMAL(38,0)) * t.g_all
+                        - CAST(g.g_l AS DECIMAL(38,0)) * s.c_all))
+                AS DECIMAL(38,0)) AS num
+    FROM csize s
+    CROSS JOIN gtot t
+    CROSS JOIN langs g
+    LEFT JOIN cls c ON c.source = s.source
+        AND c.chars_bucket = s.chars_bucket AND c.lang = g.lang
+    GROUP BY 1, 2, 3, 4
+),
+flagged AS (
+    SELECT source, c_all,
+           CAST(num AS DOUBLE)
+               / (2.0 * CAST(c_all AS DOUBLE) * CAST(g_all AS DOUBLE)) AS tvd,
+           CASE WHEN {_TCLOSE_DEN} * num
+                     > 2 * {_TCLOSE_NUM} * CAST(c_all AS DECIMAL(38,0)) * g_all
+                THEN 1 ELSE 0 END AS viol
+    FROM terms
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(viol) AS BIGINT) AS n_violating_classes,
+       CAST(SUM(CASE WHEN viol = 1 THEN c_all ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk,
+       ROUND(MAX(tvd), 6) AS max_tvd
+FROM flagged
+GROUP BY source
+ORDER BY source
+""".strip()
+
+
+@query("t_closeness_audit", oracle=_TCLOSE_SQL)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the privacy ladder the engine already carries (k-anonymity:
+    class too small; l-diversity: class too uniform; t-closeness: class
+    distribution too FAR from the corpus distribution, which leaks even
+    when l is satisfied). Same quasi-identifiers as ``l_diversity_audit``
+    ((source, n_chars//50)), sensitive attribute ``lang``, categorical
+    variant: per class the total variation distance to the global lang
+    distribution. The violation decision ``TVD > t=0.3`` is the EXACT
+    cross-multiplied integer comparison ``10*sum|c_l*G - g_l*C| >
+    6*C*G`` — zero float at the boundary; max_tvd is reported as one
+    double division per class. The lang spine is domain-bounded, so the
+    class x lang completion join is class-rows x |langs|, and the only
+    data-sized work is the first (source, bucket, lang) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = (
+        docs.select(
+            "source",
+            F.floor(F.col("n_chars").cast("double") / 50)
+            .cast("long")
+            .alias("chars_bucket"),
+            "lang",
+        )
+        .groupBy("source", "chars_bucket", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_l"))
+    )
+    # cls feeds three consumers (glob, csize, terms): materialize the
+    # aggregate once — exchange reuse is a courtesy, not a contract.
+    cls = cls.localCheckpoint()
+    glob = cls.groupBy("lang").agg(F.sum("c_l").cast("long").alias("g_l"))
+    gtot = glob.agg(F.sum("g_l").cast("long").alias("g_all"))
+    csize = cls.groupBy("source", "chars_bucket").agg(
+        F.sum("c_l").cast("long").alias("c_all")
+    )
+    d38 = "decimal(38,0)"
+    spine = csize.crossJoin(F.broadcast(gtot)).crossJoin(F.broadcast(glob))
+    terms = (
+        spine.join(
+            cls.select(
+                F.col("source").alias("cs"),
+                F.col("chars_bucket").alias("cb"),
+                F.col("lang").alias("cl"),
+                "c_l",
+            ),
+            (F.col("source") == F.col("cs"))
+            & (F.col("chars_bucket") == F.col("cb"))
+            & (F.col("lang") == F.col("cl")),
+            "left",
+        )
+        .groupBy("source", "chars_bucket", "c_all", "g_all")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("c_l"), F.lit(0)).cast(d38)
+                    * F.col("g_all").cast(d38)
+                    - F.col("g_l").cast(d38) * F.col("c_all").cast(d38)
+                )
+            )
+            .cast(d38)
+            .alias("num")
+        )
+    )
+    tvd = F.col("num").cast("double") / (
+        F.lit(2.0)
+        * F.col("c_all").cast("double")
+        * F.col("g_all").cast("double")
+    )
+    viol = (
+        F.lit(_TCLOSE_DEN) * F.col("num")
+        > F.lit(2 * _TCLOSE_NUM)
+        * F.col("c_all").cast(d38)
+        * F.col("g_all").cast(d38)
+    ).cast("int")
+    flagged = terms.select("source", "c_all", tvd.alias("tvd"), viol.alias("viol"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("viol").cast("long").alias("n_violating_classes"),
+            F.sum(F.when(F.col("viol") == 1, F.col("c_all")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.round(F.max("tvd"), 6).alias("max_tvd"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- tie-aware NDCG@20 ---------------------------------------------------------
+
+_NDCG_K = 20
+#: 1e12 fixed-point DCG discounts disc(i) = 1/log2(i+1), i = 1..K —
+#: PINNED integers (computed once in Python), so neither engine touches
+#: libm and every discount sum is exact integer arithmetic.
+_NDCG_DISC = [
+    (1, 1000000000000), (2, 630929753571), (3, 500000000000),
+    (4, 430676558073), (5, 386852807235), (6, 356207187108),
+    (7, 333333333333), (8, 315464876786), (9, 301029995664),
+    (10, 289064826318), (11, 278942945651), (12, 270238154427),
+    (13, 262649535037), (14, 255958024810), (15, 250000000000),
+    (16, 244650542118), (17, 239812466568), (18, 235408913367),
+    (19, 231378213160), (20, 227670248697),
+]
+
+_NDCG_DISC_VALUES = ", ".join(f"({i}, {d})" for i, d in _NDCG_DISC)
+
+_NDCG_SQL = f"""
+WITH hist AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(CASE event_type WHEN 'purchase' THEN 2
+                    WHEN 'click' THEN 1 ELSE 0 END) AS BIGINT) AS g_b
+    FROM events GROUP BY 1
+),
+pos AS (
+    SELECT vb, n_b, g_b,
+           CAST(COALESCE(SUM(n_b) OVER (
+               ORDER BY vb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) + 1 AS a,
+           CAST(SUM(n_b) OVER (
+               ORDER BY vb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS b
+    FROM hist
+),
+disc AS (SELECT * FROM (VALUES {_NDCG_DISC_VALUES}) t(i, d_fp)),
+grp AS (
+    SELECT p.vb, p.n_b, p.g_b,
+           CAST(SUM(d.d_fp) AS BIGINT) AS dsum_fp
+    FROM pos p JOIN disc d ON d.i >= p.a AND d.i <= p.b
+    WHERE p.a <= {_NDCG_K}
+    GROUP BY 1, 2, 3
+),
+dcg AS (
+    SELECT CAST(SUM((CAST(g_b AS DECIMAL(38,0)) * dsum_fp) // n_b)
+                AS DECIMAL(38,0)) AS dcg_fp
+    FROM grp
+),
+counts AS (
+    SELECT CAST(SUM(CASE WHEN g_b2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+           CAST(SUM(CASE WHEN g_b2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p1
+    FROM (SELECT CASE event_type WHEN 'purchase' THEN 2
+                 WHEN 'click' THEN 1 ELSE 0 END AS g_b2 FROM events)
+),
+ideal AS (
+    SELECT CAST(SUM(CASE WHEN d.i <= c.p2 THEN 2 * d.d_fp
+                    WHEN d.i <= c.p2 + c.p1 THEN d.d_fp
+                    ELSE 0 END) AS BIGINT) AS idcg_fp
+    FROM disc d, counts c
+)
+SELECT CAST({_NDCG_K} AS BIGINT) AS k,
+       ROUND(CAST(dcg_fp AS DOUBLE) / 1000000000000.0, 6) AS dcg,
+       ROUND(CAST(idcg_fp AS DOUBLE) / 1000000000000.0, 6) AS idcg,
+       ROUND(CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE), 6) AS ndcg
+FROM dcg, ideal
+""".strip()
+
+
+@query("ndcg_at_k_value_ranking", oracle=_NDCG_SQL)
+def ndcg_at_k_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware NDCG@{_NDCG_K} of ``value`` ranking graded relevance
+    (purchase=2, click=1, else 0) — the graded-relevance ranking metric
+    completing the eval family (AUC orders pairs, AP integrates the PR
+    curve, NDCG discounts by position with multi-level gain). Ties are
+    handled by EXPECTED DCG under uniform within-group permutation
+    (McSherry & Najork, ECIR 2008): a cent-bucket tie group occupying
+    positions [a, b] contributes ``(G_grp/n_grp) * sum(disc(a..min(b,
+    K)))``. Every discount is a PINNED 1e-12 fixed-point integer (no
+    libm in either engine), group discount sums and the per-group
+    ``(G*dsum) div n`` terms are exact integers, and NDCG is one double
+    division. Data-sized work: the value histogram + one grade count;
+    the position windows run over the VALUE-DOMAIN-bounded histogram
+    and only groups intersecting the top-{_NDCG_K} survive the join."""
+    ev = load_table(spark, sf_dir, "events")
+    grade = (
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+    )
+    base = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        grade.alias("g"),
+    )
+    # ONE data-sized aggregate keyed (vb, grade); it feeds both the
+    # position walk and the ideal-DCG grade counts, so it is
+    # materialized once (exchange reuse is a courtesy, not a contract).
+    cells = (
+        base.groupBy("vb", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    hist = cells.groupBy("vb").agg(
+        F.sum("n").cast("long").alias("n_b"),
+        F.sum(F.col("g") * F.col("n")).cast("long").alias("g_b"),
+    )
+    w_prev = Window.orderBy(F.col("vb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cur = Window.orderBy(F.col("vb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pos = hist.select(
+        "vb",
+        "n_b",
+        "g_b",
+        (F.coalesce(F.sum("n_b").over(w_prev), F.lit(0)) + F.lit(1))
+        .cast("long")
+        .alias("a"),
+        F.sum("n_b").over(w_cur).cast("long").alias("b"),
+    ).filter(F.col("a") <= _NDCG_K)
+    disc = F.broadcast(
+        ev.sparkSession.createDataFrame(_NDCG_DISC, "i long, d_fp long")
+    )
+    grp = (
+        pos.join(disc, (F.col("i") >= F.col("a")) & (F.col("i") <= F.col("b")))
+        .groupBy("vb", "n_b", "g_b")
+        .agg(F.sum("d_fp").cast("long").alias("dsum_fp"))
+    )
+    dcg = grp.agg(
+        F.sum(F.expr("(CAST(g_b AS DECIMAL(38,0)) * dsum_fp) div n_b"))
+        .cast("decimal(38,0)")
+        .alias("dcg_fp")
+    )
+    counts = cells.agg(
+        F.sum(F.when(F.col("g") == 2, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("p2"),
+        F.sum(F.when(F.col("g") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("p1"),
+    )
+    ideal = disc.crossJoin(F.broadcast(counts)).agg(
+        F.sum(
+            F.when(F.col("i") <= F.col("p2"), F.lit(2) * F.col("d_fp"))
+            .when(F.col("i") <= F.col("p2") + F.col("p1"), F.col("d_fp"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg_fp")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            F.lit(_NDCG_K).cast("long").alias("k"),
+            F.round(F.col("dcg_fp").cast("double") / F.lit(1e12), 6).alias(
+                "dcg"
+            ),
+            F.round(F.col("idcg_fp").cast("double") / F.lit(1e12), 6).alias(
+                "idcg"
+            ),
+            F.round(
+                F.col("dcg_fp").cast("double")
+                / F.col("idcg_fp").cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -445,6 +445,8 @@ WAVE6 = [
     "woe_iv_value_bins",
     "obf_group_sequential_monitor",
     "neyman_allocation_by_type",
+    "t_closeness_audit",
+    "ndcg_at_k_value_ranking",
 ]
 
 CURATION = [

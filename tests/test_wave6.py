@@ -176,3 +176,110 @@ def test_wave6_single_aggregate_plans(plans):
         p = plans(name)
         assert "SortMergeJoin" not in p, name
         assert "partial" in p.lower(), name
+
+
+def _write_docs(spark, rows, d):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_t_closeness_tvd_hand_computed(spark):
+    """One skewed class (all 'en') vs a balanced corpus: TVD recomputed
+    by hand; the skewed class must violate t=0.3, the balanced one not."""
+    rows = []
+    i = 0
+    # class A (srcA, bucket 0): 10 docs all 'en'
+    for _ in range(10):
+        rows.append((i, "t", "en", "srcA", 10)); i += 1
+    # class B (srcB, bucket 0): 5 en + 5 de — mirrors the global mix
+    for j in range(10):
+        rows.append((i, "t", "en" if j < 5 else "de", "srcB", 10)); i += 1
+    # global: 15 en, 5 de
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = {r.source: r for r in w6.t_closeness_audit(spark, d).collect()}
+    G, g_en, g_de = 20, 15, 5
+    # class A: p = (1.0, 0.0) vs q = (0.75, 0.25) -> TVD = 0.25
+    tvd_a = 0.5 * (abs(1.0 - g_en / G) + abs(0.0 - g_de / G))
+    # class B: p = (0.5, 0.5) vs q -> TVD = 0.25
+    tvd_b = 0.5 * (abs(0.5 - g_en / G) + abs(0.5 - g_de / G))
+    assert abs(out["srcA"].max_tvd - tvd_a) < 1e-9
+    assert abs(out["srcB"].max_tvd - tvd_b) < 1e-9
+    # neither crosses t=0.3 here; sharpen class A to all-de to cross
+    assert out["srcA"].n_violating_classes == 0
+    rows2 = [(k, "t", "de", "srcC", 10) for k in range(5)] + [
+        (5 + k, "t", "en", "srcD", 10) for k in range(45)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows2, d)
+        out2 = {r.source: r for r in w6.t_closeness_audit(spark, d).collect()}
+    # srcC: p=(de 1.0) vs q=(de 0.1, en 0.9) -> TVD 0.9 > 0.3
+    assert out2["srcC"].n_violating_classes == 1
+    assert out2["srcC"].n_rows_at_risk == 5
+    assert abs(out2["srcC"].max_tvd - 0.9) < 1e-9
+    assert out2["srcD"].n_violating_classes == 0
+
+
+def _ndcg_reference(items, k=20):
+    """Tie-aware expected NDCG@k replay: items = list of (score, grade)."""
+    from collections import defaultdict
+
+    disc = [0.0] + [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    groups = defaultdict(list)
+    for s, g in items:
+        groups[s].append(g)
+    pos = 0
+    dcg = 0.0
+    for s in sorted(groups, reverse=True):
+        gs = groups[s]
+        a, b = pos + 1, pos + len(gs)
+        dsum = sum(disc[i] for i in range(a, min(b, k) + 1))
+        dcg += (sum(gs) / len(gs)) * dsum
+        pos = b
+        if pos >= k:
+            break
+    ideal = sorted((g for _, g in items), reverse=True)
+    idcg = sum(g * disc[i + 1] for i, g in enumerate(ideal[:k]))
+    return dcg, idcg, dcg / idcg
+
+
+def test_ndcg_tie_aware_replay(spark):
+    """30 rows with deliberate ties straddling the top-20 boundary; the
+    engine's fixed-point NDCG must match the float replay to 1e-5."""
+    rows = []
+    items = []
+    for i in range(30):
+        v = round(1.0 + (i % 5) * 0.5, 2)  # 5 distinct scores, 6-way ties
+        typ = "purchase" if i % 7 == 0 else ("click" if i % 3 == 0 else "view")
+        g = 2 if typ == "purchase" else (1 if typ == "click" else 0)
+        rows.append(_ev(i, dt.datetime(2024, 1, 1, i % 24), 1, typ, v))
+        items.append((round(v * 100), g))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.ndcg_at_k_value_ranking(spark, d).collect()[0]
+    dcg, idcg, ndcg = _ndcg_reference(items)
+    assert got.k == 20
+    assert abs(got.dcg - dcg) < 1e-5
+    assert abs(got.idcg - idcg) < 1e-5
+    assert abs(got.ndcg - ndcg) < 1e-5
+    assert 0.0 <= got.ndcg <= 1.0
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    """If every purchase outscores every click outscores every view,
+    expected NDCG must be exactly 1 (no ties across grades)."""
+    rows = []
+    for i in range(30):
+        g = 2 if i < 5 else (1 if i < 12 else 0)
+        typ = {2: "purchase", 1: "click", 0: "view"}[g]
+        v = 100.0 - g_rank(i)
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, typ, v))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.ndcg_at_k_value_ranking(spark, d).collect()[0]
+    assert abs(got.ndcg - 1.0) < 1e-9
+
+
+def g_rank(i):
+    return i  # strictly decreasing scores by construction
