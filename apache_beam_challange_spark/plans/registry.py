@@ -158,7 +158,8 @@ DRIVER_ORDER: list[str] = [
     # plus the round-10 wave6 queries built after this tier froze:
     # brier_murphy_decomposition, woe_iv_value_bins,
     # obf_group_sequential_monitor, neyman_allocation_by_type,
-    # t_closeness_audit, ndcg_at_k_value_ranking.)
+    # t_closeness_audit, ndcg_at_k_value_ranking,
+    # jl_projection_distortion, markov_removal_attribution.)
 ]
 
 

@@ -834,3 +834,419 @@ def ndcg_at_k_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+# --- Johnson-Lindenstrauss projection + distortion audit -----------------------
+
+_JL_DIM = 64
+_JL_OUT = 16
+#: audit pairs: consecutive vec_ids below this cutoff (pair = id div 2)
+_JL_AUDIT_MAX = 200
+
+_JL_SQL = f"""
+WITH pos AS (SELECT unnest(generate_series(1, {_JL_DIM})) AS p),
+outs AS (SELECT unnest(generate_series(0, {_JL_OUT - 1})) AS k),
+sgn AS (
+    SELECT p.p, o.k,
+           CASE WHEN STRPOS('0123456789abcdef',
+                            SUBSTR(md5(CAST(p.p - 1 AS VARCHAR) || '_'
+                                       || CAST(o.k AS VARCHAR)), 1, 1))
+                     % 2 = 1
+                THEN 1 ELSE -1 END AS s
+    FROM pos p, outs o
+),
+comp AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+proj AS MATERIALIZED (
+    SELECT c.vec_id, g.k,
+           CAST(SUM(g.s * CAST(FLOOR(c.x[g.p] * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS p_fp
+    FROM comp c, sgn g
+    GROUP BY 1, 2
+),
+nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors FROM proj),
+odiff AS (
+    SELECT a.vec_id // 2 AS pair,
+           CAST(CAST(FLOOR(a.x[p.p] * 1000000000.0 + 0.5) AS BIGINT)
+                - CAST(FLOOR(b.x[p.p] * 1000000000.0 + 0.5) AS BIGINT)
+                AS HUGEINT) AS dd
+    FROM comp a JOIN comp b
+        ON a.vec_id // 2 = b.vec_id // 2
+        AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    CROSS JOIN pos p
+    WHERE a.vec_id < {_JL_AUDIT_MAX}
+),
+orig AS (
+    SELECT pair, CAST(SUM(dd * dd) AS DECIMAL(38,0)) AS d2o_fp
+    FROM odiff GROUP BY 1
+),
+pdiff AS (
+    SELECT a.vec_id // 2 AS pair,
+           CAST(a.p_fp - b.p_fp AS HUGEINT) AS pd
+    FROM proj a JOIN proj b
+        ON a.vec_id // 2 = b.vec_id // 2 AND a.k = b.k
+        AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    WHERE a.vec_id < {_JL_AUDIT_MAX}
+),
+pproj AS (
+    SELECT pair, CAST(SUM(pd * pd) AS DECIMAL(38,0)) AS d2p_fp
+    FROM pdiff GROUP BY 1
+),
+ratios AS (
+    SELECT o.pair,
+           CAST(FLOOR(CAST(p.d2p_fp AS DOUBLE) / {_JL_OUT}.0
+                      / CAST(o.d2o_fp AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS r_fp
+    FROM orig o JOIN pproj p ON o.pair = p.pair
+)
+SELECT nv.n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(r_fp) AS DOUBLE) / 1000000000.0
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ratio,
+       ROUND(CAST(MIN(r_fp) AS DOUBLE) / 1000000000.0, 6) AS min_ratio,
+       ROUND(CAST(MAX(r_fp) AS DOUBLE) / 1000000000.0, 6) AS max_ratio,
+       CAST(SUM(CASE WHEN r_fp BETWEEN 500000000 AND 1500000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_half
+FROM ratios, nv
+GROUP BY nv.n_vectors
+""".strip()
+
+
+@query("jl_projection_distortion", oracle=_JL_SQL)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding corpus
+    from {_JL_DIM} to {_JL_OUT} dims with a DISTORTION AUDIT — the
+    dimensionality-reduction workhorse behind cheap ANN pre-filters and
+    sketched joins (JL lemma: pairwise distances survive a random
+    +-1/sqrt(d') sign projection up to 1+-eps). The sign matrix is
+    DETERMINISTIC (md5 hex parity of "j_k" — reproducible anywhere, the
+    seeded-md5 bootstrap discipline), broadcast as a {_JL_DIM}x{_JL_OUT}
+    literal-free spine; the projection is the data-sized work: explode x
+    sign-join x (vec_id, k) re-aggregate, with every addend 1e-9
+    fixed-pointed so the sums are EXACT integers (no float association
+    anywhere). The audit re-derives squared distances for the pinned
+    consecutive-id pairs below {_JL_AUDIT_MAX} on both sides (exact
+    HUGEINT/DECIMAL sums of squared integer diffs) and reports the
+    projected/original ratio spread — mean/min/max and the count within
+    [0.5, 1.5]. n_vectors counts the FULL projection so the optimizer
+    cannot prune the corpus-scale map down to the audit subset."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("x").cast("double") * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    spark_s = emb.sparkSession
+    jm = spark_s.range(_JL_DIM).select(F.col("id").alias("j"))
+    km = spark_s.range(_JL_OUT).select(F.col("id").alias("k"))
+    sgn = jm.crossJoin(km).select(
+        "j",
+        "k",
+        F.when(
+            F.expr(
+                "locate(substring(md5(concat(cast(j as string), '_',"
+                " cast(k as string))), 1, 1), '0123456789abcdef') % 2 = 1"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    proj = (
+        ex.join(F.broadcast(sgn), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("xq")).cast("long").alias("p_fp"))
+        .localCheckpoint()  # feeds n_vectors AND the audit pair join
+    )
+    nv = proj.agg(F.countDistinct("vec_id").cast("long").alias("n_vectors"))
+    d38 = "decimal(38,0)"
+    exa = ex.filter(F.col("vec_id") < _JL_AUDIT_MAX).select(
+        F.expr("vec_id div 2").alias("pair"),
+        (F.col("vec_id") % 2).alias("side"),
+        "j",
+        "xq",
+    )
+    piv = exa.groupBy("pair", "j").agg(
+        F.max(F.when(F.col("side") == 0, F.col("xq"))).alias("xa"),
+        F.max(F.when(F.col("side") == 1, F.col("xq"))).alias("xb"),
+    )
+    dd = (F.col("xa") - F.col("xb")).cast(d38)
+    orig = piv.groupBy("pair").agg(
+        F.sum(dd * dd).cast(d38).alias("d2o_fp")
+    )
+    pp = proj.filter(F.col("vec_id") < _JL_AUDIT_MAX).select(
+        F.expr("vec_id div 2").alias("pair"),
+        (F.col("vec_id") % 2).alias("side"),
+        "k",
+        "p_fp",
+    )
+    ppiv = pp.groupBy("pair", "k").agg(
+        F.max(F.when(F.col("side") == 0, F.col("p_fp"))).alias("pa"),
+        F.max(F.when(F.col("side") == 1, F.col("p_fp"))).alias("pb"),
+    )
+    pd = (F.col("pa") - F.col("pb")).cast(d38)
+    pproj = ppiv.groupBy("pair").agg(
+        F.sum(pd * pd).cast(d38).alias("d2p_fp")
+    )
+    ratios = orig.join(pproj, "pair").select(
+        "pair",
+        F.floor(
+            F.col("d2p_fp").cast("double")
+            / F.lit(float(_JL_OUT))
+            / F.col("d2o_fp").cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r_fp"),
+    )
+    return ratios.crossJoin(F.broadcast(nv)).groupBy("n_vectors").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("r_fp").cast("double") / F.lit(1e9)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("r_fp").cast("double") / F.lit(1e9), 6).alias(
+            "min_ratio"
+        ),
+        F.round(F.max("r_fp").cast("double") / F.lit(1e9), 6).alias(
+            "max_ratio"
+        ),
+        F.sum(
+            (
+                (F.col("r_fp") >= 500000000) & (F.col("r_fp") <= 1500000000)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_within_half"),
+    )
+
+
+# --- Markov removal-effect attribution -----------------------------------------
+
+#: absorption-probability iteration rounds (monotone from below; the
+#: oracle walks the IDENTICAL integer sequence, so the hash matches at
+#: any T — 24 puts the residual under ~3% of the absorbing mass on
+#: journey mixes like this corpus's)
+_MRK_T = 24
+#: 1e-12 fixed point for absorption probabilities: every iteration is
+#: EXACT integer arithmetic (sum(c * x_fp) div tot), so the trajectory
+#: is engine-independent by construction.
+_MRK_FP = 10**12
+
+_MRK_SQL = f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id,
+           CASE WHEN event_type = 'purchase' THEN 'CONV'
+                ELSE event_type END AS cur,
+           LAG(CASE WHEN event_type = 'purchase' THEN 'CONV'
+               ELSE event_type END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) = 1 AS is_last
+    FROM events
+),
+raw AS (
+    SELECT CASE WHEN prev IS NULL OR prev = 'CONV' THEN 'START'
+                ELSE prev END AS f,
+           cur AS t
+    FROM seq
+    UNION ALL
+    SELECT cur AS f, 'NULL' AS t FROM seq WHERE is_last AND cur <> 'CONV'
+),
+trans AS (
+    SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM raw GROUP BY 1, 2
+    UNION ALL
+    SELECT 'CONV', 'CONV', 1
+),
+tot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS n FROM trans GROUP BY 1),
+chan AS (
+    SELECT DISTINCT event_type AS ch FROM events
+    WHERE event_type <> 'purchase'
+),
+scen AS (SELECT ch AS removed FROM chan UNION ALL SELECT ''),
+walk(r, removed, state, x_fp) AS (
+    SELECT 0, removed, 'CONV', CAST({_MRK_FP} AS HUGEINT) FROM scen
+    UNION ALL
+    SELECT w.r + 1, w.removed, tr.f,
+           SUM(CAST(tr.c AS HUGEINT) * w.x_fp) // MIN(tt.n)
+    FROM walk w
+    JOIN trans tr ON tr.t = w.state
+    JOIN tot tt ON tt.f = tr.f
+    WHERE w.r < {_MRK_T} AND tr.f <> w.removed
+    GROUP BY w.r, w.removed, tr.f
+),
+fin AS (
+    -- a scenario whose START state never earns absorbing mass produces
+    -- NO walk row: that is absorption probability ZERO, not a missing
+    -- scenario
+    SELECT s.removed, CAST(COALESCE(w.x_fp, 0) AS BIGINT) AS start_fp
+    FROM scen s LEFT JOIN (
+        SELECT removed, x_fp FROM walk
+        WHERE r = {_MRK_T} AND state = 'START'
+    ) w ON w.removed = s.removed
+),
+base AS (SELECT start_fp AS base_fp FROM fin WHERE removed = ''),
+eff AS (
+    SELECT f.removed AS channel,
+           b.base_fp,
+           f.start_fp AS rm_fp,
+           b.base_fp - f.start_fp AS effect_fp
+    FROM fin f, base b WHERE f.removed <> ''
+),
+tot_eff AS (SELECT CAST(SUM(effect_fp) AS BIGINT) AS e_all FROM eff)
+SELECT channel,
+       ROUND(CAST(base_fp AS DOUBLE) / {_MRK_FP}.0, 6) AS base_cvr,
+       ROUND(CAST(rm_fp AS DOUBLE) / {_MRK_FP}.0, 6) AS removal_cvr,
+       CASE WHEN base_fp = 0 THEN NULL
+            ELSE ROUND(CAST(effect_fp AS DOUBLE) / CAST(base_fp AS DOUBLE), 6)
+       END AS removal_effect,
+       CASE WHEN e_all = 0 THEN NULL
+            ELSE ROUND(CAST(effect_fp AS DOUBLE) / CAST(e_all AS DOUBLE), 6)
+       END AS attribution_share
+FROM eff, tot_eff
+ORDER BY channel
+""".strip()
+
+
+@query("markov_removal_attribution", oracle=_MRK_SQL)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016 — the
+    data-driven alternative to the positional/linear rules the engine's
+    ``multitouch_attribution`` implements): user journeys become a
+    first-order chain over channels with START plus absorbing CONV
+    (purchase) / NULL (journey end) states, and a channel's credit is
+    its REMOVAL EFFECT — how much the chain's START->CONV absorption
+    probability drops when journeys through it are cut. The data-sized
+    work is one user-partitioned ordered pass (LAG + last-row flag) and
+    one transition count; everything after runs on the <=7-state
+    transition matrix. The absorption solve is a monotone fixed-point
+    iteration kept EXACT: x' = sum(c * x_fp) div tot in 1e-12 integer
+    fixed point, all scenarios (base + one per removed channel) iterated
+    together on a (scenario, state) frame, CONV carried as a virtual
+    self-loop so one join rule covers absorbers and transients; the
+    oracle walks the identical integer trajectory in a recursive CTE,
+    so engines agree bit-for-bit at ANY round count. Attribution shares
+    are divisions of exact integer effect numerators (base_fp - rm_fp),
+    never a float sum across channels."""
+    ev = load_table(spark, sf_dir, "events")
+    cur = F.when(F.col("event_type") == "purchase", F.lit("CONV")).otherwise(
+        F.col("event_type")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rev = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = ev.select(
+        cur.alias("cur"),
+        F.lag(cur).over(w_ord).alias("prev"),
+        (F.row_number().over(w_rev) == 1).alias("is_last"),
+    )
+    fwd = seq.select(
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == "CONV"), F.lit("START")
+        )
+        .otherwise(F.col("prev"))
+        .alias("f"),
+        F.col("cur").alias("t"),
+    )
+    ends = seq.filter(F.col("is_last") & (F.col("cur") != "CONV")).select(
+        F.col("cur").alias("f"), F.lit("NULL").alias("t")
+    )
+    spark_s = ev.sparkSession
+    virt = spark_s.createDataFrame(
+        [("CONV", "CONV", 1)], "f string, t string, c long"
+    )
+    trans = (
+        fwd.unionAll(ends)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .unionAll(virt)
+        .localCheckpoint()  # the tiny matrix feeds tot + T join rounds
+    )
+    tot = trans.groupBy("f").agg(F.sum("c").cast("long").alias("n"))
+    chan = (
+        ev.select(F.col("event_type").alias("ch"))
+        .filter(F.col("ch") != "purchase")
+        .distinct()
+    )
+    scen = chan.select(F.col("ch").alias("removed")).unionAll(
+        spark_s.createDataFrame([("",)], "removed string")
+    )
+    x = scen.select(
+        "removed",
+        F.lit("CONV").alias("state"),
+        F.lit(_MRK_FP).cast("decimal(38,0)").alias("x_fp"),
+    ).localCheckpoint()
+    mat = trans.join(tot, "f")
+    for r in range(_MRK_T):
+        x = (
+            mat.join(x, mat["t"] == x["state"])
+            .filter(F.col("f") != F.col("removed"))
+            .groupBy("removed", "f")
+            .agg(
+                F.expr("CAST(sum(c * x_fp) div min(n) AS DECIMAL(38,0))")
+                .alias("x_fp")
+            )
+            .withColumnRenamed("f", "state")
+        )
+        if (r + 1) % 6 == 0:
+            x = x.localCheckpoint()
+    # a scenario whose START never earns absorbing mass has NO x row:
+    # that is probability zero, not a missing scenario
+    fin = scen.join(
+        x.filter(F.col("state") == "START").select(
+            "removed", F.col("x_fp").cast("long").alias("start_fp")
+        ),
+        "removed",
+        "left",
+    ).select("removed", F.coalesce("start_fp", F.lit(0)).alias("start_fp"))
+    base = fin.filter(F.col("removed") == "").select(
+        F.col("start_fp").alias("base_fp")
+    )
+    eff = (
+        fin.filter(F.col("removed") != "")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "base_fp",
+            F.col("start_fp").alias("rm_fp"),
+            (F.col("base_fp") - F.col("start_fp")).alias("effect_fp"),
+        )
+    )
+    tot_eff = eff.agg(F.sum("effect_fp").cast("long").alias("e_all"))
+    return (
+        eff.crossJoin(F.broadcast(tot_eff))
+        .select(
+            "channel",
+            F.round(F.col("base_fp").cast("double") / F.lit(float(_MRK_FP)), 6)
+            .alias("base_cvr"),
+            F.round(F.col("rm_fp").cast("double") / F.lit(float(_MRK_FP)), 6)
+            .alias("removal_cvr"),
+            F.when(F.col("base_fp") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("effect_fp").cast("double")
+                    / F.col("base_fp").cast("double"),
+                    6,
+                )
+            )
+            .alias("removal_effect"),
+            F.when(F.col("e_all") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("effect_fp").cast("double")
+                    / F.col("e_all").cast("double"),
+                    6,
+                )
+            )
+            .alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

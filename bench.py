@@ -447,6 +447,8 @@ WAVE6 = [
     "neyman_allocation_by_type",
     "t_closeness_audit",
     "ndcg_at_k_value_ranking",
+    "jl_projection_distortion",
+    "markov_removal_attribution",
 ]
 
 CURATION = [

@@ -283,3 +283,91 @@ def test_ndcg_perfect_ranking_is_one(spark):
 
 def g_rank(i):
     return i  # strictly decreasing scores by construction
+
+
+def test_jl_projection_replay_exact(spark):
+    """Full python replay (hashlib md5 signs + the same fixed-point
+    arithmetic) on 8 deterministic float32-exact vectors — the engine's
+    mean/min/max ratios must match EXACTLY (integer pipeline)."""
+    import hashlib
+
+    dim, out = w6._JL_DIM, w6._JL_OUT
+    vecs = {
+        i: [((i * 37 + j * 11) % 512 - 256) / 256.0 for j in range(dim)]
+        for i in range(8)
+    }
+    df = spark.createDataFrame(
+        [(i, vecs[i], 0) for i in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = w6.jl_projection_distortion(spark, d).collect()[0]
+
+    def sign(j, k):
+        h = hashlib.md5(f"{j}_{k}".encode()).hexdigest()[0]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    xq = {i: [math.floor(v * 1e9 + 0.5) for v in vecs[i]] for i in vecs}
+    proj = {
+        i: [
+            sum(sign(j, k) * xq[i][j] for j in range(dim)) for k in range(out)
+        ]
+        for i in vecs
+    }
+    ratios = []
+    for p in range(4):
+        a, b = 2 * p, 2 * p + 1
+        d2o = sum((xq[a][j] - xq[b][j]) ** 2 for j in range(dim))
+        d2p = sum((proj[a][k] - proj[b][k]) ** 2 for k in range(out))
+        ratios.append(math.floor(d2p / out / d2o * 1e9 + 0.5))
+    assert got.n_vectors == 8 and got.n_pairs == 4
+    assert abs(got.mean_ratio - round(sum(ratios) / 1e9 / 4, 6)) < 1e-9
+    assert abs(got.min_ratio - round(min(ratios) / 1e9, 6)) < 1e-9
+    assert abs(got.max_ratio - round(max(ratios) / 1e9, 6)) < 1e-9
+    assert got.n_within_half == sum(5e8 <= r <= 15e8 for r in ratios)
+
+
+def test_markov_removal_hand_chain(spark):
+    """Three-user chain solvable by hand: START->{view:2, CONV:1}/3,
+    view->{click, NULL}/2, click->CONV. Base CVR 2/3; removing either
+    channel drops it to 1/3, so both get attribution share 0.5."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        _ev(0, base, 1, "view", 1.0),
+        _ev(1, base + dt.timedelta(hours=1), 1, "click", 1.0),
+        _ev(2, base + dt.timedelta(hours=2), 1, "purchase", 1.0),
+        _ev(3, base, 2, "view", 1.0),
+        _ev(4, base, 3, "purchase", 1.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.channel: r for r in w6.markov_removal_attribution(spark, d).collect()}
+    assert sorted(out) == ["click", "view"]
+    for ch in ("view", "click"):
+        r = out[ch]
+        assert abs(r.base_cvr - 2 / 3) < 1e-6
+        assert abs(r.removal_cvr - 1 / 3) < 1e-6
+        assert abs(r.removal_effect - 0.5) < 1e-6
+        assert abs(r.attribution_share - 0.5) < 1e-6
+
+
+def test_markov_journey_split_after_purchase(spark):
+    """A purchase ends the journey: the event after it must transition
+    from START, not from CONV — checked by a user whose second journey
+    never converts (view -> NULL)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        _ev(0, base, 1, "click", 1.0),
+        _ev(1, base + dt.timedelta(hours=1), 1, "purchase", 1.0),
+        _ev(2, base + dt.timedelta(hours=2), 1, "view", 1.0),
+    ]
+    # chain: START->{click, view}/2; click->CONV; view->NULL
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.channel: r for r in w6.markov_removal_attribution(spark, d).collect()}
+    assert abs(out["click"].base_cvr - 0.5) < 1e-6
+    assert abs(out["click"].removal_cvr - 0.0) < 1e-6
+    assert abs(out["click"].attribution_share - 1.0) < 1e-6
+    assert abs(out["view"].removal_cvr - 0.5) < 1e-6
+    assert abs(out["view"].attribution_share - 0.0) < 1e-6
