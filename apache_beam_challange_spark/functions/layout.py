@@ -57,3 +57,36 @@ def zorder_key_sql(a: str, b: str, bits: int = 8) -> str:
         for i in range(bits)
     ]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def hilbert_step_exprs(bits: int, intdiv: str) -> list[tuple[str, str, str]]:
+    """Per-step ``(x, y, d)`` expression TEXTS for the unrolled Hilbert
+    ``xy2d`` walk over a ``2^bits x 2^bits`` grid (Wikipedia's iterative
+    conversion, full-grid ``n-1`` reflection variant — bijection and
+    unit-step adjacency are property-tested in tests/test_wave6.py).
+    Each step reads columns ``x``, ``y``, ``d`` from the previous step
+    and must be materialized as one projection per step (inlining all
+    8 steps would double the expression text per level). ``intdiv`` is
+    the dialect's integer-division operator (``div`` for Spark SQL,
+    ``//`` for DuckDB; operands are non-negative, so truncation ==
+    floor). The quadrant index ``(3*rx) XOR ry`` is spelled as the
+    XOR-free arithmetic ``3*rx + ry*(1 - 2*rx)`` because the engines
+    spell XOR differently (``^`` vs ``xor()``); everything is exact
+    integer arithmetic, so keys are engine-identical by construction."""
+    n1 = (1 << bits) - 1
+    steps = []
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = f"((x {intdiv} {s}) % 2)"
+        ry = f"((y {intdiv} {s}) % 2)"
+        nd = f"d + {s * s} * (3 * {rx} + {ry} * (1 - 2 * {rx}))"
+        nx = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"CASE WHEN {rx} = 1 THEN {n1} - y ELSE y END ELSE x END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"CASE WHEN {rx} = 1 THEN {n1} - x ELSE x END ELSE y END"
+        )
+        steps.append((nx, ny, nd))
+    return steps

@@ -159,7 +159,8 @@ DRIVER_ORDER: list[str] = [
     # brier_murphy_decomposition, woe_iv_value_bins,
     # obf_group_sequential_monitor, neyman_allocation_by_type,
     # t_closeness_audit, ndcg_at_k_value_ranking,
-    # jl_projection_distortion, markov_removal_attribution.)
+    # jl_projection_distortion, markov_removal_attribution,
+    # hilbert_orders_keys, ngram_novelty_by_source.)
 ]
 
 

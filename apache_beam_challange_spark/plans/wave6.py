@@ -1250,3 +1250,191 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- Hilbert-curve layout keys -------------------------------------------------
+
+def _hilbert_oracle_sql() -> str:
+    from apache_beam_challange_spark.functions.layout import (
+        hilbert_step_exprs,
+        scale_to_bits_sql,
+    )
+
+    steps = hilbert_step_exprs(8, "//")
+    chain = []
+    prev = "h0"
+    for i, (nx, ny, nd) in enumerate(steps, start=1):
+        chain.append(
+            f"h{i} AS (SELECT o_orderkey, {nx} AS x, {ny} AS y,"
+            f" {nd} AS d FROM {prev})"
+        )
+        prev = f"h{i}"
+    za = scale_to_bits_sql("o_custkey", "mn_c", "mx_c")
+    zb = scale_to_bits_sql("day", "mn_d", "mx_d")
+    chain_sql = ",\n".join(chain)
+    return f"""
+WITH dims AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+    FROM orders
+),
+b AS (
+    SELECT MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+           MIN(day) AS mn_d, MAX(day) AS mx_d
+    FROM dims
+),
+h0 AS (
+    SELECT o_orderkey, {za} AS x, {zb} AS y, 0 AS d
+    FROM dims, b
+),
+{chain_sql}
+SELECT o_orderkey, CAST(d AS BIGINT) AS hkey FROM {prev}
+""".strip()
+
+
+@query("hilbert_orders_keys", oracle=_hilbert_oracle_sql())
+def hilbert_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over (o_custkey, order day) — the
+    better-locality twin of ``zorder_orders_keys``: the Hilbert curve
+    visits grid cells in UNIT steps (every consecutive pair of keys is
+    an adjacent cell — property-tested), so sorted row groups cover
+    even tighter rectangles than Morton order, whose bit-interleave
+    jumps across the plane at power-of-two boundaries (the layout
+    choice Delta Lake exposes as liquid-clustering-style curves). Both
+    dimensions scale to 8-bit ranks by the shared exact monotone map;
+    the xy2d walk runs as 8 materialized integer projections (one per
+    bit level, XOR-free quadrant arithmetic), generated from ONE
+    expression builder for both engines — keys are engine-identical by
+    construction. Scale shape: narrow projection against broadcast
+    global bounds; the sort itself is the range-partitioned write the
+    compaction operator owns."""
+    from apache_beam_challange_spark.functions.layout import (
+        hilbert_step_exprs,
+        scale_to_bits,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    b = dims.agg(
+        F.min("o_custkey").alias("mn_c"),
+        F.max("o_custkey").alias("mx_c"),
+        F.min("day").alias("mn_d"),
+        F.max("day").alias("mx_d"),
+    )
+    h = dims.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        scale_to_bits(F.col("o_custkey"), F.col("mn_c"), F.col("mx_c")).alias(
+            "x"
+        ),
+        scale_to_bits(F.col("day"), F.col("mn_d"), F.col("mx_d")).alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for nx, ny, nd in hilbert_step_exprs(8, "div"):
+        h = h.select(
+            "o_orderkey",
+            F.expr(nx).alias("x"),
+            F.expr(ny).alias("y"),
+            F.expr(nd).alias("d"),
+        )
+    return h.select("o_orderkey", F.col("d").cast("long").alias("hkey"))
+
+
+# --- n-gram novelty profile by source ------------------------------------------
+
+_NOVEL_SQL = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, greatest(len(tokens) - 2, 1))) AS i
+    FROM tok
+),
+sh AS (
+    SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+    FROM pos
+),
+occ AS (
+    SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS c
+    FROM sh GROUP BY 1, 2
+),
+firsts AS (
+    SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM occ GROUP BY 1
+),
+pairs AS (
+    SELECT o.doc_id, o.c,
+           CASE WHEN o.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+    FROM occ o JOIN firsts f ON o.shingle = f.shingle
+)
+SELECT d.source,
+       CAST(SUM(p.c) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(p.novel) AS BIGINT) AS n_novel_pairs,
+       ROUND(CAST(SUM(p.novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS novelty_rate,
+       ROUND(CAST(SUM(p.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS repetition
+FROM pairs p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""".strip()
+
+
+@query("ngram_novelty_by_source", oracle=_NOVEL_SQL)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram novelty profile per source — the stream-order curation
+    diagnostic next to Heaps' law (which fits VOCABULARY growth; this
+    measures how much of each source's n-gram inventory is introduced
+    by that source vs already seen earlier in the corpus): a (doc,
+    shingle) pair is NOVEL iff the doc is the shingle's corpus-wide
+    MINIMUM doc_id — the same first-occurrence trick that makes
+    ``heaps_law_fit_tokens`` exact with no prefix replay. Reports
+    occurrence and distinct-pair counts, the novelty rate, and the
+    within-doc repetition factor (occurrences per distinct pair — the
+    boilerplate signal). Data-sized work: the shingle explode and two
+    shingle-keyed aggregates (the MinHash pipeline's shuffle shape);
+    the backfill joins are doc-keyed."""
+    from apache_beam_challange_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "text", 3)
+    occ = sh.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # occ feeds the firsts aggregate AND the novelty join: materialize
+    # the shingle shuffle once.
+    occ = occ.localCheckpoint()
+    firsts = occ.groupBy("shingle").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    pairs = occ.join(firsts, "shingle").select(
+        "doc_id",
+        "c",
+        (F.col("doc_id") == F.col("first_doc")).cast("long").alias("novel"),
+    )
+    return (
+        pairs.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("novel").cast("long").alias("n_novel_pairs"),
+            F.round(
+                F.sum("novel").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty_rate"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("repetition"),
+        )
+        .orderBy("source")
+    )

@@ -449,6 +449,8 @@ WAVE6 = [
     "ndcg_at_k_value_ranking",
     "jl_projection_distortion",
     "markov_removal_attribution",
+    "hilbert_orders_keys",
+    "ngram_novelty_by_source",
 ]
 
 CURATION = [

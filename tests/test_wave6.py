@@ -371,3 +371,88 @@ def test_markov_journey_split_after_purchase(spark):
     assert abs(out["click"].attribution_share - 1.0) < 1e-6
     assert abs(out["view"].removal_cvr - 0.5) < 1e-6
     assert abs(out["view"].attribution_share - 0.0) < 1e-6
+
+
+def _hilbert_ref(n, x, y):
+    """Python reference xy2d (full-grid reflection variant)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = (n - 1) - x, (n - 1) - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_exprs_bijection_and_adjacency(spark):
+    """The shared expression builder, run at 4 bits over the FULL 16x16
+    grid: keys must be a bijection onto 0..255, every consecutive pair
+    of keys must be grid-adjacent (the Hilbert property Z-order lacks),
+    and every key must equal the python reference."""
+    from apache_beam_challange_spark.functions.layout import hilbert_step_exprs
+
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    h = spark.createDataFrame(grid, "x long, y long").withColumn(
+        "d", F.lit(0).cast("long")
+    ).select("x", "y", "d", F.col("x").alias("x0"), F.col("y").alias("y0"))
+    for nx, ny, nd in hilbert_step_exprs(4, "div"):
+        h = h.select(
+            F.expr(nx).alias("x"), F.expr(ny).alias("y"),
+            F.expr(nd).alias("d"), "x0", "y0",
+        )
+    got = {(r.x0, r.y0): r.d for r in h.collect()}
+    assert sorted(got.values()) == list(range(256))
+    for (x, y), d in got.items():
+        assert d == _hilbert_ref(16, x, y), (x, y)
+    cell_of = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = cell_of[d], cell_of[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_orders_keys_match_reference(spark):
+    """Full-query keys on a small orders fixture equal the python
+    reference applied to the same scaled ranks."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, k % 7, "O", 10.0, base + dt.timedelta(days=k % 11), "1-URGENT")
+        for k in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {r.o_orderkey: r.hkey for r in w6.hilbert_orders_keys(spark, d).collect()}
+    days = {k: (base + dt.timedelta(days=k % 11) - dt.datetime(1970, 1, 1)).days for k in range(40)}
+    mn_c, mx_c = 0, 6
+    mn_d, mx_d = min(days.values()), max(days.values())
+    for k in range(40):
+        xa = (k % 7 - mn_c) * 256 // (mx_c - mn_c + 1)
+        yb = (days[k] - mn_d) * 256 // (mx_d - mn_d + 1)
+        assert got[k] == _hilbert_ref(256, xa, yb), k
+    assert len(set(got.values())) > 1
+
+
+def test_ngram_novelty_hand_corpus(spark):
+    """Three docs: doc0 introduces everything; doc1 repeats doc0
+    verbatim (novelty 0); doc2 is half new. Rates hand-checked."""
+    docs = [
+        (0, "a b c d", "en", "s0", 7),     # shingles: abc, bcd (both novel)
+        (1, "a b c d", "en", "s1", 7),     # abc, bcd (both seen)
+        (2, "a b c x y z", "en", "s2", 11) # abc(seen), bcx, cxy, xyz (3 novel)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, docs, d)
+        out = {r.source: r for r in w6.ngram_novelty_by_source(spark, d).collect()}
+    assert out["s0"].n_pairs == 2 and out["s0"].n_novel_pairs == 2
+    assert out["s1"].n_pairs == 2 and out["s1"].n_novel_pairs == 0
+    assert out["s2"].n_pairs == 4 and out["s2"].n_novel_pairs == 3
+    assert abs(out["s2"].novelty_rate - 0.75) < 1e-9
+    assert abs(out["s1"].novelty_rate - 0.0) < 1e-9
