@@ -160,7 +160,8 @@ DRIVER_ORDER: list[str] = [
     # obf_group_sequential_monitor, neyman_allocation_by_type,
     # t_closeness_audit, ndcg_at_k_value_ranking,
     # jl_projection_distortion, markov_removal_attribution,
-    # hilbert_orders_keys, ngram_novelty_by_source.)
+    # hilbert_orders_keys, ngram_novelty_by_source,
+    # shapley_attribution, conformal_value_intervals.)
 ]
 
 

@@ -1438,3 +1438,340 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- exact Shapley-value attribution -------------------------------------------
+
+#: factorial lookup spine (covers k <= 7 channels; the corpus has 4)
+_SHAP_FACT = [(0, 1), (1, 1), (2, 2), (3, 6), (4, 24), (5, 120), (6, 720), (7, 5040)]
+_SHAP_FACT_VALUES = ", ".join(f"({i}, {f})" for i, f in _SHAP_FACT)
+
+_SHAP_SQL = f"""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS journey
+    FROM events
+),
+chan AS (
+    SELECT event_type AS ch,
+           CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+    FROM (SELECT DISTINCT event_type FROM events
+          WHERE event_type <> 'purchase')
+),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chan),
+jy AS (
+    SELECT s.user_id, s.journey,
+           CAST(SUM(DISTINCT CASE WHEN s.event_type <> 'purchase'
+                    THEN CAST(POWER(2, c.bit) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS mask,
+           CAST(MAX(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv
+    FROM seq s LEFT JOIN chan c ON c.ch = s.event_type
+    GROUP BY 1, 2
+),
+masks AS (
+    SELECT mask, CAST(SUM(conv) AS BIGINT) AS convs FROM jy GROUP BY 1
+),
+coal AS (
+    SELECT unnest(generate_series(0, CAST(POWER(2, (SELECT k FROM k))
+                                          AS BIGINT) - 1)) AS s
+),
+v AS (
+    SELECT c.s, CAST(COALESCE(SUM(m.convs), 0) AS BIGINT) AS v_s
+    FROM coal c LEFT JOIN masks m ON (m.mask & c.s) = m.mask
+    GROUP BY 1
+),
+fact AS (SELECT * FROM (VALUES {_SHAP_FACT_VALUES}) t(i, f)),
+terms AS (
+    SELECT ch.ch AS channel,
+           CAST(SUM(fs.f * fks.f
+                    * (vwith.v_s - v.v_s)) AS BIGINT) AS phi_kfact
+    FROM chan ch
+    CROSS JOIN k
+    JOIN v ON (v.s & CAST(POWER(2, ch.bit) AS BIGINT)) = 0
+    JOIN v vwith ON vwith.s = v.s + CAST(POWER(2, ch.bit) AS BIGINT)
+    JOIN fact fs ON fs.i = bit_count(v.s)
+    JOIN fact fks ON fks.i = k.k - bit_count(v.s) - 1
+    GROUP BY 1
+),
+kf AS (SELECT f.f AS kfact FROM k JOIN fact f ON f.i = k.k),
+tot AS (SELECT CAST(SUM(phi_kfact) AS BIGINT) AS phi_all FROM terms)
+SELECT channel,
+       ROUND(CAST(phi_kfact AS DOUBLE) / CAST(kfact AS DOUBLE), 6)
+           AS shapley_conversions,
+       CASE WHEN phi_all = 0 THEN NULL
+            ELSE ROUND(CAST(phi_kfact AS DOUBLE) / CAST(phi_all AS DOUBLE), 6)
+       END AS attribution_share
+FROM terms, kf, tot
+ORDER BY channel
+""".strip()
+
+
+@query("shapley_attribution", oracle=_SHAP_SQL)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over journey channel coalitions
+    (Shapley 1953; the coalition-game companion to
+    ``markov_removal_attribution`` and the rule-based splitter): the
+    characteristic function v(S) = conversions reachable using only
+    channels in S (journeys whose touched-channel set is a subset),
+    and a channel's credit is its exact Shapley value — computed with
+    ZERO approximation because the channel universe is small (k <= 7
+    guarded by the factorial spine; this corpus has 4, so 16
+    coalitions). Journeys reuse the Markov query's definition (user
+    stream split after each purchase); each journey collapses to a
+    (bitmask, converted) pair, v(S) is a subset-sum join over the
+    <=2^k mask table, and phi * k! is an EXACT integer (factorial
+    weights from a pinned lookup spine, bit_count spelled identically
+    in both engines) — shares are divisions of exact integers. The
+    data-sized work is one user-partitioned window + one journey
+    aggregate; everything after is 2^k-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("long")).over(
+                w_prev
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("journey"),
+    )
+    chan = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+        .select(
+            "ch",
+            (F.row_number().over(Window.orderBy("ch")) - 1)
+            .cast("long")
+            .alias("bit"),
+        )
+    )
+    kf = chan.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    jy = (
+        seq.join(F.broadcast(chan), seq["event_type"] == chan["ch"], "left")
+        .groupBy("user_id", "journey")
+        .agg(
+            F.sum_distinct(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.pow(F.lit(2), F.col("bit")).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("mask"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias(
+                "conv"
+            ),
+        )
+    )
+    masks = jy.groupBy("mask").agg(F.sum("conv").cast("long").alias("convs"))
+    spark_s = ev.sparkSession
+    coal = (
+        F.broadcast(kf)
+        .crossJoin(spark_s.range(128).select(F.col("id").alias("s")))
+        .filter(F.expr("s < CAST(pow(2, k) AS BIGINT)"))
+        .select("s")
+    )
+    v = (
+        coal.join(
+            masks, F.expr("(mask & s) = mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("convs"), F.lit(0)).cast("long").alias("v_s"))
+        .localCheckpoint()  # tiny; feeds two sides of the pair join
+    )
+    fact = F.broadcast(
+        spark_s.createDataFrame(_SHAP_FACT, "i long, f long")
+    )
+    vwith = v.select(F.col("s").alias("s2"), F.col("v_s").alias("v_with"))
+    terms = (
+        chan.crossJoin(F.broadcast(kf))
+        .join(v, F.expr("(s & CAST(pow(2, bit) AS BIGINT)) = 0"))
+        .join(vwith, F.expr("s2 = s + CAST(pow(2, bit) AS BIGINT)"))
+        .join(fact.select(F.col("i").alias("i1"), F.col("f").alias("f1")),
+              F.expr("i1 = bit_count(s)"))
+        .join(fact.select(F.col("i").alias("i2"), F.col("f").alias("f2")),
+              F.expr("i2 = k - bit_count(s) - 1"))
+        .groupBy("ch")
+        .agg(
+            F.sum(F.col("f1") * F.col("f2") * (F.col("v_with") - F.col("v_s")))
+            .cast("long")
+            .alias("phi_kfact")
+        )
+    )
+    kfact = kf.join(fact, F.expr("i = k")).select(F.col("f").alias("kfact"))
+    tot = terms.agg(F.sum("phi_kfact").cast("long").alias("phi_all"))
+    return (
+        terms.crossJoin(F.broadcast(kfact))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ch").alias("channel"),
+            F.round(
+                F.col("phi_kfact").cast("double")
+                / F.col("kfact").cast("double"),
+                6,
+            ).alias("shapley_conversions"),
+            F.when(F.col("phi_all") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("phi_kfact").cast("double")
+                    / F.col("phi_all").cast("double"),
+                    6,
+                )
+            )
+            .alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --- split-conformal prediction intervals --------------------------------------
+
+#: miscoverage level alpha = 0.1 -> 90% marginal coverage target
+_CONF_ALPHA_NUM = 9   # 1 - alpha = 9/10, kept as exact integers
+_CONF_ALPHA_DEN = 10
+
+_CONF_SQL = f"""
+WITH base AS (
+    SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+           event_id % 2 AS fold
+    FROM events
+),
+fit AS (
+    SELECT h,
+           CAST(SUM(vc) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS pred_c
+    FROM base WHERE fold = 0 GROUP BY 1
+),
+scores AS (
+    SELECT ABS(b.vc - f.pred_c) AS r
+    FROM base b JOIN fit f ON f.h = b.h
+    WHERE b.fold = 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM scores),
+hist AS (
+    SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM scores GROUP BY 1
+),
+cum AS (
+    SELECT r, CAST(SUM(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+    FROM hist
+),
+q AS (
+    SELECT MIN(r) AS q_c FROM cum, n
+    WHERE cumc >= ({_CONF_ALPHA_NUM} * (n_cal + 1) + {_CONF_ALPHA_DEN} - 1)
+                  // {_CONF_ALPHA_DEN}
+),
+cov AS (
+    SELECT CAST(SUM(CASE WHEN r <= q_c THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+    FROM scores, q
+)
+SELECT f.h AS hour,
+       ROUND(CAST(f.pred_c AS DOUBLE) / 100.0, 6) AS pred,
+       ROUND(CAST(f.pred_c - q.q_c AS DOUBLE) / 100.0, 6) AS lo,
+       ROUND(CAST(f.pred_c + q.q_c AS DOUBLE) / 100.0, 6) AS hi,
+       n.n_cal,
+       ROUND(CAST(cov.n_in AS DOUBLE) / CAST(n.n_cal AS DOUBLE), 6)
+           AS calib_coverage
+FROM fit f, q, n, cov
+ORDER BY f.h
+""".strip()
+
+
+@query("conformal_value_intervals", oracle=_CONF_SQL)
+def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; the
+    distribution-free uncertainty wrapper every point predictor should
+    ship with): the hour-of-day cent-mean fit on the even event_id fold
+    is the model, absolute residuals on the odd fold are the
+    nonconformity scores, and the interval half-width is the
+    ceil((n+1)(1-alpha))-th smallest score — guaranteed >= 90% marginal
+    coverage with NO distributional assumption. Everything is exact
+    integers: the fit is an integer-div cent mean (documented floor),
+    scores are integer cents, the quantile is a threshold pick over the
+    DOMAIN-bounded score histogram (ceil spelled ``(9(n+1)+9) div 10``),
+    and the realized calibration coverage is an exact count ratio. Two
+    conditional aggregates + one broadcast fit join are the data-sized
+    work."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        F.hour("ts").cast("long").alias("h"),
+        (F.col("event_id") % 2).alias("fold"),
+    )
+    # base feeds the fit aggregate and the calibration join
+    base = base.localCheckpoint()
+    fit = (
+        base.filter(F.col("fold") == 0)
+        .groupBy("h")
+        .agg(F.expr("CAST(sum(vc) div count(1) AS BIGINT)").alias("pred_c"))
+    )
+    scores = (
+        base.filter(F.col("fold") == 1)
+        .join(F.broadcast(fit), "h")
+        .select(F.abs(F.col("vc") - F.col("pred_c")).alias("r"))
+    )
+    hist = (
+        scores.groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds n_cal, the cum walk, and coverage
+    )
+    n = hist.agg(F.sum("c").cast("long").alias("n_cal"))
+    w_cum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("r", F.sum("c").over(w_cum).cast("long").alias("cumc"))
+    thresh = F.expr(
+        f"({_CONF_ALPHA_NUM} * (n_cal + 1) + {_CONF_ALPHA_DEN} - 1)"
+        f" div {_CONF_ALPHA_DEN}"
+    )
+    q = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cumc") >= thresh)
+        .agg(F.min("r").alias("q_c"))
+    )
+    cov = (
+        hist.crossJoin(F.broadcast(q))
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("q_c"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_in")
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("h").alias("hour"),
+            F.round(F.col("pred_c").cast("double") / F.lit(100.0), 6).alias(
+                "pred"
+            ),
+            F.round(
+                (F.col("pred_c") - F.col("q_c")).cast("double") / F.lit(100.0),
+                6,
+            ).alias("lo"),
+            F.round(
+                (F.col("pred_c") + F.col("q_c")).cast("double") / F.lit(100.0),
+                6,
+            ).alias("hi"),
+            "n_cal",
+            F.round(
+                F.col("n_in").cast("double") / F.col("n_cal").cast("double"),
+                6,
+            ).alias("calib_coverage"),
+        )
+        .orderBy("hour")
+    )

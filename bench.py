@@ -451,6 +451,8 @@ WAVE6 = [
     "markov_removal_attribution",
     "hilbert_orders_keys",
     "ngram_novelty_by_source",
+    "shapley_attribution",
+    "conformal_value_intervals",
 ]
 
 CURATION = [

@@ -456,3 +456,73 @@ def test_ngram_novelty_hand_corpus(spark):
     assert out["s2"].n_pairs == 4 and out["s2"].n_novel_pairs == 3
     assert abs(out["s2"].novelty_rate - 0.75) < 1e-9
     assert abs(out["s1"].novelty_rate - 0.0) < 1e-9
+
+
+def test_shapley_hand_coalitions(spark):
+    """Two-channel game solvable by hand: v({v})=1, v({c})=2,
+    v({v,c})=4, v(0)=0 -> phi_view=1.5, phi_click=2.5 (efficiency:
+    they sum to v(full)), shares 0.375/0.625."""
+    base = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+
+    def journey(user, chans, conv, hour0):
+        nonlocal rows, i
+        t = base + dt.timedelta(hours=hour0)
+        for ch in chans:
+            rows.append(_ev(i, t, user, ch, 1.0)); i += 1
+            t += dt.timedelta(minutes=1)
+        if conv:
+            rows.append(_ev(i, t, user, "purchase", 1.0)); i += 1
+
+    journey(1, ["view"], True, 0)
+    journey(2, ["click"], True, 0)
+    journey(3, ["view", "click"], True, 0)
+    journey(4, ["view"], False, 0)
+    journey(5, ["click"], True, 0)
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.channel: r for r in w6.shapley_attribution(spark, d).collect()}
+    assert abs(out["view"].shapley_conversions - 1.5) < 1e-9
+    assert abs(out["click"].shapley_conversions - 2.5) < 1e-9
+    assert abs(out["view"].attribution_share - 0.375) < 1e-9
+    assert abs(out["click"].attribution_share - 0.625) < 1e-9
+
+
+def test_shapley_direct_conversion_in_empty_coalition(spark):
+    """A purchase with no touches contributes to v(S) for EVERY S
+    including the empty set, so it earns no channel any credit."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        _ev(0, base, 1, "purchase", 1.0),                      # direct
+        _ev(1, base, 2, "view", 1.0),
+        _ev(2, base + dt.timedelta(minutes=1), 2, "purchase", 1.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.channel: r for r in w6.shapley_attribution(spark, d).collect()}
+    # only channel 'view'; phi = v({view}) - v(0) = 2 - 1 = 1
+    assert abs(out["view"].shapley_conversions - 1.0) < 1e-9
+    assert abs(out["view"].attribution_share - 1.0) < 1e-9
+
+
+def test_conformal_hand_quantile_and_coverage(spark):
+    """One-hour corpus: train mean 3.00; ten calib residuals 0..90
+    cents -> q = ceil(0.9*11)=10th smallest = 90; interval 2.10..3.90,
+    calibration coverage 1.0."""
+    base = dt.datetime(2024, 1, 1, 0)
+    rows = [
+        _ev(0, base, 1, "view", 2.0),
+        _ev(2, base, 1, "view", 4.0),
+    ]
+    for k in range(10):
+        rows.append(_ev(2 * k + 1, base, 1, "view", 3.0 + k * 0.1))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.conformal_value_intervals(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.hour == 0 and r.n_cal == 10
+    assert abs(r.pred - 3.0) < 1e-9
+    assert abs(r.lo - 2.1) < 1e-9
+    assert abs(r.hi - 3.9) < 1e-9
+    assert abs(r.calib_coverage - 1.0) < 1e-9
