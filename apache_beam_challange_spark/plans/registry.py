@@ -161,7 +161,8 @@ DRIVER_ORDER: list[str] = [
     # t_closeness_audit, ndcg_at_k_value_ranking,
     # jl_projection_distortion, markov_removal_attribution,
     # hilbert_orders_keys, ngram_novelty_by_source,
-    # shapley_attribution, conformal_value_intervals.)
+    # shapley_attribution, conformal_value_intervals,
+    # jackknife_ratio_variance, delta_method_ratio_ci.)
 ]
 
 

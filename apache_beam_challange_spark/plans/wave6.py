@@ -1775,3 +1775,266 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# --- jackknife variance of a ratio metric --------------------------------------
+
+#: user-hash buckets for the delete-one-group jackknife
+_JK_BUCKETS = 32
+#: pinned z for the 95% interval (shared literal, zero libm)
+_Z95 = 1.959963984540054
+
+_JK_SQL = f"""
+WITH per AS (
+    SELECT user_id % {_JK_BUCKETS} AS b,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS r_b,
+           CAST(COUNT(*) AS BIGINT) AS s_b
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(r_b) AS BIGINT) AS r_all,
+           CAST(SUM(s_b) AS BIGINT) AS s_all,
+           CAST(COUNT(*) AS BIGINT) AS nb
+    FROM per
+),
+loo AS (
+    SELECT p.b, t.r_all, t.s_all, t.nb,
+           CAST(FLOOR(CAST(t.r_all - p.r_b AS DOUBLE)
+                      / CAST(t.s_all - p.s_b AS DOUBLE)
+                      * 1000000000000.0 + 0.5) AS BIGINT) AS theta_fp
+    FROM per p, tot t
+),
+bar AS (
+    SELECT r_all, s_all, nb,
+           CAST(SUM(theta_fp) AS BIGINT) AS theta_sum
+    FROM loo GROUP BY 1, 2, 3
+),
+dev AS (
+    SELECT l.r_all, l.s_all, l.nb,
+           CAST(SUM(CAST((CAST(l.nb AS HUGEINT) * l.theta_fp - b.theta_sum)
+                         * (CAST(l.nb AS HUGEINT) * l.theta_fp - b.theta_sum)
+                         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+    FROM loo l JOIN bar b USING (r_all, s_all, nb)
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(nb AS BIGINT) AS n_buckets,
+       ROUND(CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE) / 100.0, 6)
+           AS ratio,
+       ROUND(SQRT(CAST(ss AS DOUBLE) * CAST(nb - 1 AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                     * CAST(nb AS DOUBLE)))
+             / 1000000000000.0 / 100.0, 6) AS jk_se,
+       ROUND(CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE) / 100.0
+             - {_Z95} * SQRT(CAST(ss AS DOUBLE) * CAST(nb - 1 AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                     * CAST(nb AS DOUBLE)))
+               / 1000000000000.0 / 100.0, 6) AS lo95,
+       ROUND(CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE) / 100.0
+             + {_Z95} * SQRT(CAST(ss AS DOUBLE) * CAST(nb - 1 AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                     * CAST(nb AS DOUBLE)))
+               / 1000000000000.0 / 100.0, 6) AS hi95
+FROM dev
+""".strip()
+
+
+@query("jackknife_ratio_variance", oracle=_JK_SQL)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife for the RATIO metric "purchase cents
+    per event" — the experimentation answer to a question the per-row
+    bootstrap cannot pose: ratio metrics (revenue/session, CTR) have
+    correlated numerator and denominator, so their variance needs
+    resampling at the RANDOMIZATION-UNIT level. Users hash into
+    {_JK_BUCKETS} buckets (deterministic ``user_id % B`` — the
+    bucketed jackknife every large platform runs because delete-one-
+    user is O(users) recomputes); leave-one-out ratios come from
+    global-minus-bucket EXACT integer sums (the LOO-influence algebra),
+    each 1e-12 fixed-pointed before the cross-bucket moment sums, and
+    jk_var = (B-1)/B * sum(theta_b - theta_bar)^2 is computed from the
+    n-scaled integer deviations (n*theta_fp - sum) so no float mean is
+    ever subtracted. One map-side-combined bucket aggregate is the
+    data-sized work; read next to ``delta_method_ratio_ci`` (the
+    closed-form linearization of the same metric — two independent
+    routes to one uncertainty)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy((F.col("user_id") % _JK_BUCKETS).alias("b")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("r_b"),
+        F.count(F.lit(1)).cast("long").alias("s_b"),
+    )
+    tot = per.agg(
+        F.sum("r_b").cast("long").alias("r_all"),
+        F.sum("s_b").cast("long").alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "r_all",
+        "s_all",
+        "nb",
+        F.floor(
+            (F.col("r_all") - F.col("r_b")).cast("double")
+            / (F.col("s_all") - F.col("s_b")).cast("double")
+            * F.lit(1e12)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("theta_fp"),
+    )
+    bar = loo.groupBy("r_all", "s_all", "nb").agg(
+        F.sum("theta_fp").cast("long").alias("theta_sum")
+    )
+    d38 = "decimal(38,0)"
+    dev_term = (
+        F.col("nb").cast(d38) * F.col("theta_fp").cast(d38)
+        - F.col("theta_sum").cast(d38)
+    )
+    dev = (
+        loo.join(F.broadcast(bar), ["r_all", "s_all", "nb"])
+        .groupBy("r_all", "s_all", "nb")
+        .agg(F.sum(dev_term * dev_term).cast(d38).alias("ss"))
+    )
+    ratio = F.col("r_all").cast("double") / F.col("s_all").cast("double") / F.lit(100.0)
+    se = (
+        F.sqrt(
+            F.col("ss").cast("double")
+            * (F.col("nb") - F.lit(1)).cast("double")
+            / (
+                F.col("nb").cast("double")
+                * F.col("nb").cast("double")
+                * F.col("nb").cast("double")
+            )
+        )
+        / F.lit(1e12)
+        / F.lit(100.0)
+    )
+    return dev.select(
+        F.col("nb").alias("n_buckets"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(ratio - F.lit(_Z95) * se, 6).alias("lo95"),
+        F.round(ratio + F.lit(_Z95) * se, 6).alias("hi95"),
+    )
+
+
+# --- delta-method ratio CI -----------------------------------------------------
+
+_DELTA_SQL = f"""
+WITH per AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS r_u,
+           CAST(COUNT(*) AS BIGINT) AS s_u
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r_u) AS BIGINT) AS r_all,
+           CAST(SUM(s_u) AS BIGINT) AS s_all,
+           CAST(SUM(CAST(r_u AS HUGEINT) * r_u) AS DECIMAL(38,0)) AS rr,
+           CAST(SUM(CAST(r_u AS HUGEINT) * s_u) AS DECIMAL(38,0)) AS rs,
+           CAST(SUM(CAST(s_u AS HUGEINT) * s_u) AS DECIMAL(38,0)) AS ss
+    FROM per
+)
+SELECT n AS n_users,
+       ROUND(CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE) / 100.0, 6)
+           AS ratio,
+       ROUND(SQRT((CAST(rr AS DOUBLE)
+                   - 2.0 * (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * CAST(rs AS DOUBLE)
+                   + (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * CAST(ss AS DOUBLE))
+                  * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+             / CAST(s_all AS DOUBLE) / 100.0, 6) AS delta_se,
+       ROUND(CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE) / 100.0
+             - {_Z95} * SQRT((CAST(rr AS DOUBLE)
+                   - 2.0 * (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * CAST(rs AS DOUBLE)
+                   + (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * CAST(ss AS DOUBLE))
+                  * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+               / CAST(s_all AS DOUBLE) / 100.0, 6) AS lo95,
+       ROUND(CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE) / 100.0
+             + {_Z95} * SQRT((CAST(rr AS DOUBLE)
+                   - 2.0 * (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * CAST(rs AS DOUBLE)
+                   + (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * (CAST(r_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+                     * CAST(ss AS DOUBLE))
+                  * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+               / CAST(s_all AS DOUBLE) / 100.0, 6) AS hi95
+FROM m
+""".strip()
+
+
+@query("delta_method_ratio_ci", oracle=_DELTA_SQL)
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method (Taylor linearization) CI for the SAME ratio metric
+    the jackknife query resamples — the closed-form route (Deng et al.,
+    KDD 2018 lineage: linearize R/S around the mean, var = sum(r_u -
+    rho*s_u)^2 * n/(n-1) / S^2 over randomization units): five exact
+    integer moments (n, R, S, sum r^2, sum rs, sum s^2 in HUGEINT/
+    DECIMAL) from ONE user aggregate, then one identical double
+    expression. Reading this next to ``jackknife_ratio_variance`` gives
+    two INDEPENDENT uncertainty routes to one metric — the
+    methods-cross-validation test pins their agreement on synthetic
+    data. Scale: the user aggregate is the only shuffle; no resampling
+    pass at all."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("r_u"),
+        F.count(F.lit(1)).cast("long").alias("s_u"),
+    )
+    d38 = "decimal(38,0)"
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_u").cast("long").alias("r_all"),
+        F.sum("s_u").cast("long").alias("s_all"),
+        F.sum(F.col("r_u").cast(d38) * F.col("r_u").cast(d38))
+        .cast(d38)
+        .alias("rr"),
+        F.sum(F.col("r_u").cast(d38) * F.col("s_u").cast(d38))
+        .cast(d38)
+        .alias("rs"),
+        F.sum(F.col("s_u").cast(d38) * F.col("s_u").cast(d38))
+        .cast(d38)
+        .alias("ss"),
+    )
+    rho = F.col("r_all").cast("double") / F.col("s_all").cast("double")
+    lin = (
+        F.col("rr").cast("double")
+        - F.lit(2.0) * rho * F.col("rs").cast("double")
+        + rho * rho * F.col("ss").cast("double")
+    )
+    se = (
+        F.sqrt(
+            lin * F.col("n").cast("double") / (F.col("n") - F.lit(1)).cast("double")
+        )
+        / F.col("s_all").cast("double")
+        / F.lit(100.0)
+    )
+    ratio = rho / F.lit(100.0)
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("delta_se"),
+        F.round(ratio - F.lit(_Z95) * se, 6).alias("lo95"),
+        F.round(ratio + F.lit(_Z95) * se, 6).alias("hi95"),
+    )

@@ -453,6 +453,8 @@ WAVE6 = [
     "ngram_novelty_by_source",
     "shapley_attribution",
     "conformal_value_intervals",
+    "jackknife_ratio_variance",
+    "delta_method_ratio_ci",
 ]
 
 CURATION = [

@@ -526,3 +526,66 @@ def test_conformal_hand_quantile_and_coverage(spark):
     assert abs(r.lo - 2.1) < 1e-9
     assert abs(r.hi - 3.9) < 1e-9
     assert abs(r.calib_coverage - 1.0) < 1e-9
+
+
+def _ratio_fixture_rows(n_users=64, events_per=6):
+    base = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+    for u in range(n_users):
+        for e in range(events_per):
+            typ = "purchase" if (u + e) % 3 == 0 else "view"
+            v = round(1.0 + ((u * 7 + e) % 20) * 0.25, 2)
+            rows.append(_ev(i, base + dt.timedelta(minutes=i), u, typ, v))
+            i += 1
+    return rows
+
+
+def test_jackknife_matches_python_replay(spark):
+    """Bucketed leave-one-out replay in pure python."""
+    rows = _ratio_fixture_rows()
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.jackknife_ratio_variance(spark, d).collect()[0]
+    per = {}
+    for (_, _, u, typ, v, _) in rows:
+        b = u % w6._JK_BUCKETS
+        r, s = per.get(b, (0, 0))
+        per[b] = (r + (round(v * 100) if typ == "purchase" else 0), s + 1)
+    R = sum(r for r, _ in per.values()); S = sum(s for _, s in per.values())
+    thetas = [
+        math.floor((R - r) / (S - s) * 1e12 + 0.5) for r, s in per.values()
+    ]
+    nb = len(per)
+    tbar = sum(thetas) / nb
+    ss = sum((t - tbar) ** 2 for t in thetas)
+    se = math.sqrt(ss * (nb - 1) / nb) / 1e12 / 100.0
+    assert got.n_buckets == nb
+    assert abs(got.ratio - R / S / 100.0) < 1e-6
+    assert abs(got.jk_se - se) < 1e-6
+    assert abs(got.hi95 - got.lo95 - 2 * w6._Z95 * se) < 5e-6
+
+
+def test_delta_method_matches_numpy_and_jackknife(spark):
+    """Delta SE replayed from per-user moments; on a well-behaved
+    synthetic corpus the jackknife and delta routes must agree within
+    30% relative (two independent estimators of one variance)."""
+    rows = _ratio_fixture_rows()
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        gd = w6.delta_method_ratio_ci(spark, d).collect()[0]
+        gj = w6.jackknife_ratio_variance(spark, d).collect()[0]
+    per = {}
+    for (_, _, u, typ, v, _) in rows:
+        r, s = per.get(u, (0, 0))
+        per[u] = (r + (round(v * 100) if typ == "purchase" else 0), s + 1)
+    n = len(per)
+    R = sum(r for r, _ in per.values()); S = sum(s for _, s in per.values())
+    rho = R / S
+    lin = sum((r - rho * s) ** 2 for r, s in per.values())
+    se = math.sqrt(lin * n / (n - 1)) / S / 100.0
+    assert gd.n_users == n
+    assert abs(gd.ratio - rho / 100.0) < 1e-6
+    assert abs(gd.delta_se - se) < 1e-6
+    # methods cross-validation
+    assert abs(gd.delta_se - gj.jk_se) / gd.delta_se < 0.3
+    assert abs(gd.ratio - gj.ratio) < 1e-9
