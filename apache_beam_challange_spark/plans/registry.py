@@ -162,7 +162,8 @@ DRIVER_ORDER: list[str] = [
     # jl_projection_distortion, markov_removal_attribution,
     # hilbert_orders_keys, ngram_novelty_by_source,
     # shapley_attribution, conformal_value_intervals,
-    # jackknife_ratio_variance, delta_method_ratio_ci.)
+    # jackknife_ratio_variance, delta_method_ratio_ci,
+    # huber_location_by_type, kish_effective_sample_size.)
 ]
 
 

@@ -2038,3 +2038,286 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio - F.lit(_Z95) * se, 6).alias("lo95"),
         F.round(ratio + F.lit(_Z95) * se, 6).alias("hi95"),
     )
+
+
+# --- Huber M-estimator of location ---------------------------------------------
+
+#: IRLS rounds (monotone-convergent reweighting; the oracle walks the
+#: identical integer trajectory, so engines agree at any T)
+_HUBER_T = 12
+#: Huber tuning constant (95% Gaussian efficiency), applied to the MAD
+_HUBER_K = 1.345
+
+_HUBER_SQL = f"""
+WITH RECURSIVE hist AS MATERIALIZED (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, vb,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM hist
+),
+med AS (
+    SELECT event_type, MIN(n) AS n,
+           CAST(MIN(CASE WHEN 2 * cc >= n THEN vb END) AS BIGINT) AS med
+    FROM cum GROUP BY 1
+),
+dev AS (
+    SELECT h.event_type, ABS(h.vb - m.med) AS db,
+           CAST(SUM(h.c) AS BIGINT) AS c
+    FROM hist h JOIN med m ON m.event_type = h.event_type
+    GROUP BY 1, 2
+),
+dcum AS (
+    SELECT d.event_type, d.db,
+           CAST(SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.db
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc,
+           m.n
+    FROM dev d JOIN med m ON m.event_type = d.event_type
+),
+mad AS (
+    SELECT event_type,
+           CAST(MIN(CASE WHEN 2 * cc >= n THEN db END) AS BIGINT) AS mad
+    FROM dcum GROUP BY 1
+),
+kf AS (
+    SELECT m.event_type, m.n, m.med, d.mad,
+           CAST(FLOOR({_HUBER_K} * CAST(d.mad AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS k_fp
+    FROM med m JOIN mad d ON d.event_type = m.event_type
+),
+walk(r, event_type, m_fp) AS (
+    SELECT 0, event_type, CAST(med * 1000000 AS HUGEINT) FROM kf
+    UNION ALL
+    SELECT w.r + 1, w.event_type,
+           (SUM(CAST(h.c AS HUGEINT)
+                * (CASE WHEN h.vb * 1000000 - w.m_fp = 0 THEN 1000000
+                   ELSE LEAST(1000000,
+                        (k.k_fp * 1000000)
+                        // ABS(h.vb * 1000000 - w.m_fp)) END)
+                * h.vb) * 1000000)
+           // SUM(CAST(h.c AS HUGEINT)
+                  * (CASE WHEN h.vb * 1000000 - w.m_fp = 0 THEN 1000000
+                     ELSE LEAST(1000000,
+                          (k.k_fp * 1000000)
+                          // ABS(h.vb * 1000000 - w.m_fp)) END))
+    FROM walk w
+    JOIN hist h ON h.event_type = w.event_type
+    JOIN kf k ON k.event_type = w.event_type
+    WHERE w.r < {_HUBER_T}
+    GROUP BY w.r, w.event_type
+)
+SELECT k.event_type, k.n,
+       ROUND(CAST(k.med AS DOUBLE) / 100.0, 6) AS median,
+       ROUND(CAST(k.mad AS DOUBLE) / 100.0, 6) AS mad,
+       ROUND(CAST(w.m_fp AS DOUBLE) / 1000000.0 / 100.0, 6)
+           AS huber_location
+FROM kf k JOIN walk w ON w.event_type = k.event_type AND w.r = {_HUBER_T}
+ORDER BY k.event_type
+""".strip()
+
+
+@query("huber_location_by_type", oracle=_HUBER_SQL)
+def huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of location per event type (k = {_HUBER_K} x
+    MAD, the 95%-efficiency tuning) — the robust-location ladder's top
+    rung above the median/trimmed/winsorized family: IRLS down-weights
+    outliers smoothly (w = min(1, k/|r|)) instead of dropping or
+    clamping them. The entire iteration runs on the DOMAIN-bounded cent
+    histogram in EXACT integer arithmetic: m and k are 1e-6 fixed
+    point, weights are integer divisions (zero-residual bucket pinned
+    to full weight), and each round is one weighted integer mean
+    ``(sum c*w*vb * 1e6) div (sum c*w)`` — the oracle's recursive CTE
+    walks the identical trajectory, so engines agree at any round
+    count. Median and MAD seeds reuse the zero-float pick discipline.
+    One data-sized aggregate; {_HUBER_T} histogram folds after it."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # seeds median/MAD AND all IRLS rounds
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vb",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("vb")))
+        .cast("long")
+        .alias("med"),
+    )
+    dev = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("vb") - F.col("med")).alias("db"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    wdcum = (
+        Window.partitionBy("event_type")
+        .orderBy("db")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dev.join(F.broadcast(med.select("event_type", "n")), "event_type").select(
+        "event_type",
+        "db",
+        F.sum("c").over(wdcum).cast("long").alias("cc"),
+        "n",
+    )
+    mad = dcum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("db")))
+        .cast("long")
+        .alias("mad")
+    )
+    kf = (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "med",
+            "mad",
+            F.floor(
+                F.lit(_HUBER_K) * F.col("mad").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("k_fp"),
+        )
+        .localCheckpoint()
+    )
+    m = kf.select(
+        "event_type", (F.col("med") * F.lit(1_000_000)).cast("decimal(38,0)").alias("m_fp")
+    )
+    hk = hist.join(F.broadcast(kf.select("event_type", "k_fp")), "event_type")
+    for r in range(_HUBER_T):
+        j = hk.join(F.broadcast(m), "event_type")
+        resid = F.col("vb") * F.lit(1_000_000) - F.col("m_fp")
+        w_fp = F.when(resid == 0, F.lit(1_000_000).cast("decimal(38,0)")).otherwise(
+            F.least(
+                F.lit(1_000_000).cast("decimal(38,0)"),
+                F.expr("CAST((k_fp * 1000000) div ABS(CAST(vb AS DECIMAL(38,0))"
+                       " * 1000000 - m_fp) AS DECIMAL(38,0))"),
+            )
+        )
+        m = (
+            j.select("event_type", "c", "vb", w_fp.alias("w"))
+            .groupBy("event_type")
+            .agg(
+                F.expr(
+                    "CAST((sum(c * w * vb) * 1000000) div sum(c * w)"
+                    " AS DECIMAL(38,0))"
+                ).alias("m_fp")
+            )
+        )
+        if (r + 1) % 4 == 0:
+            m = m.localCheckpoint()
+    return (
+        kf.join(m, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("med").cast("double") / F.lit(100.0), 6).alias(
+                "median"
+            ),
+            F.round(F.col("mad").cast("double") / F.lit(100.0), 6).alias(
+                "mad"
+            ),
+            F.round(
+                F.col("m_fp").cast("double") / F.lit(1e6) / F.lit(100.0), 6
+            ).alias("huber_location"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Kish effective sample size ------------------------------------------------
+
+_KISH_SQL = """
+WITH w AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS wc
+    FROM events
+),
+g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(wc) AS DECIMAL(38,0)) AS s,
+           CAST(SUM(CAST(wc AS HUGEINT) * wc) AS DECIMAL(38,0)) AS q
+    FROM w GROUP BY 1
+    UNION ALL
+    SELECT 'ALL',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(wc) AS DECIMAL(38,0)),
+           CAST(SUM(CAST(wc AS HUGEINT) * wc) AS DECIMAL(38,0))
+    FROM w
+)
+SELECT event_type, n,
+       ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(q AS DOUBLE), 6)
+           AS n_eff,
+       ROUND(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS design_effect
+FROM g
+ORDER BY event_type
+""".strip()
+
+
+@query("kish_effective_sample_size", oracle=_KISH_SQL)
+def kish_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size and design effect of value-weighted
+    events, per type and overall — the survey-statistics health check
+    for any weighted estimate (importance-weighted training mixes, DSIR
+    weights, revenue-weighted metrics): n_eff = (sum w)^2 / sum w^2
+    collapses to TWO exact integer moments, and deff = n/n_eff >> 1
+    flags weights concentrated on few rows (the estimate behaves like
+    far fewer samples than it reads). One map-side-combined aggregate
+    (+ its ALL rollup); each output float is one double expression of
+    exact HUGEINT/DECIMAL sums. Kish 1965."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    w = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("wc"),
+    ).localCheckpoint()
+    def agg(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("wc").cast(d38).alias("s"),
+            F.sum(F.col("wc").cast(d38) * F.col("wc").cast(d38))
+            .cast(d38)
+            .alias("q"),
+        )
+    per = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wc").cast(d38).alias("s"),
+        F.sum(F.col("wc").cast(d38) * F.col("wc").cast(d38))
+        .cast(d38)
+        .alias("q"),
+    )
+    allr = agg(w).select(F.lit("ALL").alias("event_type"), "n", "s", "q")
+    g = per.unionAll(allr)
+    s_d = F.col("s").cast("double")
+    q_d = F.col("q").cast("double")
+    return g.select(
+        "event_type",
+        "n",
+        F.round(s_d * s_d / q_d, 6).alias("n_eff"),
+        F.round(F.col("n").cast("double") * q_d / (s_d * s_d), 6).alias(
+            "design_effect"
+        ),
+    ).orderBy("event_type")

@@ -455,6 +455,8 @@ WAVE6 = [
     "conformal_value_intervals",
     "jackknife_ratio_variance",
     "delta_method_ratio_ci",
+    "huber_location_by_type",
+    "kish_effective_sample_size",
 ]
 
 CURATION = [

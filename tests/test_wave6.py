@@ -589,3 +589,76 @@ def test_delta_method_matches_numpy_and_jackknife(spark):
     # methods cross-validation
     assert abs(gd.delta_se - gj.jk_se) / gd.delta_se < 0.3
     assert abs(gd.ratio - gj.ratio) < 1e-9
+
+
+def test_huber_location_downweights_outlier(spark):
+    """Symmetric mass at 1.00/3.00 with one extreme outlier at 500.00:
+    Huber must land near 2.00 (the clean center), matching a python
+    IRLS replay on the same integer pipeline; the plain mean is pulled
+    far away."""
+    rows, i = [], 0
+    for j in range(10):
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "view",
+                        1.0 if j % 2 else 3.0)); i += 1
+    rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "view", 500.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.huber_location_by_type(spark, d).collect()[0]
+
+    # python replay of the exact integer IRLS
+    from collections import Counter
+    cents = Counter([100 if j % 2 else 300 for j in range(10)] + [50000])
+    svals = sorted(cents.elements())
+    n = len(svals)
+    med = svals[(n - 1) // 2] if n % 2 else svals[n // 2 - 1]
+    # type-1 pick: smallest vb with 2*cum >= n
+    cum = 0
+    for vb in sorted(cents):
+        cum += cents[vb]
+        if 2 * cum >= n:
+            med = vb; break
+    dev = Counter()
+    for vb, c in cents.items():
+        dev[abs(vb - med)] += c
+    cum = 0
+    for db in sorted(dev):
+        cum += dev[db]
+        if 2 * cum >= n:
+            mad = db; break
+    k_fp = math.floor(w6._HUBER_K * mad * 1e6 + 0.5)
+    m = med * 1_000_000
+    for _ in range(w6._HUBER_T):
+        num = den = 0
+        for vb, c in cents.items():
+            r = vb * 1_000_000 - m
+            w_fp = 1_000_000 if r == 0 else min(1_000_000, (k_fp * 1_000_000) // abs(r))
+            num += c * w_fp * vb
+            den += c * w_fp
+        m = (num * 1_000_000) // den
+    assert got.event_type == "view"
+    assert abs(got.median - med / 100.0) < 1e-9
+    assert abs(got.mad - mad / 100.0) < 1e-9
+    assert abs(got.huber_location - round(m / 1e6 / 100.0, 6)) < 1e-9
+    # robustness: far from the contaminated mean (~47.2), near 2.00
+    assert got.huber_location < 4.0
+
+
+def test_kish_hand_formula(spark):
+    """Equal weights -> n_eff = n, deff = 1; concentrated weights ->
+    n_eff collapses toward 1."""
+    rows = [
+        _ev(0, dt.datetime(2024, 1, 1), 1, "view", 2.0),
+        _ev(1, dt.datetime(2024, 1, 1), 1, "view", 2.0),
+        _ev(2, dt.datetime(2024, 1, 1), 1, "view", 2.0),
+        _ev(3, dt.datetime(2024, 1, 1), 1, "click", 0.01),
+        _ev(4, dt.datetime(2024, 1, 1), 1, "click", 100.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.event_type: r for r in w6.kish_effective_sample_size(spark, d).collect()}
+    assert abs(out["view"].n_eff - 3.0) < 1e-9
+    assert abs(out["view"].design_effect - 1.0) < 1e-9
+    s, q = 10001, 1 + 10000**2
+    assert abs(out["click"].n_eff - s * s / q) < 1e-6
+    assert out["click"].n_eff < 1.01
+    assert out["ALL"].n == 5
