@@ -163,7 +163,8 @@ DRIVER_ORDER: list[str] = [
     # hilbert_orders_keys, ngram_novelty_by_source,
     # shapley_attribution, conformal_value_intervals,
     # jackknife_ratio_variance, delta_method_ratio_ci,
-    # huber_location_by_type, kish_effective_sample_size.)
+    # huber_location_by_type, kish_effective_sample_size,
+    # mcnemar_weekend_purchase, ipf_raking_type_hour.)
 ]
 
 

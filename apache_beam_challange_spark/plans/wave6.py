@@ -2321,3 +2321,207 @@ def kish_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "design_effect"
         ),
     ).orderBy("event_type")
+
+
+# --- McNemar paired test -------------------------------------------------------
+
+_MCN_SQL = """
+WITH per AS (
+    SELECT user_id,
+           CAST(MAX(CASE WHEN event_type = 'purchase'
+                    AND NOT (CAST(EXTRACT(isodow FROM ts) AS BIGINT) >= 6)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS wd,
+           CAST(MAX(CASE WHEN event_type = 'purchase'
+                    AND CAST(EXTRACT(isodow FROM ts) AS BIGINT) >= 6
+                    THEN 1 ELSE 0 END) AS BIGINT) AS we
+    FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN wd = 1 AND we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_days,
+       CAST(SUM(CASE WHEN wd = 1 AND we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS weekday_only,
+       CAST(SUM(CASE WHEN wd = 0 AND we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS weekend_only,
+       CAST(SUM(CASE WHEN wd = 0 AND we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS neither,
+       ROUND(CAST((SUM(CASE WHEN wd = 1 AND we = 0 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN wd = 0 AND we = 1 THEN 1 ELSE 0 END))
+                  * (SUM(CASE WHEN wd = 1 AND we = 0 THEN 1 ELSE 0 END)
+                     - SUM(CASE WHEN wd = 0 AND we = 1 THEN 1 ELSE 0 END))
+                  AS DOUBLE)
+             / CAST(SUM(CASE WHEN wd = 1 AND we = 0 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN wd = 0 AND we = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) AS mcnemar_chi2
+FROM per
+""".strip()
+
+
+@query("mcnemar_weekend_purchase", oracle=_MCN_SQL)
+def mcnemar_weekend_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — does the same user's
+    purchasing differ between weekdays and weekends? The paired-design
+    member of the hypothesis-test family (chi-square/CMH compare
+    independent groups; McNemar conditions on the discordant pairs of
+    one user observed in both regimes, so between-user heterogeneity
+    cancels). One user aggregate collapses each user to a (weekday-
+    purchased, weekend-purchased) bit pair; the 2x2 concordance table
+    and chi2 = (b-c)^2/(b+c) (continuity correction deliberately
+    omitted, documented) are exact-integer with one double division.
+    Weekend is ``isodow >= 6`` in DuckDB / ``weekday() >= 5`` in Spark
+    — the established shared predicate. McNemar 1947."""
+    ev = load_table(spark, sf_dir, "events")
+    is_we = F.weekday("ts") >= 5
+    per = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & ~is_we).cast("long")
+        ).alias("wd"),
+        F.max(
+            ((F.col("event_type") == "purchase") & is_we).cast("long")
+        ).alias("we"),
+    )
+    b = F.sum(((F.col("wd") == 1) & (F.col("we") == 0)).cast("long"))
+    cc = F.sum(((F.col("wd") == 0) & (F.col("we") == 1)).cast("long"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(((F.col("wd") == 1) & (F.col("we") == 1)).cast("long"))
+        .cast("long")
+        .alias("both_days"),
+        b.cast("long").alias("weekday_only"),
+        cc.cast("long").alias("weekend_only"),
+        F.sum(((F.col("wd") == 0) & (F.col("we") == 0)).cast("long"))
+        .cast("long")
+        .alias("neither"),
+        F.round(
+            ((b - cc) * (b - cc)).cast("double") / (b + cc).cast("double"), 6
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# --- iterative proportional fitting (survey raking) ----------------------------
+
+#: IPF rounds (row-step + column-step per round); the 5x24 cell grid
+#: converges geometrically, and the oracle walks the same integers
+_IPF_T = 8
+#: weight fixed point
+_IPF_FP = 10**9
+
+_IPF_SQL = f"""
+WITH RECURSIVE cells AS MATERIALIZED (
+    SELECT event_type AS t,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+rowt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS target_r FROM cells GROUP BY 1),
+nall AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells),
+colt AS (
+    SELECT h, CAST((SELECT n_all FROM nall) * {_IPF_FP} AS HUGEINT) // 24
+        AS target_c_fp
+    FROM (SELECT DISTINCT h FROM cells)
+),
+walk(r, t, h, n, w_fp) AS (
+    SELECT 0, t, h, n, CAST({_IPF_FP} AS HUGEINT) FROM cells
+    UNION ALL
+    SELECT s.r + 1, s.t, s.h, s.n,
+           (s.w1 * CAST(s.target_c_fp AS HUGEINT))
+           // SUM(s.w1 * s.n) OVER (PARTITION BY s.h)
+    FROM (
+        SELECT w.r, w.t, w.h, w.n, ct.target_c_fp,
+               (w.w_fp * CAST(rt.target_r AS HUGEINT) * {_IPF_FP})
+               // SUM(w.w_fp * w.n) OVER (PARTITION BY w.t) AS w1
+        FROM walk w
+        JOIN rowt rt ON rt.t = w.t
+        JOIN colt ct ON ct.h = w.h
+        WHERE w.r < {_IPF_T}
+    ) s
+),
+fin AS (SELECT t, h, n, w_fp FROM walk WHERE r = {_IPF_T})
+SELECT t AS event_type, h AS hour, n,
+       ROUND(CAST(w_fp AS DOUBLE) / {_IPF_FP}.0, 6) AS weight,
+       ROUND(CAST(w_fp AS DOUBLE) * CAST(n AS DOUBLE) / {_IPF_FP}.0, 6)
+           AS weighted_n
+FROM fin
+ORDER BY t, h
+""".strip()
+
+
+@query("ipf_raking_type_hour", oracle=_IPF_SQL)
+def ipf_raking_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (survey raking / Sinkhorn
+    balancing, Deming-Stephan 1940) over the (event_type x hour) grid:
+    find per-cell weights whose weighted counts match BOTH margins —
+    the observed type totals AND a uniform hour distribution — the
+    reweighting primitive behind training-data mix balancing (hit the
+    target domain mix without dropping rows) and survey calibration.
+    Each round is a row-proportional step then a column-proportional
+    step, run as window-partitioned integer divisions in 1e-9 fixed
+    point on the <=|types|x24 BOUNDED cell grid; the oracle's recursive
+    CTE walks the identical integer trajectory (margin agreement after
+    {_IPF_T} rounds is test-pinned). Data-sized work: ONE map-side-
+    combined cell aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.hour("ts").cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # feeds margins and all IPF rounds
+    )
+    rowt = cells.groupBy("t").agg(F.sum("n").cast("long").alias("target_r"))
+    nall = cells.agg(F.sum("n").cast("long").alias("n_all"))
+    colt = (
+        cells.select("h")
+        .distinct()
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "h",
+            F.expr(f"CAST((n_all * {_IPF_FP}) div 24 AS DECIMAL(38,0))").alias(
+                "target_c_fp"
+            ),
+        )
+    )
+    d38 = "decimal(38,0)"
+    w = cells.select(
+        "t", "h", "n", F.lit(_IPF_FP).cast(d38).alias("w_fp")
+    )
+    w_row = Window.partitionBy("t")
+    w_col = Window.partitionBy("h")
+    for r in range(_IPF_T):
+        j = w.join(F.broadcast(rowt), "t").join(F.broadcast(colt), "h")
+        j = j.withColumn(
+            "rsum", F.sum(F.col("w_fp") * F.col("n")).over(w_row).cast(d38)
+        ).withColumn(
+            "w1",
+            F.expr(
+                f"CAST((w_fp * target_r * {_IPF_FP}) div rsum AS DECIMAL(38,0))"
+            ),
+        )
+        j = j.withColumn(
+            "csum", F.sum(F.col("w1") * F.col("n")).over(w_col).cast(d38)
+        )
+        w = j.select(
+            "t",
+            "h",
+            "n",
+            F.expr("CAST((w1 * target_c_fp) div csum AS DECIMAL(38,0))").alias(
+                "w_fp"
+            ),
+        )
+        if (r + 1) % 4 == 0:
+            w = w.localCheckpoint()
+    return w.select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour"),
+        "n",
+        F.round(F.col("w_fp").cast("double") / F.lit(float(_IPF_FP)), 6).alias(
+            "weight"
+        ),
+        F.round(
+            F.col("w_fp").cast("double")
+            * F.col("n").cast("double")
+            / F.lit(float(_IPF_FP)),
+            6,
+        ).alias("weighted_n"),
+    ).orderBy("event_type", "hour")

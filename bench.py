@@ -457,6 +457,8 @@ WAVE6 = [
     "delta_method_ratio_ci",
     "huber_location_by_type",
     "kish_effective_sample_size",
+    "mcnemar_weekend_purchase",
+    "ipf_raking_type_hour",
 ]
 
 CURATION = [

