@@ -2525,3 +2525,382 @@ def ipf_raking_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weighted_n"),
     ).orderBy("event_type", "hour")
+
+
+# --- ordered t-closeness (EMD over the value distribution) ---------------------
+
+#: ordered-variant threshold t = 0.2 = 1/5 (exact integer comparison)
+_TEMD_NUM = 1
+_TEMD_DEN = 5
+
+_TEMD_SQL = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+           CAST(FLOOR(value * 100) AS BIGINT) AS vb
+    FROM events
+),
+ghist AS (
+    SELECT vb, CAST(COUNT(*) AS BIGINT) AS gc FROM base GROUP BY 1
+),
+gcum AS (
+    SELECT vb,
+           CAST(SUM(gc) OVER (ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS gcum,
+           CAST(SUM(gc) OVER () AS BIGINT) AS g_all,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM ghist
+),
+chist AS (
+    SELECT event_type, dow, vb, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY 1, 2, 3
+),
+classes AS (
+    SELECT event_type, dow, CAST(SUM(c) AS BIGINT) AS c_all
+    FROM chist GROUP BY 1, 2
+),
+grid AS (
+    SELECT cl.event_type, cl.dow, cl.c_all, g.vb, g.gcum, g.g_all, g.m,
+           COALESCE(ch.c, 0) AS c
+    FROM classes cl
+    CROSS JOIN gcum g
+    LEFT JOIN chist ch ON ch.event_type = cl.event_type
+        AND ch.dow = cl.dow AND ch.vb = g.vb
+),
+cums AS (
+    SELECT event_type, dow, c_all, g_all, m, gcum,
+           CAST(SUM(c) OVER (PARTITION BY event_type, dow ORDER BY vb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ccum
+    FROM grid
+),
+emd AS (
+    SELECT event_type, dow, c_all, g_all, m,
+           CAST(SUM(ABS(CAST(ccum AS HUGEINT) * g_all
+                        - CAST(gcum AS HUGEINT) * c_all))
+                AS DECIMAL(38,0)) AS num
+    FROM cums GROUP BY 1, 2, 3, 4, 5
+)
+SELECT event_type, dow, c_all AS n,
+       ROUND(CAST(num AS DOUBLE)
+             / (CAST(c_all AS DOUBLE) * CAST(g_all AS DOUBLE)
+                * CAST(m - 1 AS DOUBLE)), 6) AS emd,
+       CASE WHEN {_TEMD_DEN} * num
+                 > CAST({_TEMD_NUM} AS HUGEINT) * c_all * g_all * (m - 1)
+            THEN 1 ELSE 0 END AS violates_t
+FROM emd
+ORDER BY event_type, dow
+""".strip()
+
+
+@query("t_closeness_emd_audit", oracle=_TEMD_SQL)
+def t_closeness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED t-closeness (Li et al. 2007, the EMD formulation) — the
+    numeric-sensitive-attribute twin of the categorical
+    ``t_closeness_audit``: a class can match the corpus lang mix yet
+    still leak because its VALUE distribution sits in the tail, and
+    only an ordered distance sees that. Equivalence classes are
+    (event_type, iso day-of-week); the sensitive attribute is the cent
+    value; EMD over the ordered support = mean |ECDF gap| across the
+    m support steps — the KS machinery re-summed instead of maxed.
+    Exact throughout: per-class cumulative counts on the GLOBAL support
+    spine (class x support is DOMAIN x 35-bounded), gaps as
+    cross-multiplied HUGEINT/DECIMAL integers, the t=0.2 violation an
+    exact integer comparison, and one double division per class row.
+    Data-sized work: two histogram aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("dow"),
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+    ).localCheckpoint()  # feeds the global and per-class histograms
+    ghist = base.groupBy("vb").agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    w_g = Window.orderBy("vb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gcum = ghist.select(
+        "vb",
+        F.sum("gc").over(w_g).cast("long").alias("gcum"),
+        F.sum("gc").over(w_all).cast("long").alias("g_all"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    chist = base.groupBy("event_type", "dow", "vb").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()  # feeds class sizes and the grid completion
+    classes = chist.groupBy("event_type", "dow").agg(
+        F.sum("c").cast("long").alias("c_all")
+    )
+    grid = (
+        classes.crossJoin(gcum)
+        .join(
+            chist.select(
+                F.col("event_type").alias("et2"),
+                F.col("dow").alias("dow2"),
+                F.col("vb").alias("vb2"),
+                "c",
+            ),
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("dow") == F.col("dow2"))
+            & (F.col("vb") == F.col("vb2")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "dow",
+            "c_all",
+            "vb",
+            "gcum",
+            "g_all",
+            "m",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_c = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = grid.select(
+        "event_type",
+        "dow",
+        "c_all",
+        "g_all",
+        "m",
+        "gcum",
+        F.sum("c").over(w_c).cast("long").alias("ccum"),
+    )
+    d38 = "decimal(38,0)"
+    emd = cums.groupBy("event_type", "dow", "c_all", "g_all", "m").agg(
+        F.sum(
+            F.abs(
+                F.col("ccum").cast(d38) * F.col("g_all").cast(d38)
+                - F.col("gcum").cast(d38) * F.col("c_all").cast(d38)
+            )
+        )
+        .cast(d38)
+        .alias("num")
+    )
+    return emd.select(
+        "event_type",
+        "dow",
+        F.col("c_all").alias("n"),
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.col("c_all").cast("double")
+                * F.col("g_all").cast("double")
+                * (F.col("m") - F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("emd"),
+        (
+            F.lit(_TEMD_DEN) * F.col("num")
+            > F.lit(_TEMD_NUM).cast(d38)
+            * F.col("c_all").cast(d38)
+            * F.col("g_all").cast(d38)
+            * (F.col("m") - F.lit(1)).cast(d38)
+        )
+        .cast("int")
+        .alias("violates_t"),
+    ).orderBy("event_type", "dow")
+
+
+# --- association effect sizes (Cramer's V + Theil's U) -------------------------
+
+_ASSOC_SQL = """
+WITH cells0 AS (
+    SELECT event_type AS t,
+           CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+cells AS (
+    -- complete the grid: absent (t, d) combinations are ZERO cells and
+    -- their (0 - e)^2/e terms belong in chi2
+    SELECT r.t, col.d, CAST(COALESCE(c0.c, 0) AS BIGINT) AS c
+    FROM (SELECT DISTINCT t FROM cells0) r
+    CROSS JOIN (SELECT DISTINCT d FROM cells0) col
+    LEFT JOIN cells0 c0 ON c0.t = r.t AND c0.d = col.d
+),
+margins AS (
+    SELECT t, d, c,
+           CAST(SUM(c) OVER (PARTITION BY t) AS BIGINT) AS rt,
+           CAST(SUM(c) OVER (PARTITION BY d) AS BIGINT) AS ct,
+           CAST(SUM(c) OVER () AS BIGINT) AS n,
+           MIN(d) OVER (PARTITION BY t) AS d0,
+           MIN(t) OVER (PARTITION BY d) AS t0
+    FROM cells
+),
+dims AS (
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS nr,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS nc
+    FROM cells
+),
+chi AS (
+    SELECT MIN(n) AS n,
+           CAST(SUM(CAST(FLOOR((CAST(c AS DOUBLE)
+                      - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(c AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * 1000000000.0 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS chi_fp
+    FROM margins
+),
+ent AS (
+    SELECT
+        CAST(SUM(CASE WHEN c = 0 THEN 0
+                 ELSE CAST(FLOOR(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                 * LN(CAST(c AS DOUBLE)
+                      * CAST(n AS DOUBLE)
+                      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+                 * 1000000000.0 + 0.5) AS BIGINT) END) AS BIGINT) AS mi_fp,
+        CAST(SUM(CASE WHEN d = d0
+                 THEN CAST(FLOOR(-(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                      * LN(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS ht_fp,
+        CAST(SUM(CASE WHEN t = t0
+                 THEN CAST(FLOOR(-(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                      * LN(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS hd_fp
+    FROM margins
+)
+SELECT chi.n,
+       ROUND(CAST(chi.chi_fp AS DOUBLE) / 1000000000.0, 6) AS chi2,
+       ROUND(SQRT(CAST(chi.chi_fp AS DOUBLE) / 1000000000.0
+                  / (CAST(chi.n AS DOUBLE)
+                     * CAST(LEAST(d.nr, d.nc) - 1 AS DOUBLE))), 6)
+           AS cramers_v,
+       ROUND(CAST(e.mi_fp AS DOUBLE) / CAST(e.ht_fp AS DOUBLE), 6)
+           AS theil_u_type_given_dow,
+       ROUND(CAST(e.mi_fp AS DOUBLE) / CAST(e.hd_fp AS DOUBLE), 6)
+           AS theil_u_dow_given_type
+FROM chi, dims d, ent e
+""".strip()
+
+
+@query("association_effect_sizes_type_dow", oracle=_ASSOC_SQL)
+def association_effect_sizes_type_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The association EFFECT-SIZE panel for the (event_type x
+    day-of-week) contingency — the numbers to read next to the
+    chi-square TEST the engine already runs: Cramer's V (chi2
+    normalized to [0,1] by n*(min(r,c)-1), comparable across table
+    sizes) and both directed Theil's U uncertainty coefficients
+    (MI / marginal entropy — "knowing the weekday removes what share
+    of event-type uncertainty?"). One map-side-combined cell aggregate
+    is the data-sized work; every chi2/plogp term is 1e-9 fixed-pointed
+    over the 35-cell bounded frame before its sum (each marginal
+    entropy term counted ONCE via a min-partner pin, identical in both
+    engines), and each output is one double expression."""
+    ev = load_table(spark, sf_dir, "events")
+    cells0 = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            (F.weekday("ts") + F.lit(1)).cast("long").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # bounded frame, multiple consumers
+    )
+    # complete the grid: absent (t, d) cells are ZERO cells whose
+    # (0 - e)^2/e terms belong in chi2
+    cells = (
+        cells0.select("t")
+        .distinct()
+        .crossJoin(cells0.select("d").distinct())
+        .join(
+            cells0.select(
+                F.col("t").alias("t2"), F.col("d").alias("d2"), "c"
+            ),
+            (F.col("t") == F.col("t2")) & (F.col("d") == F.col("d2")),
+            "left",
+        )
+        .select("t", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    w_t = Window.partitionBy("t")
+    w_d = Window.partitionBy("d")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = cells.select(
+        "t",
+        "d",
+        "c",
+        F.sum("c").over(w_t).cast("long").alias("rt"),
+        F.sum("c").over(w_d).cast("long").alias("ct"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+        F.min("d").over(w_t).alias("d0"),
+        F.min("t").over(w_d).alias("t0"),
+    )
+    dims = cells.agg(
+        F.countDistinct("t").cast("long").alias("nr"),
+        F.countDistinct("d").cast("long").alias("nc"),
+    )
+    nD = F.col("n").cast("double")
+    e_cell = F.col("rt").cast("double") * F.col("ct").cast("double") / nD
+
+    def fp9(x):
+        return F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    chi_term = fp9(
+        (F.col("c").cast("double") - e_cell)
+        * (F.col("c").cast("double") - e_cell)
+        / e_cell
+    )
+    mi_term = F.when(F.col("c") == 0, F.lit(0)).otherwise(
+        fp9(
+            F.col("c").cast("double")
+            / nD
+            * F.log(
+                F.col("c").cast("double")
+                * nD
+                / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+            )
+        )
+    )
+    ht_term = F.when(
+        F.col("d") == F.col("d0"),
+        fp9(-(F.col("rt").cast("double") / nD)
+            * F.log(F.col("rt").cast("double") / nD)),
+    ).otherwise(F.lit(0))
+    hd_term = F.when(
+        F.col("t") == F.col("t0"),
+        fp9(-(F.col("ct").cast("double") / nD)
+            * F.log(F.col("ct").cast("double") / nD)),
+    ).otherwise(F.lit(0))
+    agg = m.agg(
+        F.min("n").cast("long").alias("n"),
+        F.sum(chi_term).cast("decimal(38,0)").alias("chi_fp"),
+        F.sum(mi_term).cast("long").alias("mi_fp"),
+        F.sum(ht_term).cast("long").alias("ht_fp"),
+        F.sum(hd_term).cast("long").alias("hd_fp"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n",
+        F.round(F.col("chi_fp").cast("double") / F.lit(1e9), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi_fp").cast("double")
+                / F.lit(1e9)
+                / (
+                    F.col("n").cast("double")
+                    * (F.least("nr", "nc") - F.lit(1)).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(
+            F.col("mi_fp").cast("double") / F.col("ht_fp").cast("double"), 6
+        ).alias("theil_u_type_given_dow"),
+        F.round(
+            F.col("mi_fp").cast("double") / F.col("hd_fp").cast("double"), 6
+        ).alias("theil_u_dow_given_type"),
+    )

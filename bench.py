@@ -459,6 +459,8 @@ WAVE6 = [
     "kish_effective_sample_size",
     "mcnemar_weekend_purchase",
     "ipf_raking_type_hour",
+    "t_closeness_emd_audit",
+    "association_effect_sizes_type_dow",
 ]
 
 CURATION = [

@@ -716,3 +716,50 @@ def test_ipf_margins_converge(spark):
     # step runs LAST each round; they must still be closer to the
     # (rescaled) row targets than a uniform split would be
     assert row["view"] != row["click"]
+
+
+def test_t_closeness_emd_hand_fixture(spark):
+    """Two classes over a 3-point support: one matching the global
+    distribution (EMD 0), one shifted entirely to the top value —
+    hand-computed mean ECDF gap."""
+    base_mon = dt.datetime(2024, 1, 1)   # isodow 1
+    base_tue = dt.datetime(2024, 1, 2)   # isodow 2
+    rows, i = [], 0
+    # class (view, Mon): values 1,2,3 — the global shape
+    for v in (1.0, 2.0, 3.0):
+        rows.append(_ev(i, base_mon, 1, "view", v)); i += 1
+    # class (view, Tue): all at 3
+    for _ in range(3):
+        rows.append(_ev(i, base_tue, 1, "view", 3.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {(r.event_type, r.dow): r for r in w6.t_closeness_emd_audit(spark, d).collect()}
+    # global: counts (1,1,4) at supports 100,200,300; cum (1,2,6); G=6, m=3
+    # class Mon: cum (1,2,3), C=3: gaps |1*6-1*3|,|2*6-2*3|,|3*6-6*3| = 3,6,0
+    emd_mon = (3 + 6 + 0) / (3 * 6 * 2)
+    # class Tue: cum (0,0,3): gaps |0-3|,|0-6|,|18-18| = 3,6,0 -> same EMD here
+    emd_tue = (3 + 6 + 0) / (3 * 6 * 2)
+    assert abs(out[("view", 1)].emd - emd_mon) < 1e-6
+    assert abs(out[("view", 2)].emd - emd_tue) < 1e-6
+    assert out[("view", 2)].violates_t == int(5 * 9 > 1 * 3 * 6 * 2)
+
+
+def test_association_effect_sizes_replay(spark):
+    """Cramer's V and both Theil's U replayed in python from the same
+    contingency (perfectly associated 2x2 -> V=1, U=1)."""
+    base_mon = dt.datetime(2024, 1, 1)
+    base_tue = dt.datetime(2024, 1, 2)
+    rows, i = [], 0
+    for _ in range(10):
+        rows.append(_ev(i, base_mon, 1, "view", 1.0)); i += 1
+    for _ in range(10):
+        rows.append(_ev(i, base_tue, 1, "click", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.association_effect_sizes_type_dow(spark, d).collect()[0]
+    # perfect association on a 2x2: chi2 = n, V = 1, U = 1 both ways
+    assert got.n == 20
+    assert abs(got.chi2 - 20.0) < 1e-6
+    assert abs(got.cramers_v - 1.0) < 1e-6
+    assert abs(got.theil_u_type_given_dow - 1.0) < 1e-6
+    assert abs(got.theil_u_dow_given_type - 1.0) < 1e-6
