@@ -165,7 +165,8 @@ DRIVER_ORDER: list[str] = [
     # jackknife_ratio_variance, delta_method_ratio_ci,
     # huber_location_by_type, kish_effective_sample_size,
     # mcnemar_weekend_purchase, ipf_raking_type_hour,
-    # t_closeness_emd_audit, association_effect_sizes_type_dow.)
+    # t_closeness_emd_audit, association_effect_sizes_type_dow,
+    # fs_em_parameter_estimation, aalen_johansen_cif.)
 ]
 
 

@@ -2904,3 +2904,411 @@ def association_effect_sizes_type_dow(
             F.col("mi_fp").cast("double") / F.col("hd_fp").cast("double"), 6
         ).alias("theil_u_dow_given_type"),
     )
+
+
+# --- EM parameter estimation for Fellegi-Sunter --------------------------------
+
+#: EM rounds; fixed-point scale for probabilities
+_EM_T = 20
+_EM_FP = 10**12
+#: init (pinned literals): prevalence 0.1, m_j = 0.8, u_j = 0.1
+_EM_P0 = _EM_FP // 10
+_EM_M0 = 8 * _EM_FP // 10
+_EM_U0 = _EM_FP // 10
+#: comparison fields -> pattern bit (matches the FS scorer's fields)
+_EM_FIELDS = [("brand", 1), ("type", 2), ("size", 4), ("name", 8)]
+
+
+def _em_w_expr() -> str:
+    """The E-step posterior P(match | pattern g) as ONE shared
+    expression text over columns ``g`` (pattern bits), ``p_fp`` and
+    ``m{j}_fp`` / ``u{j}_fp`` (1e-12 fixed-point parameters) — floored
+    back to 1e-12 fixed point so the M-step sums stay exact integers
+    and the whole EM trajectory is engine-identical."""
+    fp = float(_EM_FP)
+    pm = [f"(CAST(p_fp AS DOUBLE) / {fp})"]
+    pu = [f"(1.0 - CAST(p_fp AS DOUBLE) / {fp})"]
+    for j, (_, bit) in enumerate(_EM_FIELDS, start=1):
+        pm.append(
+            f"(CASE WHEN (g & {bit}) <> 0 THEN CAST(m{j}_fp AS DOUBLE) / {fp}"
+            f" ELSE 1.0 - CAST(m{j}_fp AS DOUBLE) / {fp} END)"
+        )
+        pu.append(
+            f"(CASE WHEN (g & {bit}) <> 0 THEN CAST(u{j}_fp AS DOUBLE) / {fp}"
+            f" ELSE 1.0 - CAST(u{j}_fp AS DOUBLE) / {fp} END)"
+        )
+    pm_s = " * ".join(pm)
+    pu_s = " * ".join(pu)
+    return (
+        f"CAST(FLOOR(({pm_s}) / (({pm_s}) + ({pu_s})) * {fp} + 0.5)"
+        f" AS BIGINT)"
+    )
+
+
+def _em_mstep_exprs(intdiv: str, bigcast: str) -> list[str]:
+    """M-step aggregate expression texts (new p/m_j/u_j in 1e-12 fixed
+    point) over a frame with columns ``n`` (pattern count), ``g``, and
+    ``w_fp``; every sum is exact-integer, denominators floor-pinned at
+    >= 1 so a degenerate corpus cannot divide by zero."""
+    out = [
+        f"CAST(SUM(CAST(n AS {bigcast}) * w_fp)"
+        f" {intdiv} GREATEST(SUM(CAST(n AS {bigcast}) * {_EM_FP})"
+        f" {intdiv} {_EM_FP}, 1) AS BIGINT) AS p_fp"
+    ]
+    for j, (_, bit) in enumerate(_EM_FIELDS, start=1):
+        out.append(
+            f"CAST((SUM(CASE WHEN (g & {bit}) <> 0 THEN CAST(n AS {bigcast})"
+            f" * w_fp ELSE 0 END) * {_EM_FP})"
+            f" {intdiv} GREATEST(SUM(CAST(n AS {bigcast}) * w_fp), 1)"
+            f" AS BIGINT) AS m{j}_fp"
+        )
+    for j, (_, bit) in enumerate(_EM_FIELDS, start=1):
+        out.append(
+            f"CAST((SUM(CASE WHEN (g & {bit}) <> 0 THEN CAST(n AS {bigcast})"
+            f" * ({_EM_FP} - w_fp) ELSE 0 END) * {_EM_FP})"
+            f" {intdiv} GREATEST(SUM(CAST(n AS {bigcast})"
+            f" * ({_EM_FP} - w_fp)), 1) AS BIGINT) AS u{j}_fp"
+        )
+    return out
+
+
+def _em_oracle_sql() -> str:
+    w_expr = _em_w_expr()
+    msteps = ",\n           ".join(_em_mstep_exprs("//", "HUGEINT"))
+    params = ", ".join(
+        f"m{j}_fp" for j in range(1, 5)
+    ) + ", " + ", ".join(f"u{j}_fp" for j in range(1, 5))
+    field_rows = " UNION ALL ".join(
+        f"SELECT {j} AS fid, '{name}' AS field" 
+        for j, (name, _) in enumerate(_EM_FIELDS, start=1)
+    )
+    pick_m = " ".join(
+        f"WHEN {j} THEN m{j}_fp" for j in range(1, 5)
+    )
+    pick_u = " ".join(
+        f"WHEN {j} THEN u{j}_fp" for j in range(1, 5)
+    )
+    return f"""
+WITH RECURSIVE blocked AS (
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           list_extract(string_split(p_name, ' '), -1) AS block
+    FROM part
+    QUALIFY COUNT(*) OVER (PARTITION BY block) <= 2000
+),
+pat AS MATERIALIZED (
+    SELECT (CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END)
+           + (CASE WHEN a.p_type = b.p_type THEN 2 ELSE 0 END)
+           + (CASE WHEN ABS(a.p_size - b.p_size) <= 2 THEN 4 ELSE 0 END)
+           + (CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                   THEN 8 ELSE 0 END) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    GROUP BY 1
+),
+walk(r, p_fp, {params}) AS (
+    SELECT 0, CAST({_EM_P0} AS BIGINT),
+           {", ".join(f"CAST({_EM_M0} AS BIGINT)" for _ in range(4))},
+           {", ".join(f"CAST({_EM_U0} AS BIGINT)" for _ in range(4))}
+    UNION ALL
+    SELECT s.r + 1,
+           {msteps}
+    FROM (
+        SELECT w.r, p.g, p.n, {w_expr} AS w_fp
+        FROM walk w, pat p WHERE w.r < {_EM_T}
+    ) s
+    GROUP BY s.r
+),
+fin AS (SELECT * FROM walk WHERE r = {_EM_T}),
+fields AS ({field_rows}),
+np AS (SELECT CAST(SUM(n) AS BIGINT) AS n_pairs FROM pat)
+SELECT f.field,
+       ROUND(CAST(CASE f.fid {pick_m} END AS DOUBLE) / {_EM_FP}.0, 6)
+           AS m_hat,
+       ROUND(CAST(CASE f.fid {pick_u} END AS DOUBLE) / {_EM_FP}.0, 6)
+           AS u_hat,
+       ROUND(CAST(fin.p_fp AS DOUBLE) / {_EM_FP}.0, 6) AS p_hat,
+       np.n_pairs
+FROM fields f, fin, np
+ORDER BY f.field
+""".strip()
+
+
+@query("fs_em_parameter_estimation", oracle=_em_oracle_sql())
+def fs_em_parameter_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM estimation of the Fellegi-Sunter (m, u) parameters and match
+    prevalence from the UNLABELED blocked comparison patterns (Winkler
+    1988 — the standard way real linkage systems fit the model the
+    engine's ``fellegi_sunter_part_links`` runs with pinned constants):
+    each blocked part pair collapses to a 4-bit agreement pattern
+    (brand/type/size/name, the same comparators), the <=16-row pattern
+    table is the complete sufficient statistic, and EM alternates the
+    posterior E-step with closed-form M-steps for {_EM_T} rounds. The
+    trajectory is ENGINE-IDENTICAL: parameters live in 1e-12 fixed
+    point, the E-step posterior is one shared double expression floored
+    back to fixed point, and every M-step is exact integer sums with
+    floor division (denominators pinned >= 1); the oracle's recursive
+    CTE walks the same integers. Data-sized work: the blocked pair join
+    + ONE pattern aggregate; EM itself is 16-row arithmetic."""
+    part = load_table(spark, sf_dir, "part")
+    blocked0 = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    sizes = blocked0.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
+    blocked = blocked0.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= 2000).select("block")),
+        "block",
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    g = (
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1).otherwise(0)
+        + F.when(F.col("a.p_type") == F.col("b.p_type"), 2).otherwise(0)
+        + F.when(F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2, 4).otherwise(0)
+        + F.when(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3, 8
+        ).otherwise(0)
+    )
+    pat = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(g.alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # the sufficient statistic; feeds every round
+    )
+    spark_s = part.sparkSession
+    init = [(_EM_P0,) + (_EM_M0,) * 4 + (_EM_U0,) * 4]
+    cols = ["p_fp"] + [f"m{j}_fp" for j in range(1, 5)] + [
+        f"u{j}_fp" for j in range(1, 5)
+    ]
+    params = spark_s.createDataFrame(
+        init, ", ".join(f"{c} long" for c in cols)
+    )
+    w_expr = _em_w_expr()
+    msteps = _em_mstep_exprs("div", "DECIMAL(38,0)")
+    for r in range(_EM_T):
+        e = pat.crossJoin(F.broadcast(params)).select(
+            "g", "n", F.expr(w_expr).alias("w_fp")
+        )
+        params = e.agg(*[F.expr(m) for m in msteps])
+        if (r + 1) % 5 == 0:
+            params = params.localCheckpoint()
+    fields = spark_s.createDataFrame(
+        [(j, name) for j, (name, _) in enumerate(_EM_FIELDS, start=1)],
+        "fid long, field string",
+    )
+    np_ = pat.agg(F.sum("n").cast("long").alias("n_pairs"))
+    pick_m = " ".join(f"WHEN {j} THEN m{j}_fp" for j in range(1, 5))
+    pick_u = " ".join(f"WHEN {j} THEN u{j}_fp" for j in range(1, 5))
+    return (
+        fields.crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "field",
+            F.round(
+                F.expr(f"CASE fid {pick_m} END").cast("double")
+                / F.lit(float(_EM_FP)),
+                6,
+            ).alias("m_hat"),
+            F.round(
+                F.expr(f"CASE fid {pick_u} END").cast("double")
+                / F.lit(float(_EM_FP)),
+                6,
+            ).alias("u_hat"),
+            F.round(
+                F.col("p_fp").cast("double") / F.lit(float(_EM_FP)), 6
+            ).alias("p_hat"),
+            "n_pairs",
+        )
+        .orderBy("field")
+    )
+
+
+# --- Aalen-Johansen cumulative incidence (competing risks) ---------------------
+
+_AJ_HOUR_US = 3600000000
+
+_AJ_SQL = f"""
+WITH RECURSIVE mic AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+u AS (
+    SELECT user_id, MIN(us) AS t0, MAX(us) AS tl,
+           MIN(CASE WHEN event_type = 'purchase' THEN us END) AS tp,
+           MIN(CASE WHEN event_type = 'error' THEN us END) AS te
+    FROM mic GROUP BY user_id
+),
+d AS (
+    SELECT (COALESCE(CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                     THEN tp WHEN te IS NOT NULL THEN te END, tl) - t0)
+               // {_AJ_HOUR_US} AS dur,
+           CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+                WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause
+    FROM u
+),
+hist AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+    FROM d GROUP BY dur
+),
+risk AS (
+    SELECT dur, d1, d2,
+           CAST(SUM(n_all) OVER (
+               ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS at_risk
+    FROM hist
+),
+steps AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY dur) AS rn, dur, d1, d2, at_risk
+    FROM risk WHERE d1 + d2 > 0
+),
+km AS (
+    SELECT rn, dur, d1, d2, at_risk,
+           CAST(1.0 AS DOUBLE) AS sprev,
+           1.0 * (1.0 - CAST(d1 + d2 AS DOUBLE) / CAST(at_risk AS DOUBLE))
+               AS surv
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.dur, s.d1, s.d2, s.at_risk,
+           km.surv,
+           km.surv * (1.0 - CAST(s.d1 + s.d2 AS DOUBLE)
+                          / CAST(s.at_risk AS DOUBLE))
+    FROM km JOIN steps s ON s.rn = km.rn + 1
+),
+terms AS (
+    SELECT rn, dur, d1, d2, at_risk, surv,
+           CAST(FLOOR(sprev * CAST(d1 AS DOUBLE) / CAST(at_risk AS DOUBLE)
+                      * 1000000000000.0 + 0.5) AS BIGINT) AS t1_fp,
+           CAST(FLOOR(sprev * CAST(d2 AS DOUBLE) / CAST(at_risk AS DOUBLE)
+                      * 1000000000000.0 + 0.5) AS BIGINT) AS t2_fp
+    FROM km
+)
+SELECT dur AS dur_h, at_risk, d1 AS d_purchase, d2 AS d_error, surv,
+       CAST(SUM(t1_fp) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS DOUBLE) / 1000000000000.0 AS cif_purchase,
+       CAST(SUM(t2_fp) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS DOUBLE) / 1000000000000.0 AS cif_error
+FROM terms ORDER BY dur_h
+""".strip()
+
+
+@query("aalen_johansen_cif", oracle=_AJ_SQL)
+def aalen_johansen_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS — the
+    estimator 1-KM gets WRONG when another event can preempt the one
+    you care about (treating first-error as censoring overstates
+    purchase incidence; AJ splits the all-cause survival mass by
+    cause): CIF_k(t) = sum over steps <= t of S(t-) * d_k/n, with
+    S the ALL-CAUSE Kaplan-Meier curve. First purchase vs first error
+    compete per user (purchase wins exact ties, pinned); durations are
+    exact integer hours; the at-risk suffix sum is integer; the ONE
+    ordered float chain is the all-cause survival product, forced into
+    the identical IEEE sequence (recursive CTE / left-fold pair, the
+    KM discipline); each CIF increment uses the PREVIOUS step's
+    survival and is 1e-12 fixed-pointed so the cumulative sums are
+    exact integers — no second float chain. One user shuffle; all
+    later stages bounded by distinct event-hours. Completes the
+    survival family (KM, Greenwood, Nelson-Aalen, log-rank, RMST)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    p_first = F.col("tp").isNotNull() & (
+        F.col("te").isNull() | (F.col("tp") <= F.col("te"))
+    )
+    t_evt = F.when(p_first, F.col("tp")).when(
+        F.col("te").isNotNull(), F.col("te")
+    )
+    cause = F.when(p_first, F.lit(1)).when(
+        F.col("te").isNotNull(), F.lit(2)
+    ).otherwise(F.lit(0))
+    d = u.select(
+        F.coalesce(t_evt, F.col("tl")).alias("tev"),
+        F.col("t0"),
+        cause.alias("cause"),
+    ).select(
+        F.expr(f"(tev - t0) div {_AJ_HOUR_US}").alias("dur"),
+        "cause",
+    )
+    hist = d.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum((F.col("cause") == 1).cast("long")).alias("d1"),
+        F.sum((F.col("cause") == 2).cast("long")).alias("d2"),
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn("at_risk", F.sum("n_all").over(w)).filter(
+        F.col("d1") + F.col("d2") > 0
+    )
+    packed = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "d1", "d2", "at_risk"))
+        ).alias("arr")
+    )
+    surv = F.aggregate(
+        "arr",
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0))
+                * (
+                    F.lit(1.0)
+                    - (x["d1"] + x["d2"]).cast("double")
+                    / x["at_risk"].cast("double")
+                )
+            ),
+        ),
+    )
+    zipped = packed.select(
+        F.posexplode(F.arrays_zip(F.col("arr"), surv.alias("surv_arr")))
+    ).select(
+        F.col("pos"),
+        F.col("col.arr.dur").alias("dur_h"),
+        F.col("col.arr.at_risk").alias("at_risk"),
+        F.col("col.arr.d1").alias("d_purchase"),
+        F.col("col.arr.d2").alias("d_error"),
+        F.col("col.surv_arr").alias("surv"),
+        F.lag(F.col("col.surv_arr"), 1, 1.0)
+        .over(Window.orderBy("pos"))
+        .alias("sprev"),
+    )
+    t1 = F.floor(
+        F.col("sprev") * F.col("d_purchase").cast("double")
+        / F.col("at_risk").cast("double") * F.lit(1e12) + F.lit(0.5)
+    ).cast("long")
+    t2 = F.floor(
+        F.col("sprev") * F.col("d_error").cast("double")
+        / F.col("at_risk").cast("double") * F.lit(1e12) + F.lit(0.5)
+    ).cast("long")
+    w_cum = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return zipped.select(
+        "dur_h",
+        "at_risk",
+        "d_purchase",
+        "d_error",
+        "surv",
+        (F.sum(t1).over(w_cum).cast("double") / F.lit(1e12)).alias(
+            "cif_purchase"
+        ),
+        (F.sum(t2).over(w_cum).cast("double") / F.lit(1e12)).alias(
+            "cif_error"
+        ),
+    ).orderBy("dur_h")

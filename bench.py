@@ -461,6 +461,8 @@ WAVE6 = [
     "ipf_raking_type_hour",
     "t_closeness_emd_audit",
     "association_effect_sizes_type_dow",
+    "fs_em_parameter_estimation",
+    "aalen_johansen_cif",
 ]
 
 CURATION = [

@@ -763,3 +763,127 @@ def test_association_effect_sizes_replay(spark):
     assert abs(got.cramers_v - 1.0) < 1e-6
     assert abs(got.theil_u_type_given_dow - 1.0) < 1e-6
     assert abs(got.theil_u_dow_given_type - 1.0) < 1e-6
+
+
+def test_fs_em_replay_and_separation(spark):
+    """Synthetic part corpus with planted near-duplicates: the exact
+    integer EM replayed in python must match bit-for-bit, and the
+    fitted m (agreement among matches) must exceed u for the
+    discriminative name field."""
+    rows = []
+    pk = 0
+    # 8 blocks; each block has a dup pair (same brand/type/size, name
+    # within lev 3) plus two unrelated parts
+    for blk in range(8):
+        tail = f"blk{blk}"
+        rows.append((pk, f"alpha widget {tail}", f"B{blk}", f"T{blk}", 10, 1.0)); pk += 1
+        rows.append((pk, f"alpha widgex {tail}", f"B{blk}", f"T{blk}", 11, 1.0)); pk += 1
+        rows.append((pk, f"gamma gadget {tail}", f"B{blk+50}", f"T{blk+50}", 40, 1.0)); pk += 1
+        rows.append((pk, f"delta doohickey {tail}", f"B{blk+90}", f"T{blk+90}", 70, 1.0)); pk += 1
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "part.parquet"))
+        out = {r.field: r for r in w6.fs_em_parameter_estimation(spark, d).collect()}
+
+    # python replay: rebuild patterns then run the identical integer EM
+    def lev(s, t):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def rec(i, j):
+            if i == 0: return j
+            if j == 0: return i
+            return min(rec(i-1, j) + 1, rec(i, j-1) + 1,
+                       rec(i-1, j-1) + (s[i-1] != t[j-1]))
+        return rec(len(s), len(t))
+
+    from collections import Counter, defaultdict
+    blocks = defaultdict(list)
+    for (k, name, brand, typ, size, _) in rows:
+        blocks[name.split()[-1]].append((k, name, brand, typ, size))
+    pats = Counter()
+    for members in blocks.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if a[0] > b[0]:
+                    a, b = b, a
+                g = ((a[2] == b[2]) * 1 + (a[3] == b[3]) * 2
+                     + (abs(a[4] - b[4]) <= 2) * 4
+                     + (lev(a[1], b[1]) <= 3) * 8)
+                pats[g] += 1
+    FP = w6._EM_FP
+    p = w6._EM_P0
+    m = [w6._EM_M0] * 4
+    u = [w6._EM_U0] * 4
+    for _ in range(w6._EM_T):
+        sums = dict(W=0, N=0, mg=[0]*4, ug=[0]*4, U=0)
+        for g, n in pats.items():
+            pm = p / FP
+            pu = 1 - p / FP
+            for j in range(4):
+                bit = 1 << j
+                pm *= (m[j] / FP) if g & bit else (1 - m[j] / FP)
+                pu *= (u[j] / FP) if g & bit else (1 - u[j] / FP)
+            w = math.floor(pm / (pm + pu) * FP + 0.5)
+            sums["W"] += n * w
+            sums["U"] += n * (FP - w)
+            sums["N"] += n
+            for j in range(4):
+                if g & (1 << j):
+                    sums["mg"][j] += n * w
+                    sums["ug"][j] += n * (FP - w)
+        p = sums["W"] // max(sums["N"] * FP // FP, 1)
+        p = sums["W"] // max((sums["N"] * FP) // FP, 1)
+        m = [(sums["mg"][j] * FP) // max(sums["W"], 1) for j in range(4)]
+        u = [(sums["ug"][j] * FP) // max(sums["U"], 1) for j in range(4)]
+    for j, (name, _) in enumerate(w6._EM_FIELDS):
+        assert abs(out[name].m_hat - round(m[j] / FP, 6)) < 1e-9, name
+        assert abs(out[name].u_hat - round(u[j] / FP, 6)) < 1e-9, name
+    assert abs(out["name"].p_hat - round(p / FP, 6)) < 1e-9
+    # separation: matches agree on name far more than non-matches
+    assert out["name"].m_hat > out["name"].u_hat + 0.3
+    assert out["brand"].m_hat > out["brand"].u_hat
+
+
+def test_aalen_johansen_hand_fixture(spark):
+    """Six users, two competing causes, hand-walked AJ table; CIFs sum
+    with survival to 1 at the last step when no censoring remains."""
+    base = dt.datetime(2024, 1, 1, 0)
+    rows, i = [], 0
+    # (user, purchase_hour or None, error_hour or None, censor_hour)
+    spec = [
+        (1, 2, None, None),   # purchase at 2
+        (2, None, 2, None),   # error at 2
+        (3, 4, None, None),   # purchase at 4
+        (4, None, 4, None),   # error at 4
+        (5, 2, 2, None),      # tie -> purchase wins (pinned)
+        (6, None, None, 5),   # censored at 5
+    ]
+    for (u, tp, te, tc) in spec:
+        rows.append(_ev(i, base, u, "view", 1.0)); i += 1
+        if tp is not None:
+            rows.append(_ev(i, base + dt.timedelta(hours=tp), u, "purchase", 1.0)); i += 1
+        if te is not None:
+            rows.append(_ev(i, base + dt.timedelta(hours=te), u, "error", 1.0)); i += 1
+        if tc is not None:
+            rows.append(_ev(i, base + dt.timedelta(hours=tc), u, "view", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.dur_h: r for r in w6.aalen_johansen_cif(spark, d).collect()}
+    # steps: t=2 (n=6, d_p=2 incl. the tie, d_e=1), t=4 (n=3, d_p=1, d_e=1)
+    r2 = out[2]
+    assert (r2.at_risk, r2.d_purchase, r2.d_error) == (6, 2, 1)
+    assert abs(r2.surv - (1 - 3 / 6)) < 1e-12
+    assert abs(r2.cif_purchase - 2 / 6) < 1e-9
+    assert abs(r2.cif_error - 1 / 6) < 1e-9
+    r4 = out[4]
+    assert (r4.at_risk, r4.d_purchase, r4.d_error) == (3, 1, 1)
+    assert abs(r4.cif_purchase - (2 / 6 + 0.5 * 1 / 3)) < 1e-9
+    assert abs(r4.cif_error - (1 / 6 + 0.5 * 1 / 3)) < 1e-9
+    # CIFs + survival account for all probability mass at the last step
+    assert abs(r4.cif_purchase + r4.cif_error + r4.surv - 1.0) < 1e-9
