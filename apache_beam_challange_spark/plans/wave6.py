@@ -3312,3 +3312,257 @@ def aalen_johansen_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cif_error"
         ),
     ).orderBy("dur_h")
+
+
+# --- entropy rate of the event-type chain --------------------------------------
+
+#: stationary-distribution power-iteration rounds (k<=5 states)
+_ENTR_T = 32
+_ENTR_FP = 10**12
+
+_ENTR_SQL = f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+),
+trans AS (
+    SELECT prev AS f, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS n FROM trans GROUP BY 1),
+states AS (SELECT f AS s FROM tot),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+walk(r, s, pi_fp) AS (
+    SELECT 0, s, CAST({_ENTR_FP} AS HUGEINT) // (SELECT k FROM k)
+    FROM states
+    UNION ALL
+    SELECT w.r + 1, tr.t,
+           SUM((w.pi_fp * tr.c) // tt.n)
+    FROM walk w
+    JOIN trans tr ON tr.f = w.s
+    JOIN tot tt ON tt.f = w.s
+    WHERE w.r < {_ENTR_T}
+    GROUP BY w.r, tr.t
+),
+pi AS (SELECT s, CAST(pi_fp AS BIGINT) AS pi_fp FROM walk
+       WHERE r = {_ENTR_T}),
+terms AS (
+    SELECT tr.f,
+           CAST(SUM(CAST(FLOOR(-(CAST(tr.c AS DOUBLE) / CAST(tt.n AS DOUBLE))
+                    * LN(CAST(tr.c AS DOUBLE) / CAST(tt.n AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_fp
+    FROM trans tr JOIN tot tt ON tt.f = tr.f
+    GROUP BY 1
+)
+SELECT p.s AS state,
+       ROUND(CAST(p.pi_fp AS DOUBLE) / {_ENTR_FP}.0, 6) AS pi,
+       ROUND(CAST(t.h_fp AS DOUBLE) / 1000000000.0, 6) AS h_state,
+       ROUND(CAST(p.pi_fp AS DOUBLE) / {_ENTR_FP}.0
+             * CAST(t.h_fp AS DOUBLE) / 1000000000.0, 6) AS h_contrib
+FROM pi p JOIN terms t ON t.f = p.s
+ORDER BY p.s
+""".strip()
+
+
+@query("markov_entropy_rate", oracle=_ENTR_SQL)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event-type chain — H = sum_s pi_s *
+    H(next | s), the information-theoretic summary of behavioral
+    predictability (low rate: rigid funnels; high: exploratory
+    traffic) and the model-capacity floor for the next-event predictor
+    the engine backtests (``markov_backtest_accuracy``). The stationary
+    distribution comes from {_ENTR_T} power-iteration rounds in 1e-12
+    integer fixed point on the <=|types| state frame (the Markov-
+    attribution discipline — engines walk identical integers); the
+    per-state conditional entropies are 1e-9 fixed-pointed plogp sums
+    over the bounded transition matrix. Data-sized work: one
+    user-partitioned LAG pass + one transition count. Output: one row
+    per state with pi, H(next|s), and the pi-weighted contribution
+    (the scalar rate is their trivial sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w_ord).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = (
+        seq.groupBy(F.col("prev").alias("f"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # bounded matrix; feeds tot + T rounds + terms
+    )
+    tot = trans.groupBy("f").agg(F.sum("c").cast("long").alias("n"))
+    states = tot.select(F.col("f").alias("s"))
+    kf = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    d38 = "decimal(38,0)"
+    pi = states.crossJoin(F.broadcast(kf)).select(
+        "s",
+        F.expr(f"CAST({_ENTR_FP} div k AS DECIMAL(38,0))").alias("pi_fp"),
+    )
+    mat = trans.join(tot, "f")
+    for r in range(_ENTR_T):
+        pi = (
+            mat.join(pi, mat["f"] == pi["s"])
+            .groupBy(F.col("t"))
+            .agg(
+                F.sum(F.expr("CAST((pi_fp * c) div n AS DECIMAL(38,0))"))
+                .cast(d38)
+                .alias("pi_fp")
+            )
+            .withColumnRenamed("t", "s")
+        )
+        if (r + 1) % 8 == 0:
+            pi = pi.localCheckpoint()
+    terms = (
+        mat.select(
+            "f",
+            F.floor(
+                -(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_fp"),
+        )
+        .groupBy("f")
+        .agg(F.sum("term_fp").cast("long").alias("h_fp"))
+    )
+    return (
+        pi.join(terms, pi["s"] == terms["f"])
+        .select(
+            F.col("s").alias("state"),
+            F.round(
+                F.col("pi_fp").cast("double") / F.lit(float(_ENTR_FP)), 6
+            ).alias("pi"),
+            F.round(F.col("h_fp").cast("double") / F.lit(1e9), 6).alias(
+                "h_state"
+            ),
+            F.round(
+                F.col("pi_fp").cast("double")
+                / F.lit(float(_ENTR_FP))
+                * F.col("h_fp").cast("double")
+                / F.lit(1e9),
+                6,
+            ).alias("h_contrib"),
+        )
+        .orderBy("state")
+    )
+
+
+# --- Good-Turing unseen mass + Chao1 richness ----------------------------------
+
+_GT_SQL = """
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+coc AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnt GROUP BY 1),
+m AS (
+    SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_r) AS BIGINT) AS v_types,
+           CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS n1,
+           CAST(COALESCE(SUM(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT) AS n2,
+           CAST(COALESCE(SUM(CASE WHEN r = 3 THEN n_r END), 0) AS BIGINT) AS n3,
+           CAST(COALESCE(SUM(CASE WHEN r = 4 THEN n_r END), 0) AS BIGINT) AS n4
+    FROM coc
+)
+SELECT n_tokens, v_types, n1, n2,
+       ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS p_unseen,
+       ROUND(1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS coverage,
+       ROUND(CAST(v_types AS DOUBLE)
+             + CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)
+               / (2.0 * CAST(n2 + 1 AS DOUBLE)), 6) AS chao1,
+       CASE WHEN n1 = 0 THEN NULL
+            ELSE ROUND(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+       END AS gt_r1,
+       CASE WHEN n2 = 0 THEN NULL
+            ELSE ROUND(3.0 * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+       END AS gt_r2,
+       CASE WHEN n3 = 0 THEN NULL
+            ELSE ROUND(4.0 * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE), 6)
+       END AS gt_r3
+FROM m
+""".strip()
+
+
+@query("good_turing_chao1_vocab", oracle=_GT_SQL)
+def good_turing_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-species mass and the bias-corrected Chao1
+    richness estimate for the token vocabulary — the how-much-is-
+    MISSING companions to the Heaps/hapax growth diagnostics: P(next
+    token is unseen) = n1/N (the Good-Turing estimate every smoothed
+    language model builds on), total-richness Chao1 = V + n1(n1-1)/
+    (2(n2+1)) (defined even when doubletons are absent), and the first
+    three smoothed Good-Turing counts r* = (r+1) n_{{r+1}}/n_r (NULL
+    when the denominator class is empty — honest, not zero). The
+    count-of-counts table is the complete sufficient statistic:
+    two stacked aggregates over the token explode, everything after is
+    one row of exact integers with single double expressions. Good
+    1953 / Chao 1984."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    coc = cnt.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    m = coc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("v_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 2, F.col("n_r"))), F.lit(0)
+        ).cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 3, F.col("n_r"))), F.lit(0)
+        ).cast("long").alias("n3"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 4, F.col("n_r"))), F.lit(0)
+        ).cast("long").alias("n4"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    n1_d = F.col("n1").cast("double")
+    return m.select(
+        "n_tokens",
+        "v_types",
+        "n1",
+        "n2",
+        F.round(n1_d / n_d, 6).alias("p_unseen"),
+        F.round(F.lit(1.0) - n1_d / n_d, 6).alias("coverage"),
+        F.round(
+            F.col("v_types").cast("double")
+            + n1_d * (F.col("n1") - F.lit(1)).cast("double")
+            / (F.lit(2.0) * (F.col("n2") + F.lit(1)).cast("double")),
+            6,
+        ).alias("chao1"),
+        F.when(F.col("n1") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.lit(2.0) * F.col("n2").cast("double") / n1_d, 6)
+        )
+        .alias("gt_r1"),
+        F.when(F.col("n2") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(3.0) * F.col("n3").cast("double")
+                / F.col("n2").cast("double"),
+                6,
+            )
+        )
+        .alias("gt_r2"),
+        F.when(F.col("n3") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(4.0) * F.col("n4").cast("double")
+                / F.col("n3").cast("double"),
+                6,
+            )
+        )
+        .alias("gt_r3"),
+    )

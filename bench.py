@@ -463,6 +463,8 @@ WAVE6 = [
     "association_effect_sizes_type_dow",
     "fs_em_parameter_estimation",
     "aalen_johansen_cif",
+    "markov_entropy_rate",
+    "good_turing_chao1_vocab",
 ]
 
 CURATION = [

@@ -887,3 +887,63 @@ def test_aalen_johansen_hand_fixture(spark):
     assert abs(r4.cif_error - (1 / 6 + 0.5 * 1 / 3)) < 1e-9
     # CIFs + survival account for all probability mass at the last step
     assert abs(r4.cif_purchase + r4.cif_error + r4.surv - 1.0) < 1e-9
+
+
+def test_markov_entropy_rate_deterministic_chain_is_zero(spark):
+    """A strictly alternating A->B->A chain has H(next|state)=0 for
+    both states, so every contribution is 0."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        typ = "view" if i % 2 == 0 else "click"
+        rows.append(_ev(i, base + dt.timedelta(minutes=i), 1, typ, 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.state: r for r in w6.markov_entropy_rate(spark, d).collect()}
+    assert sorted(out) == ["click", "view"]
+    for r in out.values():
+        assert abs(r.h_state) < 1e-9
+        assert abs(r.h_contrib) < 1e-9
+        assert abs(r.pi - 0.5) < 1e-3  # power iteration converges to 1/2
+
+
+def test_markov_entropy_rate_known_chain(spark):
+    """A state with a 50/50 split contributes ln(2) conditional
+    entropy, weighted by its stationary mass."""
+    base = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+    # user streams engineered so 'view' -> view/click equally,
+    # 'click' -> view always (per-user sequences below):
+    for u, seq in enumerate([
+        ["view", "view", "click", "view", "view", "click", "view"],
+        ["view", "click", "view", "view", "click", "view", "view"],
+    ]):
+        for j, typ in enumerate(seq):
+            rows.append(_ev(i, base + dt.timedelta(minutes=j), 100 + u, typ, 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.state: r for r in w6.markov_entropy_rate(spark, d).collect()}
+    # transition counts: view->view 4, view->click 4, click->view 4
+    assert abs(out["view"].h_state - math.log(2)) < 1e-6
+    assert abs(out["click"].h_state) < 1e-9
+    # stationary: pi_view = 2/3, pi_click = 1/3
+    assert abs(out["view"].pi - 2 / 3) < 1e-3
+    assert abs(out["view"].h_contrib - (2 / 3) * math.log(2)) < 1e-3
+
+
+def test_good_turing_hand_counts(spark):
+    """Corpus with known count-of-counts: 3 singletons, 1 doubleton,
+    1 tripleton -> N=8, V=5, p_unseen=3/8, Chao1 = 5 + 3*2/(2*2)."""
+    docs = [
+        (0, "a b c d d", "en", "s0", 9),
+        (1, "e e e d", "en", "s0", 7),
+    ]
+    # counts: a1 b1 c1 d3 e3 -> n1=3, n2=0, n3=2
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, docs, d)
+        got = w6.good_turing_chao1_vocab(spark, d).collect()[0]
+    assert (got.n_tokens, got.v_types, got.n1, got.n2) == (9, 5, 3, 0)
+    assert abs(got.p_unseen - 3 / 9) < 1e-6
+    assert abs(got.chao1 - (5 + 3 * 2 / (2 * 1))) < 1e-6
+    assert got.gt_r2 is None          # n2 = 0 -> honest NULL
+    assert abs(got.gt_r1 - 0.0) < 1e-9  # 2*n2/n1 = 0

@@ -198,6 +198,33 @@ FLAGSHIPS = [
     "seasonal_naive_backtest",
     "msprt_always_valid_pvalue",
     "theil_decomposition_by_nation",
+    # round-10 wave6: representative shapes — the one-aggregate
+    # calibration pair, the packed-prefix-sum OBF looks, the bounded
+    # iterative solvers (Markov absorption, EM, IRLS, IPF), the
+    # explode+broadcast-sign JL projection, the Hilbert integer walk,
+    # the shingle-shuffle novelty profile, and the subset-sum Shapley
+    "brier_murphy_decomposition",
+    "woe_iv_value_bins",
+    "obf_group_sequential_monitor",
+    "neyman_allocation_by_type",
+    "t_closeness_audit",
+    "ndcg_at_k_value_ranking",
+    "jl_projection_distortion",
+    "markov_removal_attribution",
+    "hilbert_orders_keys",
+    "ngram_novelty_by_source",
+    "shapley_attribution",
+    "conformal_value_intervals",
+    "jackknife_ratio_variance",
+    "delta_method_ratio_ci",
+    "huber_location_by_type",
+    "kish_effective_sample_size",
+    "mcnemar_weekend_purchase",
+    "ipf_raking_type_hour",
+    "t_closeness_emd_audit",
+    "association_effect_sizes_type_dow",
+    "fs_em_parameter_estimation",
+    "aalen_johansen_cif",
 ]
 
 
