@@ -761,3 +761,127 @@ def test_prefix_sum_composes_exact_and_single_range_exchange(spark, shape):
     p = _serve_plan(out)
     assert "Exchange rangepartitioning" not in p
     assert p.count("Scan ExistingRDD") == 2
+
+
+# --- round-10 wave6 invariants -------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.booleans()),  # (channel-set seed, conv)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_shapley_efficiency_axiom_random_journeys(spark, journeys):
+    """Shapley values must sum to v(full) - v(empty) (efficiency) on
+    random journey corpora, and shares must sum to 1 when any channel
+    has positive credit."""
+    import datetime as dt
+
+    from apache_beam_challange_spark.plans.wave6 import shapley_attribution
+
+    chans = ["view", "click", "signup"]
+    base = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+    for u, (seed, conv) in enumerate(journeys):
+        touched = [chans[j] for j in range(3) if seed & (1 << j)]
+        t = base
+        for ch in touched:
+            rows.append((i, t, u, ch, 1.0, "")); i += 1
+            t += dt.timedelta(minutes=1)
+        if conv:
+            rows.append((i, t, u, "purchase", 1.0, "")); i += 1
+    if not rows:
+        return
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = shapley_attribution(spark, d).collect()
+    if not out:
+        return
+    total_phi = sum(r.shapley_conversions for r in out)
+    # efficiency: v(full) = all conversions; v(empty) = conversions of
+    # journeys with NO touches
+    v_full = sum(1 for (seed, conv) in journeys if conv)
+    v_empty = sum(1 for (seed, conv) in journeys if conv and seed == 0)
+    # channels absent from the data carry no rows; present-channel phis
+    # still satisfy efficiency because absent channels have phi = 0
+    assert abs(total_phi - (v_full - v_empty)) < 1e-6
+    shares = [r.attribution_share for r in out if r.attribution_share is not None]
+    if shares:
+        assert abs(sum(shares) - 1.0) < 1e-5
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 255), min_size=1, max_size=40, unique=True)
+)
+def test_hilbert_key_bijective_on_random_cells(spark, cells):
+    """Random (x, y) cells at 4 bits: engine keys equal the python
+    reference and are pairwise distinct (injectivity sample)."""
+    from apache_beam_challange_spark.functions.layout import hilbert_step_exprs
+    from tests.test_wave6 import _hilbert_ref
+
+    pts = [(c % 16, c // 16) for c in cells]
+    h = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", F.lit(0).cast("long").alias("d"),
+        F.col("x").alias("x0"), F.col("y").alias("y0"),
+    )
+    for nx, ny, nd in hilbert_step_exprs(4, "div"):
+        h = h.select(
+            F.expr(nx).alias("x"), F.expr(ny).alias("y"),
+            F.expr(nd).alias("d"), "x0", "y0",
+        )
+    got = {(r.x0, r.y0): r.d for r in h.collect()}
+    assert len(set(got.values())) == len(pts)
+    for (x, y), d in got.items():
+        assert d == _hilbert_ref(16, x, y)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 2), st.integers(1, 30)),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_ipf_row_margins_match_after_column_last_round_swap(spark, cells):
+    """IPF column margins (the LAST step each round) must match the
+    uniform-over-24 target for every observed hour, on random grids."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from apache_beam_challange_spark.plans.wave6 import ipf_raking_type_hour
+
+    types = ["view", "click"]
+    rows, i = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for (t_ix, h, cnt) in cells:
+        for _ in range(cnt):
+            rows.append(
+                (i, base.replace(hour=h), 1, types[t_ix], 1.0, "")
+            ); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = ipf_raking_type_hour(spark, d).collect()
+    n_all = len(rows)
+    col = {}
+    for r in out:
+        col[r.hour] = col.get(r.hour, 0.0) + r.weighted_n
+    for h, s in col.items():
+        assert abs(s - n_all / 24) < 0.02, (h, s, n_all)
