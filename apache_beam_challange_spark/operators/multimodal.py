@@ -732,3 +732,27 @@ def png_phash16(images: DataFrame) -> DataFrame:
             yield out[["doc_id", "width", "height", "phash16"]]
 
     return images.mapInPandas(extract, schema=PHASH_SCHEMA)
+
+
+WAV_SAMPLES_SCHEMA = "doc_id bigint, i int, s int"
+
+
+def decode_wav_samples(audio: DataFrame) -> DataFrame:
+    """Decode real WAV bytes to one ROW PER SAMPLE ``(doc_id, i, s)`` —
+    the long-format decode that feeds relational signal processing
+    (e.g. the DFT-as-join spectral query). Same shuffle-free
+    mapInPandas shape as :func:`decode_wav_features`; the fan-out is
+    bounded by the clip length."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idx, vals = [], [], []
+            for doc_id, data in zip(pdf["doc_id"], pdf["audio_bytes"]):
+                _, samples = _parse_wav(data)
+                n = samples.size
+                ids.extend([int(doc_id)] * n)
+                idx.extend(range(n))
+                vals.extend(int(v) for v in samples)
+            yield pd.DataFrame({"doc_id": ids, "i": idx, "s": vals})
+
+    return audio.mapInPandas(extract, schema=WAV_SAMPLES_SCHEMA)

@@ -167,7 +167,8 @@ DRIVER_ORDER: list[str] = [
     # mcnemar_weekend_purchase, ipf_raking_type_hour,
     # t_closeness_emd_audit, association_effect_sizes_type_dow,
     # fs_em_parameter_estimation, aalen_johansen_cif,
-    # markov_entropy_rate, good_turing_chao1_vocab.)
+    # markov_entropy_rate, good_turing_chao1_vocab,
+    # audio_dominant_frequency.)
 ]
 
 

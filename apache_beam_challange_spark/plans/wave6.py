@@ -3566,3 +3566,161 @@ def good_turing_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("gt_r3"),
     )
+
+
+# --- relational DFT: dominant audio frequency ----------------------------------
+
+#: 32-point DFT twiddle factors cos/sin(2*pi*m/32), 1e-12 fixed-point
+#: PINNED integers — the whole spectrum is exact integer arithmetic.
+_DFT_N = 32
+_DFT_TWIDDLE = [
+    (0, 1000000000000, 0), (1, 980785280403, 195090322016),
+    (2, 923879532511, 382683432365), (3, 831469612303, 555570233020),
+    (4, 707106781187, 707106781187), (5, 555570233020, 831469612303),
+    (6, 382683432365, 923879532511), (7, 195090322016, 980785280403),
+    (8, 0, 1000000000000), (9, -195090322016, 980785280403),
+    (10, -382683432365, 923879532511), (11, -555570233020, 831469612303),
+    (12, -707106781187, 707106781187), (13, -831469612303, 555570233020),
+    (14, -923879532511, 382683432365), (15, -980785280403, 195090322016),
+    (16, -1000000000000, 0), (17, -980785280403, -195090322016),
+    (18, -923879532511, -382683432365), (19, -831469612303, -555570233020),
+    (20, -707106781187, -707106781187), (21, -555570233020, -831469612303),
+    (22, -382683432365, -923879532511), (23, -195090322016, -980785280403),
+    (24, 0, -1000000000000), (25, 195090322016, -980785280403),
+    (26, 382683432365, -923879532511), (27, 555570233020, -831469612303),
+    (28, 707106781187, -707106781187), (29, 831469612303, -555570233020),
+    (30, 923879532511, -382683432365), (31, 980785280403, -195090322016),
+]
+_DFT_TW_VALUES = ", ".join(f"({m}, {c}, {s})" for m, c, s in _DFT_TWIDDLE)
+
+_DFT_SQL = f"""
+WITH params AS (
+    SELECT doc_id,
+           8000 + (doc_id % 3) * 4000 AS rate,
+           doc_id % 50 + 20 AS n
+    FROM documents
+    WHERE doc_id % 50 + 20 >= {_DFT_N}
+),
+samp AS (
+    SELECT p.doc_id, p.rate,
+           CAST((p.doc_id * 31 + i.i * 17) % 2001 - 1000 AS BIGINT) AS s,
+           i.i AS i
+    FROM params p, (SELECT unnest(generate_series(0, {_DFT_N - 1})) AS i) i
+),
+tw AS (SELECT * FROM (VALUES {_DFT_TW_VALUES}) t(m, c_fp, s_fp)),
+bins AS (SELECT unnest(generate_series(1, {_DFT_N // 2 - 1})) AS k),
+spec AS (
+    SELECT sa.doc_id, sa.rate, b.k,
+           CAST(SUM(sa.s * tw.c_fp) AS DECIMAL(38,0)) AS re_fp,
+           CAST(SUM(sa.s * tw.s_fp) AS DECIMAL(38,0)) AS im_fp
+    FROM samp sa
+    JOIN bins b ON TRUE
+    JOIN tw ON tw.m = (b.k * sa.i) % {_DFT_N}
+    GROUP BY 1, 2, 3
+),
+power AS (
+    SELECT doc_id, rate, k,
+           re_fp * re_fp + im_fp * im_fp AS p2
+    FROM spec
+),
+tot AS (
+    SELECT doc_id, CAST(SUM(p2) AS DECIMAL(38,0)) AS p_all FROM power
+    GROUP BY 1
+),
+best AS (
+    SELECT doc_id, rate, k, p2,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY p2 DESC, k ASC) AS rnk
+    FROM power
+)
+SELECT b.doc_id,
+       CAST(b.k AS BIGINT) AS dom_bin,
+       ROUND(CAST(b.k AS DOUBLE) * CAST(b.rate AS DOUBLE) / {_DFT_N}.0, 6)
+           AS dom_freq_hz,
+       ROUND(CAST(b.p2 AS DOUBLE) / CAST(t.p_all AS DOUBLE), 6)
+           AS power_share
+FROM best b JOIN tot t ON t.doc_id = b.doc_id
+WHERE b.rnk = 1
+ORDER BY b.doc_id
+""".strip()
+
+
+@query("audio_dominant_frequency", oracle=_DFT_SQL)
+def audio_dominant_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant frequency per audio clip via a RELATIONAL {_DFT_N}-point
+    DFT — spectral analysis with no FFT library and no float anywhere
+    until the two output divisions: the engine decodes the REAL RIFF/
+    WAVE bytes to long-format samples (``decode_wav_samples``, a
+    shuffle-free mapInPandas), joins the pinned 1e-12 fixed-point
+    twiddle table on ``(k*i) mod {_DFT_N}``, and every DFT bin's
+    re/im parts and power are EXACT integers (s <= 1000, so re_fp <=
+    3.2e16 and powers fit DECIMAL(38,0)) — the argmax over bins and its
+    tie-break (lowest k) are exact comparisons. The oracle regenerates
+    the samples from their closed form, so a wrong byte decode on the
+    engine side hash-fails. Clips shorter than the window are excluded
+    honestly; DC (k=0) is skipped. Per-doc fan-out is the bounded
+    {_DFT_N}x{_DFT_N // 2 - 1} twiddle join — linear in corpus size."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_wav_audio,
+        decode_wav_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 50 + 20) >= _DFT_N
+    )
+    rates = docs.select(
+        "doc_id",
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("long").alias("rate"),
+    )
+    samp = (
+        decode_wav_samples(attach_wav_audio(docs))
+        .filter(F.col("i") < _DFT_N)
+    )
+    spark_s = docs.sparkSession
+    tw = F.broadcast(
+        spark_s.createDataFrame(_DFT_TWIDDLE, "m long, c_fp long, s_fp long")
+    )
+    bins = F.broadcast(
+        spark_s.range(1, _DFT_N // 2).select(F.col("id").alias("k"))
+    )
+    d38 = "decimal(38,0)"
+    spec = (
+        samp.crossJoin(bins)
+        .join(tw, F.expr(f"m = (k * i) % {_DFT_N}"))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.sum(F.col("s") * F.col("c_fp")).cast(d38).alias("re_fp"),
+            F.sum(F.col("s") * F.col("s_fp")).cast(d38).alias("im_fp"),
+        )
+    )
+    power = spec.select(
+        "doc_id",
+        "k",
+        (
+            F.col("re_fp") * F.col("re_fp") + F.col("im_fp") * F.col("im_fp")
+        ).cast(d38).alias("p2"),
+    ).localCheckpoint()  # feeds the total AND the argmax
+    tot = power.groupBy("doc_id").agg(F.sum("p2").cast(d38).alias("p_all"))
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("p2").desc(), F.col("k").asc()
+    )
+    best = power.withColumn("rnk", F.row_number().over(w_best)).filter(
+        F.col("rnk") == 1
+    )
+    return (
+        best.join(tot, "doc_id")
+        .join(F.broadcast(rates), "doc_id")
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("dom_bin"),
+            F.round(
+                F.col("k").cast("double") * F.col("rate").cast("double")
+                / F.lit(float(_DFT_N)),
+                6,
+            ).alias("dom_freq_hz"),
+            F.round(
+                F.col("p2").cast("double") / F.col("p_all").cast("double"), 6
+            ).alias("power_share"),
+        )
+        .orderBy("doc_id")
+    )

@@ -465,6 +465,7 @@ WAVE6 = [
     "aalen_johansen_cif",
     "markov_entropy_rate",
     "good_turing_chao1_vocab",
+    "audio_dominant_frequency",
 ]
 
 CURATION = [

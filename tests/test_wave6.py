@@ -947,3 +947,31 @@ def test_good_turing_hand_counts(spark):
     assert abs(got.chao1 - (5 + 3 * 2 / (2 * 1))) < 1e-6
     assert got.gt_r2 is None          # n2 = 0 -> honest NULL
     assert abs(got.gt_r1 - 0.0) < 1e-9  # 2*n2/n1 = 0
+
+
+def test_audio_dft_matches_numpy_fft(spark):
+    """The relational fixed-point DFT's dominant bin and power share
+    must agree with numpy's FFT on the same closed-form samples — an
+    INDEPENDENT spectral reference (not the oracle's mirror)."""
+    import numpy as np
+
+    docs = [(d, "t", "en", "s0", 5) for d in range(12, 40)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, docs, d)
+        out = {r.doc_id: r for r in w6.audio_dominant_frequency(spark, d).collect()}
+    N = w6._DFT_N
+    for doc_id in range(12, 40):
+        n = doc_id % 50 + 20
+        if n < N:
+            assert doc_id not in out
+            continue
+        i = np.arange(N)
+        s = ((doc_id * 31 + i * 17) % 2001 - 1000).astype(np.float64)
+        spec = np.fft.fft(s)
+        p = np.abs(spec[1:N // 2]) ** 2
+        kbest = int(np.argmax(p)) + 1
+        r = out[doc_id]
+        assert r.dom_bin == kbest, (doc_id, r.dom_bin, kbest)
+        assert abs(r.power_share - p[kbest - 1] / p.sum()) < 1e-5
+        rate = 8000 + (doc_id % 3) * 4000
+        assert abs(r.dom_freq_hz - kbest * rate / N) < 1e-6
