@@ -756,3 +756,31 @@ def decode_wav_samples(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "i": idx, "s": vals})
 
     return audio.mapInPandas(extract, schema=WAV_SAMPLES_SCHEMA)
+
+
+BMP_PIXELS_SCHEMA = "doc_id bigint, x int, y int, gray int"
+
+
+def decode_bmp_pixels(images: DataFrame) -> DataFrame:
+    """Decode real BMP bytes to one ROW PER PIXEL ``(doc_id, x, y,
+    gray)`` with gray = B+G+R (exact integer, 0..765) — the long-format
+    decode that feeds relational image processing (e.g. the DCT-hash
+    query). Shuffle-free mapInPandas; fan-out bounded by the image
+    area."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, xs, ys, gs = [], [], [], []
+            for doc_id, data in zip(pdf["doc_id"], pdf["image_bytes"]):
+                px = _bmp_pixel_array(data).astype(np.int64)
+                h, w, _ = px.shape
+                gray = px.sum(axis=2)
+                for y in range(h):
+                    for x in range(w):
+                        ids.append(int(doc_id))
+                        xs.append(x)
+                        ys.append(y)
+                        gs.append(int(gray[y, x]))
+            yield pd.DataFrame({"doc_id": ids, "x": xs, "y": ys, "gray": gs})
+
+    return images.mapInPandas(extract, schema=BMP_PIXELS_SCHEMA)

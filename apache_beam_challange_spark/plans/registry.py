@@ -168,7 +168,8 @@ DRIVER_ORDER: list[str] = [
     # t_closeness_emd_audit, association_effect_sizes_type_dow,
     # fs_em_parameter_estimation, aalen_johansen_cif,
     # markov_entropy_rate, good_turing_chao1_vocab,
-    # audio_dominant_frequency.)
+    # audio_dominant_frequency, image_dct_phash,
+    # platt_scaling_value_purchase.)
 ]
 
 

@@ -3724,3 +3724,369 @@ def audio_dominant_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- DCT perceptual image hash -------------------------------------------------
+
+#: 4x3 pooled grid (every corpus image is at least 4x3) and the pinned
+#: 1e-9 fixed-point DCT-II cosine tables cos(pi*(2c+1)*u/2L)
+_DCT_CU = [
+    (0, 0, 1000000000), (0, 1, 1000000000), (0, 2, 1000000000), (0, 3, 1000000000),
+    (1, 0, 923879533), (1, 1, 382683432), (1, 2, -382683432), (1, 3, -923879533),
+    (2, 0, 707106781), (2, 1, -707106781), (2, 2, -707106781), (2, 3, 707106781),
+    (3, 0, 382683432), (3, 1, -923879533), (3, 2, 923879533), (3, 3, -382683432),
+]
+_DCT_CV = [
+    (0, 0, 1000000000), (0, 1, 1000000000), (0, 2, 1000000000),
+    (1, 0, 866025404), (1, 1, 0), (1, 2, -866025404),
+    (2, 0, 500000000), (2, 1, -1000000000), (2, 2, 500000000),
+]
+_DCT_CU_VALUES = ", ".join(f"({u}, {c}, {v})" for u, c, v in _DCT_CU)
+_DCT_CV_VALUES = ", ".join(f"({u}, {c}, {v})" for u, c, v in _DCT_CV)
+
+_DCTH_SQL = f"""
+WITH dims AS (
+    SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+           CAST((d.doc_id * 7 + ys.y * 31 + xs.x * 5) % 256
+                + (d.doc_id * 7 + ys.y * 31 + xs.x * 5 + 11) % 256
+                + (d.doc_id * 7 + ys.y * 31 + xs.x * 5 + 22) % 256
+                AS BIGINT) AS gray
+    FROM dims d
+    JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs ON xs.x < d.w
+    JOIN (SELECT unnest(generate_series(0, 9)) AS y) ys ON ys.y < d.h
+),
+cells AS (
+    SELECT doc_id, (x * 4) // w AS cx, (y * 3) // h AS cy,
+           CAST(SUM(gray) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+    FROM px GROUP BY 1, 2, 3
+),
+means AS (
+    SELECT doc_id, cx, cy, (s * 1000000) // c AS m_fp FROM cells
+),
+cu AS (SELECT * FROM (VALUES {_DCT_CU_VALUES}) t(u, cx, cu_fp)),
+cv AS (SELECT * FROM (VALUES {_DCT_CV_VALUES}) t(v, cy, cv_fp)),
+coef AS (
+    SELECT m.doc_id, cu.u, cv.v,
+           CAST(SUM(CAST(m.m_fp AS HUGEINT) * cu.cu_fp * cv.cv_fp)
+                AS DECIMAL(38,0)) AS a
+    FROM means m
+    JOIN cu ON cu.cx = m.cx
+    JOIN cv ON cv.cy = m.cy
+    WHERE NOT (cu.u = 0 AND cv.v = 0)
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT doc_id, u, v, a,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY a, u, v) AS rn
+    FROM coef
+),
+med AS (SELECT doc_id, a AS med_a FROM ranked WHERE rn = 6)
+SELECT c.doc_id,
+       CAST(SUM(CASE WHEN c.a > m.med_a
+                THEN CAST(POWER(2, c.u * 3 + c.v - 1) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS dct_hash
+FROM coef c JOIN med m ON m.doc_id = c.doc_id
+GROUP BY 1
+ORDER BY c.doc_id
+""".strip()
+
+
+@query("image_dct_phash", oracle=_DCTH_SQL)
+def image_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash — the industry-standard pHash variant next to
+    the engine's average-hash pair (average-hash thresholds raw pixels;
+    the DCT hash thresholds LOW-FREQUENCY structure, so it survives
+    noise and brightness shifts): real BMP bytes decode to per-pixel
+    rows (``decode_bmp_pixels``), pool by exact integer bucketing onto
+    the fixed 4x3 grid every corpus image covers (the classic 32x32 ->
+    8x8 shape scaled to these dims), 2-D DCT-II via two pinned 1e-9
+    fixed-point cosine-table joins (zero libm), and the 11 non-DC
+    coefficients hash against their EXACT median (type-1 pick over an
+    11-row total order; strict > so ties bit to 0). Every quantity from
+    pooled mean to hash bit is exact integer arithmetic; the oracle
+    regenerates pixels from the closed form, so a byte-decode slip
+    hash-fails. Per-doc fan-out is the bounded 12-cell x 12-coefficient
+    join — linear in corpus size."""
+    from apache_beam_challange_spark.operators.multimodal import (
+        attach_bmp_image,
+        decode_bmp_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 4).cast("long").alias("w"),
+        (F.col("doc_id") % 7 + 3).cast("long").alias("h"),
+    )
+    px = decode_bmp_pixels(attach_bmp_image(docs)).join(
+        F.broadcast(dims), "doc_id"
+    )
+    cells = px.groupBy(
+        "doc_id",
+        F.expr("(x * 4) div w").alias("cx"),
+        F.expr("(y * 3) div h").alias("cy"),
+    ).agg(
+        F.sum("gray").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    means = cells.select(
+        "doc_id", "cx", "cy", F.expr("(s * 1000000) div c").alias("m_fp")
+    )
+    spark_s = docs.sparkSession
+    cu = F.broadcast(
+        spark_s.createDataFrame(_DCT_CU, "u long, cx long, cu_fp long")
+    )
+    cv = F.broadcast(
+        spark_s.createDataFrame(_DCT_CV, "v long, cy long, cv_fp long")
+    )
+    d38 = "decimal(38,0)"
+    coef = (
+        means.join(cu, "cx")
+        .join(cv, "cy")
+        .filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+        .groupBy("doc_id", "u", "v")
+        .agg(
+            F.sum(
+                F.col("m_fp").cast(d38)
+                * F.col("cu_fp").cast(d38)
+                * F.col("cv_fp").cast(d38)
+            )
+            .cast(d38)
+            .alias("a")
+        )
+        .localCheckpoint()  # feeds the median pick AND the hash fold
+    )
+    w_rn = Window.partitionBy("doc_id").orderBy("a", "u", "v")
+    med = (
+        coef.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 6)
+        .select("doc_id", F.col("a").alias("med_a"))
+    )
+    return (
+        coef.join(med, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a") > F.col("med_a"),
+                    F.expr("CAST(pow(2, u * 3 + v - 1) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dct_hash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- Platt scaling (binned logistic calibration) -------------------------------
+
+#: Newton rounds; parameter fixed point 1e-9
+_PLATT_T = 16
+_PLATT_FP = 10**9
+
+_PLATT_STEP = f"""
+SELECT s.r + 1,
+       CAST(s.a_fp + CAST(FLOOR(
+           ((SUM(s.h22) * SUM(s.g1) - SUM(s.h12) * SUM(s.g2))
+            / (SUM(s.h11) * SUM(s.h22) - SUM(s.h12) * SUM(s.h12)))
+           * {_PLATT_FP} + 0.5) AS BIGINT) AS BIGINT),
+       CAST(s.b_fp + CAST(FLOOR(
+           ((SUM(s.h11) * SUM(s.g2) - SUM(s.h12) * SUM(s.g1))
+            / (SUM(s.h11) * SUM(s.h22) - SUM(s.h12) * SUM(s.h12)))
+           * {_PLATT_FP} + 0.5) AS BIGINT) AS BIGINT)
+FROM (
+    SELECT w.r, w.a_fp, w.b_fp,
+           (CAST(c.y_b AS DOUBLE) - CAST(c.n_b AS DOUBLE) * (
+               1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE) / {_PLATT_FP}.0
+                    * c.bin + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0)))))
+               * c.bin AS g1,
+           CAST(c.y_b AS DOUBLE) - CAST(c.n_b AS DOUBLE) * (
+               1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE) / {_PLATT_FP}.0
+                    * c.bin + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0))))
+               AS g2,
+           CAST(c.n_b AS DOUBLE) * (
+               1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE) / {_PLATT_FP}.0
+                    * c.bin + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0))))
+               * (1.0 - 1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE)
+                    / {_PLATT_FP}.0 * c.bin
+                    + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0))))
+               * c.bin * c.bin AS h11,
+           CAST(c.n_b AS DOUBLE) * (
+               1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE) / {_PLATT_FP}.0
+                    * c.bin + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0))))
+               * (1.0 - 1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE)
+                    / {_PLATT_FP}.0 * c.bin
+                    + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0))))
+               * c.bin AS h12,
+           CAST(c.n_b AS DOUBLE) * (
+               1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE) / {_PLATT_FP}.0
+                    * c.bin + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0))))
+               * (1.0 - 1.0 / (1.0 + EXP(-(CAST(w.a_fp AS DOUBLE)
+                    / {_PLATT_FP}.0 * c.bin
+                    + CAST(w.b_fp AS DOUBLE) / {_PLATT_FP}.0))))
+               AS h22
+    FROM walk w, cells c WHERE w.r < {_PLATT_T}
+) s
+GROUP BY s.r, s.a_fp, s.b_fp
+"""
+
+_PLATT_SQL = f"""
+WITH RECURSIVE base AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+mx AS (SELECT MAX(vb) AS maxvb FROM base),
+cells AS MATERIALIZED (
+    SELECT CASE WHEN vb * 20 // (maxvb + 1) > 19 THEN 19
+                ELSE vb * 20 // (maxvb + 1) END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(pos) AS BIGINT) AS y_b
+    FROM base, mx GROUP BY 1
+),
+walk(r, a_fp, b_fp) AS (
+    SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    {_PLATT_STEP}
+),
+fin AS (SELECT a_fp, b_fp FROM walk WHERE r = {_PLATT_T}),
+loss AS (
+    SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+           CAST(SUM(
+               CAST(FLOOR((CAST(c.y_b AS DOUBLE)
+                    * LN(1.0 + EXP(-(CAST(f.a_fp AS DOUBLE) / {_PLATT_FP}.0
+                         * c.bin + CAST(f.b_fp AS DOUBLE) / {_PLATT_FP}.0)))
+                    + CAST(c.n_b - c.y_b AS DOUBLE)
+                    * LN(1.0 + EXP(CAST(f.a_fp AS DOUBLE) / {_PLATT_FP}.0
+                         * c.bin + CAST(f.b_fp AS DOUBLE) / {_PLATT_FP}.0)))
+                   * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ll_fp
+    FROM cells c, fin f
+)
+SELECT loss.n AS n,
+       ROUND(CAST(f.a_fp AS DOUBLE) / {_PLATT_FP}.0, 6) AS a,
+       ROUND(CAST(f.b_fp AS DOUBLE) / {_PLATT_FP}.0, 6) AS b,
+       ROUND(CAST(loss.ll_fp AS DOUBLE) / 1000000000.0
+             / CAST(loss.n AS DOUBLE), 6) AS avg_log_loss
+FROM fin f, loss
+""".strip()
+
+
+@query("platt_scaling_value_purchase", oracle=_PLATT_SQL)
+def platt_scaling_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling — the PARAMETRIC calibration member next to the
+    isotonic (PAVA) fit and the held-out ECE/Brier audits: fit
+    sigma(a*bin + b) to the binned purchase outcomes by Newton-Raphson,
+    {_PLATT_T} rounds of exact 2x2 solves on the 20-bin sufficient
+    statistic (counts and positives per value bin — the data never gets
+    rescanned). The trajectory is engine-pinned the wave's way:
+    parameters live in 1e-9 fixed point and every Newton step floors
+    its double increment back to integers, so both engines walk the
+    same parameter sequence (the per-step sigmoids are the one shared
+    libm exposure, same class as the wave's LN usage); the reported
+    average log-loss fixed-points its 20 per-bin terms. One data-sized
+    conditional aggregate; Newton itself is 20-row arithmetic. Platt
+    1999."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    mx = base.agg(F.max("vb").alias("maxvb"))
+    raw_bin = F.expr("vb * 20 div (maxvb + 1)")
+    cells = (
+        base.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(raw_bin > 19, F.lit(19)).otherwise(raw_bin).alias("bin"),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("pos").cast("long").alias("y_b"),
+        )
+        .localCheckpoint()  # the sufficient statistic; feeds every round
+    )
+    spark_s = ev.sparkSession
+    params = spark_s.createDataFrame([(0, 0)], "a_fp long, b_fp long")
+    fp = float(_PLATT_FP)
+    for r in range(_PLATT_T):
+        j = cells.crossJoin(F.broadcast(params))
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.col("a_fp").cast("double") / F.lit(fp) * F.col("bin")
+                    + F.col("b_fp").cast("double") / F.lit(fp)
+                )
+            )
+        )
+        resid = F.col("y_b").cast("double") - F.col("n_b").cast("double") * p
+        wgt = F.col("n_b").cast("double") * p * (F.lit(1.0) - p)
+        agg = j.agg(
+            F.min("a_fp").alias("a_fp"),
+            F.min("b_fp").alias("b_fp"),
+            F.sum(resid * F.col("bin")).alias("g1"),
+            F.sum(resid).alias("g2"),
+            F.sum(wgt * F.col("bin") * F.col("bin")).alias("h11"),
+            F.sum(wgt * F.col("bin")).alias("h12"),
+            F.sum(wgt).alias("h22"),
+        )
+        det = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
+        params = agg.select(
+            (
+                F.col("a_fp")
+                + F.floor(
+                    (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2"))
+                    / det
+                    * F.lit(fp)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("a_fp"),
+            (
+                F.col("b_fp")
+                + F.floor(
+                    (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1"))
+                    / det
+                    * F.lit(fp)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("b_fp"),
+        )
+        if (r + 1) % 4 == 0:
+            params = params.localCheckpoint()
+    j = cells.crossJoin(F.broadcast(params))
+    lin = (
+        F.col("a_fp").cast("double") / F.lit(fp) * F.col("bin")
+        + F.col("b_fp").cast("double") / F.lit(fp)
+    )
+    ll_term = F.floor(
+        (
+            F.col("y_b").cast("double") * F.log(F.lit(1.0) + F.exp(-lin))
+            + (F.col("n_b") - F.col("y_b")).cast("double")
+            * F.log(F.lit(1.0) + F.exp(lin))
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    out = j.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.min("a_fp").alias("a_fp"),
+        F.min("b_fp").alias("b_fp"),
+        F.sum(ll_term).cast("long").alias("ll_fp"),
+    )
+    return out.select(
+        "n",
+        F.round(F.col("a_fp").cast("double") / F.lit(fp), 6).alias("a"),
+        F.round(F.col("b_fp").cast("double") / F.lit(fp), 6).alias("b"),
+        F.round(
+            F.col("ll_fp").cast("double") / F.lit(1e9)
+            / F.col("n").cast("double"),
+            6,
+        ).alias("avg_log_loss"),
+    )

@@ -466,6 +466,8 @@ WAVE6 = [
     "markov_entropy_rate",
     "good_turing_chao1_vocab",
     "audio_dominant_frequency",
+    "image_dct_phash",
+    "platt_scaling_value_purchase",
 ]
 
 CURATION = [

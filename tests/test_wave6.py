@@ -975,3 +975,108 @@ def test_audio_dft_matches_numpy_fft(spark):
         assert abs(r.power_share - p[kbest - 1] / p.sum()) < 1e-5
         rate = 8000 + (doc_id % 3) * 4000
         assert abs(r.dom_freq_hz - kbest * rate / N) < 1e-6
+
+
+def _dct_hash_ref(doc_id, brightness=0):
+    """Pure-python replay of the exact integer DCT-hash pipeline on the
+    closed-form pixels (optionally brightness-shifted)."""
+    w, h = doc_id % 13 + 4, doc_id % 7 + 3
+    cells = {}
+    for y in range(h):
+        for x in range(w):
+            g = sum(
+                (doc_id * 7 + y * 31 + x * 5 + c * 11) % 256 for c in range(3)
+            ) + brightness
+            key = ((x * 4) // w, (y * 3) // h)
+            s, c = cells.get(key, (0, 0))
+            cells[key] = (s + g, c + 1)
+    means = {k: (s * 10**6) // c for k, (s, c) in cells.items()}
+    CU = {(u, cx): v for u, cx, v in w6._DCT_CU}
+    CV = {(v, cy): c for v, cy, c in w6._DCT_CV}
+    coef = {}
+    for u in range(4):
+        for v in range(3):
+            if u == 0 and v == 0:
+                continue
+            coef[(u, v)] = sum(
+                m * CU[(u, cx)] * CV[(v, cy)]
+                for (cx, cy), m in means.items()
+            )
+    ordered = sorted(coef.items(), key=lambda kv: (kv[1], kv[0]))
+    med = ordered[5][1]
+    return sum(
+        (1 << (u * 3 + v - 1))
+        for (u, v), a in coef.items()
+        if a > med
+    )
+
+
+def test_image_dct_phash_replay_and_brightness_invariance(spark):
+    """Engine hashes equal the exact integer replay; and because only
+    the DC coefficient sees a uniform brightness shift, the replayed
+    hash is brightness-invariant (the property average-hash lacks)."""
+    docs = [(d, "t", "en", "s0", 5) for d in range(24)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, docs, d)
+        out = {r.doc_id: r.dct_hash for r in w6.image_dct_phash(spark, d).collect()}
+    for doc_id in range(24):
+        ref = _dct_hash_ref(doc_id)
+        assert out[doc_id] == ref, doc_id
+        # a uniform shift moves every pooled mean by exactly the same
+        # fixed-point constant ((s+kc)*1e6 div c = s*1e6 div c + k*1e6),
+        # and every non-DC cosine row sums to zero, so the shift cancels
+        # EXACTLY out of each hashed coefficient
+        assert _dct_hash_ref(doc_id, brightness=60) == ref, doc_id
+
+
+def test_platt_scaling_recovers_sigmoid(spark):
+    """Corpus whose per-bin purchase rates follow an exact logistic in
+    the bin index: Newton must recover slope/intercept close to the
+    generating values, and avg log-loss must beat the base-rate model.
+    Replayed bit-for-bit in python."""
+    rows, i = [], 0
+    # generator: p(bin) = sigma(0.5*bin - 4); bins from value bins
+    for b in range(20):
+        p = 1 / (1 + math.exp(-(0.5 * b - 4)))
+        n_pos = round(p * 50)
+        for k in range(50):
+            typ = "purchase" if k < n_pos else "view"
+            v = (b * 25 + 10) / 100.0  # lands in bin b (maxvb ~ 485+10)
+            rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, typ, v)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.platt_scaling_value_purchase(spark, d).collect()[0]
+
+    # python replay of the exact fixed-point Newton on the same cells
+    cents = [round(r[4] * 100) for r in rows]
+    maxvb = max(cents)
+    from collections import defaultdict
+    cells = defaultdict(lambda: [0, 0])
+    for r, vb in zip(rows, cents):
+        b = min(vb * 20 // (maxvb + 1), 19)
+        cells[b][0] += 1
+        cells[b][1] += 1 if r[3] == "purchase" else 0
+    FP = w6._PLATT_FP
+    a_fp = b_fp = 0
+    for _ in range(w6._PLATT_T):
+        g1 = g2 = h11 = h12 = h22 = 0.0
+        for b, (n_b, y_b) in cells.items():
+            p = 1 / (1 + math.exp(-(a_fp / FP * b + b_fp / FP)))
+            resid = y_b - n_b * p
+            wgt = n_b * p * (1 - p)
+            g1 += resid * b; g2 += resid
+            h11 += wgt * b * b; h12 += wgt * b; h22 += wgt
+        det = h11 * h22 - h12 * h12
+        a_fp += math.floor((h22 * g1 - h12 * g2) / det * FP + 0.5)
+        b_fp += math.floor((h11 * g2 - h12 * g1) / det * FP + 0.5)
+    assert abs(got.a - round(a_fp / FP, 6)) < 1e-9
+    assert abs(got.b - round(b_fp / FP, 6)) < 1e-9
+    # recovers the generating curve (binned rounding adds a little bias)
+    assert abs(got.a - 0.5) < 0.1
+    assert abs(got.b - (-4.0)) < 0.6
+    # beats the constant base-rate predictor
+    n = len(rows)
+    pos = sum(1 for r in rows if r[3] == "purchase")
+    pbar = pos / n
+    base_ll = -(pos * math.log(pbar) + (n - pos) * math.log(1 - pbar)) / n
+    assert got.avg_log_loss < base_ll
