@@ -169,7 +169,8 @@ DRIVER_ORDER: list[str] = [
     # fs_em_parameter_estimation, aalen_johansen_cif,
     # markov_entropy_rate, good_turing_chao1_vocab,
     # audio_dominant_frequency, image_dct_phash,
-    # platt_scaling_value_purchase.)
+    # platt_scaling_value_purchase, sbg_retention_fit,
+    # qini_uplift_deciles.)
 ]
 
 

@@ -4090,3 +4090,385 @@ def platt_scaling_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_log_loss"),
     )
+
+
+# --- shifted-beta-geometric retention fit --------------------------------------
+
+#: (alpha, beta) grid in quarter units 1..20 (0.25 .. 5.0) — 400 pinned
+#: candidates; the likelihood surface is smooth so quarter resolution
+#: identifies the basin
+_SBG_QMAX = 20
+_SBG_WEEK_US = 604800000000
+
+_SBG_SQL = f"""
+WITH mic AS (
+    SELECT user_id, epoch_us(ts) AS us FROM events
+),
+bounds AS (SELECT MAX(us) AS data_end FROM mic),
+u AS (
+    SELECT user_id,
+           (MAX(us) - MIN(us)) // {_SBG_WEEK_US} AS life_w,
+           ((SELECT data_end FROM bounds) - MIN(us)) // {_SBG_WEEK_US}
+               AS horizon_w
+    FROM mic GROUP BY user_id
+),
+obs AS (
+    -- churn observed at period life_w + 1 when the horizon extends
+    -- beyond the last activity week; censored at horizon otherwise
+    SELECT CASE WHEN life_w < horizon_w THEN life_w + 1 ELSE life_w END AS t,
+           CASE WHEN life_w < horizon_w THEN 1 ELSE 0 END AS churned
+    FROM u WHERE horizon_w >= 1
+),
+cells AS (
+    SELECT t, CAST(SUM(churned) AS BIGINT) AS c_t,
+           CAST(SUM(1 - churned) AS BIGINT) AS s_t
+    FROM obs WHERE t >= 1 GROUP BY t
+),
+tmax AS (SELECT CAST(MAX(t) AS BIGINT) AS tm FROM cells),
+grid AS (
+    SELECT a.a AS aq, b.b AS bq
+    FROM (SELECT unnest(generate_series(1, {_SBG_QMAX})) AS a) a,
+         (SELECT unnest(generate_series(1, {_SBG_QMAX})) AS b) b
+),
+wk AS (
+    SELECT unnest(generate_series(1, (SELECT CAST(tm AS INTEGER) FROM tmax)))
+        AS i
+),
+lnterms AS (
+    -- ln P(T=t) and ln S(t) via pure log-ratio cumsums (no EXP):
+    -- lnP(1) = ln(a/(a+b)); lnP ratio step i: (b+i-2)/(a+b+i-1)
+    -- lnS step i: (b+i-1)/(a+b+i-1); quarters: a = aq/4 etc.
+    SELECT g.aq, g.bq, w.i,
+           CAST(FLOOR(LN((g.bq + 4.0 * (w.i - 1))
+                         / (g.aq + g.bq + 4.0 * (w.i - 1)))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS lns_step,
+           CASE WHEN w.i = 1
+                THEN CAST(FLOOR(LN(g.aq / (g.aq + g.bq + 0.0)) * 1000000000.0
+                          + 0.5) AS BIGINT)
+                ELSE CAST(FLOOR(LN((g.bq + 4.0 * (w.i - 2))
+                                   / (g.aq + g.bq + 4.0 * (w.i - 1)))
+                          * 1000000000.0 + 0.5) AS BIGINT) END AS lnp_step
+    FROM grid g, wk w
+),
+cum AS (
+    SELECT aq, bq, i,
+           CAST(SUM(lns_step) OVER (PARTITION BY aq, bq ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS lns_fp,
+           CAST(SUM(lnp_step) OVER (PARTITION BY aq, bq ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS lnp_fp
+    FROM lnterms
+),
+ll AS (
+    SELECT cu.aq, cu.bq,
+           CAST(SUM(ce.c_t * cu.lnp_fp + ce.s_t * cu.lns_fp) AS BIGINT)
+               AS ll_fp
+    FROM cum cu JOIN cells ce ON ce.t = cu.i
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT aq, bq, ll_fp,
+           ROW_NUMBER() OVER (ORDER BY ll_fp DESC, aq, bq) AS rnk
+    FROM ll
+),
+surv AS (
+    SELECT b.aq, b.bq, b.ll_fp, c.i, c.lns_fp
+    FROM best b JOIN cum c ON c.aq = b.aq AND c.bq = b.bq
+    WHERE b.rnk = 1 AND c.i <= 4
+)
+SELECT ROUND(aq / 4.0, 6) AS alpha,
+       ROUND(bq / 4.0, 6) AS beta,
+       ROUND(CAST(MIN(ll_fp) AS DOUBLE) / 1000000000.0, 6) AS log_lik,
+       ROUND(EXP(CAST(MAX(CASE WHEN i = 1 THEN lns_fp END) AS DOUBLE)
+                 / 1000000000.0), 6) AS s1,
+       ROUND(EXP(CAST(MAX(CASE WHEN i = 2 THEN lns_fp END) AS DOUBLE)
+                 / 1000000000.0), 6) AS s2,
+       ROUND(EXP(CAST(MAX(CASE WHEN i = 3 THEN lns_fp END) AS DOUBLE)
+                 / 1000000000.0), 6) AS s3,
+       ROUND(EXP(CAST(MAX(CASE WHEN i = 4 THEN lns_fp END) AS DOUBLE)
+                 / 1000000000.0), 6) AS s4
+FROM surv
+GROUP BY aq, bq
+""".strip()
+
+
+@query("sbg_retention_fit", oracle=_SBG_SQL)
+def sbg_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted-beta-geometric retention fit (Fader & Hardie 2007 — the
+    standard projective churn model: heterogeneous geometric churn with
+    Beta(alpha, beta)-distributed risk) estimated ENTIRELY in-engine by
+    exact grid search: user lifetimes in whole weeks (churn observed
+    when the horizon extends past the last active week, censored
+    otherwise) collapse to a (t, churned, censored) cell table; both
+    ln P(T=t) and ln S(t) are PURE log-ratio cumulative sums (the
+    sBG recurrences — no EXP in the likelihood, no Beta function), so
+    each of the 400 pinned quarter-grid candidates gets an exact
+    1e-9 fixed-point integer log-likelihood and the argmax is an exact
+    comparison (ties to smallest (alpha, beta)). Reports the fitted
+    shape and the projected S(1..4) retention curve. Data-sized work:
+    one user aggregate; the grid x weeks frame is bounded (400 x
+    observed weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mic = ev.select("user_id", us.alias("us")).localCheckpoint()
+    bounds = mic.agg(F.max("us").alias("data_end"))
+    u = (
+        mic.groupBy("user_id")
+        .agg(F.min("us").alias("t0"), F.max("us").alias("tl"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"(tl - t0) div {_SBG_WEEK_US}").alias("life_w"),
+            F.expr(f"(data_end - t0) div {_SBG_WEEK_US}").alias("horizon_w"),
+        )
+        .filter(F.col("horizon_w") >= 1)
+    )
+    obs = u.select(
+        F.when(
+            F.col("life_w") < F.col("horizon_w"), F.col("life_w") + 1
+        ).otherwise(F.col("life_w")).alias("t"),
+        (F.col("life_w") < F.col("horizon_w")).cast("long").alias("churned"),
+    ).filter(F.col("t") >= 1)
+    cells = obs.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("c_t"),
+        F.sum(F.lit(1) - F.col("churned")).cast("long").alias("s_t"),
+    ).localCheckpoint()  # feeds tmax AND the likelihood join
+    tmax = cells.agg(F.max("t").cast("long").alias("tm"))
+    spark_s = ev.sparkSession
+    qs = spark_s.range(1, _SBG_QMAX + 1)
+    grid = qs.select(F.col("id").alias("aq")).crossJoin(
+        qs.select(F.col("id").alias("bq"))
+    )
+    wk = (
+        spark_s.range(1, 200)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(tmax))
+        .filter(F.col("i") <= F.col("tm"))
+        .select("i")
+    )
+    lt = grid.crossJoin(wk)
+    aqd = F.col("aq").cast("double")
+    bqd = F.col("bq").cast("double")
+    iD = F.col("i").cast("double")
+
+    def fp9(x):
+        return F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    lnterms = lt.select(
+        "aq",
+        "bq",
+        "i",
+        fp9(
+            F.log((bqd + F.lit(4.0) * (iD - F.lit(1.0)))
+                  / (aqd + bqd + F.lit(4.0) * (iD - F.lit(1.0))))
+        ).alias("lns_step"),
+        F.when(
+            F.col("i") == 1,
+            fp9(F.log(aqd / (aqd + bqd))),
+        ).otherwise(
+            fp9(
+                F.log((bqd + F.lit(4.0) * (iD - F.lit(2.0)))
+                      / (aqd + bqd + F.lit(4.0) * (iD - F.lit(1.0))))
+            )
+        ).alias("lnp_step"),
+    )
+    w_cum = (
+        Window.partitionBy("aq", "bq")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lnterms.select(
+        "aq",
+        "bq",
+        "i",
+        F.sum("lns_step").over(w_cum).cast("long").alias("lns_fp"),
+        F.sum("lnp_step").over(w_cum).cast("long").alias("lnp_fp"),
+    ).localCheckpoint()  # feeds the likelihood AND the survival readout
+    ll = (
+        cum.join(cells, cum["i"] == cells["t"])
+        .groupBy("aq", "bq")
+        .agg(
+            F.sum(
+                F.col("c_t") * F.col("lnp_fp") + F.col("s_t") * F.col("lns_fp")
+            )
+            .cast("long")
+            .alias("ll_fp")
+        )
+    )
+    w_best = Window.orderBy(F.col("ll_fp").desc(), "aq", "bq")
+    best = ll.withColumn("rnk", F.row_number().over(w_best)).filter(
+        F.col("rnk") == 1
+    )
+    surv = best.join(cum, ["aq", "bq"]).filter(F.col("i") <= 4)
+    return surv.groupBy("aq", "bq").agg(
+        F.round(F.min("ll_fp").cast("double") / F.lit(1e9), 6).alias(
+            "log_lik"
+        ),
+        *[
+            F.round(
+                F.exp(
+                    F.max(
+                        F.when(F.col("i") == k, F.col("lns_fp"))
+                    ).cast("double")
+                    / F.lit(1e9)
+                ),
+                6,
+            ).alias(f"s{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    ).select(
+        F.round(F.col("aq") / F.lit(4.0), 6).alias("alpha"),
+        F.round(F.col("bq") / F.lit(4.0), 6).alias("beta"),
+        "log_lik",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+    )
+
+
+# --- Qini uplift deciles -------------------------------------------------------
+
+_QINI_SQL = """
+WITH base AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CASE WHEN CAST(EXTRACT(isodow FROM ts) AS BIGINT) >= 6
+                THEN 1 ELSE 0 END AS trt,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+hist AS (
+    SELECT vb,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(trt) AS BIGINT) AS nt_b,
+           CAST(SUM(trt * pos) AS BIGINT) AS yt_b,
+           CAST(SUM((1 - trt) * pos) AS BIGINT) AS yc_b
+    FROM base GROUP BY 1
+),
+cum AS (
+    SELECT vb, n_b, nt_b, yt_b, yc_b,
+           CAST(COALESCE(SUM(n_b) OVER (ORDER BY vb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before_n,
+           CAST(SUM(n_b) OVER () AS BIGINT) AS n_all
+    FROM hist
+),
+dec AS (
+    SELECT (10 * before_n) // n_all + 1 AS decile,
+           CAST(SUM(nt_b) AS BIGINT) AS n_t,
+           CAST(SUM(yt_b) AS BIGINT) AS y_t,
+           CAST(SUM(n_b - nt_b) AS BIGINT) AS n_c,
+           CAST(SUM(yc_b) AS BIGINT) AS y_c
+    FROM cum GROUP BY 1
+),
+cums AS (
+    SELECT decile, n_t, y_t, n_c, y_c,
+           CAST(SUM(n_t) OVER (ORDER BY decile) AS BIGINT) AS cnt,
+           CAST(SUM(y_t) OVER (ORDER BY decile) AS BIGINT) AS cyt,
+           CAST(SUM(n_c) OVER (ORDER BY decile) AS BIGINT) AS cnc,
+           CAST(SUM(y_c) OVER (ORDER BY decile) AS BIGINT) AS cyc
+    FROM dec
+)
+SELECT decile, n_t, y_t, n_c, y_c,
+       CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+            ELSE ROUND(CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                       - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+       END AS uplift,
+       CASE WHEN cnc = 0 THEN NULL
+            ELSE ROUND(CAST(cyt AS DOUBLE)
+                       - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE)
+                         / CAST(cnc AS DOUBLE), 6)
+       END AS qini_cum
+FROM cums
+ORDER BY decile
+""".strip()
+
+
+@query("qini_uplift_deciles", oracle=_QINI_SQL)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift-by-decile table — the targeting-model eval for
+    TREATMENT-EFFECT ranking (lift/gain grade outcome ranking; Qini
+    grades whether the score finds the people the treatment MOVES):
+    events rank by value into 10 deciles via the histogram-boundary
+    cut (a cent bucket joins the decile of its first element —
+    deterministic, no data-sized window), each decile splits into
+    weekend-treated vs weekday-control with exact integer counts, and
+    the cumulative Qini value Y_t(d) - Y_c(d) * N_t(d)/N_c(d) is one
+    double expression per decile row. Empty arms report NULL honestly.
+    One map-side-combined histogram aggregate is the data-sized work;
+    Radcliffe 2007."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+        (F.weekday("ts") >= 5).cast("long").alias("trt"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    hist = base.groupBy("vb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("trt").cast("long").alias("nt_b"),
+        F.sum(F.col("trt") * F.col("pos")).cast("long").alias("yt_b"),
+        F.sum((F.lit(1) - F.col("trt")) * F.col("pos"))
+        .cast("long")
+        .alias("yc_b"),
+    )
+    w_prev = Window.orderBy(F.col("vb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "*",
+        F.coalesce(F.sum("n_b").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("before_n"),
+        F.sum("n_b").over(w_all).cast("long").alias("n_all"),
+    )
+    dec = cum.groupBy(
+        (F.expr("(10 * before_n) div n_all") + F.lit(1)).alias("decile")
+    ).agg(
+        F.sum("nt_b").cast("long").alias("n_t"),
+        F.sum("yt_b").cast("long").alias("y_t"),
+        F.sum(F.col("n_b") - F.col("nt_b")).cast("long").alias("n_c"),
+        F.sum("yc_b").cast("long").alias("y_c"),
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = dec.select(
+        "*",
+        F.sum("n_t").over(w_dec).cast("long").alias("cnt"),
+        F.sum("y_t").over(w_dec).cast("long").alias("cyt"),
+        F.sum("n_c").over(w_dec).cast("long").alias("cnc"),
+        F.sum("y_c").over(w_dec).cast("long").alias("cyc"),
+    )
+    return cums.select(
+        "decile",
+        "n_t",
+        "y_t",
+        "n_c",
+        "y_c",
+        F.when(
+            (F.col("n_t") == 0) | (F.col("n_c") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("y_t").cast("double") / F.col("n_t").cast("double")
+                - F.col("y_c").cast("double") / F.col("n_c").cast("double"),
+                6,
+            )
+        )
+        .alias("uplift"),
+        F.when(F.col("cnc") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("cyt").cast("double")
+                - F.col("cyc").cast("double")
+                * F.col("cnt").cast("double")
+                / F.col("cnc").cast("double"),
+                6,
+            )
+        )
+        .alias("qini_cum"),
+    ).orderBy("decile")

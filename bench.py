@@ -468,6 +468,8 @@ WAVE6 = [
     "audio_dominant_frequency",
     "image_dct_phash",
     "platt_scaling_value_purchase",
+    "sbg_retention_fit",
+    "qini_uplift_deciles",
 ]
 
 CURATION = [

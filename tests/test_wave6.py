@@ -1080,3 +1080,103 @@ def test_platt_scaling_recovers_sigmoid(spark):
     pbar = pos / n
     base_ll = -(pos * math.log(pbar) + (n - pos) * math.log(1 - pbar)) / n
     assert got.avg_log_loss < base_ll
+
+
+def test_sbg_recovers_planted_geometric(spark):
+    """Users churn geometrically with rate ~1/3 (a near-degenerate Beta
+    basin): the fitted curve must project S(t) ~ (2/3)^t and the exact
+    integer grid search must match a python replay of the likelihood
+    on the same cells."""
+    base = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+    # horizon ~12 weeks; user u lives L_u full weeks then stops.
+    lives = [0, 0, 0, 1, 1, 2, 0, 1, 3, 2, 0, 4, 1, 0, 2, 5, 0, 1, 0, 3]
+    for u, L in enumerate(lives):
+        rows.append(_ev(i, base, 100 + u, "view", 1.0)); i += 1
+        if L > 0:
+            rows.append(
+                _ev(i, base + dt.timedelta(weeks=L), 100 + u, "view", 1.0)
+            ); i += 1
+    # one anchor user pinning the horizon at 12 weeks
+    rows.append(_ev(i, base, 999, "view", 1.0)); i += 1
+    rows.append(_ev(i + 1, base + dt.timedelta(weeks=12), 999, "view", 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.sbg_retention_fit(spark, d).collect()[0]
+
+    # python replay: rebuild cells and the exact grid search
+    import math as m
+    cells = {}
+    data_end = 12
+    for L in lives + [12]:
+        life, horizon = L, data_end
+        if horizon < 1:
+            continue
+        t = life + 1 if life < horizon else life
+        ch = 1 if life < horizon else 0
+        if t >= 1:
+            c, s_ = cells.get(t, (0, 0))
+            cells[t] = (c + ch, s_ + (1 - ch))
+    tm = max(cells)
+    best = None
+    for aq in range(1, 21):
+        for bq in range(1, 21):
+            lnp = lns = 0
+            ll = 0
+            lnp_c = lns_c = 0
+            for i2 in range(1, tm + 1):
+                lns_c += m.floor(
+                    m.log((bq + 4 * (i2 - 1)) / (aq + bq + 4 * (i2 - 1)))
+                    * 1e9 + 0.5)
+                if i2 == 1:
+                    lnp_c += m.floor(m.log(aq / (aq + bq)) * 1e9 + 0.5)
+                else:
+                    lnp_c += m.floor(
+                        m.log((bq + 4 * (i2 - 2)) / (aq + bq + 4 * (i2 - 1)))
+                        * 1e9 + 0.5)
+                if i2 in cells:
+                    c, s_ = cells[i2]
+                    ll += c * lnp_c + s_ * lns_c
+            key = (-ll, aq, bq)
+            if best is None or key < best[0]:
+                best = (key, aq, bq, ll)
+    _, aq, bq, ll = best
+    assert abs(got.alpha - aq / 4) < 1e-9
+    assert abs(got.beta - bq / 4) < 1e-9
+    assert abs(got.log_lik - round(ll / 1e9, 6)) < 1e-9
+    # the projected curve behaves like a survival curve
+    assert 1 > got.s1 > got.s2 > got.s3 > got.s4 > 0
+    # churn-heavy corpus -> S(1) well below 1 and near the empirical
+    # first-period survival
+    emp_s1 = sum(1 for L in lives + [12] if L >= 1) / 21
+    assert abs(got.s1 - emp_s1) < 0.25
+
+
+def test_qini_hand_fixture_with_planted_uplift(spark):
+    """High-value rows have weekend uplift, low-value rows none: the
+    top decile's uplift and the final cumulative Qini recomputed by
+    hand."""
+    wd = dt.datetime(2024, 1, 1)   # Monday
+    we = dt.datetime(2024, 1, 6)   # Saturday
+    rows, i = [], 0
+    # high value (10.00): 10 treated (6 convert), 10 control (1 converts)
+    for k in range(10):
+        rows.append(_ev(i, we, 1, "purchase" if k < 6 else "view", 10.0)); i += 1
+    for k in range(10):
+        rows.append(_ev(i, wd, 1, "purchase" if k < 1 else "view", 10.0)); i += 1
+    # low value (1.00): 10 treated, 10 control, 2 conversions each
+    for k in range(10):
+        rows.append(_ev(i, we, 1, "purchase" if k < 2 else "view", 1.0)); i += 1
+    for k in range(10):
+        rows.append(_ev(i, wd, 1, "purchase" if k < 2 else "view", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.decile: r for r in w6.qini_uplift_deciles(spark, d).collect()}
+    top = out[min(out)]
+    bot = out[max(out)]
+    assert (top.n_t, top.y_t, top.n_c, top.y_c) == (10, 6, 10, 1)
+    assert abs(top.uplift - 0.5) < 1e-9
+    assert abs(bot.uplift - 0.0) < 1e-9
+    # final cumulative Qini: Yt=8, Yc=3, Nt=Nc=20 -> 8 - 3 = 5
+    last = out[max(out)]
+    assert abs(last.qini_cum - 5.0) < 1e-9
