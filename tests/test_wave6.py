@@ -1180,3 +1180,24 @@ def test_qini_hand_fixture_with_planted_uplift(spark):
     # final cumulative Qini: Yt=8, Yc=3, Nt=Nc=20 -> 8 - 3 = 5
     last = out[max(out)]
     assert abs(last.qini_cum - 5.0) < 1e-9
+
+
+def test_wave6_scale_posture_plans(plans):
+    """Scale-shape pins for the round-10 wave: the histogram-family
+    queries keep the events side join-free; the JL projection's sign
+    matrix arrives by broadcast; Qini never sorts raw rows."""
+    for name in (
+        "ndcg_at_k_value_ranking",
+        "qini_uplift_deciles",
+        "conformal_value_intervals",
+        "kish_effective_sample_size",
+    ):
+        p = plans(name)
+        assert "SortMergeJoin" not in p, name
+        assert "partial" in p.lower(), name
+    jl = plans("jl_projection_distortion")
+    assert "BroadcastHashJoin" in jl or "BroadcastNestedLoopJoin" in jl
+    # the DFT's twiddle/bin spines are broadcast, never shuffled against
+    # the sample stream
+    dft = plans("audio_dominant_frequency")
+    assert "BroadcastHashJoin" in dft
