@@ -170,7 +170,8 @@ DRIVER_ORDER: list[str] = [
     # markov_entropy_rate, good_turing_chao1_vocab,
     # audio_dominant_frequency, image_dct_phash,
     # platt_scaling_value_purchase, sbg_retention_fit,
-    # qini_uplift_deciles.)
+    # qini_uplift_deciles, graph_degree_assortativity,
+    # evalue_sensitivity_weekend.)
 ]
 
 

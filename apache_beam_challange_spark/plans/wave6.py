@@ -4472,3 +4472,198 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("qini_cum"),
     ).orderBy("decile")
+
+
+# --- degree assortativity of the co-purchase graph -----------------------------
+
+_ASSORT_SQL = """
+WITH basket AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ) WHERE w >= 2
+),
+deg AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+    ) GROUP BY n
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+           CAST(SUM(CAST(du.d AS HUGEINT) * dv.d) AS DECIMAL(38,0)) AS a,
+           CAST(SUM(CAST(du.d AS HUGEINT) + dv.d) AS DECIMAL(38,0)) AS b,
+           CAST(SUM(CAST(du.d AS HUGEINT) * du.d
+                    + CAST(dv.d AS HUGEINT) * dv.d) AS DECIMAL(38,0)) AS c
+    FROM e
+    JOIN deg du ON du.n = e.u
+    JOIN deg dv ON dv.n = e.v
+)
+SELECT m_edges,
+       CASE WHEN 2 * CAST(c AS DOUBLE) * m_edges
+                 - CAST(b AS DOUBLE) * CAST(b AS DOUBLE) = 0 THEN NULL
+            ELSE ROUND((4.0 * CAST(a AS DOUBLE) * m_edges
+                        - CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+                       / (2.0 * CAST(c AS DOUBLE) * m_edges
+                          - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)), 6)
+       END AS assortativity
+FROM m
+""".strip()
+
+
+@query("graph_degree_assortativity", oracle=_ASSORT_SQL)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the thresholded co-purchase
+    graph — do hub parts co-sell with other hubs (r > 0, the social-
+    network signature) or with the long tail (r < 0, the
+    product-catalog signature)? Shares the `_copurchase_edges` builder
+    with the k-core and negative-sampling queries; the Pearson degree
+    correlation collapses to THREE exact integer edge moments (sum jk,
+    sum j+k, sum j^2+k^2 in HUGEINT/DECIMAL) via the cross-multiplied
+    form r = (4AM - B^2)/(2CM - B^2) — one double division, NULL for
+    degree-regular graphs whose variance term is zero. Data-sized work:
+    the basket self-join (the established bounded shape) + one degree
+    aggregate + one edge-degree join."""
+    from apache_beam_challange_spark.plans.traindata import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    d38 = "decimal(38,0)"
+    j = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.col("du").cast(d38) * F.col("dv").cast(d38))
+        .cast(d38)
+        .alias("a"),
+        F.sum(F.col("du").cast(d38) + F.col("dv").cast(d38))
+        .cast(d38)
+        .alias("b"),
+        F.sum(
+            F.col("du").cast(d38) * F.col("du").cast(d38)
+            + F.col("dv").cast(d38) * F.col("dv").cast(d38)
+        )
+        .cast(d38)
+        .alias("c"),
+    )
+    aD = F.col("a").cast("double")
+    bD = F.col("b").cast("double")
+    cD = F.col("c").cast("double")
+    mD = F.col("m_edges").cast("double")
+    den = F.lit(2.0) * cD * mD - bD * bD
+    return m.select(
+        "m_edges",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((F.lit(4.0) * aD * mD - bD * bD) / den, 6)
+        )
+        .alias("assortativity"),
+    )
+
+
+# --- E-value sensitivity analysis ----------------------------------------------
+
+_EVALUE_SQL = f"""
+WITH per AS (
+    SELECT CASE WHEN CAST(EXTRACT(isodow FROM ts) AS BIGINT) >= 6
+                THEN 1 ELSE 0 END AS trt,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+m AS (
+    SELECT CAST(SUM(trt) AS BIGINT) AS n1,
+           CAST(SUM(trt * pos) AS BIGINT) AS a,
+           CAST(SUM(1 - trt) AS BIGINT) AS n0,
+           CAST(SUM((1 - trt) * pos) AS BIGINT) AS c
+    FROM per
+),
+rr AS (
+    SELECT n1, a, n0, c,
+           (CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / (CAST(c AS DOUBLE) / CAST(n0 AS DOUBLE)) AS rr_raw
+    FROM m
+),
+orient AS (
+    SELECT n1, a, n0, c, rr_raw,
+           CASE WHEN rr_raw >= 1.0 THEN rr_raw ELSE 1.0 / rr_raw END AS rr
+    FROM rr
+)
+SELECT n1, a, n0, c,
+       ROUND(rr_raw, 6) AS risk_ratio,
+       ROUND(CASE WHEN rr <= 1.0 THEN 1.0
+                  ELSE rr + SQRT(rr * (rr - 1.0)) END, 6) AS e_value,
+       ROUND(EXP(LN(rr_raw)
+                 - {_Z95} * SQRT(1.0 / CAST(a AS DOUBLE)
+                      - 1.0 / CAST(n1 AS DOUBLE)
+                      + 1.0 / CAST(c AS DOUBLE)
+                      - 1.0 / CAST(n0 AS DOUBLE))), 6) AS rr_lo95,
+       ROUND(EXP(LN(rr_raw)
+                 + {_Z95} * SQRT(1.0 / CAST(a AS DOUBLE)
+                      - 1.0 / CAST(n1 AS DOUBLE)
+                      + 1.0 / CAST(c AS DOUBLE)
+                      - 1.0 / CAST(n0 AS DOUBLE))), 6) AS rr_hi95
+FROM orient
+""".strip()
+
+
+@query("evalue_sensitivity_weekend", oracle=_EVALUE_SQL)
+def evalue_sensitivity_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-value sensitivity analysis (VanderWeele & Ding 2017) for the
+    weekend-purchase risk ratio — the robustness check every
+    OBSERVATIONAL estimate in the engine's causal family (DiD,
+    stratified ATE, FWL) should publish: the minimum strength of
+    association an unmeasured confounder would need with BOTH treatment
+    and outcome to explain the estimate away, E = RR* + sqrt(RR*(RR*-1))
+    on the away-from-null orientation. Counts are exact integers from
+    one conditional aggregate; the Katz log-normal 95% CI for the RR
+    uses the pinned z and shared EXP/LN/SQRT expressions. One data-sized
+    aggregate, one output row."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        (F.weekday("ts") >= 5).cast("long").alias("trt"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    m = per.agg(
+        F.sum("trt").cast("long").alias("n1"),
+        F.sum(F.col("trt") * F.col("pos")).cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("trt")).cast("long").alias("n0"),
+        F.sum((F.lit(1) - F.col("trt")) * F.col("pos"))
+        .cast("long")
+        .alias("c"),
+    )
+    rr_raw = (F.col("a").cast("double") / F.col("n1").cast("double")) / (
+        F.col("c").cast("double") / F.col("n0").cast("double")
+    )
+    rr_star = F.when(rr_raw >= 1.0, rr_raw).otherwise(F.lit(1.0) / rr_raw)
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        - F.lit(1.0) / F.col("n1").cast("double")
+        + F.lit(1.0) / F.col("c").cast("double")
+        - F.lit(1.0) / F.col("n0").cast("double")
+    )
+    return m.select(
+        "n1",
+        "a",
+        "n0",
+        "c",
+        F.round(rr_raw, 6).alias("risk_ratio"),
+        F.round(
+            F.when(rr_star <= 1.0, F.lit(1.0)).otherwise(
+                rr_star + F.sqrt(rr_star * (rr_star - F.lit(1.0)))
+            ),
+            6,
+        ).alias("e_value"),
+        F.round(F.exp(F.log(rr_raw) - F.lit(_Z95) * se), 6).alias("rr_lo95"),
+        F.round(F.exp(F.log(rr_raw) + F.lit(_Z95) * se), 6).alias("rr_hi95"),
+    )

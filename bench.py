@@ -470,6 +470,8 @@ WAVE6 = [
     "platt_scaling_value_purchase",
     "sbg_retention_fit",
     "qini_uplift_deciles",
+    "graph_degree_assortativity",
+    "evalue_sensitivity_weekend",
 ]
 
 CURATION = [

@@ -1201,3 +1201,51 @@ def test_wave6_scale_posture_plans(plans):
     # the sample stream
     dft = plans("audio_dominant_frequency")
     assert "BroadcastHashJoin" in dft
+
+
+def test_assortativity_extremes(spark):
+    """A star graph is maximally DISassortative; edges between
+    equal-degree nodes are degree-regular (NULL variance)."""
+    # star: hub part 1 co-purchased with 2..5; each leaf pair must NOT
+    # form its own edge, so give each (hub, leaf) pair two shared orders
+    rows = []
+    ok = 0
+    for leaf in (2, 3, 4, 5):
+        for rep in range(2):
+            ok += 1
+            rows.append((ok * 10, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+            rows.append((ok * 10, leaf, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = w6.graph_degree_assortativity(spark, d).collect()[0]
+    # star K(1,4): every edge joins degree 4 with degree 1 -> r = -1
+    assert got.m_edges == 4
+    assert abs(got.assortativity - (-1.0)) < 1e-9
+
+
+def test_evalue_hand_table(spark):
+    """Known 2x2: weekend 2/10 vs weekday 1/10 -> RR 2, E-value
+    2 + sqrt(2)."""
+    wd = dt.datetime(2024, 1, 1)   # Monday
+    we = dt.datetime(2024, 1, 6)   # Saturday
+    rows, i = [], 0
+    for k in range(10):
+        rows.append(_ev(i, we, 1, "purchase" if k < 2 else "view", 1.0)); i += 1
+    for k in range(10):
+        rows.append(_ev(i, wd, 1, "purchase" if k < 1 else "view", 1.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.evalue_sensitivity_weekend(spark, d).collect()[0]
+    assert (got.n1, got.a, got.n0, got.c) == (10, 2, 10, 1)
+    assert abs(got.risk_ratio - 2.0) < 1e-9
+    assert abs(got.e_value - (2 + math.sqrt(2))) < 1e-6
+    assert got.rr_lo95 < 2.0 < got.rr_hi95
