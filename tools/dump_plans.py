@@ -225,6 +225,15 @@ FLAGSHIPS = [
     "association_effect_sizes_type_dow",
     "fs_em_parameter_estimation",
     "aalen_johansen_cif",
+    "markov_entropy_rate",
+    "good_turing_chao1_vocab",
+    "audio_dominant_frequency",
+    "image_dct_phash",
+    "platt_scaling_value_purchase",
+    "sbg_retention_fit",
+    "qini_uplift_deciles",
+    "graph_degree_assortativity",
+    "evalue_sensitivity_weekend",
 ]
 
 
