@@ -171,7 +171,8 @@ DRIVER_ORDER: list[str] = [
     # audio_dominant_frequency, image_dct_phash,
     # platt_scaling_value_purchase, sbg_retention_fit,
     # qini_uplift_deciles, graph_degree_assortativity,
-    # evalue_sensitivity_weekend.)
+    # evalue_sensitivity_weekend, gumbel_block_maxima_fit,
+    # hill_tail_index.)
 ]
 
 

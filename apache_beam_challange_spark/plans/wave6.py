@@ -4667,3 +4667,215 @@ def evalue_sensitivity_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(rr_raw) - F.lit(_Z95) * se), 6).alias("rr_lo95"),
         F.round(F.exp(F.log(rr_raw) + F.lit(_Z95) * se), 6).alias("rr_hi95"),
     )
+
+
+# --- Gumbel block-maxima fit (EVT) ---------------------------------------------
+
+#: pinned constants: Euler-Mascheroni, sqrt(6)/pi, and
+#: -ln(-ln(1 - 1/20)) for the 20-block return level
+_EVT_GAMMA = 0.5772156649015329
+_EVT_SQRT6_PI = 0.7796968012336609
+_EVT_RL20 = 2.9702274034835488
+
+_GUMBEL_SQL = f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS rev_c
+    FROM events GROUP BY 1
+),
+blocks AS (
+    SELECT (day - DATE '1970-01-01') // 7 AS wk,
+           CAST(MAX(rev_c) AS BIGINT) AS mx
+    FROM daily GROUP BY 1
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(mx) AS DECIMAL(38,0)) AS s,
+           CAST(SUM(CAST(mx AS HUGEINT) * mx) AS DECIMAL(38,0)) AS q
+    FROM blocks
+)
+SELECT nb AS n_blocks,
+       ROUND(CAST(s AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6)
+           AS block_max_mean,
+       ROUND(SQRT((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))
+             * {_EVT_SQRT6_PI} / 100.0, 6) AS beta,
+       ROUND((CAST(s AS DOUBLE) / CAST(nb AS DOUBLE)
+              - {_EVT_GAMMA} * SQRT((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))
+                * {_EVT_SQRT6_PI}) / 100.0, 6) AS mu,
+       ROUND((CAST(s AS DOUBLE) / CAST(nb AS DOUBLE)
+              - {_EVT_GAMMA} * SQRT((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))
+                * {_EVT_SQRT6_PI}
+              + {_EVT_RL20} * SQRT((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))
+                * {_EVT_SQRT6_PI}) / 100.0, 6) AS return_level_20
+FROM m
+""".strip()
+
+
+@query("gumbel_block_maxima_fit", oracle=_GUMBEL_SQL)
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on weekly block maxima of daily revenue
+    — the EVT capacity-planning question ("what daily revenue should a
+    1-in-20-week day reach?") that tail quantiles of the RAW
+    distribution answer wrongly (Fisher-Tippett: maxima of light-tailed
+    sums converge to Gumbel, not to the parent's shape). Method-of-
+    moments fit: beta = s * sqrt(6)/pi, mu = mean - gamma*beta with
+    Euler-Mascheroni and sqrt(6)/pi PINNED literals, return level
+    x_T = mu + beta * (-ln(-ln(1-1/T))) with the T=20 plotting constant
+    pinned too — so the only runtime float work is one sqrt of exact
+    DECIMAL/HUGEINT moments (sums of weekly maxima of exact cent
+    sums). Data-sized work: one daily aggregate; blocks are
+    calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    blocks = daily.groupBy(
+        F.expr("datediff(day, DATE '1970-01-01') div 7").alias("wk")
+    ).agg(F.max("rev_c").cast("long").alias("mx"))
+    d38 = "decimal(38,0)"
+    m = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("mx").cast(d38).alias("s"),
+        F.sum(F.col("mx").cast(d38) * F.col("mx").cast(d38))
+        .cast(d38)
+        .alias("q"),
+    )
+    nbD = F.col("nb").cast("double")
+    mean = F.col("s").cast("double") / nbD
+    sd = F.sqrt(
+        (F.col("q").cast("double") - F.col("s").cast("double") ** 2 / nbD)
+        / (F.col("nb") - F.lit(1)).cast("double")
+    )
+    beta = sd * F.lit(_EVT_SQRT6_PI)
+    mu = mean - F.lit(_EVT_GAMMA) * beta
+    return m.select(
+        F.col("nb").alias("n_blocks"),
+        F.round(mean / F.lit(100.0), 6).alias("block_max_mean"),
+        F.round(beta / F.lit(100.0), 6).alias("beta"),
+        F.round(mu / F.lit(100.0), 6).alias("mu"),
+        F.round((mu + F.lit(_EVT_RL20) * beta) / F.lit(100.0), 6).alias(
+            "return_level_20"
+        ),
+    )
+
+
+# --- Hill tail-index estimator --------------------------------------------------
+
+#: order-statistic depth: values strictly above the (k+1)-th largest
+_HILL_K = 100
+
+_HILL_SQL = f"""
+WITH hist AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS vb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value > 0 GROUP BY 1
+),
+sfx AS (
+    SELECT vb, c,
+           CAST(SUM(c) OVER (ORDER BY vb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS above_incl
+    FROM hist
+),
+thr AS (
+    -- the (k+1)-th largest value: smallest vb whose inclusive suffix
+    -- count reaches k+1
+    SELECT MAX(vb) AS x_k1 FROM sfx WHERE above_incl >= {_HILL_K} + 1
+),
+topk AS (
+    SELECT h.vb, h.c FROM hist h, thr t WHERE h.vb > t.x_k1
+),
+agg AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS k_used,
+           CAST(SUM(c * CAST(FLOOR(LN(CAST(vb AS DOUBLE)
+                    / CAST((SELECT x_k1 FROM thr) AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_fp
+    FROM topk
+)
+SELECT k_used,
+       ROUND(CAST((SELECT x_k1 FROM thr) AS DOUBLE) / 100.0, 6)
+           AS threshold,
+       ROUND(CAST(h_fp AS DOUBLE) / 1000000000.0 / CAST(k_used AS DOUBLE),
+             6) AS hill_gamma,
+       ROUND(CAST(k_used AS DOUBLE) * 1000000000.0 / CAST(h_fp AS DOUBLE),
+             6) AS tail_index
+FROM agg
+""".strip()
+
+
+@query("hill_tail_index", oracle=_HILL_SQL)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index — the
+    heavy-tail diagnostic that decides whether means/variances of the
+    metric even EXIST (alpha <= 2: infinite variance; <= 1: infinite
+    mean), read next to the Gumbel block-maxima fit (light-tail EVT)
+    and the winsorized/trimmed robust family. The order-statistic
+    machinery stays DOMAIN-bounded: the (k+1)-th largest value is a
+    suffix-count threshold pick on the cent histogram, the top group is
+    every value strictly above it (tie convention documented — k_used
+    reports the realized count), and each ln(x_i / x_(k+1)) term is
+    1e-9 fixed-pointed weighted by its bucket count before the exact
+    integer sum. gamma = mean log-excess, tail_index = 1/gamma. One
+    data-sized aggregate. Hill 1975."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value") > 0)
+        .groupBy(F.floor(F.col("value") * 100).cast("long").alias("vb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds the threshold pick AND the top group
+    )
+    w_sfx = Window.orderBy(F.col("vb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sfx = hist.select(
+        "vb", F.sum("c").over(w_sfx).cast("long").alias("above_incl")
+    )
+    thr = sfx.filter(F.col("above_incl") >= _HILL_K + 1).agg(
+        F.max("vb").alias("x_k1")
+    )
+    topk = hist.crossJoin(F.broadcast(thr)).filter(
+        F.col("vb") > F.col("x_k1")
+    )
+    term = F.floor(
+        F.log(F.col("vb").cast("double") / F.col("x_k1").cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = topk.agg(
+        F.sum("c").cast("long").alias("k_used"),
+        F.min("x_k1").alias("x_k1"),
+        F.sum(F.col("c") * term).cast("long").alias("h_fp"),
+    )
+    return agg.select(
+        "k_used",
+        F.round(F.col("x_k1").cast("double") / F.lit(100.0), 6).alias(
+            "threshold"
+        ),
+        F.round(
+            F.col("h_fp").cast("double") / F.lit(1e9)
+            / F.col("k_used").cast("double"),
+            6,
+        ).alias("hill_gamma"),
+        F.round(
+            F.col("k_used").cast("double") * F.lit(1e9)
+            / F.col("h_fp").cast("double"),
+            6,
+        ).alias("tail_index"),
+    )

@@ -472,6 +472,8 @@ WAVE6 = [
     "qini_uplift_deciles",
     "graph_degree_assortativity",
     "evalue_sensitivity_weekend",
+    "gumbel_block_maxima_fit",
+    "hill_tail_index",
 ]
 
 CURATION = [

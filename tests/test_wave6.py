@@ -1249,3 +1249,69 @@ def test_evalue_hand_table(spark):
     assert abs(got.risk_ratio - 2.0) < 1e-9
     assert abs(got.e_value - (2 + math.sqrt(2))) < 1e-6
     assert got.rr_lo95 < 2.0 < got.rr_hi95
+
+
+def test_gumbel_fit_hand_moments(spark):
+    """Two weeks with known daily purchase revenues: block maxima, MoM
+    parameters, and the 20-block return level recomputed by hand."""
+    base = dt.datetime(2024, 1, 1)  # Monday, epoch week boundary-safe
+    rows, i = [], 0
+    # week A days: revenues 100, 300 cents -> max 300
+    for (d_off, cents) in ((0, 100), (1, 300)):
+        rows.append(_ev(i, base + dt.timedelta(days=d_off), 1, "purchase",
+                        cents / 100.0)); i += 1
+    # week B days: revenues 500, 200 -> max 500
+    for (d_off, cents) in ((7, 500), (8, 200)):
+        rows.append(_ev(i, base + dt.timedelta(days=d_off), 1, "purchase",
+                        cents / 100.0)); i += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.gumbel_block_maxima_fit(spark, d).collect()[0]
+    import statistics
+    mx = [300, 500]
+    mean, sd = statistics.mean(mx), statistics.stdev(mx)
+    beta = sd * w6._EVT_SQRT6_PI
+    mu = mean - w6._EVT_GAMMA * beta
+    assert got.n_blocks == 2
+    assert abs(got.block_max_mean - mean / 100) < 1e-6
+    assert abs(got.beta - beta / 100) < 1e-6
+    assert abs(got.mu - mu / 100) < 1e-6
+    assert abs(got.return_level_20 - (mu + w6._EVT_RL20 * beta) / 100) < 1e-6
+    assert got.return_level_20 > got.block_max_mean
+
+
+def test_hill_recovers_pareto_tail(spark):
+    """Values drawn from an exact Pareto(alpha=2) inverse-CDF grid:
+    the Hill estimate must land near 2, and the threshold/count
+    conventions must match a python replay."""
+    rows = []
+    n = 2000
+    for i in range(n):
+        u = (i + 0.5) / n
+        v = round(1.0 / math.sqrt(1 - u), 2)  # Pareto alpha=2, x_m=1
+        rows.append(_ev(i, dt.datetime(2024, 1, 1), 1, "view", v))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = w6.hill_tail_index(spark, d).collect()[0]
+    # python replay with the same histogram conventions
+    from collections import Counter
+    # mirror the engine's FLOOR(value*100) bucketing on the same doubles
+    cents = Counter(math.floor(r[4] * 100) for r in rows)
+    order = sorted(cents, reverse=True)
+    cum = 0
+    x_k1 = None
+    for vb in order:
+        cum += cents[vb]
+        if cum >= w6._HILL_K + 1:
+            x_k1 = vb
+            break
+    top = {vb: c for vb, c in cents.items() if vb > x_k1}
+    k_used = sum(top.values())
+    h = sum(
+        c * math.floor(math.log(vb / x_k1) * 1e9 + 0.5)
+        for vb, c in top.items()
+    )
+    assert got.k_used == k_used
+    assert abs(got.threshold - x_k1 / 100) < 1e-9
+    assert abs(got.hill_gamma - round(h / 1e9 / k_used, 6)) < 1e-9
+    assert abs(got.tail_index - 2.0) < 0.45  # Hill noise at k~100
