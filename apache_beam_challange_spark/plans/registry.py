@@ -172,7 +172,7 @@ DRIVER_ORDER: list[str] = [
     # platt_scaling_value_purchase, sbg_retention_fit,
     # qini_uplift_deciles, graph_degree_assortativity,
     # evalue_sensitivity_weekend, gumbel_block_maxima_fit,
-    # hill_tail_index.)
+    # hill_tail_index, funnel_step_latency_quantiles.)
 ]
 
 

@@ -4879,3 +4879,145 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tail_index"),
     )
+
+
+# --- funnel step latency quantiles ---------------------------------------------
+
+_FUNNEL_HOUR_US = 3600000000
+
+_FUNLAT_SQL = f"""
+WITH mic AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS v0
+    FROM mic GROUP BY 1
+),
+f AS (
+    SELECT m.user_id, v.v0,
+           MIN(CASE WHEN m.event_type = 'click' AND m.us >= v.v0
+               THEN m.us END) AS c0
+    FROM mic m JOIN v ON v.user_id = m.user_id AND v.v0 IS NOT NULL
+    GROUP BY 1, 2
+),
+g AS (
+    SELECT m.user_id, f.v0, f.c0,
+           MIN(CASE WHEN m.event_type = 'purchase' AND m.us >= f.c0
+               THEN m.us END) AS p0
+    FROM mic m JOIN f ON f.user_id = m.user_id AND f.c0 IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+lat AS (
+    SELECT 'view_to_click' AS step, (c0 - v0) // {_FUNNEL_HOUR_US} AS h
+    FROM f WHERE c0 IS NOT NULL
+    UNION ALL
+    SELECT 'click_to_purchase', (p0 - c0) // {_FUNNEL_HOUR_US}
+    FROM g WHERE p0 IS NOT NULL
+),
+hist AS (
+    SELECT step, h, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY 1, 2
+),
+cum AS (
+    SELECT step, h,
+           CAST(SUM(c) OVER (PARTITION BY step ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY step) AS BIGINT) AS n
+    FROM hist
+)
+SELECT step, MIN(n) AS n_users,
+       CAST(MIN(CASE WHEN 2 * cc >= n THEN h END) AS BIGINT) AS p50_h,
+       CAST(MIN(CASE WHEN 10 * cc >= 9 * n THEN h END) AS BIGINT) AS p90_h,
+       CAST(MIN(CASE WHEN 100 * cc >= 99 * n THEN h END) AS BIGINT) AS p99_h,
+       CAST(MAX(h) AS BIGINT) AS max_h
+FROM cum GROUP BY step
+ORDER BY step
+""".strip()
+
+
+@query("funnel_step_latency_quantiles", oracle=_FUNLAT_SQL)
+def funnel_step_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency SLO table for the view -> click -> purchase funnel — how
+    long each step takes for the users who complete it (the companion
+    to the step-count funnel, which says how many drop; this says how
+    SLOW the survivors are): first view, first click at-or-after it,
+    first purchase at-or-after that, per user; step latencies in exact
+    integer hours feed per-step DURATION-DOMAIN histograms and p50/p90/
+    p99/max are type-1 integer threshold picks (``10*cc >= 9*n`` — the
+    order_to_ship discipline, no raw-row sort). Data-sized work: two
+    user-keyed conditional aggregates (the second needs the first's
+    anchor, an unavoidable second pass over the user partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mic = ev.select("user_id", "event_type", us.alias("us")).localCheckpoint()
+    v = mic.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v0")
+    ).filter(F.col("v0").isNotNull())
+    f = (
+        mic.join(v, "user_id")
+        .groupBy("user_id", "v0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") >= F.col("v0")),
+                    F.col("us"),
+                )
+            ).alias("c0")
+        )
+        .filter(F.col("c0").isNotNull())
+    )
+    g = (
+        mic.join(f, "user_id")
+        .groupBy("user_id", "v0", "c0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("c0")),
+                    F.col("us"),
+                )
+            ).alias("p0")
+        )
+    )
+    lat = f.select(
+        F.lit("view_to_click").alias("step"),
+        F.expr(f"(c0 - v0) div {_FUNNEL_HOUR_US}").alias("h"),
+    ).unionAll(
+        g.filter(F.col("p0").isNotNull()).select(
+            F.lit("click_to_purchase").alias("step"),
+            F.expr(f"(p0 - c0) div {_FUNNEL_HOUR_US}").alias("h"),
+        )
+    )
+    hist = lat.groupBy("step", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("step")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("step")
+    cum = hist.select(
+        "step",
+        "h",
+        F.sum("c").over(w_cum).cast("long").alias("cc"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    return (
+        cum.groupBy("step")
+        .agg(
+            F.min("n").alias("n_users"),
+            F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("h")))
+            .cast("long")
+            .alias("p50_h"),
+            F.min(F.when(10 * F.col("cc") >= 9 * F.col("n"), F.col("h")))
+            .cast("long")
+            .alias("p90_h"),
+            F.min(F.when(100 * F.col("cc") >= 99 * F.col("n"), F.col("h")))
+            .cast("long")
+            .alias("p99_h"),
+            F.max("h").cast("long").alias("max_h"),
+        )
+        .orderBy("step")
+    )

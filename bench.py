@@ -474,6 +474,7 @@ WAVE6 = [
     "evalue_sensitivity_weekend",
     "gumbel_block_maxima_fit",
     "hill_tail_index",
+    "funnel_step_latency_quantiles",
 ]
 
 CURATION = [

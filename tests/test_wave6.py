@@ -1315,3 +1315,28 @@ def test_hill_recovers_pareto_tail(spark):
     assert abs(got.threshold - x_k1 / 100) < 1e-9
     assert abs(got.hill_gamma - round(h / 1e9 / k_used, 6)) < 1e-9
     assert abs(got.tail_index - 2.0) < 0.45  # Hill noise at k~100
+
+
+def test_funnel_latency_hand_fixture(spark):
+    """Three users with hand-placed funnel steps; picks verified
+    against the duration list."""
+    base = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+    # u1: view@0, click@2h, purchase@5h -> lat1=2, lat2=3
+    for (h, t) in ((0, "view"), (2, "click"), (5, "purchase")):
+        rows.append(_ev(i, base + dt.timedelta(hours=h), 1, t, 1.0)); i += 1
+    # u2: click@1h BEFORE view@3h, then click@7h -> lat1 = 4 (click must
+    # be at-or-after the first view)
+    for (h, t) in ((1, "click"), (3, "view"), (7, "click")):
+        rows.append(_ev(i, base + dt.timedelta(hours=h), 2, t, 1.0)); i += 1
+    # u3: view only -> contributes to neither step
+    rows.append(_ev(i, base, 3, "view", 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = {r.step: r for r in w6.funnel_step_latency_quantiles(spark, d).collect()}
+    vc = out["view_to_click"]
+    assert vc.n_users == 2
+    assert vc.p50_h == 2 and vc.max_h == 4   # lats {2, 4}
+    cp = out["click_to_purchase"]
+    assert cp.n_users == 1
+    assert cp.p50_h == cp.p90_h == cp.max_h == 3
