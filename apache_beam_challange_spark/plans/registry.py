@@ -86,93 +86,70 @@ DRIVER_ORDER: list[str] = [
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # Round-10 rotation (VERDICT r9 "What's missing" #1): the
-    # never-driver-checked pool is 60 queries (the 14 first-session
-    # round-9 additions + the 45-query wave5 experiment-analysis block
-    # + the labeled rows-only xxhash64 SimHash perf twin) — MORE than
-    # the 45 free slots (50 minus the 5-query canonical core), so it
-    # rotates in over TWO rounds. This round: the 14 round-9 additions
-    # (incl. both as-of joins and the incremental-IVF honest-floor
-    # query) + the first 31 wave5 queries, registry-comment order —
-    # note anova/kruskal carry this round's exact-DECIMAL fix for the
-    # FLOOR->LONG clamp (ADVICE r9 high), so their first verdict lands
-    # on the corrected code. Rotating OUT: the 38 round-9-rotation
-    # members that earned their first driver verdict in
-    # CORRECTNESS_r09 (50/50 green, zero err) plus the 7 second-verdict
-    # retainees (every one stays in the local oracle gate + pytest).
-    "asof_payload_last_click_before_purchase",
-    "mann_whitney_auc_purchase",
-    "spearman_value_hour_by_type",
-    "lift_gain_deciles_value",
-    "token_hapax_stats_by_source",
-    "acf_daily_revenue",
-    "ivf_retrain_topk_vec0",
-    "kendall_tau_value_hour_by_type",
-    "asof_forward_next_purchase_after_click",
-    "bradley_terry_part_prefs",
-    "holt_forecast_backtest",
-    "mann_kendall_sen_trend_daily",
-    "seasonal_decompose_daily",
-    "did_estimate_by_type",
-    "anova_f_value_by_type",
-    "kruskal_wallis_value_by_type",
-    "nelson_aalen_hazard_to_purchase",
-    "logrank_purchase_by_parity",
-    "hhi_nation_revenue_concentration",
-    "theil_index_revenue",
-    "ccf_clicks_purchases_daily",
-    "loo_group_influence_on_slope",
-    "stratified_ate_weekend_value",
-    "ece_calibration_value_deciles",
-    "average_precision_purchase_by_value",
-    "isotonic_purchase_rate_by_value_bin",
-    "zipf_fit_tokens",
-    "fdr_bh_hourly_purchase_rate",
-    "holt_winters_forecast_backtest",
-    "km_greenwood_ci",
-    "weighted_quantiles_value_by_type",
-    "cmh_weekend_purchase_by_hour",
-    "resample_linear_hourly",
-    "wilson_ci_purchase_by_parity",
-    "dispersion_index_hourly_counts",
-    "granger_lite_clicks_purchases",
-    "weekly_periodogram_power",
-    "sprt_purchase_rate_monitor",
-    "cohens_d_weekend_value",
-    "energy_distance_weekend_value",
+    # Round-11 rotation (VERDICT r10 "Next round" #3): the
+    # never-driver-checked pool is 50 queries (34 wave6 + the final 14
+    # wave5 + heaps + the rows-only xxhash64 perf twin) against 45 free
+    # slots, so it splits over two rounds. This round: heaps_law_fit_tokens
+    # FIRST (its r10 FAIL was the negative-zero seam, fixed this round —
+    # exact DECIMAL/HUGEINT OLS numerator, one double division — and it
+    # must re-earn its verdict on the corrected code), then the complete
+    # 34-query wave6 block (registry order), then the 10 highest-value
+    # wave5 leftovers (the novel-estimator ones whose only cross-engine
+    # check is the DuckDB oracle). Rotating OUT: the 44 round-10-rotation
+    # members that earned their first driver verdict in CORRECTNESS_r10
+    # (49/50 green; every one stays in the local oracle gate + pytest).
     "heaps_law_fit_tokens",
-    "token_burstiness_top_terms",
-    "cka_embedding_halves",
-    "effective_rank_embeddings",
-    "rmst_to_purchase",
-    # (Round-11 rotation pool — the 15-query remainder of the
-    # never-driver-checked set, rotates in next round: the final 14
-    # wave5 queries msprt_always_valid_pvalue, qte_weekend_value,
-    # trimmed_mean_value_by_type, fwl_weekend_effect_hour_fe,
-    # theil_decomposition_by_nation, mi_type_hour_dependence,
-    # kendall_w_hourly_revenue_ranking, abc_xyz_parts,
+    # wave6 block (34)
+    "brier_murphy_decomposition",
+    "woe_iv_value_bins",
+    "obf_group_sequential_monitor",
+    "neyman_allocation_by_type",
+    "t_closeness_audit",
+    "ndcg_at_k_value_ranking",
+    "jl_projection_distortion",
+    "markov_removal_attribution",
+    "hilbert_orders_keys",
+    "ngram_novelty_by_source",
+    "shapley_attribution",
+    "conformal_value_intervals",
+    "jackknife_ratio_variance",
+    "delta_method_ratio_ci",
+    "huber_location_by_type",
+    "kish_effective_sample_size",
+    "mcnemar_weekend_purchase",
+    "ipf_raking_type_hour",
+    "t_closeness_emd_audit",
+    "association_effect_sizes_type_dow",
+    "fs_em_parameter_estimation",
+    "aalen_johansen_cif",
+    "markov_entropy_rate",
+    "good_turing_chao1_vocab",
+    "audio_dominant_frequency",
+    "image_dct_phash",
+    "platt_scaling_value_purchase",
+    "sbg_retention_fit",
+    "qini_uplift_deciles",
+    "graph_degree_assortativity",
+    "evalue_sensitivity_weekend",
+    "gumbel_block_maxima_fit",
+    "hill_tail_index",
+    "funnel_step_latency_quantiles",
+    # wave5 leftovers, highest-value 10
+    "msprt_always_valid_pvalue",
+    "qte_weekend_value",
+    "fwl_weekend_effect_hour_fe",
+    "theil_decomposition_by_nation",
+    "mi_type_hour_dependence",
+    "kendall_w_hourly_revenue_ranking",
+    "price_elasticity_by_brand",
+    "abc_xyz_parts",
+    "tukey_fence_outliers_by_type",
+    "seasonal_naive_backtest",
+    # (Round-12 rotation pool — the 5-query remainder of the
+    # never-driver-checked set: trimmed_mean_value_by_type,
     # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
-    # price_elasticity_by_brand, mad_value_by_type,
-    # tukey_fence_outliers_by_type, seasonal_naive_backtest — plus
-    # simhash_signatures_xxhash64_perf (rows-only labeled perf twin),
-    # plus the round-10 wave6 queries built after this tier froze:
-    # brier_murphy_decomposition, woe_iv_value_bins,
-    # obf_group_sequential_monitor, neyman_allocation_by_type,
-    # t_closeness_audit, ndcg_at_k_value_ranking,
-    # jl_projection_distortion, markov_removal_attribution,
-    # hilbert_orders_keys, ngram_novelty_by_source,
-    # shapley_attribution, conformal_value_intervals,
-    # jackknife_ratio_variance, delta_method_ratio_ci,
-    # huber_location_by_type, kish_effective_sample_size,
-    # mcnemar_weekend_purchase, ipf_raking_type_hour,
-    # t_closeness_emd_audit, association_effect_sizes_type_dow,
-    # fs_em_parameter_estimation, aalen_johansen_cif,
-    # markov_entropy_rate, good_turing_chao1_vocab,
-    # audio_dominant_frequency, image_dct_phash,
-    # platt_scaling_value_purchase, sbg_retention_fit,
-    # qini_uplift_deciles, graph_degree_assortativity,
-    # evalue_sensitivity_weekend, gumbel_block_maxima_fit,
-    # hill_tail_index, funnel_step_latency_quantiles.)
+    # mad_value_by_type, plus simhash_signatures_xxhash64_perf — the
+    # rows-only labeled perf twin, lowest stakes, deferred last.)
 ]
 
 

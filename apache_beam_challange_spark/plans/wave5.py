@@ -3089,21 +3089,26 @@ s AS (
            CAST(SUM(x_fp * y_fp) AS DECIMAL(38,0)) AS sxy,
            CAST(SUM(x_fp * x_fp) AS DECIMAL(38,0)) AS sxx
     FROM fp
+),
+fin AS (
+    -- exact integer OLS moments: num/den in 128-bit space, ONE double
+    -- division per output.  den = n*Sxx - Sx^2 >= 0 (Cauchy-Schwarz), so a
+    -- zero numerator yields +0.0 in every engine (the r10 heaps failure was
+    -- a double-space subtraction whose ~0 residual sign differed by engine).
+    SELECT n,
+           CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+             - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+           CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+           CAST(sx AS HUGEINT) AS sxh,
+           CAST(sy AS HUGEINT) AS syh
+    FROM s
 )
 SELECT n AS n_checkpoints,
-       ROUND((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
-              - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
-             / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
-                - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
-             6) AS beta,
-       ROUND((CAST(sy AS DOUBLE) / 1e9
-              - (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18)
-                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
-                / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18)
-                   - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
-                * (CAST(sx AS DOUBLE) / 1e9))
-             / CAST(n AS DOUBLE), 6) AS ln_k
-FROM s
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS beta,
+       ROUND(CAST(syh * den - num * sxh AS DOUBLE)
+             / CAST(den * CAST(n AS HUGEINT) AS DOUBLE) / 1e9, 6) AS ln_k
+FROM fin
 """.strip()
 
 
@@ -3164,16 +3169,31 @@ def heaps_law_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x_fp") * F.col("y_fp")).cast("decimal(38,0)").alias("sxy"),
         F.sum(F.col("x_fp") * F.col("x_fp")).cast("decimal(38,0)").alias("sxx"),
     )
-    nD = F.col("n").cast("double")
-    sx = F.col("sx").cast("double") / F.lit(1e9)
-    sy = F.col("sy").cast("double") / F.lit(1e9)
-    sxy = F.col("sxy").cast("double") / F.lit(1e18)
-    sxx = F.col("sxx").cast("double") / F.lit(1e18)
-    slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
-    return s.select(
+    # Exact-integer OLS moments (DECIMAL(38,0) ~ the oracle's HUGEINT), ONE
+    # double division per output.  den = n*Sxx - Sx^2 >= 0 (Cauchy-Schwarz),
+    # so a zero numerator yields +0.0 in both engines — the r10 driver FAIL
+    # was a double-space subtraction whose ~0 residual SIGN differed by
+    # engine (Spark 0.0 vs DuckDB -0.0).  Magnitudes: |x_fp| <= ~3e10, so
+    # n*sxy <= ~4e23 and sy*den <= ~3e35 — all within 38 digits.
+    nH = F.col("n").cast("decimal(38,0)")
+    fin = s.select(
+        "n",
+        (nH * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (nH * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        F.col("sx").alias("sxh"),
+        F.col("sy").alias("syh"),
+    )
+    return fin.select(
         F.col("n").alias("n_checkpoints"),
-        F.round(slope, 6).alias("beta"),
-        F.round((sy - slope * sx) / nD, 6).alias("ln_k"),
+        F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+        .alias("beta"),
+        F.round(
+            (F.col("syh") * F.col("den") - F.col("num") * F.col("sxh"))
+            .cast("double")
+            / (F.col("den") * F.col("n").cast("decimal(38,0)")).cast("double")
+            / F.lit(1e9),
+            6,
+        ).alias("ln_k"),
     )
 
 

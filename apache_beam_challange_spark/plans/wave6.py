@@ -993,7 +993,11 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pproj = ppiv.groupBy("pair").agg(
         F.sum(pd * pd).cast(d38).alias("d2p_fp")
     )
-    ratios = orig.join(pproj, "pair").select(
+    # drop unpaired audit vectors (odd total below the cutoff leaves one
+    # side NULL → NULL sums); the oracle's inner pair join never sees them
+    ratios = orig.join(pproj, "pair").filter(
+        F.col("d2o_fp").isNotNull() & F.col("d2p_fp").isNotNull()
+    ).select(
         "pair",
         F.floor(
             F.col("d2p_fp").cast("double")
@@ -2416,7 +2420,7 @@ WITH RECURSIVE cells AS MATERIALIZED (
 rowt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS target_r FROM cells GROUP BY 1),
 nall AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells),
 colt AS (
-    SELECT h, CAST((SELECT n_all FROM nall) * {_IPF_FP} AS HUGEINT) // 24
+    SELECT h, CAST((SELECT n_all FROM nall) AS HUGEINT) * {_IPF_FP} // 24
         AS target_c_fp
     FROM (SELECT DISTINCT h FROM cells)
 ),
@@ -2477,9 +2481,14 @@ def ipf_raking_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nall))
         .select(
             "h",
-            F.expr(f"CAST((n_all * {_IPF_FP}) div 24 AS DECIMAL(38,0))").alias(
-                "target_c_fp"
-            ),
+            # exact decomposition of (n_all * 1e9) div 24: with q = n_all
+            # div 24, r = n_all % 24 it equals q*1e9 + (r*1e9) div 24 — no
+            # LONG-space product (the naive form overflows past ~9.2e9
+            # events; the oracle runs the same quotient in HUGEINT).
+            F.expr(
+                f"CAST(CAST(n_all div 24 AS DECIMAL(38,0)) * {_IPF_FP}"
+                f" + ((n_all % 24) * {_IPF_FP}) div 24 AS DECIMAL(38,0))"
+            ).alias("target_c_fp"),
         )
     )
     d38 = "decimal(38,0)"
@@ -4233,19 +4242,17 @@ def sbg_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("churned").cast("long").alias("c_t"),
         F.sum(F.lit(1) - F.col("churned")).cast("long").alias("s_t"),
     ).localCheckpoint()  # feeds tmax AND the likelihood join
-    tmax = cells.agg(F.max("t").cast("long").alias("tm"))
     spark_s = ev.sparkSession
     qs = spark_s.range(1, _SBG_QMAX + 1)
     grid = qs.select(F.col("id").alias("aq")).crossJoin(
         qs.select(F.col("id").alias("bq"))
     )
-    wk = (
-        spark_s.range(1, 200)
-        .select(F.col("id").alias("i"))
-        .crossJoin(F.broadcast(tmax))
-        .filter(F.col("i") <= F.col("tm"))
-        .select("i")
-    )
+    # scalar-watermark collect: tm is ONE long (max observed lifetime in
+    # weeks, horizon-bounded) read off the already-checkpointed cells frame;
+    # the spine is sized from the data, never silently capped (the oracle's
+    # generate_series(1, tmax) is likewise uncapped).
+    tm = int(cells.agg(F.max("t").cast("long").alias("tm")).first()[0] or 1)
+    wk = spark_s.range(1, tm + 1).select(F.col("id").alias("i"))
     lt = grid.crossJoin(wk)
     aqd = F.col("aq").cast("double")
     bqd = F.col("bq").cast("double")
@@ -4758,9 +4765,12 @@ def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
     )
     nbD = F.col("nb").cast("double")
-    mean = F.col("s").cast("double") / nbD
+    sD = F.col("s").cast("double")
+    mean = sD / nbD
+    # explicit self-multiplication, NOT ** 2 (Java Math.pow is only 1-ulp
+    # accurate; the oracle spells s*s — keep the double expression identical)
     sd = F.sqrt(
-        (F.col("q").cast("double") - F.col("s").cast("double") ** 2 / nbD)
+        (F.col("q").cast("double") - sD * sD / nbD)
         / (F.col("nb") - F.lit(1)).cast("double")
     )
     beta = sd * F.lit(_EVT_SQRT6_PI)

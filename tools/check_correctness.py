@@ -31,8 +31,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == 0.0:
-            v = 0.0  # normalize -0.0
+        # NO -0.0 normalization: the driver's hasher distinguishes "0.0"
+        # from "-0.0" (r10: heaps_law_fit_tokens passed locally, failed the
+        # driver).  The local gate must be at least as strict as the driver.
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))

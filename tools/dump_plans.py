@@ -234,6 +234,9 @@ FLAGSHIPS = [
     "qini_uplift_deciles",
     "graph_degree_assortativity",
     "evalue_sensitivity_weekend",
+    "gumbel_block_maxima_fit",
+    "hill_tail_index",
+    "funnel_step_latency_quantiles",
 ]
 
 
