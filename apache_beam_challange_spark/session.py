@@ -88,6 +88,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's tuned defaults."""
+    # TWS needs google.protobuf in driver AND workers; the shim must land
+    # on PYTHONPATH before the JVM starts (no-op where protobuf exists).
+    from apache_beam_challange_spark.streaming.tws_env import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS

@@ -138,6 +138,117 @@ R8_NOISE_CLASS = {
     for n, w in R8_PINS.items()
 }
 
+#: Per-query noise-class pins for the round9/wave5/wave6 series (VERDICT
+#: r10 #4, carried from r9 #5): the round-10 close's clean-host run
+#: (BENCH_DETAIL @ noise_ref 0.269, REPEATS=3 medians at sf0.1) is the
+#: reference wall for every member of the three newest series. Same
+#: adjudication rule as R8_PINS: classed once FROM THE PIN — "noise" if
+#: the pinned wall sits under 3x the pinned noise_ref (~0.81 s), where
+#: host state dominates plan structure — and only signal-class ratios
+#: (emitted as vs_r10, max as vs_r10_signal_max) carry regression
+#: meaning on their own; noise-class swings read against the current
+#: run's noise_ref.
+R10_PINS_NOISE_REF = 0.269
+R10_PINS = {
+    "asof_payload_last_click_before_purchase": 0.376,
+    "mann_whitney_auc_purchase": 0.242,
+    "spearman_value_hour_by_type": 1.028,
+    "lift_gain_deciles_value": 0.959,
+    "token_hapax_stats_by_source": 0.336,
+    "acf_daily_revenue": 0.554,
+    "ivf_retrain_topk_vec0": 1.063,
+    "kendall_tau_value_hour_by_type": 2.043,
+    "asof_forward_next_purchase_after_click": 0.347,
+    "bradley_terry_part_prefs": 1.765,
+    "holt_forecast_backtest": 0.403,
+    "mann_kendall_sen_trend_daily": 0.702,
+    "seasonal_decompose_daily": 0.523,
+    "did_estimate_by_type": 0.448,
+    "anova_f_value_by_type": 0.37,
+    "kruskal_wallis_value_by_type": 0.722,
+    "nelson_aalen_hazard_to_purchase": 0.306,
+    "logrank_purchase_by_parity": 0.357,
+    "hhi_nation_revenue_concentration": 0.491,
+    "theil_index_revenue": 0.316,
+    "ccf_clicks_purchases_daily": 0.452,
+    "loo_group_influence_on_slope": 0.367,
+    "stratified_ate_weekend_value": 0.311,
+    "ece_calibration_value_deciles": 0.313,
+    "average_precision_purchase_by_value": 0.235,
+    "isotonic_purchase_rate_by_value_bin": 0.572,
+    "zipf_fit_tokens": 0.331,
+    "fdr_bh_hourly_purchase_rate": 0.387,
+    "holt_winters_forecast_backtest": 0.638,
+    "km_greenwood_ci": 0.37,
+    "weighted_quantiles_value_by_type": 0.471,
+    "cmh_weekend_purchase_by_hour": 0.368,
+    "resample_linear_hourly": 0.674,
+    "wilson_ci_purchase_by_parity": 0.231,
+    "dispersion_index_hourly_counts": 0.381,
+    "granger_lite_clicks_purchases": 0.489,
+    "weekly_periodogram_power": 0.5,
+    "sprt_purchase_rate_monitor": 0.848,
+    "cohens_d_weekend_value": 0.323,
+    "energy_distance_weekend_value": 0.474,
+    "heaps_law_fit_tokens": 0.576,
+    "token_burstiness_top_terms": 0.51,
+    "cka_embedding_halves": 0.758,
+    "effective_rank_embeddings": 0.652,
+    "rmst_to_purchase": 0.465,
+    "msprt_always_valid_pvalue": 1.038,
+    "qte_weekend_value": 0.44,
+    "trimmed_mean_value_by_type": 0.503,
+    "fwl_weekend_effect_hour_fe": 0.335,
+    "theil_decomposition_by_nation": 0.623,
+    "mi_type_hour_dependence": 0.446,
+    "kendall_w_hourly_revenue_ranking": 0.361,
+    "abc_xyz_parts": 0.867,
+    "order_to_ship_latency_quantiles": 0.866,
+    "return_rate_by_brand_wilson": 0.442,
+    "price_elasticity_by_brand": 0.714,
+    "mad_value_by_type": 0.724,
+    "tukey_fence_outliers_by_type": 0.507,
+    "seasonal_naive_backtest": 0.303,
+    "brier_murphy_decomposition": 0.504,
+    "woe_iv_value_bins": 0.34,
+    "obf_group_sequential_monitor": 0.9,
+    "neyman_allocation_by_type": 0.372,
+    "t_closeness_audit": 0.453,
+    "ndcg_at_k_value_ranking": 0.895,
+    "jl_projection_distortion": 0.765,
+    "markov_removal_attribution": 4.614,
+    "hilbert_orders_keys": 0.568,
+    "ngram_novelty_by_source": 1.206,
+    "shapley_attribution": 1.291,
+    "conformal_value_intervals": 0.807,
+    "jackknife_ratio_variance": 0.524,
+    "delta_method_ratio_ci": 0.357,
+    "huber_location_by_type": 3.099,
+    "kish_effective_sample_size": 0.322,
+    "mcnemar_weekend_purchase": 0.229,
+    "ipf_raking_type_hour": 1.517,
+    "t_closeness_emd_audit": 1.69,
+    "association_effect_sizes_type_dow": 0.756,
+    "fs_em_parameter_estimation": 3.281,
+    "aalen_johansen_cif": 0.451,
+    "markov_entropy_rate": 3.249,
+    "good_turing_chao1_vocab": 0.42,
+    "audio_dominant_frequency": 1.601,
+    "image_dct_phash": 3.097,
+    "platt_scaling_value_purchase": 3.488,
+    "sbg_retention_fit": 0.878,
+    "qini_uplift_deciles": 0.471,
+    "graph_degree_assortativity": 2.152,
+    "evalue_sensitivity_weekend": 0.279,
+    "gumbel_block_maxima_fit": 0.327,
+    "hill_tail_index": 0.41,
+    "funnel_step_latency_quantiles": 0.693,
+}
+R10_NOISE_CLASS = {
+    n: ("noise" if w < 3 * R10_PINS_NOISE_REF else "signal")
+    for n, w in R10_PINS.items()
+}
+
 HEADLINE = [
     "q1_sql_top_pairs",
     "q2_top_pairs_ops",
@@ -620,6 +731,15 @@ def main() -> None:
     vs_r8_signal = {
         n: r for n, r in vs_r8.items() if R8_NOISE_CLASS[n] == "signal"
     }
+    r10_walls = {**round9, **wave5, **wave6}
+    vs_r10 = {
+        n: round(w / R10_PINS[n], 2)
+        for n, w in r10_walls.items()
+        if n in R10_PINS
+    } if sf == 0.1 else {}
+    vs_r10_signal = {
+        n: r for n, r in vs_r10.items() if R10_NOISE_CLASS[n] == "signal"
+    }
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -655,6 +775,8 @@ def main() -> None:
         "vs_r1": vs_r1,
         "vs_r8": vs_r8,
         "r8_noise_class": R8_NOISE_CLASS,
+        "vs_r10": vs_r10,
+        "r10_noise_class": R10_NOISE_CLASS,
         "repeats": REPEATS,
         "aggregation": "median",
         "sf": sf,
@@ -694,6 +816,9 @@ def main() -> None:
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "vs_r8_signal_max": (
                     max(vs_r8_signal.values()) if vs_r8_signal else None
+                ),
+                "vs_r10_signal_max": (
+                    max(vs_r10_signal.values()) if vs_r10_signal else None
                 ),
                 "group_counts": group_counts,
                 "group_members_md5": group_members_md5,

@@ -430,10 +430,15 @@ def test_transform_with_state_running_counts(spark, tmp_path):
     """The Spark 4 transformWithStateInPandas route of the same running
     counter (typed ValueState, RocksDB provider). The TWS Python driver
     worker speaks protobuf to the JVM state server, so this test skips
-    where google.protobuf is unusable (this container); the
+    where google.protobuf is unusable even via the App Engine shim
+    (streaming/tws_env.py — round 11 un-blocked this container); the
     applyInPandasWithState twin above carries the continuous-trigger
     proof unconditionally."""
-    pytest.importorskip("google.protobuf.descriptor")
+    from apache_beam_challange_spark.streaming.tws_env import ensure_protobuf
+
+    reason = ensure_protobuf()
+    if reason:
+        pytest.skip(reason)
     import time
 
     from apache_beam_challange_spark.streaming.stateful import (
@@ -922,7 +927,11 @@ def test_user_session_stats_tws_twin(spark, tmp_path):
     """The transformWithStateInPandas twin of user_session_stats (typed
     ValueState/ListState). Protobuf-gated like the running-counts TWS
     test; where it runs it must equal the batch GROUP BY."""
-    pytest.importorskip("google.protobuf.descriptor")
+    from apache_beam_challange_spark.streaming.tws_env import ensure_protobuf
+
+    reason = ensure_protobuf()
+    if reason:
+        pytest.skip(reason)
     from apache_beam_challange_spark.streaming.stateful import (
         user_session_stats_tws,
     )

@@ -29,17 +29,20 @@ sys.path.insert(
 
 
 def probe_environment() -> str | None:
-    """Return None if TWS can run here, else the human-readable reason."""
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-    except Exception as exc:  # pragma: no cover - env-specific
+    """Return None if TWS can run here, else the human-readable reason.
+
+    Round 11: the probe now activates the App Engine protobuf shim
+    (``streaming/tws_env.ensure_protobuf``) before giving up — a
+    pure-python protobuf 6.32 ships inside the preinstalled Google Cloud
+    SDK, which un-blocks the seam in this container."""
+    from apache_beam_challange_spark.streaming.tws_env import ensure_protobuf
+
+    reason = ensure_protobuf()
+    if reason is not None:  # pragma: no cover - env-specific
         return (
-            "google.protobuf is unusable in this container "
-            f"({type(exc).__name__}: {exc}) — the TWS Python worker "
-            "speaks protobuf to the JVM state server, so "
-            "transformWithStateInPandas cannot start. The operators ship "
-            "UNVERIFIED here; their shared _fold_session_batches "
-            "accumulator IS covered via the applyInPandasWithState twin."
+            reason + " The operators ship UNVERIFIED here; their shared "
+            "_fold_session_batches accumulator IS covered via the "
+            "applyInPandasWithState twin."
         )
     return None
 
