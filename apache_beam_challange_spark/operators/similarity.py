@@ -1254,3 +1254,274 @@ def ann_lsh_multitable_topk_filtered(
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# --- DiskANN-class (Vamana) on-disk graph index --------------------------------
+
+#: Vamana parameters: candidate pool size, alpha-prune rounds (= max kept
+#: out-edges before reverse merge), alpha as an exact integer ratio
+#: (12/10 = 1.2), post-reverse-merge degree cap, and the serve budget.
+VAMANA_C, VAMANA_PRUNE_ROUNDS = 24, 8
+VAMANA_ALPHA_NUM, VAMANA_ALPHA_DEN = 12, 10
+VAMANA_CAP, VAMANA_BEAM, VAMANA_ROUNDS = 12, 16, 8
+
+#: 1e9 fixed point for every graph-build/serve DECISION (selection,
+#: pruning, ordering): both engines floor the identical double cosine to
+#: the identical integer, so no 1-ulp difference can flip a comparison.
+_VAM_FP = 1_000_000_000.0
+
+
+def _cos_fp(a, b):
+    return F.floor(cosine(a, b) * F.lit(_VAM_FP)).cast("long")
+
+
+def vamana_build_graph(
+    embeddings: DataFrame,
+    num_tables: int = NSW_TABLES,
+    num_planes: int = NSW_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Vamana (DiskANN) graph construction, Spark-relational and
+    deterministic — the three ingredients that distinguish it from the
+    NSW top-M graph (nsw_build_graph keeps the M nearest candidates;
+    Vamana's alpha-prune deliberately keeps a mix of short AND
+    long-range edges, which is what makes single-entry greedy search
+    converge from a medoid):
+
+    1. **Candidate pool** — LSH-bucket pairs (never all-pairs), top-C per
+       node by fixed-point cosine.
+    2. **alpha-RobustPrune** (DiskANN Algorithm 2) as a BOUNDED iterative
+       relational program: each of the R rounds keeps the closest
+       surviving candidate and discards every candidate it alpha-covers
+       (``alpha * d(kept, c) <= d(p, c)`` — evaluated exactly in integer
+       fixed point as ``12*(1e9 - cos_fp(kept,c)) <= 10*(1e9 -
+       cos_fp(p,c))``). Pairwise candidate-candidate cosines come from
+       ONE bounded C^2-per-node self-join, computed once.
+    3. **Reverse-edge merge + degree cap** — every kept edge is inserted
+       in both directions (cosine is exactly symmetric), then capped to
+       the top-``VAMANA_CAP`` per node.
+
+    Work is bucket-bounded per node (C^2 prune pairs), one hash shuffle
+    per stage — survives the 100x scale-up by construction. Returns
+    directed (src, dst, c_fp) adjacency."""
+    from pyspark.sql import Window
+
+    buck = _multitable_buckets(embeddings, num_tables, num_planes, dim)
+    pairs = (
+        buck.alias("a")
+        .join(
+            buck.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    scored = (
+        pairs.join(vecs.withColumnRenamed("vec_id", "src").alias("va"), "src")
+        .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb")), "dst")
+        .select("src", "dst", _cos_fp(F.col("v"), F.col("vb")).alias("c_fp"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c_fp").desc(), F.col("dst"))
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VAMANA_C)
+        .localCheckpoint()  # feeds the pairwise join AND every prune round
+    )
+    # bounded C^2-per-node pairwise cosines for the alpha-cover test
+    pp = (
+        cand.select("src", F.col("dst").alias("di"))
+        .join(cand.select("src", F.col("dst").alias("dj")), "src")
+        .filter(F.col("di") != F.col("dj"))
+        .join(vecs.select(F.col("vec_id").alias("di"), F.col("v").alias("vi")), "di")
+        .join(vecs.select(F.col("vec_id").alias("dj"), F.col("v").alias("vj")), "dj")
+        .select("src", "di", "dj", _cos_fp(F.col("vi"), F.col("vj")).alias("cc_fp"))
+        .localCheckpoint()
+    )
+    pending = cand
+    kept = None
+    w_min = Window.partitionBy("src").orderBy("rk")
+    for _ in range(VAMANA_PRUNE_ROUNDS):
+        winner = (
+            pending.withColumn("mr", F.row_number().over(w_min))
+            .filter(F.col("mr") == 1)
+            .select("src", F.col("dst").alias("wdst"), F.col("c_fp").alias("wc_fp"))
+        )
+        kept_round = winner.select(
+            "src", F.col("wdst").alias("dst"), F.col("wc_fp").alias("c_fp")
+        )
+        kept = kept_round if kept is None else kept.union(kept_round)
+        pending = (
+            pending.join(winner.select("src", "wdst"), "src")
+            .filter(F.col("dst") != F.col("wdst"))
+            .join(
+                pp.select(
+                    "src",
+                    F.col("di").alias("wdst"),
+                    F.col("dj").alias("dst"),
+                    "cc_fp",
+                ),
+                ["src", "wdst", "dst"],
+            )
+            .filter(
+                ~(
+                    F.lit(VAMANA_ALPHA_NUM) * (F.lit(int(_VAM_FP)) - F.col("cc_fp"))
+                    <= F.lit(VAMANA_ALPHA_DEN) * (F.lit(int(_VAM_FP)) - F.col("c_fp"))
+                )
+            )
+            .select("src", "dst", "c_fp", "rk")
+            .localCheckpoint()
+        )
+    rev = kept.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "c_fp"
+    )
+    merged = kept.union(rev).dropDuplicates(["src", "dst"])
+    w_cap = Window.partitionBy("src").orderBy(F.col("c_fp").desc(), F.col("dst"))
+    return (
+        merged.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= VAMANA_CAP)
+        .select("src", "dst", "c_fp")
+    )
+
+
+def vamana_medoid(embeddings: DataFrame) -> DataFrame:
+    """The search entry point, DiskANN-style: the vector most similar to
+    the corpus centroid. Exact-deterministic without a cross-row float
+    sum: per-dimension centroid components are INTEGER sums of 1e-6
+    fixed-point components (order-free), the per-vector score is the
+    integer dot ``sum(x_fp * C_j)`` (DECIMAL(38,0) — exact at any corpus
+    size) over the vector's own exact integer norm, one double division.
+    One narrow pass + one 64-row broadcast; returns a single
+    (medoid_id) row."""
+    comp = embeddings.select(
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("j", "x"),
+    ).select(
+        "vec_id", "j", F.floor(F.col("x") * F.lit(1e6)).cast("long").alias("x_fp")
+    )
+    cent = comp.groupBy("j").agg(F.sum("x_fp").cast("long").alias("cj"))
+    d38 = "decimal(38,0)"
+    scores = (
+        comp.join(F.broadcast(cent), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("x_fp").cast(d38) * F.col("cj").cast(d38))
+            .cast(d38)
+            .alias("m_num"),
+            F.sum(F.col("x_fp").cast(d38) * F.col("x_fp").cast(d38))
+            .cast(d38)
+            .alias("n2_fp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        (
+            F.col("m_num").cast("double")
+            / F.sqrt(F.col("n2_fp").cast("double"))
+        ).desc(),
+        F.col("vec_id"),
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("medoid_id"))
+    )
+
+
+def vamana_write_index(embeddings: DataFrame, path: str, **kw) -> None:
+    """Materialize the Vamana graph AT REST (ivf/lsh/nsw_write_index
+    posture): adjacency sorted by src for row-group pruning on the
+    serve-side IN-list lookups, plus a one-row ``path + "_medoid"``
+    sidecar holding the entry point. Commit order (torn-artifact rule):
+    invalidate the primary marker, commit the sidecar, commit the
+    adjacency LAST."""
+    import os
+
+    stale = os.path.join(path, "_SUCCESS")
+    if os.path.exists(stale):
+        os.remove(stale)
+    vamana_medoid(embeddings).write.mode("overwrite").parquet(path + "_medoid")
+    vamana_build_graph(embeddings, **kw).sortWithinPartitions(
+        "src"
+    ).write.mode("overwrite").parquet(path)
+
+
+def vamana_topk(
+    embeddings: DataFrame,
+    adjacency: DataFrame,
+    medoid_id: int,
+    query_vec_id: int,
+    k: int = 20,
+    beam: int = VAMANA_BEAM,
+    rounds: int = VAMANA_ROUNDS,
+) -> DataFrame:
+    """DiskANN-style greedy beam search from the SINGLE medoid entry
+    (where NSW seeds a coarse sample, Vamana's alpha-prune guarantees
+    long-range edges make one entry point sufficient): score the medoid,
+    then for ``rounds`` iterations expand the top-``beam`` unexpanded
+    visited nodes through the at-rest adjacency and score the newly
+    reached nodes — every decision on 1e9 fixed-point cosine. Same
+    iterative-driver-job shape as :func:`nsw_topk`: the frontier
+    (<= beam ids) and reached set (<= beam*CAP ids) are parameter-bounded
+    collects re-issued as IN-list filters, pushed to the src-sorted
+    adjacency scan and the vector point-lookup — per-query work is
+    O(rounds*beam*CAP) regardless of corpus size."""
+    qvec = _query_vec(embeddings, query_vec_id)
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+
+    def score(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(qvec)).select(
+            "vec_id", _cos_fp(F.col("vec"), F.col("__qvec")).alias("q_fp")
+        )
+
+    visited = score(
+        vecs.filter(
+            (F.col("vec_id") == medoid_id) & (F.col("vec_id") != query_vec_id)
+        )
+    ).localCheckpoint()
+    expanded: set[int] = set()
+    seen_reached: set[int] = set()
+    for _ in range(rounds):
+        frontier_ids = [
+            r.vec_id
+            for r in visited.filter(
+                ~F.col("vec_id").isin(list(expanded)) if expanded else F.lit(True)
+            )
+            .orderBy(F.col("q_fp").desc(), F.col("vec_id"))
+            .limit(beam)
+            .collect()
+        ]
+        if not frontier_ids:
+            break
+        expanded.update(frontier_ids)
+        reached_ids = {
+            r.dst
+            for r in adjacency.filter(F.col("src").isin(frontier_ids))
+            .select("dst")
+            .distinct()
+            .collect()
+            if r.dst != query_vec_id
+        }
+        reached_ids -= expanded | seen_reached
+        seen_reached.update(reached_ids)
+        if not reached_ids:
+            continue
+        new_scored = score(vecs.filter(F.col("vec_id").isin(list(reached_ids))))
+        visited = visited.union(new_scored).localCheckpoint()
+    return (
+        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("q_fp").cast("double") / F.lit(_VAM_FP), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("q_fp").desc(), F.col("vec_id"))
+        .limit(k)
+    )

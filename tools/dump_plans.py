@@ -237,6 +237,8 @@ FLAGSHIPS = [
     "gumbel_block_maxima_fit",
     "hill_tail_index",
     "funnel_step_latency_quantiles",
+    "multimodal_decode_jpeg",
+    "vamana_topk_vec0",
 ]
 
 
