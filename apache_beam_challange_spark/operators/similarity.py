@@ -1525,3 +1525,108 @@ def vamana_topk(
         .orderBy(F.col("q_fp").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def vamana_topk_batch(
+    embeddings: DataFrame,
+    adjacency: DataFrame,
+    medoid_id: int,
+    query_ids: list[int],
+    k: int = 5,
+    beam: int = VAMANA_BEAM,
+    rounds: int = VAMANA_ROUNDS,
+) -> DataFrame:
+    """Batched Vamana serving — the ``knn_join_vec10`` discipline applied
+    to the alpha-pruned graph (family parity with :func:`nsw_topk_batch`):
+    every query advances through the SAME per-round plan keyed by
+    ``qid``, all from the one medoid entry, every decision on 1e9
+    fixed-point cosine. Driver-side work is ``rounds + 1``
+    localCheckpoint actions independent of batch size; no ``.collect()``
+    anywhere in the search. Per round: ONE window over the
+    parameter-bounded visited set, one src-pushed adjacency join, one
+    point-lookup join, one anti-join — never corpus-bounded."""
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(list(query_ids))).select(
+            F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+        )
+    )
+    visited = (
+        vecs.filter(F.col("vec_id") == medoid_id)
+        .crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _cos_fp(F.col("vec"), F.col("qvec")).alias("q_fp"),
+            F.lit(False).alias("expanded"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("q_fp").desc(), "vec_id")
+    for _ in range(rounds):
+        frontier = (
+            visited.filter(~F.col("expanded"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= beam)
+            .select("qid", "vec_id")
+        )
+        reached = (
+            frontier.withColumnRenamed("vec_id", "src")
+            .join(adjacency.select("src", "dst"), "src")
+            .select("qid", F.col("dst").alias("vec_id"))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .distinct()
+            .join(visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
+        )
+        new_scored = (
+            reached.join(vecs.select("vec_id", "vec"), "vec_id")
+            .join(queries, "qid")
+            .select(
+                "qid",
+                "vec_id",
+                _cos_fp(F.col("vec"), F.col("qvec")).alias("q_fp"),
+                F.lit(False).alias("expanded"),
+            )
+        )
+        visited = (
+            visited.join(
+                frontier.withColumn("_f", F.lit(True)), ["qid", "vec_id"], "left"
+            )
+            .select(
+                "qid",
+                "vec_id",
+                "q_fp",
+                (F.col("expanded") | F.coalesce(F.col("_f"), F.lit(False))).alias(
+                    "expanded"
+                ),
+            )
+            .unionByName(new_scored)
+            .localCheckpoint()
+        )
+    wk = Window.partitionBy("query_vec_id").orderBy(
+        F.col("q_fp").desc(), F.col("vec_id")
+    )
+    return (
+        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "vec_id",
+            "label",
+            "q_fp",
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_vec_id",
+            "vec_id",
+            "label",
+            F.round(F.col("q_fp").cast("double") / F.lit(_VAM_FP), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )

@@ -142,18 +142,20 @@ DRIVER_ORDER: list[str] = [
     "mi_type_hour_dependence",
     "kendall_w_hourly_revenue_ranking",
     "price_elasticity_by_brand",
-    "abc_xyz_parts",
     # round-11 additions (VERDICT r10 #7), straight into the tier so they
     # never join a never-checked backlog: the baseline JPEG codec
-    # round-trip and the DiskANN-class (Vamana) graph ANN
+    # round-trip and the DiskANN-class (Vamana) graph ANN, single +
+    # batched serving
     "multimodal_decode_jpeg",
     "vamana_topk_vec0",
-    # (Round-12 rotation pool — the 7-query remainder of the
+    "vamana_knn_join_vec10",
+    # (Round-12 rotation pool — the 8-query remainder of the
     # never-driver-checked set: trimmed_mean_value_by_type,
     # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
     # mad_value_by_type, tukey_fence_outliers_by_type,
-    # seasonal_naive_backtest, plus simhash_signatures_xxhash64_perf —
-    # the rows-only labeled perf twin, lowest stakes, deferred last.)
+    # seasonal_naive_backtest, abc_xyz_parts, plus
+    # simhash_signatures_xxhash64_perf — the rows-only labeled perf
+    # twin, lowest stakes, deferred last.)
 ]
 
 

@@ -200,8 +200,8 @@ sv{r} AS MATERIALIZED (
 )""".strip()
 
 
-_VAMANA_SQL = f"""
-WITH vecs AS (
+_VAMANA_GRAPH_CTE = f"""
+vecs AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 comp AS (
@@ -279,7 +279,11 @@ med AS (
     SELECT vec_id FROM msc
     ORDER BY CAST(m_num AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) DESC, vec_id
     LIMIT 1
-),
+)
+""".strip()
+
+_VAMANA_SQL = f"""
+WITH {_VAMANA_GRAPH_CTE},
 q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
 sv0 AS MATERIALIZED (
     SELECT v.vec_id,
@@ -330,3 +334,92 @@ def vamana_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(path + "_medoid").first()["medoid_id"]
     )
     return vamana_topk(emb, adjacency, medoid_id, query_vec_id=0)
+
+
+def _vamana_batch_round_sql(r: int) -> str:
+    """One unrolled round of the BATCH beam search over the Vamana graph:
+    per-qid top-16 unexpanded frontier (fixed-point qf desc / vec_id
+    ties), adjacency expansion, score only unseen (qid, vec_id) pairs;
+    the UNION dedup mirrors the engine's anti-join (re-scored rows are
+    bit-identical integers)."""
+    prev = f"bv{r - 1}"
+    exclude = " UNION ALL ".join(
+        f"SELECT qid, vec_id FROM bf{i}" for i in range(1, r)
+    )
+    not_exists = (
+        f"""WHERE NOT EXISTS (
+            SELECT 1 FROM ({exclude}) u
+            WHERE u.qid = pv.qid AND u.vec_id = pv.vec_id)"""
+        if exclude
+        else ""
+    )
+    return f"""
+bf{r} AS MATERIALIZED (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY qf DESC, vec_id) AS rk
+        FROM {prev} pv {not_exists}
+    ) WHERE rk <= 16
+),
+bv{r} AS MATERIALIZED (
+    SELECT * FROM {prev}
+    UNION
+    SELECT n.qid, n.vec_id,
+           CAST(FLOOR(list_cosine_similarity(v.v, q.qv) * 1e9) AS BIGINT)
+    FROM (SELECT DISTINCT f.qid, a.dst AS vec_id
+          FROM adj a JOIN bf{r} f ON a.src = f.vec_id) n
+    JOIN vecs v ON v.vec_id = n.vec_id
+    JOIN qset q ON q.qid = n.qid
+    WHERE n.vec_id <> n.qid
+)""".strip()
+
+
+_VAMANA_BATCH_SQL = f"""
+WITH {_VAMANA_GRAPH_CTE},
+qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),
+bv0 AS MATERIALIZED (
+    SELECT q.qid, v.vec_id,
+           CAST(FLOOR(list_cosine_similarity(v.v, q.qv) * 1e9) AS BIGINT)
+               AS qf
+    FROM vecs v CROSS JOIN qset q
+    JOIN med ON v.vec_id = med.vec_id
+    WHERE v.vec_id <> q.qid
+),
+{",".join(_vamana_batch_round_sql(r) for r in range(1, 9))}
+SELECT query_vec_id, vec_id, label, cosine_sim FROM (
+    SELECT t.qid AS query_vec_id, t.vec_id, ve.label,
+           ROUND(CAST(t.qf AS DOUBLE) / 1e9, 6) AS cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY t.qid
+               ORDER BY t.qf DESC, t.vec_id) AS rk
+    FROM bv8 t JOIN vecs ve ON ve.vec_id = t.vec_id
+) WHERE rk <= 5
+ORDER BY query_vec_id, cosine_sim DESC, vec_id
+""".strip()
+
+
+@query("vamana_knn_join_vec10", oracle=_VAMANA_BATCH_SQL)
+def vamana_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched Vamana serving — family parity with the round-8 batched
+    NSW/LSH/MIPS/IVFPQ twins: top-5 neighbors for EVERY query in a
+    10-vector batch through one qid-keyed frontier plan from the single
+    medoid entry. Driver-side work is rounds+1 localCheckpoints
+    independent of batch size (no collect in the search); the oracle
+    replays the shared graph build, medoid, and all 8 batch rounds
+    move-for-move on the identical fixed-point integers."""
+    from apache_beam_challange_spark.operators.similarity import (
+        vamana_topk_batch,
+        vamana_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = warehouse_path(sf_dir, "vamana_idx_c24r8a12", "embeddings")
+    if not is_materialized(path):
+        vamana_write_index(emb, path)
+    adjacency = spark.read.parquet(path)
+    medoid_id = int(
+        spark.read.parquet(path + "_medoid").first()["medoid_id"]
+    )
+    return vamana_topk_batch(
+        emb, adjacency, medoid_id, query_ids=list(range(10)), k=5
+    )

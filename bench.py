@@ -596,6 +596,7 @@ WAVE6 = [
 WAVE7 = [
     "multimodal_decode_jpeg",
     "vamana_topk_vec0",
+    "vamana_knn_join_vec10",
 ]
 
 CURATION = [

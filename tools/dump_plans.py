@@ -239,6 +239,7 @@ FLAGSHIPS = [
     "funnel_step_latency_quantiles",
     "multimodal_decode_jpeg",
     "vamana_topk_vec0",
+    "vamana_knn_join_vec10",
 ]
 
 
