@@ -423,3 +423,141 @@ def vamana_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vamana_topk_batch(
         emb, adjacency, medoid_id, query_ids=list(range(10)), k=5
     )
+
+
+# --- perceptual hash over LOSSY-decoded JPEG pixels ---------------------------
+
+from apache_beam_challange_spark.plans.wave6 import (  # noqa: E402
+    _DCT_CU,
+    _DCT_CU_VALUES,
+    _DCT_CV,
+    _DCT_CV_VALUES,
+)
+from pyspark.sql.window import Window  # noqa: E402
+
+#: the JPEG reconstruction chain (dims..rpx) shared by the decode audit
+#: and the pHash query — sliced once from _JPEG_SQL so the two oracles
+#: can never drift apart.
+_JPEG_RECON_CTE = _JPEG_SQL[len("WITH "):_JPEG_SQL.index("\n)\nSELECT r.doc_id") + 2]
+
+_JPEG_PHASH_SQL = f"""
+WITH {_JPEG_RECON_CTE},
+cells AS (
+    SELECT r.doc_id, (r.x * 4) // d.w AS cx, (r.y * 3) // d.h AS cy,
+           CAST(SUM(r.recon) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+    FROM rpx r JOIN dims d ON d.doc_id = r.doc_id
+    GROUP BY 1, 2, 3
+),
+means AS (
+    SELECT doc_id, cx, cy, (s * 1000000) // c AS m_fp FROM cells
+),
+cu AS (SELECT * FROM (VALUES {_DCT_CU_VALUES}) t(u, cx, cu_fp)),
+cv AS (SELECT * FROM (VALUES {_DCT_CV_VALUES}) t(v, cy, cv_fp)),
+dcoef AS (
+    SELECT m.doc_id, cu.u, cv.v,
+           CAST(SUM(CAST(m.m_fp AS HUGEINT) * cu.cu_fp * cv.cv_fp)
+                AS DECIMAL(38,0)) AS a
+    FROM means m
+    JOIN cu ON cu.cx = m.cx
+    JOIN cv ON cv.cy = m.cy
+    WHERE NOT (cu.u = 0 AND cv.v = 0)
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT doc_id, u, v, a,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY a, u, v) AS rn
+    FROM dcoef
+),
+dmed AS (SELECT doc_id, a AS med_a FROM ranked WHERE rn = 6)
+SELECT c.doc_id,
+       CAST(SUM(CASE WHEN c.a > m.med_a
+                THEN CAST(POWER(2, c.u * 3 + c.v - 1) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS dct_hash
+FROM dcoef c JOIN dmed m ON m.doc_id = c.doc_id
+GROUP BY 1
+ORDER BY c.doc_id
+""".strip()
+
+
+@query("image_jpeg_dct_phash", oracle=_JPEG_PHASH_SQL)
+def image_jpeg_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec->dedup PIPELINE COMPOSITION: the wave6 DCT perceptual hash
+    computed over REAL lossy-decoded JPEG pixels — the shape an actual
+    training-data pipeline runs (web images arrive JPEG-compressed; the
+    dedup hash must be computed on what decoders actually reconstruct,
+    not on pristine source pixels). Engine: real byte decode
+    (mapInPandas) -> exact 4x3 integer pooling -> pinned-cosine 2-D DCT
+    joins -> exact-median threshold hash. The oracle replays the ENTIRE
+    chain — forward DCT, quantizer, IDCT, pooling, hash — relationally,
+    so a slip anywhere in codec OR hash hash-fails. Bounded per-doc
+    fan-out (pixels + 12x12 coefficient join), row-linear."""
+    from apache_beam_challange_spark.operators.jpeg import (
+        attach_jpeg_image,
+        decode_jpeg_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (8 * (F.col("doc_id") % 3 + 1)).cast("long").alias("w"),
+        (8 * (F.col("doc_id") % 2 + 1)).cast("long").alias("h"),
+    )
+    px = decode_jpeg_pixels(attach_jpeg_image(docs)).join(
+        F.broadcast(dims), "doc_id"
+    )
+    cells = px.groupBy(
+        "doc_id",
+        F.expr("(x * 4) div w").alias("cx"),
+        F.expr("(y * 3) div h").alias("cy"),
+    ).agg(
+        F.sum("recon").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    means = cells.select(
+        "doc_id", "cx", "cy", F.expr("(s * 1000000) div c").alias("m_fp")
+    )
+    spark_s = docs.sparkSession
+    cu = F.broadcast(
+        spark_s.createDataFrame(_DCT_CU, "u long, cx long, cu_fp long")
+    )
+    cv = F.broadcast(
+        spark_s.createDataFrame(_DCT_CV, "v long, cy long, cv_fp long")
+    )
+    d38 = "decimal(38,0)"
+    coef = (
+        means.join(cu, "cx")
+        .join(cv, "cy")
+        .filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+        .groupBy("doc_id", "u", "v")
+        .agg(
+            F.sum(
+                F.col("m_fp").cast(d38)
+                * F.col("cu_fp").cast(d38)
+                * F.col("cv_fp").cast(d38)
+            )
+            .cast(d38)
+            .alias("a")
+        )
+        .localCheckpoint()  # feeds the median pick AND the hash fold
+    )
+    w_rn = Window.partitionBy("doc_id").orderBy("a", "u", "v")
+    med = (
+        coef.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 6)
+        .select("doc_id", F.col("a").alias("med_a"))
+    )
+    return (
+        coef.join(med, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a") > F.col("med_a"),
+                    F.expr("CAST(pow(2, u * 3 + v - 1) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dct_hash")
+        )
+        .orderBy("doc_id")
+    )

@@ -597,6 +597,7 @@ WAVE7 = [
     "multimodal_decode_jpeg",
     "vamana_topk_vec0",
     "vamana_knn_join_vec10",
+    "image_jpeg_dct_phash",
 ]
 
 CURATION = [

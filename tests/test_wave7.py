@@ -270,3 +270,52 @@ def test_vamana_batch_equals_single_query_route(spark, sf_dir, vamana_graph):
             ).collect()
         ]
         assert by_q[qid] == single, qid
+
+
+def test_jpeg_phash_sees_lossy_pixels(spark, sf_dir):
+    """The JPEG pHash must be computed on RECONSTRUCTED pixels: for at
+    least one doc the quantizer flips a hash bit vs the same pooled-DCT
+    hash over pristine pixels (if the hashes were all identical the
+    query could be faked by skipping the codec), while hashes stay in
+    the 11-bit range."""
+    import __spark_entry__ as em
+
+    qs = em.all_queries()
+    jpeg_hash = {
+        r["doc_id"]: r["dct_hash"]
+        for r in qs["image_jpeg_dct_phash"](spark, sf_dir).collect()
+    }
+    assert jpeg_hash and all(0 <= h < 2**11 for h in jpeg_hash.values())
+    # pristine-pixel replay of the same pooled-DCT hash, numpy-side
+    import numpy as np
+    from apache_beam_challange_spark.plans.wave6 import _DCT_CU, _DCT_CV
+
+    cu = {(u, c): t for u, c, t in _DCT_CU}
+    cv = {(v, c): t for v, c, t in _DCT_CV}
+    diffs = 0
+    for doc_id in list(jpeg_hash)[:40]:
+        w, h = J.jpeg_dims(doc_id)
+        px = J._gray_pixels(doc_id)
+        cells = {}
+        for y in range(h):
+            for x in range(w):
+                key = (x * 4 // w, y * 3 // h)
+                s, c = cells.get(key, (0, 0))
+                cells[key] = (s + int(px[y, x]), c + 1)
+        means = {k: (s * 10**6) // c for k, (s, c) in cells.items()}
+        coef = {}
+        for u in range(4):
+            for v in range(3):
+                if (u, v) == (0, 0):
+                    continue
+                coef[(u, v)] = sum(
+                    m * cu[(u, cx)] * cv[(v, cy)]
+                    for (cx, cy), m in means.items()
+                )
+        med = sorted(coef.values())[5]
+        pristine = sum(
+            1 << (u * 3 + v - 1) for (u, v), a in coef.items() if a > med
+        )
+        if pristine != jpeg_hash[doc_id]:
+            diffs += 1
+    assert diffs > 0, "quantization never flipped a hash bit in 40 docs"
