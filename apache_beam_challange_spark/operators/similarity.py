@@ -1275,6 +1275,71 @@ def _cos_fp(a, b):
     return F.floor(cosine(a, b) * F.lit(_VAM_FP)).cast("long")
 
 
+def _alpha_prune(cand: DataFrame, pp: DataFrame) -> DataFrame:
+    """The alpha-RobustPrune step (DiskANN Algorithm 2), shared by the
+    full build and the FreshDiskANN-style insert: greedily keep the
+    closest surviving candidate per src, discard everything it
+    alpha-covers (``alpha*d(kept,c) <= d(p,c)``, evaluated exactly in
+    integer fixed point), stop at ``VAMANA_PRUNE_ROUNDS`` kept edges.
+
+    Implementation is a COGROUPED ``applyInPandas``: the per-src work is
+    bounded (<= C candidates, C^2 pairwise rows), which is exactly the
+    shape Spark's grouped-pandas path is for — ONE shuffle on src, then
+    a local greedy per group. (A checkpointed relational-round version
+    was trajectory-identical but paid a full Spark job per round — the
+    greedy is inherently sequential per src, not per dataset.) The
+    DuckDB oracle replays the SAME greedy as unrolled materialized CTE
+    rounds; results are identical because the greedy is deterministic
+    (rk order, exact integer cover test).
+
+    ``cand`` is (src, dst, c_fp, rk); ``pp`` is (src, di, dj, cc_fp).
+    Returns kept (src, dst, c_fp)."""
+    import pandas as pd
+
+    fp = int(_VAM_FP)
+    a_num, a_den, max_kept = (
+        VAMANA_ALPHA_NUM,
+        VAMANA_ALPHA_DEN,
+        VAMANA_PRUNE_ROUNDS,
+    )
+
+    def prune(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame({"src": [], "dst": [], "c_fp": []}).astype(
+                "int64"
+            )
+        src = int(left["src"].iloc[0])
+        cc = {
+            (int(di), int(dj)): int(c)
+            for di, dj, c in zip(right["di"], right["dj"], right["cc_fp"])
+        }
+        # rk already encodes the (c_fp desc, dst asc) total order
+        pending = sorted(
+            zip(
+                left["rk"].astype(int),
+                left["dst"].astype(int),
+                left["c_fp"].astype(int),
+            )
+        )
+        kept = []
+        surv = [(d, c) for _, d, c in pending]
+        while surv and len(kept) < max_kept:
+            wd, wc = surv.pop(0)
+            kept.append((src, wd, wc))
+            surv = [
+                (d, c)
+                for d, c in surv
+                if not (a_num * (fp - cc[(wd, d)]) <= a_den * (fp - c))
+            ]
+        return pd.DataFrame(kept, columns=["src", "dst", "c_fp"])
+
+    return (
+        cand.groupBy("src")
+        .cogroup(pp.groupBy("src"))
+        .applyInPandas(prune, "src long, dst long, c_fp long")
+    )
+
+
 def vamana_build_graph(
     embeddings: DataFrame,
     num_tables: int = NSW_TABLES,
@@ -1290,13 +1355,14 @@ def vamana_build_graph(
 
     1. **Candidate pool** — LSH-bucket pairs (never all-pairs), top-C per
        node by fixed-point cosine.
-    2. **alpha-RobustPrune** (DiskANN Algorithm 2) as a BOUNDED iterative
-       relational program: each of the R rounds keeps the closest
-       surviving candidate and discards every candidate it alpha-covers
+    2. **alpha-RobustPrune** (DiskANN Algorithm 2) as a cogrouped
+       ``applyInPandas`` greedy (:func:`_alpha_prune`): keep the closest
+       surviving candidate, discard every candidate it alpha-covers
        (``alpha * d(kept, c) <= d(p, c)`` — evaluated exactly in integer
        fixed point as ``12*(1e9 - cos_fp(kept,c)) <= 10*(1e9 -
-       cos_fp(p,c))``). Pairwise candidate-candidate cosines come from
-       ONE bounded C^2-per-node self-join, computed once.
+       cos_fp(p,c))``), stop at R kept. Per-src work is bounded (C
+       candidates, C^2 pairwise cosines from ONE self-join) — the
+       grouped-pandas shape, one shuffle on src.
     3. **Reverse-edge merge + degree cap** — every kept edge is inserted
        in both directions (cosine is exactly symmetric), then capped to
        the top-``VAMANA_CAP`` per node.
@@ -1340,40 +1406,7 @@ def vamana_build_graph(
         .select("src", "di", "dj", _cos_fp(F.col("vi"), F.col("vj")).alias("cc_fp"))
         .localCheckpoint()
     )
-    pending = cand
-    kept = None
-    w_min = Window.partitionBy("src").orderBy("rk")
-    for _ in range(VAMANA_PRUNE_ROUNDS):
-        winner = (
-            pending.withColumn("mr", F.row_number().over(w_min))
-            .filter(F.col("mr") == 1)
-            .select("src", F.col("dst").alias("wdst"), F.col("c_fp").alias("wc_fp"))
-        )
-        kept_round = winner.select(
-            "src", F.col("wdst").alias("dst"), F.col("wc_fp").alias("c_fp")
-        )
-        kept = kept_round if kept is None else kept.union(kept_round)
-        pending = (
-            pending.join(winner.select("src", "wdst"), "src")
-            .filter(F.col("dst") != F.col("wdst"))
-            .join(
-                pp.select(
-                    "src",
-                    F.col("di").alias("wdst"),
-                    F.col("dj").alias("dst"),
-                    "cc_fp",
-                ),
-                ["src", "wdst", "dst"],
-            )
-            .filter(
-                ~(
-                    F.lit(VAMANA_ALPHA_NUM) * (F.lit(int(_VAM_FP)) - F.col("cc_fp"))
-                    <= F.lit(VAMANA_ALPHA_DEN) * (F.lit(int(_VAM_FP)) - F.col("c_fp"))
-                )
-            )
-            .select("src", "dst", "c_fp", "rk")
-            .localCheckpoint()
-        )
+    kept = _alpha_prune(cand, pp)
     rev = kept.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "c_fp"
     )
@@ -1629,4 +1662,151 @@ def vamana_topk_batch(
                 "cosine_sim"
             ),
         )
+    )
+
+
+def vamana_insert_graph(
+    embeddings: DataFrame,
+    adjacency: DataFrame,
+    medoid_id: int,
+    new_ids: list[int],
+    beam: int = VAMANA_BEAM,
+    rounds: int = VAMANA_ROUNDS,
+) -> DataFrame:
+    """FreshDiskANN-style batch INSERT — the maintenance path that keeps
+    a Vamana index serving while the corpus grows, without the full
+    rebuild (DiskANN's graph depends on global candidate structure, so
+    unlike the LSH/IVF/NSW families there is no append==rebuild theorem;
+    the canonical maintenance algorithm is insert-by-search: FreshDiskANN,
+    Singh et al. 2021):
+
+    1. **Search**: one batched beam search (qid-keyed, the
+       :func:`vamana_topk_batch` plan shape) finds each new vector's
+       visited set over the EXISTING graph from the medoid — new nodes
+       link only to pre-existing nodes, so a batch insert is
+       order-independent and deterministic.
+    2. **alpha-prune**: the visited set is each new node's candidate
+       pool; the shared :func:`_alpha_prune` keeps its short+long-range
+       out-edges.
+    3. **Reverse-link + re-cap**: each kept edge is inserted in reverse
+       into its target's list, and ONLY touched targets re-apply the
+       degree cap (untouched adjacency rows pass through unchanged — at
+       100 TB the re-cap shuffles just |touched| * CAP rows, not the
+       graph).
+
+    Returns the updated (src, dst, c_fp) adjacency. Serving quality after
+    insert is floor-pinned in tests/test_wave7.py (held-out vectors are
+    findable and recall holds); degree caps are re-asserted there too."""
+    from pyspark.sql import Window
+
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    new_set = set(int(i) for i in new_ids)
+    # 1. batched search over the OLD graph: visited sets per new id
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(list(new_set))).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+        )
+    )
+    visited = (
+        vecs.filter(F.col("vec_id") == medoid_id)
+        .crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _cos_fp(F.col("v"), F.col("qvec")).alias("c_fp"),
+            F.lit(False).alias("expanded"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c_fp").desc(), "vec_id")
+    old_adj = adjacency.filter(~F.col("src").isin(list(new_set)))
+    for _ in range(rounds):
+        frontier = (
+            visited.filter(~F.col("expanded"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= beam)
+            .select("qid", "vec_id")
+        )
+        reached = (
+            frontier.withColumnRenamed("vec_id", "src")
+            .join(old_adj.select("src", "dst"), "src")
+            .select("qid", F.col("dst").alias("vec_id"))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .filter(~F.col("vec_id").isin(list(new_set)))
+            .distinct()
+            .join(visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
+        )
+        new_scored = (
+            reached.join(vecs.select("vec_id", "v"), "vec_id")
+            .join(queries, "qid")
+            .select(
+                "qid",
+                "vec_id",
+                _cos_fp(F.col("v"), F.col("qvec")).alias("c_fp"),
+                F.lit(False).alias("expanded"),
+            )
+        )
+        visited = (
+            visited.join(
+                frontier.withColumn("_f", F.lit(True)), ["qid", "vec_id"], "left"
+            )
+            .select(
+                "qid",
+                "vec_id",
+                "c_fp",
+                (F.col("expanded") | F.coalesce(F.col("_f"), F.lit(False))).alias(
+                    "expanded"
+                ),
+            )
+            .unionByName(new_scored)
+            .localCheckpoint()
+        )
+    # 2. candidate pool = visited top-C per new node; shared alpha-prune
+    cand = (
+        visited.select(
+            F.col("qid").alias("src"), F.col("vec_id").alias("dst"), "c_fp"
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("c_fp").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= VAMANA_C)
+        .localCheckpoint()
+    )
+    pp = (
+        cand.select("src", F.col("dst").alias("di"))
+        .join(cand.select("src", F.col("dst").alias("dj")), "src")
+        .filter(F.col("di") != F.col("dj"))
+        .join(vecs.select(F.col("vec_id").alias("di"), F.col("v").alias("vi")), "di")
+        .join(vecs.select(F.col("vec_id").alias("dj"), F.col("v").alias("vj")), "dj")
+        .select("src", "di", "dj", _cos_fp(F.col("vi"), F.col("vj")).alias("cc_fp"))
+        .localCheckpoint()
+    )
+    kept = _alpha_prune(cand, pp).localCheckpoint()  # new-node out-edges
+    # 3. reverse-link into touched targets only, re-cap those lists
+    rev = kept.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "c_fp"
+    )
+    touched = rev.select("src").distinct()
+    touched_recapped = (
+        old_adj.join(touched, "src")
+        .unionByName(rev)
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("c_fp").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= VAMANA_CAP)
+        .select("src", "dst", "c_fp")
+    )
+    untouched = old_adj.join(touched, "src", "left_anti").select(
+        "src", "dst", "c_fp"
+    )
+    return untouched.unionByName(touched_recapped).unionByName(
+        kept.select("src", "dst", "c_fp")
     )

@@ -307,8 +307,9 @@ def vamana_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DiskANN-class graph ANN (VERDICT r10 #7) next to the NSW/IVF/PQ
     family — the three Vamana ingredients NSW lacks: (1) alpha-
     RobustPrune edge selection (keeps a deliberate short+long-range edge
-    mix — 8 bounded relational rounds, every alpha-cover test in exact
-    1e9 fixed point), (2) reverse-edge merge with a degree cap, (3)
+    mix — a cogrouped applyInPandas greedy over bounded C^2-per-node
+    pools, every alpha-cover test in exact 1e9 fixed point; the oracle
+    replays it as unrolled relational rounds), (2) reverse-edge merge with a degree cap, (3)
     single-MEDOID entry (exact integer centroid dot, one double
     division) instead of NSW's coarse seed sample. BUILD once at rest
     (bucket-bounded candidates, C^2-per-node prune pairs — never

@@ -319,3 +319,53 @@ def test_jpeg_phash_sees_lossy_pixels(spark, sf_dir):
         if pristine != jpeg_hash[doc_id]:
             diffs += 1
     assert diffs > 0, "quantization never flipped a hash bit in 40 docs"
+
+
+def test_vamana_insert_maintains_serving(spark, sf_dir):
+    """FreshDiskANN-style insert proof: build on a 90% subset, insert the
+    held-out 10% via search+prune+reverse-link, then (a) every new node
+    has out-edges, (b) new nodes are reachable (appear as someone's
+    dst), (c) degree caps hold everywhere, and (d) a query over the FULL
+    corpus finds held-out vectors among its top-k when exact search says
+    they belong there — serving quality holds without a rebuild."""
+    from apache_beam_challange_spark.operators.similarity import (
+        VAMANA_CAP,
+        cosine_topk,
+        vamana_build_graph,
+        vamana_insert_graph,
+        vamana_medoid,
+        vamana_topk,
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    held = [i for i in range(450, 500)]
+    base = emb.filter(~F.col("vec_id").isin(held))
+    g0 = vamana_build_graph(base).localCheckpoint()
+    med = vamana_medoid(base).first()["medoid_id"]
+    g1 = vamana_insert_graph(emb, g0, med, held).localCheckpoint()
+    # (a) every new node has out-edges
+    out_srcs = {
+        r["src"]
+        for r in g1.filter(F.col("src").isin(held)).select("src").distinct().collect()
+    }
+    assert out_srcs == set(held)
+    # (b) reachable: new nodes appear as dst of old nodes
+    in_links = (
+        g1.filter(F.col("dst").isin(held) & ~F.col("src").isin(held)).count()
+    )
+    assert in_links > 0
+    # (c) degree caps hold post-insert (new nodes: prune bound; old: cap)
+    mx = g1.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert mx <= VAMANA_CAP
+    # (d) recall over the FULL corpus from the un-rebuilt graph
+    got = {
+        r["vec_id"]
+        for r in vamana_topk(emb, g1, med, query_vec_id=0).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(emb, 0, k=20).collect()
+        if r["vec_id"] != 0
+    }
+    assert len(got & exact) >= 0.8 * len(exact)
