@@ -369,3 +369,24 @@ def test_vamana_insert_maintains_serving(spark, sf_dir):
         if r["vec_id"] != 0
     }
     assert len(got & exact) >= 0.8 * len(exact)
+
+
+def test_wave7_scale_posture_plans(plans):
+    """Scale-shape pins for the round-11 wave: the JPEG decode's dims
+    frame arrives by broadcast (never shuffled against the pixel
+    stream); the pHash's DCT cosine tables are broadcast joins; neither
+    codec query sort-merge-joins the per-pixel fan-out."""
+    jp = plans("multimodal_decode_jpeg")
+    assert "BroadcastHashJoin" in jp
+    assert "SortMergeJoin" not in jp
+    # the pHash's returned plan starts at the checkpointed coefficient
+    # frame (its broadcast DCT-table joins live upstream of the
+    # checkpoint, same as bpe_train_merges — the decode query above
+    # carries the broadcast evidence). The tail's ONE shuffle join is
+    # the per-doc median attach: doc_id-keyed on both sides (per-doc
+    # frames, NOT broadcastable at scale — the correct co-partitioned
+    # plan), plus a partial aggregate for the hash fold.
+    ph = plans("image_jpeg_dct_phash")
+    assert ph.count("SortMergeJoin") <= 1
+    assert "doc_id" in ph
+    assert "partial" in ph.lower()
