@@ -444,8 +444,13 @@ def attach_jpeg_image(docs: "DataFrame") -> "DataFrame":
                 {"doc_id": ids, "jpeg": [encode_jpeg(int(i)) for i in ids]}
             )
 
-    return docs.select("doc_id").mapInPandas(
-        encode, "doc_id long, jpeg binary"
+    # the documents parquet is often a single file/partition; spread the
+    # per-doc python codec work across the executor cores (row-content
+    # deterministic — every downstream aggregate is order-free)
+    return (
+        docs.select("doc_id")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(encode, "doc_id long, jpeg binary")
     )
 
 
@@ -480,3 +485,391 @@ def decode_jpeg_pixels(images: "DataFrame") -> "DataFrame":
             )
 
     return images.mapInPandas(extract, "doc_id long, y long, x long, recon long")
+
+
+# --- color baseline: YCbCr 4:2:0, interleaved MCUs ----------------------------
+
+#: standard chrominance quantization table (ITU T.81 Annex K.1)
+JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: standard chrominance Huffman tables (ITU T.81 Annex K.3)
+_DCC_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DCC_VALS = list(range(12))
+_ACC_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_ACC_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+assert sum(_ACC_BITS) == len(_ACC_VALS) == 162
+_QCM = np.array(JPEG_QC, np.int64).reshape(8, 8)
+_DCC_CODES = _build_codes(_DCC_BITS, _DCC_VALS)
+_ACC_CODES = _build_codes(_ACC_BITS, _ACC_VALS)
+
+#: BT.601/JFIF color-transform coefficients, 1e-6 fixed point (exact
+#: integers both engines; forward numerators provably nonnegative after
+#: the +128 chroma bias, inverse uses the shifted-quotient form)
+_Y_R, _Y_G, _Y_B = 299000, 587000, 114000
+_CB_R, _CB_G, _CB_B = -168736, -331264, 500000
+_CR_R, _CR_G, _CR_B = 500000, -418688, -81312
+_IR_CR = 1402000
+_IG_CB, _IG_CR = -344136, -714136
+_IB_CB = 1772000
+
+
+def jpeg_color_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc color dims: one or two 16x16 MCUs across (tests the
+    interleave order), one MCU row."""
+    return 16 * (doc_id % 2 + 1), 16
+
+
+def _rgb_pixels(doc_id: int) -> "np.ndarray":
+    """Closed-form RGB source [y][x][c]: (doc_id*7 + y*31 + x*5 + c*11)
+    mod 256 — the BMP family formula, so the oracle regenerates it."""
+    w, h = jpeg_color_dims(doc_id)
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    return ((doc_id * 7 + y * 31 + x * 5 + c * 11) % 256).astype(np.int64)
+
+
+def _rgb_to_ycbcr(px: "np.ndarray"):
+    """Exact-integer JFIF color transform: floor(x + 1/2) via the
+    nonnegative shifted quotient (forward numerators are provably >= 0)."""
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    yf = _Y_R * r + _Y_G * g + _Y_B * b
+    cbf = 128 * 10**6 + _CB_R * r + _CB_G * g + _CB_B * b
+    crf = 128 * 10**6 + _CR_R * r + _CR_G * g + _CR_B * b
+    conv = lambda f: np.clip((f + 500000) // 10**6, 0, 255)  # noqa: E731
+    return conv(yf), conv(cbf), conv(crf)
+
+
+def _subsample420(plane: "np.ndarray") -> "np.ndarray":
+    """2x2 box average, round half up: (sum + 2) div 4 — exact integer."""
+    h, w = plane.shape
+    q = plane.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+    return (q + 2) // 4
+
+
+def encode_jpeg_color(doc_id: int) -> bytes:
+    """Encode the doc's closed-form RGB pixels as a real baseline color
+    JFIF: YCbCr, 4:2:0 subsampling, interleaved 16x16 MCUs (Y00 Y01 Y10
+    Y11 Cb Cr), per-component quantizers (Annex K.1 luma + chroma) and
+    Huffman tables (Annex K.3), independent DC predictors."""
+    px = _rgb_pixels(doc_id)
+    h, w = px.shape[:2]
+    yp, cbp, crp = _rgb_to_ycbcr(px)
+    cb2, cr2 = _subsample420(cbp), _subsample420(crp)
+    qy = _forward_blocks(yp)
+    # chroma uses the chroma quantizer: inline the forward path with _QCM
+    def fwd_c(plane):
+        hh, ww = plane.shape
+        blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3) - 128
+        s = np.einsum("vy,ux,byx->bvu", _T, _T, blocks.reshape(-1, 8, 8))
+        d = _QCM[None, :, :] * 10**12
+        q = (2 * s + d + 4096 * d) // (2 * d) - 2048
+        return q.reshape(hh // 8, ww // 8, 8, 8)
+
+    qcb, qcr = fwd_c(cb2), fwd_c(cr2)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(_QM[v][u]) for v, u in _ZIGZAG))
+    out += seg(0xDB, b"\x01" + bytes(int(_QCM[v][u]) for v, u in _ZIGZAG))
+    out += seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+        + b"\x01\x22\x00"   # Y: id 1, H=V=2, Tq 0
+        + b"\x02\x11\x01"   # Cb: id 2, H=V=1, Tq 1
+        + b"\x03\x11\x01",  # Cr: id 3, H=V=1, Tq 1
+    )
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xC4, b"\x01" + bytes(_DCC_BITS) + bytes(_DCC_VALS))
+    out += seg(0xC4, b"\x11" + bytes(_ACC_BITS) + bytes(_ACC_VALS))
+    out += seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+
+    bw = _BitWriter()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+
+    def put_block(blk, comp):
+        dc_codes = _DC_CODES if comp == "y" else _DCC_CODES
+        ac_codes = _AC_CODES if comp == "y" else _ACC_CODES
+        dc = int(blk[0, 0])
+        ssss, vbits = _category(dc - preds[comp])
+        preds[comp] = dc
+        code, length = dc_codes[ssss]
+        bw.write(code, length)
+        if ssss:
+            bw.write(vbits, ssss)
+        coeffs = [int(blk[v, u]) for v, u in _ZIGZAG][1:]
+        last_nz = -1
+        for i, cc in enumerate(coeffs):
+            if cc:
+                last_nz = i
+        run = 0
+        for i, cc in enumerate(coeffs):
+            if i > last_nz:
+                break
+            if cc == 0:
+                run += 1
+                continue
+            while run >= 16:
+                zc, zl = ac_codes[0xF0]
+                bw.write(zc, zl)
+                run -= 16
+            ssss, vbits = _category(cc)
+            ac, al = ac_codes[(run << 4) | ssss]
+            bw.write(ac, al)
+            bw.write(vbits, ssss)
+            run = 0
+        if last_nz < 62:
+            ec, el = ac_codes[0x00]
+            bw.write(ec, el)
+
+    mcus_x = w // 16
+    for mx in range(mcus_x):  # one MCU row (h == 16)
+        for byy in range(2):
+            for bxx in range(2):
+                put_block(qy[byy, mx * 2 + bxx], "y")
+        put_block(qcb[0, mx], "cb")
+        put_block(qcr[0, mx], "cr")
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_color(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Full baseline color decode: 3-component SOF0 with 2x2/1x1
+    sampling, per-component Q/Huffman table selection, interleaved MCU
+    entropy decode with independent DC predictors, exact-integer IDCT
+    per component, chroma replication upsample, exact-integer inverse
+    color transform. Returns (w, h, RGB [y][x][c])."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtab: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    scan_sel: list[tuple[int, int, int]] = []  # (id, td, ta)
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        seg_len = int.from_bytes(data[pos:pos + 2], "big")
+        payload = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit Q tables not baseline")
+                zz = list(payload[p + 1:p + 65])
+                tab = np.zeros((8, 8), np.int64)
+                for zi, (v_, u_) in enumerate(_ZIGZAG):
+                    tab[v_, u_] = zz[zi]
+                qtab[tq] = tab
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(tc, th)] = table
+                p += 17 + n
+        elif marker == 0xC0:
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            nf = payload[5]
+            for ci in range(nf):
+                cid = payload[6 + ci * 3]
+                hv = payload[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0xF, payload[8 + ci * 3]))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("not baseline sequential (SOF0)")
+        elif marker == 0xDA:
+            ns = payload[0]
+            for si in range(ns):
+                scan_sel.append(
+                    (
+                        payload[1 + si * 2],
+                        payload[2 + si * 2] >> 4,
+                        payload[2 + si * 2] & 0xF,
+                    )
+                )
+            pos += seg_len
+            break
+        pos += seg_len
+    if len(comps) == 1:
+        gw, gh, plane = decode_jpeg(data)
+        return gw, gh, np.repeat(plane[..., None], 3, axis=2)
+    end = data.rindex(b"\xff\xd9")
+    br = _BitReader(data[pos:end])
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), np.int64)
+        for cid, hs, vs, _ in comps
+    }
+    preds = {cid: 0 for cid, *_ in comps}
+    sel = {cid: (td, ta) for cid, td, ta in scan_sel}
+    tqs = {cid: tq for cid, _, _, tq in comps}
+
+    def read_block(cid):
+        td, ta = sel[cid]
+        dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+        blk = np.zeros((8, 8), np.int64)
+        ssss = _decode_symbol(br, dc_tab)
+        diff = _extend(br.read(ssss), ssss) if ssss else 0
+        preds[cid] += diff
+        blk[0, 0] = preds[cid]
+        zi = 1
+        while zi < 64:
+            rs = _decode_symbol(br, ac_tab)
+            r_, ssss = rs >> 4, rs & 0xF
+            if ssss == 0:
+                if r_ == 15:
+                    zi += 16
+                    continue
+                break
+            zi += r_
+            v_, u_ = _ZIGZAG[zi]
+            blk[v_, u_] = _extend(br.read(ssss), ssss)
+            zi += 1
+        # dequantize + exact IDCT
+        r2 = blk * qtab[tqs[cid]]
+        s2 = np.einsum("vy,ux,vu->yx", _T, _T, r2)
+        scale = 10**12
+        p = (2 * s2 + scale + (1 << 17) * 2 * scale) // (2 * scale) - (1 << 17)
+        return np.clip(p + 128, 0, 255)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hs, vs, _tq in comps:
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        blk = read_block(cid)
+                        planes[cid][
+                            (my * vs + byy) * 8:(my * vs + byy) * 8 + 8,
+                            (mx * hs + bxx) * 8:(mx * hs + bxx) * 8 + 8,
+                        ] = blk
+    yid, cbid, crid = comps[0][0], comps[1][0], comps[2][0]
+    yp = planes[yid][:h, :w]
+    # chroma replication upsample back to full resolution
+    def up(p, hs, vs):
+        return np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)[
+            :h, :w
+        ]
+
+    cb = up(planes[cbid], comps[1][1], comps[1][2])
+    cr = up(planes[crid], comps[2][1], comps[2][2])
+    # exact-integer inverse transform with the shifted-quotient rounding
+    scale = 10**6
+    shift = 1 << 10
+
+    def inv(num):
+        return np.clip(
+            (2 * num + scale + shift * 2 * scale) // (2 * scale) - shift, 0, 255
+        )
+
+    r = inv(yp * scale + _IR_CR * (cr - 128))
+    g = inv(yp * scale + _IG_CB * (cb - 128) + _IG_CR * (cr - 128))
+    b = inv(yp * scale + _IB_CB * (cb - 128))
+    return w, h, np.stack([r, g, b], axis=2)
+
+
+def attach_jpeg_color_image(docs: "DataFrame") -> "DataFrame":
+    import pandas as pd
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "jpeg": [encode_jpeg_color(int(i)) for i in ids]}
+            )
+
+    return (
+        docs.select("doc_id")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(encode, "doc_id long, jpeg binary")
+    )
+
+
+def decode_jpeg_color_pixels(images: "DataFrame") -> "DataFrame":
+    """(doc_id, jpeg) -> long-format RGB pixels (doc_id, y, x, c, recon)."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, ys, xs, cs, vs = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["jpeg"]):
+                w, h, px = decode_jpeg_color(bytes(blob))
+                yy, xx, cc = np.mgrid[0:h, 0:w, 0:3]
+                ids.append(np.full(w * h * 3, doc_id, np.int64))
+                ys.append(yy.ravel().astype(np.int64))
+                xs.append(xx.ravel().astype(np.int64))
+                cs.append(cc.ravel().astype(np.int64))
+                vs.append(px.ravel().astype(np.int64))
+            if not ids:
+                yield pd.DataFrame(
+                    {"doc_id": [], "y": [], "x": [], "c": [], "recon": []}
+                ).astype("int64")
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "y": np.concatenate(ys),
+                    "x": np.concatenate(xs),
+                    "c": np.concatenate(cs),
+                    "recon": np.concatenate(vs),
+                }
+            )
+
+    return images.mapInPandas(
+        extract, "doc_id long, y long, x long, c long, recon long"
+    )

@@ -140,7 +140,6 @@ DRIVER_ORDER: list[str] = [
     "fwl_weekend_effect_hour_fe",
     "theil_decomposition_by_nation",
     "mi_type_hour_dependence",
-    "price_elasticity_by_brand",
     # round-11 additions (VERDICT r10 #7), straight into the tier so they
     # never join a never-checked backlog: the baseline JPEG codec
     # round-trip and the DiskANN-class (Vamana) graph ANN, single +
@@ -149,12 +148,13 @@ DRIVER_ORDER: list[str] = [
     "vamana_topk_vec0",
     "vamana_knn_join_vec10",
     "image_jpeg_dct_phash",
-    # (Round-12 rotation pool — the 9-query remainder of the
+    "multimodal_decode_jpeg_color",
+    # (Round-12 rotation pool — the 10-query remainder of the
     # never-driver-checked set: trimmed_mean_value_by_type,
     # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
     # mad_value_by_type, tukey_fence_outliers_by_type,
     # seasonal_naive_backtest, abc_xyz_parts,
-    # kendall_w_hourly_revenue_ranking, plus
+    # kendall_w_hourly_revenue_ranking, price_elasticity_by_brand, plus
     # simhash_signatures_xxhash64_perf — the rows-only labeled perf
     # twin, lowest stakes, deferred last.)
 ]

@@ -562,3 +562,207 @@ def image_jpeg_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- color baseline JPEG (4:2:0 interleaved) -----------------------------------
+
+from apache_beam_challange_spark.operators.jpeg import JPEG_QC  # noqa: E402
+
+_JPEG_QC_VALUES = ", ".join(
+    f"({v}, {u}, {JPEG_QC[v * 8 + u]})" for v in range(8) for u in range(8)
+)
+
+_JPEG_COLOR_SQL = f"""
+WITH dims AS (
+    SELECT doc_id, 16 * (doc_id % 2 + 1) AS w, 16 AS h FROM documents
+),
+rgb AS (
+    SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+           CAST((d.doc_id * 7 + ys.y * 31 + xs.x * 5) % 256 AS BIGINT) AS r,
+           CAST((d.doc_id * 7 + ys.y * 31 + xs.x * 5 + 11) % 256 AS BIGINT) AS g,
+           CAST((d.doc_id * 7 + ys.y * 31 + xs.x * 5 + 22) % 256 AS BIGINT) AS b
+    FROM dims d
+    JOIN (SELECT unnest(generate_series(0, 31)) AS x) xs ON xs.x < d.w
+    JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys ON ys.y < d.h
+),
+ycc AS (
+    SELECT doc_id, w, h, x, y,
+           LEAST(255, GREATEST(0,
+             (299000 * r + 587000 * g + 114000 * b + 500000) // 1000000))
+               AS yv,
+           LEAST(255, GREATEST(0,
+             (128000000 - 168736 * r - 331264 * g + 500000 * b + 500000)
+             // 1000000)) AS cbv,
+           LEAST(255, GREATEST(0,
+             (128000000 + 500000 * r - 418688 * g - 81312 * b + 500000)
+             // 1000000)) AS crv
+    FROM rgb
+),
+t AS (SELECT u, x, CAST(tf AS BIGINT) AS tf
+      FROM (VALUES {_JPEG_T_VALUES}) t(u, x, tf)),
+q8 AS (SELECT v, u, CAST(qv AS BIGINT) AS qv
+       FROM (VALUES {_JPEG_Q_VALUES}) q(v, u, qv)),
+qc AS (SELECT v, u, CAST(qv AS BIGINT) AS qv
+       FROM (VALUES {_JPEG_QC_VALUES}) q(v, u, qv)),
+ycoef AS (
+    SELECT p.doc_id, p.x // 8 AS bx, p.y // 8 AS by, tu.u AS u, tv.u AS v,
+           CAST(SUM(tu.tf * tv.tf * (p.yv - 128)) AS BIGINT) AS s
+    FROM ycc p
+    JOIN t tu ON tu.x = p.x % 8
+    JOIN t tv ON tv.x = p.y % 8
+    GROUP BY 1, 2, 3, 4, 5
+),
+yquant AS (
+    SELECT c.doc_id, c.bx, c.by, c.u, c.v,
+           ((2 * c.s + q8.qv * 1000000000000
+             + 4096 * q8.qv * 1000000000000)
+            // (2 * q8.qv * 1000000000000) - 2048) * q8.qv AS rq
+    FROM ycoef c JOIN q8 ON q8.u = c.u AND q8.v = c.v
+),
+yrecon AS (
+    SELECT q.doc_id, q.bx * 8 + tu.x AS x, q.by * 8 + tv.x AS y,
+           LEAST(255, GREATEST(0,
+             (2 * CAST(SUM(tu.tf * tv.tf * q.rq) AS BIGINT)
+              + 1000000000000 + 262144 * 1000000000000)
+             // 2000000000000 - 131072 + 128)) AS yr
+    FROM yquant q
+    JOIN t tu ON tu.u = q.u
+    JOIN t tv ON tv.u = q.v
+    GROUP BY 1, q.bx, q.by, tu.x, tv.x
+),
+sub AS (
+    SELECT doc_id, x // 2 AS cx, y // 2 AS cy,
+           (CAST(SUM(cbv) AS BIGINT) + 2) // 4 AS cb2,
+           (CAST(SUM(crv) AS BIGINT) + 2) // 4 AS cr2
+    FROM ycc GROUP BY 1, 2, 3
+),
+ccoef AS (
+    SELECT p.doc_id, p.cx // 8 AS bx, p.cy // 8 AS by, tu.u AS u, tv.u AS v,
+           CAST(SUM(tu.tf * tv.tf * (p.cb2 - 128)) AS BIGINT) AS sb,
+           CAST(SUM(tu.tf * tv.tf * (p.cr2 - 128)) AS BIGINT) AS sr
+    FROM sub p
+    JOIN t tu ON tu.x = p.cx % 8
+    JOIN t tv ON tv.x = p.cy % 8
+    GROUP BY 1, 2, 3, 4, 5
+),
+cquant AS (
+    SELECT c.doc_id, c.bx, c.by, c.u, c.v,
+           ((2 * c.sb + qc.qv * 1000000000000
+             + 4096 * qc.qv * 1000000000000)
+            // (2 * qc.qv * 1000000000000) - 2048) * qc.qv AS rb,
+           ((2 * c.sr + qc.qv * 1000000000000
+             + 4096 * qc.qv * 1000000000000)
+            // (2 * qc.qv * 1000000000000) - 2048) * qc.qv AS rr
+    FROM ccoef c JOIN qc ON qc.u = c.u AND qc.v = c.v
+),
+crecon AS (
+    SELECT q.doc_id, q.bx * 8 + tu.x AS cx, q.by * 8 + tv.x AS cy,
+           LEAST(255, GREATEST(0,
+             (2 * CAST(SUM(tu.tf * tv.tf * q.rb) AS BIGINT)
+              + 1000000000000 + 262144 * 1000000000000)
+             // 2000000000000 - 131072 + 128)) AS cbr,
+           LEAST(255, GREATEST(0,
+             (2 * CAST(SUM(tu.tf * tv.tf * q.rr) AS BIGINT)
+              + 1000000000000 + 262144 * 1000000000000)
+             // 2000000000000 - 131072 + 128)) AS crr
+    FROM cquant q
+    JOIN t tu ON tu.u = q.u
+    JOIN t tv ON tv.u = q.v
+    GROUP BY 1, q.bx, q.by, tu.x, tv.x
+),
+full_px AS (
+    SELECT yp.doc_id, yp.x, yp.y, yp.yr, cp.cbr, cp.crr
+    FROM yrecon yp
+    JOIN crecon cp ON cp.doc_id = yp.doc_id
+                  AND cp.cx = yp.x // 2 AND cp.cy = yp.y // 2
+),
+rgb2 AS (
+    SELECT doc_id, x, y,
+           LEAST(255, GREATEST(0,
+             (2 * (yr * 1000000 + 1402000 * (crr - 128))
+              + 1000000 + 1024 * 2000000) // 2000000 - 1024)) AS r2,
+           LEAST(255, GREATEST(0,
+             (2 * (yr * 1000000 - 344136 * (cbr - 128)
+                   - 714136 * (crr - 128))
+              + 1000000 + 1024 * 2000000) // 2000000 - 1024)) AS g2,
+           LEAST(255, GREATEST(0,
+             (2 * (yr * 1000000 + 1772000 * (cbr - 128))
+              + 1000000 + 1024 * 2000000) // 2000000 - 1024)) AS b2
+    FROM full_px
+)
+SELECT p.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(d.w // 16 AS INTEGER) AS n_mcus,
+       CAST(SUM(p.r2 + p.g2 + p.b2) AS BIGINT) AS recon_sum,
+       CAST(SUM(ABS(p.r2 - ((p.doc_id * 7 + p.y * 31 + p.x * 5) % 256))
+              + ABS(p.g2 - ((p.doc_id * 7 + p.y * 31 + p.x * 5 + 11) % 256))
+              + ABS(p.b2 - ((p.doc_id * 7 + p.y * 31 + p.x * 5 + 22) % 256)))
+            AS BIGINT) AS err_abs_sum,
+       CAST(MAX(CASE WHEN p.y = d.h - 1 AND p.x = d.w - 1
+                THEN p.r2 END) AS INTEGER) AS corner_r
+FROM rgb2 p JOIN dims d ON d.doc_id = p.doc_id
+GROUP BY p.doc_id, d.w, d.h
+ORDER BY p.doc_id
+""".strip()
+
+
+@query("multimodal_decode_jpeg_color", oracle=_JPEG_COLOR_SQL)
+def multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-COLOR baseline JPEG round-trip — the form most web images
+    actually take: YCbCr with 4:2:0 chroma subsampling, interleaved
+    16x16 MCUs (Y00 Y01 Y10 Y11 Cb Cr), per-component quantizers (Annex
+    K.1 luma + chroma) and Huffman tables (Annex K.3), independent DC
+    predictors per component. The engine decodes the real bytes
+    (3-component SOF0 parse, per-component table selection, interleaved
+    entropy decode, exact-integer IDCT, chroma replication upsample,
+    exact-integer inverse BT.601); the oracle replays the ENTIRE lossy
+    pipeline relationally — forward color transform, 2x2 box subsample,
+    both DCT/quantize paths, reconstruction, upsample, inverse color —
+    and matches bit-for-bit. err_abs_sum audits the (much larger)
+    chroma-quantizer error mass; n_mcus pins the interleave layout."""
+    from apache_beam_challange_spark.operators.jpeg import (
+        attach_jpeg_color_image,
+        decode_jpeg_color_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (16 * (F.col("doc_id") % 2 + 1)).cast("long").alias("w"),
+        F.lit(16).cast("long").alias("h"),
+    )
+    px = decode_jpeg_color_pixels(attach_jpeg_color_image(docs))
+    orig = (
+        F.col("doc_id") * 7 + F.col("y") * 31 + F.col("x") * 5
+        + F.col("c") * 11
+    ) % 256
+    corner_r = F.max(
+        F.when(
+            (F.col("y") == F.col("h") - 1)
+            & (F.col("x") == F.col("w") - 1)
+            & (F.col("c") == 0),
+            F.col("recon"),
+        )
+    )
+    return (
+        px.join(F.broadcast(dims), "doc_id")
+        .groupBy("doc_id", "w", "h")
+        .agg(
+            F.sum("recon").cast("long").alias("recon_sum"),
+            F.sum(F.abs(F.col("recon") - orig)).cast("long").alias(
+                "err_abs_sum"
+            ),
+            corner_r.cast("int").alias("corner_r"),
+        )
+        .select(
+            "doc_id",
+            F.col("w").cast("int").alias("width"),
+            F.col("h").cast("int").alias("height"),
+            F.expr("CAST(w div 16 AS INT)").alias("n_mcus"),
+            "recon_sum",
+            "err_abs_sum",
+            "corner_r",
+        )
+        .orderBy("doc_id")
+    )

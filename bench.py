@@ -598,6 +598,7 @@ WAVE7 = [
     "vamana_topk_vec0",
     "vamana_knn_join_vec10",
     "image_jpeg_dct_phash",
+    "multimodal_decode_jpeg_color",
 ]
 
 CURATION = [

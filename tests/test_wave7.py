@@ -390,3 +390,106 @@ def test_wave7_scale_posture_plans(plans):
     assert ph.count("SortMergeJoin") <= 1
     assert "doc_id" in ph
     assert "partial" in ph.lower()
+
+
+# --- color baseline JPEG ------------------------------------------------------
+
+
+def test_jpeg_color_marker_structure():
+    """Color stream: two DQTs, four DHTs, 3-component SOF0 with 2x2/1x1
+    sampling, 3-component SOS."""
+    data = J.encode_jpeg_color(7)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    markers = []
+    pos = 2
+    sof = None
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        markers.append(m)
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if m == 0xC0:
+            sof = data[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if m == 0xDA:
+            break
+    assert markers == [0xE0, 0xDB, 0xDB, 0xC0, 0xC4, 0xC4, 0xC4, 0xC4, 0xDA]
+    assert sof[5] == 3  # Nf = 3 components
+    assert sof[7] == 0x22 and sof[10] == 0x11  # Y 2x2, Cb 1x1
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 42, 499])
+def test_jpeg_color_bitstream_equals_math_path(doc_id):
+    """Interleaved-MCU decode must equal the direct forward->inverse
+    math on the same pixels (the bitstream layer is exactly lossless),
+    including the 2-MCU-wide docs that exercise the interleave order."""
+    import numpy as np
+
+    px = J._rgb_pixels(doc_id)
+    h, w = px.shape[:2]
+    yp, cbp, crp = J._rgb_to_ycbcr(px)
+    cb2, cr2 = J._subsample420(cbp), J._subsample420(crp)
+
+    def fwd_c(plane):
+        hh, ww = plane.shape
+        blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3) - 128
+        s = np.einsum("vy,ux,byx->bvu", J._T, J._T, blocks.reshape(-1, 8, 8))
+        d = J._QCM[None, :, :] * 10**12
+        return ((2 * s + d + 4096 * d) // (2 * d) - 2048).reshape(
+            hh // 8, ww // 8, 8, 8
+        )
+
+    def inv_blocks(q, qm):
+        by, bx = q.shape[0], q.shape[1]
+        r = q.reshape(-1, 8, 8) * qm[None, :, :]
+        s2 = np.einsum("vy,ux,bvu->byx", J._T, J._T, r)
+        sc = 10**12
+        p = (2 * s2 + sc + (1 << 17) * 2 * sc) // (2 * sc) - (1 << 17)
+        return (
+            np.clip(p + 128, 0, 255)
+            .reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+
+    yr = inv_blocks(J._forward_blocks(yp), J._QM)
+    cbu = np.repeat(
+        np.repeat(inv_blocks(fwd_c(cb2), J._QCM), 2, 0), 2, 1
+    )[:h, :w]
+    cru = np.repeat(
+        np.repeat(inv_blocks(fwd_c(cr2), J._QCM), 2, 0), 2, 1
+    )[:h, :w]
+    sc = 10**6
+    sh = 1 << 10
+    inv = lambda n: np.clip(  # noqa: E731
+        (2 * n + sc + sh * 2 * sc) // (2 * sc) - sh, 0, 255
+    )
+    exp = np.stack(
+        [
+            inv(yr * sc + J._IR_CR * (cru - 128)),
+            inv(yr * sc + J._IG_CB * (cbu - 128) + J._IG_CR * (cru - 128)),
+            inv(yr * sc + J._IB_CB * (cbu - 128)),
+        ],
+        axis=2,
+    )
+    w2, h2, got = J.decode_jpeg_color(J.encode_jpeg_color(doc_id))
+    assert (w2, h2) == J.jpeg_color_dims(doc_id)
+    assert np.array_equal(got, exp)
+
+
+def test_jpeg_color_chroma_error_dominates():
+    """4:2:0 + the coarse chroma quantizer must inject MORE error than
+    the grayscale path on comparable content — the property that proves
+    the chroma pipeline (subsample + Annex K.2 table) is really in the
+    loop, not bypassed."""
+    import numpy as np
+
+    gray_err = color_err = 0
+    for doc_id in range(10):
+        gpx = J._gray_pixels(doc_id)
+        _, _, grec = J.decode_jpeg(J.encode_jpeg(doc_id))
+        gray_err += float(np.abs(gpx - grec).mean())
+        cpx = J._rgb_pixels(doc_id)
+        _, _, crec = J.decode_jpeg_color(J.encode_jpeg_color(doc_id))
+        color_err += float(np.abs(cpx - crec).mean())
+    assert color_err > gray_err

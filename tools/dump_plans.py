@@ -241,6 +241,7 @@ FLAGSHIPS = [
     "vamana_topk_vec0",
     "vamana_knn_join_vec10",
     "image_jpeg_dct_phash",
+    "multimodal_decode_jpeg_color",
 ]
 
 
