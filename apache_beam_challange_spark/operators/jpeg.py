@@ -224,7 +224,13 @@ def encode_jpeg(doc_id: int) -> bytes:
     JFIF file any conformant viewer opens: SOI, APP0, DQT (zigzag), SOF0
     (8-bit single component 1x1), DHT (Annex K luminance DC+AC), SOS,
     entropy-coded scan with DC prediction and byte stuffing, EOI."""
-    px = _gray_pixels(doc_id)
+    return encode_jpeg_gray_px(_gray_pixels(doc_id))
+
+
+def encode_jpeg_gray_px(px: "np.ndarray") -> bytes:
+    """Pixels-in variant of :func:`encode_jpeg` (the per-frame entry the
+    MJPEG/AVI container writer uses): encode an arbitrary [y][x] grayscale
+    array whose dims are multiples of 8."""
     h, w = px.shape
     q = _forward_blocks(px)
     by, bx = q.shape[0], q.shape[1]
@@ -388,7 +394,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, "np.ndarray"]:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("not baseline sequential (SOF0)")
         elif marker == 0xDA:  # SOS — entropy data follows
-            td, ta = payload[3] >> 4, payload[3] & 0xF
+            # payload: Ns, Cs1, Td|Ta, Ss, Se, Ah|Al — table selectors are
+            # byte 2, not byte 3 (the Ss byte, which happens to be 0 in our
+            # own streams and masked the off-by-one until a conformant file
+            # with tables in slot 1 hit a KeyError).
+            td, ta = payload[2] >> 4, payload[2] & 0xF
             pos += seg_len
             break
         pos += seg_len
@@ -417,6 +427,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, "np.ndarray"]:
                         continue
                     break  # EOB
                 zi += r
+                if zi > 63:
+                    raise ValueError("AC run past block end (corrupt stream)")
                 v_, u_ = _ZIGZAG[zi]
                 q[b_y, b_x, v_, u_] = _extend(br.read(ssss), ssss)
                 zi += 1
@@ -444,13 +456,15 @@ def attach_jpeg_image(docs: "DataFrame") -> "DataFrame":
                 {"doc_id": ids, "jpeg": [encode_jpeg(int(i)) for i in ids]}
             )
 
-    # the documents parquet is often a single file/partition; spread the
-    # per-doc python codec work across the executor cores (row-content
-    # deterministic — every downstream aggregate is order-free)
-    return (
-        docs.select("doc_id")
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(encode, "doc_id long, jpeg binary")
+    # the documents parquet is often a single file/partition; the shared
+    # guard spreads the per-doc python codec work across executor cores
+    # (row-content deterministic — every downstream aggregate is order-free)
+    from apache_beam_challange_spark.operators.parallelize import (
+        spread_for_python_stage,
+    )
+
+    return spread_for_python_stage(docs.select("doc_id")).mapInPandas(
+        encode, "doc_id long, jpeg binary"
     )
 
 
@@ -778,6 +792,8 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, "np.ndarray"]:
                     continue
                 break
             zi += r_
+            if zi > 63:
+                raise ValueError("AC run past block end (corrupt stream)")
             v_, u_ = _ZIGZAG[zi]
             blk[v_, u_] = _extend(br.read(ssss), ssss)
             zi += 1
@@ -833,10 +849,12 @@ def attach_jpeg_color_image(docs: "DataFrame") -> "DataFrame":
                 {"doc_id": ids, "jpeg": [encode_jpeg_color(int(i)) for i in ids]}
             )
 
-    return (
-        docs.select("doc_id")
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(encode, "doc_id long, jpeg binary")
+    from apache_beam_challange_spark.operators.parallelize import (
+        spread_for_python_stage,
+    )
+
+    return spread_for_python_stage(docs.select("doc_id")).mapInPandas(
+        encode, "doc_id long, jpeg binary"
     )
 
 

@@ -1810,3 +1810,327 @@ def vamana_insert_graph(
     return untouched.unionByName(touched_recapped).unionByName(
         kept.select("src", "dst", "c_fp")
     )
+
+
+# --- multi-layer HNSW ----------------------------------------------------------
+#
+# The hierarchy the single-layer NSW route stood in for (VERDICT r11 #6):
+# nodes get geometric levels (p = 1/4 per step), every layer l holds the
+# LSH-bucketed top-M neighbor graph over the nodes with level >= l, and a
+# query greedily descends from a deterministic top-layer entry point — the
+# log-diameter routing that replaces NSW's fixed coarse seed scan (the
+# "every 50th vec_id" layer-0 workaround) and is what keeps entry routing
+# cheap at 1e9 vectors. Public knowledge: Malkov & Yashunin, "Efficient and
+# robust approximate nearest neighbor search using Hierarchical Navigable
+# Small World graphs" (arXiv:1603.09320). The reference repo has no vector
+# surface; this extends SURVEY.md §2.9.
+
+HNSW_MAX_LEVEL = 2
+HNSW_M_UPPER = 8
+HNSW_UPPER_BEAM, HNSW_UPPER_ROUNDS = 4, 2
+
+
+def hnsw_levels(
+    embeddings: DataFrame, max_level: int = HNSW_MAX_LEVEL
+) -> DataFrame:
+    """(vec_id, level): deterministic geometric level assignment. The
+    standard HNSW draw is floor(-ln(u) * mL) with mL = 1/ln(4); reading
+    the uniform as md5 hex digits makes it exact and cross-engine —
+    level = length of the maximal prefix of md5(vec_id-as-string) whose
+    chars are all in '0'..'3' (P(level >= l) = 4^-l), capped at
+    ``max_level``. Pure string ops, so the DuckDB oracle recomputes the
+    identical assignment."""
+    h = F.md5(F.col("vec_id").cast("string"))
+    level = F.lit(0)
+    running = F.lit(True)
+    for i in range(1, max_level + 1):
+        running = running & F.substring(h, i, 1).isin("0", "1", "2", "3")
+        level = level + F.when(running, F.lit(1)).otherwise(F.lit(0))
+    return embeddings.select("vec_id", level.cast("int").alias("level"))
+
+
+def hnsw_build_graph(
+    embeddings: DataFrame,
+    max_level: int = HNSW_MAX_LEVEL,
+    m_upper: int = HNSW_M_UPPER,
+    m0: int = NSW_M,
+    num_tables: int = NSW_TABLES,
+    num_planes: int = NSW_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-layer adjacency (layer, src, dst, cos): layer l is the NSW
+    graph (LSH-bucketed candidates, per-src top-M by cosine — never
+    all-pairs) over the nodes with level >= l; layer 0 keeps M=16, upper
+    layers M=8 (the standard M vs 2M split). Layers are geometrically
+    smaller, so the build cost is dominated by layer 0 — same class as
+    the flat NSW build."""
+    lv = hnsw_levels(embeddings, max_level)
+    out = None
+    for layer in range(max_level + 1):
+        sub = embeddings.join(
+            lv.filter(F.col("level") >= layer).select("vec_id"), "vec_id"
+        )
+        g = nsw_build_graph(
+            sub,
+            num_tables=num_tables,
+            num_planes=num_planes,
+            m=(m0 if layer == 0 else m_upper),
+            dim=dim,
+        ).select(F.lit(layer).alias("layer"), "src", "dst", "cos")
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def hnsw_write_index(embeddings: DataFrame, path: str, **kw) -> None:
+    """Materialize the layered adjacency AT REST (posture of
+    :func:`nsw_write_index`): adjacency sorted by (layer, src) for
+    row-group pruning, plus a ``path + "_levels"`` sidecar so serving
+    finds the entry point without re-hashing. Commit order (torn-artifact
+    rule): invalidate the primary marker, commit the sidecar, commit the
+    adjacency LAST."""
+    import os
+
+    max_level = kw.get("max_level", HNSW_MAX_LEVEL)
+    stale_marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(stale_marker):
+        os.remove(stale_marker)
+    hnsw_levels(embeddings, max_level).write.mode("overwrite").parquet(
+        path + "_levels"
+    )
+    hnsw_build_graph(embeddings, **kw).sortWithinPartitions(
+        "layer", "src"
+    ).write.mode("overwrite").parquet(path)
+
+
+def _hnsw_phases(
+    max_level: int, upper_beam: int, upper_rounds: int, beam: int, rounds: int
+) -> list[tuple[int, int, int]]:
+    """(layer, beam, rounds) descent schedule: top layer down to 1 with
+    the small upper budget, then the full layer-0 search."""
+    return [
+        (layer, upper_beam, upper_rounds) for layer in range(max_level, 0, -1)
+    ] + [(0, beam, rounds)]
+
+
+def hnsw_topk(
+    embeddings: DataFrame,
+    adjacency: DataFrame,
+    levels: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    max_level: int = HNSW_MAX_LEVEL,
+    upper_beam: int = HNSW_UPPER_BEAM,
+    upper_rounds: int = HNSW_UPPER_ROUNDS,
+) -> DataFrame:
+    """Hierarchical beam search: score the deterministic entry point (the
+    MIN vec_id on the top layer, query excluded), run a small bounded
+    search per upper layer (expanding only that layer's edges), then the
+    full layer-0 search seeded by everything the descent scored. ONE
+    visited set spans the descent — a node's cosine is layer-independent,
+    so scores are never recomputed; the expanded mark resets per layer
+    (a node expanded through layer-2 edges still owes its layer-0
+    neighborhood). Collects are parameter-bounded exactly as in
+    :func:`nsw_topk` (entry id, ≤ beam frontier ids, ≤ beam*M reached
+    ids — IN-lists pushed to the (layer, src)-sorted scan). Total scored
+    ≤ 1 + max_level*upper_rounds*upper_beam*M_upper + rounds*beam*M0,
+    independent of corpus size; vs NSW the corpus-sized seed scan is
+    gone — that is the hierarchy's point. Deterministic end to end (cos
+    desc, vec_id ties), so the DuckDB oracle replays the identical
+    trajectory unrolled."""
+    qvec = _query_vec(embeddings, query_vec_id)
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+
+    def score(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(qvec)).select(
+            "vec_id", cosine(F.col("vec"), F.col("__qvec")).alias("cos")
+        )
+
+    # parameter-bounded collect: ONE id (the deterministic entry point)
+    entry = (
+        levels.filter(
+            (F.col("level") >= max_level)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    visited = score(vecs.filter(F.col("vec_id") == entry)).localCheckpoint()
+    scored_ids: set[int] = {entry}
+    for layer, b, rr in _hnsw_phases(
+        max_level, upper_beam, upper_rounds, beam, rounds
+    ):
+        adj_l = adjacency.filter(F.col("layer") == layer)
+        expanded: set[int] = set()
+        for _ in range(rr):
+            # parameter-bounded collect: ≤ beam ids
+            frontier_ids = [
+                r.vec_id
+                for r in visited.filter(
+                    ~F.col("vec_id").isin(list(expanded))
+                    if expanded
+                    else F.lit(True)
+                )
+                .orderBy(F.col("cos").desc(), F.col("vec_id"))
+                .limit(b)
+                .collect()
+            ]
+            if not frontier_ids:
+                break
+            expanded.update(frontier_ids)
+            # parameter-bounded collect: ≤ beam*M ids, IN-list pushed to
+            # the (layer, src)-sorted adjacency scan
+            reached_ids = {
+                r.dst
+                for r in adj_l.filter(F.col("src").isin(frontier_ids))
+                .select("dst")
+                .distinct()
+                .collect()
+                if r.dst != query_vec_id
+            }
+            reached_ids -= scored_ids
+            scored_ids.update(reached_ids)
+            if not reached_ids:
+                continue
+            new_scored = score(
+                vecs.filter(F.col("vec_id").isin(list(reached_ids)))
+            )
+            visited = (
+                visited.union(new_scored)
+                .dropDuplicates(["vec_id"])
+                .localCheckpoint()
+            )
+    return (
+        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id", "label", F.round(F.col("cos"), 6).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def hnsw_topk_batch(
+    embeddings: DataFrame,
+    adjacency: DataFrame,
+    levels: DataFrame,
+    query_ids: list[int],
+    k: int = 20,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    max_level: int = HNSW_MAX_LEVEL,
+    upper_beam: int = HNSW_UPPER_BEAM,
+    upper_rounds: int = HNSW_UPPER_ROUNDS,
+) -> DataFrame:
+    """Batched hierarchical serving (the :func:`nsw_topk_batch`
+    discipline on the layered graph): one qid-keyed visited frame carries
+    every query down the hierarchy, so driver-side work is a FIXED number
+    of localCheckpoint actions (one per descent round plus the entry
+    pass) independent of batch size — no ``.collect()`` anywhere. Per-qid
+    entry is the MIN top-layer vec_id excluding the query itself;
+    reached-node dedup is the anti-join (trajectory-equivalent to the
+    single-query route's never-rescore sets, same fixpoint because
+    scoring is deterministic); the expanded flag resets at each layer
+    boundary exactly like the single-query route."""
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(list(query_ids))).select(
+            F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+        )
+    )
+    top_nodes = F.broadcast(
+        levels.filter(F.col("level") >= max_level).select("vec_id")
+    )
+    entries = (
+        queries.select("qid")
+        .join(top_nodes, F.col("vec_id") != F.col("qid"))
+        .groupBy("qid")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    visited = (
+        entries.join(vecs.select("vec_id", "vec"), "vec_id")
+        .join(queries, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("vec"), F.col("qvec")).alias("cos"),
+            F.lit(False).alias("expanded"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    for layer, b, rr in _hnsw_phases(
+        max_level, upper_beam, upper_rounds, beam, rounds
+    ):
+        adj_l = adjacency.filter(F.col("layer") == layer).select("src", "dst")
+        # layer boundary: every node owes this layer's neighborhood again
+        visited = visited.withColumn("expanded", F.lit(False))
+        for _ in range(rr):
+            frontier = (
+                visited.filter(~F.col("expanded"))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= b)
+                .select("qid", "vec_id")
+            )
+            reached = (
+                frontier.withColumnRenamed("vec_id", "src")
+                .join(adj_l, "src")
+                .select("qid", F.col("dst").alias("vec_id"))
+                .filter(F.col("vec_id") != F.col("qid"))
+                .distinct()
+                .join(
+                    visited.select("qid", "vec_id"),
+                    ["qid", "vec_id"],
+                    "left_anti",
+                )
+            )
+            new_scored = (
+                reached.join(vecs.select("vec_id", "vec"), "vec_id")
+                .join(queries, "qid")
+                .select(
+                    "qid",
+                    "vec_id",
+                    cosine(F.col("vec"), F.col("qvec")).alias("cos"),
+                    F.lit(False).alias("expanded"),
+                )
+            )
+            visited = (
+                visited.join(
+                    frontier.withColumn("_f", F.lit(True)),
+                    ["qid", "vec_id"],
+                    "left",
+                )
+                .select(
+                    "qid",
+                    "vec_id",
+                    "cos",
+                    (
+                        F.col("expanded")
+                        | F.coalesce(F.col("_f"), F.lit(False))
+                    ).alias("expanded"),
+                )
+                .unionByName(new_scored)
+                .localCheckpoint()
+            )
+    wk = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "vec_id",
+            "label",
+            F.round(F.col("cos"), 6).alias("cosine_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -197,6 +197,7 @@ def load_all() -> None:
         "wave5",
         "wave6",
         "wave7",
+        "wave8",
     ):
         __import__(f"apache_beam_challange_spark.plans.{mod}")
 

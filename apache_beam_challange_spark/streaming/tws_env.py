@@ -76,11 +76,28 @@ def ensure_protobuf() -> str | None:
         if not getattr(_rv.ValidateProtobufRuntimeVersion, "_tws_lenient", False):
             _orig = _rv.ValidateProtobufRuntimeVersion
 
-            def _lenient(*args, **kwargs):
+            def _lenient(gen_domain, gen_major, gen_minor, gen_patch,
+                         gen_suffix, location):
                 try:
-                    _orig(*args, **kwargs)
+                    _orig(gen_domain, gen_major, gen_minor, gen_patch,
+                          gen_suffix, location)
                 except _rv.VersionError:
-                    pass
+                    # Suppress ONLY the documented skew: same major,
+                    # gencode exactly one minor ahead of the runtime
+                    # (6.33 gencode on the App Engine 6.32 runtime). Any
+                    # other violation is a genuine incompatibility and
+                    # must propagate.
+                    if not (gen_major == _rv.MAJOR
+                            and gen_minor == _rv.MINOR + 1):
+                        raise
+                    import warnings
+
+                    warnings.warn(
+                        "Suppressing known protobuf gencode/runtime skew "
+                        f"{gen_major}.{gen_minor}.{gen_patch} on "
+                        f"{_rv.MAJOR}.{_rv.MINOR}.{_rv.PATCH} at {location}",
+                        stacklevel=2,
+                    )
 
             _lenient._tws_lenient = True
             _rv.ValidateProtobufRuntimeVersion = _lenient

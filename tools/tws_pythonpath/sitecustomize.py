@@ -28,11 +28,25 @@ try:
 
     _orig = _rv.ValidateProtobufRuntimeVersion
 
-    def _lenient(*args, **kwargs):
+    def _lenient(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix,
+                 location):
         try:
-            _orig(*args, **kwargs)
+            _orig(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix,
+                  location)
         except _rv.VersionError:
-            pass  # 6.33 gencode on 6.32 runtime: accepted, see docstring
+            # Only the documented one-minor-ahead same-major skew (6.33
+            # gencode on the 6.32 App Engine runtime) is accepted; any
+            # other violation is real and must propagate.
+            if not (gen_major == _rv.MAJOR and gen_minor == _rv.MINOR + 1):
+                raise
+            import warnings
+
+            warnings.warn(
+                "Suppressing known protobuf gencode/runtime skew "
+                f"{gen_major}.{gen_minor}.{gen_patch} on "
+                f"{_rv.MAJOR}.{_rv.MINOR}.{_rv.PATCH} at {location}",
+                stacklevel=2,
+            )
 
     _rv.ValidateProtobufRuntimeVersion = _lenient
 except Exception:  # pragma: no cover - no protobuf at all: stay silent
