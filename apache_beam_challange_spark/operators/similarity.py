@@ -1885,18 +1885,26 @@ def hnsw_write_index(embeddings: DataFrame, path: str, **kw) -> None:
     """Materialize the layered adjacency AT REST (posture of
     :func:`nsw_write_index`): adjacency sorted by (layer, src) for
     row-group pruning, plus a ``path + "_levels"`` sidecar so serving
-    finds the entry point without re-hashing. Commit order (torn-artifact
-    rule): invalidate the primary marker, commit the sidecar, commit the
-    adjacency LAST."""
+    finds the entry point without re-hashing and a ``path + "_buckets"``
+    sidecar so :func:`hnsw_append_graph` can fold deltas in without
+    re-hashing the corpus (buckets are level-independent — ONE sidecar
+    serves every layer). Commit order (torn-artifact rule): invalidate
+    the primary marker, commit the sidecars, commit the adjacency LAST."""
     import os
 
     max_level = kw.get("max_level", HNSW_MAX_LEVEL)
+    nt = kw.get("num_tables", NSW_TABLES)
+    np_ = kw.get("num_planes", NSW_PLANES)
+    dim = kw.get("dim", 64)
     stale_marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(stale_marker):
         os.remove(stale_marker)
     hnsw_levels(embeddings, max_level).write.mode("overwrite").parquet(
         path + "_levels"
     )
+    _multitable_buckets(embeddings, nt, np_, dim).write.mode(
+        "overwrite"
+    ).parquet(path + "_buckets")
     hnsw_build_graph(embeddings, **kw).sortWithinPartitions(
         "layer", "src"
     ).write.mode("overwrite").parquet(path)
@@ -2134,3 +2142,48 @@ def hnsw_topk_batch(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def hnsw_append_graph(
+    adjacency: DataFrame,
+    old_buckets: DataFrame,
+    embeddings_all: DataFrame,
+    new_embeddings: DataFrame,
+    max_level: int = HNSW_MAX_LEVEL,
+    m_upper: int = HNSW_M_UPPER,
+    m0: int = NSW_M,
+    num_tables: int = NSW_TABLES,
+    num_planes: int = NSW_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental HNSW maintenance with the NSW exactness theorem applied
+    PER LAYER: append == rebuild, row for row. Levels are a pure function
+    of vec_id (md5 prefix), so an append never re-levels an existing node,
+    and each layer's graph is exactly an NSW graph over its (grown)
+    level>=l population — :func:`nsw_append_graph`'s dominance argument
+    (a dropped old candidate was dominated by M still-present better
+    candidates) holds layer by layer. Only the delta is hashed; per layer,
+    only srcs touched by a delta bucket collision re-rank. Completes the
+    maintenance story across the ANN families: NSW append (theorem),
+    IVF/MIPS append (guarded), Vamana insert (search-based), HNSW append
+    (per-layer theorem)."""
+    lv_all = hnsw_levels(embeddings_all, max_level)
+    lv_new = hnsw_levels(new_embeddings, max_level)
+    out = None
+    for layer in range(max_level + 1):
+        keep_all = lv_all.filter(F.col("level") >= layer).select("vec_id")
+        keep_new = lv_new.filter(F.col("level") >= layer).select("vec_id")
+        g = nsw_append_graph(
+            adjacency.filter(F.col("layer") == layer).select(
+                "src", "dst", "cos"
+            ),
+            old_buckets.join(keep_all, "vec_id"),
+            embeddings_all.join(keep_all, "vec_id"),
+            new_embeddings.join(keep_new, "vec_id"),
+            num_tables=num_tables,
+            num_planes=num_planes,
+            m=(m0 if layer == 0 else m_upper),
+            dim=dim,
+        ).select(F.lit(layer).alias("layer"), "src", "dst", "cos")
+        out = g if out is None else out.unionByName(g)
+    return out

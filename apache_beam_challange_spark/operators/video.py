@@ -242,14 +242,22 @@ def attach_mjpeg_video(docs: "DataFrame") -> "DataFrame":
 
 def decode_mjpeg_pixels(videos: "DataFrame") -> "DataFrame":
     """(doc_id, avi) -> long-format reconstructed pixels
-    (doc_id, frame_idx, y, x, recon): the REAL decode path — RIFF walk,
-    per-frame Huffman decode, exact IDCT — feeding relational frame
-    statistics. Per-doc fan-out is bounded (frames x <=384 px)."""
+    (doc_id, frame_idx, y, x, recon, dabs): the REAL decode path — RIFF
+    walk, per-frame Huffman decode, exact IDCT — feeding relational frame
+    statistics. ``dabs`` is the per-pixel |recon - prev_frame_recon|
+    (0 for frame 0): the decoder holds consecutive frames in hand anyway,
+    so emitting the motion delta here costs one vectorized subtraction —
+    the alternative (a pixel-keyed self-join between frames f and f-1)
+    shuffles the ENTIRE fan-out twice and forces a materialization
+    between two consumers, which is exactly the shape that fell over at
+    the 10x scale check (77M-row localCheckpoint + broadcast OOM). One
+    consumer, one groupBy, no checkpoint. Per-doc fan-out stays bounded
+    (frames x <=384 px)."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            ids, fs, ys, xs, vals = [], [], [], [], []
+            ids, fs, ys, xs, vals, dabs = [], [], [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["avi"]):
                 w, h, frames = decode_mjpeg(bytes(blob))
                 yy, xx = np.mgrid[0:h, 0:w]
@@ -259,6 +267,12 @@ def decode_mjpeg_pixels(videos: "DataFrame") -> "DataFrame":
                     ys.append(yy.ravel())
                     xs.append(xx.ravel())
                     vals.append(px.ravel())
+                    d = (
+                        np.abs(px - frames[f - 1])
+                        if f
+                        else np.zeros_like(px)
+                    )
+                    dabs.append(d.ravel())
             if not ids:
                 continue
             yield pd.DataFrame(
@@ -268,9 +282,11 @@ def decode_mjpeg_pixels(videos: "DataFrame") -> "DataFrame":
                     "y": np.concatenate(ys),
                     "x": np.concatenate(xs),
                     "recon": np.concatenate(vals),
+                    "dabs": np.concatenate(dabs),
                 }
             )
 
     return videos.mapInPandas(
-        extract, "doc_id long, frame_idx long, y long, x long, recon long"
+        extract,
+        "doc_id long, frame_idx long, y long, x long, recon long, dabs long",
     )

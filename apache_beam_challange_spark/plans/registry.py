@@ -80,83 +80,85 @@ ORACLES: dict[str, str] = {}
 #: heavily-pytest-covered once-green members, so after this round's
 #: gate the never-driver-checked set is EMPTY.
 DRIVER_ORDER: list[str] = [
-    # reference-canonical core
+    # reference-canonical core (pinned every round)
     "q1_sql_top_pairs",
     "q2_top_pairs_ops",
     "q3_station_distances",
     "q4_total_distance",
     "q4_total_distance_by_name",
-    # Round-11 rotation (VERDICT r10 "Next round" #3): the
-    # never-driver-checked pool is 50 queries (34 wave6 + the final 14
-    # wave5 + heaps + the rows-only xxhash64 perf twin) against 45 free
-    # slots, so it splits over two rounds. This round: heaps_law_fit_tokens
-    # FIRST (its r10 FAIL was the negative-zero seam, fixed this round —
-    # exact DECIMAL/HUGEINT OLS numerator, one double division — and it
-    # must re-earn its verdict on the corrected code), then the complete
-    # 34-query wave6 block (registry order), then the 10 highest-value
-    # wave5 leftovers (the novel-estimator ones whose only cross-engine
-    # check is the DuckDB oracle). Rotating OUT: the 44 round-10-rotation
-    # members that earned their first driver verdict in CORRECTNESS_r10
-    # (49/50 green; every one stays in the local oracle gate + pytest).
-    "heaps_law_fit_tokens",
-    # wave6 block (34)
-    "brier_murphy_decomposition",
-    "woe_iv_value_bins",
-    "obf_group_sequential_monitor",
-    "neyman_allocation_by_type",
-    "t_closeness_audit",
-    "ndcg_at_k_value_ranking",
-    "jl_projection_distortion",
-    "markov_removal_attribution",
-    "hilbert_orders_keys",
-    "ngram_novelty_by_source",
-    "shapley_attribution",
-    "conformal_value_intervals",
-    "jackknife_ratio_variance",
-    "delta_method_ratio_ci",
-    "huber_location_by_type",
-    "kish_effective_sample_size",
-    "mcnemar_weekend_purchase",
-    "ipf_raking_type_hour",
-    "t_closeness_emd_audit",
-    "association_effect_sizes_type_dow",
-    "fs_em_parameter_estimation",
-    "aalen_johansen_cif",
-    "markov_entropy_rate",
-    "good_turing_chao1_vocab",
-    "audio_dominant_frequency",
-    "image_dct_phash",
-    "platt_scaling_value_purchase",
-    "sbg_retention_fit",
-    "qini_uplift_deciles",
-    "graph_degree_assortativity",
-    "evalue_sensitivity_weekend",
-    "gumbel_block_maxima_fit",
-    "hill_tail_index",
-    "funnel_step_latency_quantiles",
-    # wave5 leftovers, highest-value 10
-    "msprt_always_valid_pvalue",
-    "qte_weekend_value",
-    "fwl_weekend_effect_hour_fe",
-    "theil_decomposition_by_nation",
-    "mi_type_hour_dependence",
-    # round-11 additions (VERDICT r10 #7), straight into the tier so they
-    # never join a never-checked backlog: the baseline JPEG codec
-    # round-trip and the DiskANN-class (Vamana) graph ANN, single +
-    # batched serving
+    # Round-12 rotation (VERDICT r11 #1): the FINAL never-driver-checked
+    # pool — the 10-query wave5 remainder documented in last round's
+    # comment — rotates in, so after this round's gate every registered
+    # query has earned a driver verdict at least once, a first. Rotating
+    # OUT: the 45 round-11 members that went green in CORRECTNESS_r11
+    # (all stay in the local oracle gate + pytest every round).
+    "trimmed_mean_value_by_type",
+    "order_to_ship_latency_quantiles",
+    "return_rate_by_brand_wilson",
+    "mad_value_by_type",
+    "tukey_fence_outliers_by_type",
+    "seasonal_naive_backtest",
+    "abc_xyz_parts",
+    "kendall_w_hourly_revenue_ranking",
+    "price_elasticity_by_brand",
+    "simhash_signatures_xxhash64_perf",  # the labeled rows-only perf twin
+    # Round-12 additions (VERDICT r11 #3 and #6) — straight into the tier
+    # so they never join a never-checked backlog: MJPEG/AVI video decode
+    # over the proven JPEG decoder, and multi-layer HNSW single + batched.
+    "multimodal_decode_mjpeg",
+    "hnsw_topk_vec0",
+    "hnsw_knn_join_vec10",
+    # STEADY-STATE TIER POLICY (VERDICT r11 #7), in force from round 13:
+    # with the never-checked backlog empty, the 45 non-canonical slots
+    # are filled by priority —
+    #   (1) queries added this round (always, as above);
+    #   (2) queries whose ENGINE CODE changed since their last driver
+    #       verdict (operator/plan modules they execute through);
+    #   (3) oldest-driver-verdict refresh for everything else, ties
+    #       alphabetical — skipping the documented extended-by-design
+    #       members (near-duplicate route variants and deliberately-
+    #       quadratic baselines whose scale-safe twins hold tier slots,
+    #       e.g. cosine_topk_pandas_vec0, jaccard_pairs_by_source; the
+    #       local gate still runs them every round).
+    # The r12 tier below IS the policy's first application.
+    # (2) code changed since their r11 verdicts: the JPEG decode fixes
+    # (SOS Td|Ta selector, AC run bound) and the shared parallelism
+    # guard touch all three JPEG-family queries.
     "multimodal_decode_jpeg",
-    "vamana_topk_vec0",
-    "vamana_knn_join_vec10",
-    "image_jpeg_dct_phash",
     "multimodal_decode_jpeg_color",
-    # (Round-12 rotation pool — the 10-query remainder of the
-    # never-driver-checked set: trimmed_mean_value_by_type,
-    # order_to_ship_latency_quantiles, return_rate_by_brand_wilson,
-    # mad_value_by_type, tukey_fence_outliers_by_type,
-    # seasonal_naive_backtest, abc_xyz_parts,
-    # kendall_w_hourly_revenue_ranking, price_elasticity_by_brand, plus
-    # simhash_signatures_xxhash64_perf — the rows-only labeled perf
-    # twin, lowest stakes, deferred last.)
+    "image_jpeg_dct_phash",
+    # (3) oldest-verdict refresh: every remaining round-1 verdict (14),
+    # every round-2 verdict (10), then the alphabetically-first round-3
+    # verdicts (5) to fill the tier to exactly 50.
+    "argmax_order_per_customer",
+    "dataset_split_counts",
+    "distinct_pairs",
+    "events_hourly_counts",
+    "join_anti_unordered_parts",
+    "join_semi_active_customers",
+    "multimodal_frame_sample",
+    "normalized_fingerprints",
+    "q4_total_distance_strict",
+    "set_ops_customers",
+    "sort_limit_offset",
+    "streaming_sliding_counts",
+    "value_quantiles_by_type",
+    "window_lag_event_gaps",
+    "count_distinct_users",
+    "create_fixture_counts",
+    "csv_format_lines",
+    "doc_fingerprints",
+    "json_props_histogram",
+    "project_filter_nulls",
+    "q4_total_distance_cogroup",
+    "rollup_nation_revenue",
+    "simhash_md5_signatures",
+    "window_rank_orders",
+    "asof_join_last_event_per_order",
+    "column_profile_rides",
+    "countmin_user_estimates",
+    "dedup_exact_docs",
+    "embedding_norms_by_label",
 ]
 
 

@@ -144,36 +144,25 @@ def multimodal_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8 * (F.col("doc_id") % 3 + 1)).cast("long").alias("w"),
         (8 * (F.col("doc_id") % 2 + 1)).cast("long").alias("h"),
     )
-    # feeds two consumers (per-frame stats + the frame-delta self-join):
-    # localCheckpoint before fan-out (the round-7 rule) so the python
-    # codec runs once
-    px = decode_mjpeg_pixels(attach_mjpeg_video(docs)).localCheckpoint()
+    # single consumer, single groupBy: the decoder emits the per-pixel
+    # frame delta itself (it holds consecutive frames anyway), so there
+    # is no pixel fan-out materialization and no pixel-keyed self-join —
+    # the 10x scale check killed the self-join shape (see
+    # decode_mjpeg_pixels docstring)
+    px = decode_mjpeg_pixels(attach_mjpeg_video(docs))
     orig = (
         F.col("doc_id") * 7 + F.col("frame_idx") * 13
         + F.col("y") * 31 + F.col("x") * 5
     ) % 256
-    stats = px.groupBy("doc_id", "frame_idx").agg(
-        F.sum("recon").cast("long").alias("recon_sum"),
-        F.sum(F.abs(F.col("recon") - orig)).cast("long").alias("err_abs_sum"),
-    )
-    prev = px.select(
-        "doc_id",
-        (F.col("frame_idx") + 1).alias("frame_idx"),
-        "y",
-        "x",
-        F.col("recon").alias("prev_recon"),
-    )
-    delta = (
-        px.join(prev, ["doc_id", "frame_idx", "y", "x"])
-        .groupBy("doc_id", "frame_idx")
-        .agg(
-            F.sum(F.abs(F.col("recon") - F.col("prev_recon")))
-            .cast("long")
-            .alias("delta_abs_sum")
-        )
-    )
     return (
-        stats.join(delta, ["doc_id", "frame_idx"], "left")
+        px.groupBy("doc_id", "frame_idx")
+        .agg(
+            F.sum("recon").cast("long").alias("recon_sum"),
+            F.sum(F.abs(F.col("recon") - orig)).cast("long").alias(
+                "err_abs_sum"
+            ),
+            F.sum("dabs").cast("long").alias("delta_abs_sum"),
+        )
         .join(F.broadcast(dims), "doc_id")
         .select(
             "doc_id",
@@ -182,9 +171,7 @@ def multimodal_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").cast("int").alias("height"),
             "recon_sum",
             "err_abs_sum",
-            F.coalesce(F.col("delta_abs_sum"), F.lit(0))
-            .cast("long")
-            .alias("delta_abs_sum"),
+            "delta_abs_sum",
         )
         .orderBy("doc_id", "frame_idx")
     )

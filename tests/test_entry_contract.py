@@ -12,12 +12,18 @@ def test_entry_returns_rows(spark):
 
 
 def test_queries_and_oracles_aligned():
-    """Driver tier: exactly 50 entries (the driver gate's observed window),
-    every one with a DuckDB oracle — no rows-only rows in the export."""
+    """Driver tier: exactly 50 entries (the driver gate's observed window).
+    Every entry has a DuckDB oracle except the ONE documented rows-only
+    member — the explicitly-labeled xxhash64 perf twin, in the round-12
+    tier to earn its (weaker, rows-only) driver verdict so every
+    registered query has one (VERDICT r11 #1); the SimHash CONTRACT stays
+    the fully-verified simhash_md5_signatures, also in the tier."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(qs) == 50
-    assert set(oracles) == set(qs)
+    assert set(qs) - set(oracles) <= {"simhash_signatures_xxhash64_perf"}
+    assert set(oracles) <= set(qs)
+    assert "simhash_md5_signatures" in qs
     assert list(qs)[0] == "q1_sql_top_pairs"
 
 

@@ -349,3 +349,37 @@ def test_tws_lenient_wrapper_only_suppresses_known_skew():
         rv.ValidateProtobufRuntimeVersion(
             rv.DOMAIN, rv.MAJOR + 1, rv.MINOR, 0, "", "test.proto"
         )
+
+
+def test_hnsw_append_equals_rebuild_and_serves_identically(spark, sf_dir):
+    """The per-layer NSW exactness theorem composed over the hierarchy:
+    appending a 100-vector delta to a 400-vector HNSW graph yields the
+    SAME rows, layer for layer, as rebuilding over all 500 — levels are
+    a pure function of vec_id, so no old node re-levels, and each
+    layer's append inherits nsw_append_graph's dominance argument.
+    Serving over the appended graph equals serving over the rebuild."""
+    from apache_beam_challange_spark.operators.similarity import (
+        _multitable_buckets,
+        hnsw_append_graph,
+        hnsw_build_graph,
+        hnsw_levels,
+        hnsw_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    old_graph = hnsw_build_graph(old).localCheckpoint()
+    old_buckets = _multitable_buckets(old, 4, 4, 64).localCheckpoint()
+    appended = hnsw_append_graph(
+        old_graph, old_buckets, emb, delta
+    ).localCheckpoint()
+    rebuilt = hnsw_build_graph(emb).localCheckpoint()
+    key = lambda r: (r.layer, r.src, r.dst)  # noqa: E731
+    assert {key(r) for r in appended.collect()} == {
+        key(r) for r in rebuilt.collect()
+    }
+    lv = hnsw_levels(emb).localCheckpoint()
+    got = hnsw_topk(emb, appended, lv, 0, k=10).collect()
+    want = hnsw_topk(emb, rebuilt, lv, 0, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

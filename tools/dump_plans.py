@@ -242,7 +242,59 @@ FLAGSHIPS = [
     "vamana_knn_join_vec10",
     "image_jpeg_dct_phash",
     "multimodal_decode_jpeg_color",
+    # round-12 wave8
+    "multimodal_decode_mjpeg",
+    "hnsw_topk_vec0",
+    "hnsw_knn_join_vec10",
+    # round-12 tier completion (tests/test_plans_complete.py): every
+    # driver-tier member gets a section — incl. the canonical SQL route,
+    # the refresh-rotation members, and the labeled perf twin.
+    "q1_sql_top_pairs",
+    "q4_total_distance_by_name",
+    "kendall_w_hourly_revenue_ranking",
+    "simhash_signatures_xxhash64_perf",
+    "argmax_order_per_customer",
+    "dataset_split_counts",
+    "distinct_pairs",
+    "events_hourly_counts",
+    "join_anti_unordered_parts",
+    "join_semi_active_customers",
+    "multimodal_frame_sample",
+    "normalized_fingerprints",
+    "q4_total_distance_strict",
+    "set_ops_customers",
+    "sort_limit_offset",
+    "value_quantiles_by_type",
+    "window_lag_event_gaps",
+    "count_distinct_users",
+    "create_fixture_counts",
+    "csv_format_lines",
+    "doc_fingerprints",
+    "json_props_histogram",
+    "project_filter_nulls",
+    "q4_total_distance_cogroup",
+    "rollup_nation_revenue",
+    "simhash_md5_signatures",
+    "window_rank_orders",
+    "asof_join_last_event_per_order",
+    "column_profile_rides",
+    "countmin_user_estimates",
+    "dedup_exact_docs",
+    "embedding_norms_by_label",
 ]
+
+#: Driver-tier queries deliberately absent from PLANS.md, with the reason
+#: — the completeness test (tests/test_plans_complete.py, VERDICT r11 #2)
+#: requires every DRIVER_ORDER name to have a `## <name>` section OR an
+#: entry here. Three rounds running (r9-r11) a late-added query missed
+#: the regen silently; this makes the gap class impossible.
+PLAN_EXCLUDED: dict[str, str] = {
+    "streaming_sliding_counts": (
+        "streaming batch-twin executes to a memory sink; the returned "
+        "frame's plan is just the sink table scan — micro-batch shape is "
+        "asserted by tests/test_streaming.py instead"
+    ),
+}
 
 
 def main() -> None:
