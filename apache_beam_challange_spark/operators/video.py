@@ -290,3 +290,240 @@ def decode_mjpeg_pixels(videos: "DataFrame") -> "DataFrame":
         extract,
         "doc_id long, frame_idx long, y long, x long, recon long, dabs long",
     )
+
+
+# --- interleaved A/V mux/demux --------------------------------------------------
+#
+# The multiplexed-container shape real media pipelines demux: ONE RIFF AVI
+# carrying TWO streams — stream 0 'vids'/MJPG (the baseline-JPEG frames
+# above) and stream 1 'auds'/PCM-16 (the WAV sample family from
+# operators/multimodal.py) — temporally interleaved chunk by chunk
+# ('00dc' f0, '01wb' a0, '00dc' f1, ...), the layout that lets a player
+# stream both without seeking. Chunk ids carry the STREAM INDEX in their
+# first two digits; a demuxer that ignores them mixes the streams.
+
+
+def av_audio_params(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc (sample_rate, n_samples) — the WAV family's
+    closed form (multimodal.wav_params), so the oracle regenerates the
+    audio stream without bytes."""
+    return 8000 + (doc_id % 3) * 4000, doc_id % 50 + 20
+
+
+def av_audio_samples(doc_id: int) -> "np.ndarray":
+    """int16 PCM: s[i] = ((doc_id*31 + i*17) mod 2001) - 1000."""
+    _, n = av_audio_params(doc_id)
+    i = np.arange(n)
+    return ((doc_id * 31 + i * 17) % 2001 - 1000).astype(np.int16)
+
+
+def encode_avi_av(doc_id: int, n_frames: int = MJPEG_FRAMES) -> bytes:
+    """Encode a real two-stream AVI: avih declares 2 streams, strl #0 is
+    vids/MJPG, strl #1 is auds/PCM-16 (WAVEFORMATEX strf), and the movi
+    LIST interleaves '00dc' JPEG frames with '01wb' contiguous PCM spans
+    (span f = samples[floor(n*f/4) : floor(n*(f+1)/4)])."""
+    w, h = jpeg_dims(doc_id)
+    rate, n = av_audio_params(doc_id)
+    samples = av_audio_samples(doc_id)
+    frames = [
+        encode_jpeg_gray_px(mjpeg_frame_pixels(doc_id, f))
+        for f in range(n_frames)
+    ]
+    spans = [
+        samples[n * f // n_frames : n * (f + 1) // n_frames].tobytes()
+        for f in range(n_frames)
+    ]
+    avih = struct.pack(
+        "<14I", 100000, 0, 0, 0x10, n_frames, 0, 2, 0, w, h, 0, 0, 0, 0
+    )
+    strh_v = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, n_frames,
+                      max(len(fb) for fb in frames), 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    strh_a = (
+        b"auds" + b"\x00\x00\x00\x00"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, rate, 0, n,
+                      max(len(s) for s in spans) if spans else 0, 0, 2)
+        + struct.pack("<4h", 0, 0, 0, 0)
+    )
+    strf_a = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+        + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
+    )
+    movi_payload = b""
+    idx_entries = []
+    for f in range(n_frames):
+        idx_entries.append((b"00dc", 4 + len(movi_payload), len(frames[f])))
+        movi_payload += _chunk(b"00dc", frames[f])
+        idx_entries.append((b"01wb", 4 + len(movi_payload), len(spans[f])))
+        movi_payload += _chunk(b"01wb", spans[f])
+    movi = _list(b"movi", movi_payload)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            cid + struct.pack("<III", 0x10, off, sz)
+            for cid, off, sz in idx_entries
+        ),
+    )
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def decode_avi_av(
+    data: bytes,
+) -> tuple[int, int, list["np.ndarray"], int, "np.ndarray"]:
+    """Full A/V demux: validate the RIFF form, read avih + BOTH stream
+    headers (strl order assigns stream indices), walk movi routing chunks
+    BY STREAM INDEX ('00dc' -> JPEG decode, '01wb' -> int16 PCM append,
+    interleaving-agnostic), then cross-check frame count, dimensions,
+    total sample count, and sample rate against the declared headers.
+    Returns (width, height, frames, sample_rate, samples)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    riff_end = 8 + struct.unpack("<I", data[4:8])[0]
+    avih = None
+    streams: list[tuple[bytes, tuple]] = []  # (fccType, strh fields)
+    auds_rate = None
+    pos = 12
+    while pos + 8 <= riff_end:
+        cid = data[pos : pos + 4]
+        sz = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"LIST" and data[pos + 8 : pos + 12] == b"hdrl":
+            hpos, hend = pos + 12, pos + 8 + sz
+            while hpos + 8 <= hend:
+                hid = data[hpos : hpos + 4]
+                hsz = struct.unpack("<I", data[hpos + 4 : hpos + 8])[0]
+                if hid == b"avih":
+                    avih = struct.unpack("<14I", data[hpos + 8 : hpos + 64])
+                elif hid == b"LIST" and data[hpos + 8 : hpos + 12] == b"strl":
+                    spos, send = hpos + 12, hpos + 8 + hsz
+                    ftype = None
+                    while spos + 8 <= send:
+                        sid = data[spos : spos + 4]
+                        ssz = struct.unpack(
+                            "<I", data[spos + 4 : spos + 8]
+                        )[0]
+                        if sid == b"strh":
+                            ftype = data[spos + 8 : spos + 12]
+                            fields = struct.unpack(
+                                "<IHHIIIIIIII", data[spos + 16 : spos + 56]
+                            )
+                            streams.append((ftype, fields))
+                        elif sid == b"strf" and ftype == b"auds":
+                            auds_rate = struct.unpack(
+                                "<HHIIHH", data[spos + 8 : spos + 24]
+                            )[2]
+                        spos += 8 + ssz + (ssz & 1)
+                hpos += 8 + hsz + (hsz & 1)
+            break
+        pos += 8 + sz + (sz & 1)
+    if avih is None or len(streams) != avih[6]:
+        raise ValueError("hdrl stream list disagrees with avih dwStreams")
+    frames: list[np.ndarray] = []
+    pcm: list[bytes] = []
+    w = h = -1
+    pos = 12
+    while pos + 8 <= riff_end:
+        cid = data[pos : pos + 4]
+        sz = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            mpos, mend = pos + 12, pos + 8 + sz
+            while mpos + 8 <= mend:
+                mid = data[mpos : mpos + 4]
+                msz = struct.unpack("<I", data[mpos + 4 : mpos + 8])[0]
+                sidx = int(mid[:2])
+                styp = streams[sidx][0] if sidx < len(streams) else None
+                if mid[2:4] == b"dc" and styp == b"vids":
+                    fw, fh, px = decode_jpeg(data[mpos + 8 : mpos + 8 + msz])
+                    if (w, h) not in ((-1, -1), (fw, fh)):
+                        raise ValueError("frame dimension change mid-stream")
+                    w, h = fw, fh
+                    frames.append(px)
+                elif mid[2:4] == b"wb" and styp == b"auds":
+                    pcm.append(data[mpos + 8 : mpos + 8 + msz])
+                else:
+                    raise ValueError(
+                        f"chunk {mid!r} routed to stream of type {styp!r}"
+                    )
+                mpos += 8 + msz + (msz & 1)
+            break
+        pos += 8 + sz + (sz & 1)
+    samples = np.frombuffer(b"".join(pcm), "<i2")
+    vids = next(f for t, f in streams if t == b"vids")
+    auds = next(f for t, f in streams if t == b"auds")
+    if len(frames) != vids[7] or len(frames) != avih[4]:
+        raise ValueError("decoded frame count disagrees with headers")
+    if frames and (w, h) != (avih[8], avih[9]):
+        raise ValueError("avih dimensions disagree with decoded frames")
+    if samples.size != auds[7]:
+        raise ValueError("decoded sample count disagrees with auds strh")
+    if auds_rate is None or auds[5] != auds_rate:
+        raise ValueError("auds strh rate disagrees with WAVEFORMATEX")
+    return w, h, frames, auds_rate, samples
+
+
+def attach_av_video(docs: "DataFrame") -> "DataFrame":
+    """documents -> (doc_id, avi binary): two-stream interleaved A/V
+    container per doc, Arrow-batched, spread by the shared guard."""
+    import pandas as pd
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "avi": [encode_avi_av(int(i)) for i in ids]}
+            )
+
+    return spread_for_python_stage(docs.select("doc_id")).mapInPandas(
+        encode, "doc_id long, avi binary"
+    )
+
+
+def demux_av_features(videos: "DataFrame") -> "DataFrame":
+    """(doc_id, avi) -> one feature row per doc from the REAL demux:
+    video dimensions/frame count + exact-integer reconstruction sum over
+    all frames, audio rate/sample count + |sample| sum and first/last
+    sample (byte-order and chunk-order pins). Scalar features computed in
+    the decoder (exact int64), replayed relationally by the oracle."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["avi"]):
+                w, h, frames, rate, samples = decode_avi_av(bytes(blob))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "n_frames": len(frames),
+                        "video_recon_sum": int(
+                            sum(int(px.sum()) for px in frames)
+                        ),
+                        "sample_rate": rate,
+                        "n_samples": int(samples.size),
+                        "audio_abs_sum": int(
+                            np.abs(samples.astype(np.int64)).sum()
+                        ),
+                        "audio_first": int(samples[0]),
+                        "audio_last": int(samples[-1]),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return videos.mapInPandas(
+        extract,
+        "doc_id long, width int, height int, n_frames int, "
+        "video_recon_sum long, sample_rate int, n_samples int, "
+        "audio_abs_sum long, audio_first int, audio_last int",
+    )

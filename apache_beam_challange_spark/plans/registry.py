@@ -108,6 +108,7 @@ DRIVER_ORDER: list[str] = [
     "multimodal_decode_mjpeg",
     "hnsw_topk_vec0",
     "hnsw_knn_join_vec10",
+    "multimodal_demux_avi",
     # STEADY-STATE TIER POLICY (VERDICT r11 #7), in force from round 13:
     # with the never-checked backlog empty, the 45 non-canonical slots
     # are filled by priority —
@@ -158,7 +159,9 @@ DRIVER_ORDER: list[str] = [
     "column_profile_rides",
     "countmin_user_estimates",
     "dedup_exact_docs",
-    "embedding_norms_by_label",
+    # (embedding_norms_by_label, the would-be 30th refresh slot, yields
+    # its place to the round-12 late addition multimodal_demux_avi per
+    # policy priority (1) > (3); it refreshes in round 13.)
 ]
 
 

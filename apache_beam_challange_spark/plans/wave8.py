@@ -35,8 +35,12 @@ _Q_VALUES = ", ".join(
     f"({v}, {u}, {JPEG_Q[v * 8 + u]})" for v in range(8) for u in range(8)
 )
 
-_MJPEG_SQL = f"""
-WITH dims AS (
+#: The frame-reconstruction chain (dims -> closed-form frame pixels ->
+#: forward DCT -> quantize -> exact-integer IDCT -> rpx), shared by the
+#: MJPEG decode oracle and the A/V demux oracle so the two replays can
+#: never drift (the wave7 _JPEG_RECON_CTE discipline).
+_MJPEG_RECON_CTE = f"""
+dims AS (
     SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 2 + 1) AS h
     FROM documents
 ),
@@ -84,7 +88,10 @@ rpx AS MATERIALIZED (
              (2 * s2 + 1000000000000 + 262144 * 1000000000000)
              // 2000000000000 - 131072 + 128)) AS recon
     FROM recon
-),
+)""".strip()
+
+_MJPEG_SQL = f"""
+WITH {_MJPEG_RECON_CTE},
 stats AS (
     SELECT r.doc_id, r.f,
            CAST(SUM(r.recon) AS BIGINT) AS recon_sum,
@@ -415,3 +422,70 @@ def hnsw_knn_join_vec10(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = spark.read.parquet(path)
     lv = spark.read.parquet(path + "_levels")
     return hnsw_topk_batch(emb, adj, lv, query_ids=list(range(10)), k=5)
+
+
+# --- interleaved A/V demux -------------------------------------------------------
+
+_AV_SQL = f"""
+WITH {_MJPEG_RECON_CTE},
+vsum AS (
+    SELECT doc_id, CAST(SUM(recon) AS BIGINT) AS video_recon_sum
+    FROM rpx GROUP BY doc_id
+),
+aud AS (
+    SELECT d.doc_id,
+           CAST(8000 + (d.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+           CAST(d.doc_id % 50 + 20 AS INTEGER) AS n_samples,
+           CAST(SUM(ABS((d.doc_id * 31 + i.i * 17) % 2001 - 1000))
+                AS BIGINT) AS audio_abs_sum,
+           CAST(MAX(CASE WHEN i.i = 0
+                    THEN (d.doc_id * 31) % 2001 - 1000 END)
+                AS INTEGER) AS audio_first,
+           CAST(MAX(CASE WHEN i.i = d.doc_id % 50 + 19
+                    THEN (d.doc_id * 31 + i.i * 17) % 2001 - 1000 END)
+                AS INTEGER) AS audio_last
+    FROM dims d
+    JOIN (SELECT unnest(generate_series(0, 68)) AS i) i
+      ON i.i < d.doc_id % 50 + 20
+    GROUP BY d.doc_id
+)
+SELECT v.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS n_frames,
+       v.video_recon_sum,
+       a.sample_rate,
+       a.n_samples,
+       a.audio_abs_sum,
+       a.audio_first,
+       a.audio_last
+FROM vsum v
+JOIN dims d ON d.doc_id = v.doc_id
+JOIN aud a ON a.doc_id = v.doc_id
+ORDER BY v.doc_id
+""".strip()
+
+
+@query("multimodal_demux_avi", oracle=_AV_SQL)
+def multimodal_demux_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved A/V DEMUX — the multiplexed-container shape real media
+    pipelines read: ONE AVI per document carrying TWO streams (stream 0
+    vids/MJPG baseline-JPEG frames, stream 1 auds/PCM-16 with a
+    WAVEFORMATEX strf), movi chunks temporally interleaved ('00dc' f0,
+    '01wb' a0, '00dc' f1, ...). The decoder assigns stream indices from
+    the strl order, routes every movi chunk BY ITS STREAM INDEX, decodes
+    video through the exact-integer JPEG path and audio as int16 PCM,
+    then cross-checks frame count, dimensions, sample count, and sample
+    rate against BOTH stream headers. The oracle replays the video
+    reconstruction through the shared frame-DCT chain AND regenerates
+    the audio stream from its closed form — a demux slip on either
+    stream (chunk misrouting, span reordering, rate/count header
+    disagreement) hash-fails. Scalar per-doc features, Arrow-batched,
+    spread by the shared guard; row-linear like the codec family."""
+    from apache_beam_challange_spark.operators.video import (
+        attach_av_video,
+        demux_av_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return demux_av_features(attach_av_video(docs)).orderBy("doc_id")

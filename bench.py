@@ -642,6 +642,7 @@ WAVE8 = [
     "multimodal_decode_mjpeg",
     "hnsw_topk_vec0",
     "hnsw_knn_join_vec10",
+    "multimodal_demux_avi",
 ]
 
 CURATION = [

@@ -383,3 +383,59 @@ def test_hnsw_append_equals_rebuild_and_serves_identically(spark, sf_dir):
     got = hnsw_topk(emb, appended, lv, 0, k=10).collect()
     want = hnsw_topk(emb, rebuilt, lv, 0, k=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# --- interleaved A/V mux/demux ---------------------------------------------------
+
+
+def test_av_container_two_streams_interleaved():
+    """The A/V mux emits a real two-stream AVI: avih declares 2 streams,
+    two strl LISTs (vids then auds, WAVEFORMATEX strf), and the movi
+    chunks alternate 00dc/01wb — true temporal interleaving."""
+    data = V.encode_avi_av(7)
+    assert data.count(b"strh") == 2
+    assert b"vids" in data and b"auds" in data
+    mpos = data.index(b"movi") + 4
+    order = []
+    while data[mpos : mpos + 4] in (b"00dc", b"01wb"):
+        order.append(data[mpos : mpos + 4])
+        sz = struct.unpack("<I", data[mpos + 4 : mpos + 8])[0]
+        mpos += 8 + sz + (sz & 1)
+    assert order == [b"00dc", b"01wb"] * V.MJPEG_FRAMES
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 19, 49, 499])
+def test_av_demux_roundtrip(doc_id):
+    """Demux recovers BOTH streams exactly: video frames equal the JPEG
+    math path, audio samples equal the WAV closed form, and the declared
+    rates/counts survive the header cross-checks."""
+    w, h, frames, rate, samples = V.decode_avi_av(V.encode_avi_av(doc_id))
+    assert (w, h) == J.jpeg_dims(doc_id)
+    r, n = V.av_audio_params(doc_id)
+    assert rate == r and samples.size == n
+    assert np.array_equal(samples, V.av_audio_samples(doc_id))
+    for f, px in enumerate(frames):
+        exp = J._inverse_blocks(
+            J._forward_blocks(V.mjpeg_frame_pixels(doc_id, f))
+        )
+        assert np.array_equal(px, exp)
+
+
+def test_av_demux_rejects_misrouted_and_lying_headers():
+    """A chunk whose stream index points at the wrong stream TYPE is
+    rejected (demuxers that route by suffix alone mix streams), and a
+    tampered auds sample count fails the cross-check."""
+    data = bytearray(V.encode_avi_av(3))
+    mpos = bytes(data).index(b"movi") + 4
+    assert bytes(data[mpos : mpos + 4]) == b"00dc"
+    data[mpos : mpos + 2] = b"01"  # route the JPEG frame to the auds stream
+    with pytest.raises(ValueError, match="routed to stream"):
+        V.decode_avi_av(bytes(data))
+    data2 = bytearray(V.encode_avi_av(3))
+    # auds strh payload: fccType(4) handler(4) dwFlags(4) wPrio(2)
+    # wLang(2) dwInitFrames(4) dwScale(4) dwRate(4) dwStart(4) dwLength
+    # -> dwLength sits at fccType+32
+    apos = bytes(data2).index(b"auds")  # start of fccType inside strh
+    struct.pack_into("<I", data2, apos + 32, 9999)
+    with pytest.raises(ValueError, match="sample count"):
+        V.decode_avi_av(bytes(data2))

@@ -246,6 +246,7 @@ FLAGSHIPS = [
     "multimodal_decode_mjpeg",
     "hnsw_topk_vec0",
     "hnsw_knn_join_vec10",
+    "multimodal_demux_avi",
     # round-12 tier completion (tests/test_plans_complete.py): every
     # driver-tier member gets a section — incl. the canonical SQL route,
     # the refresh-rotation members, and the labeled perf twin.
