@@ -1861,24 +1861,77 @@ def hnsw_build_graph(
     """Per-layer adjacency (layer, src, dst, cos): layer l is the NSW
     graph (LSH-bucketed candidates, per-src top-M by cosine — never
     all-pairs) over the nodes with level >= l; layer 0 keeps M=16, upper
-    layers M=8 (the standard M vs 2M split). Layers are geometrically
-    smaller, so the build cost is dominated by layer 0 — same class as
-    the flat NSW build."""
+    layers M=8 (the standard M vs 2M split). ONE bucket pass, ONE pair
+    self-join, ONE cosine scoring for the whole hierarchy: buckets are
+    per-vector (level-independent) and layer l's candidate pairs are
+    exactly the layer-0 pairs whose endpoints both reach l, so each
+    scored pair explodes to layers 0..min(level(src), level(dst)) and a
+    single (layer, src) window takes the per-layer top-M — the identical
+    shape the DuckDB oracle materializes (cand -> adj). Equivalent row
+    for row to building each layer's NSW graph over its subset, at a
+    third of the build cost (pinned by the append==rebuild test, which
+    compares against per-layer nsw_append_graph folds)."""
+    from pyspark.sql import Window
+
     lv = hnsw_levels(embeddings, max_level)
-    out = None
-    for layer in range(max_level + 1):
-        sub = embeddings.join(
-            lv.filter(F.col("level") >= layer).select("vec_id"), "vec_id"
+    buck = _multitable_buckets(embeddings, num_tables, num_planes, dim)
+    pairs = (
+        buck.alias("a")
+        .join(
+            buck.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
-        g = nsw_build_graph(
-            sub,
-            num_tables=num_tables,
-            num_planes=num_planes,
-            m=(m0 if layer == 0 else m_upper),
-            dim=dim,
-        ).select(F.lit(layer).alias("layer"), "src", "dst", "cos")
-        out = g if out is None else out.unionByName(g)
-    return out
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    vecs = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        pairs.join(vecs.withColumnRenamed("vec_id", "src").alias("va"), "src")
+        .join(
+            vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb")),
+            "dst",
+        )
+        .select("src", "dst", cosine(F.col("v"), F.col("vb")).alias("cos"))
+    )
+    leveled = (
+        scored.join(
+            lv.select(
+                F.col("vec_id").alias("src"), F.col("level").alias("src_lv")
+            ),
+            "src",
+        )
+        .join(
+            lv.select(
+                F.col("vec_id").alias("dst"), F.col("level").alias("dst_lv")
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "cos",
+            F.explode(
+                F.sequence(F.lit(0), F.least("src_lv", "dst_lv"))
+            ).alias("layer"),
+        )
+    )
+    w = Window.partitionBy("layer", "src").orderBy(
+        F.col("cos").desc(), F.col("dst")
+    )
+    return (
+        leveled.withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.when(F.col("layer") == 0, F.lit(m0)).otherwise(F.lit(m_upper))
+        )
+        .select("layer", "src", "dst", "cos")
+    )
 
 
 def hnsw_write_index(embeddings: DataFrame, path: str, **kw) -> None:
