@@ -109,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     "hnsw_topk_vec0",
     "hnsw_knn_join_vec10",
     "multimodal_demux_avi",
+    "html_boilerplate_extraction",
     # STEADY-STATE TIER POLICY (VERDICT r11 #7), in force from round 13:
     # with the never-checked backlog empty, the 45 non-canonical slots
     # are filled by priority —
@@ -158,10 +159,10 @@ DRIVER_ORDER: list[str] = [
     "asof_join_last_event_per_order",
     "column_profile_rides",
     "countmin_user_estimates",
-    "dedup_exact_docs",
-    # (embedding_norms_by_label, the would-be 30th refresh slot, yields
-    # its place to the round-12 late addition multimodal_demux_avi per
-    # policy priority (1) > (3); it refreshes in round 13.)
+    # (dedup_exact_docs and embedding_norms_by_label, the would-be 29th
+    # and 30th refresh slots, yield their places to the round-12 late
+    # additions multimodal_demux_avi and html_boilerplate_extraction per
+    # policy priority (1) > (3); they refresh in round 13.)
 ]
 
 

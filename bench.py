@@ -643,6 +643,7 @@ WAVE8 = [
     "hnsw_topk_vec0",
     "hnsw_knn_join_vec10",
     "multimodal_demux_avi",
+    "html_boilerplate_extraction",
 ]
 
 CURATION = [

@@ -439,3 +439,24 @@ def test_av_demux_rejects_misrouted_and_lying_headers():
     struct.pack_into("<I", data2, apos + 32, 9999)
     with pytest.raises(ValueError, match="sample count"):
         V.decode_avi_av(bytes(data2))
+
+
+# --- HTML boilerplate removal ----------------------------------------------------
+
+
+def test_html_extraction_native_plan_and_exactness(spark, sf_dir, plans):
+    """The extraction is pure JVM expression work over the pruned scan:
+    NO Python eval anywhere in the plan, ReadSchema limited to
+    doc_id+text — and recon_ok = 1 for every document (structural
+    extraction recovers the source text exactly, boilerplate text
+    prefixes notwithstanding)."""
+    import __spark_entry__ as entrymod
+
+    plan = plans("html_boilerplate_extraction")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    assert "struct<doc_id:bigint,text:string>" in final
+    df = entrymod.all_queries()["html_boilerplate_extraction"](spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.recon_ok == 1 for r in rows)
+    assert all(r.n_paragraphs == 2 and r.n_links == 4 for r in rows)

@@ -247,6 +247,7 @@ FLAGSHIPS = [
     "hnsw_topk_vec0",
     "hnsw_knn_join_vec10",
     "multimodal_demux_avi",
+    "html_boilerplate_extraction",
     # round-12 tier completion (tests/test_plans_complete.py): every
     # driver-tier member gets a section — incl. the canonical SQL route,
     # the refresh-rotation members, and the labeled perf twin.
