@@ -2240,3 +2240,45 @@ def hnsw_append_graph(
         ).select(F.lit(layer).alias("layer"), "src", "dst", "cos")
         out = g if out is None else out.unionByName(g)
     return out
+
+
+def hnsw_append_index(
+    new_embeddings: DataFrame,
+    embeddings_all: DataFrame,
+    path: str,
+    **kw,
+) -> None:
+    """At-rest HNSW append (posture of :func:`nsw_append_index`): read
+    the layered adjacency + the level-independent bucket sidecar, fold
+    the delta in via :func:`hnsw_append_graph`, append the delta's
+    levels to the levels sidecar, and republish. All outputs are
+    localCheckpoint-ed BEFORE any write (the computation reads the paths
+    it rewrites). Commit order (torn-artifact rule — readers require
+    _SUCCESS in all parts): invalidate the primary marker FIRST, commit
+    the sidecars (delta rows appended), commit the rewritten adjacency
+    LAST — a crash anywhere in between leaves is_materialized false and
+    forces a clean rebuild, never a silently-stale hierarchy."""
+    import os
+
+    spark = new_embeddings.sparkSession
+    max_level = kw.get("max_level", HNSW_MAX_LEVEL)
+    nt = kw.get("num_tables", NSW_TABLES)
+    np_ = kw.get("num_planes", NSW_PLANES)
+    dim = kw.get("dim", 64)
+    adjacency = spark.read.parquet(path).localCheckpoint()
+    old_buckets = spark.read.parquet(path + "_buckets")
+    new_buck = _multitable_buckets(
+        new_embeddings, nt, np_, dim
+    ).localCheckpoint()
+    new_levels = hnsw_levels(new_embeddings, max_level).localCheckpoint()
+    appended = hnsw_append_graph(
+        adjacency, old_buckets, embeddings_all, new_embeddings, **kw
+    ).localCheckpoint()
+    stale_marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(stale_marker):
+        os.remove(stale_marker)
+    new_buck.write.mode("append").parquet(path + "_buckets")
+    new_levels.write.mode("append").parquet(path + "_levels")
+    appended.sortWithinPartitions("layer", "src").write.mode(
+        "overwrite"
+    ).parquet(path)

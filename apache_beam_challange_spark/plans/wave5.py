@@ -4575,14 +4575,15 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # the grand total is a SCALAR: broadcast it instead of a second
+    # single-partition unbounded window pass (round-12 pin adjudication
+    # found the two-window plan; one part-bounded window remains — the
+    # Pareto prefix-sum is inherently sequential)
+    tot = rev.agg(F.sum("r").cast("long").alias("tot_r"))
     ranked = rev.select(
         "l_partkey",
         F.sum("r").over(wcum).cast("long").alias("cum_r"),
-        F.sum("r").over(wall).cast("long").alias("tot_r"),
-    )
+    ).crossJoin(F.broadcast(tot))
     abc = ranked.select(
         "l_partkey",
         F.when(F.lit(10) * F.col("cum_r") <= F.lit(8) * F.col("tot_r"), "A")

@@ -833,6 +833,17 @@ def main() -> None:
         for n, r in series.items()
         if r > PIN_FIRE_MARGIN
     )
+    # host_factor (round 12): the RAW median wall ratio of the frozen
+    # headline roster vs the previous round's record — a second,
+    # query-class host barometer. noise_ref (a tiny single-stage agg)
+    # and shuffle-heavy members drift INDEPENDENTLY on this host
+    # (round-12 adjudication measured noise_ref 0.18 with shuffle
+    # members 1.5x their clean-host pins); a fired pin on a run with
+    # host_factor >> 1 is adjudicated by a solo 5-rep re-measure
+    # (PERF.md round 12), not taken at face value.
+    host_factor = (
+        round(statistics.median(vs_prev.values()), 2) if vs_prev else None
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -881,6 +892,7 @@ def main() -> None:
         "vs_r10_signal_normalized": vs_r10_signal_normalized,
         "pin_fire_margin": PIN_FIRE_MARGIN,
         "pins_fired": pins_fired,
+        "host_factor": host_factor,
         "repeats": REPEATS,
         "aggregation": "median",
         "sf": sf,
@@ -944,6 +956,7 @@ def main() -> None:
                 ),
                 "pin_fire_margin": PIN_FIRE_MARGIN,
                 "pins_fired": pins_fired,
+                "host_factor": host_factor,
                 "group_counts": group_counts,
                 "group_members_md5": group_members_md5,
                 "noise_ref": noise_ref,

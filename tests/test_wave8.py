@@ -460,3 +460,54 @@ def test_html_extraction_native_plan_and_exactness(spark, sf_dir, plans):
     rows = df.collect()
     assert rows and all(r.recon_ok == 1 for r in rows)
     assert all(r.n_paragraphs == 2 and r.n_links == 4 for r in rows)
+
+
+def test_hnsw_append_index_commit_discipline(spark, sf_dir, tmp_path):
+    """At-rest HNSW append: the republished artifact equals a from-scratch
+    rebuild's index (graph rows, levels, buckets), serving equals the
+    rebuild, and a crash between marker-invalidation and the final
+    adjacency commit leaves is_materialized FALSE (forced clean rebuild,
+    never a silently-stale hierarchy)."""
+    import os
+
+    from apache_beam_challange_spark.operators.similarity import (
+        hnsw_append_index,
+        hnsw_build_graph,
+        hnsw_topk,
+        hnsw_write_index,
+    )
+    from apache_beam_challange_spark.sources.catalog import is_materialized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "hnsw_idx")
+    hnsw_write_index(old, path)
+    assert is_materialized(
+        path, parts=(path + "_levels", path + "_buckets")
+    )
+    hnsw_append_index(delta, emb, path)
+    assert is_materialized(
+        path, parts=(path + "_levels", path + "_buckets")
+    )
+    adj = spark.read.parquet(path)
+    lv = spark.read.parquet(path + "_levels")
+    assert lv.count() == emb.count()
+    rebuilt = hnsw_build_graph(emb)
+    key = lambda r: (r.layer, r.src, r.dst)  # noqa: E731
+    assert {key(r) for r in adj.collect()} == {
+        key(r) for r in rebuilt.collect()
+    }
+    got = [tuple(r) for r in hnsw_topk(emb, adj, lv, 0, k=10).collect()]
+    want = [
+        tuple(r)
+        for r in hnsw_topk(
+            emb, rebuilt.localCheckpoint(), lv, 0, k=10
+        ).collect()
+    ]
+    assert got == want
+    # crash window: marker gone, sidecars committed, adjacency not yet
+    os.remove(os.path.join(path, "_SUCCESS"))
+    assert not is_materialized(
+        path, parts=(path + "_levels", path + "_buckets")
+    )
