@@ -511,3 +511,64 @@ def test_hnsw_append_index_commit_discipline(spark, sf_dir, tmp_path):
     assert not is_materialized(
         path, parts=(path + "_levels", path + "_buckets")
     )
+
+
+# --- streaming vector ingestion --------------------------------------------------
+
+
+def test_streaming_ann_ingest_equals_rebuild(spark, sf_dir, tmp_path):
+    """Continuous embedding ingestion: two delta files stream through
+    foreachBatch (one file per micro-batch), each folding into the store
+    + at-rest NSW index. After the stream drains, the index equals a
+    from-scratch rebuild over the whole store (the append==rebuild
+    theorem composed across batches), serving equals the rebuild, the
+    freshness audit reports fresh, and re-running the stream over the
+    same delta dir is a no-op (exactly-once fold from the vec_id
+    store-membership guard)."""
+    from apache_beam_challange_spark.operators.similarity import (
+        nsw_build_graph,
+        nsw_topk,
+        nsw_write_index,
+    )
+    from apache_beam_challange_spark.streaming.ann_ingest import (
+        ann_index_freshness_check,
+        nsw_ingest_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "nsw_idx")
+    delta_dir = str(tmp_path / "delta")
+    emb.filter(F.col("vec_id") < 400).write.parquet(store)
+    nsw_write_index(spark.read.parquet(store), index)
+    emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).coalesce(
+        1
+    ).write.parquet(delta_dir)
+    emb.filter(F.col("vec_id") >= 450).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    q = nsw_ingest_stream(
+        spark, delta_dir, store, index, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(store).count() == emb.count()
+    adj = spark.read.parquet(index)
+    rebuilt = nsw_build_graph(emb).localCheckpoint()
+    key = lambda r: (r.src, r.dst)  # noqa: E731
+    assert {key(r) for r in adj.collect()} == {
+        key(r) for r in rebuilt.collect()
+    }
+    got = [tuple(r) for r in nsw_topk(emb, adj, 0, k=10).collect()]
+    want = [tuple(r) for r in nsw_topk(emb, rebuilt, 0, k=10).collect()]
+    assert got == want
+    fresh = ann_index_freshness_check(spark, store, index).collect()[0]
+    assert fresh.fresh and fresh.store_rows == emb.count()
+    # replay: a second stream over the same delta dir must not double-fold
+    q2 = nsw_ingest_stream(
+        spark, delta_dir, store, index, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(store).count() == emb.count()
+    assert {key(r) for r in spark.read.parquet(index).collect()} == {
+        key(r) for r in rebuilt.collect()
+    }
