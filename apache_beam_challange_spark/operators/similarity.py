@@ -1830,6 +1830,22 @@ HNSW_M_UPPER = 8
 HNSW_UPPER_BEAM, HNSW_UPPER_ROUNDS = 4, 2
 
 
+def suggested_max_level(n: int) -> int:
+    """log4 level-cap sizing so the TOP layer stays O(1) — the hierarchy
+    invariant single-entry descent depends on. The round-12 scale check
+    measured the cost of violating it: at 20k vectors a cap of 2 leaves
+    a ~1000-node "top" layer and recall@20 collapses to 0.0; the same
+    corpus at cap 7 (top layer 6 nodes) serves recall 0.95 with the SAME
+    per-layer budgets. Returns the smallest L with n/4^L <= 8 (floor 2).
+    The oracle-paired queries pin cap 2 — right-sized for their 500-row
+    corpora AND required for a statically-unrolled oracle; larger
+    corpora pass this cap explicitly (tests pin the recall floor)."""
+    level = 0
+    while n > 8 * (4 ** level):
+        level += 1
+    return max(level, 2)
+
+
 def hnsw_levels(
     embeddings: DataFrame, max_level: int = HNSW_MAX_LEVEL
 ) -> DataFrame:
@@ -2010,11 +2026,22 @@ def hnsw_topk(
             "vec_id", cosine(F.col("vec"), F.col("__qvec")).alias("cos")
         )
 
-    # parameter-bounded collect: ONE id (the deterministic entry point)
+    # parameter-bounded collects: ONE scalar (the highest POPULATED level
+    # at or under the cap — with log4-sized caps the top level can be
+    # empty by hash chance, and descending from the highest populated one
+    # preserves the hierarchy invariant) and ONE id (the deterministic
+    # entry point)
+    top = (
+        levels.filter(
+            (F.col("level") <= max_level)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .agg(F.max("level"))
+        .collect()[0][0]
+    )
     entry = (
         levels.filter(
-            (F.col("level") >= max_level)
-            & (F.col("vec_id") != query_vec_id)
+            (F.col("level") >= top) & (F.col("vec_id") != query_vec_id)
         )
         .agg(F.min("vec_id"))
         .collect()[0][0]
@@ -2022,7 +2049,7 @@ def hnsw_topk(
     visited = score(vecs.filter(F.col("vec_id") == entry)).localCheckpoint()
     scored_ids: set[int] = {entry}
     for layer, b, rr in _hnsw_phases(
-        max_level, upper_beam, upper_rounds, beam, rounds
+        top, upper_beam, upper_rounds, beam, rounds
     ):
         adj_l = adjacency.filter(F.col("layer") == layer)
         expanded: set[int] = set()
@@ -2106,8 +2133,15 @@ def hnsw_topk_batch(
             F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
         )
     )
+    # highest POPULATED level at or under the cap (one scalar collect —
+    # with log4-sized caps the top level can be empty by hash chance)
+    top = (
+        levels.filter(F.col("level") <= max_level)
+        .agg(F.max("level"))
+        .collect()[0][0]
+    )
     top_nodes = F.broadcast(
-        levels.filter(F.col("level") >= max_level).select("vec_id")
+        levels.filter(F.col("level") >= top).select("vec_id")
     )
     entries = (
         queries.select("qid")
@@ -2128,7 +2162,7 @@ def hnsw_topk_batch(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     for layer, b, rr in _hnsw_phases(
-        max_level, upper_beam, upper_rounds, beam, rounds
+        top, upper_beam, upper_rounds, beam, rounds
     ):
         adj_l = adjacency.filter(F.col("layer") == layer).select("src", "dst")
         # layer boundary: every node owes this layer's neighborhood again

@@ -572,3 +572,36 @@ def test_streaming_ann_ingest_equals_rebuild(spark, sf_dir, tmp_path):
     assert {key(r) for r in spark.read.parquet(index).collect()} == {
         key(r) for r in rebuilt.collect()
     }
+
+
+def test_hnsw_deep_hierarchy_recall_at_scale(spark):
+    """The log4 level-cap law (the round-12 scale finding): at 2000
+    vectors the suggested cap is 4 (top layer O(1)) and single-entry
+    descent holds recall@20 >= 0.9 vs exact — the SAME corpus under the
+    too-shallow cap 2 leaves a ~100-node top layer, and at 20k vectors
+    a cap-2 'hierarchy' collapses to recall 0.0 (measured, PERF.md).
+    Also pins the empty-top-level fallback: serving descends from the
+    highest POPULATED level at or under the cap."""
+    from apache_beam_challange_spark.operators.similarity import (
+        cosine_topk,
+        hnsw_build_graph,
+        hnsw_levels,
+        hnsw_topk,
+        suggested_max_level,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    ml = suggested_max_level(n)
+    assert ml == 4 and suggested_max_level(500) == 3
+    assert suggested_max_level(20000) == 6 and suggested_max_level(10) == 2
+    lv = hnsw_levels(emb, max_level=ml).localCheckpoint()
+    top_pop = lv.agg(F.max("level")).collect()[0][0]
+    assert lv.filter(F.col("level") >= top_pop).count() <= 32  # O(1) top
+    adj = hnsw_build_graph(emb, max_level=ml).localCheckpoint()
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, k=20).collect()}
+    got = {
+        r["vec_id"]
+        for r in hnsw_topk(emb, adj, lv, 0, k=20, max_level=ml).collect()
+    }
+    assert len(got & exact) / 20 >= 0.9
