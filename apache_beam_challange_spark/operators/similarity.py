@@ -2133,21 +2133,44 @@ def hnsw_topk_batch(
             F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
         )
     )
-    # highest POPULATED level at or under the cap (one scalar collect —
-    # with log4-sized caps the top level can be empty by hash chance)
-    top = (
-        levels.filter(F.col("level") <= max_level)
-        .agg(F.max("level"))
-        .collect()[0][0]
+    # Per-level populations at or under the cap: ONE parameter-bounded
+    # collect (≤ cap+1 rows). ``top`` (the schedule's start layer) is the
+    # highest populated level, as before; the entry-candidate set floors
+    # at the highest level whose CUMULATIVE population is ≥ 2, so every
+    # query has a non-self candidate — mirroring the single-query route's
+    # self-exclusion (a top layer whose only node is a query itself would
+    # otherwise hand that query an empty entry set and silently return no
+    # rows instead of descending). Per-qid entry = best candidate by
+    # (level DESC, vec_id ASC) excluding self, which is exactly the
+    # single-query rule "min vec_id on the highest non-self level"; for a
+    # qid entering below ``top`` the upper phases expand no edges (its
+    # entry has none there) — a no-op, trajectory-equal to starting lower.
+    lvl_counts = {
+        r["level"]: r["cnt"]
+        for r in levels.filter(F.col("level") <= max_level)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    top = max(lvl_counts)
+    cum, floor = 0, 0
+    for lvl in sorted(lvl_counts, reverse=True):
+        cum += lvl_counts[lvl]
+        if cum >= 2:
+            floor = lvl
+            break
+    cand_nodes = F.broadcast(
+        levels.filter(F.col("level") >= floor).select("vec_id", "level")
     )
-    top_nodes = F.broadcast(
-        levels.filter(F.col("level") >= top).select("vec_id")
+    w_entry = Window.partitionBy("qid").orderBy(
+        F.col("level").desc(), F.col("vec_id")
     )
     entries = (
         queries.select("qid")
-        .join(top_nodes, F.col("vec_id") != F.col("qid"))
-        .groupBy("qid")
-        .agg(F.min("vec_id").alias("vec_id"))
+        .join(cand_nodes, F.col("vec_id") != F.col("qid"))
+        .withColumn("_rk", F.row_number().over(w_entry))
+        .filter(F.col("_rk") == 1)
+        .select("qid", "vec_id")
     )
     visited = (
         entries.join(vecs.select("vec_id", "vec"), "vec_id")

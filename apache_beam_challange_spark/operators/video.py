@@ -439,6 +439,14 @@ def decode_avi_av(
             while mpos + 8 <= mend:
                 mid = data[mpos : mpos + 4]
                 msz = struct.unpack("<I", data[mpos + 4 : mpos + 8])[0]
+                if not mid[:2].isdigit():
+                    # standard non-stream chunks conformant writers emit
+                    # inside movi — JUNK padding, 'ix??' sub-indexes,
+                    # 'rec ' LISTs — are not ##xx stream records; skip
+                    # by size (decode_mjpeg's discipline) instead of
+                    # crashing the stream-index parse
+                    mpos += 8 + msz + (msz & 1)
+                    continue
                 sidx = int(mid[:2])
                 styp = streams[sidx][0] if sidx < len(streams) else None
                 if mid[2:4] == b"dc" and styp == b"vids":

@@ -13,15 +13,21 @@ rebuild after a two-batch ingest).
 
 Crash posture: the store append commits FIRST (vectors are the source of
 truth), then the index fold (which itself invalidates its _SUCCESS
-marker for the duration of its rewrite — a crash mid-fold forces a clean
-rebuild). A crash BETWEEN the two leaves a valid-but-stale index; that
-window is detectable, not silent: :func:`ann_index_freshness_check`
-compares store cardinality against the index's bucket sidecar and is the
-cheap serving-time audit. Structured Streaming's checkpoint replays the
-failed batch, and both writes are idempotent per batch id in the
-replay-after-success case only when the store append is guarded — so the
-fold skips batches already recorded in the sidecar (exactly-once fold
-from at-least-once delivery).
+marker for the duration of its rewrite). Structured Streaming's
+checkpoint replays the failed batch, and each write is guarded by ITS
+OWN membership record (exactly-once from at-least-once delivery): the
+store append anti-joins the STORE, the index fold anti-joins the BUCKET
+SIDECAR. The two guards are deliberately separate — a crash BETWEEN the
+store append and the fold replays a batch whose rows are already stored
+but not yet indexed, and the sidecar guard re-applies exactly the
+missing index half (a single store-membership guard would anti-join the
+replay away and leave the index permanently stale). A crash MID-fold
+leaves the index torn with its _SUCCESS marker gone; the fold checks
+``is_materialized`` first and rebuilds clean from the store before
+touching a torn artifact, so later batches never fold into half-written
+adjacency. :func:`ann_index_freshness_check` remains the cheap
+serving-time audit for an index opened between a crash and its next
+fold.
 
 Reference parity: the reference repo has no vector or streaming surface;
 this extends SURVEY.md §2.9 (streaming x ANN composition).
@@ -46,7 +52,9 @@ def nsw_ingest_stream(
     StreamingQuery; callers ``awaitTermination()`` it."""
     from apache_beam_challange_spark.operators.similarity import (
         nsw_append_index,
+        nsw_write_index,
     )
+    from apache_beam_challange_spark.sources.catalog import is_materialized
 
     schema = spark.read.parquet(store_path).schema
 
@@ -55,16 +63,39 @@ def nsw_ingest_stream(
         batch = batch_df.localCheckpoint()
         if batch.isEmpty():
             return
-        # exactly-once guard: a checkpoint replay of an already-applied
-        # batch must be a no-op — membership in the STORE is the record
-        # (vec_id is the ingest key)
-        seen = spark.read.parquet(store_path).select("vec_id")
-        batch = batch.join(seen, "vec_id", "left_anti").localCheckpoint()
-        if batch.isEmpty():
+        # STORE guard: membership in the store makes the append
+        # idempotent under checkpoint replay (vec_id is the ingest key)
+        seen_store = spark.read.parquet(store_path).select("vec_id")
+        to_store = batch.join(
+            seen_store, "vec_id", "left_anti"
+        ).localCheckpoint()
+        if not to_store.isEmpty():
+            to_store.write.mode("append").parquet(store_path)
+        # torn-fold recovery: a crash mid-rewrite left the primary
+        # _SUCCESS invalidated — rebuild clean from the store (the source
+        # of truth) rather than folding into half-written adjacency
+        if not is_materialized(index_path, parts=(index_path + "_buckets",)):
+            nsw_write_index(
+                spark.read.parquet(store_path), index_path, **kw
+            )
             return
-        batch.write.mode("append").parquet(store_path)
+        # INDEX guard, separate from the store guard: a crash between the
+        # store append and the fold replays a batch whose rows are stored
+        # but unindexed; anti-joining the BUCKET SIDECAR re-applies
+        # exactly the missing half (and makes a replay-after-success a
+        # no-op)
+        seen_idx = (
+            spark.read.parquet(index_path + "_buckets")
+            .select("vec_id")
+            .distinct()
+        )
+        to_index = batch.join(
+            seen_idx, "vec_id", "left_anti"
+        ).localCheckpoint()
+        if to_index.isEmpty():
+            return
         all_df = spark.read.parquet(store_path)
-        nsw_append_index(batch, all_df, index_path, **kw)
+        nsw_append_index(to_index, all_df, index_path, **kw)
 
     return (
         spark.readStream.schema(schema)

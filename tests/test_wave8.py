@@ -605,3 +605,161 @@ def test_hnsw_deep_hierarchy_recall_at_scale(spark):
         for r in hnsw_topk(emb, adj, lv, 0, k=20, max_level=ml).collect()
     }
     assert len(got & exact) / 20 >= 0.9
+
+
+def test_avi_movi_nonstream_chunks_skipped():
+    """r12 ADVICE: conformant AVI writers emit non-##xx chunks inside
+    movi (JUNK padding, 'ix00' sub-indexes); the demux walker must skip
+    them by size, not crash the int(mid[:2]) stream-index parse — and a
+    digit-prefixed chunk routed to the wrong stream type still raises the
+    controlled routing error."""
+    import struct as S
+
+    base = V.encode_avi_av(3)
+    w0, h0, frames0, rate0, samples0 = V.decode_avi_av(base)
+    for tag in (b"JUNK", b"ix00"):
+        data = bytearray(base)
+        mpos = bytes(data).index(b"movi")
+        chunk = tag + S.pack("<I", 6) + b"\x00" * 6
+        data[mpos + 4 : mpos + 4] = chunk
+        # grow the movi LIST size (8 bytes before the 'movi' tag) and the
+        # RIFF size to cover the splice
+        lsz = S.unpack("<I", data[mpos - 4 : mpos])[0]
+        S.pack_into("<I", data, mpos - 4, lsz + len(chunk))
+        rsz = S.unpack("<I", data[4:8])[0]
+        S.pack_into("<I", data, 4, rsz + len(chunk))
+        w, h, frames, rate, samples = V.decode_avi_av(bytes(data))
+        assert (w, h, rate) == (w0, h0, rate0)
+        assert len(frames) == len(frames0)
+        assert np.array_equal(samples, samples0)
+    # mis-routed digit chunk still controlled: relabel the first video
+    # chunk as audio-typed '00wb' against a vids stream 0
+    data = bytearray(base)
+    mpos = bytes(data).index(b"movi") + 4
+    while data[mpos : mpos + 4][:2].isdigit() is False:
+        sz = S.unpack("<I", data[mpos + 4 : mpos + 8])[0]
+        mpos += 8 + sz + (sz & 1)
+    assert data[mpos : mpos + 4] == b"00dc"
+    data[mpos : mpos + 4] = b"00wb"
+    with pytest.raises(ValueError, match="routed to stream"):
+        V.decode_avi_av(bytes(data))
+
+
+def test_hnsw_batch_entry_excludes_query_nodes(spark, sf_dir):
+    """r12 ADVICE: when the only node on the top populated level IS the
+    query, the batched route must descend from the next populated level
+    (like the single-query route) instead of silently returning no rows.
+    Corpus restricted so the sole top-level node is the query itself."""
+    from apache_beam_challange_spark.operators.similarity import (
+        hnsw_build_graph,
+        hnsw_levels,
+        hnsw_topk,
+        hnsw_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lv_all = hnsw_levels(emb)
+    top = lv_all.agg(F.max("level")).collect()[0][0]
+    x = (
+        lv_all.filter(F.col("level") == top)
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    keep = lv_all.filter(
+        (F.col("level") < top) | (F.col("vec_id") == x)
+    ).select("vec_id")
+    sub = emb.join(keep, "vec_id")
+    adj = hnsw_build_graph(sub).localCheckpoint()
+    lv = hnsw_levels(sub).localCheckpoint()
+    single = {
+        (r.vec_id, r.cosine_sim)
+        for r in hnsw_topk(sub, adj, lv, x, k=5).collect()
+    }
+    got = {
+        (r.vec_id, r.cosine_sim)
+        for r in hnsw_topk_batch(sub, adj, lv, [x], k=5).collect()
+    }
+    assert got and got == single
+
+
+def test_streaming_ann_ingest_replay_heals_crash_window(
+    spark, sf_dir, tmp_path
+):
+    """r12 ADVICE (medium): a crash BETWEEN the store append and the
+    index fold leaves rows stored but unindexed; on checkpoint replay the
+    batch must re-apply the MISSING half (index fold) while the store
+    append stays a no-op — the store and sidecar guards are separate."""
+    from apache_beam_challange_spark.operators.similarity import (
+        nsw_build_graph,
+        nsw_write_index,
+    )
+    from apache_beam_challange_spark.streaming.ann_ingest import (
+        ann_index_freshness_check,
+        nsw_ingest_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "nsw_idx")
+    delta_dir = str(tmp_path / "delta")
+    emb.filter(F.col("vec_id") < 400).write.parquet(store)
+    nsw_write_index(spark.read.parquet(store), index)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    delta.coalesce(1).write.parquet(delta_dir)
+    # simulate the crash window: the store append committed, the fold
+    # never ran — the exact state a store-membership-only guard can
+    # never recover from
+    delta.write.mode("append").parquet(store)
+    stale = ann_index_freshness_check(spark, store, index).collect()[0]
+    assert not stale.fresh
+    q = nsw_ingest_stream(
+        spark, delta_dir, store, index, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(store).count() == emb.count()  # no dup rows
+    rebuilt = nsw_build_graph(emb).localCheckpoint()
+    key = lambda r: (r.src, r.dst)  # noqa: E731
+    assert {key(r) for r in spark.read.parquet(index).collect()} == {
+        key(r) for r in rebuilt.collect()
+    }
+    fresh = ann_index_freshness_check(spark, store, index).collect()[0]
+    assert fresh.fresh
+
+
+def test_streaming_ann_ingest_torn_fold_rebuilds(spark, sf_dir, tmp_path):
+    """r12 ADVICE (medium): a crash MID-fold leaves torn adjacency with
+    the _SUCCESS marker gone; the next batch must rebuild clean from the
+    store before folding, never fold into the torn artifact."""
+    import os
+
+    from apache_beam_challange_spark.operators.similarity import (
+        nsw_build_graph,
+        nsw_write_index,
+    )
+    from apache_beam_challange_spark.streaming.ann_ingest import (
+        ann_index_freshness_check,
+        nsw_ingest_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "nsw_idx")
+    delta_dir = str(tmp_path / "delta")
+    emb.filter(F.col("vec_id") < 400).write.parquet(store)
+    nsw_write_index(spark.read.parquet(store), index)
+    # torn fold: marker invalidated mid-rewrite
+    os.remove(os.path.join(index, "_SUCCESS"))
+    delta = emb.filter(F.col("vec_id") >= 400)
+    delta.coalesce(1).write.parquet(delta_dir)
+    q = nsw_ingest_stream(
+        spark, delta_dir, store, index, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert os.path.exists(os.path.join(index, "_SUCCESS"))
+    rebuilt = nsw_build_graph(emb).localCheckpoint()
+    key = lambda r: (r.src, r.dst)  # noqa: E731
+    assert {key(r) for r in spark.read.parquet(index).collect()} == {
+        key(r) for r in rebuilt.collect()
+    }
+    fresh = ann_index_freshness_check(spark, store, index).collect()[0]
+    assert fresh.fresh
