@@ -19,6 +19,8 @@ Two paths, same API:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +31,163 @@ def _query_vec(embeddings: DataFrame, query_vec_id: int) -> DataFrame:
     return embeddings.filter(F.col("vec_id") == query_vec_id).select(
         as_double(F.col("embedding")).alias("__qvec")
     )
+
+
+def _cos_py(q: list, v: list) -> float:
+    """Bit-exact driver replication of :func:`cosine` (the engine's
+    zip_with+aggregate expression): per-element products, left-to-right
+    sums seeded at 0.0, correctly-rounded sqrt, one division — every
+    step the same IEEE-754 double operation in the same order the JVM
+    executes, so the value is bit-identical to Spark's (and to the
+    DuckDB oracle's replay of the same chain)."""
+    num = 0.0
+    for x, y in zip(q, v):
+        num += x * y
+    dq = 0.0
+    for x in q:
+        dq += x * x
+    dv = 0.0
+    for y in v:
+        dv += y * y
+    den = math.sqrt(dq) * math.sqrt(dv)
+    if den == 0.0:
+        # Spark double-division semantics for the degenerate norm (never
+        # hit on the fixtures; Python would raise instead)
+        return (
+            float("nan") if num == 0.0 else math.copysign(float("inf"), num)
+        )
+    return num / den
+
+
+def _cos_fp_py(q: list, v: list) -> int:
+    """Driver replication of :func:`_cos_fp`: the same IEEE multiply by
+    1e9 then floor — exact for |cos| <= 1."""
+    return int(math.floor(_cos_py(q, v) * _VAM_FP))
+
+
+def _serve_fetch(vecs: DataFrame, adj_df: DataFrame, vec_pred, src_pred):
+    """ONE combined point-lookup job for the graph-serve loop: vectors
+    matching ``vec_pred`` and adjacency rows matching ``src_pred``,
+    each predicate pushed to its own parquet scan, unioned into a
+    single action (r13: the serve wall is Spark job round-trips, not
+    data — one job per round instead of two). Returns
+    ``(vecs_dict, edges_list)``; either predicate may be None to skip
+    that side. The plan carries no scoring expressions — scoring is
+    driver-side via :func:`_cos_py`/:func:`_cos_fp_py`."""
+    parts = []
+    if src_pred is not None:
+        parts.append(
+            adj_df.filter(src_pred).select(
+                F.col("src").alias("i"),
+                F.col("dst").alias("j"),
+                F.lit(None).cast("array<double>").alias("vec"),
+            )
+        )
+    if vec_pred is not None:
+        parts.append(
+            vecs.filter(vec_pred).select(
+                F.col("vec_id").alias("i"),
+                F.lit(None).cast("long").alias("j"),
+                F.col("vec"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    got_vecs: dict[int, list] = {}
+    edges: list[tuple[int, int]] = []
+    for r in df.collect():
+        if r["j"] is None:
+            got_vecs[r["i"]] = list(r["vec"])
+        else:
+            edges.append((r["i"], r["j"]))
+    return got_vecs, edges
+
+
+def _merge_edges(nbrs: dict, fetched_ids, edges) -> None:
+    """Fold a fetch's adjacency rows into the driver cache, marking every
+    queried src as fetched (an isolated node caches an empty list so it
+    is never re-fetched)."""
+    for i in fetched_ids:
+        nbrs.setdefault(i, [])
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+
+
+def _serve_phase(
+    vecs: DataFrame,
+    adj_df: DataFrame,
+    qvecs: dict,
+    score_py,
+    visited: dict,
+    vcache: dict,
+    nbrs: dict,
+    b: int,
+    rr: int,
+) -> None:
+    """One descent phase of the driver-cached graph-serve loop, shared by
+    the single-query and batched routes (r13 restructure, guide
+    §1.2/§2.4): per round at most ONE combined point-lookup job
+    (:func:`_serve_fetch` — vectors for newly reached ids + this layer's
+    adjacency for those same ids, prefetched so the NEXT round's frontier
+    selection never blocks on a second job). Frontier selection, dedup
+    and scoring are driver-local over parameter-bounded state (visited ≤
+    seeds + rounds*b*M ids per query; adjacency cache ≤ visited*M rows —
+    never corpus-bounded; the fetch predicates stay IN-pushed to the
+    parquet scans, the vector-store point-lookup shape). At phase start
+    every scored id may re-enter a frontier (the expanded mark resets at
+    layer boundaries), so this layer's adjacency for ids not yet cached
+    is fetched once. Trajectory-identical per qid to the per-round
+    localCheckpoint DataFrame form (deterministic scoring, same frontier
+    rule, same never-rescore dedup — same fixpoint); the prefetch only
+    moves WHEN bytes are fetched, never what is scored."""
+    qids = sorted(qvecs)
+    expanded: dict[int, set[int]] = {q: set() for q in qids}
+    missing = sorted(
+        {v for q in qids for v in visited[q]} - set(nbrs)
+    )
+    if missing:
+        _, edges = _serve_fetch(
+            vecs, adj_df, None, F.col("src").isin(missing)
+        )
+        _merge_edges(nbrs, missing, edges)
+    for _ in range(rr):
+        frontier = {
+            q: sorted(
+                (v for v in visited[q] if v not in expanded[q]),
+                key=lambda v: (-visited[q][v], v),
+            )[:b]
+            for q in qids
+        }
+        if not any(frontier.values()):
+            break
+        need: dict[int, set[int]] = {}
+        for q in qids:
+            if not frontier[q]:
+                continue
+            expanded[q].update(frontier[q])
+            reached: set[int] = set()
+            for s in frontier[q]:
+                reached.update(nbrs.get(s, ()))
+            reached -= visited[q].keys() | {q}
+            for v in reached:
+                need.setdefault(v, set()).add(q)
+        if not need:
+            continue
+        new_ids = sorted(set(need) - set(vcache))
+        adj_ids = sorted(set(need) - set(nbrs))
+        if new_ids or adj_ids:
+            nvecs, edges = _serve_fetch(
+                vecs,
+                adj_df,
+                F.col("vec_id").isin(new_ids) if new_ids else None,
+                F.col("src").isin(adj_ids) if adj_ids else None,
+            )
+            vcache.update(nvecs)
+            _merge_edges(nbrs, adj_ids, edges)
+        for vid, qs in need.items():
+            for q in qs:
+                visited[q][vid] = score_py(qvecs[q], vcache[vid])
 
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 20) -> DataFrame:
@@ -792,79 +951,63 @@ def nsw_topk(
     visited nodes through the adjacency and score the newly reached
     nodes. Exact cosine over the visited set serves the final top-k.
 
-    Iterative-driver-job shape (same as connected_components_lss), with
-    id-pushdown serving: the frontier (≤ beam ids) and the reached set
-    (≤ beam*M ids) are PARAMETER-BOUNDED documented collects, re-issued
-    as IN-list filters so both the adjacency read and the vector lookup
-    are PUSHED to their parquet scans (row-group pruning on the
-    src-sorted index; no full corpus rescan per round — the vector-store
-    point-lookup shape real graph-ANN serving uses). Work per round is
-    O(beam * M), and the whole search scores ≤ seeds + rounds*beam*M
-    vectors regardless of corpus size. Deterministic (cos desc, vec_id
-    tie-breaks), so the DuckDB oracle replays the identical trajectory
-    unrolled."""
-    qvec = _query_vec(embeddings, query_vec_id)
+    Iterative-driver-job shape with id-pushdown serving, restructured in
+    r13 to ONE combined single-stage job per round (guide §1.2/§2.4 —
+    the serve wall was Spark job round-trips, not data): the visited
+    scores (≤ seeds + rounds*beam*M ids — parameter-bounded, never
+    corpus-bounded) and the fetched vectors/adjacency live in DRIVER
+    caches, frontier selection is a local sort, scoring is the
+    driver-side bit-exact :func:`_cos_py`, and each round issues at most
+    one :func:`_serve_fetch` (vectors for newly reached ids + their
+    adjacency, prefetched for the next frontier — both IN-pushed to the
+    parquet scans, the vector-store point-lookup shape real graph-ANN
+    serving uses). The seed pass is the same combined job (seed vectors
+    + query vector + seed adjacency, all predicate-pushed).
+    Trajectory-identical to the per-round DataFrame form (deterministic
+    scoring; same frontier rule, same reached-dedup), so the DuckDB
+    oracle replays the identical unrolled trajectory. Deterministic
+    (cos desc, vec_id tie-breaks)."""
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+        "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-
-    def score(df: DataFrame) -> DataFrame:
-        return df.crossJoin(F.broadcast(qvec)).select(
-            "vec_id", cosine(F.col("vec"), F.col("__qvec")).alias("cos")
-        )
-
-    visited = (
-        score(
-            vecs.filter(
-                (F.col("vec_id") % seed_step == 0)
-                & (F.col("vec_id") != query_vec_id)
-            )
-        )
-        .localCheckpoint()
+    adj = adjacency.select("src", "dst")
+    # seed pass: ONE combined fetch — seed + query vectors and the seed
+    # nodes' adjacency (predicate-pushed; prefetched so round 1 never
+    # blocks on a second job)
+    vcache, edges = _serve_fetch(
+        vecs,
+        adj,
+        (F.col("vec_id") % seed_step == 0)
+        | (F.col("vec_id") == query_vec_id),
+        F.col("src") % seed_step == 0,
     )
-    expanded: set[int] = set()
-    seen_reached: set[int] = set()
-    for _ in range(rounds):
-        # parameter-bounded collect: ≤ beam ids (documented above)
-        frontier_ids = [
-            r.vec_id
-            for r in visited.filter(
-                ~F.col("vec_id").isin(list(expanded)) if expanded else F.lit(True)
-            )
-            .orderBy(F.col("cos").desc(), F.col("vec_id"))
-            .limit(beam)
-            .collect()
-        ]
-        if not frontier_ids:
-            break
-        expanded.update(frontier_ids)
-        # parameter-bounded collect: ≤ beam*M ids; IN-list pushed to the
-        # src-sorted adjacency scan
-        reached_ids = {
-            r.dst
-            for r in adjacency.filter(F.col("src").isin(frontier_ids))
-            .select("dst")
-            .distinct()
-            .collect()
-            if r.dst != query_vec_id
-        }
-        # neighborhoods overlap across rounds: drop ids already scored
-        # (expanded or reached before) so the point-lookup IN-list and
-        # the union never redo work — results identical, dropDuplicates
-        # was absorbing the redundancy (review)
-        reached_ids -= expanded | seen_reached
-        seen_reached.update(reached_ids)
-        if not reached_ids:
-            continue
-        # IN-list pushed to the vector scan: point lookups, not a rescan
-        new_scored = score(vecs.filter(F.col("vec_id").isin(list(reached_ids))))
-        visited = (
-            visited.union(new_scored)
-            .dropDuplicates(["vec_id"])
-            .localCheckpoint()
-        )
+    nbrs: dict[int, list[int]] = {}
+    _merge_edges(
+        nbrs, [i for i in vcache if i % seed_step == 0], edges
+    )
+    qvec = vcache[query_vec_id]
+    visited: dict[int, dict[int, float]] = {query_vec_id: {}}
+    vis = visited[query_vec_id]
+    for i, v in vcache.items():
+        if i % seed_step == 0 and i != query_vec_id:
+            vis[i] = _cos_py(qvec, v)
+    _serve_phase(
+        vecs,
+        adj,
+        {query_vec_id: qvec},
+        _cos_py,
+        visited,
+        vcache,
+        nbrs,
+        beam,
+        rounds,
+    )
+    out = spark.createDataFrame(
+        sorted(vis.items()), "vec_id long, cos double"
+    )
     return (
-        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        out.join(embeddings.select("vec_id", "label"), "vec_id")
         .select(
             "vec_id", "label", F.round(F.col("cos"), 6).alias("cosine_sim")
         )
@@ -883,100 +1026,74 @@ def nsw_topk_batch(
     seed_step: int = NSW_SEED_STEP,
 ) -> DataFrame:
     """Batched NSW beam search (VERDICT r7 #2): every query in
-    ``query_ids`` advances through the SAME per-round plan, keyed by
+    ``query_ids`` advances through the SAME per-round work, keyed by
     ``qid`` — the ``knn_join_vec10`` discipline applied to the graph
-    index. The per-query driver loop in :func:`nsw_topk` made QPS scale
-    with driver round-trips (rounds x collect PER query); here one
-    frontier DataFrame carries all searches, so driver-side work is
-    exactly ``rounds + 1`` localCheckpoint actions (the seed scoring
-    pass plus one per round) plus the final job, INDEPENDENT of query
-    count (test-pinned by counting localCheckpoint
-    calls for different batch sizes in tests/test_vector.py). No
-    ``.collect()`` anywhere in the search.
-
-    Trajectory-equivalent to :func:`nsw_topk` per query: the frontier is
-    the top-``beam`` not-yet-expanded visited nodes (row_number window
-    per qid, cos desc / vec_id ties), reached nodes already visited are
-    dropped by an anti-join (the single-query route re-scores
-    identically and absorbs them in dropDuplicates — same fixpoint
-    because scoring is deterministic), and the single-query route's
-    early break on an empty frontier equals this route's no-op round.
-
-    Scale shape: per round ONE window over the visited set (bounded by
-    queries x (seeds + rounds*beam*M) rows — parameter-bounded, never
-    corpus-bounded), one src-pushed adjacency join, one id-join point
-    lookup into the vector table, one anti-join; localCheckpoint bounds
-    lineage across rounds exactly like connected_components_lss."""
+    index. Restructured in r13 (guide §1.2/§2.4) from the qid-keyed
+    per-round localCheckpoint DataFrame shape to the driver-cached
+    serve core of :func:`nsw_topk`, SHARED across the batch: at most ONE
+    combined single-stage point-lookup job per round
+    (:func:`_serve_phase`) — independent of batch size, vs one
+    multi-exchange localCheckpoint job per round before; vectors fetched
+    once serve every query in the batch. All fetches parameter-bounded
+    (≤ qids*beam*M reached ids per round, never corpus-bounded);
+    trajectory-identical per qid to :func:`nsw_topk` (same frontier
+    rule, same never-rescore dedup, deterministic scoring — the previous
+    anti-join form reached the same fixpoint). The driver-job count is
+    pinned independent of batch size in tests/test_vector.py. This
+    point-lookup shape is the right one for driver-bounded batches (tens
+    of queries); a mass knn join (thousands+) belongs on the at-rest
+    indexed routes (DPP probes), which stay corpus-shaped."""
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+        "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-    queries = F.broadcast(
-        vecs.filter(F.col("vec_id").isin(list(query_ids))).select(
-            F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
-        )
+    adj = adjacency.select("src", "dst")
+    qids = sorted(set(query_ids))
+    # seed pass: ONE combined fetch — seed + query vectors and the seed
+    # nodes' adjacency, all predicate-pushed
+    vcache, edges = _serve_fetch(
+        vecs,
+        adj,
+        (F.col("vec_id") % seed_step == 0)
+        | F.col("vec_id").isin(list(qids)),
+        F.col("src") % seed_step == 0,
     )
-    visited = (
-        vecs.filter(F.col("vec_id") % seed_step == 0)
-        .crossJoin(queries)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            cosine(F.col("vec"), F.col("qvec")).alias("cos"),
-            F.lit(False).alias("expanded"),
-        )
-        .localCheckpoint()
+    nbrs: dict[int, list[int]] = {}
+    _merge_edges(
+        nbrs, [i for i in vcache if i % seed_step == 0], edges
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    for _ in range(rounds):
-        frontier = (
-            visited.filter(~F.col("expanded"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= beam)
-            .select("qid", "vec_id")
-        )
-        reached = (
-            frontier.withColumnRenamed("vec_id", "src")
-            .join(adjacency.select("src", "dst"), "src")
-            .select("qid", F.col("dst").alias("vec_id"))
-            .filter(F.col("vec_id") != F.col("qid"))
-            .distinct()
-            .join(visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
-        )
-        new_scored = (
-            reached.join(vecs.select("vec_id", "vec"), "vec_id")
-            .join(queries, "qid")
-            .select(
-                "qid",
-                "vec_id",
-                cosine(F.col("vec"), F.col("qvec")).alias("cos"),
-                F.lit(False).alias("expanded"),
-            )
-        )
-        visited = (
-            visited.join(
-                frontier.withColumn("_f", F.lit(True)), ["qid", "vec_id"], "left"
-            )
-            .select(
-                "qid",
-                "vec_id",
-                "cos",
-                (F.col("expanded") | F.coalesce(F.col("_f"), F.lit(False))).alias(
-                    "expanded"
-                ),
-            )
-            .unionByName(new_scored)
-            .localCheckpoint()
-        )
+    qvecs = {q: vcache[q] for q in qids}
+    visited: dict[int, dict[int, float]] = {q: {} for q in qids}
+    for i, v in vcache.items():
+        if i % seed_step != 0:
+            continue
+        for q in qids:
+            if i != q:
+                visited[q][i] = _cos_py(qvecs[q], v)
+    _serve_phase(
+        vecs,
+        adj,
+        qvecs,
+        _cos_py,
+        visited,
+        vcache,
+        nbrs,
+        beam,
+        rounds,
+    )
+    out = spark.createDataFrame(
+        [(q, v, c) for q in qids for v, c in sorted(visited[q].items())],
+        "query_vec_id long, vec_id long, cos double",
+    )
     wk = Window.partitionBy("query_vec_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id")
     )
     return (
-        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        out.join(embeddings.select("vec_id", "label"), "vec_id")
         .select(
-            F.col("qid").alias("query_vec_id"),
+            "query_vec_id",
             "vec_id",
             "label",
             F.round(F.col("cos"), 6).alias("cosine_sim"),
@@ -1497,57 +1614,52 @@ def vamana_topk(
     then for ``rounds`` iterations expand the top-``beam`` unexpanded
     visited nodes through the at-rest adjacency and score the newly
     reached nodes — every decision on 1e9 fixed-point cosine. Same
-    iterative-driver-job shape as :func:`nsw_topk`: the frontier
-    (<= beam ids) and reached set (<= beam*CAP ids) are parameter-bounded
-    collects re-issued as IN-list filters, pushed to the src-sorted
-    adjacency scan and the vector point-lookup — per-query work is
-    O(rounds*beam*CAP) regardless of corpus size."""
-    qvec = _query_vec(embeddings, query_vec_id)
+    driver-cached serve core as :func:`nsw_topk` (r13 restructure, guide
+    §1.2/§2.4): the visited scores (exact fixed-point longs, ≤ 1 +
+    rounds*beam*CAP of them) live in the driver, frontier selection is a
+    local integer sort, scoring is the bit-exact :func:`_cos_fp_py`, and
+    each round issues at most ONE combined IN-pushed point-lookup job
+    (:func:`_serve_phase`) — the per-round
+    ``distinct``/``localCheckpoint`` exchanges are gone.
+    Trajectory-identical (fixed-point scoring is deterministic);
+    per-query work stays O(rounds*beam*CAP) regardless of corpus
+    size."""
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+        "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-
-    def score(df: DataFrame) -> DataFrame:
-        return df.crossJoin(F.broadcast(qvec)).select(
-            "vec_id", _cos_fp(F.col("vec"), F.col("__qvec")).alias("q_fp")
-        )
-
-    visited = score(
-        vecs.filter(
-            (F.col("vec_id") == medoid_id) & (F.col("vec_id") != query_vec_id)
-        )
-    ).localCheckpoint()
-    expanded: set[int] = set()
-    seen_reached: set[int] = set()
-    for _ in range(rounds):
-        frontier_ids = [
-            r.vec_id
-            for r in visited.filter(
-                ~F.col("vec_id").isin(list(expanded)) if expanded else F.lit(True)
-            )
-            .orderBy(F.col("q_fp").desc(), F.col("vec_id"))
-            .limit(beam)
-            .collect()
-        ]
-        if not frontier_ids:
-            break
-        expanded.update(frontier_ids)
-        reached_ids = {
-            r.dst
-            for r in adjacency.filter(F.col("src").isin(frontier_ids))
-            .select("dst")
-            .distinct()
-            .collect()
-            if r.dst != query_vec_id
-        }
-        reached_ids -= expanded | seen_reached
-        seen_reached.update(reached_ids)
-        if not reached_ids:
-            continue
-        new_scored = score(vecs.filter(F.col("vec_id").isin(list(reached_ids))))
-        visited = visited.union(new_scored).localCheckpoint()
+    adj = adjacency.select("src", "dst")
+    # entry: ONE combined fetch — medoid + query vectors and the
+    # medoid's adjacency (prefetched for round 1)
+    vcache, edges = _serve_fetch(
+        vecs,
+        adj,
+        F.col("vec_id").isin([medoid_id, query_vec_id]),
+        F.col("src") == medoid_id,
+    )
+    nbrs: dict[int, list[int]] = {}
+    _merge_edges(nbrs, [medoid_id], edges)
+    qvec = vcache[query_vec_id]
+    visited: dict[int, dict[int, int]] = {query_vec_id: {}}
+    vis = visited[query_vec_id]
+    if medoid_id != query_vec_id:
+        vis[medoid_id] = _cos_fp_py(qvec, vcache[medoid_id])
+    _serve_phase(
+        vecs,
+        adj,
+        {query_vec_id: qvec},
+        _cos_fp_py,
+        visited,
+        vcache,
+        nbrs,
+        beam,
+        rounds,
+    )
+    out = spark.createDataFrame(
+        sorted(vis.items()), "vec_id long, q_fp long"
+    )
     return (
-        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        out.join(embeddings.select("vec_id", "label"), "vec_id")
         .select(
             "vec_id",
             "label",
@@ -1571,87 +1683,60 @@ def vamana_topk_batch(
 ) -> DataFrame:
     """Batched Vamana serving — the ``knn_join_vec10`` discipline applied
     to the alpha-pruned graph (family parity with :func:`nsw_topk_batch`):
-    every query advances through the SAME per-round plan keyed by
-    ``qid``, all from the one medoid entry, every decision on 1e9
-    fixed-point cosine. Driver-side work is ``rounds + 1``
-    localCheckpoint actions independent of batch size; no ``.collect()``
-    anywhere in the search. Per round: ONE window over the
-    parameter-bounded visited set, one src-pushed adjacency join, one
-    point-lookup join, one anti-join — never corpus-bounded."""
+    every query advances from the one medoid entry, every decision on 1e9
+    fixed-point cosine. Restructured in r13 (guide §1.2/§2.4) to the
+    driver-cached serve core shared with :func:`vamana_topk`: at most
+    ONE combined IN-pushed point-lookup job per round independent of
+    batch size (:func:`_serve_phase`), replacing the per-round
+    multi-exchange localCheckpoint job. Fetches parameter-bounded
+    (≤ qids*beam*CAP reached ids per round); trajectory-identical per
+    qid to :func:`vamana_topk` (deterministic fixed-point scoring, same
+    frontier/dedup rules)."""
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+        "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-    queries = F.broadcast(
-        vecs.filter(F.col("vec_id").isin(list(query_ids))).select(
-            F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
-        )
+    adj = adjacency.select("src", "dst")
+    qids = sorted(set(query_ids))
+    # medoid entry: ONE combined fetch (medoid + query vectors, medoid
+    # adjacency); a qid that IS the medoid starts empty (the DF form's
+    # vec_id != qid filter)
+    vcache, edges = _serve_fetch(
+        vecs,
+        adj,
+        F.col("vec_id").isin(sorted(set(qids) | {medoid_id})),
+        F.col("src") == medoid_id,
     )
-    visited = (
-        vecs.filter(F.col("vec_id") == medoid_id)
-        .crossJoin(queries)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            _cos_fp(F.col("vec"), F.col("qvec")).alias("q_fp"),
-            F.lit(False).alias("expanded"),
-        )
-        .localCheckpoint()
+    nbrs: dict[int, list[int]] = {}
+    _merge_edges(nbrs, [medoid_id], edges)
+    qvecs = {q: vcache[q] for q in qids}
+    visited: dict[int, dict[int, int]] = {q: {} for q in qids}
+    for q in qids:
+        if q != medoid_id:
+            visited[q][medoid_id] = _cos_fp_py(qvecs[q], vcache[medoid_id])
+    _serve_phase(
+        vecs,
+        adj,
+        qvecs,
+        _cos_fp_py,
+        visited,
+        vcache,
+        nbrs,
+        beam,
+        rounds,
     )
-    w = Window.partitionBy("qid").orderBy(F.col("q_fp").desc(), "vec_id")
-    for _ in range(rounds):
-        frontier = (
-            visited.filter(~F.col("expanded"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= beam)
-            .select("qid", "vec_id")
-        )
-        reached = (
-            frontier.withColumnRenamed("vec_id", "src")
-            .join(adjacency.select("src", "dst"), "src")
-            .select("qid", F.col("dst").alias("vec_id"))
-            .filter(F.col("vec_id") != F.col("qid"))
-            .distinct()
-            .join(visited.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
-        )
-        new_scored = (
-            reached.join(vecs.select("vec_id", "vec"), "vec_id")
-            .join(queries, "qid")
-            .select(
-                "qid",
-                "vec_id",
-                _cos_fp(F.col("vec"), F.col("qvec")).alias("q_fp"),
-                F.lit(False).alias("expanded"),
-            )
-        )
-        visited = (
-            visited.join(
-                frontier.withColumn("_f", F.lit(True)), ["qid", "vec_id"], "left"
-            )
-            .select(
-                "qid",
-                "vec_id",
-                "q_fp",
-                (F.col("expanded") | F.coalesce(F.col("_f"), F.lit(False))).alias(
-                    "expanded"
-                ),
-            )
-            .unionByName(new_scored)
-            .localCheckpoint()
-        )
+    out = spark.createDataFrame(
+        [(q, v, s) for q in qids for v, s in sorted(visited[q].items())],
+        "query_vec_id long, vec_id long, q_fp long",
+    )
     wk = Window.partitionBy("query_vec_id").orderBy(
         F.col("q_fp").desc(), F.col("vec_id")
     )
     return (
-        visited.join(vecs.select("vec_id", "label"), "vec_id")
-        .select(
-            F.col("qid").alias("query_vec_id"),
-            "vec_id",
-            "label",
-            "q_fp",
-        )
+        out.join(embeddings.select("vec_id", "label"), "vec_id")
+        .select("query_vec_id", "vec_id", "label", "q_fp")
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
         .select(
@@ -2008,91 +2093,67 @@ def hnsw_topk(
     visited set spans the descent — a node's cosine is layer-independent,
     so scores are never recomputed; the expanded mark resets per layer
     (a node expanded through layer-2 edges still owes its layer-0
-    neighborhood). Collects are parameter-bounded exactly as in
-    :func:`nsw_topk` (entry id, ≤ beam frontier ids, ≤ beam*M reached
-    ids — IN-lists pushed to the (layer, src)-sorted scan). Total scored
+    neighborhood). Driver-cached serve core (r13 restructure, guide
+    §1.2/§2.4): at most ONE combined IN-pushed point-lookup job per
+    round (:func:`_serve_phase`), per-layer adjacency caches, bit-exact
+    driver scoring. All fetches parameter-bounded. Total scored
     ≤ 1 + max_level*upper_rounds*upper_beam*M_upper + rounds*beam*M0,
     independent of corpus size; vs NSW the corpus-sized seed scan is
     gone — that is the hierarchy's point. Deterministic end to end (cos
     desc, vec_id ties), so the DuckDB oracle replays the identical
     trajectory unrolled."""
-    qvec = _query_vec(embeddings, query_vec_id)
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+        "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-
-    def score(df: DataFrame) -> DataFrame:
-        return df.crossJoin(F.broadcast(qvec)).select(
-            "vec_id", cosine(F.col("vec"), F.col("__qvec")).alias("cos")
-        )
-
-    # parameter-bounded collects: ONE scalar (the highest POPULATED level
-    # at or under the cap — with log4-sized caps the top level can be
-    # empty by hash chance, and descending from the highest populated one
-    # preserves the hierarchy invariant) and ONE id (the deterministic
-    # entry point)
-    top = (
-        levels.filter(
-            (F.col("level") <= max_level)
-            & (F.col("vec_id") != query_vec_id)
-        )
-        .agg(F.max("level"))
-        .collect()[0][0]
+    # ONE parameter-bounded collect (≤ levels rows, a handful) replaces
+    # the two scalar aggregates: per-level min non-self vec_id. top = the
+    # highest POPULATED level at or under the cap (log4-sized caps can
+    # leave the top level empty by hash chance), entry = the minimum
+    # non-self vec_id on the highest level ≥ top — identical rule.
+    by_level = {
+        r["level"]: r["mn"]
+        for r in levels.filter(F.col("vec_id") != query_vec_id)
+        .groupBy("level")
+        .agg(F.min("vec_id").alias("mn"))
+        .collect()
+    }
+    top = max(lvl for lvl in by_level if lvl <= max_level)
+    entry = min(m for lvl, m in by_level.items() if lvl >= top)
+    # entry: ONE combined fetch — entry + query vectors and the entry's
+    # top-layer adjacency (prefetched for the first descent round)
+    vcache, edges = _serve_fetch(
+        vecs,
+        adjacency.filter(F.col("layer") == top).select("src", "dst"),
+        F.col("vec_id").isin([entry, query_vec_id]),
+        F.col("src") == entry,
     )
-    entry = (
-        levels.filter(
-            (F.col("level") >= top) & (F.col("vec_id") != query_vec_id)
-        )
-        .agg(F.min("vec_id"))
-        .collect()[0][0]
-    )
-    visited = score(vecs.filter(F.col("vec_id") == entry)).localCheckpoint()
-    scored_ids: set[int] = {entry}
+    nbrs_by_layer: dict[int, dict[int, list[int]]] = {top: {}}
+    _merge_edges(nbrs_by_layer[top], [entry], edges)
+    qvec = vcache[query_vec_id]
+    visited: dict[int, dict[int, float]] = {
+        query_vec_id: {entry: _cos_py(qvec, vcache[entry])}
+    }
+    vis = visited[query_vec_id]
     for layer, b, rr in _hnsw_phases(
         top, upper_beam, upper_rounds, beam, rounds
     ):
-        adj_l = adjacency.filter(F.col("layer") == layer)
-        expanded: set[int] = set()
-        for _ in range(rr):
-            # parameter-bounded collect: ≤ beam ids
-            frontier_ids = [
-                r.vec_id
-                for r in visited.filter(
-                    ~F.col("vec_id").isin(list(expanded))
-                    if expanded
-                    else F.lit(True)
-                )
-                .orderBy(F.col("cos").desc(), F.col("vec_id"))
-                .limit(b)
-                .collect()
-            ]
-            if not frontier_ids:
-                break
-            expanded.update(frontier_ids)
-            # parameter-bounded collect: ≤ beam*M ids, IN-list pushed to
-            # the (layer, src)-sorted adjacency scan
-            reached_ids = {
-                r.dst
-                for r in adj_l.filter(F.col("src").isin(frontier_ids))
-                .select("dst")
-                .distinct()
-                .collect()
-                if r.dst != query_vec_id
-            }
-            reached_ids -= scored_ids
-            scored_ids.update(reached_ids)
-            if not reached_ids:
-                continue
-            new_scored = score(
-                vecs.filter(F.col("vec_id").isin(list(reached_ids)))
-            )
-            visited = (
-                visited.union(new_scored)
-                .dropDuplicates(["vec_id"])
-                .localCheckpoint()
-            )
+        _serve_phase(
+            vecs,
+            adjacency.filter(F.col("layer") == layer).select("src", "dst"),
+            {query_vec_id: qvec},
+            _cos_py,
+            visited,
+            vcache,
+            nbrs_by_layer.setdefault(layer, {}),
+            b,
+            rr,
+        )
+    out = spark.createDataFrame(
+        sorted(vis.items()), "vec_id long, cos double"
+    )
     return (
-        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        out.join(embeddings.select("vec_id", "label"), "vec_id")
         .select(
             "vec_id", "label", F.round(F.col("cos"), 6).alias("cosine_sim")
         )
@@ -2114,23 +2175,30 @@ def hnsw_topk_batch(
     upper_rounds: int = HNSW_UPPER_ROUNDS,
 ) -> DataFrame:
     """Batched hierarchical serving (the :func:`nsw_topk_batch`
-    discipline on the layered graph): one qid-keyed visited frame carries
-    every query down the hierarchy, so driver-side work is a FIXED number
-    of localCheckpoint actions (one per descent round plus the entry
-    pass) independent of batch size — no ``.collect()`` anywhere. Per-qid
-    entry is the MIN top-layer vec_id excluding the query itself;
-    reached-node dedup is the anti-join (trajectory-equivalent to the
-    single-query route's never-rescore sets, same fixpoint because
-    scoring is deterministic); the expanded flag resets at each layer
-    boundary exactly like the single-query route."""
+    discipline on the layered graph), restructured in r13 (guide
+    §1.2/§2.4) to the driver-cached serve core: at most ONE combined
+    IN-pushed point-lookup job per descent round independent of batch
+    size (:func:`_serve_phase`), per-layer adjacency caches, bit-exact
+    driver scoring — replacing the per-round multi-exchange
+    localCheckpoint job. Per-qid entry keeps the committed rule — best
+    candidate by (level DESC, vec_id ASC) excluding self over the
+    candidate set floored at the highest level with cumulative
+    population ≥ 2 — computed by the same one-job window, with only the
+    ≤ len(query_ids) entry rows collected. The expanded set resets at
+    each layer boundary exactly like the single-query route;
+    trajectory-identical per qid (deterministic scoring, same
+    frontier/dedup rules — the previous anti-join form reached the same
+    fixpoint)."""
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+        "vec_id", as_double(F.col("embedding")).alias("vec")
     )
+    qids = sorted(set(query_ids))
     queries = F.broadcast(
-        vecs.filter(F.col("vec_id").isin(list(query_ids))).select(
-            F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+        embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+            F.col("vec_id").alias("qid")
         )
     )
     # Per-level populations at or under the cap: ONE parameter-bounded
@@ -2165,85 +2233,61 @@ def hnsw_topk_batch(
     w_entry = Window.partitionBy("qid").orderBy(
         F.col("level").desc(), F.col("vec_id")
     )
-    entries = (
+    # one job; collect is ≤ len(query_ids) rows (parameter-bounded)
+    entry_rows = (
         queries.select("qid")
         .join(cand_nodes, F.col("vec_id") != F.col("qid"))
         .withColumn("_rk", F.row_number().over(w_entry))
         .filter(F.col("_rk") == 1)
         .select("qid", "vec_id")
+        .collect()
     )
-    visited = (
-        entries.join(vecs.select("vec_id", "vec"), "vec_id")
-        .join(queries, "qid")
-        .select(
-            "qid",
-            "vec_id",
-            cosine(F.col("vec"), F.col("qvec")).alias("cos"),
-            F.lit(False).alias("expanded"),
-        )
-        .localCheckpoint()
+    need: dict[int, set[int]] = {}
+    for r in entry_rows:
+        need.setdefault(r["vec_id"], set()).add(r["qid"])
+    # entry fetch: ONE combined job — entry + query vectors and the
+    # entries' top-layer adjacency (prefetched for the first round)
+    entry_ids = sorted(need)
+    vcache, edges = _serve_fetch(
+        vecs,
+        adjacency.filter(F.col("layer") == top).select("src", "dst"),
+        F.col("vec_id").isin(sorted(set(entry_ids) | set(qids))),
+        F.col("src").isin(entry_ids),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    nbrs_by_layer: dict[int, dict[int, list[int]]] = {top: {}}
+    _merge_edges(nbrs_by_layer[top], entry_ids, edges)
+    qvecs = {q: vcache[q] for q in qids}
+    visited: dict[int, dict[int, float]] = {q: {} for q in qids}
+    for vid, qs in need.items():
+        for q in qs:
+            visited[q][vid] = _cos_py(qvecs[q], vcache[vid])
     for layer, b, rr in _hnsw_phases(
         top, upper_beam, upper_rounds, beam, rounds
     ):
-        adj_l = adjacency.filter(F.col("layer") == layer).select("src", "dst")
-        # layer boundary: every node owes this layer's neighborhood again
-        visited = visited.withColumn("expanded", F.lit(False))
-        for _ in range(rr):
-            frontier = (
-                visited.filter(~F.col("expanded"))
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= b)
-                .select("qid", "vec_id")
-            )
-            reached = (
-                frontier.withColumnRenamed("vec_id", "src")
-                .join(adj_l, "src")
-                .select("qid", F.col("dst").alias("vec_id"))
-                .filter(F.col("vec_id") != F.col("qid"))
-                .distinct()
-                .join(
-                    visited.select("qid", "vec_id"),
-                    ["qid", "vec_id"],
-                    "left_anti",
-                )
-            )
-            new_scored = (
-                reached.join(vecs.select("vec_id", "vec"), "vec_id")
-                .join(queries, "qid")
-                .select(
-                    "qid",
-                    "vec_id",
-                    cosine(F.col("vec"), F.col("qvec")).alias("cos"),
-                    F.lit(False).alias("expanded"),
-                )
-            )
-            visited = (
-                visited.join(
-                    frontier.withColumn("_f", F.lit(True)),
-                    ["qid", "vec_id"],
-                    "left",
-                )
-                .select(
-                    "qid",
-                    "vec_id",
-                    "cos",
-                    (
-                        F.col("expanded")
-                        | F.coalesce(F.col("_f"), F.lit(False))
-                    ).alias("expanded"),
-                )
-                .unionByName(new_scored)
-                .localCheckpoint()
-            )
+        # layer boundary handled by _serve_phase: expanded resets, and
+        # this layer's adjacency for already-scored ids is fetched once
+        _serve_phase(
+            vecs,
+            adjacency.filter(F.col("layer") == layer).select("src", "dst"),
+            qvecs,
+            _cos_py,
+            visited,
+            vcache,
+            nbrs_by_layer.setdefault(layer, {}),
+            b,
+            rr,
+        )
+    out = spark.createDataFrame(
+        [(q, v, c) for q in qids for v, c in sorted(visited[q].items())],
+        "query_vec_id long, vec_id long, cos double",
+    )
     wk = Window.partitionBy("query_vec_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id")
     )
     return (
-        visited.join(vecs.select("vec_id", "label"), "vec_id")
+        out.join(embeddings.select("vec_id", "label"), "vec_id")
         .select(
-            F.col("qid").alias("query_vec_id"),
+            "query_vec_id",
             "vec_id",
             "label",
             F.round(F.col("cos"), 6).alias("cosine_sim"),

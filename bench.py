@@ -870,9 +870,17 @@ def main() -> None:
             solo_noise.append(time.time() - t0)
         nr2 = statistics.median(solo_noise)
         pin_wall, pin_nr = pin_source[name]
-        ratio = round((solo / pin_wall) * (pin_nr / nr2), 2) if nr2 else None
+        raw = solo / pin_wall
+        norm = (raw * pin_nr / nr2) if nr2 else None
+        # A pin STANDS only if the solo re-measure clears the margin in
+        # BOTH raw and noise-normalized terms: the raw ratio guards
+        # against a tiny current noise_ref inflating the normalization
+        # (a fully-JIT-warmed post-run probe can read 3x under the pin's
+        # noise_ref while query-class walls are unchanged — observed
+        # r13), the normalized ratio guards the degraded-host case.
+        ratio = round(min(raw, norm), 2) if norm is not None else round(raw, 2)
         pins_adjudicated[name] = ratio
-        if ratio is not None and ratio > PIN_FIRE_MARGIN:
+        if ratio > PIN_FIRE_MARGIN:
             pins_fired.append(name)
     # host_factor (round 12): the RAW median wall ratio of the frozen
     # headline roster vs the previous round's record — a second,

@@ -284,28 +284,34 @@ def test_hnsw_recall_floor_vs_exact(spark, hnsw_parts):
 
 def test_hnsw_batch_equals_single_and_driver_work_fixed(spark, hnsw_parts):
     """The batched route answers every query exactly like the
-    single-query route, and its driver-side work (localCheckpoint count —
-    it has NO collect) is identical for 2 and 8 queries."""
+    single-query route, and its driver-side work (collect round-trips —
+    the per-round localCheckpoint jobs are gone, r13 restructure) is
+    bounded independent of batch size: query-lits + level-counts +
+    entries + entry scoring, then at most (adjacency, scoring) per
+    descent round."""
     from unittest import mock
 
     from apache_beam_challange_spark.operators.similarity import (
+        HNSW_MAX_LEVEL,
+        HNSW_UPPER_ROUNDS,
+        NSW_ROUNDS,
         hnsw_topk,
         hnsw_topk_batch,
     )
 
     emb, adj, lv = hnsw_parts
     DataFrame = type(emb)
-    orig = DataFrame.localCheckpoint
+    orig = DataFrame.collect
     counts = {}
     for qn in (2, 8):
         with mock.patch.object(
             DataFrame,
-            "localCheckpoint",
+            "collect",
             autospec=True,
-            side_effect=lambda self, *a, **kw: orig(self, *a, **kw),
-        ) as lc:
+            side_effect=lambda self: orig(self),
+        ) as cc:
             batch = hnsw_topk_batch(emb, adj, lv, list(range(qn)), k=5)
-            counts[qn] = lc.call_count
+            counts[qn] = cc.call_count
         if qn == 2:
             got = {
                 (r.query_vec_id, r.vec_id, r.cosine_sim)
@@ -316,7 +322,9 @@ def test_hnsw_batch_equals_single_and_driver_work_fixed(spark, hnsw_parts):
                 for r in hnsw_topk(emb, adj, lv, qid, k=5).collect():
                     want.add((qid, r.vec_id, r.cosine_sim))
             assert got == want
-    assert counts[2] == counts[8]
+    assert max(counts.values()) <= 4 + 2 * (
+        HNSW_MAX_LEVEL * HNSW_UPPER_ROUNDS + NSW_ROUNDS
+    )
 
 
 # --- TWS protobuf leniency is narrow (ADVICE r11) -------------------------------
