@@ -1171,69 +1171,62 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").alias("f"), F.lit("NULL").alias("t")
     )
     spark_s = ev.sparkSession
-    virt = spark_s.createDataFrame(
-        [("CONV", "CONV", 1)], "f string, t string, c long"
-    )
-    trans = (
-        fwd.unionAll(ends)
+    # r13 restructure (guide §1.2 step 1 — the serve-core discipline):
+    # the data-sized work is exactly ONE ordered pass + transition count;
+    # everything after runs on a <= (channels+3)^2 matrix. Previously the
+    # 24-round fixed-point walked that tiny frame through ~30 Spark
+    # join/groupBy jobs plus 4 eager localCheckpoints. The matrix is
+    # parameter-bounded, so collect it ONCE and run the IDENTICAL exact
+    # integer trajectory in the driver: x' = sum(c * x_fp) div n in 1e-12
+    # fixed point — Python ints are exact, and `//` equals Spark's `div`
+    # on these nonnegative decimals, so every scenario trajectory is
+    # bit-identical (including row existence: a (removed, f) state exists
+    # iff a join partner existed, zero sums kept). The channel set needs
+    # no second scan: every event row contributes its cur as a t value,
+    # so distinct event_type != purchase is exactly {t} - {CONV, NULL}.
+    # Final rounding stays in Spark via the SAME expressions, so float
+    # formatting matches the oracle unchanged.
+    trans_rows = [
+        (r["f"], r["t"], r["c"])
+        for r in fwd.unionAll(ends)
         .groupBy("f", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .unionAll(virt)
-        .localCheckpoint()  # the tiny matrix feeds tot + T join rounds
-    )
-    tot = trans.groupBy("f").agg(F.sum("c").cast("long").alias("n"))
-    chan = (
-        ev.select(F.col("event_type").alias("ch"))
-        .filter(F.col("ch") != "purchase")
-        .distinct()
-    )
-    scen = chan.select(F.col("ch").alias("removed")).unionAll(
-        spark_s.createDataFrame([("",)], "removed string")
-    )
-    x = scen.select(
-        "removed",
-        F.lit("CONV").alias("state"),
-        F.lit(_MRK_FP).cast("decimal(38,0)").alias("x_fp"),
-    ).localCheckpoint()
-    mat = trans.join(tot, "f")
-    for r in range(_MRK_T):
-        x = (
-            mat.join(x, mat["t"] == x["state"])
-            .filter(F.col("f") != F.col("removed"))
-            .groupBy("removed", "f")
-            .agg(
-                F.expr("CAST(sum(c * x_fp) div min(n) AS DECIMAL(38,0))")
-                .alias("x_fp")
-            )
-            .withColumnRenamed("f", "state")
-        )
-        if (r + 1) % 6 == 0:
-            x = x.localCheckpoint()
+        .collect()
+    ] + [("CONV", "CONV", 1)]
+    tot: dict[str, int] = {}
+    for f, _t, c in trans_rows:
+        tot[f] = tot.get(f, 0) + c
+    channels = sorted({t for _f, t, _c in trans_rows} - {"CONV", "NULL"})
+    scenarios = channels + [""]
+    x: dict[tuple[str, str], int] = {
+        (rm, "CONV"): _MRK_FP for rm in scenarios
+    }
+    for _r in range(_MRK_T):
+        acc: dict[tuple[str, str], int] = {}
+        for f, t, c in trans_rows:
+            for rm in scenarios:
+                if f == rm:
+                    continue
+                xv = x.get((rm, t))
+                if xv is not None:
+                    acc[(rm, f)] = acc.get((rm, f), 0) + c * xv
+        x = {k: v // tot[k[1]] for k, v in acc.items()}
     # a scenario whose START never earns absorbing mass has NO x row:
     # that is probability zero, not a missing scenario
-    fin = scen.join(
-        x.filter(F.col("state") == "START").select(
-            "removed", F.col("x_fp").cast("long").alias("start_fp")
-        ),
-        "removed",
-        "left",
-    ).select("removed", F.coalesce("start_fp", F.lit(0)).alias("start_fp"))
-    base = fin.filter(F.col("removed") == "").select(
-        F.col("start_fp").alias("base_fp")
-    )
-    eff = (
-        fin.filter(F.col("removed") != "")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("removed").alias("channel"),
-            "base_fp",
-            F.col("start_fp").alias("rm_fp"),
-            (F.col("base_fp") - F.col("start_fp")).alias("effect_fp"),
-        )
-    )
-    tot_eff = eff.agg(F.sum("effect_fp").cast("long").alias("e_all"))
+    base_fp = x.get(("", "START"), 0)
+    eff_rows = [
+        (rm, base_fp, x.get((rm, "START"), 0)) for rm in channels
+    ]
+    eff_rows = [
+        (ch, b, rm_fp, b - rm_fp) for ch, b, rm_fp in eff_rows
+    ]
+    e_all = sum(r[3] for r in eff_rows)
     return (
-        eff.crossJoin(F.broadcast(tot_eff))
+        spark_s.createDataFrame(
+            [r + (e_all,) for r in eff_rows],
+            "channel string, base_fp long, rm_fp long, "
+            "effect_fp long, e_all long",
+        )
         .select(
             "channel",
             F.round(F.col("base_fp").cast("double") / F.lit(float(_MRK_FP)), 6)
@@ -3090,8 +3083,21 @@ def fs_em_parameter_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3, 8
         ).otherwise(0)
     )
-    pat = (
-        a.join(
+    # r13 restructure (guide §1.2 step 1 — the serve-core discipline):
+    # the <=16-row pattern table IS the complete sufficient statistic, so
+    # collect it once and run the EM rounds in the driver instead of ~24
+    # crossJoin/agg Spark jobs (plus eager checkpoints) over a frame this
+    # small. The trajectory is arithmetic-identical: the E-step posterior
+    # is the same left-associated IEEE double chain (products, one
+    # division, floor(x*1e12 + 0.5) — no libm), the M-steps are exact
+    # Python-int sums with `//` (== Spark `div` on these nonnegative
+    # decimals), GREATEST == max. The empty-pattern case (every block
+    # over the cap — the sf0.1 fixture) reproduces Spark's empty-agg
+    # semantics exactly: SUM over no rows is NULL, so every parameter is
+    # NULL from round 1 on and n_pairs is NULL.
+    pat_rows = [
+        (r["g"], r["n"])
+        for r in a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
@@ -3099,46 +3105,66 @@ def fs_em_parameter_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(g.alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # the sufficient statistic; feeds every round
-    )
-    spark_s = part.sparkSession
-    init = [(_EM_P0,) + (_EM_M0,) * 4 + (_EM_U0,) * 4]
-    cols = ["p_fp"] + [f"m{j}_fp" for j in range(1, 5)] + [
-        f"u{j}_fp" for j in range(1, 5)
+        .collect()
     ]
-    params = spark_s.createDataFrame(
-        init, ", ".join(f"{c} long" for c in cols)
-    )
-    w_expr = _em_w_expr()
-    msteps = _em_mstep_exprs("div", "DECIMAL(38,0)")
-    for r in range(_EM_T):
-        e = pat.crossJoin(F.broadcast(params)).select(
-            "g", "n", F.expr(w_expr).alias("w_fp")
-        )
-        params = e.agg(*[F.expr(m) for m in msteps])
-        if (r + 1) % 5 == 0:
-            params = params.localCheckpoint()
-    fields = spark_s.createDataFrame(
-        [(j, name) for j, (name, _) in enumerate(_EM_FIELDS, start=1)],
-        "fid long, field string",
-    )
-    np_ = pat.agg(F.sum("n").cast("long").alias("n_pairs"))
-    pick_m = " ".join(f"WHEN {j} THEN m{j}_fp" for j in range(1, 5))
-    pick_u = " ".join(f"WHEN {j} THEN u{j}_fp" for j in range(1, 5))
+    spark_s = part.sparkSession
+    fp_f = float(_EM_FP)
+    if not pat_rows:
+        p_fp = None
+        m = [None] * 4
+        u = [None] * 4
+        n_pairs = None
+    else:
+        import math
+
+        p_fp = _EM_P0
+        m = [_EM_M0] * 4
+        u = [_EM_U0] * 4
+        bits = [bit for _name, bit in _EM_FIELDS]
+        for _r in range(_EM_T):
+            s_nw = 0
+            s_n = 0
+            s_nfpw = 0
+            s_m = [0] * 4
+            s_u = [0] * 4
+            for gv, n in pat_rows:
+                pm = p_fp / fp_f
+                pu = 1.0 - p_fp / fp_f
+                for j in range(4):
+                    if gv & bits[j]:
+                        pm = pm * (m[j] / fp_f)
+                        pu = pu * (u[j] / fp_f)
+                    else:
+                        pm = pm * (1.0 - m[j] / fp_f)
+                        pu = pu * (1.0 - u[j] / fp_f)
+                w = int(math.floor(pm / (pm + pu) * fp_f + 0.5))
+                s_nw += n * w
+                s_n += n
+                s_nfpw += n * (_EM_FP - w)
+                for j in range(4):
+                    if gv & bits[j]:
+                        s_m[j] += n * w
+                        s_u[j] += n * (_EM_FP - w)
+            p_fp = s_nw // max(s_n, 1)
+            m = [s_m[j] * _EM_FP // max(s_nw, 1) for j in range(4)]
+            u = [s_u[j] * _EM_FP // max(s_nfpw, 1) for j in range(4)]
+        n_pairs = sum(n for _gv, n in pat_rows)
+    out_rows = [
+        (name, m[j], u[j], p_fp, n_pairs)
+        for j, (name, _bit) in enumerate(_EM_FIELDS)
+    ]
     return (
-        fields.crossJoin(F.broadcast(params))
-        .crossJoin(F.broadcast(np_))
+        spark_s.createDataFrame(
+            out_rows,
+            "field string, m_fp long, u_fp long, p_fp long, n_pairs long",
+        )
         .select(
             "field",
             F.round(
-                F.expr(f"CASE fid {pick_m} END").cast("double")
-                / F.lit(float(_EM_FP)),
-                6,
+                F.col("m_fp").cast("double") / F.lit(float(_EM_FP)), 6
             ).alias("m_hat"),
             F.round(
-                F.expr(f"CASE fid {pick_u} END").cast("double")
-                / F.lit(float(_EM_FP)),
-                6,
+                F.col("u_fp").cast("double") / F.lit(float(_EM_FP)), 6
             ).alias("u_hat"),
             F.round(
                 F.col("p_fp").cast("double") / F.lit(float(_EM_FP)), 6
@@ -3402,33 +3428,43 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lag("event_type").over(w_ord).alias("prev")
     ).filter(F.col("prev").isNotNull())
-    trans = (
-        seq.groupBy(F.col("prev").alias("f"), F.col("event_type").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # bounded matrix; feeds tot + T rounds + terms
-    )
-    tot = trans.groupBy("f").agg(F.sum("c").cast("long").alias("n"))
-    states = tot.select(F.col("f").alias("s"))
-    kf = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    d38 = "decimal(38,0)"
-    pi = states.crossJoin(F.broadcast(kf)).select(
-        "s",
-        F.expr(f"CAST({_ENTR_FP} div k AS DECIMAL(38,0))").alias("pi_fp"),
-    )
-    mat = trans.join(tot, "f")
-    for r in range(_ENTR_T):
-        pi = (
-            mat.join(pi, mat["f"] == pi["s"])
-            .groupBy(F.col("t"))
-            .agg(
-                F.sum(F.expr("CAST((pi_fp * c) div n AS DECIMAL(38,0))"))
-                .cast(d38)
-                .alias("pi_fp")
-            )
-            .withColumnRenamed("t", "s")
+    # r13 restructure (guide §1.2 step 1 — the serve-core discipline):
+    # the transition matrix is <= |types|^2 rows, so collect it ONCE and
+    # run the 32 power-iteration rounds in the driver — pure exact
+    # integer arithmetic (per-row (pi*c) div n then exact sums; `//` ==
+    # Spark `div` on these nonnegative decimals; row existence
+    # replicated: a state exists next round iff a (f, t) partner row
+    # existed). The per-state plogp entropy terms keep their LOG inside
+    # the ENGINE (one tiny job over the re-created matrix frame), so the
+    # wave's libm exposure is unchanged — only the integer walk moved.
+    trans_rows = [
+        (r["f"], r["t"], r["c"])
+        for r in seq.groupBy(
+            F.col("prev").alias("f"), F.col("event_type").alias("t")
         )
-        if (r + 1) % 8 == 0:
-            pi = pi.localCheckpoint()
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    ]
+    tot: dict[str, int] = {}
+    for f, _t, c in trans_rows:
+        tot[f] = tot.get(f, 0) + c
+    k = len(tot)
+    pi: dict[str, int] = {s: _ENTR_FP // k for s in tot}
+    for _r in range(_ENTR_T):
+        nxt: dict[str, int] = {}
+        for f, t, c in trans_rows:
+            pv = pi.get(f)
+            if pv is not None:
+                nxt[t] = nxt.get(t, 0) + (pv * c) // tot[f]
+        pi = nxt
+    spark_s = ev.sparkSession
+    mat = spark_s.createDataFrame(
+        [(f, t, c, tot[f]) for f, t, c in trans_rows],
+        "f string, t string, c long, n long",
+    )
+    pi_df = spark_s.createDataFrame(
+        sorted(pi.items()), "s string, pi_fp long"
+    )
     terms = (
         mat.select(
             "f",
@@ -3445,7 +3481,7 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_fp").cast("long").alias("h_fp"))
     )
     return (
-        pi.join(terms, pi["s"] == terms["f"])
+        pi_df.join(terms, pi_df["s"] == terms["f"])
         .select(
             F.col("s").alias("state"),
             F.round(
@@ -4026,57 +4062,52 @@ def platt_scaling_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_b"),
             F.sum("pos").cast("long").alias("y_b"),
         )
-        .localCheckpoint()  # the sufficient statistic; feeds every round
     )
     spark_s = ev.sparkSession
-    params = spark_s.createDataFrame([(0, 0)], "a_fp long, b_fp long")
     fp = float(_PLATT_FP)
-    for r in range(_PLATT_T):
-        j = cells.crossJoin(F.broadcast(params))
-        p = F.lit(1.0) / (
-            F.lit(1.0)
-            + F.exp(
-                -(
-                    F.col("a_fp").cast("double") / F.lit(fp) * F.col("bin")
-                    + F.col("b_fp").cast("double") / F.lit(fp)
-                )
-            )
-        )
-        resid = F.col("y_b").cast("double") - F.col("n_b").cast("double") * p
-        wgt = F.col("n_b").cast("double") * p * (F.lit(1.0) - p)
-        agg = j.agg(
-            F.min("a_fp").alias("a_fp"),
-            F.min("b_fp").alias("b_fp"),
-            F.sum(resid * F.col("bin")).alias("g1"),
-            F.sum(resid).alias("g2"),
-            F.sum(wgt * F.col("bin") * F.col("bin")).alias("h11"),
-            F.sum(wgt * F.col("bin")).alias("h12"),
-            F.sum(wgt).alias("h22"),
-        )
-        det = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
-        params = agg.select(
-            (
-                F.col("a_fp")
-                + F.floor(
-                    (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2"))
-                    / det
-                    * F.lit(fp)
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("a_fp"),
-            (
-                F.col("b_fp")
-                + F.floor(
-                    (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1"))
-                    / det
-                    * F.lit(fp)
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("b_fp"),
-        )
-        if (r + 1) % 4 == 0:
-            params = params.localCheckpoint()
-    j = cells.crossJoin(F.broadcast(params))
+    # r13 restructure (guide §1.2 step 1 — the serve-core discipline):
+    # the 20-bin sufficient statistic is collected ONCE and Newton runs
+    # in the driver instead of 16 crossJoin/agg Spark jobs (plus eager
+    # checkpoints). Same trajectory arithmetic: per-bin sigmoid via the
+    # shared libm exp (the wave's one documented exposure, same class as
+    # the engine<->DuckDB agreement this query already rests on), float
+    # g/h sums whose engine partial-agg order was never pinned either,
+    # and each step floors its double increment back to 1e-9 fixed point
+    # — gate-verified hash-identical at all three SFs. The final
+    # log-loss aggregate stays IN the engine over the re-created cells
+    # frame, so the reported floats' expression chain is unchanged.
+    import math
+
+    cells_rows = [
+        (r["bin"], r["n_b"], r["y_b"]) for r in cells.collect()
+    ]
+    a_fp = 0
+    b_fp = 0
+    for _r in range(_PLATT_T):
+        g1 = g2 = h11 = h12 = h22 = 0.0
+        for bn, n_b, y_b in cells_rows:
+            try:
+                ex = math.exp(-(a_fp / fp * bn + b_fp / fp))
+            except OverflowError:
+                ex = float("inf")  # JVM exp overflows to Infinity
+            p = 1.0 / (1.0 + ex)
+            resid = float(y_b) - float(n_b) * p
+            wgt = float(n_b) * p * (1.0 - p)
+            g1 += resid * bn
+            g2 += resid
+            h11 += wgt * bn * bn
+            h12 += wgt * bn
+            h22 += wgt
+        det = h11 * h22 - h12 * h12
+        a_fp = a_fp + int(math.floor((h22 * g1 - h12 * g2) / det * fp + 0.5))
+        b_fp = b_fp + int(math.floor((h11 * g2 - h12 * g1) / det * fp + 0.5))
+    cells_df = spark_s.createDataFrame(
+        cells_rows, "bin long, n_b long, y_b long"
+    )
+    params = spark_s.createDataFrame(
+        [(a_fp, b_fp)], "a_fp long, b_fp long"
+    )
+    j = cells_df.crossJoin(F.broadcast(params))
     lin = (
         F.col("a_fp").cast("double") / F.lit(fp) * F.col("bin")
         + F.col("b_fp").cast("double") / F.lit(fp)

@@ -539,16 +539,20 @@ def image_jpeg_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast(d38)
             .alias("a")
         )
-        .localCheckpoint()  # feeds the median pick AND the hash fold
     )
+    # r13 (guide §2.4): the median pick and the hash fold previously fanned
+    # coef into two consumers behind an eager localCheckpoint (checkpoint
+    # job + self-join exchange). One window pass computes the rn=6 median
+    # as an analytic over the same partition key instead — no checkpoint,
+    # no join, identical result (med_a per doc IS the rn=6 coefficient).
     w_rn = Window.partitionBy("doc_id").orderBy("a", "u", "v")
-    med = (
-        coef.withColumn("rn", F.row_number().over(w_rn))
-        .filter(F.col("rn") == 6)
-        .select("doc_id", F.col("a").alias("med_a"))
-    )
+    w_doc = Window.partitionBy("doc_id")
     return (
-        coef.join(med, "doc_id")
+        coef.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn(
+            "med_a",
+            F.max(F.when(F.col("rn") == 6, F.col("a"))).over(w_doc),
+        )
         .groupBy("doc_id")
         .agg(
             F.sum(

@@ -43,20 +43,27 @@ def main() -> None:
             walls.append(time.time() - t0)
         return round(statistics.median(walls), 3)
 
+    def steal():
+        f = open("/proc/stat").readline().split()
+        return int(f[8]), sum(int(x) for x in f[1:9])
+
     print(f"noise_ref(pre) = {noise()}")
     for name in args:
         spark.sparkContext.setJobDescription(f"solo:{name}")
         walls = []
+        s0, j0 = steal()
         for _ in range(reps):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             noop(df)
             walls.append(time.time() - t0)
+        s1, j1 = steal()
         spark.sparkContext.setJobDescription(None)
         print(
             f"{name}: median {statistics.median(walls):.3f} "
             f"min {min(walls):.3f} max {max(walls):.3f} "
-            f"walls {[round(w, 2) for w in walls]}"
+            f"walls {[round(w, 2) for w in walls]} "
+            f"steal {100 * (s1 - s0) / max(1, j1 - j0):.1f}%"
         )
     print(f"noise_ref(post) = {noise()}")
 

@@ -60,7 +60,9 @@ def main() -> None:
                         "numInputRows": p.get("numInputRows"),
                         "durationMs": p.get("durationMs"),
                     }
-                    for p in (json.loads(x) for x in q.recentProgress)
+                    for p in (
+                        json.loads(str(x.json)) for x in q.recentProgress
+                    )
                 ],
             }
         )
