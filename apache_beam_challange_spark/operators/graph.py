@@ -186,13 +186,16 @@ def connected_components_lss(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     ).localCheckpoint()
     converged = False
+    # r13: carry the previous round's count instead of re-counting the
+    # checkpointed frame every round (one fewer action per round; the
+    # set-equality semantics of the convergence check are unchanged)
+    prev_n = e.count()
     for _ in range(max_iter):
         after = _star_round(_star_round(e, large=True), large=False).localCheckpoint()
-        unchanged = (
-            after.count() == e.count()
-            and after.exceptAll(e).isEmpty()
-        )
+        n = after.count()
+        unchanged = n == prev_n and after.exceptAll(e).isEmpty()
         e = after
+        prev_n = n
         if unchanged:
             converged = True
             break

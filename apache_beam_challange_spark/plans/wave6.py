@@ -2465,62 +2465,53 @@ def ipf_raking_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_IPF_T} rounds is test-pinned). Data-sized work: ONE map-side-
     combined cell aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    cells = (
-        ev.groupBy(
+    # r13 restructure (guide §1.2 step 1 — the serve-core discipline):
+    # the <=|types|x24 cell grid is the complete state, so collect it
+    # once and run the 8 IPF rounds in the driver — the trajectory is
+    # ALL exact integer arithmetic (products, `//` == Spark `div` on
+    # nonnegative decimals, the same overflow-free quotient
+    # decomposition for the column target), so every w_fp is
+    # bit-identical to the window-partitioned form this replaces.
+    cell_rows = [
+        (r["t"], r["h"], r["n"])
+        for r in ev.groupBy(
             F.col("event_type").alias("t"),
             F.hour("ts").cast("long").alias("h"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # feeds margins and all IPF rounds
+        .collect()
+    ]
+    target_r: dict[str, int] = {}
+    for t, _h, n in cell_rows:
+        target_r[t] = target_r.get(t, 0) + n
+    n_all = sum(n for _t, _h, n in cell_rows)
+    # exact decomposition of (n_all * 1e9) div 24 — same as the engine
+    # expression this replaces (no LONG-space product)
+    target_c_fp = (n_all // 24) * _IPF_FP + ((n_all % 24) * _IPF_FP) // 24
+    w: dict[tuple[str, int], int] = {
+        (t, h): _IPF_FP for t, h, _n in cell_rows
+    }
+    for _r in range(_IPF_T):
+        rsum: dict[str, int] = {}
+        for t, h, n in cell_rows:
+            rsum[t] = rsum.get(t, 0) + w[(t, h)] * n
+        w1 = {
+            (t, h): (w[(t, h)] * target_r[t] * _IPF_FP) // rsum[t]
+            for t, h, _n in cell_rows
+        }
+        csum: dict[int, int] = {}
+        for t, h, n in cell_rows:
+            csum[h] = csum.get(h, 0) + w1[(t, h)] * n
+        w = {
+            (t, h): (w1[(t, h)] * target_c_fp) // csum[h]
+            for t, h, _n in cell_rows
+        }
+    spark_s = ev.sparkSession
+    out = spark_s.createDataFrame(
+        [(t, h, n, w[(t, h)]) for t, h, n in cell_rows],
+        "t string, h long, n long, w_fp long",
     )
-    rowt = cells.groupBy("t").agg(F.sum("n").cast("long").alias("target_r"))
-    nall = cells.agg(F.sum("n").cast("long").alias("n_all"))
-    colt = (
-        cells.select("h")
-        .distinct()
-        .crossJoin(F.broadcast(nall))
-        .select(
-            "h",
-            # exact decomposition of (n_all * 1e9) div 24: with q = n_all
-            # div 24, r = n_all % 24 it equals q*1e9 + (r*1e9) div 24 — no
-            # LONG-space product (the naive form overflows past ~9.2e9
-            # events; the oracle runs the same quotient in HUGEINT).
-            F.expr(
-                f"CAST(CAST(n_all div 24 AS DECIMAL(38,0)) * {_IPF_FP}"
-                f" + ((n_all % 24) * {_IPF_FP}) div 24 AS DECIMAL(38,0))"
-            ).alias("target_c_fp"),
-        )
-    )
-    d38 = "decimal(38,0)"
-    w = cells.select(
-        "t", "h", "n", F.lit(_IPF_FP).cast(d38).alias("w_fp")
-    )
-    w_row = Window.partitionBy("t")
-    w_col = Window.partitionBy("h")
-    for r in range(_IPF_T):
-        j = w.join(F.broadcast(rowt), "t").join(F.broadcast(colt), "h")
-        j = j.withColumn(
-            "rsum", F.sum(F.col("w_fp") * F.col("n")).over(w_row).cast(d38)
-        ).withColumn(
-            "w1",
-            F.expr(
-                f"CAST((w_fp * target_r * {_IPF_FP}) div rsum AS DECIMAL(38,0))"
-            ),
-        )
-        j = j.withColumn(
-            "csum", F.sum(F.col("w1") * F.col("n")).over(w_col).cast(d38)
-        )
-        w = j.select(
-            "t",
-            "h",
-            "n",
-            F.expr("CAST((w1 * target_c_fp) div csum AS DECIMAL(38,0))").alias(
-                "w_fp"
-            ),
-        )
-        if (r + 1) % 4 == 0:
-            w = w.localCheckpoint()
-    return w.select(
+    return out.select(
         F.col("t").alias("event_type"),
         F.col("h").alias("hour"),
         "n",
