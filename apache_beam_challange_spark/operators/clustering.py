@@ -68,6 +68,7 @@ def kmeans_centroids(
     BIT-IDENTICAL to training m+n rounds from the seed. The oracle for
     ``ivf_retrain_topk_vec0`` states exactly that (a from-scratch
     3-round CTE chain against the engine's stored-2+1 route)."""
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
@@ -78,13 +79,27 @@ def kmeans_centroids(
             F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+    # r13 (guide §1.2 — the ANN-serve/solver driver-core discipline):
+    # each Lloyd round's NEW state is the parameter-bounded sufficient
+    # statistic (centroid_id, pos, s, n) — at most k*dim rows, corpus-
+    # independent — so one collect per round replaces the eager
+    # per-round localCheckpoint job + the array-reassembly groupBy +
+    # the broadcast sub-job over the prior round's lineage. The driver
+    # computes cval = s / (n * scale) with the IDENTICAL IEEE ops the
+    # removed Spark expression performed (long->double casts, one
+    # multiply, one divide), then re-injects the centroids as a literal
+    # local relation. The data-sized passes (assignment + per-dimension
+    # fixed-point sums) stay in Spark, map-side combined; the in-loop
+    # arg-min is a hash aggregate over min(struct(dist, centroid_id,
+    # vec)) — the same (dist, centroid_id) lexicographic pick the old
+    # row_number window made, without the per-round sort.
     for _ in range(n_iter):
         best = (
             vecs.crossJoin(F.broadcast(cents))
             .withColumn("dist", _sq_l2(F.col("vec"), F.col("cvec")))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "centroid_id", "vec")).alias("b"))
+            .select(F.col("b.centroid_id").alias("centroid_id"), F.col("b.vec").alias("vec"))
         )
         comp = best.select(
             "centroid_id", F.posexplode("vec").alias("pos", "val")
@@ -93,20 +108,17 @@ def kmeans_centroids(
             F.sum(F.floor(F.col("val") * scale + 0.5).cast("long")).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
-        cents = (
-            sums.select(
-                "centroid_id",
-                F.struct(
-                    "pos", (F.col("s") / (F.col("n") * float(scale))).alias("cval")
-                ).alias("pc"),
+        state: dict[int, list[tuple[int, float]]] = {}
+        for r in sums.collect():
+            state.setdefault(r["centroid_id"], []).append(
+                (r["pos"], r["s"] / (r["n"] * float(scale)))
             )
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list("pc")), lambda s: s["cval"]
-                ).alias("cvec")
-            )
-            .localCheckpoint()
+        cents = spark.createDataFrame(
+            [
+                (cid, [v for _, v in sorted(pvs)])
+                for cid, pvs in sorted(state.items())
+            ],
+            "centroid_id long, cvec array<double>",
         )
     return cents
 

@@ -78,33 +78,49 @@ def connected_components(
     )
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).localCheckpoint()
-    for _ in range(max_iter):
+    ).localCheckpoint(eager=False)
+
+    # r13 (guide §1.2 step 2 — one action per round instead of three):
+    # the change test rode a label-vs-label join + count on top of the
+    # eager checkpoint job. Propagation labels are MONOTONE — the node
+    # set only grows (relay endpoints absent from `vertices` accrue via
+    # the neighbor union, never disappear) and each node's label only
+    # decreases — so the pair (row count, exact sum of labels) is a
+    # complete change detector: a new node strictly raises the count, a
+    # label drop strictly lowers the sum, and nothing else can move
+    # either. The sum is DECIMAL(38,0) (ids reach 16^15 — a BIGINT sum
+    # could wrap and alias two different states). One aggregate per
+    # round materializes the now-lazy checkpoint AND reads the fixpoint.
+    def _sig(df: DataFrame) -> tuple[int, object]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return r["n"], r["s"]
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
         nbr_labels = sym.join(
-            labels.select(
-                F.col("node").alias("nbr"), F.col("component")
-            ),
+            lbl.select(F.col("node").alias("nbr"), F.col("component")),
             "nbr",
         ).select("node", "component")
-        new_labels = (
-            labels.unionByName(nbr_labels)
+        return (
+            lbl.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
-        # a node APPEARING for the first time (an edge endpoint absent
-        # from `vertices`, acting as a relay) is also a change — an inner
-        # join silently dropped it and could end the loop one round
-        # before its label propagated onward (found by review test)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node", "left")
-            .filter(
-                F.col("o.component").isNull()
-                | (F.col("n.component") < F.col("o.component"))
-            )
-            .count()
+
+    prev_sig = _sig(labels)
+    # Two propagation steps per unit (r13 round-unrolling): monotonicity
+    # makes the unit-level (count, sum) test exact across both steps, a
+    # converged graph just replays one idempotent step, and the action +
+    # checkpoint count halves. Same fixpoint, same output.
+    for _ in range(max_iter // 2 + 1):
+        new_labels = _propagate(_propagate(labels)).localCheckpoint(
+            eager=False
         )
+        sig = _sig(new_labels)
+        changed = 0 if sig == prev_sig else 1
+        prev_sig = sig
         labels = new_labels
         if changed == 0:
             # Edge endpoints absent from `vertices` act as relay nodes
@@ -137,11 +153,18 @@ def _canon_edges(df: DataFrame) -> DataFrame:
     )
 
 
-def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+def _star_round(edges: DataFrame, large: bool, canon: bool = True) -> DataFrame:
     """One large-star or small-star operation (Kiveris et al., SoCC'14):
     every node u computes m = min(N(u) ∪ {u}) and re-links neighbors —
     strictly larger ones (large-star) or smaller-or-equal plus itself
-    (small-star) — directly to m."""
+    (small-star) — directly to m.
+
+    ``canon=False`` skips the output canonicalization (least/greatest +
+    self-loop filter + distinct) for outputs that feed DIRECTLY into
+    another star round (r13, guide §2.4): the next round symmetrizes and
+    takes a min, so edge orientation, duplicate edges and self-loops are
+    all inert there — only an output consumed for set-equality tests or
+    final labeling needs the canonical distinct form."""
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -161,7 +184,7 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         ).unionByName(
             mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
         )
-    return _canon_edges(out)
+    return _canon_edges(out) if canon else out
 
 
 def connected_components_lss(
@@ -190,8 +213,20 @@ def connected_components_lss(
     # checkpointed frame every round (one fewer action per round; the
     # set-equality semantics of the convergence check are unchanged)
     prev_n = e.count()
+    # r13 (guide §2.4): the mid-composite canonicalization is skipped
+    # (canon=False — the small-star's symmetrize+min absorbs orientation,
+    # duplicate edges and self-loops, so only the composite's OUTPUT,
+    # which feeds the equality test and the final labeling, needs the
+    # canonical distinct form: one exchange fewer per round), and the
+    # round checkpoint is lazy — the convergence count materializes it,
+    # one action per round instead of two. (A 2-composite unroll per
+    # action was measured and REJECTED: the 9-exchange single-action
+    # plan made AQE replan the whole deep tree at every exchange
+    # materialization — two_phase 9 s → 17-30 s.)
     for _ in range(max_iter):
-        after = _star_round(_star_round(e, large=True), large=False).localCheckpoint()
+        after = _star_round(
+            _star_round(e, large=True, canon=False), large=False
+        ).localCheckpoint(eager=False)
         n = after.count()
         unchanged = n == prev_n and after.exceptAll(e).isEmpty()
         e = after

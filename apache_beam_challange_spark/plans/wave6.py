@@ -2142,14 +2142,85 @@ def huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Median and MAD seeds reuse the zero-float pick discipline.
     One data-sized aggregate; {_HUBER_T} histogram folds after it."""
     ev = load_table(spark, sf_dir, "events")
-    hist = (
-        ev.groupBy(
-            "event_type",
-            F.floor(F.col("value") * 100).cast("long").alias("vb"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # seeds median/MAD AND all IRLS rounds
+    hist = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # r13 (guide §1.2 — the wave6 driver-solve discipline, §3 of
+    # OPTIMIZATION_r13.md, boundary revisited): the IRLS state is the
+    # cent HISTOGRAM — bounded by the VALUE DOMAIN (|types| x 100*max
+    # value buckets), not by corpus size, so at any corpus the collect
+    # stays the same few MB (47k rows at sf0.1). The 12 reweighting
+    # rounds walk the identical exact-integer trajectory in the driver
+    # (values are nonnegative, so Python // == Spark's decimal div;
+    # k_fp replays the one float expression with the same left-
+    # associated IEEE ops); final rounding stays in Spark via the SAME
+    # expressions. One data-sized aggregate + one domain-bounded
+    # collect replaces 12 broadcast-join rounds + 3 checkpoint jobs.
+    # Loud guard: a domain too wide for the driver falls back to the
+    # original in-Spark IRLS (identical trajectory, never wrong).
+    pdf = hist.toPandas()
+    if len(pdf) > 2_000_000:
+        return _huber_irls_spark(spark, hist.localCheckpoint())
+    import math as _math
+
+    by_type: dict[str, dict[int, int]] = {}
+    for etype, vb, c in zip(pdf["event_type"], pdf["vb"], pdf["c"]):
+        by_type.setdefault(str(etype), {})[int(vb)] = int(c)
+    out_rows = []
+    for etype in sorted(by_type):
+        buckets = by_type[etype]
+        n = sum(buckets.values())
+        cc = 0
+        med = None
+        for vb in sorted(buckets):
+            cc += buckets[vb]
+            if 2 * cc >= n:
+                med = vb
+                break
+        dev: dict[int, int] = {}
+        for vb, c in buckets.items():
+            db = abs(vb - med)
+            dev[db] = dev.get(db, 0) + c
+        cc = 0
+        mad = None
+        for db in sorted(dev):
+            cc += dev[db]
+            if 2 * cc >= n:
+                mad = db
+                break
+        k_fp = int(_math.floor(_HUBER_K * float(mad) * 1e6 + 0.5))
+        m_fp = med * 1_000_000
+        for _ in range(_HUBER_T):
+            sw = swv = 0
+            for vb, c in buckets.items():
+                resid = vb * 1_000_000 - m_fp
+                if resid == 0:
+                    w = 1_000_000
+                else:
+                    w = min(1_000_000, (k_fp * 1_000_000) // abs(resid))
+                sw += c * w
+                swv += c * w * vb
+            m_fp = (swv * 1_000_000) // sw
+        out_rows.append((etype, n, med, mad, m_fp))
+    out = spark.createDataFrame(
+        out_rows, "event_type string, n long, med long, mad long, m_fp long"
     )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("med").cast("double") / F.lit(100.0), 6).alias("median"),
+        F.round(F.col("mad").cast("double") / F.lit(100.0), 6).alias("mad"),
+        F.round(
+            F.col("m_fp").cast("double") / F.lit(1e6) / F.lit(100.0), 6
+        ).alias("huber_location"),
+    ).orderBy("event_type")
+
+
+def _huber_irls_spark(spark: SparkSession, hist: DataFrame) -> DataFrame:
+    """The original fully-in-Spark IRLS route, kept as the loud-guard
+    fallback for value domains too wide for the driver histogram solve
+    (identical trajectory — the driver path replays exactly this)."""
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("vb")

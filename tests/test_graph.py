@@ -457,9 +457,9 @@ def test_two_phase_matches_lss_and_cuts_rounds(spark):
     ):
         calls = [0]
 
-        def counting(edges, large):
+        def counting(edges, large, canon=True):
             calls[0] += 1
-            return orig(edges, large)
+            return orig(edges, large, canon=canon)
 
         g._star_round = counting
         try:

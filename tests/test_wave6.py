@@ -1340,3 +1340,26 @@ def test_funnel_latency_hand_fixture(spark):
     cp = out["click_to_purchase"]
     assert cp.n_users == 1
     assert cp.p50_h == cp.p90_h == cp.max_h == 3
+
+
+def test_huber_driver_solve_matches_spark_irls(spark):
+    """r13: the huber IRLS moved to a driver solve over the domain-bounded
+    cent histogram; the original in-Spark route stays as the wide-domain
+    fallback. Both must return IDENTICAL rows (same exact-integer
+    trajectory, same final rounding expressions)."""
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in w6.huber_location_by_type(spark, sf_dir).collect()
+    )
+    from apache_beam_challange_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    want = sorted(
+        tuple(r)
+        for r in w6._huber_irls_spark(spark, hist.localCheckpoint()).collect()
+    )
+    assert got == want
