@@ -329,16 +329,25 @@ def kcenter_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         center = emb.filter(F.col("vec_id") == last_id).select(
             F.col("x").alias("cx")
         )
+        # r13 (guide §1.2 / §2.3): the running max-dot state is now (a)
+        # NARROW — (vec_id, md) only; the vectors ride in fresh from the
+        # per-round scan, never through the fold — and (b) materialized
+        # per round (lazy localCheckpoint; the argmin action realizes
+        # it), so round r's pass reads the round r-1 STATE instead of
+        # re-executing the whole join chain from round 2 — the docstring
+        # promise ("each round is ONE corpus pass") made literal: total
+        # work drops from O(k^2) corpus passes to O(k).
         d = emb.crossJoin(F.broadcast(center)).select(
-            "vec_id", "x", dot_u(F.col("x"), F.col("cx")).alias("md")
+            "vec_id", dot_u(F.col("x"), F.col("cx")).alias("md")
         )
         if state is None:
-            state = d
+            state = d.localCheckpoint(eager=False)
         else:
             state = (
                 state.select("vec_id", F.col("md").alias("md_prev"))
                 .join(d, "vec_id")
-                .select("vec_id", "x", F.greatest("md_prev", "md").alias("md"))
+                .select("vec_id", F.greatest("md_prev", "md").alias("md"))
+                .localCheckpoint(eager=False)
             )
         picked_ids = [c[1] for c in chosen]
         row = (

@@ -1542,17 +1542,27 @@ def rp_jl_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
+    # r13 (guide §1.2 step 2): the 32 projections were 32 independent
+    # column expressions — a 32 x (zip_with + aggregate-over-64) tree
+    # that dominated the wall via analysis/codegen, not data. One
+    # transform over a literal array-of-planes evaluates the IDENTICAL
+    # per-plane fold (same functions.vector.dot lambda, same 0.0 init,
+    # same left-to-right order — bit-equal projections) in a tree 1/32
+    # the size. The shortlist score folds ps x qs with the same
+    # sequential aggregate; it feeds ONLY the ORDER BY, where its one
+    # representational difference from the old t0+t1+... chain (a
+    # possible -0.0 vs +0.0 when every term is a signed zero) cannot
+    # reorder anything (-0.0 == 0.0 in comparisons).
+    planes = F.array(*[F.lit(_JL_PLANES[p]) for p in range(32)])
     proj = emb.select(
-        "vec_id",
-        *[dot(v, F.lit(_JL_PLANES[p])).alias(f"p{p}") for p in range(32)],
+        "vec_id", F.transform(planes, lambda pl: dot(v, pl)).alias("ps")
     )
-    qproj = proj.filter(F.col("vec_id") == 0).select(
-        *[F.col(f"p{p}").alias(f"q{p}") for p in range(32)]
+    qproj = proj.filter(F.col("vec_id") == 0).select(F.col("ps").alias("qs"))
+    score = F.aggregate(
+        F.zip_with(F.col("ps"), F.col("qs"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    score = None
-    for p in range(32):
-        term = F.col(f"p{p}") * F.col(f"q{p}")
-        score = term if score is None else score + term
     shortlist = (
         proj.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qproj))
