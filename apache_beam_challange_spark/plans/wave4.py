@@ -937,44 +937,43 @@ def bradley_terry_part_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w2").cast("long").alias("w2tot"),
         F.count(F.lit(1)).cast("long").alias("n_opp"),
     )
-    scores = slate.select("pk", F.lit(sv).cast("long").alias("s"))
+    # r13 (the wave6 driver-solve discipline): the MM rounds walk a
+    # PARAMETER-BOUNDED frame — prs is slate^2 = 240 rows regardless of
+    # corpus size — so the trajectory runs in the driver after ONE
+    # collect of the checkpointed pair stats: exact Python-int MM terms
+    # (all operands positive, so // == Spark's div), and the one float
+    # normalization replays the identical IEEE chain (long->double
+    # casts, multiply, divide, floor — same left association). Replaces
+    # 4 rounds x (2 broadcasts + join + agg + checkpoint job) with zero
+    # in-loop Spark jobs; the data-sized slate/basket aggregates and the
+    # final join/ordering stay in Spark unchanged.
+    pr_rows = [
+        (r["pa"], r["pb"], r["w2"], r["n2"]) for r in prs.collect()
+    ]
+    w2tot_d: dict[int, int] = {}
+    n_opp_d: dict[int, int] = {}
+    for pa, _pb, w2, n2 in pr_rows:
+        w2tot_d[pa] = w2tot_d.get(pa, 0) + w2
+        n_opp_d[pa] = n_opp_d.get(pa, 0) + 1
+    import math as _math
+
+    s_d: dict[int, int] = {pa: sv for pa in w2tot_d}
     for _ in range(_BT_ITERS):
-        s_a = scores.select(F.col("pk").alias("pa"), F.col("s").alias("s_pa"))
-        s_b = scores.select(F.col("pk").alias("pb"), F.col("s").alias("s_pb"))
-        d = (
-            prs.join(F.broadcast(s_a), "pa")
-            .join(F.broadcast(s_b), "pb")
-            .groupBy("pa")
-            .agg(
-                F.sum(
-                    F.expr(f"(n2 * {sv} * {st}) div (s_pa + s_pb)")
-                )
-                .cast("long")
-                .alias("d")
+        d_d: dict[int, int] = {}
+        for pa, pb, _w2, n2 in pr_rows:
+            d_d[pa] = d_d.get(pa, 0) + (n2 * sv * st) // (s_d[pa] + s_d[pb])
+        sp_d = {pa: (w2tot_d[pa] * st * sv) // d for pa, d in d_d.items()}
+        stot = sum(sp_d.values())
+        nsl = len(sp_d)
+        s_d = {
+            pa: int(
+                _math.floor(float(sp) * float(nsl * sv) / float(stot))
             )
-        )
-        u = d.join(wtot, "pa").select(
-            F.col("pa").alias("pk"),
-            F.expr(f"(w2tot * {st} * {sv}) div d").cast("long").alias("sp"),
-        )
-        stot = u.agg(
-            F.sum("sp").cast("long").alias("stot"),
-            F.count(F.lit(1)).cast("long").alias("nsl"),
-        )
-        scores = (
-            u.crossJoin(F.broadcast(stot))
-            .select(
-                "pk",
-                F.floor(
-                    F.col("sp").cast("double")
-                    * (F.col("nsl") * F.lit(sv)).cast("double")
-                    / F.col("stot").cast("double")
-                )
-                .cast("long")
-                .alias("s"),
-            )
-            .localCheckpoint()
-        )
+            for pa, sp in sp_d.items()
+        }
+    scores = spark.createDataFrame(
+        sorted(s_d.items()), "pk long, s long"
+    )
     return (
         scores.join(wtot, scores.pk == wtot.pa)
         .select(
