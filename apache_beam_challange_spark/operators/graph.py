@@ -135,8 +135,10 @@ def connected_components(
                 "left_semi",
             )
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — the "
-        "graph diameter exceeds the bound; use connected_components_lss "
+        "connected_components did not converge in "
+        f"{2 * (max_iter // 2 + 1)} propagation steps "
+        f"(max_iter={max_iter}, 2-step units) — the graph diameter "
+        "exceeds the bound; use connected_components_lss "
         "(O(log^2 n) rounds) for high-diameter graphs"
     )
 

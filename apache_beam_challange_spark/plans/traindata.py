@@ -711,12 +711,38 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(n + 1) div 2") + 1
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    ).select("doc_id", "shingle", "rn", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_id_1"),
+        "shingle",
+        F.col("rn").alias("rn1"),
+        F.col("n").alias("na"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_id_2"),
+        "shingle",
+        F.col("rn").alias("rn2"),
+        F.col("n").alias("nb"),
+    )
+    # r14 (guide §3.2 — shrink the verification join's input): PPJoin's
+    # POSITIONAL filter (Xiao et al. WWW'08 §4). The shingle order
+    # (global frequency, shingle) is one total order shared by every
+    # document, so for a candidate generated at prefix positions
+    # (rn1, rn2) any common shingle is either < the match in that order
+    # (at most min(rn1-1, rn2-1) of those in both) or >= it (at most
+    # min(na-rn1+1, nb-rn2+1)): overlap <= ub. Jaccard >= 0.5 needs
+    # 3*overlap >= na+nb, and the globally-smallest common shingle of a
+    # qualifying pair always satisfies the bound (zero common elements
+    # precede it), so keeping pairs where ANY match passes is exact —
+    # recall stays 1.0, only never-verifiable pairs leave the candidate
+    # set before the distinct and the two verification joins.
+    ub = F.least(F.col("rn1"), F.col("rn2")) - 1 + F.least(
+        F.col("na") - F.col("rn1"), F.col("nb") - F.col("rn2")
+    ) + 1
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .filter(F.lit(3) * ub >= F.col("na") + F.col("nb"))
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )

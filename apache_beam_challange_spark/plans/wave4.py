@@ -951,10 +951,8 @@ def bradley_terry_part_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["pa"], r["pb"], r["w2"], r["n2"]) for r in prs.collect()
     ]
     w2tot_d: dict[int, int] = {}
-    n_opp_d: dict[int, int] = {}
     for pa, _pb, w2, n2 in pr_rows:
         w2tot_d[pa] = w2tot_d.get(pa, 0) + w2
-        n_opp_d[pa] = n_opp_d.get(pa, 0) + 1
     import math as _math
 
     s_d: dict[int, int] = {pa: sv for pa in w2tot_d}

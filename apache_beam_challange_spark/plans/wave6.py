@@ -2051,6 +2051,11 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HUBER_T = 12
 #: Huber tuning constant (95% Gaussian efficiency), applied to the MAD
 _HUBER_K = 1.345
+#: widest cent-bucket histogram the driver solve will collect; beyond it
+#: (or on any negative bucket — the `//` == div replay needs value >= 0)
+#: the query falls back to the in-Spark IRLS. Module-level so the guard
+#: tests can shrink it.
+_HUBER_DRIVER_CAP = 2_000_000
 
 _HUBER_SQL = f"""
 WITH RECURSIVE hist AS MATERIALIZED (
@@ -2159,8 +2164,17 @@ def huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect replaces 12 broadcast-join rounds + 3 checkpoint jobs.
     # Loud guard: a domain too wide for the driver falls back to the
     # original in-Spark IRLS (identical trajectory, never wrong).
-    pdf = hist.toPandas()
-    if len(pdf) > 2_000_000:
+    # r14 (ADVICE r13): the guard must bound driver memory BEFORE the
+    # collect — `limit(cap+1)` caps the rows that ever reach the driver
+    # (one pass in the common case; a full-histogram toPandas first
+    # would OOM exactly the domains the fallback exists for). A result
+    # at cap+1 rows means the domain overflowed the cap; negative
+    # buckets would break the `//` == Spark-div replay (an undeclared
+    # value>=0 invariant) — both routes fall back to the in-Spark IRLS.
+    pdf = hist.limit(_HUBER_DRIVER_CAP + 1).toPandas()
+    if len(pdf) > _HUBER_DRIVER_CAP or (
+        len(pdf) > 0 and int(pdf["vb"].min()) < 0
+    ):
         return _huber_irls_spark(spark, hist.localCheckpoint())
     import math as _math
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from apache_beam_challange_spark.operators.clustering import kmeans_assignments
 
 
@@ -25,6 +27,7 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert all(got[i]["dist"] < 1.0 for i in range(6))
 
 
+@pytest.mark.slow
 def test_kmeans_deterministic(spark):
     rows = [(i % 3, (i * 1.7 % 5.0, (i * i) % 7.0, i / 3.0)) for i in range(20)]
     emb = _emb(spark, rows)
@@ -74,6 +77,7 @@ def test_kmeans_matches_numpy_reference(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_pq_topk_deterministic_and_ordered(spark, sf_dir):
     from apache_beam_challange_spark.operators.clustering import pq_topk
 
@@ -87,6 +91,7 @@ def test_pq_topk_deterministic_and_ordered(spark, sf_dir):
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
 
 
+@pytest.mark.slow
 def test_opq_allocation_balances_and_recall_not_regressed(spark):
     """The trained OPQ permutation must (a) be a true permutation of the
     dims, (b) achieve its objective EXACTLY on the greedy deal — subspace

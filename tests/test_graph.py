@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from apache_beam_challange_spark.operators.graph import (
     connected_components,
     dedup_clusters,
@@ -63,6 +65,7 @@ def test_dedup_clusters_keep_flags(spark):
     assert len(kept) == len({r["component"] for r in rows.values()})
 
 
+@pytest.mark.slow
 def test_random_graphs_match_union_find(spark):
     """Cross-check min-label propagation against an independent pure-Python
     union-find on seeded random graphs."""
@@ -106,6 +109,7 @@ def test_random_graphs_match_union_find(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+@pytest.mark.slow
 def test_lss_matches_propagation_and_union_find(spark):
     """Large-star/small-star must produce identical components to the
     propagation variant on fixed and random graphs — including the
@@ -137,6 +141,7 @@ def test_lss_matches_propagation_and_union_find(spark):
         assert got == want, (n, es)
 
 
+@pytest.mark.slow
 def test_high_diameter_raises_propagation_but_lss_converges(spark):
     """The contract behind the twin operators: propagation REFUSES (loud
     RuntimeError, not silent wrong labels) when the diameter exceeds its
@@ -156,6 +161,7 @@ def test_high_diameter_raises_propagation_but_lss_converges(spark):
     assert {r["component"] for r in got} == {0} and len(got) == n
 
 
+@pytest.mark.slow
 def test_skew_stress_power_law_graph(spark):
     """Round-2 verdict ask #8: stress CC at a realistic dedup-graph scale
     with ADVERSARIAL shape — a power-law (Zipf-size star clusters: one
@@ -388,6 +394,7 @@ def test_lpa_matches_python_reference_on_random_graph(spark):
         assert got == _python_lpa(pairs, rounds), rounds
 
 
+@pytest.mark.slow
 def test_two_phase_matches_lss_and_cuts_rounds(spark):
     """VERDICT r7 #4 pin: two-phase CC (local per-cell union-find, then
     LSS only on the contracted boundary graph) must (a) return the exact

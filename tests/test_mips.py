@@ -11,6 +11,8 @@ cosine ranking on this corpus (the reason the route exists at all).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
@@ -107,6 +109,7 @@ def _mk_emb(spark, rows):
     )
 
 
+@pytest.mark.slow
 def test_mips_index_append_equals_rebuild(spark, tmp_path):
     """A valid delta (norms <= the stored build bound) appended with the
     STORED m2 produces buckets bit-identical to a from-scratch rebuild
@@ -164,6 +167,7 @@ def test_mips_index_append_refuses_norm_overflow(spark, tmp_path):
         mips_lsh_append_index(big, p)
 
 
+@pytest.mark.slow
 def test_mips_index_torn_artifact_not_materialized(spark, tmp_path):
     """Torn-artifact rule for the two-part index: the sidecar commits
     FIRST, the primary LAST, and is_materialized requires _SUCCESS in
@@ -185,6 +189,7 @@ def test_mips_index_torn_artifact_not_materialized(spark, tmp_path):
     assert not is_materialized(p, parts=(p + "_meta",))
 
 
+@pytest.mark.slow
 def test_mips_index_rebuild_crash_leaves_unmaterialized(spark, tmp_path, monkeypatch):
     """Rebuild crash window: the OLD primary's _SUCCESS is invalidated
     BEFORE the new sidecar commits, so dying between the sidecar write

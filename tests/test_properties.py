@@ -4,6 +4,8 @@ oracle-based suites."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -49,6 +51,7 @@ def test_group_count_partitions_total(spark, rows):
 
 @settings(**SETTINGS)
 @given(keys, st.integers(1, 8))
+@pytest.mark.slow
 def test_topk_is_sorted_prefix(spark, rows, k):
     df = spark.createDataFrame(rows, ["k1", "k2"])
     counts = group_count(df, ["k1", "k2"], alias="n")
@@ -61,6 +64,7 @@ def test_topk_is_sorted_prefix(spark, rows, k):
 
 @settings(**SETTINGS)
 @given(keys)
+@pytest.mark.slow
 def test_salted_count_equals_plain_count(spark, rows):
     df = spark.createDataFrame(
         [(a, b, i) for i, (a, b) in enumerate(rows)], ["k1", "k2", "uid"]
@@ -81,6 +85,7 @@ def test_salted_count_equals_plain_count(spark, rows):
     st.lists(st.tuples(st.integers(0, 6), st.integers(0, 100)), min_size=1, max_size=20),
     st.lists(st.tuples(st.integers(0, 6), st.integers(0, 100)), min_size=1, max_size=20),
 )
+@pytest.mark.slow
 def test_zero_fill_join_covers_key_union(spark, left_rows, right_rows):
     left = spark.createDataFrame(left_rows, ["k", "a"]).dropDuplicates(["k"])
     right = spark.createDataFrame(right_rows, ["k", "b"]).dropDuplicates(["k"])
@@ -99,6 +104,7 @@ probe_keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=40)
 
 @settings(**SETTINGS)
 @given(member_keys, probe_keys)
+@pytest.mark.slow
 def test_bloom_filter_never_false_negative(spark, members, probes):
     """The Bloom guarantee: a true member ALWAYS passes the filter (false
     positives allowed, false negatives never) — for any member/probe sets,
@@ -236,6 +242,7 @@ def test_sessionize_matches_reference(spark, rows):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_triangle_stats_match_brute_force(spark, raw_pairs):
     """Degree-ordered triangle counting equals the O(n^3) brute force on
     random graphs (self-loops dropped, edges canonicalized)."""
@@ -270,6 +277,7 @@ def test_triangle_stats_match_brute_force(spark, raw_pairs):
 
 @settings(**SETTINGS)
 @given(st.lists(st.integers(0, 2000), min_size=2, max_size=40))
+@pytest.mark.slow
 def test_cusum_rewrite_equals_fold_on_random_series(spark, xs):
     """The prefix-min CUSUM rewrite equals the sequential recurrence on
     arbitrary integer series (scaled drift = x*H - T)."""
@@ -397,6 +405,7 @@ aa_pairs = st.lists(
 
 @settings(**SETTINGS)
 @given(aa_pairs)
+@pytest.mark.slow
 def test_adamic_adar_matches_python_reference(spark, raw_pairs):
     """AA scores on random small graphs equal a brute-force Python
     recompute: predicted pairs are exactly the non-adjacent pairs with a
@@ -493,6 +502,7 @@ docpair = st.tuples(
 
 @settings(**SETTINGS)
 @given(docpair)
+@pytest.mark.slow
 def test_containment_dominates_jaccard(spark, pair):
     """For any doc pair: containment >= Jaccard (min(|A|,|B|) <= |A u B|),
     and both match their set-arithmetic definitions."""
@@ -533,6 +543,7 @@ masses = st.lists(
 
 @settings(**SETTINGS)
 @given(masses, st.integers(1, 100_000))
+@pytest.mark.slow
 def test_hamilton_apportionment_quota_rule(spark, rows, budget):
     """Largest-remainder invariants on generated weight tables: allocs
     sum EXACTLY to the budget and every alloc is within 1 of its
@@ -593,6 +604,7 @@ ids_and_vals = st.lists(
 
 @settings(**SETTINGS)
 @given(ids_and_vals)
+@pytest.mark.slow
 def test_global_row_ids_match_python_sort(spark, rows):
     """The distributed numbering equals the driver-side sort rank for
     ANY generated key table — duplicates in the first sort column break
@@ -774,6 +786,7 @@ def test_prefix_sum_composes_exact_and_single_range_exchange(spark, shape):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_shapley_efficiency_axiom_random_journeys(spark, journeys):
     """Shapley values must sum to v(full) - v(empty) (efficiency) on
     random journey corpora, and shares must sum to 1 when any channel
@@ -855,6 +868,7 @@ def test_hilbert_key_bijective_on_random_cells(spark, cells):
         unique_by=lambda t: (t[0], t[1]),
     )
 )
+@pytest.mark.slow
 def test_ipf_row_margins_match_after_column_last_round_swap(spark, cells):
     """IPF column margins (the LAST step each round) must match the
     uniform-over-24 target for every observed hour, on random grids."""

@@ -115,6 +115,7 @@ def test_tumbling_counts_match_batch(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Two sequenced micro-batches (maxFilesPerTrigger=1): batch 2 carries
     an event far older than the watermark established by batch 1 -> the
@@ -273,6 +274,7 @@ def test_foreach_batch_sink(spark, tmp_path):
     assert seen and sum(n for _, n in seen) == 2
 
 
+@pytest.mark.slow
 def test_stateful_running_counts_across_batches(spark, tmp_path):
     d = tmp_path / "state_in"
     d.mkdir()
@@ -295,6 +297,7 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
     assert counts == [2, 3]
 
 
+@pytest.mark.slow
 def test_stateful_last_ts_never_regresses_on_late_batch(spark, tmp_path):
     """The (count, last_ts) pair lives in STATE: a second micro-batch
     carrying only LATE events must not pull last-seen backwards."""
@@ -320,6 +323,7 @@ def test_stateful_last_ts_never_regresses_on_late_batch(spark, tmp_path):
     assert rows[1][1] == rows[0][1]
 
 
+@pytest.mark.slow
 def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     """State-bounded streaming dedup: dropDuplicatesWithinWatermark keeps
     a key's dedup state only while it is inside the watermark window, so
@@ -483,6 +487,7 @@ def test_transform_with_state_running_counts(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+@pytest.mark.slow
 def test_slowly_changing_dim_refresh_via_foreach_batch(spark, tmp_path):
     """Stream-static enrichment against a SLOWLY CHANGING dimension: the
     dim parquet is overwritten between micro-batches, and the foreachBatch
@@ -533,6 +538,7 @@ def test_slowly_changing_dim_refresh_via_foreach_batch(spark, tmp_path):
     assert (1, 7, "seg-v2") in seen
 
 
+@pytest.mark.slow
 def test_foreachbatch_latest_snapshot_upsert(spark, tmp_path):
     """Streaming snapshot maintenance: micro-batches upsert latest-per-user
     rows into an at-rest parquet snapshot via foreachBatch; after draining
@@ -595,6 +601,7 @@ def test_foreachbatch_latest_snapshot_upsert(spark, tmp_path):
     assert again == got
 
 
+@pytest.mark.slow
 def test_latest_snapshot_crash_leaves_old_version_readable(spark, tmp_path):
     """Crash injection for the streaming upsert: a batch that dies between
     writing its new snapshot version and flipping the pointer leaves the
@@ -674,6 +681,7 @@ def test_latest_snapshot_crash_leaves_old_version_readable(spark, tmp_path):
     assert final[1] == before[1] and final[2] == before[2]
 
 
+@pytest.mark.slow
 def test_route_quality_stream_splits_and_tags(spark, tmp_path):
     """Streaming dead-letter routing: micro-batches split into clean and
     quarantined rows using the SAME rule definitions as the batch
@@ -730,6 +738,7 @@ def test_route_quality_stream_splits_and_tags(spark, tmp_path):
     } == set(bad_rows)
 
 
+@pytest.mark.slow
 def test_maintain_lsh_index_stream_matches_batch_rebuild(spark, tmp_path):
     """Streaming index maintenance: ingesting embeddings as micro-batches
     must leave the at-rest LSH index identical (contents AND served
@@ -802,6 +811,7 @@ def test_maintain_lsh_index_stream_matches_batch_rebuild(spark, tmp_path):
     assert canon(inc) == canon(full)
 
 
+@pytest.mark.slow
 def test_interval_join_operator_joins_across_batches(spark, tmp_path):
     """The click->purchase attribution join must match across micro-batch
     boundaries (click buffered in join state until its purchase arrives),
@@ -854,6 +864,7 @@ def test_interval_join_operator_joins_across_batches(spark, tmp_path):
     assert rows == {(1, 4, 15 * 60)}
 
 
+@pytest.mark.slow
 def test_user_session_stats_across_batches_match_batch_groupby(spark, tmp_path):
     """The multi-stat keyed-state operator must fold micro-batches into
     the same per-user stats a batch GROUP BY computes — count, distinct
@@ -923,6 +934,7 @@ def test_user_session_stats_across_batches_match_batch_groupby(spark, tmp_path):
     assert final[1]["n_events"] == 3 and final[1]["n_types"] == 2
 
 
+@pytest.mark.slow
 def test_user_session_stats_tws_twin(spark, tmp_path):
     """The transformWithStateInPandas twin of user_session_stats (typed
     ValueState/ListState). Protobuf-gated like the running-counts TWS
@@ -964,6 +976,7 @@ def test_user_session_stats_tws_twin(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark_reemits_after_state_expiry(spark, tmp_path):
     """dropDuplicatesWithinWatermark's bounded-state contract: a
     duplicate inside the horizon is suppressed; once the watermark
@@ -1014,6 +1027,7 @@ def test_dedup_within_watermark_reemits_after_state_expiry(spark, tmp_path):
     assert rows == [(1, "view"), (1, "view"), (9, "click")]
 
 
+@pytest.mark.slow
 def test_gap_sessions_timer_flushes_only_after_watermark(spark, tmp_path):
     """EventTimeTimeout semantics: a session closed BY DATA (later event
     past the gap) emits immediately; the final open session emits only
@@ -1056,6 +1070,7 @@ def test_gap_sessions_timer_flushes_only_after_watermark(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_gap_sessions_late_data_never_regresses_boundaries(spark, tmp_path):
     """Late-data contract: a late event adjacent to the open session
     merges WITHOUT regressing session_end (the naive merge emitted
@@ -1103,6 +1118,7 @@ def test_gap_sessions_late_data_never_regresses_boundaries(spark, tmp_path):
         assert start <= end
 
 
+@pytest.mark.slow
 def test_gap_sessions_same_batch_late_events_fold_together(spark, tmp_path):
     """Late-data contract, third direction (review): two beyond-horizon
     late events in the SAME batch that are within one gap of each other
@@ -1149,6 +1165,7 @@ def test_gap_sessions_same_batch_late_events_fold_together(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_full_outer_interval_join_partitions_rows(spark, sf_dir):
     """Full outer = inner pairs + null-padded clicks + null-padded
     purchases, mutually exclusive; the left-outer result is exactly the
@@ -1170,6 +1187,7 @@ def test_full_outer_interval_join_partitions_rows(spark, sf_dir):
     assert all(r.user_id is not None for r in full)
 
 
+@pytest.mark.slow
 def test_tws_gap_reported_loudly():
     """tools/check_tws.py (VERDICT r6 #8) must either run the real TWS
     equality check (exit 0/1) or report the environment gap LOUDLY
@@ -1209,6 +1227,7 @@ def test_left_semi_interval_join_is_distinct_matched_clicks(spark, sf_dir):
     assert len(semi_keys) == len(set(semi_keys))
 
 
+@pytest.mark.slow
 def test_streaming_cdc_merge_batch_split_invariance(spark, sf_dir):
     """Round-8 streaming CDC apply: the ts-guarded MERGE fold must
     converge to the SAME snapshot no matter how the changelog splits
@@ -1229,6 +1248,7 @@ def test_streaming_cdc_merge_batch_split_invariance(spark, sf_dir):
     assert two == batch
 
 
+@pytest.mark.slow
 def test_state_ttl_eviction_tws(spark, tmp_path):
     """State-TTL eviction PROOF (VERDICT r10 #7) on the TWS timer route:
     a user idle past the 2 h event-time TTL gets its state evicted — the

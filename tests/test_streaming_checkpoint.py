@@ -4,6 +4,8 @@ already-processed files are not reprocessed (exactly-once source tracking).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from apache_beam_challange_spark.streaming.windows import events_stream
@@ -23,6 +25,7 @@ def _run_once(spark, src: str, ckpt: str, out_dir: str) -> None:
     q.awaitTermination()
 
 
+@pytest.mark.slow
 def test_restart_skips_committed_files(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

@@ -83,6 +83,7 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
 
 
+@pytest.mark.slow
 def test_ann_recall_floors_vs_exact(spark):
     """Measured recall@20 of every approximate path against exact cosine,
     pinned at floors below the deterministic measured values (single-table
@@ -132,6 +133,7 @@ def test_ann_recall_floors_vs_exact(spark):
     assert recalls["ivfpq_refined"] > recalls["pq"]
 
 
+@pytest.mark.slow
 def test_ivfpq_indexed_matches_inline_and_prunes(spark, tmp_path):
     """The at-rest IVF+PQ codes table must return exactly what the inline
     composition returns, and its partitioned scan must prune non-probed
@@ -192,6 +194,7 @@ def test_knn_join_matches_single_query_ivf(spark):
     assert batch == single
 
 
+@pytest.mark.slow
 def test_ivfpq_refined_indexed_matches_inline(spark, tmp_path):
     """The served IVFPQ+refine (at-rest codes + STORED codebooks, no
     query-time training) must return exactly the inline refined
@@ -243,6 +246,7 @@ def test_amplified_lsh_always_finds_exact_duplicate(spark):
         assert out[0]["vec_id"] == 1 and out[0]["cosine_sim"] == 1.0
 
 
+@pytest.mark.slow
 def test_lsh_indexed_matches_inline(spark, tmp_path):
     """The at-rest multitable LSH bucket index must return exactly the
     inline route's rows, and its partitioned scan must be pruned to the
@@ -272,6 +276,7 @@ def test_lsh_indexed_matches_inline(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
 
 
+@pytest.mark.slow
 def test_lsh_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
     """Incremental index maintenance: building over half the corpus then
     appending the other half must serve EXACTLY what a from-scratch
@@ -324,6 +329,7 @@ def test_lsh_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
     assert serve(inc_path) == serve(full_path)
 
 
+@pytest.mark.slow
 def test_ivf_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
     """Incremental IVF maintenance: appending a delta assigned against the
     FIXED stored codebook must produce an index identical to a
@@ -403,6 +409,7 @@ def test_nsw_recall_floor_vs_exact(spark):
     assert len(got) <= 20 and budget < 3000  # fixed serve budget
 
 
+@pytest.mark.slow
 def test_nsw_batch_driver_work_independent_of_query_count(spark):
     """VERDICT r7 #2 pin, r13 form: the batched NSW serve path's
     driver-side work is now ``collect`` round-trips (the per-round
@@ -452,6 +459,7 @@ def test_nsw_batch_driver_work_independent_of_query_count(spark):
     assert max(counts.values()) <= 2 + 2 * NSW_ROUNDS
 
 
+@pytest.mark.slow
 def test_knn_join_lsh_corpus_scans_constant_in_batch_size(spark, tmp_path):
     """VERDICT r7 #3 pin: the batched LSH kNN join never rescans the
     corpus per query — the executed plan holds the SAME number of
@@ -515,6 +523,7 @@ def test_ivfpq_knn_join_dpp_and_qid0_matches_single(spark, sf_dir):
     assert got0 == [(r.vec_id, r.adc_dist) for r in single[:5]]
 
 
+@pytest.mark.slow
 def test_nsw_append_equals_rebuild_and_serves_identically(spark):
     """Round-8 NSW maintenance theorem, asserted not assumed: folding a
     delta into the graph via nsw_append_graph produces EXACTLY the
@@ -550,6 +559,7 @@ def test_nsw_append_equals_rebuild_and_serves_identically(spark):
     assert got_a == got_r
 
 
+@pytest.mark.slow
 def test_nsw_append_index_commit_discipline(spark, tmp_path):
     """At-rest NSW append: the published artifact serves identically to a
     rebuild, and a crash injected before the final adjacency commit

@@ -279,6 +279,7 @@ asof_events = st.lists(
     lrows=[(1, 1, 0)], rrows=[(1, 1, 0), (1, 1, 1)],
     direction="backward", allow_exact=True,
 )
+@pytest.mark.slow
 def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction,
                                              allow_exact):
     """The operator equals pandas.merge_asof on generated data across the

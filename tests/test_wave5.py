@@ -674,6 +674,7 @@ _bin_hists = st.lists(
 
 @settings(**_W5_SETTINGS)
 @given(_bin_hists)
+@pytest.mark.slow
 def test_isotonic_minimax_equals_pava_property(spark, hist):
     """For random per-bin (pos, n) histograms the minimax identity must
     equal the classical weighted PAVA sweep on every bin."""

@@ -949,6 +949,7 @@ def test_good_turing_hand_counts(spark):
     assert abs(got.gt_r1 - 0.0) < 1e-9  # 2*n2/n1 = 0
 
 
+@pytest.mark.slow
 def test_audio_dft_matches_numpy_fft(spark):
     """The relational fixed-point DFT's dominant bin and power share
     must agree with numpy's FFT on the same closed-form samples — an
@@ -1363,3 +1364,54 @@ def test_huber_driver_solve_matches_spark_irls(spark):
         for r in w6._huber_irls_spark(spark, hist.localCheckpoint()).collect()
     )
     assert got == want
+
+
+def test_huber_wide_domain_falls_back(spark, monkeypatch):
+    """ADVICE r13 (medium): the driver-solve guard must bound the collect
+    itself (limit(cap+1) — never a full toPandas first) and a domain
+    wider than the cap must route to the in-Spark IRLS with identical
+    output rows."""
+    rows = [
+        _ev(i, dt.datetime(2024, 1, 1, 0, 0, i % 60), i, "view", float(i))
+        for i in range(1, 40)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        want = [
+            tuple(r) for r in w6.huber_location_by_type(spark, d).collect()
+        ]
+        calls: list[int] = []
+        orig = w6._huber_irls_spark
+        monkeypatch.setattr(
+            w6,
+            "_huber_irls_spark",
+            lambda s, h: (calls.append(1), orig(s, h))[1],
+        )
+        monkeypatch.setattr(w6, "_HUBER_DRIVER_CAP", 5)
+        got = [
+            tuple(r) for r in w6.huber_location_by_type(spark, d).collect()
+        ]
+    assert calls, "wide domain must route to _huber_irls_spark"
+    assert got == want
+
+
+def test_huber_negative_bucket_falls_back(spark, monkeypatch):
+    """ADVICE r13 (low): the driver solve's `//` replay of Spark's div is
+    only valid for nonnegative buckets; any negative cent bucket must
+    route to the sign-safe in-Spark IRLS."""
+    rows = [
+        _ev(i, dt.datetime(2024, 1, 1), 1, "view", v)
+        for i, v in enumerate([1.0, 2.0, 3.0, -3.7, 2.5])
+    ]
+    calls: list[int] = []
+    orig = w6._huber_irls_spark
+    monkeypatch.setattr(
+        w6,
+        "_huber_irls_spark",
+        lambda s, h: (calls.append(1), orig(s, h))[1],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        out = w6.huber_location_by_type(spark, d).collect()
+    assert calls, "negative bucket must route to _huber_irls_spark"
+    assert len(out) == 1 and out[0].n == 5

@@ -321,6 +321,7 @@ def test_jpeg_phash_sees_lossy_pixels(spark, sf_dir):
     assert diffs > 0, "quantization never flipped a hash bit in 40 docs"
 
 
+@pytest.mark.slow
 def test_vamana_insert_maintains_serving(spark, sf_dir):
     """FreshDiskANN-style insert proof: build on a 90% subset, insert the
     held-out 10% via search+prune+reverse-link, then (a) every new node

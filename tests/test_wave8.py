@@ -359,6 +359,7 @@ def test_tws_lenient_wrapper_only_suppresses_known_skew():
         )
 
 
+@pytest.mark.slow
 def test_hnsw_append_equals_rebuild_and_serves_identically(spark, sf_dir):
     """The per-layer NSW exactness theorem composed over the hierarchy:
     appending a 100-vector delta to a 400-vector HNSW graph yields the
@@ -470,6 +471,7 @@ def test_html_extraction_native_plan_and_exactness(spark, sf_dir, plans):
     assert all(r.n_paragraphs == 2 and r.n_links == 4 for r in rows)
 
 
+@pytest.mark.slow
 def test_hnsw_append_index_commit_discipline(spark, sf_dir, tmp_path):
     """At-rest HNSW append: the republished artifact equals a from-scratch
     rebuild's index (graph rows, levels, buckets), serving equals the
@@ -524,6 +526,7 @@ def test_hnsw_append_index_commit_discipline(spark, sf_dir, tmp_path):
 # --- streaming vector ingestion --------------------------------------------------
 
 
+@pytest.mark.slow
 def test_streaming_ann_ingest_equals_rebuild(spark, sf_dir, tmp_path):
     """Continuous embedding ingestion: two delta files stream through
     foreachBatch (one file per micro-batch), each folding into the store
@@ -582,6 +585,7 @@ def test_streaming_ann_ingest_equals_rebuild(spark, sf_dir, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_hnsw_deep_hierarchy_recall_at_scale(spark):
     """The log4 level-cap law (the round-12 scale finding): at 2000
     vectors the suggested cap is 4 (top layer O(1)) and single-entry
@@ -653,6 +657,7 @@ def test_avi_movi_nonstream_chunks_skipped():
         V.decode_avi_av(bytes(data))
 
 
+@pytest.mark.slow
 def test_hnsw_batch_entry_excludes_query_nodes(spark, sf_dir):
     """r12 ADVICE: when the only node on the top populated level IS the
     query, the batched route must descend from the next populated level
@@ -690,6 +695,7 @@ def test_hnsw_batch_entry_excludes_query_nodes(spark, sf_dir):
     assert got and got == single
 
 
+@pytest.mark.slow
 def test_streaming_ann_ingest_replay_heals_crash_window(
     spark, sf_dir, tmp_path
 ):
@@ -734,6 +740,7 @@ def test_streaming_ann_ingest_replay_heals_crash_window(
     assert fresh.fresh
 
 
+@pytest.mark.slow
 def test_streaming_ann_ingest_torn_fold_rebuilds(spark, sf_dir, tmp_path):
     """r12 ADVICE (medium): a crash MID-fold leaves torn adjacency with
     the _SUCCESS marker gone; the next batch must rebuild clean from the
